@@ -1,0 +1,29 @@
+"""Featurization operators — each a pure function DataFrame -> DataFrame.
+
+Operator IDs (W1, F1, E5, ...) refer to SURVEY.md §2's inventory of the
+reference's capabilities.
+"""
+
+from caspr_spark.operators.rank import get_rank, timestamps_to_intervals
+from caspr_spark.operators.filters import filter_history_window, filter_last_n
+from caspr_spark.operators.encode import CategoricalEncoding, fit_encoding
+from caspr_spark.operators.scale import fit_summary, normalize_columns, denormalize_columns
+from caspr_spark.operators.fills import fill_nans, fill_date_nans
+from caspr_spark.operators.pivot import (
+    featurize_sequential, collect_sequences, sequences_to_wide,
+    petastorm_rename, petastorm_rename_list,
+)
+from caspr_spark.operators.probes import (
+    get_sequence_length, get_lookback_period, get_sliding_window_dates,
+)
+
+__all__ = [
+    "get_rank", "timestamps_to_intervals",
+    "filter_history_window", "filter_last_n",
+    "CategoricalEncoding", "fit_encoding",
+    "fit_summary", "normalize_columns", "denormalize_columns",
+    "fill_nans", "fill_date_nans",
+    "featurize_sequential", "collect_sequences", "sequences_to_wide",
+    "petastorm_rename", "petastorm_rename_list",
+    "get_sequence_length", "get_lookback_period", "get_sliding_window_dates",
+]

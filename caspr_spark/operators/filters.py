@@ -1,0 +1,39 @@
+"""F1/F2 — temporal predicates over the activity log.
+
+Both are plain ``filter`` expressions, so Catalyst pushes them into the
+parquet scan whenever the inputs are raw columns (check: ``PushedFilters``
+in ``df.explain``) — at 100 TB this is the difference between scanning a
+year and scanning a window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def filter_history_window(df: DataFrame, activity_date: str, prediction_date: str,
+                          history_days: int, grace_days: int = 0) -> DataFrame:
+    """Keep events with ``pred - history < ts < pred - grace`` (F1).
+
+    Per-row (hence per-entity) cutoff — the reference computes
+    ``start_date = unix_timestamp(pred) - history*86400`` and filters
+    ``start_date < ts < pred`` (caspr/utils/spark/preprocess.py:577-581);
+    ``grace_days`` is the pandas twin's extra offset
+    (caspr/utils/preprocess.py:90-92). Bounds are exclusive on both sides.
+    """
+    start = (F.unix_timestamp(F.col(prediction_date))
+             - F.lit(history_days * 86400)).cast("timestamp")
+    end = (F.unix_timestamp(F.col(prediction_date))
+           - F.lit(grace_days * 86400)).cast("timestamp")
+    return df.filter((F.col(activity_date) > start) & (F.col(activity_date) < end))
+
+
+def filter_last_n(df: DataFrame, n: int, rank_col: str = "rank_desc") -> DataFrame:
+    """Keep each entity's latest ``n`` events (F2); requires ``get_rank`` first.
+
+    Reference: caspr/utils/spark/preprocess.py:410-412.
+    """
+    if rank_col not in df.columns:
+        raise ValueError(f"call get_rank first: missing {rank_col!r}")
+    return df.filter(F.col(rank_col) <= n)

@@ -1,0 +1,125 @@
+"""P1-P6 — long event log -> fixed-length wide sequence matrix.
+
+Reference semantics (caspr/utils/spark/preprocess.py:373-435): keep the
+latest ``n`` events per entity, compute a pad shift that aligns variable
+length histories into slots ``1..n`` (left- or right-padded with NULLs),
+then pivot each sequential column into ``{slot}_{col}`` wide columns.
+
+Padding truth table (reference comment block preprocess.py:415-424):
+``shift = n - seq_len`` applied when ``left_pad`` OR ``seq_len >= n``,
+else 0. So ``slot = rank_asc + shift`` maps the kept events to:
+
+- ``seq_len >= n``: the latest n events -> slots 1..n (both pad modes);
+- ``seq_len < n``, right pad: slots 1..seq_len (NULL tail);
+- ``seq_len < n``, left pad: slots (n-seq_len+1)..n (NULL head).
+
+Scale design vs the reference:
+
+- **Explicit pivot values** ``[1..n]`` — kills both the pivot's
+  value-discovery job and the reference's dummy-rank union hack
+  (preprocess.py:373-391).
+- ``collect_sequences`` is the preferred 100 TB path: one hash aggregate
+  producing ``ArrayType`` columns (no pivot's n×cols wide-plan explosion);
+  ``sequences_to_wide`` materializes the flat reference-compatible layout
+  from it with pure projections.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_P6 = re.compile(r"(\d+)_(\w+)")
+
+
+def add_pad_shift(df: DataFrame, n: int, left_pad: bool = False,
+                  slot_col: str = "rank") -> DataFrame:
+    """Compute the padding shift and target slot (P1); needs get_rank columns."""
+    shift = F.lit(n) - F.col("seq_len")
+    do_shift = F.lit(bool(left_pad)) | (shift <= 0)
+    return df.withColumn(slot_col,
+                         F.col("rank_asc") + F.when(do_shift, shift).otherwise(F.lit(0)))
+
+
+def featurize_sequential(df: DataFrame, tgt_id: list[str], n: int,
+                         seq_cols: list[str], left_pad: bool = False,
+                         max_seq_len: int | None = None) -> DataFrame:
+    """Pivot to the wide ``{slot}_{col}`` matrix, one row per entity (P1-P3).
+
+    Signature-parallel to ``main_featurizer_sequential_sp``
+    (caspr/utils/spark/preprocess.py:394-435).
+    """
+    required = {"seq_len", "rank_asc", "rank_desc"}
+    if not required.issubset(df.columns):
+        raise ValueError("call get_rank before featurize_sequential")
+
+    if max_seq_len is None:
+        max_seq_len = df.agg(F.max("seq_len")).collect()[0][0] or 0
+    df = df.filter(F.col("rank_desc") <= min(n, max_seq_len))
+    df = add_pad_shift(df, n, left_pad)
+
+    slots = list(range(1, n + 1))
+    aggs = [F.first(F.col(c)).alias(c) for c in seq_cols]
+    pivoted = df.groupBy(*tgt_id).pivot("rank", slots).agg(*aggs)
+
+    # normalize Spark's pivot naming to the reference `{slot}_{col}` layout:
+    # single-agg pivots are named just `{slot}`
+    if len(seq_cols) == 1:
+        c = seq_cols[0]
+        for s in slots:
+            pivoted = pivoted.withColumnRenamed(str(s), f"{s}_{c}")
+    return pivoted.na.drop(subset=tgt_id)
+
+
+def collect_sequences(df: DataFrame, tgt_id: list[str], n: int,
+                      seq_cols: list[str], left_pad: bool = False,
+                      seq_suffix: str = "_seq") -> DataFrame:
+    """Array-layout alternative: each sequential column -> one length-``n``
+    ``ArrayType`` column ``{col}{seq_suffix}`` (NULL-padded per the truth table).
+
+    One ``map_from_entries(collect_list(...))`` hash aggregate per entity —
+    no pivot, no wide plan; the idiomatic shape at 100 TB.
+    """
+    required = {"seq_len", "rank_asc", "rank_desc"}
+    if not required.issubset(df.columns):
+        raise ValueError("call get_rank before collect_sequences")
+
+    df = df.filter(F.col("rank_desc") <= n)
+    df = add_pad_shift(df, n, left_pad)
+
+    entry = F.struct(F.col("rank").cast("int").alias("slot"),
+                     F.struct(*[F.col(c).alias(c) for c in seq_cols]).alias("vals"))
+    packed = df.groupBy(*tgt_id).agg(
+        F.map_from_entries(F.collect_list(entry)).alias("__slots"))
+    idx = F.sequence(F.lit(1), F.lit(n))
+    for c in seq_cols:
+        packed = packed.withColumn(
+            f"{c}{seq_suffix}",
+            F.transform(idx, lambda i: F.element_at(F.col("__slots"), i)[c]))
+    return packed.drop("__slots")
+
+
+def sequences_to_wide(df: DataFrame, seq_cols: list[str], n: int,
+                      seq_suffix: str = "_seq", drop_arrays: bool = True) -> DataFrame:
+    """Materialize array-layout sequences into flat ``{slot}_{col}`` columns."""
+    exprs = [F.col(c) for c in df.columns if not (drop_arrays and c.endswith(seq_suffix))]
+    for c in seq_cols:
+        arr = f"{c}{seq_suffix}"
+        exprs += [F.col(arr)[s - 1].alias(f"{s}_{c}") for s in range(1, n + 1)]
+    return df.select(*exprs)
+
+
+def petastorm_rename(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """``{slot}_{col}`` -> ``{col}{slot}`` (P6; parquet field-name restrictions).
+
+    Reference: caspr/utils/spark/preprocess.py:447-454.
+    """
+    mapping = {c: _P6.sub(r"\2\1", c) for c in (cols or df.columns)}
+    return df.withColumnsRenamed({k: v for k, v in mapping.items() if k != v})
+
+
+def petastorm_rename_list(cols: list[str]) -> list[str]:
+    """List twin of ``petastorm_rename`` (preprocess.py:457-465)."""
+    return [_P6.sub(r"\2\1", c) for c in cols]

@@ -1,0 +1,57 @@
+"""W1/W2 — per-entity event ranking and inter-event intervals.
+
+Scale notes: both operators are single window shuffles partitioned by the
+entity key — the natural partitioning for everything downstream (pivot,
+profile join), so Catalyst reuses the exchange. No global windows anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def get_rank(df: DataFrame, tgt_id: list[str], activity_date: str,
+             tiebreak: list[str] | None = None) -> DataFrame:
+    """Add ``seq_len``, ``rank_desc``, ``rank_asc`` per entity (W1).
+
+    Semantics match the reference (caspr/utils/spark/preprocess.py:531-539):
+    ``seq_len = count(ts) over (partition by tgt_id)``,
+    ``rank_desc = row_number() ordered by ts desc`` (1 = most recent),
+    ``rank_asc = seq_len - rank_desc + 1`` (1 = oldest) — so the invariant
+    ``rank_asc + rank_desc == seq_len + 1`` always holds.
+
+    ``tiebreak`` columns extend the ordering so duplicate timestamps rank
+    deterministically (ordered descending, i.e. a larger tiebreak value is
+    treated as the later event); the reference omits this and is
+    nondeterministic under ties.
+    """
+    keys = [F.col(c) for c in tgt_id]
+    order = [F.col(activity_date).desc()] + [F.col(c).desc() for c in (tiebreak or [])]
+    w = Window.partitionBy(*keys)
+    w_desc = w.orderBy(*order)
+    return (
+        df.withColumn("seq_len", F.count(activity_date).over(w))
+          .withColumn("rank_desc", F.row_number().over(w_desc))
+          .withColumn("rank_asc", F.col("seq_len") - F.col("rank_desc") + 1)
+    )
+
+
+def timestamps_to_intervals(df: DataFrame, tgt_id: list[str] | str,
+                            activity_date: str,
+                            interval_col: str = "interval",
+                            tiebreak: list[str] | None = None) -> DataFrame:
+    """Add day gaps between consecutive events per entity (W2).
+
+    ``interval = datediff(ts, lag(ts) over (partition by entity order by ts))``
+    — first event of each entity gets NULL, exactly as the reference
+    (caspr/utils/spark/preprocess.py:438-444).
+    """
+    if isinstance(tgt_id, str):
+        tgt_id = [tgt_id]
+    order = [F.col(activity_date)] + [F.col(c) for c in (tiebreak or [])]
+    w = Window.partitionBy(*[F.col(c) for c in tgt_id]).orderBy(*order)
+    return df.withColumn(
+        interval_col,
+        F.datediff(F.col(activity_date), F.lag(F.col(activity_date), 1).over(w)),
+    )

@@ -1,0 +1,182 @@
+"""The CASPR featurization pipeline as an MLlib-style Estimator/Model pair.
+
+``SequenceFeaturizer.fit_transform(train)`` runs the full chain —
+
+1. F1 history-window filter (per-entity prediction-date cutoff)
+2. W1 per-entity ranking (deterministic tie-break)
+3. E7 date featurization (interval days or epoch seconds)
+4. E1 capped frequency label-encoding      [fitted state]
+5. E5 min-max / standard scaling           [fitted state]
+6. E8/E9 NaN fills (long layout)
+7. P1-P3 fixed-length sequence pivot
+8. J4 profile join (non-sequential + label columns)
+9. E8/E9 NaN fills (pivoted layout)
+
+— and returns ``(wide_df, model)``; ``model.transform(val)`` reapplies the
+train-fitted encoding + summary so val/test see exactly the train-time
+feature space (leakage discipline of ``data_process_all_sp``,
+caspr/utils/spark/preprocess.py:615-632). Stage order matches the
+reference ``pipeline`` (preprocess.py:542-612).
+
+Scale notes: the only shuffles are the W1 window and the P3 pivot — both
+hash-partitioned by the entity key, so AQE reuses one exchange; encode
+joins broadcast (dictionaries capped at 30k rows); scaling/fills are pure
+expressions inside whole-stage codegen. The reference's mid-pipeline
+``repartition`` (preprocess.py:594-596) is unnecessary here — broadcast
+joins never skew the fact table.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from caspr_spark.roles import ColumnRoles
+from caspr_spark.operators.encode import (CategoricalEncoding, fit_encoding,
+                                          MAX_CAT_CARDINALITY)
+from caspr_spark.operators.fills import fill_nans
+from caspr_spark.operators.filters import filter_history_window, filter_last_n
+from caspr_spark.operators.pivot import collect_sequences, featurize_sequential, sequences_to_wide
+from caspr_spark.operators.rank import get_rank
+from caspr_spark.operators.scale import (Summary, fit_summary, load_summary,
+                                         normalize_columns, save_summary)
+
+
+@dataclass
+class SequenceFeaturizer:
+    """Configuration (the unfitted Estimator). Defaults match the reference
+    ``pipeline`` signature (caspr/utils/spark/preprocess.py:542-544)."""
+
+    roles: ColumnRoles
+    history_days: int = 365
+    seq_len: int = 15
+    left_pad: bool = False
+    interval: bool = False
+    scaling: str = "min_max"
+    max_cardinality: int = MAX_CAT_CARDINALITY
+    layout: str = "wide"  # "wide" (reference-compatible) or "array" (scale path)
+
+    def fit(self, df: DataFrame) -> "SequenceFeaturizerModel":
+        _, model = self.fit_transform(df, _materialize=False)
+        return model
+
+    def fit_transform(self, df: DataFrame, _materialize: bool = True):
+        """Fit encoding + summary on ``df`` and featurize it in one pass."""
+        r = self.roles
+        r.validate(df)
+        long_df = self._prepare(df)
+
+        encoding = fit_encoding(long_df, r.cat_cols, self.max_cardinality)
+        long_df = encoding.apply(long_df, r.cat_cols)
+
+        norm_cols = r.date_cols + r.cont_cols
+        long_df, summary = normalize_columns(long_df, norm_cols, None, self.scaling)
+
+        model = SequenceFeaturizerModel(self, encoding, summary)
+        wide = model._finish(long_df) if _materialize else None
+        return wide, model
+
+    def _prepare(self, df: DataFrame) -> DataFrame:
+        """Stages 1-3: stateless prefix shared by fit and transform."""
+        r = self.roles
+        df = filter_history_window(df, r.activity_date, r.prediction_date, self.history_days)
+        df = get_rank(df, r.tgt_id, r.activity_date, tiebreak=r.order_tiebreak)
+        for d in r.date_cols:
+            if self.interval:
+                df = df.withColumn(d, F.datediff(F.col(r.prediction_date), F.col(d)))
+            else:
+                df = df.withColumn(d, F.unix_timestamp(F.col(d)).cast("double"))
+        return df
+
+
+@dataclass
+class SequenceFeaturizerModel:
+    """Fitted featurizer: reapplies train-time encoding + summary."""
+
+    params: SequenceFeaturizer
+    encoding: CategoricalEncoding
+    summary: Summary
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        p = self.params
+        p.roles.validate(df)
+        long_df = p._prepare(df)
+        long_df = self.encoding.apply(long_df, p.roles.cat_cols)
+        long_df, _ = normalize_columns(long_df, p.roles.date_cols + p.roles.cont_cols,
+                                       self.summary, p.scaling)
+        return self._finish(long_df)
+
+    # -- shared tail (stages 6-9) ------------------------------------------
+
+    def _finish(self, long_df: DataFrame) -> DataFrame:
+        p, r = self.params, self.params.roles
+        summary_date = {d: self.summary[d] for d in r.date_cols}
+
+        long_df = fill_nans(long_df, r.cat_cols, r.cont_cols, r.date_cols,
+                            p.history_days, r.prediction_date, p.interval,
+                            summary_date, p.scaling)
+
+        # carry prediction_date through the pivot when absolute-mode date
+        # fills will need it on the wide layout (the reference requires the
+        # caller to declare it non-sequential; we carry it implicitly)
+        extra_profile = ([r.prediction_date]
+                         if not p.interval and r.prediction_date not in r.non_seq_cols
+                         else [])
+
+        if p.layout == "array":
+            feat = collect_sequences(long_df, r.tgt_id, p.seq_len, r.seq_cols, p.left_pad)
+            wide = sequences_to_wide(feat, r.seq_cols, p.seq_len)
+        else:
+            wide = featurize_sequential(long_df, r.tgt_id, p.seq_len, r.seq_cols, p.left_pad)
+
+        prof_cols = r.tgt_id + r.non_seq_cols + r.output_cols + extra_profile
+        if r.non_seq_cols or r.output_cols or extra_profile:
+            prof = long_df.select(*prof_cols).dropDuplicates()
+            wide = wide.join(prof, on=r.tgt_id, how="inner")
+
+        cat_w, cont_w, _, _, date_w = r.wide_lists(p.seq_len, p.left_pad)
+        present = set(wide.columns)
+        wide = fill_nans(wide,
+                         [c for c in cat_w if c in present],
+                         [c for c in cont_w if c in present],
+                         [c for c in date_w if c in present],
+                         p.history_days, r.prediction_date, p.interval,
+                         {d: self.summary[d] for d in r.date_cols}, p.scaling)
+        return wide.drop(*[c for c in extra_profile])
+
+    # -- persistence --------------------------------------------------------
+
+    def save(self, path: str) -> None:
+        os.makedirs(path, exist_ok=True)
+        cfg = {k: getattr(self.params, k)
+               for k in ("history_days", "seq_len", "left_pad", "interval",
+                          "scaling", "max_cardinality", "layout")}
+        cfg["roles"] = self.params.roles.to_dict()
+        with open(os.path.join(path, "params.json"), "w") as f:
+            json.dump(cfg, f)
+        self.encoding.save(os.path.join(path, "encoding.json"))
+        save_summary(self.summary, os.path.join(path, "summary.json"))
+
+    @classmethod
+    def load(cls, path: str) -> "SequenceFeaturizerModel":
+        with open(os.path.join(path, "params.json")) as f:
+            cfg = json.load(f)
+        roles = ColumnRoles.from_dict(cfg.pop("roles"))
+        params = SequenceFeaturizer(roles=roles, **cfg)
+        return cls(params,
+                   CategoricalEncoding.load(os.path.join(path, "encoding.json")),
+                   load_summary(os.path.join(path, "summary.json")))
+
+
+def data_process_all(train: DataFrame, val: DataFrame, test: DataFrame,
+                     featurizer: SequenceFeaturizer):
+    """Fit on train; reapply to val/test (X-split leakage discipline).
+
+    Reference: ``data_process_all_sp`` (caspr/utils/spark/preprocess.py:615-632).
+    """
+    train_wide, model = featurizer.fit_transform(train)
+    return train_wide, model.transform(val), model.transform(test), model

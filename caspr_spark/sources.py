@@ -1,0 +1,73 @@
+"""Parquet sources/sinks (SURVEY §2.1).
+
+``read_parquet_table`` papers over one real-world wart: Spark 4 refuses
+parquet ``TIMESTAMP(NANOS)`` columns outright. We detect them from the
+file footer (pyarrow, driver-side — no data read), flip the
+``nanosAsLong`` legacy conf for the read, and rebuild proper microsecond
+timestamps with *integer* division (nanosecond epochs exceed 2^53, so
+float division would corrupt them). Truncation toward zero matches how
+DuckDB / pyarrow downcast ns -> us, which keeps oracle comparisons exact.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings")
+
+_NANOS_CONF = "spark.sql.legacy.parquet.nanosAsLong"
+
+
+def _nanos_timestamp_cols(path: str) -> list[str]:
+    """Column names stored as TIMESTAMP(NANOS) in the parquet footer."""
+    files = sorted(glob.glob(os.path.join(path, "*.parquet"))) if os.path.isdir(path) else [path]
+    if not files:
+        files = [path]
+    schema = pq.read_schema(files[0])
+    out = []
+    for name, typ in zip(schema.names, schema.types):
+        if str(typ) == "timestamp[ns]":
+            out.append(name)
+    return out
+
+
+def read_parquet_table(spark: SparkSession, path: str) -> DataFrame:
+    """Read one parquet table, transparently fixing ns-timestamp columns."""
+    ns_cols = _nanos_timestamp_cols(path)
+    if not ns_cols:
+        return spark.read.parquet(path)
+    prev = spark.conf.get(_NANOS_CONF, "false")
+    spark.conf.set(_NANOS_CONF, "true")
+    try:
+        df = spark.read.parquet(path)
+        for c in ns_cols:
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    finally:
+        spark.conf.set(_NANOS_CONF, prev)
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str,
+                names: tuple[str, ...] = TABLES) -> dict[str, DataFrame]:
+    """Read the driver's test tables under ``sf_dir`` into a dict."""
+    return {n: read_parquet_table(spark, f"{sf_dir}/{n}.parquet") for n in names}
+
+
+def write_parquet_handover(df: DataFrame, path: str, partitions: int | None = None,
+                           block_size: int = 128 * 1024 * 1024) -> str:
+    """Repartition + write parquet for downstream consumers (S1).
+
+    Reference ``petastorm_handover`` (caspr/utils/spark/preprocess.py:47-62)
+    used 1 MiB row groups to widen Petastorm streaming parallelism; for
+    pure-Spark consumers the 128 MiB default here is the right row-group
+    size — pass ``block_size=1 << 20`` to reproduce the Petastorm tuning.
+    """
+    writer = (df.repartition(partitions) if partitions else df).write
+    writer.mode("overwrite").option("parquet.block.size", block_size).parquet(path)
+    return path
