@@ -1,0 +1,66 @@
+"""Benchmark runner: times the headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total_sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>}
+
+Each query is forced with a count() after a noop write-free materialization
+(toPandas would add transfer cost; count() measures the Spark plan itself).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BENCH_QUERIES = [
+    "pipeline_events",
+    "pipeline_orders_profile",
+    "w1_rank",
+    "f1_history_window",
+    "e1_encode_capped",
+    "e5_normalize_minmax",
+    "p3_pivot_last5",
+    "x3_sliding_union",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "text_token_counts",
+    "text_quality",
+    "text_langid",
+    "simsearch_topk",
+]
+
+
+def main() -> None:
+    import __spark_entry__ as entrymod
+    from caspr_spark import get_spark
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qs = entrymod.queries()
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        t0 = time.time()
+        df = qs[name](spark, sf_dir)
+        df.count()
+        timings[name] = round(time.time() - t0, 3)
+
+    print(json.dumps({
+        "metric": "caspr_spark headline queries wall-clock",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf),
+    }))
+
+
+if __name__ == "__main__":
+    main()

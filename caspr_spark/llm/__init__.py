@@ -1,0 +1,21 @@
+"""Large-scale training-data pipeline operators (beyond the reference's surface).
+
+Deduplication, similarity search, text analysis, and multimodal-column
+plumbing — the operators a 100 TB LLM data pipeline needs, built on the
+same DataFrame-first principles as the featurization engine.
+"""
+
+from caspr_spark.llm.text import (
+    add_token_counts, add_quality_signals, add_language_id, add_fingerprint,
+)
+from caspr_spark.llm.dedup import (
+    exact_dedup, minhash_signatures, minhash_lsh_dedup, simhash, ngram_jaccard_pairs,
+)
+from caspr_spark.llm.similarity import cosine_topk, embedding_near_duplicates
+
+__all__ = [
+    "add_token_counts", "add_quality_signals", "add_language_id", "add_fingerprint",
+    "exact_dedup", "minhash_signatures", "minhash_lsh_dedup", "simhash",
+    "ngram_jaccard_pairs",
+    "cosine_topk", "embedding_near_duplicates",
+]

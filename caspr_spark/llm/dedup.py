@@ -1,0 +1,205 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+All signatures are computed with **native Spark expressions** (xxhash64 +
+higher-order array functions) — no Python UDFs — so signature generation
+is embarrassingly parallel, and the only shuffles are the band-bucket
+groupBys, which are tiny (one row per (doc, band)).
+
+Scale shape (100 TB corpus):
+- exact: one hash aggregate on a 16-byte key — the cheapest possible shuffle.
+- MinHash LSH: candidate generation shuffles (doc_id, band_hash) pairs only
+  (bands × docs rows, ~100 bytes each), never the documents themselves;
+  verification joins shingle sets for *candidate pairs only*.
+- the all-pairs ``ngram_jaccard_pairs`` is the small-data/oracle path; LSH
+  is the scale path for the same semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                normalize: bool = True) -> DataFrame:
+    """Exact dedup: keep the smallest ``id_col`` per (normalized) text hash."""
+    key = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " ")) \
+        if normalize else F.col(text_col)
+    keep = (df.groupBy(F.md5(key).alias("__k"))
+              .agg(F.min(id_col).alias(id_col))
+              .drop("__k"))
+    return df.join(keep, on=id_col, how="left_semi")
+
+
+def _shingles(text_col: str, k: int):
+    """Word ``k``-shingles as a distinct array (native HOFs, no UDF)."""
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    n = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(1), n - F.lit(k - 1)),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
+    return F.array_distinct(F.when(n >= k, grams).otherwise(F.array(F.concat_ws(" ", toks))))
+
+
+_MERSENNE31 = 2147483647
+
+
+def minhash_signatures(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+                       num_hashes: int = 64, shingle_size: int = 3,
+                       sig_col: str = "minhash") -> DataFrame:
+    """MinHash signatures as ``(id_col, sig_col: array<bigint>)``.
+
+    Carter-Wegman family: each shingle is hashed exactly twice
+    (``h1 = xxhash64(s) mod p``, ``h2 = xxhash64(s, 1) mod p``) and the
+    ``num_hashes`` permutations are ``h1 + i*h2`` — so signature slot ``i``
+    is ``min(h1 + i*h2)`` over the doc's shingles.
+
+    Shape notes for scale: explode -> 2 hashes/shingle -> one hash
+    aggregate with ``num_hashes`` partial-min expressions. The alternative
+    (nested array lambdas over a shingle-array column) silently re-evaluates
+    the shingle construction once per hash function — Catalyst doesn't cost
+    expression re-evaluation inside higher-order-function lambdas — which
+    is a 64x CPU blowup. The explode/agg form evaluates everything once and
+    map-side combines, so the shuffle carries one 64-long vector per
+    (doc, input partition).
+    """
+    p = F.lit(_MERSENNE31)
+    hashed = df.select(
+        F.col(id_col),
+        F.explode(_shingles(text_col, shingle_size)).alias("__s")
+    ).select(
+        id_col,
+        F.pmod(F.xxhash64("__s"), p).alias("__h1"),
+        F.pmod(F.xxhash64("__s", F.lit(1)), p).alias("__h2"))
+    mins = [F.min(F.col("__h1") + i * F.col("__h2")).alias(f"__m{i}")
+            for i in range(num_hashes)]
+    agg = hashed.groupBy(id_col).agg(*mins)
+    return agg.select(id_col, F.array(*[f"__m{i}" for i in range(num_hashes)])
+                      .alias(sig_col))
+
+
+def minhash_lsh_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+                      num_hashes: int = 64, bands: int = 16, shingle_size: int = 3,
+                      threshold: float = 0.8, verify: bool = True):
+    """Near-dup detection: shingle -> MinHash -> LSH banding -> bucket join.
+
+    Returns ``(dedup_df, pairs_df)``: ``pairs_df`` holds candidate pairs
+    (``id_a < id_b``) with exact shingle-Jaccard (when ``verify``), and
+    ``dedup_df`` drops every doc that near-matches a lower-id doc (greedy
+    survivor rule — at 100 TB the connected-component pass is an iterative
+    follow-up job over the tiny pairs table).
+    """
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_size)
+
+    # `minhash` is an aggregate output (a materialized attribute), so the
+    # band-key slices below just index an in-memory array — no re-hashing.
+    band_keys = F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda j: F.xxhash64(
+            F.concat_ws(",", F.transform(
+                F.slice("minhash", j * rows_per_band + 1, rows_per_band),
+                lambda x: x.cast("string"))),
+            j))
+    banded = sigs.select(
+        id_col, F.posexplode(band_keys).alias("band", "band_key"))
+
+    left = banded.select(F.col(id_col).alias("id_a"), "band", "band_key")
+    right = banded.select(F.col(id_col).alias("id_b"), "band", "band_key")
+    pairs = (left.join(right, on=["band", "band_key"])
+                 .filter(F.col("id_a") < F.col("id_b"))
+                 .select("id_a", "id_b").distinct())
+
+    if verify:
+        sh = df.select(F.col(id_col),
+                       _shingles(text_col, shingle_size).alias("__shingles"))
+        pairs = (pairs
+                 .join(sh.select(F.col(id_col).alias("id_a"),
+                                 F.col("__shingles").alias("__sh_a")), "id_a")
+                 .join(sh.select(F.col(id_col).alias("id_b"),
+                                 F.col("__shingles").alias("__sh_b")), "id_b")
+                 .withColumn("jaccard",
+                             F.size(F.array_intersect("__sh_a", "__sh_b")) /
+                             F.size(F.array_union("__sh_a", "__sh_b")))
+                 .drop("__sh_a", "__sh_b")
+                 .filter(F.col("jaccard") >= threshold))
+
+    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    dedup = df.join(losers, on=id_col, how="left_anti")
+    return dedup, pairs
+
+
+def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+            out_col: str = "simhash", bits: int = 63) -> DataFrame:
+    """SimHash fingerprints as ``(id_col, out_col: bigint)`` (<= 63 bits).
+
+    Per token hash, each bit votes +1/-1; the fingerprint sets bits with a
+    positive vote sum. Hamming-close fingerprints ~ similar token bags.
+
+    Same explode -> agg shape as ``minhash_signatures``: each token is
+    hashed once and the 63 per-bit vote sums are partial aggregates —
+    never a per-bit re-scan of the token array.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("__t"))
+    hashed = toks.select(id_col, F.xxhash64("__t").alias("__h"))
+    votes = [F.sum(F.when(F.shiftright(F.col("__h"), b).bitwiseAND(F.lit(1)) == 1,
+                          1).otherwise(-1)).alias(f"__v{b}")
+             for b in range(bits)]
+    agg = hashed.groupBy(id_col).agg(*votes)
+    fp = None
+    for b in range(bits):
+        term = F.when(F.col(f"__v{b}") > 0,
+                      F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
+        fp = term if fp is None else fp + term
+    return agg.select(id_col, fp.alias(out_col))
+
+
+def simhash_near_pairs(df: DataFrame, id_col: str = "doc_id",
+                       sim_col: str = "simhash", max_hamming: int = 3,
+                       chunks: int = 4) -> DataFrame:
+    """Candidate pairs whose SimHash differs by <= ``max_hamming`` bits.
+
+    Pigeonhole banding: split the fingerprint into ``chunks`` chunks — any
+    pair within ``chunks - 1`` bit flips shares at least one exact chunk, so
+    bucketing by (chunk_idx, chunk_value) finds all candidates with one
+    small shuffle; exact Hamming verifies.
+    """
+    width = 64 // chunks
+    chunk_idx = F.explode(F.sequence(F.lit(0), F.lit(chunks - 1))).alias("chunk")
+    # SQL expr: the python shiftright wrapper demands a literal int bit count
+    chunked = df.select(id_col, sim_col, chunk_idx).withColumn(
+        "chunk_val",
+        F.expr(f"(`{sim_col}` >> (chunk * {width})) & {(1 << width) - 1}"))
+    left = chunked.select(F.col(id_col).alias("id_a"), F.col(sim_col).alias("__h_a"),
+                          "chunk", "chunk_val")
+    right = chunked.select(F.col(id_col).alias("id_b"), F.col(sim_col).alias("__h_b"),
+                           "chunk", "chunk_val")
+    return (left.join(right, on=["chunk", "chunk_val"])
+                .filter(F.col("id_a") < F.col("id_b"))
+                .select("id_a", "id_b", "__h_a", "__h_b").distinct()
+                .withColumn("hamming", F.bit_count(F.col("__h_a").bitwiseXOR(F.col("__h_b"))))
+                .filter(F.col("hamming") <= max_hamming)
+                .select("id_a", "id_b", "hamming"))
+
+
+def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+                        shingle_size: int = 3, threshold: float = 0.5) -> DataFrame:
+    """All pairs sharing >= 1 shingle, with exact Jaccard >= ``threshold``.
+
+    Shared-shingle self-join — exact but quadratic in bucket size; use
+    ``minhash_lsh_dedup`` as the scale path for the same semantics.
+    """
+    sh = df.select(F.col(id_col), _shingles(text_col, shingle_size).alias("__sh"))
+    exploded = sh.select(id_col, F.explode("__sh").alias("shingle"))
+    cand = (exploded.alias("a").join(exploded.alias("b"), on="shingle")
+            .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+            .filter(F.col("id_a") < F.col("id_b")).distinct())
+    return (cand
+            .join(sh.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("__sh_a")), "id_a")
+            .join(sh.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("__sh_b")), "id_b")
+            .withColumn("jaccard", F.size(F.array_intersect("__sh_a", "__sh_b")) /
+                                   F.size(F.array_union("__sh_a", "__sh_b")))
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard"))

@@ -1,0 +1,84 @@
+"""Text-analysis operators over a document table — all native expressions.
+
+Language ID, quality scoring, token counting, fingerprinting. Every
+operator is pure `pyspark.sql.functions` column arithmetic (regexes,
+hashes), so the whole stage stays in JVM codegen — no Python in the loop
+at any scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# A "BPE-ish" pre-tokenizer: letter runs, digit runs, or single punctuation
+# marks — the shape GPT-2-style byte-pair pre-tokenization produces.
+BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+# tiny per-language stopword inventories for the n-gram/stopword heuristic
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is", "in", "that", "with"],
+    "es": ["el", "la", "de", "que", "los", "con", "por", "una"],
+    "de": ["der", "die", "und", "das", "mit", "von", "ein", "nicht"],
+    "fr": ["le", "la", "les", "des", "est", "une", "dans", "pour"],
+}
+
+
+def add_token_counts(df: DataFrame, text_col: str = "text",
+                     ws_col: str = "n_tokens_ws",
+                     bpe_col: str = "n_tokens_bpe") -> DataFrame:
+    """Whitespace token count + BPE-ish regex token count."""
+    return (df.withColumn(ws_col, F.size(F.split(F.trim(F.col(text_col)), r"\s+")))
+              .withColumn(bpe_col, F.regexp_count(F.col(text_col), F.lit(BPE_TOKEN_RE))))
+
+
+def add_quality_signals(df: DataFrame, text_col: str = "text",
+                        prefix: str = "q_") -> DataFrame:
+    """Length / alpha-ratio / punctuation-ratio / mean-word-length signals.
+
+    The classic cheap quality filters for web-scale corpora (C4/Gopher
+    style): each is a single regexp_replace + length expression.
+    """
+    t = F.col(text_col)
+    n = F.length(t).cast("double")
+    alpha = F.length(F.regexp_replace(t, r"[^A-Za-z]", "")).cast("double")
+    punct = F.length(F.regexp_replace(t, r"[^.,;:!?]", "")).cast("double")
+    digits = F.length(F.regexp_replace(t, r"[^0-9]", "")).cast("double")
+    words = F.size(F.split(F.trim(t), r"\s+")).cast("double")
+    return (df.withColumn(f"{prefix}chars", n.cast("long"))
+              .withColumn(f"{prefix}alpha_ratio", alpha / n)
+              .withColumn(f"{prefix}punct_ratio", punct / n)
+              .withColumn(f"{prefix}digit_ratio", digits / n)
+              .withColumn(f"{prefix}mean_word_len", alpha / words))
+
+
+def _word_hits(text_col: str, words: list[str]):
+    pat = r"\b(" + "|".join(words) + r")\b"
+    return F.regexp_count(F.lower(F.col(text_col)), F.lit(pat))
+
+
+def add_language_id(df: DataFrame, text_col: str = "text",
+                    out_col: str = "lang_pred",
+                    stopwords: dict[str, list[str]] | None = None) -> DataFrame:
+    """Stopword-hit language ID: argmax of per-language stopword matches.
+
+    Adds ``{lang}_hits`` per candidate plus ``out_col``; ties and all-zero
+    rows resolve to the lexicographically first language for determinism.
+    """
+    sw = stopwords or LANG_STOPWORDS
+    langs = sorted(sw)
+    for lang in langs:
+        df = df.withColumn(f"{lang}_hits", _word_hits(text_col, sw[lang]))
+    # argmax via array_position(max) over a fixed language order
+    hits = F.array(*[F.col(f"{l}_hits") for l in langs])
+    best = F.array_position(hits, F.array_max(hits)).cast("int")
+    lang_arr = F.array(*[F.lit(l) for l in langs])
+    return df.withColumn(out_col, F.element_at(lang_arr, best))
+
+
+def add_fingerprint(df: DataFrame, text_col: str = "text",
+                    out_col: str = "fingerprint") -> DataFrame:
+    """Deterministic document fingerprint: md5 of the normalized text
+    (lower-cased, whitespace collapsed) — the exact-dedup key."""
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    return df.withColumn(out_col, F.md5(norm))

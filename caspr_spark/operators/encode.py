@@ -138,17 +138,26 @@ def fit_encoding(df: DataFrame, cols: list[str],
     if not cols:
         return enc
 
-    # one pass for all cardinalities instead of the reference's per-column
-    # distinct().count() actions (preprocess.py:261)
-    card_row = df.agg(*[F.countDistinct(F.col(c)).alias(c) for c in cols]).collect()[0]
-    cardinalities = {c: card_row[c] for c in cols}
-
-    pruned_fracs = []
-    over_cap: list[str] = []
+    saturated: list[str] = []
     for c in cols:
         top = top_k_by_frequency(df, c, max_cardinality).collect()
         # rows arrive already ordered by (count desc, value asc)
         enc.mappings[c] = [(r[c], i + 1) for i, r in enumerate(top)]
+        if len(top) == max_cardinality:
+            saturated.append(c)
+
+    # true distinct counts are only needed for columns that filled the cap
+    # (vs the reference's unconditional per-column distinct().count(),
+    # preprocess.py:261); one agg pass covers them all
+    cardinalities = {c: len(enc.mappings[c]) for c in cols}
+    if saturated:
+        card_row = df.agg(*[F.countDistinct(F.col(c)).alias(c)
+                            for c in saturated]).collect()[0]
+        cardinalities.update({c: card_row[c] for c in saturated})
+
+    pruned_fracs = []
+    over_cap: list[str] = []
+    for c in cols:
         if cardinalities[c] > max_cardinality:
             over_cap.append(c)
             pruned_fracs.append(1 - max_cardinality / cardinalities[c])

@@ -55,9 +55,11 @@ def featurize_sequential(df: DataFrame, tgt_id: list[str], n: int,
     if not required.issubset(df.columns):
         raise ValueError("call get_rank before featurize_sequential")
 
-    if max_seq_len is None:
-        max_seq_len = df.agg(F.max("seq_len")).collect()[0][0] or 0
-    df = df.filter(F.col("rank_desc") <= min(n, max_seq_len))
+    # The reference computes max(seq_len) first and filters
+    # rank_desc <= min(n, max_seq_len) (preprocess.py:411-412); since no row
+    # has rank_desc > max(seq_len), that's identical to rank_desc <= n — so
+    # we skip the extra driver action (callers may still pass max_seq_len).
+    df = df.filter(F.col("rank_desc") <= (min(n, max_seq_len) if max_seq_len else n))
     df = add_pad_shift(df, n, left_pad)
 
     slots = list(range(1, n + 1))

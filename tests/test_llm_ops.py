@@ -1,0 +1,189 @@
+"""Tests for the LLM-data-pipeline operators, with pandas/python oracles."""
+
+import itertools
+
+import pytest
+from pyspark.sql import functions as F
+
+from caspr_spark.llm.dedup import (
+    exact_dedup, minhash_signatures, minhash_lsh_dedup, simhash,
+    simhash_near_pairs, ngram_jaccard_pairs,
+)
+from caspr_spark.llm.similarity import (
+    cosine_topk, cosine_topk_lsh, add_lsh_bucket, embedding_near_duplicates,
+)
+from caspr_spark.llm.text import (
+    add_token_counts, add_quality_signals, add_language_id, add_fingerprint,
+)
+
+
+@pytest.fixture(scope="module")
+def dup_docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),          # exact dup
+        (3, "The  quick brown fox   jumps over the lazy dog"),       # ws/case dup
+        (4, "the quick brown fox jumps over the sleepy dog"),        # near dup
+        (5, "completely different words entirely here now folks yes"),
+        (6, "el rapido zorro marron salta sobre el perro perezoso"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string").cache()
+
+
+class TestExactDedup:
+    def test_normalized(self, dup_docs):
+        kept = {r["doc_id"] for r in exact_dedup(dup_docs).select("doc_id").collect()}
+        assert kept == {1, 4, 5, 6}
+
+    def test_raw(self, dup_docs):
+        kept = {r["doc_id"] for r in
+                exact_dedup(dup_docs, normalize=False).select("doc_id").collect()}
+        assert kept == {1, 3, 4, 5, 6}
+
+
+def _py_shingles(text, k=3):
+    toks = text.lower().split()
+    if len(toks) < k:
+        return {" ".join(toks)}
+    return {" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)}
+
+
+def _py_jaccard(a, b):
+    return len(a & b) / len(a | b)
+
+
+class TestMinHash:
+    def test_signature_shape_and_determinism(self, dup_docs):
+        s1 = minhash_signatures(dup_docs).orderBy("doc_id").collect()
+        s2 = minhash_signatures(dup_docs).orderBy("doc_id").collect()
+        assert all(len(r["minhash"]) == 64 for r in s1)
+        assert [r["minhash"] for r in s1] == [r["minhash"] for r in s2]
+
+    def test_identical_docs_identical_sigs(self, dup_docs):
+        sigs = {r["doc_id"]: r["minhash"]
+                for r in minhash_signatures(dup_docs).collect()}
+        assert sigs[1] == sigs[2] == sigs[3]
+        assert sigs[1] != sigs[5]
+
+    def test_lsh_finds_near_dups(self, dup_docs):
+        dedup, pairs = minhash_lsh_dedup(dup_docs, threshold=0.4)
+        got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs.collect()}
+        assert (1, 2) in got and got[(1, 2)] == 1.0
+        assert (1, 3) in got
+        # near-dup pair 1-4 shares 4/10 shingles (jaccard 2/3 at the ends)
+        expected = _py_jaccard(_py_shingles(
+            "the quick brown fox jumps over the lazy dog"),
+            _py_shingles("the quick brown fox jumps over the sleepy dog"))
+        if (1, 4) in got:
+            assert got[(1, 4)] == pytest.approx(expected)
+        # survivors: every id without a lower-id match
+        kept = {r["doc_id"] for r in dedup.select("doc_id").collect()}
+        assert 1 in kept and 2 not in kept and 3 not in kept
+        assert {5, 6}.issubset(kept)
+
+    def test_jaccard_matches_python_oracle(self, documents):
+        pairs = ngram_jaccard_pairs(documents, threshold=0.15).collect()
+        texts = {r["doc_id"]: r["text"]
+                 for r in documents.select("doc_id", "text").collect()}
+        assert pairs, "expected at least one candidate pair in testdata"
+        for r in pairs[:20]:
+            expect = _py_jaccard(_py_shingles(texts[r["id_a"]]),
+                                 _py_shingles(texts[r["id_b"]]))
+            assert r["jaccard"] == pytest.approx(expect)
+
+
+class TestSimHash:
+    def test_identical_hash_for_dups(self, dup_docs):
+        fps = {r["doc_id"]: r["simhash"] for r in simhash(dup_docs).collect()}
+        assert fps[1] == fps[2]
+        assert fps[1] != fps[5]
+
+    def test_near_pairs(self, dup_docs):
+        fps = simhash(dup_docs)
+        pairs = simhash_near_pairs(fps, max_hamming=20)
+        got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+        assert (1, 2) in got
+
+    def test_python_oracle(self, spark):
+        import pyspark.sql.functions as F
+        df = spark.createDataFrame([(1, "alpha beta gamma")], "doc_id long, text string")
+        fp = simhash(df).collect()[0]["simhash"]
+        toks = "alpha beta gamma".split()
+        hs = [df.sparkSession.sql(
+            f"SELECT xxhash64('{t}')").collect()[0][0] for t in toks]
+        expect = 0
+        for b in range(63):
+            vote = sum(1 if (h >> b) & 1 else -1 for h in hs)
+            if vote > 0:
+                expect |= 1 << b
+        assert fp == expect
+
+
+class TestSimilarity:
+    def test_topk_matches_numpy(self, embeddings):
+        import numpy as np
+        out = cosine_topk(embeddings, embeddings.filter("vec_id < 3"), k=4)
+        got = {(r["query_id"], r["rank"]): r["vec_id"] for r in out.collect()}
+        pdf = embeddings.select("vec_id", "embedding").toPandas()
+        mat = np.stack(pdf["embedding"].map(lambda v: np.asarray(v))).astype("float64")
+        ids = pdf["vec_id"].to_numpy()
+        for q in range(3):
+            qi = list(ids).index(q)
+            sims = mat @ mat[qi] / (np.linalg.norm(mat, axis=1) * np.linalg.norm(mat[qi]))
+            order = sorted(
+                [(round(s, 6), i) for s, i in zip(sims, ids) if i != q],
+                key=lambda t: (-t[0], t[1]))
+            for rank in range(1, 5):
+                assert got[(q, rank)] == order[rank - 1][1]
+
+    def test_lsh_bucket_deterministic(self, embeddings):
+        b1 = add_lsh_bucket(embeddings).select("vec_id", "lsh_bucket").collect()
+        b2 = add_lsh_bucket(embeddings).select("vec_id", "lsh_bucket").collect()
+        assert sorted(map(tuple, b1)) == sorted(map(tuple, b2))
+        assert all(0 <= r["lsh_bucket"] < 256 for r in b1)
+
+    def test_lsh_topk_subset_of_exact_corpus(self, embeddings):
+        out = cosine_topk_lsh(embeddings, embeddings.filter("vec_id < 2"), k=3)
+        rows = out.collect()
+        assert all(r["rank"] <= 3 for r in rows)
+        # recall sanity: rank-1 LSH neighbor should be among exact top-10
+        exact = cosine_topk(embeddings, embeddings.filter("vec_id < 2"), k=10)
+        exact_ids = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+        top1 = [(r["query_id"], r["vec_id"]) for r in rows if r["rank"] == 1]
+        hits = sum(1 for t in top1 if t in exact_ids)
+        assert hits >= 1
+
+    def test_near_duplicates_symmetric_threshold(self, embeddings):
+        pairs = embedding_near_duplicates(embeddings, threshold=0.5, n_planes=2)
+        for r in pairs.collect():
+            assert r["id_a"] < r["id_b"] and r["cosine"] >= 0.5
+
+
+class TestText:
+    def test_token_counts(self, spark):
+        df = spark.createDataFrame([(1, "Hello, world! 42 times")],
+                                   "doc_id long, text string")
+        r = add_token_counts(df).collect()[0]
+        assert r["n_tokens_ws"] == 4
+        # Hello , world ! 42 times -> 6 BPE-ish tokens
+        assert r["n_tokens_bpe"] == 6
+
+    def test_quality_signals(self, spark):
+        df = spark.createDataFrame([(1, "abcd efgh!?")], "doc_id long, text string")
+        r = add_quality_signals(df).collect()[0]
+        assert r["q_chars"] == 11
+        assert r["q_alpha_ratio"] == pytest.approx(8 / 11)
+        assert r["q_punct_ratio"] == pytest.approx(2 / 11)
+        assert r["q_mean_word_len"] == pytest.approx(8 / 2)
+
+    def test_language_id(self, dup_docs):
+        out = {r["doc_id"]: r["lang_pred"]
+               for r in add_language_id(dup_docs).collect()}
+        assert out[1] == "en"
+        assert out[6] == "es"
+
+    def test_fingerprint_normalization(self, dup_docs):
+        fps = {r["doc_id"]: r["fingerprint"]
+               for r in add_fingerprint(dup_docs).collect()}
+        assert fps[1] == fps[2] == fps[3]
+        assert fps[1] != fps[4]
