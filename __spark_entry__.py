@@ -20,16 +20,23 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from caspr_spark import ColumnRoles, SequenceFeaturizer
-from caspr_spark.sources import read_parquet_table
+from caspr_spark.sources import read_parquet_table, write_parquet_handover
 from caspr_spark.operators import (
     get_rank, timestamps_to_intervals, filter_history_window, filter_last_n,
-    fit_encoding, featurize_sequential, petastorm_rename,
+    fit_encoding, featurize_sequential, petastorm_rename, remove_outliers,
+    fill_date_nans, pack_feature_arrays, column_cardinalities,
+    distinct_values_sorted, build_multi_hot_labels,
 )
 from caspr_spark.llm.text import (
     add_token_counts, add_quality_signals, add_language_id, add_fingerprint,
 )
 from caspr_spark.llm.dedup import exact_dedup, minhash_lsh_dedup, simhash
-from caspr_spark.llm.similarity import cosine_topk
+from caspr_spark.llm.similarity import (
+    cosine_topk, cosine_topk_lsh, embedding_near_duplicates, random_hyperplanes,
+)
+from caspr_spark.llm.multimodal import (
+    attach_binary_payload, extract_features, sample_frames,
+)
 
 SEQ_N = 5
 HIST_DAYS = 14
@@ -239,6 +246,128 @@ def q_x3_sliding_union(spark, sf_dir):
     return out
 
 
+def q_f5_outlier_removal(spark, sf_dir):
+    # k=1.0 (not the reference's 3.0) so the synthetic uniform-ish value
+    # column actually loses rows and the oracle check discriminates
+    ev = _events(spark, sf_dir)
+    return remove_outliers(ev, ["value"], k=1.0).select("event_id")
+
+
+def q_f6_null_drop(spark, sf_dir):
+    """F6: dropna — nulls synthesized (value of 'error' events) then dropped."""
+    ev = _events(spark, sf_dir)
+    ev = ev.withColumn("value", F.when(F.col("event_type") == "error", F.lit(None))
+                                 .otherwise(F.col("value")))
+    return ev.na.drop(subset=["value"]).select("event_id")
+
+
+def q_a3_summary_stats(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    return ev.agg(F.round(F.min("value"), 6).alias("v_min"),
+                  F.round(F.max("value"), 6).alias("v_max"),
+                  F.round(F.avg("value"), 6).alias("v_mean"),
+                  F.round(F.stddev_samp("value"), 6).alias("v_std"),
+                  F.count("value").cast("long").alias("v_count"))
+
+
+def q_a8_collect_distinct(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    df = distinct_values_sorted(ev, "event_type")
+    return df.select(F.col("pos").cast("int").alias("pos"), "event_type")
+
+
+def q_a9_label_multihot(spark, sf_dir):
+    from datetime import timedelta
+    ev = _events(spark, sf_dir)
+    pred = ev.agg(F.max("ts")).collect()[0][0]
+    return build_multi_hot_labels(ev, ["user_id"], "event_type", "ts",
+                                  label_start=pred - timedelta(days=7),
+                                  label_end=pred)
+
+
+def q_a10_segment_profile(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    return (cust.groupBy("c_mktsegment")
+                .agg(F.round(F.avg("c_acctbal"), 6).alias("avg_acctbal"),
+                     F.count("*").cast("long").alias("n_customers")))
+
+
+def q_a11_nunique_lineitem(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    cards = column_cardinalities(
+        li, ["l_returnflag", "l_linestatus", "l_partkey", "l_suppkey"])
+    return spark.createDataFrame(
+        [tuple(cards[c] for c in sorted(cards))],
+        schema=", ".join(f"`{c}` bigint" for c in sorted(cards)))
+
+
+def q_e3_decode_roundtrip(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    enc = fit_encoding(ev, ["event_type"], max_cardinality=3)
+    coded = enc.apply(ev)
+    return enc.decode(coded).select("event_id",
+                                    F.col("event_type").alias("event_type_dec"))
+
+
+def q_e8_date_fill_pivoted(spark, sf_dir):
+    """E8: interval-mode date-NaN fill on the pivoted {slot}_{col} layout.
+
+    A 3-day history window leaves most users with < SEQ_N events, so the
+    pivot genuinely produces NULL slots for the fill to hit."""
+    ev = _with_prediction_date(_events(spark, sf_dir))
+    ev = filter_history_window(ev, "ts", "prediction_date", 3)
+    ev = ev.withColumn("ti", F.datediff(F.col("prediction_date"), F.col("ts")))
+    ranked = get_rank(ev, ["user_id"], "ts", tiebreak=["event_id"])
+    wide = featurize_sequential(ranked, ["user_id"], SEQ_N, ["ti"])
+    date_cols = [f"{s}_ti" for s in range(1, SEQ_N + 1)]
+    return fill_date_nans(wide, date_cols, history_days=HIST_DAYS, interval=True)
+
+
+def q_e9_fill_nans_pivoted(spark, sf_dir):
+    ev = _with_prediction_date(_events(spark, sf_dir))
+    ev = filter_history_window(ev, "ts", "prediction_date", 3)
+    ranked = get_rank(ev, ["user_id"], "ts", tiebreak=["event_id"])
+    wide = featurize_sequential(ranked, ["user_id"], SEQ_N, ["value"])
+    return wide.fillna(0.0, subset=[f"{s}_value" for s in range(1, SEQ_N + 1)])
+
+
+def q_j2_semi_prune(spark, sf_dir):
+    from caspr_spark.operators.encode import top_k_by_frequency
+    ev = _events(spark, sf_dir)
+    top = top_k_by_frequency(ev, "event_type", 3).select("event_type")
+    return (ev.join(F.broadcast(top), on="event_type", how="left_semi")
+              .select("event_id"))
+
+
+def q_p7_array_pack(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    packed = pack_feature_arrays(
+        ev.withColumn("ts_epoch",
+                      F.unix_timestamp("ts").cast("double")),
+        cont_cols=["value", "ts_epoch"])
+    return packed.select("event_id", F.posexplode("cont_features")
+                         .alias("pos", "feat")) \
+                 .select("event_id", F.col("pos").cast("int").alias("pos"), "feat")
+
+
+def q_s1_parquet_roundtrip(spark, sf_dir):
+    """S1: repartition+write parquet handover, read back — values must survive."""
+    ev = _events(spark, sf_dir).select("event_id", "user_id", "event_type", "value")
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        ".tmp", "handover_events")
+    write_parquet_handover(ev, path, partitions=8)
+    return spark.read.parquet(path)
+
+
+def q_x1_three_way_split(spark, sf_dir):
+    """X1: seeded fractional 3-way split (no SQL oracle — Spark's sample
+    hashing is engine-specific; driver records the rows-only check)."""
+    ev = _events(spark, sf_dir)
+    splits = ev.randomSplit([0.7, 0.15, 0.15], seed=42)
+    rows = [(i, s.count()) for i, s in enumerate(splits)]
+    return spark.createDataFrame(rows, "split_id int, n_rows long")
+
+
 # --------------------------------------------------------------------------
 # LLM-data-pipeline operators
 # --------------------------------------------------------------------------
@@ -296,6 +425,35 @@ def q_simsearch_topk(spark, sf_dir):
                       F.col("rank").cast("int").alias("rank"))
 
 
+def q_simsearch_topk_lsh(spark, sf_dir):
+    """ANN scale path: LSH-bucketed candidate pruning + exact re-rank."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    out = cosine_topk_lsh(emb, queries, k=5, n_planes=4)
+    return out.select("query_id", "vec_id", "cosine",
+                      F.col("rank").cast("int").alias("rank"))
+
+
+def q_emb_near_dup(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs (LSH-bucketed self-join)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_near_duplicates(emb, threshold=0.45, n_planes=4)
+
+
+def q_multimodal_features(spark, sf_dir):
+    """mapInPandas feature extraction over opaque binary payloads."""
+    docs = attach_binary_payload(_t(spark, sf_dir, "documents"))
+    out = extract_features(docs)
+    return out.select("doc_id", "n_bytes",
+                      F.round("head_mean", 6).alias("head_mean"), "head_max")
+
+
+def q_multimodal_frames(spark, sf_dir):
+    """mapInPandas frame sampling: every 16th byte, up to 8 per payload."""
+    docs = attach_binary_payload(_t(spark, sf_dir, "documents"))
+    return sample_frames(docs, stride=16, max_frames=8)
+
+
 def q_dedup_minhash_lsh(spark, sf_dir):
     """Near-dup candidate pairs via MinHash LSH (no SQL oracle — xxhash64
     has no DuckDB twin; driver records the rows-only check)."""
@@ -342,6 +500,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p3_pivot_last5": q_p3_pivot_last5,
         "p6_petastorm_rename": q_p6_petastorm_rename,
         "x3_sliding_union": q_x3_sliding_union,
+        "f5_outlier_removal": q_f5_outlier_removal,
+        "f6_null_drop": q_f6_null_drop,
+        "a3_summary_stats": q_a3_summary_stats,
+        "a8_collect_distinct": q_a8_collect_distinct,
+        "a9_label_multihot": q_a9_label_multihot,
+        "a10_segment_profile": q_a10_segment_profile,
+        "a11_nunique_lineitem": q_a11_nunique_lineitem,
+        "e3_decode_roundtrip": q_e3_decode_roundtrip,
+        "e8_date_fill_pivoted": q_e8_date_fill_pivoted,
+        "e9_fill_nans_pivoted": q_e9_fill_nans_pivoted,
+        "j2_semi_prune": q_j2_semi_prune,
+        "p7_array_pack": q_p7_array_pack,
+        "s1_parquet_roundtrip": q_s1_parquet_roundtrip,
+        "x1_three_way_split": q_x1_three_way_split,
+        "simsearch_topk_lsh": q_simsearch_topk_lsh,
+        "emb_near_dup": q_emb_near_dup,
+        "multimodal_features": q_multimodal_features,
+        "multimodal_frames": q_multimodal_frames,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
@@ -527,6 +703,33 @@ GROUP BY user_id""")
     return " UNION ALL ".join(parts)
 
 
+def _lsh_bucket_sql(vec_expr: str, n_planes: int, dim: int = 64,
+                    seed: int = 42) -> str:
+    """DuckDB twin of ``add_lsh_bucket`` — same xorshift plane constants."""
+    planes = random_hyperplanes(dim, n_planes, seed)
+    terms = []
+    for i, p in enumerate(planes):
+        lits = ", ".join(repr(v) for v in p)
+        terms.append(f"(CASE WHEN list_dot_product({vec_expr}, [{lits}]) > 0 "
+                     f"THEN {1 << i} ELSE 0 END)")
+    return " + ".join(terms)
+
+
+def _lsh_base_sql(n_planes: int) -> str:
+    return (f"SELECT vec_id, embedding::DOUBLE[] AS v, "
+            f"{_lsh_bucket_sql('embedding::DOUBLE[]', n_planes)} AS bkt "
+            f"FROM embeddings")
+
+
+_COS_SQL = ("list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a})) "
+            "* sqrt(list_dot_product({b}, {b})))")
+
+
+def _head_sql(n: int = 32) -> str:
+    return (f"list_transform(range(1, least(length(text), {n}) + 1), "
+            f"i -> unicode(substr(text, i, 1)))")
+
+
 _BPE_RE_SQL = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 _LANGS_SQL = {
     "en": "the|and|of|to|is|in|that|with",
@@ -619,6 +822,121 @@ FROM events CROSS JOIN (SELECT max(ts) AS p FROM events) pred""",
 SELECT c_custkey,
   CAST(ntile(10) OVER (ORDER BY c_acctbal ASC, c_custkey ASC) AS INT) AS acctbal_decile
 FROM customer""",
+        "f5_outlier_removal": """
+SELECT event_id FROM events
+CROSS JOIN (SELECT avg(value) AS mu, stddev_samp(value) AS sd FROM events) s
+WHERE abs(value - s.mu) <= 1.0 * s.sd""",
+        "f6_null_drop": """
+SELECT event_id FROM events WHERE event_type != 'error'""",
+        "a3_summary_stats": """
+SELECT round(min(value), 6) AS v_min, round(max(value), 6) AS v_max,
+       round(avg(value), 6) AS v_mean, round(stddev_samp(value), 6) AS v_std,
+       CAST(count(value) AS BIGINT) AS v_count
+FROM events""",
+        "a8_collect_distinct": """
+SELECT CAST(row_number() OVER (ORDER BY event_type ASC) - 1 AS INT) AS pos,
+       event_type
+FROM (SELECT DISTINCT event_type FROM events WHERE event_type IS NOT NULL)""",
+        "a9_label_multihot": """
+WITH mx AS (SELECT max(ts) AS m FROM events),
+f AS (SELECT user_id, event_type FROM events CROSS JOIN mx
+      WHERE ts > m - INTERVAL 7 DAY AND ts <= m)
+SELECT user_id,
+  CAST(least(count(*) FILTER (event_type = 'click'), 1) AS INT) AS label_click,
+  CAST(least(count(*) FILTER (event_type = 'error'), 1) AS INT) AS label_error,
+  CAST(least(count(*) FILTER (event_type = 'purchase'), 1) AS INT) AS label_purchase,
+  CAST(least(count(*) FILTER (event_type = 'signup'), 1) AS INT) AS label_signup,
+  CAST(least(count(*) FILTER (event_type = 'view'), 1) AS INT) AS label_view
+FROM f GROUP BY user_id""",
+        "a10_segment_profile": """
+SELECT c_mktsegment, round(avg(c_acctbal), 6) AS avg_acctbal,
+       CAST(count(*) AS BIGINT) AS n_customers
+FROM customer GROUP BY c_mktsegment""",
+        "a11_nunique_lineitem": """
+SELECT CAST(count(DISTINCT l_linestatus) AS BIGINT) AS l_linestatus,
+       CAST(count(DISTINCT l_partkey) AS BIGINT) AS l_partkey,
+       CAST(count(DISTINCT l_returnflag) AS BIGINT) AS l_returnflag,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS l_suppkey
+FROM lineitem""",
+        "e3_decode_roundtrip": """
+WITH topk AS (SELECT event_type FROM (
+  SELECT event_type, row_number() OVER (ORDER BY count(*) DESC, event_type ASC) AS rk
+  FROM events GROUP BY event_type) WHERE rk <= 3)
+SELECT e.event_id,
+       CASE WHEN t.event_type IS NULL THEN 'UNK' ELSE e.event_type END AS event_type_dec
+FROM events e LEFT JOIN topk t USING (event_type)""",
+        "e8_date_fill_pivoted": f"""
+WITH pred AS (SELECT max(ts) AS p FROM events),
+f AS (SELECT e.user_id, e.ts, e.event_id, (pred.p::DATE - e.ts::DATE) AS ti
+      FROM events e CROSS JOIN pred
+      WHERE extract(epoch FROM e.ts) > floor(extract(epoch FROM pred.p)) - 3*86400
+        AND e.ts < pred.p),
+r AS (SELECT user_id, ti,
+        count(*) OVER (PARTITION BY user_id) AS sl,
+        row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rd
+      FROM f),
+k AS (SELECT user_id, ti,
+        (sl - rd + 1) + CASE WHEN sl >= {SEQ_N} THEN {SEQ_N} - sl ELSE 0 END AS slot
+      FROM r WHERE rd <= {SEQ_N})
+SELECT user_id,
+  {", ".join(f'coalesce(max(CASE WHEN slot={s} THEN ti END), {HIST_DAYS}) AS "{s}_ti"'
+             for s in range(1, SEQ_N + 1))}
+FROM k GROUP BY user_id""",
+        "e9_fill_nans_pivoted": f"""
+WITH pred AS (SELECT max(ts) AS p FROM events),
+f AS (SELECT e.user_id, e.ts, e.event_id, e.value
+      FROM events e CROSS JOIN pred
+      WHERE extract(epoch FROM e.ts) > floor(extract(epoch FROM pred.p)) - 3*86400
+        AND e.ts < pred.p),
+r AS (SELECT user_id, value,
+        count(*) OVER (PARTITION BY user_id) AS sl,
+        row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rd
+      FROM f),
+k AS (SELECT user_id, value,
+        (sl - rd + 1) + CASE WHEN sl >= {SEQ_N} THEN {SEQ_N} - sl ELSE 0 END AS slot
+      FROM r WHERE rd <= {SEQ_N})
+SELECT user_id,
+  {", ".join(f'coalesce(max(CASE WHEN slot={s} THEN value END), 0.0) AS "{s}_value"'
+             for s in range(1, SEQ_N + 1))}
+FROM k GROUP BY user_id""",
+        "j2_semi_prune": """
+SELECT event_id FROM events WHERE event_type IN (
+  SELECT event_type FROM (
+    SELECT event_type, row_number() OVER (ORDER BY count(*) DESC, event_type ASC) AS rk
+    FROM events GROUP BY event_type) WHERE rk <= 3)""",
+        "p7_array_pack": """
+SELECT event_id, 0 AS pos, value AS feat FROM events
+UNION ALL
+SELECT event_id, 1 AS pos,
+       CAST(floor(extract(epoch FROM ts)) AS DOUBLE) AS feat FROM events""",
+        "s1_parquet_roundtrip": """
+SELECT event_id, user_id, event_type, value FROM events""",
+        "simsearch_topk_lsh": f"""
+WITH b AS ({_lsh_base_sql(4)}),
+q AS (SELECT vec_id AS query_id, v AS qv, bkt FROM b WHERE vec_id < 5),
+s AS (SELECT q.query_id, b.vec_id,
+        round({_COS_SQL.format(a="q.qv", b="b.v")}, 6) AS cosine
+      FROM b JOIN q ON b.bkt = q.bkt AND b.vec_id != q.query_id)
+SELECT query_id, vec_id, cosine, CAST(rk AS INT) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, vec_id ASC) AS rk
+  FROM s) WHERE rk <= 5""",
+        "emb_near_dup": f"""
+WITH b AS ({_lsh_base_sql(4)})
+SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b,
+       round({_COS_SQL.format(a="a.v", b="c.v")}, 6) AS cosine
+FROM b a JOIN b c ON a.bkt = c.bkt AND a.vec_id < c.vec_id
+WHERE round({_COS_SQL.format(a="a.v", b="c.v")}, 6) >= 0.45""",
+        "multimodal_features": f"""
+SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+  round(list_avg({_head_sql()}), 6) AS head_mean,
+  CAST(list_max({_head_sql()}) AS INT) AS head_max
+FROM documents""",
+        "multimodal_frames": """
+SELECT doc_id, CAST(i AS INT) AS frame_idx,
+       CAST(unicode(substr(text, CAST(i*16 + 1 AS INT), 1)) AS INT) AS frame_byte
+FROM documents, range(0, 8) r(i)
+WHERE i*16 < length(text)""",
         "p3_pivot_last5": _pivot_last5_sql(rename=False),
         "p6_petastorm_rename": _pivot_last5_sql(rename=True),
         "x3_sliding_union": _sliding_union_sql(),

@@ -5,25 +5,31 @@ reference's capabilities.
 """
 
 from caspr_spark.operators.rank import get_rank, timestamps_to_intervals
-from caspr_spark.operators.filters import filter_history_window, filter_last_n
+from caspr_spark.operators.filters import (
+    filter_history_window, filter_last_n, remove_outliers,
+)
 from caspr_spark.operators.encode import CategoricalEncoding, fit_encoding
 from caspr_spark.operators.scale import fit_summary, normalize_columns, denormalize_columns
 from caspr_spark.operators.fills import fill_nans, fill_date_nans
 from caspr_spark.operators.pivot import (
     featurize_sequential, collect_sequences, sequences_to_wide,
-    petastorm_rename, petastorm_rename_list,
+    petastorm_rename, petastorm_rename_list, pack_feature_arrays,
 )
 from caspr_spark.operators.probes import (
     get_sequence_length, get_lookback_period, get_sliding_window_dates,
+    column_cardinalities, distinct_values_sorted,
 )
+from caspr_spark.operators.labels import build_multi_hot_labels, join_labels
 
 __all__ = [
     "get_rank", "timestamps_to_intervals",
-    "filter_history_window", "filter_last_n",
+    "filter_history_window", "filter_last_n", "remove_outliers",
     "CategoricalEncoding", "fit_encoding",
     "fit_summary", "normalize_columns", "denormalize_columns",
     "fill_nans", "fill_date_nans",
     "featurize_sequential", "collect_sequences", "sequences_to_wide",
-    "petastorm_rename", "petastorm_rename_list",
+    "petastorm_rename", "petastorm_rename_list", "pack_feature_arrays",
     "get_sequence_length", "get_lookback_period", "get_sliding_window_dates",
+    "column_cardinalities", "distinct_values_sorted",
+    "build_multi_hot_labels", "join_labels",
 ]

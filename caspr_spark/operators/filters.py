@@ -37,3 +37,24 @@ def filter_last_n(df: DataFrame, n: int, rank_col: str = "rank_desc") -> DataFra
     if rank_col not in df.columns:
         raise ValueError(f"call get_rank first: missing {rank_col!r}")
     return df.filter(F.col(rank_col) <= n)
+
+
+def remove_outliers(df: DataFrame, cols: list[str], k: float = 3.0) -> DataFrame:
+    """Drop rows outside ``mean ± k·stddev`` on every column in ``cols`` (F5).
+
+    Reference: caspr/utils/segmentation/pandas.py:147-155 (per-feature
+    ±3σ clip before clustering). One distributed agg pass fits all the
+    (mean, stddev) pairs; the filter itself is a pure conjunction of
+    column predicates, so it stays in whole-stage codegen and — on raw
+    parquet columns — can reach the scan.
+    """
+    stats = df.agg(*[f for c in cols
+                     for f in (F.avg(c).alias(f"{c}__mu"),
+                               F.stddev_samp(c).alias(f"{c}__sd"))]).collect()[0]
+    cond = F.lit(True)
+    for c in cols:
+        mu, sd = stats[f"{c}__mu"], stats[f"{c}__sd"]
+        if sd is None or sd == 0:
+            continue
+        cond = cond & (F.abs(F.col(c) - F.lit(mu)) <= F.lit(k) * F.lit(sd))
+    return df.filter(cond)

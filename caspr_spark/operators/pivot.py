@@ -113,6 +113,27 @@ def sequences_to_wide(df: DataFrame, seq_cols: list[str], n: int,
     return df.select(*exprs)
 
 
+def pack_feature_arrays(df: DataFrame, cont_cols: list[str] | None = None,
+                        cat_cols: list[str] | None = None,
+                        drop: bool = True) -> DataFrame:
+    """Pack continuous / categorical columns into two array columns (P7).
+
+    Reference: scoring vectorization (caspr/utils/spark/score.py:22-23) —
+    ``array(cont...) AS cont_features, array(cat...) AS cat_features`` then
+    drop the originals. Pure ``F.array`` projection, no shuffle.
+    """
+    out = df
+    if cont_cols:
+        out = out.withColumn(
+            "cont_features", F.array(*[F.col(c).cast("double") for c in cont_cols]))
+    if cat_cols:
+        out = out.withColumn(
+            "cat_features", F.array(*[F.col(c).cast("long") for c in cat_cols]))
+    if drop:
+        out = out.drop(*(cont_cols or []), *(cat_cols or []))
+    return out
+
+
 def petastorm_rename(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
     """``{slot}_{col}`` -> ``{col}{slot}`` (P6; parquet field-name restrictions).
 

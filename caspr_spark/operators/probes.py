@@ -56,6 +56,31 @@ def get_lookback_period(df: DataFrame, user_id: str, activity_date: str,
     return int(float(max_avg_sequence_length) * 30 / float(avg_per_month))
 
 
+def column_cardinalities(df: DataFrame, cols: list[str]) -> dict[str, int]:
+    """Exact distinct count per column in one agg pass (A11).
+
+    Reference: ``get_num_activities`` (caspr/utils/spark/preprocess.py:25-44)
+    and the pandas ``nunique`` twin (caspr/utils/preprocess.py:199-207) —
+    both probe one column per job; this fits every column in a single
+    distributed aggregate.
+    """
+    row = df.agg(*[F.countDistinct(F.col(c)).alias(c) for c in cols]).collect()[0]
+    return {c: int(row[c]) for c in cols}
+
+
+def distinct_values_sorted(df: DataFrame, column: str) -> DataFrame:
+    """Distinct values of ``column`` with a deterministic 0-based index (A8).
+
+    Reference: the collect-strategy encoder fit gathers ``collect_set`` per
+    column and sorts for determinism (caspr/utils/spark/preprocess.py:331-339).
+    Returned as rows ``(pos, value)`` — ``posexplode(sort_array(collect_set))``
+    — rather than a driver-side list, so it composes with joins at scale.
+    """
+    return (df.na.drop(subset=[column])
+              .agg(F.sort_array(F.collect_set(column)).alias("__vals"))
+              .select(F.posexplode("__vals").alias("pos", column)))
+
+
 def get_sliding_window_dates(df: DataFrame, data_rows_needed: int, user_id: str,
                              activity_date: str, history_days: int,
                              overlap_percentage: float,

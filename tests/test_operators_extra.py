@@ -1,0 +1,123 @@
+"""Tests for the Phase-A operator additions (F5, A8-A11, A9 labels, P7,
+multimodal mapInPandas plumbing)."""
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from caspr_spark.operators import (
+    remove_outliers, column_cardinalities, distinct_values_sorted,
+    build_multi_hot_labels, join_labels, pack_feature_arrays,
+)
+from caspr_spark.llm.multimodal import (
+    attach_binary_payload, extract_features, sample_frames,
+)
+
+
+class TestRemoveOutliers:
+    def test_cuts_tail(self, spark):
+        rows = [(i, float(i % 10)) for i in range(100)] + [(100, 1e6)]
+        df = spark.createDataFrame(rows, "id long, x double")
+        out = remove_outliers(df, ["x"], k=3.0)
+        ids = {r["id"] for r in out.collect()}
+        assert 100 not in ids and len(ids) == 100
+
+    def test_zero_variance_kept(self, spark):
+        df = spark.createDataFrame([(i, 5.0) for i in range(10)], "id long, x double")
+        assert remove_outliers(df, ["x"], k=3.0).count() == 10
+
+    def test_multi_column_conjunction(self, spark):
+        rows = [(i, float(i % 5), 1.0) for i in range(50)] + [(50, 2.0, 1e9)]
+        df = spark.createDataFrame(rows, "id long, x double, y double")
+        out = remove_outliers(df, ["x", "y"], k=3.0)
+        assert 50 not in {r["id"] for r in out.collect()}
+
+
+class TestCardinalityProbes:
+    def test_column_cardinalities(self, micro_events):
+        cards = column_cardinalities(micro_events, ["user_id", "cat"])
+        assert cards["user_id"] == 5
+        assert cards["cat"] == 3  # a, b, c (null not counted)
+
+    def test_distinct_values_sorted(self, micro_events):
+        rows = distinct_values_sorted(micro_events, "cat").collect()
+        assert [(r["pos"], r["cat"]) for r in rows] == [(0, "a"), (1, "b"), (2, "c")]
+
+
+class TestMultiHotLabels:
+    def test_window_and_clip(self, micro_events):
+        # label window (01-05 12:00, 01-09 12:00]: u2 -> 11(b),12(a);
+        # u3 -> 25(b),26(c) (24 is 01-05 10:00, before the start);
+        # u4 -> 30(a),31(b),32(a); u1/u5 have no in-window events
+        labels = build_multi_hot_labels(
+            micro_events, ["user_id"], "cat", "ts",
+            label_start=datetime(2024, 1, 5, 12),
+            label_end=datetime(2024, 1, 9, 12))
+        got = {r["user_id"]: (r["label_a"], r["label_b"], r["label_c"])
+               for r in labels.collect()}
+        assert got[2] == (1, 1, 0)
+        assert got[3] == (0, 1, 1)
+        assert got[4] == (1, 1, 0)
+        assert 1 not in got and 5 not in got
+
+    def test_explicit_activities_pin_schema(self, micro_events):
+        labels = build_multi_hot_labels(
+            micro_events.filter("cat = 'a'"), ["user_id"], "cat",
+            activities=["a", "b", "z"])
+        assert set(labels.columns) == {"user_id", "label_a", "label_b", "label_z"}
+        row = labels.filter("user_id = 2").collect()[0]
+        assert (row["label_a"], row["label_b"], row["label_z"]) == (1, 0, 0)
+
+    def test_join_labels(self, micro_events):
+        labels = build_multi_hot_labels(micro_events, ["user_id"], "cat",
+                                        activities=["a"])
+        feats = micro_events.select("user_id").distinct()
+        joined = join_labels(feats, labels, ["user_id"])
+        assert joined.count() == labels.count()
+
+
+class TestPackFeatureArrays:
+    def test_pack_shapes(self, micro_events):
+        out = pack_feature_arrays(micro_events.na.drop(subset=["val", "cat"]),
+                                  cont_cols=["val"], cat_cols=["user_id"])
+        row = out.first()
+        assert len(row["cont_features"]) == 1
+        assert len(row["cat_features"]) == 1
+        assert "val" not in out.columns and "user_id" not in out.columns
+
+    def test_keep_originals(self, micro_events):
+        out = pack_feature_arrays(micro_events, cont_cols=["val"], drop=False)
+        assert "val" in out.columns and "cont_features" in out.columns
+
+
+class TestMultimodal:
+    def test_payload_metadata(self, spark):
+        df = spark.createDataFrame([(1, "abcd"), (2, "xy")], "doc_id long, text string")
+        out = attach_binary_payload(df)
+        got = {r["doc_id"]: r for r in out.collect()}
+        assert got[1]["payload_bytes"] == 4
+        assert bytes(got[1]["payload"]) == b"abcd"
+        assert got[2]["media_type"] == "application/octet-stream"
+
+    def test_extract_features_kernel(self, spark):
+        df = attach_binary_payload(
+            spark.createDataFrame([(1, "ab")], "doc_id long, text string"))
+        row = extract_features(df).collect()[0]
+        assert row["n_bytes"] == 2
+        assert row["head_mean"] == pytest.approx((97 + 98) / 2)
+        assert row["head_max"] == 98
+
+    def test_sample_frames_stride(self, spark):
+        text = "a" * 40  # strides 0,16,32 in range -> 3 frames
+        df = attach_binary_payload(
+            spark.createDataFrame([(7, text)], "doc_id long, text string"))
+        rows = sample_frames(df, stride=16, max_frames=8).collect()
+        assert [(r["frame_idx"], r["frame_byte"]) for r in rows] == \
+            [(0, 97), (1, 97), (2, 97)]
+
+    def test_decode_gate(self):
+        from caspr_spark.llm.multimodal import decode_image, HAVE_PIL
+        if not HAVE_PIL:
+            with pytest.raises(NotImplementedError):
+                decode_image(b"\x89PNG")
