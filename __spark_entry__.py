@@ -369,6 +369,87 @@ def q_x1_three_way_split(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# ML layer: scoring / metrics / segmentation / training
+# --------------------------------------------------------------------------
+
+SCORE_W_SEED = 123
+SCORE_W_DIM = 4
+
+
+def q_score_linear(spark, sf_dir):
+    """Pandas-UDF scoring path with a SQL-checkable linear encoder."""
+    from caspr_spark.score import score_linear
+    W = random_hyperplanes(64, SCORE_W_DIM, seed=SCORE_W_SEED)
+    emb = _t(spark, sf_dir, "embeddings")
+    out = score_linear(emb, "embedding", W)
+    return out.select("vec_id", *[f"emb_{i}" for i in range(SCORE_W_DIM)])
+
+
+def q_score_lstm(spark, sf_dir):
+    """Full scoring pipeline: featurize -> LSTM encoder in a pandas UDF
+    (no SQL oracle — recurrent forward pass; rows-only check)."""
+    from caspr_spark.models import CASPRFactory
+    from caspr_spark.score import score
+    wide = q_pipeline_events(spark, sf_dir)
+    factory = CASPRFactory(seq_vocab_sizes={"event_type": 6},
+                           non_seq_vocab_sizes={}, n_seq_cont=2,
+                           n_non_seq_cont=0, seq_len=SEQ_N)
+    model = factory.create("LSTMAutoencoder", seed=7)
+    cont_cols = [f"{s}_value" for s in range(1, SEQ_N + 1)] + \
+                [f"{s}_ts" for s in range(1, SEQ_N + 1)]
+    cat_cols = [f"{s}_event_type" for s in range(1, SEQ_N + 1)]
+    scored = score(wide, model, seq_len=SEQ_N, n_seq_cat=1, n_seq_cont=2,
+                   cont_cols=cont_cols, cat_cols=cat_cols)
+    norm = F.sqrt(F.aggregate(F.transform("embeddings",
+                                          lambda x: x.cast("double") ** 2),
+                              F.lit(0.0), lambda a, v: a + v))
+    return scored.select("user_id", F.size("embeddings").alias("emb_dim"),
+                         F.round(norm, 4).alias("emb_norm"))
+
+
+def q_metrics_confusion(spark, sf_dir):
+    from caspr_spark.metrics import confusion_counts
+    emb = _t(spark, sf_dir, "embeddings")
+    d = emb.select((F.col("label") >= 5).cast("int").alias("y"),
+                   (F.col("embedding")[0] > 0).cast("int").alias("pred"))
+    return confusion_counts(d, "y", "pred")
+
+
+def q_metrics_roc_auc(spark, sf_dir):
+    from caspr_spark.metrics import roc_auc
+    emb = _t(spark, sf_dir, "embeddings")
+    d = emb.select((F.col("label") >= 5).cast("int").alias("y"),
+                   F.round(F.col("embedding")[0].cast("double"), 6).alias("s"))
+    return roc_auc(d, "y", "s").select(F.round("auc", 9).alias("auc"))
+
+
+def q_segment_kmeans(spark, sf_dir):
+    """Seeded MLlib KMeans over the embedding table -> cluster sizes
+    (no SQL oracle — iterative algorithm; rows-only check)."""
+    from caspr_spark.segment import kmeans_segment
+    emb = _t(spark, sf_dir, "embeddings")
+    seg, _ = kmeans_segment(emb, vec_col="embedding", k=8, seed=42)
+    return (seg.groupBy("segment").agg(F.count("*").cast("long").alias("n"))
+               .select(F.col("segment").cast("int"), "n"))
+
+
+def q_train_linear_ae(spark, sf_dir):
+    """Distributed linear-AE fit: one Gram pass + driver GD (no SQL oracle
+    — iterative optimization; rows-only check)."""
+    from caspr_spark.train import fit_linear_autoencoder
+    ev = _with_prediction_date(_events(spark, sf_dir))
+    ranked = get_rank(ev, ["user_id"], "ts", tiebreak=["event_id"])
+    wide = featurize_sequential(ranked, ["user_id"], SEQ_N, ["value"]) \
+        .fillna(0.0)
+    cols = [f"{s}_value" for s in range(1, SEQ_N + 1)]
+    model, hist = fit_linear_autoencoder(wide, cols, hidden_dim=2,
+                                         epochs=60, lr=0.001, patience=10)
+    return spark.createDataFrame(
+        [(len(hist), float(round(hist[-1], 4)), float(round(hist[0], 4)))],
+        "epochs int, final_loss double, initial_loss double")
+
+
+# --------------------------------------------------------------------------
 # LLM-data-pipeline operators
 # --------------------------------------------------------------------------
 
@@ -514,6 +595,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p7_array_pack": q_p7_array_pack,
         "s1_parquet_roundtrip": q_s1_parquet_roundtrip,
         "x1_three_way_split": q_x1_three_way_split,
+        "score_linear": q_score_linear,
+        "score_lstm": q_score_lstm,
+        "metrics_confusion": q_metrics_confusion,
+        "metrics_roc_auc": q_metrics_roc_auc,
+        "segment_kmeans": q_segment_kmeans,
+        "train_linear_ae": q_train_linear_ae,
         "simsearch_topk_lsh": q_simsearch_topk_lsh,
         "emb_near_dup": q_emb_near_dup,
         "multimodal_features": q_multimodal_features,
@@ -911,6 +998,31 @@ SELECT event_id, 1 AS pos,
        CAST(floor(extract(epoch FROM ts)) AS DOUBLE) AS feat FROM events""",
         "s1_parquet_roundtrip": """
 SELECT event_id, user_id, event_type, value FROM events""",
+        "score_linear": "\n".join(
+            ["SELECT vec_id,"] +
+            [", ".join(
+                f"round(list_dot_product(embedding::DOUBLE[], "
+                f"[{', '.join(repr(v) for v in w)}]), 6) AS emb_{i}"
+                for i, w in enumerate(
+                    random_hyperplanes(64, SCORE_W_DIM, seed=SCORE_W_SEED)))] +
+            ["FROM embeddings"]),
+        "metrics_confusion": """
+WITH d AS (SELECT CAST(label >= 5 AS INT) AS y,
+                  CAST(embedding[1] > 0 AS INT) AS pred FROM embeddings)
+SELECT CAST(sum(CASE WHEN y=1 AND pred=1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+       CAST(sum(CASE WHEN y=0 AND pred=1 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+       CAST(sum(CASE WHEN y=0 AND pred=0 THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+       CAST(sum(CASE WHEN y=1 AND pred=0 THEN 1 ELSE 0 END) AS BIGINT) AS fn
+FROM d""",
+        "metrics_roc_auc": """
+WITH d AS (SELECT CAST(label >= 5 AS INT) AS y,
+                  round(embedding[1]::DOUBLE, 6) AS s FROM embeddings),
+r AS (SELECT y, s, row_number() OVER (ORDER BY s) AS rn FROM d),
+a AS (SELECT y, avg(rn) OVER (PARTITION BY s) AS ar FROM r)
+SELECT round((sum(CASE WHEN y=1 THEN ar END)
+              - CAST(sum(y) AS DOUBLE) * (sum(y) + 1) / 2)
+             / (CAST(sum(y) AS DOUBLE) * sum(1 - y)), 9) AS auc
+FROM a""",
         "simsearch_topk_lsh": f"""
 WITH b AS ({_lsh_base_sql(4)}),
 q AS (SELECT vec_id AS query_id, v AS qv, bkt FROM b WHERE vec_id < 5),

@@ -1,0 +1,72 @@
+"""Evaluation metrics as distributed aggregations.
+
+Reference: caspr/utils/metrics.py:10-68 (sklearn classification report,
+confusion matrix, ROC-AUC, top-k churn hits). Rebuilt as pure DataFrame
+aggregations — no sklearn, no collect of predictions:
+
+- confusion counts + precision/recall/F1/accuracy: one agg;
+- ROC-AUC: the Mann-Whitney rank statistic with average ranks for ties
+  (exactly what sklearn computes), via one window + one agg;
+- top-k hits: TakeOrdered on the score.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def confusion_counts(df: DataFrame, label_col: str, pred_col: str) -> DataFrame:
+    """(tp, fp, tn, fn) one-row DataFrame; labels/preds are 0/1 ints."""
+    lab = F.col(label_col).cast("int")
+    prd = F.col(pred_col).cast("int")
+    return df.agg(
+        F.sum(((lab == 1) & (prd == 1)).cast("long")).alias("tp"),
+        F.sum(((lab == 0) & (prd == 1)).cast("long")).alias("fp"),
+        F.sum(((lab == 0) & (prd == 0)).cast("long")).alias("tn"),
+        F.sum(((lab == 1) & (prd == 0)).cast("long")).alias("fn"))
+
+
+def classification_report(df: DataFrame, label_col: str, pred_col: str) -> dict:
+    """Accuracy / precision / recall / F1 from the confusion counts."""
+    r = confusion_counts(df, label_col, pred_col).collect()[0]
+    tp, fp, tn, fn = r["tp"], r["fp"], r["tn"], r["fn"]
+    total = tp + fp + tn + fn
+    precision = tp / (tp + fp) if tp + fp else 0.0
+    recall = tp / (tp + fn) if tp + fn else 0.0
+    f1 = (2 * precision * recall / (precision + recall)
+          if precision + recall else 0.0)
+    return {"accuracy": (tp + tn) / total if total else 0.0,
+            "precision": precision, "recall": recall, "f1": f1,
+            "tp": tp, "fp": fp, "tn": tn, "fn": fn}
+
+
+def roc_auc(df: DataFrame, label_col: str, score_col: str) -> DataFrame:
+    """Exact ROC-AUC via the rank-sum statistic (ties -> average rank).
+
+    AUC = (Σ rank⁺ − P(P+1)/2) / (P·N). ``avg(rank) over score-ties``
+    reproduces sklearn's tie handling exactly. One global-order window —
+    fine because only ranks are windowed, then everything collapses into
+    one agg; for 100 TB use the histogram/bucketed approximation instead.
+    """
+    lab = F.col(label_col).cast("int")
+    ranked = df.select(lab.alias("__y"), F.col(score_col).alias("__s")) \
+               .withColumn("__r", F.row_number().over(Window.orderBy("__s")))
+    # average rank within tied scores
+    ranked = ranked.withColumn(
+        "__ar", F.avg("__r").over(Window.partitionBy("__s")))
+    return ranked.agg(
+        ((F.sum(F.when(F.col("__y") == 1, F.col("__ar"))) -
+          F.sum(F.col("__y").cast("long")) * (F.sum(F.col("__y").cast("long")) + 1) / 2)
+         / (F.sum(F.col("__y").cast("long"))
+            * F.sum((1 - F.col("__y")).cast("long")))).alias("auc"))
+
+
+def top_k_hits(df: DataFrame, label_col: str, score_col: str, k: int) -> int:
+    """How many of the k highest-scored rows are positive (top-k churn hits).
+
+    Reference: caspr/utils/metrics.py (top-k hit count). TakeOrdered —
+    no global sort materialization.
+    """
+    top = df.orderBy(F.col(score_col).desc()).limit(k)
+    return top.agg(F.sum(F.col(label_col).cast("long"))).collect()[0][0] or 0

@@ -1,0 +1,21 @@
+"""Model zoo — forward-only numpy encoders + factory.
+
+Capability parity with the reference's PyTorch model layer
+(caspr/models/, SURVEY.md §2.11) in an environment without torch: the
+encoders are deterministic, seeded, forward-only numpy implementations
+with the same input convention (4-way tensor bundle) and the same
+embedding-dimension rule. When torch is available the same factory can
+hand back trainable torch modules; nothing else in the scoring path
+changes (the pandas-UDF scorer only calls ``model.encode``).
+"""
+
+from caspr_spark.models.numpy_layers import (
+    CategoricalEmbedding, LSTMEncoder, TransformerEncoder, LinearEncoder,
+)
+from caspr_spark.models.factory import CASPRFactory, embedding_dim
+from caspr_spark.models.estimate import count_parameters, estimate_parameters
+
+__all__ = [
+    "CategoricalEmbedding", "LSTMEncoder", "TransformerEncoder", "LinearEncoder",
+    "CASPRFactory", "embedding_dim", "count_parameters", "estimate_parameters",
+]

@@ -1,0 +1,59 @@
+"""Model factory — name + hyperparameters -> encoder instance.
+
+Reference: ``CASPRFactory`` (caspr/models/factory.py:17-164). Same
+surface: ``create('LSTMAutoencoder' | 'TransformerAutoEncoder', **hp)``,
+the embedding-dimension rule ``min(25, (vocab + 1) // 2)``
+(factory.py:63-64), and the transformer's ``seq_len + 1`` position for
+the profile vector (factory.py:43). Torch-free: hands back the numpy
+forward-only encoders; if torch is installed a torch-backed zoo can be
+registered under the same names.
+"""
+
+from __future__ import annotations
+
+from caspr_spark.models.numpy_layers import LSTMEncoder, TransformerEncoder
+
+MAX_EMB_SIZE = 25  # reference caspr/models/factory.py:19
+
+ARCHITECTURES = ("LSTMAutoencoder", "TransformerAutoEncoder")
+
+
+def embedding_dim(vocab_size: int, max_emb_size: int = MAX_EMB_SIZE) -> int:
+    """``min(25, (V + 1) // 2)`` — reference caspr/models/factory.py:63-64."""
+    return min(max_emb_size, (vocab_size + 1) // 2)
+
+
+class CASPRFactory:
+    """Builds encoders from column-role vocabularies.
+
+    ``vocab_sizes`` maps categorical column -> vocabulary size *including*
+    the reserved 0/UNK code (``CategoricalEncoding.vocab_sizes()``).
+    """
+
+    def __init__(self, seq_vocab_sizes: dict[str, int],
+                 non_seq_vocab_sizes: dict[str, int],
+                 n_seq_cont: int, n_non_seq_cont: int, seq_len: int):
+        self.seq_vocab = [seq_vocab_sizes[c] for c in sorted(seq_vocab_sizes)]
+        self.non_seq_vocab = [non_seq_vocab_sizes[c]
+                              for c in sorted(non_seq_vocab_sizes)]
+        self.n_seq_cont = n_seq_cont
+        self.n_non_seq_cont = n_non_seq_cont
+        self.seq_len = seq_len
+
+    def create(self, architecture: str = "TransformerAutoEncoder",
+               hidden_dim: int = 64, n_layers: int = 2, n_heads: int = 2,
+               seed: int = 42):
+        seq_dims = [embedding_dim(v) for v in self.seq_vocab]
+        non_seq_dims = [embedding_dim(v) for v in self.non_seq_vocab]
+        if architecture == "LSTMAutoencoder":
+            return LSTMEncoder(self.seq_vocab, seq_dims, self.n_seq_cont,
+                               self.non_seq_vocab, non_seq_dims,
+                               self.n_non_seq_cont, hidden_dim, seed)
+        if architecture == "TransformerAutoEncoder":
+            return TransformerEncoder(self.seq_vocab, seq_dims, self.n_seq_cont,
+                                      self.non_seq_vocab, non_seq_dims,
+                                      self.n_non_seq_cont, hidden_dim,
+                                      n_layers, n_heads,
+                                      max_len=self.seq_len + 2, seed=seed)
+        raise ValueError(f"unknown architecture {architecture!r}; "
+                         f"expected one of {ARCHITECTURES}")

@@ -1,0 +1,274 @@
+"""Tests for tensorization, the numpy model zoo, scoring, training,
+metrics, and segmentation (SURVEY §2.11 / §5 model-layer plan)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from caspr_spark.roles import ColumnRoles
+from caspr_spark.data import TensorBundle, transform_and_load
+from caspr_spark.models import (
+    CASPRFactory, LinearEncoder, count_parameters, estimate_parameters,
+    embedding_dim,
+)
+from caspr_spark.score import score, score_linear
+from caspr_spark.train import (
+    EarlyStopping, warmup_lr, scale_lr, fit_linear_autoencoder, gram_matrix,
+)
+from caspr_spark.metrics import (
+    classification_report, confusion_counts, roc_auc, top_k_hits,
+)
+from caspr_spark.segment import (
+    kmeans_segment, silhouette_score, pca_reduce, segment_profile,
+    quantile_scores,
+)
+from caspr_spark.noise import (
+    add_gaussian_noise, random_category_substitution, oversample_to_parity,
+)
+
+
+ROLES = ColumnRoles(tgt_id=["uid"], activity_date="ts",
+                    cat_cols=["c1", "pc"], cont_cols=["x1", "x2", "px"],
+                    seq_cols=["c1", "x1", "x2"], non_seq_cols=["pc", "px"],
+                    output_cols=["y"])
+T = 3
+
+
+def _wide_pdf(n=4):
+    data = {"uid": np.arange(n)}
+    for col in ("c1",):
+        for s in range(1, T + 1):
+            data[f"{s}_{col}"] = np.arange(n) + s
+    for col in ("x1", "x2"):
+        for s in range(1, T + 1):
+            data[f"{s}_{col}"] = np.arange(n) * 0.1 + s
+    data["pc"] = np.arange(n) % 2
+    data["px"] = np.arange(n) * 1.0
+    data["y"] = (np.arange(n) % 2).astype(float)
+    return pd.DataFrame(data)
+
+
+class TestTensorize:
+    def test_shapes(self):
+        b = transform_and_load(_wide_pdf(), ROLES, T)
+        assert b.seq_cat.shape == (4, T, 1)
+        assert b.seq_cont.shape == (4, T, 2)
+        assert b.non_seq_cat.shape == (4, 1)
+        assert b.non_seq_cont.shape == (4, 1)
+        assert b.y.shape == (4, 1)
+
+    def test_reshape_contract_column_major_over_ranks(self):
+        """Slot s of col c lands at [n, s-1, c] (load.py:19-25 contract)."""
+        b = transform_and_load(_wide_pdf(), ROLES, T)
+        pdf = _wide_pdf()
+        assert b.seq_cat[2, 0, 0] == pdf["1_c1"][2]
+        assert b.seq_cat[2, 2, 0] == pdf["3_c1"][2]
+        assert b.seq_cont[1, 1, 0] == np.float32(pdf["2_x1"][1])
+        assert b.seq_cont[1, 1, 1] == np.float32(pdf["2_x2"][1])
+
+    def test_nan_fill_and_batches(self):
+        pdf = _wide_pdf()
+        pdf.loc[0, "2_x1"] = np.nan
+        b = transform_and_load(pdf, ROLES, T)
+        assert b.seq_cont[0, 1, 0] == 0.0
+        sizes = [len(x) for x in b.batches(3)]
+        assert sizes == [3, 1]
+
+
+class TestModels:
+    def _factory(self):
+        return CASPRFactory(seq_vocab_sizes={"c1": 10},
+                            non_seq_vocab_sizes={"pc": 3},
+                            n_seq_cont=2, n_non_seq_cont=1, seq_len=T)
+
+    @pytest.mark.parametrize("arch,emb_dim", [
+        ("LSTMAutoencoder", 64), ("TransformerAutoEncoder", (T + 1) * 64)])
+    def test_encode_shapes_and_determinism(self, arch, emb_dim):
+        model = self._factory().create(arch, seed=7)
+        b = transform_and_load(_wide_pdf(), ROLES, T)
+        e1 = model.encode(b.seq_cat, b.seq_cont, b.non_seq_cat, b.non_seq_cont)
+        e2 = self._factory().create(arch, seed=7).encode(
+            b.seq_cat, b.seq_cont, b.non_seq_cat, b.non_seq_cont)
+        assert e1.shape == (4, emb_dim)
+        assert np.allclose(e1, e2)
+        assert np.isfinite(e1).all()
+        assert e1.std() > 0  # non-degenerate
+
+    def test_embedding_dim_rule(self):
+        assert embedding_dim(3) == 2
+        assert embedding_dim(49) == 25
+        assert embedding_dim(100000) == 25  # capped
+
+    @pytest.mark.parametrize("arch", ["LSTMAutoencoder", "TransformerAutoEncoder"])
+    def test_estimate_matches_count(self, arch):
+        f = self._factory()
+        model = f.create(arch)
+        est = estimate_parameters(arch, {"c1": 10}, {"pc": 3}, 2, 1, T)
+        assert est == count_parameters(model)
+
+    def test_unknown_architecture(self):
+        with pytest.raises(ValueError):
+            self._factory().create("GPT97")
+
+
+class TestScoring:
+    def test_score_linear_matches_numpy(self, spark, embeddings):
+        W = np.array([[1.0 if i == j else 0.0 for j in range(64)]
+                      for i in range(2)])
+        out = score_linear(embeddings, "embedding", W).select(
+            "vec_id", "emb_0", "emb_1").toPandas().set_index("vec_id")
+        src = embeddings.select("vec_id", "embedding").toPandas().set_index("vec_id")
+        for vid in list(src.index)[:5]:
+            v = np.asarray(src.loc[vid, "embedding"], dtype=np.float64)
+            assert out.loc[vid, "emb_0"] == pytest.approx(round(v[0], 6))
+            assert out.loc[vid, "emb_1"] == pytest.approx(round(v[1], 6))
+
+    def test_score_udf_path_matches_local_forward(self, spark):
+        """Pandas-UDF scoring == driver-side model.encode on the same bundle."""
+        pdf = _wide_pdf()
+        sdf = spark.createDataFrame(pdf)
+        factory = CASPRFactory(seq_vocab_sizes={"c1": 10},
+                               non_seq_vocab_sizes={"pc": 3},
+                               n_seq_cont=2, n_non_seq_cont=1, seq_len=T)
+        model = factory.create("LSTMAutoencoder", seed=3)
+        cont_cols = [f"{s}_x1" for s in range(1, T + 1)] + \
+                    [f"{s}_x2" for s in range(1, T + 1)] + ["px"]
+        cat_cols = [f"{s}_c1" for s in range(1, T + 1)] + ["pc"]
+        scored = score(sdf, model, seq_len=T, n_seq_cat=1, n_seq_cont=2,
+                       n_non_seq_cat=1, n_non_seq_cont=1,
+                       cont_cols=cont_cols, cat_cols=cat_cols)
+        got = {r["uid"]: np.array(r["embeddings"])
+               for r in scored.select("uid", "embeddings").collect()}
+        b = transform_and_load(pdf, ROLES, T)
+        want = model.encode(b.seq_cat, b.seq_cont, b.non_seq_cat, b.non_seq_cont)
+        for i in range(len(pdf)):
+            assert np.allclose(got[i], want[i], atol=1e-5)
+
+
+class TestTraining:
+    def test_early_stopping(self):
+        es = EarlyStopping(patience=2, min_delta=0.0)
+        losses = [1.0, 0.5, 0.6, 0.6, 0.6]
+        stopped = [es.step(l, i, [np.array([l])]) for i, l in enumerate(losses)]
+        assert stopped == [False, False, False, True, True]
+        assert es.best_loss == 0.5
+        assert es.best_state[0][0] == 0.5
+
+    def test_schedules(self):
+        assert warmup_lr(1.0, 0, 5) == pytest.approx(0.2)
+        assert warmup_lr(1.0, 4, 5) == pytest.approx(1.0)
+        assert warmup_lr(1.0, 99, 5) == 1.0
+        assert scale_lr(0.01, 8) == pytest.approx(0.08)
+
+    def test_gram_matrix(self, spark):
+        pdf = pd.DataFrame({"a": [1.0, 2.0], "b": [3.0, 4.0]})
+        G, n = gram_matrix(spark.createDataFrame(pdf), ["a", "b"])
+        assert n == 2
+        assert np.allclose(G, np.array([[5.0, 11.0], [11.0, 25.0]]))
+
+    def test_linear_ae_loss_decreases_and_recovers_subspace(self, spark):
+        rng = np.random.default_rng(0)
+        z = rng.normal(size=(400, 2))
+        mix = np.array([[1.0, 0.0], [0.0, 1.0], [1.0, -1.0], [0.5, 0.5]])
+        X = z @ mix.T  # rank-2 data in 4 dims
+        pdf = pd.DataFrame(X, columns=["f0", "f1", "f2", "f3"])
+        model, hist = fit_linear_autoencoder(
+            spark.createDataFrame(pdf), ["f0", "f1", "f2", "f3"],
+            hidden_dim=2, epochs=200, lr=0.05, patience=20)
+        assert hist[-1] < hist[0] * 0.2  # loss drops
+        # reconstruction of in-subspace data ~ exact when subspace recovered
+        rec = model.reconstruct(X)
+        rel = np.linalg.norm(rec - X) / np.linalg.norm(X)
+        assert rel < 0.35
+
+
+class TestMetrics:
+    @pytest.fixture(scope="class")
+    def preds(self, spark):
+        rows = [(1, 1, 0.9), (1, 1, 0.8), (1, 0, 0.4), (0, 1, 0.7),
+                (0, 0, 0.3), (0, 0, 0.2), (1, 0, 0.6), (0, 0, 0.3)]
+        return spark.createDataFrame(rows, "y int, pred int, s double").cache()
+
+    def test_confusion_and_report(self, preds):
+        r = confusion_counts(preds, "y", "pred").collect()[0]
+        assert (r["tp"], r["fp"], r["tn"], r["fn"]) == (2, 1, 3, 2)
+        rep = classification_report(preds, "y", "pred")
+        assert rep["precision"] == pytest.approx(2 / 3)
+        assert rep["recall"] == pytest.approx(0.5)
+        assert rep["accuracy"] == pytest.approx(5 / 8)
+
+    def test_roc_auc_matches_reference_formula(self, preds):
+        """Hand-checked Mann-Whitney AUC with tied scores (two 0.3s)."""
+        auc = roc_auc(preds, "y", "s").collect()[0]["auc"]
+        # positives: 0.9 0.8 0.4 0.6 | negatives: 0.7 0.3 0.2 0.3
+        # pairwise wins: each pos vs 4 negs -> 0.9:4, 0.8:4, 0.6:3, 0.4:3 = 14/16
+        assert auc == pytest.approx(14 / 16)
+
+    def test_top_k_hits(self, preds):
+        assert top_k_hits(preds, "y", "s", 3) == 2  # 0.9,0.8 pos + 0.7 neg
+
+
+class TestSegmentation:
+    def test_kmeans_deterministic_and_separates(self, spark):
+        rng = np.random.default_rng(1)
+        a = rng.normal(0, 0.1, size=(50, 2))
+        b = rng.normal(5, 0.1, size=(50, 2))
+        pdf = pd.DataFrame(np.vstack([a, b]), columns=["x", "y"])
+        pdf["i"] = range(100)
+        sdf = spark.createDataFrame(pdf)
+        seg1, _ = kmeans_segment(sdf, ["x", "y"], k=2, seed=5)
+        seg2, _ = kmeans_segment(sdf, ["x", "y"], k=2, seed=5)
+        p1 = seg1.select("i", "segment").toPandas().set_index("i")["segment"]
+        p2 = seg2.select("i", "segment").toPandas().set_index("i")["segment"]
+        assert (p1 == p2).all()
+        # the two blobs get distinct labels
+        assert p1[:50].nunique() == 1 and p1[50:].nunique() == 1
+        assert p1[0] != p1[99]
+        assert silhouette_score(seg1, ["x", "y"]) > 0.8
+
+    def test_pca_variance_threshold(self, spark):
+        rng = np.random.default_rng(2)
+        z = rng.normal(size=(200, 1))
+        X = np.hstack([z, 2 * z, 0.001 * rng.normal(size=(200, 1))])
+        sdf = spark.createDataFrame(pd.DataFrame(X, columns=["a", "b", "c"]))
+        out, model = pca_reduce(sdf, ["a", "b", "c"], var_threshold=0.95)
+        assert model.getK() == 1
+        assert "pca_features" in out.columns
+
+    def test_segment_profile_and_quantiles(self, spark):
+        pdf = pd.DataFrame({"seg": [0, 0, 1, 1], "v": [1.0, 3.0, 10.0, 20.0],
+                            "id": [1, 2, 3, 4]})
+        sdf = spark.createDataFrame(pdf)
+        prof = {r["seg"]: r for r in
+                segment_profile(sdf, "seg", ["v"]).collect()}
+        assert prof[0]["avg_v"] == pytest.approx(2.0)
+        assert prof[1]["n"] == 2
+        q = quantile_scores(sdf, ["v"], q=2, tiebreak=["id"])
+        scores = {r["id"]: r["v_score"] for r in q.collect()}
+        assert scores == {1: 1, 2: 1, 3: 2, 4: 2}
+
+
+class TestNoise:
+    def test_gaussian_noise_gated(self, spark):
+        pdf = pd.DataFrame({"x": np.ones(1000)})
+        out = add_gaussian_noise(spark.createDataFrame(pdf), ["x"], p=0.5)
+        changed = out.filter("x != 1.0").count()
+        assert 300 < changed < 700
+
+    def test_category_substitution_stays_in_vocab(self, spark):
+        pdf = pd.DataFrame({"c": np.full(500, 2)})
+        out = random_category_substitution(
+            spark.createDataFrame(pdf), ["c"], {"c": 5}, p=0.5)
+        mn, mx = out.agg(F.min("c"), F.max("c")).collect()[0]
+        assert mn >= 1 and mx <= 5
+        assert out.filter("c != 2").count() > 0
+
+    def test_oversample_to_parity(self, spark):
+        rows = [(0,)] * 90 + [(1,)] * 10
+        df = spark.createDataFrame(rows, "y int")
+        out = oversample_to_parity(df, "y", seed=1)
+        counts = {r["y"]: r["n"] for r in
+                  out.groupBy("y").agg(F.count("*").alias("n")).collect()}
+        assert counts[0] == 90
+        assert counts[1] > 50  # fraction-based resample is approximate
