@@ -450,6 +450,38 @@ def q_train_linear_ae(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# Structured Streaming surface
+# --------------------------------------------------------------------------
+
+def q_stream_windowed_stats(spark, sf_dir):
+    """Streaming watermarked tumbling-window agg, drained with
+    trigger(availableNow) — must equal the batch group-by."""
+    from caspr_spark.streaming import (
+        stream_events, windowed_event_stats, run_to_memory)
+    _utc(spark)
+    stream = stream_events(spark, f"{sf_dir}/events.parquet")
+    agg = windowed_event_stats(stream, window="1 day", watermark="1 day")
+    tbl = run_to_memory(agg, "q_win_stats", "complete")
+    return tbl.select("window_start", "event_type",
+                      F.col("n").cast("long").alias("n"),
+                      F.round("sum_value", 6).alias("sum_value"))
+
+
+def q_stream_last3_state(spark, sf_dir):
+    """Custom stateful streaming operator (applyInPandasWithState):
+    per-entity latest-3 tracker — final state must equal the batch pivot."""
+    from pyspark.sql import Window as W
+    from caspr_spark.streaming import (
+        stream_events, streaming_last_n, run_to_memory)
+    _utc(spark)
+    stream = stream_events(spark, f"{sf_dir}/events.parquet")
+    tbl = run_to_memory(streaming_last_n(stream, 3), "q_last3", "update")
+    w = W.partitionBy("user_id").orderBy(F.col("ver").desc())
+    return (tbl.withColumn("__rn", F.row_number().over(w))
+               .filter("__rn = 1").drop("__rn", "ver"))
+
+
+# --------------------------------------------------------------------------
 # LLM-data-pipeline operators
 # --------------------------------------------------------------------------
 
@@ -595,6 +627,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p7_array_pack": q_p7_array_pack,
         "s1_parquet_roundtrip": q_s1_parquet_roundtrip,
         "x1_three_way_split": q_x1_three_way_split,
+        "stream_windowed_stats": q_stream_windowed_stats,
+        "stream_last3_state": q_stream_last3_state,
         "score_linear": q_score_linear,
         "score_lstm": q_score_lstm,
         "metrics_confusion": q_metrics_confusion,
@@ -998,6 +1032,27 @@ SELECT event_id, 1 AS pos,
        CAST(floor(extract(epoch FROM ts)) AS DOUBLE) AS feat FROM events""",
         "s1_parquet_roundtrip": """
 SELECT event_id, user_id, event_type, value FROM events""",
+        "stream_windowed_stats": """
+SELECT date_trunc('day', ts) AS window_start, event_type,
+       CAST(count(*) AS BIGINT) AS n, round(sum(value), 6) AS sum_value
+FROM events GROUP BY 1, 2""",
+        "stream_last3_state": """
+WITH r AS (
+  SELECT user_id, value,
+         count(*) OVER (PARTITION BY user_id) AS sl,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rd
+  FROM events
+),
+k AS (
+  SELECT user_id, value,
+         (sl - rd + 1) + CASE WHEN sl >= 3 THEN 3 - sl ELSE 0 END AS slot
+  FROM r WHERE rd <= 3
+)
+SELECT user_id,
+  max(CASE WHEN slot=1 THEN value END) AS "1_value",
+  max(CASE WHEN slot=2 THEN value END) AS "2_value",
+  max(CASE WHEN slot=3 THEN value END) AS "3_value"
+FROM k GROUP BY user_id""",
         "score_linear": "\n".join(
             ["SELECT vec_id,"] +
             [", ".join(

@@ -1,0 +1,143 @@
+"""Structured Streaming surface — the reference's batch featurization
+re-expressed over unbounded event streams.
+
+The reference is batch-only (its "watermark" is the per-entity
+prediction-date filter, caspr/utils/spark/preprocess.py:577-581; SURVEY
+§1.2). This module is the streaming extension:
+
+- ``stream_events``: file-source ``readStream`` over the same parquet
+  tables (handles the ns-timestamp wart like ``read_parquet_table``);
+- ``windowed_event_stats``: event-time tumbling-window aggregation with a
+  real watermark for late data;
+- ``streaming_last_n``: a custom stateful operator via
+  ``applyInPandasWithState`` that maintains each entity's latest-n events
+  — the incremental twin of get_rank + filter_last_n (W1+F2). State is
+  a bounded top-n by (ts, tiebreak), so results are independent of
+  micro-batch boundaries.
+- ``run_to_memory``: drain a finite stream with ``trigger(availableNow)``
+  into an in-memory table — how the driver-facing queries and tests turn
+  a streaming plan into a checkable DataFrame.
+"""
+
+from __future__ import annotations
+
+import pyarrow.parquet as pq
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import LongType
+
+_NANOS_CONF = "spark.sql.legacy.parquet.nanosAsLong"
+
+
+def stream_events(spark: SparkSession, path: str,
+                  max_files_per_trigger: int | None = None) -> DataFrame:
+    """``readStream`` over one parquet table (file or its directory).
+
+    ns-timestamp columns arrive as longs (legacy conf) and are rebuilt to
+    microsecond timestamps with integer division, same as the batch
+    reader in ``caspr_spark.sources``.
+    """
+    import glob as _glob
+    import os as _os
+
+    if _os.path.isdir(path):
+        base, pattern = path, "*.parquet"
+        sample = sorted(_glob.glob(_os.path.join(path, "*.parquet")))[0]
+    else:
+        base, pattern = _os.path.dirname(path), _os.path.basename(path)
+        sample = path
+
+    schema = pq.read_schema(sample)
+    ns_cols = [n for n, t in zip(schema.names, schema.types)
+               if str(t) == "timestamp[ns]"]
+    spark.conf.set(_NANOS_CONF, "true")
+    static = spark.read.option("pathGlobFilter", pattern).parquet(base)
+    reader = (spark.readStream.schema(static.schema)
+              .option("pathGlobFilter", pattern))
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    df = reader.parquet(base)
+    for c in ns_cols:
+        # pyarrow reports both TIMESTAMP(NANOS) and Spark-written INT96 as
+        # timestamp[ns]; only the former surfaces as a long under the
+        # legacy conf and needs rebuilding
+        if isinstance(df.schema[c].dataType, LongType):
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return df
+
+
+def windowed_event_stats(stream: DataFrame, ts_col: str = "ts",
+                         key_col: str = "event_type", value_col: str = "value",
+                         window: str = "1 day",
+                         watermark: str = "1 day") -> DataFrame:
+    """Tumbling event-time window aggregation with a late-data watermark.
+
+    At scale this is the canonical shape: the watermark bounds state, the
+    window+key grouping shuffles once, partial aggregation is map-side.
+    """
+    return (stream.withWatermark(ts_col, watermark)
+            .groupBy(F.window(F.col(ts_col), window).alias("w"),
+                     F.col(key_col))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(value_col).alias("sum_value"))
+            .select(F.col("w.start").alias("window_start"), key_col,
+                    "n", "sum_value"))
+
+
+def streaming_last_n(stream: DataFrame, n: int, key_col: str = "user_id",
+                     ts_col: str = "ts", value_col: str = "value",
+                     tiebreak_col: str = "event_id") -> DataFrame:
+    """Stateful latest-n tracker: ``applyInPandasWithState`` keeping each
+    entity's n most-recent events across micro-batches.
+
+    Output: one row per entity per micro-batch with the current latest-n
+    values (slot 1 = oldest retained, like the pivot layout) plus a
+    monotonically increasing ``ver`` — in update mode the memory sink
+    appends one row per key per batch, so the final state per key is the
+    max-``ver`` row. State is the bounded list of (ts_epoch_us, tiebreak,
+    value) triples + the counter — O(n) per key.
+    """
+    out_schema = (f"{key_col} long, ver int, " +
+                  ", ".join(f"`{s}_{value_col}` double" for s in range(1, n + 1)))
+    state_schema = "ts array<long>, tb array<long>, v array<double>, ver int"
+
+    def update(key, pdfs, state: GroupState):
+        triples, ver = [], 0
+        if state.exists:
+            ts0, tb0, v0, ver = state.get
+            triples = list(zip(ts0, tb0, v0))
+        for pdf in pdfs:
+            ep = (pdf[ts_col].astype("int64") // 1000).tolist()  # ns -> us
+            triples.extend(zip(ep, pdf[tiebreak_col].tolist(),
+                               pdf[value_col].tolist()))
+        triples.sort()
+        triples = triples[-n:]
+        state.update((
+            [int(t[0]) for t in triples],
+            [int(t[1]) for t in triples],
+            [float(t[2]) for t in triples],
+            ver + 1,
+        ))
+        import pandas as pd
+        row = {key_col: key[0], "ver": ver + 1}
+        for i, t in enumerate(triples):
+            row[f"{i + 1}_{value_col}"] = t[2]
+        for i in range(len(triples), n):
+            row[f"{i + 1}_{value_col}"] = None
+        yield pd.DataFrame([row])
+
+    return (stream.groupBy(key_col)
+            .applyInPandasWithState(update, out_schema, state_schema,
+                                    "update", GroupStateTimeout.NoTimeout))
+
+
+def run_to_memory(streaming_df: DataFrame, name: str,
+                  output_mode: str = "complete",
+                  timeout_sec: int = 120) -> DataFrame:
+    """Drain a finite stream into an in-memory table and return it."""
+    q = (streaming_df.writeStream.format("memory").queryName(name)
+         .outputMode(output_mode).trigger(availableNow=True).start())
+    q.awaitTermination(timeout_sec)
+    return streaming_df.sparkSession.table(name)

@@ -1,0 +1,72 @@
+"""Structured Streaming surface: windowed aggs + stateful last-n operator
+must agree with their batch twins, independent of micro-batch boundaries."""
+
+import os
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from caspr_spark.operators import get_rank, featurize_sequential
+from caspr_spark.streaming import (
+    stream_events, windowed_event_stats, streaming_last_n, run_to_memory,
+)
+
+SF_DIR = os.environ.get("TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+def _final_state(tbl, key="user_id"):
+    w = Window.partitionBy(key).orderBy(F.col("ver").desc())
+    return (tbl.withColumn("__rn", F.row_number().over(w))
+               .filter("__rn = 1").drop("__rn", "ver"))
+
+
+class TestWindowedStats:
+    def test_matches_batch(self, spark, events):
+        stream = stream_events(spark, f"{SF_DIR}/events.parquet")
+        agg = windowed_event_stats(stream, window="1 day", watermark="1 day")
+        got = run_to_memory(agg, "t_win_stats", "complete").toPandas()
+
+        want = (events.groupBy(F.date_trunc("day", "ts").alias("window_start"),
+                               "event_type")
+                .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value"))
+                .toPandas())
+        key = ["window_start", "event_type"]
+        got = got.sort_values(key).reset_index(drop=True)
+        want = want.sort_values(key).reset_index(drop=True)
+        assert len(got) == len(want)
+        assert (got["n"].values == want["n"].values).all()
+        assert abs(got["sum_value"].values - want["sum_value"].values).max() < 1e-6
+
+
+class TestStreamingLastN:
+    def test_single_batch_matches_pivot(self, spark, events):
+        stream = stream_events(spark, f"{SF_DIR}/events.parquet")
+        tbl = run_to_memory(streaming_last_n(stream, 3), "t_last3", "update")
+        got = _final_state(tbl).toPandas().set_index("user_id").sort_index()
+
+        ranked = get_rank(events, ["user_id"], "ts", tiebreak=["event_id"])
+        want = featurize_sequential(ranked, ["user_id"], 3, ["value"]) \
+            .toPandas().set_index("user_id").sort_index()
+        assert (got.index == want.index).all()
+        for c in ("1_value", "2_value", "3_value"):
+            a, b = got[c].fillna(-1), want[c].fillna(-1)
+            assert abs(a - b).max() < 1e-9
+
+    def test_batch_boundary_independence(self, spark, events, tmp_path):
+        """Same final state whether events arrive in 1 batch or 4."""
+        multi = str(tmp_path / "events_multi")
+        events.repartition(4).write.mode("overwrite").parquet(multi)
+        stream = stream_events(spark, multi, max_files_per_trigger=1)
+        tbl = run_to_memory(streaming_last_n(stream, 3), "t_last3_multi",
+                            "update", timeout_sec=180)
+        assert tbl.agg(F.max("ver")).collect()[0][0] > 1  # really multi-batch
+        got = _final_state(tbl).toPandas().set_index("user_id").sort_index()
+
+        ranked = get_rank(events, ["user_id"], "ts", tiebreak=["event_id"])
+        want = featurize_sequential(ranked, ["user_id"], 3, ["value"]) \
+            .toPandas().set_index("user_id").sort_index()
+        assert (got.index == want.index).all()
+        for c in ("1_value", "2_value", "3_value"):
+            a, b = got[c].fillna(-1), want[c].fillna(-1)
+            assert abs(a - b).max() < 1e-9
