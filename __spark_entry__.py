@@ -331,6 +331,29 @@ def q_e9_fill_nans_pivoted(spark, sf_dir):
     return wide.fillna(0.0, subset=[f"{s}_value" for s in range(1, SEQ_N + 1)])
 
 
+def q_e2_encode_collect(spark, sf_dir):
+    """E2: collect-strategy (sorted-distinct) dictionary encode."""
+    from caspr_spark.operators.encode import fit_encoding_collect
+    ev = _events(spark, sf_dir)
+    enc = fit_encoding_collect(ev, ["event_type"])
+    return enc.apply(ev).select(
+        "event_id", F.col("event_type").cast("int").alias("event_type_code"))
+
+
+def q_a4_max_date(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    return ev.agg(F.max("ts").alias("max_ts"),
+                  F.min("ts").alias("min_ts"),
+                  F.max("value").alias("max_value"))
+
+
+def q_x5_sample(spark, sf_dir):
+    """X5: seeded fraction sample (engine-specific hashing — rows-only)."""
+    ev = _events(spark, sf_dir)
+    n = ev.sample(fraction=0.1, seed=1).count()
+    return spark.createDataFrame([(n,)], "n_sampled long")
+
+
 def q_j2_semi_prune(spark, sf_dir):
     from caspr_spark.operators.encode import top_k_by_frequency
     ev = _events(spark, sf_dir)
@@ -620,6 +643,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a9_label_multihot": q_a9_label_multihot,
         "a10_segment_profile": q_a10_segment_profile,
         "a11_nunique_lineitem": q_a11_nunique_lineitem,
+        "e2_encode_collect": q_e2_encode_collect,
+        "a4_max_date": q_a4_max_date,
+        "x5_sample": q_x5_sample,
         "e3_decode_roundtrip": q_e3_decode_roundtrip,
         "e8_date_fill_pivoted": q_e8_date_fill_pivoted,
         "e9_fill_nans_pivoted": q_e9_fill_nans_pivoted,
@@ -979,6 +1005,14 @@ SELECT CAST(count(DISTINCT l_linestatus) AS BIGINT) AS l_linestatus,
        CAST(count(DISTINCT l_returnflag) AS BIGINT) AS l_returnflag,
        CAST(count(DISTINCT l_suppkey) AS BIGINT) AS l_suppkey
 FROM lineitem""",
+        "e2_encode_collect": """
+WITH d AS (SELECT event_type,
+                  row_number() OVER (ORDER BY event_type ASC) AS code
+           FROM (SELECT DISTINCT event_type FROM events WHERE event_type IS NOT NULL))
+SELECT e.event_id, CAST(coalesce(d.code, 0) AS INT) AS event_type_code
+FROM events e LEFT JOIN d USING (event_type)""",
+        "a4_max_date": """
+SELECT max(ts) AS max_ts, min(ts) AS min_ts, max(value) AS max_value FROM events""",
         "e3_decode_roundtrip": """
 WITH topk AS (SELECT event_type FROM (
   SELECT event_type, row_number() OVER (ORDER BY count(*) DESC, event_type ASC) AS rk

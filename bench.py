@@ -26,6 +26,8 @@ BENCH_QUERIES = [
     "e5_normalize_minmax",
     "p3_pivot_last5",
     "x3_sliding_union",
+    "a9_label_multihot",
+    "e8_date_fill_pivoted",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",
@@ -33,6 +35,16 @@ BENCH_QUERIES = [
     "text_quality",
     "text_langid",
     "simsearch_topk",
+    "simsearch_topk_lsh",
+    "emb_near_dup",
+    "multimodal_features",
+    "score_linear",
+    "score_lstm",
+    "metrics_roc_auc",
+    "segment_kmeans",
+    "train_linear_ae",
+    "stream_windowed_stats",
+    "stream_last3_state",
 ]
 
 

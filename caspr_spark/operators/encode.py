@@ -178,6 +178,27 @@ def fit_encoding(df: DataFrame, cols: list[str],
     return enc
 
 
+def fit_encoding_collect(df: DataFrame, cols: list[str]) -> CategoricalEncoding:
+    """E2 fit: dictionary from *sorted distinct values*, codes 1..V (0=UNK).
+
+    The reference's collect-strategy encoder gathers ``collect_set`` per
+    column and sorts for determinism, reserving index 0 for the UNK
+    sentinel (caspr/utils/spark/preprocess.py:293-352, :331-339). Its
+    transform does an O(V) ``list.index`` per value inside a pandas UDF —
+    here transform stays ``CategoricalEncoding.apply`` (broadcast join),
+    only the fit ordering differs from ``fit_encoding`` (alphabetical vs
+    frequency-ranked).
+    """
+    enc = CategoricalEncoding()
+    if not cols:
+        return enc
+    row = df.agg(*[F.sort_array(F.collect_set(c)).alias(c) for c in cols]) \
+            .collect()[0]
+    for c in cols:
+        enc.mappings[c] = [(v, i + 1) for i, v in enumerate(row[c])]
+    return enc
+
+
 def encode_cat_columns(df: DataFrame, cols: list[str],
                        encoding: CategoricalEncoding | None = None,
                        max_cardinality: int = MAX_CAT_CARDINALITY):

@@ -99,11 +99,13 @@ def streaming_last_n(stream: DataFrame, n: int, key_col: str = "user_id",
     max-``ver`` row. State is the bounded list of (ts_epoch_us, tiebreak,
     value) triples + the counter — O(n) per key.
     """
+    out_cols = [key_col, "ver"] + [f"{s}_{value_col}" for s in range(1, n + 1)]
     out_schema = (f"{key_col} long, ver int, " +
                   ", ".join(f"`{s}_{value_col}` double" for s in range(1, n + 1)))
     state_schema = "ts array<long>, tb array<long>, v array<double>, ver int"
 
     def update(key, pdfs, state: GroupState):
+        import pandas as pd
         triples, ver = [], 0
         if state.exists:
             ts0, tb0, v0, ver = state.get
@@ -120,13 +122,8 @@ def streaming_last_n(stream: DataFrame, n: int, key_col: str = "user_id",
             [float(t[2]) for t in triples],
             ver + 1,
         ))
-        import pandas as pd
-        row = {key_col: key[0], "ver": ver + 1}
-        for i, t in enumerate(triples):
-            row[f"{i + 1}_{value_col}"] = t[2]
-        for i in range(len(triples), n):
-            row[f"{i + 1}_{value_col}"] = None
-        yield pd.DataFrame([row])
+        vals = [t[2] for t in triples] + [None] * (n - len(triples))
+        yield pd.DataFrame([[key[0], ver + 1, *vals]], columns=out_cols)
 
     return (stream.groupBy(key_col)
             .applyInPandasWithState(update, out_schema, state_schema,
