@@ -1,0 +1,113 @@
+"""Physical-plan regression tests — the scale contracts, not just results.
+
+These pin the properties that make the engine viable at 100 TB: encode
+joins must broadcast (never sort-merge), the featurization core must
+shuffle once (window exchange reused by the pivot aggregate), the rank
+filter must push down as WindowGroupLimit, and no Python UDF may appear
+in hot-path plans."""
+
+import contextlib
+import io
+import re
+
+import pytest
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def shuffle_count(plan: str) -> int:
+    """Shuffle exchanges in a formatted plan (BroadcastExchange excluded)."""
+    return len(re.findall(r"^\s*\(\d+\) Exchange\s*$", plan, re.MULTILINE))
+
+
+class TestEncodePlan:
+    def test_broadcast_never_sortmerge(self, events):
+        from caspr_spark.operators import fit_encoding
+        enc = fit_encoding(events, ["event_type"], max_cardinality=10)
+        plan = plan_of(enc.apply(events))
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+
+    def test_no_python_udf(self, events):
+        from caspr_spark.operators import fit_encoding
+        enc = fit_encoding(events, ["event_type"])
+        plan = plan_of(enc.apply(events))
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
+
+
+class TestFeaturizationCorePlan:
+    @pytest.fixture(scope="class")
+    def wide_plan(self, events):
+        from pyspark.sql import functions as F
+        from caspr_spark.operators import get_rank, featurize_sequential
+        ranked = get_rank(events, ["user_id"], "ts", tiebreak=["event_id"])
+        return plan_of(featurize_sequential(ranked, ["user_id"], 5, ["value"]))
+
+    def test_single_hash_exchange(self, wide_plan):
+        """Window partitioning must be reused by the pivot groupBy."""
+        assert shuffle_count(wide_plan) == 1
+
+    def test_window_group_limit_pushdown(self, wide_plan):
+        """rank_desc <= n must prune rows before the full window sort."""
+        assert "WindowGroupLimit" in wide_plan
+
+    def test_no_python_udf(self, wide_plan):
+        assert "BatchEvalPython" not in wide_plan
+        assert "ArrowEvalPython" not in wide_plan
+
+
+class TestScalingPlan:
+    def test_pure_expressions(self, events):
+        from caspr_spark.operators import normalize_columns
+        df, _ = normalize_columns(events, ["value"])
+        plan = plan_of(df)
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
+        assert "Exchange" not in plan  # map-only
+
+
+class TestDedupPlans:
+    def test_minhash_no_python(self, documents):
+        from caspr_spark.llm.dedup import minhash_signatures
+        plan = plan_of(minhash_signatures(documents))
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
+
+    def test_similarity_broadcast_queries(self, embeddings):
+        from pyspark.sql import functions as F
+        from caspr_spark.llm.similarity import cosine_topk
+        q = embeddings.filter(F.col("vec_id") < 3)
+        plan = plan_of(cosine_topk(embeddings, q, k=3))
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+
+    def test_exact_dedup_single_agg_shuffle(self, documents):
+        from caspr_spark.llm.dedup import exact_dedup
+        plan = plan_of(exact_dedup(documents))
+        # one shuffle for the hash agg; the keep-join broadcasts
+        assert "BroadcastHashJoin" in plan
+
+
+class TestPipelinePlan:
+    def test_flagship_plan_shape(self, events):
+        from pyspark.sql import functions as F
+        from caspr_spark import ColumnRoles, SequenceFeaturizer
+        pred = events.agg(F.max("ts")).collect()[0][0]
+        ev = events.withColumn("prediction_date", F.lit(pred))
+        roles = ColumnRoles(tgt_id=["user_id"], activity_date="ts",
+                            cat_cols=["event_type"], cont_cols=["value"],
+                            seq_cols=["event_type", "value", "ts"],
+                            date_cols=["ts"], order_tiebreak=["event_id"])
+        feat = SequenceFeaturizer(roles=roles, history_days=14, seq_len=5,
+                                  interval=True)
+        wide, _ = feat.fit_transform(ev)
+        plan = plan_of(wide)
+        assert "SortMergeJoin" not in plan
+        assert shuffle_count(plan) == 1
+        assert "BatchEvalPython" not in plan
