@@ -590,6 +590,42 @@ def q_multimodal_frames(spark, sf_dir):
     return sample_frames(docs, stride=16, max_frames=8)
 
 
+def q_simsearch_topk_ivf(spark, sf_dir):
+    """IVF ANN: KMeans coarse cells + n_probe search (no SQL oracle —
+    iterative clustering; rows-only check)."""
+    from caspr_spark.llm.similarity import cosine_topk_ivf
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    out = cosine_topk_ivf(emb, queries, k=5, n_cells=8, n_probe=8)
+    return out.select("query_id", "vec_id", "cosine",
+                      F.col("rank").cast("int").alias("rank"))
+
+
+def q_explain_linear_ablation(spark, sf_dir):
+    """Ablation attributions of the linear encoder (closed form)."""
+    from caspr_spark.explain import linear_ablation_importance
+    W = random_hyperplanes(64, SCORE_W_DIM, seed=SCORE_W_SEED)
+    emb = _t(spark, sf_dir, "embeddings")
+    return linear_ablation_importance(emb, W, dims=list(range(8)))
+
+
+def q_x3_trainset_labeled(spark, sf_dir):
+    """X3 end-to-end: sliding-window featurize + multi-hot labels, fitted
+    once, reapplied per window (rows-only: composite of oracle-checked
+    stages)."""
+    from datetime import timedelta
+    from caspr_spark.pipeline import build_sliding_window_trainset
+    ev = _events(spark, sf_dir)
+    pred = ev.agg(F.max("ts")).collect()[0][0]
+    feat = SequenceFeaturizer(roles=_event_roles(), history_days=7,
+                              seq_len=3, interval=True, scaling="min_max")
+    out, _ = build_sliding_window_trainset(
+        ev, feat, [pred - timedelta(days=7), pred - timedelta(days=14)],
+        label_window_days=7, activity_col="event_type",
+        activities=["click", "error", "purchase", "signup", "view"])
+    return out
+
+
 def q_dedup_minhash_lsh(spark, sf_dir):
     """Near-dup candidate pairs via MinHash LSH (no SQL oracle — xxhash64
     has no DuckDB twin; driver records the rows-only check)."""
@@ -662,6 +698,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "segment_kmeans": q_segment_kmeans,
         "train_linear_ae": q_train_linear_ae,
         "simsearch_topk_lsh": q_simsearch_topk_lsh,
+        "simsearch_topk_ivf": q_simsearch_topk_ivf,
+        "explain_linear_ablation": q_explain_linear_ablation,
+        "x3_trainset_labeled": q_x3_trainset_labeled,
         "emb_near_dup": q_emb_near_dup,
         "multimodal_features": q_multimodal_features,
         "multimodal_frames": q_multimodal_frames,
@@ -1066,6 +1105,17 @@ SELECT event_id, 1 AS pos,
        CAST(floor(extract(epoch FROM ts)) AS DOUBLE) AS feat FROM events""",
         "s1_parquet_roundtrip": """
 SELECT event_id, user_id, event_type, value FROM events""",
+        "explain_linear_ablation": (lambda norms: f"""
+WITH mu AS (SELECT {', '.join(f'avg(embedding[{j + 1}]::DOUBLE) AS m{j}'
+                              for j in range(8))} FROM embeddings),
+dev AS (SELECT {', '.join(f'avg(abs(e.embedding[{j + 1}]::DOUBLE - mu.m{j})) AS d{j}'
+                          for j in range(8))}
+        FROM embeddings e CROSS JOIN mu)
+{' UNION ALL '.join(f'SELECT {j} AS dim, round(d{j} * {norms[j]!r}, 6) AS importance FROM dev'
+                    for j in range(8))}""")(
+            [__import__('math').sqrt(sum(v * v for v in col))
+             for col in zip(*random_hyperplanes(64, SCORE_W_DIM,
+                                                seed=SCORE_W_SEED))][:8]),
         "stream_windowed_stats": """
 SELECT date_trunc('day', ts) AS window_start, event_type,
        CAST(count(*) AS BIGINT) AS n, round(sum(value), 6) AS sum_value

@@ -119,6 +119,70 @@ def cosine_topk_lsh(corpus: DataFrame, queries: DataFrame, k: int,
                   .select(query_id_col, id_col, "cosine", "rank"))
 
 
+def ivf_index(corpus: DataFrame, n_cells: int = 16, id_col: str = "vec_id",
+              vec_col: str = "embedding", seed: int = 42):
+    """IVF coarse quantizer: seeded MLlib KMeans centroids + cell assignment.
+
+    Returns ``(indexed_corpus, centroids)`` where ``indexed_corpus`` carries
+    an ``ivf_cell`` column and ``centroids`` is the driver-side list of
+    centroid vectors. At scale, write the corpus partitioned/bucketed by
+    ``ivf_cell`` so a probe touches only its cells' files.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feat = corpus.withColumn("__features", array_to_vector(F.col(vec_col)))
+    model = KMeans(k=n_cells, seed=seed, featuresCol="__features",
+                   predictionCol="ivf_cell").fit(feat)
+    indexed = model.transform(feat).drop("__features")
+    centroids = [c.tolist() for c in model.clusterCenters()]
+    return indexed, centroids
+
+
+def cosine_topk_ivf(corpus: DataFrame, queries: DataFrame, k: int,
+                    n_cells: int = 16, n_probe: int = 4,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    query_id_col: str = "query_id", seed: int = 42) -> DataFrame:
+    """IVF ANN: probe the ``n_probe`` nearest cells per query, exact re-rank.
+
+    The second scale path beside LSH: cluster-aware pruning (recall degrades
+    gracefully with ``n_probe``; ``n_probe = n_cells`` is exact). The
+    query-to-cell assignment is a driver-side product against the tiny
+    centroid list, shipped as a broadcast (query_id, cell) pair table.
+    """
+    indexed, centroids = ivf_index(corpus, n_cells, id_col, vec_col, seed)
+
+    q = queries.select(F.col(id_col).alias(query_id_col),
+                       F.col(vec_col).alias("__qvec"))
+    # rank centroids per query by (euclidean, to match KMeans assignment)
+    cent = [(i, F.array(*[F.lit(v) for v in c])) for i, c in enumerate(centroids)]
+    dist_cols = [
+        F.struct(
+            F.aggregate(F.zip_with(F.transform(F.col("__qvec"),
+                                               lambda x: x.cast("double")), c,
+                                   lambda a, b: (a - b) * (a - b)),
+                        F.lit(0.0), lambda acc, v: acc + v).alias("d"),
+            F.lit(i).alias("cell"))
+        for i, c in cent]
+    probes = q.withColumn(
+        "__cells",
+        F.slice(F.array_sort(F.array(*dist_cols)), 1, n_probe)) \
+        .select(query_id_col, "__qvec",
+                F.explode(F.transform("__cells", lambda s: s["cell"]))
+                 .alias("ivf_cell"))
+
+    joined = (indexed.join(F.broadcast(probes), on="ivf_cell")
+              .filter(F.col(id_col) != F.col(query_id_col)))
+    scored = joined.withColumn(
+        "cosine", F.round(cosine_similarity_col(F.col("__qvec"),
+                                                F.col(vec_col)), 6))
+    w = Window.partitionBy(query_id_col).orderBy(F.col("cosine").desc(),
+                                                 F.col(id_col).asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+                  .filter(F.col("rank") <= k)
+                  .select(query_id_col, id_col, "cosine", "rank"))
+
+
 def embedding_near_duplicates(df: DataFrame, threshold: float = 0.95,
                               id_col: str = "vec_id", vec_col: str = "embedding",
                               n_planes: int = 6, seed: int = 42) -> DataFrame:

@@ -180,3 +180,44 @@ def data_process_all(train: DataFrame, val: DataFrame, test: DataFrame,
     """
     train_wide, model = featurizer.fit_transform(train)
     return train_wide, model.transform(val), model.transform(test), model
+
+
+def build_sliding_window_trainset(df: DataFrame, featurizer: SequenceFeaturizer,
+                                  cutoffs: list, label_window_days: int = 0,
+                                  activity_col: str | None = None,
+                                  activities: list[str] | None = None):
+    """X3: time-based data augmentation — one feature(+label) set per
+    cutoff date, unioned with a ``window_id``.
+
+    For each cutoff ``t``: features come from the history window ending at
+    ``t`` (the featurizer's F1 filter), labels (optional) are the multi-hot
+    of ``activity_col`` over ``(t, t + label_window_days]``. The featurizer
+    is fitted once on the latest cutoff and *reapplied* to earlier windows,
+    so every window shares one feature space (the train-time encoding
+    discipline of data_process_all). Reference: the pandas sliding-window
+    builder caspr/utils/preprocess.py:116-169 with window dates from
+    ``get_sliding_window_dates`` (caspr/utils/spark/preprocess.py:468-482).
+
+    Returns ``(unioned_wide_df, model)``.
+    """
+    from datetime import timedelta
+    from caspr_spark.operators.labels import build_multi_hot_labels, join_labels
+
+    r = featurizer.roles
+    model = None
+    out = None
+    for i, cut in enumerate(cutoffs):
+        part = df.withColumn(r.prediction_date, F.lit(cut))
+        if model is None:
+            wide, model = featurizer.fit_transform(part)
+        else:
+            wide = model.transform(part)
+        if label_window_days and activity_col:
+            labels = build_multi_hot_labels(
+                df, r.tgt_id, activity_col, r.activity_date,
+                label_start=cut, label_end=cut + timedelta(days=label_window_days),
+                activities=activities)
+            wide = join_labels(wide, labels, r.tgt_id, how="inner")
+        wide = wide.withColumn("window_id", F.lit(i))
+        out = wide if out is None else out.unionByName(wide)
+    return out, model

@@ -1,0 +1,128 @@
+"""Tests: IVF ANN, sliding-window trainset builder, ablation explainability."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from caspr_spark.llm.similarity import cosine_topk, cosine_topk_ivf, ivf_index
+from caspr_spark.explain import linear_ablation_importance, ablation_importance
+
+
+class TestIVF:
+    def test_index_partitions_corpus(self, embeddings):
+        indexed, centroids = ivf_index(embeddings, n_cells=4)
+        assert len(centroids) == 4
+        cells = {r["ivf_cell"] for r in
+                 indexed.select("ivf_cell").distinct().collect()}
+        assert cells <= {0, 1, 2, 3}
+        assert indexed.count() == embeddings.count()
+
+    def test_full_probe_equals_exact(self, embeddings):
+        """n_probe == n_cells must reproduce brute-force top-k exactly."""
+        q = embeddings.filter(F.col("vec_id") < 3)
+        exact = cosine_topk(embeddings, q, k=5).toPandas()
+        ivf = cosine_topk_ivf(embeddings, q, k=5, n_cells=4, n_probe=4).toPandas()
+        key = ["query_id", "rank"]
+        exact = exact.sort_values(key).reset_index(drop=True)
+        ivf = ivf.sort_values(key).reset_index(drop=True)
+        assert (exact["vec_id"].values == ivf["vec_id"].values).all()
+        assert np.allclose(exact["cosine"].values, ivf["cosine"].values)
+
+    def test_partial_probe_subset(self, embeddings):
+        """With fewer probes, results are a subset of the probed cells and
+        recall@5 stays reasonable on clustered data."""
+        q = embeddings.filter(F.col("vec_id") < 5)
+        exact = cosine_topk(embeddings, q, k=5).toPandas()
+        ivf = cosine_topk_ivf(embeddings, q, k=5, n_cells=8, n_probe=3).toPandas()
+        hits = 0
+        for qid in range(5):
+            e = set(exact[exact.query_id == qid].vec_id)
+            i = set(ivf[ivf.query_id == qid].vec_id)
+            hits += len(e & i)
+        assert hits / 25 > 0.5
+
+
+class TestSlidingTrainset:
+    def test_windows_and_labels(self, events, spark):
+        from datetime import timedelta
+        from caspr_spark import ColumnRoles, SequenceFeaturizer
+        from caspr_spark.pipeline import build_sliding_window_trainset
+
+        pred = events.agg(F.max("ts")).collect()[0][0]
+        cutoffs = [pred - timedelta(days=7), pred - timedelta(days=14)]
+        roles = ColumnRoles(tgt_id=["user_id"], activity_date="ts",
+                            cat_cols=["event_type"], cont_cols=["value"],
+                            seq_cols=["value", "ts"], date_cols=["ts"],
+                            order_tiebreak=["event_id"])
+        feat = SequenceFeaturizer(roles=roles, history_days=7, seq_len=3,
+                                  interval=True)
+        out, model = build_sliding_window_trainset(
+            events, feat, cutoffs, label_window_days=7,
+            activity_col="event_type",
+            activities=["click", "error", "purchase", "signup", "view"])
+        pdf = out.toPandas()
+        assert set(pdf.window_id.unique()) == {0, 1}
+        assert "label_click" in pdf.columns
+        assert set(pdf.label_click.unique()) <= {0, 1}
+        # window 0 cutoff is later; label window (cut0, cut0+7] reaches pred
+        assert len(pdf[pdf.window_id == 0]) > 0
+        assert model is not None
+
+    def test_shared_feature_space(self, events):
+        """Earlier windows must reuse the encoding fitted on the first."""
+        from datetime import timedelta
+        from caspr_spark import ColumnRoles, SequenceFeaturizer
+        from caspr_spark.pipeline import build_sliding_window_trainset
+
+        pred = events.agg(F.max("ts")).collect()[0][0]
+        roles = ColumnRoles(tgt_id=["user_id"], activity_date="ts",
+                            cat_cols=["event_type"], cont_cols=["value"],
+                            seq_cols=["event_type"], date_cols=["ts"],
+                            order_tiebreak=["event_id"])
+        feat = SequenceFeaturizer(roles=roles, history_days=7, seq_len=2,
+                                  interval=True)
+        out, model = build_sliding_window_trainset(
+            events, feat, [pred, pred - timedelta(days=10)])
+        codes = {r[0] for r in out.select("1_event_type").distinct().collect()
+                 if r[0] is not None}
+        assert codes <= set(range(0, len(model.encoding.mappings["event_type"]) + 1))
+
+
+class TestExplain:
+    def test_linear_closed_form_matches_numpy(self, embeddings):
+        rng = np.random.default_rng(3)
+        W = rng.normal(size=(4, 64))
+        out = linear_ablation_importance(embeddings, W, dims=[0, 5]) \
+            .toPandas().set_index("dim")
+        pdf = embeddings.select("embedding").toPandas()
+        X = np.stack(pdf["embedding"].values).astype(np.float64)
+        for j in (0, 5):
+            want = np.abs(X[:, j] - X[:, j].mean()).mean() * \
+                np.linalg.norm(W[:, j])
+            assert out.loc[j, "importance"] == pytest.approx(want, rel=1e-6,
+                                                             abs=1e-6)
+
+    def test_generic_ablation_nonzero_for_used_feature(self, spark):
+        """LSTM encoder: ablating a varying input moves the embedding;
+        ablating a constant input does not."""
+        import pandas as pd
+        from caspr_spark.models import CASPRFactory
+        from caspr_spark.score import pack_for_scoring
+
+        n, t = 40, 3
+        rng = np.random.default_rng(0)
+        pdf = pd.DataFrame({
+            "uid": range(n),
+            **{f"{s}_x": rng.normal(size=n) for s in range(1, t + 1)},
+            **{f"{s}_c": rng.integers(1, 5, size=n) for s in range(1, t + 1)},
+        })
+        sdf = pack_for_scoring(
+            spark.createDataFrame(pdf),
+            cont_cols=[f"{s}_x" for s in range(1, t + 1)],
+            cat_cols=[f"{s}_c" for s in range(1, t + 1)])
+        model = CASPRFactory({"c": 6}, {}, 1, 0, t).create("LSTMAutoencoder")
+        imp = ablation_importance(sdf, model, seq_len=t, n_seq_cat=1,
+                                  n_seq_cont=1, features=[0, 1]) \
+            .toPandas().set_index("feature")
+        assert imp.loc[0, "importance"] > 0
+        assert imp.loc[1, "importance"] > 0
