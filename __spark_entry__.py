@@ -86,6 +86,18 @@ def q_pipeline_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wide
 
 
+def q_pipeline_events_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same featurization through the ArrayType scale path
+    (collect_sequences -> sequences_to_wide); hash-matches the same
+    oracle as the pivot layout."""
+    ev = _with_prediction_date(_events(spark, sf_dir))
+    feat = SequenceFeaturizer(roles=_event_roles(), history_days=HIST_DAYS,
+                              seq_len=SEQ_N, interval=True, scaling="min_max",
+                              layout="array")
+    wide, _ = feat.fit_transform(ev)
+    return wide
+
+
 def q_pipeline_orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J4 profile-join pipeline in absolute-date mode with label columns."""
     orders = _t(spark, sf_dir, "orders")
@@ -329,6 +341,17 @@ def q_e9_fill_nans_pivoted(spark, sf_dir):
     ranked = get_rank(ev, ["user_id"], "ts", tiebreak=["event_id"])
     wide = featurize_sequential(ranked, ["user_id"], SEQ_N, ["value"])
     return wide.fillna(0.0, subset=[f"{s}_value" for s in range(1, SEQ_N + 1)])
+
+
+def q_asof_join(spark, sf_dir):
+    """Backward as-of join (union+window, one shuffle): each event gets
+    the user's most recent purchase value at-or-before it."""
+    from caspr_spark.operators import asof_join
+    ev = _events(spark, sf_dir)
+    purch = (ev.filter(F.col("event_type") == "purchase")
+               .groupBy("user_id", "ts").agg(F.max("value").alias("pval")))
+    out = asof_join(ev, purch, on=["user_id"], value_cols=["pval"])
+    return out.select("event_id", F.round("pval_asof", 6).alias("pval_asof"))
 
 
 def q_e2_encode_collect(spark, sf_dir):
@@ -652,6 +675,7 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pipeline_events": q_pipeline_events,
+        "pipeline_events_array": q_pipeline_events_array,
         "pipeline_orders_profile": q_pipeline_orders_profile,
         "w1_rank": q_w1_rank,
         "w2_intervals": q_w2_intervals,
@@ -679,6 +703,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a9_label_multihot": q_a9_label_multihot,
         "a10_segment_profile": q_a10_segment_profile,
         "a11_nunique_lineitem": q_a11_nunique_lineitem,
+        "asof_join": q_asof_join,
         "e2_encode_collect": q_e2_encode_collect,
         "a4_max_date": q_a4_max_date,
         "x5_sample": q_x5_sample,
@@ -933,6 +958,7 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         "pipeline_events": _events_pipeline_sql(),
+        "pipeline_events_array": _events_pipeline_sql(),
         "pipeline_orders_profile": _orders_pipeline_sql(),
         "w1_rank": """
 SELECT event_id, user_id,
@@ -1044,6 +1070,12 @@ SELECT CAST(count(DISTINCT l_linestatus) AS BIGINT) AS l_linestatus,
        CAST(count(DISTINCT l_returnflag) AS BIGINT) AS l_returnflag,
        CAST(count(DISTINCT l_suppkey) AS BIGINT) AS l_suppkey
 FROM lineitem""",
+        "asof_join": """
+WITH p AS (SELECT user_id, ts, max(value) AS pval FROM events
+           WHERE event_type = 'purchase' GROUP BY 1, 2)
+SELECT e.event_id, round(p.pval, 6) AS pval_asof
+FROM events e ASOF LEFT JOIN p
+  ON e.user_id = p.user_id AND p.ts <= e.ts""",
         "e2_encode_collect": """
 WITH d AS (SELECT event_type,
                   row_number() OVER (ORDER BY event_type ASC) AS code

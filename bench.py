@@ -19,7 +19,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 BENCH_QUERIES = [
     "pipeline_events",
+    "pipeline_events_array",
     "pipeline_orders_profile",
+    "asof_join",
     "w1_rank",
     "f1_history_window",
     "e1_encode_capped",

@@ -20,6 +20,7 @@ from caspr_spark.operators.probes import (
     column_cardinalities, distinct_values_sorted,
 )
 from caspr_spark.operators.labels import build_multi_hot_labels, join_labels
+from caspr_spark.operators.joins import asof_join, salted_join
 
 __all__ = [
     "get_rank", "timestamps_to_intervals",
@@ -32,4 +33,5 @@ __all__ = [
     "get_sequence_length", "get_lookback_period", "get_sliding_window_dates",
     "column_cardinalities", "distinct_values_sorted",
     "build_multi_hot_labels", "join_labels",
+    "asof_join", "salted_join",
 ]

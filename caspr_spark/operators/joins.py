@@ -1,0 +1,91 @@
+"""Temporal and skew-aware join operators.
+
+The reference has no theta/as-of/anti joins (SURVEY §2.3) — its temporal
+alignment is the history filter + window rank. These are the *extension*
+joins a large-scale event pipeline needs:
+
+- ``asof_join``: for each left event, the latest right event at-or-before
+  it (per key). Implemented as union + last-value window — ONE shuffle on
+  (key), no range cross-product, no per-key collect; this is the
+  scale-correct shape (the naive ts-inequality join is quadratic per key).
+- ``salted_join``: explicit key-salting for skewed equi-joins — the
+  left side's hot keys spread over ``salt`` sub-keys, the right side
+  replicated ``salt`` ways. AQE's skew-join handles most cases at runtime;
+  salting is the deterministic fallback when one key dwarfs a task.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(left: DataFrame, right: DataFrame, on: list[str],
+              left_ts: str = "ts", right_ts: str = "ts",
+              value_cols: list[str] | None = None,
+              tolerance_days: int | None = None,
+              suffix: str = "_asof") -> DataFrame:
+    """Backward as-of join: attach each right row's ``value_cols`` to every
+    left row with ``right_ts <= left_ts`` (latest such, per ``on`` key).
+
+    Union the two sides tagged by origin, sort per key by (ts, origin),
+    and carry the right values forward with ``last(..., ignorenulls)``
+    over an unbounded-preceding frame. Ties (equal timestamps) resolve to
+    the right row (the tag orders right before left). ``tolerance_days``
+    nulls out matches older than the window.
+    """
+    if value_cols is None:
+        value_cols = [c for c in right.columns
+                      if c not in on and c != right_ts]
+
+    lt = left.withColumn("__src", F.lit(1)).withColumn("__ts", F.col(left_ts))
+    rt = right.select(*on, F.col(right_ts).alias("__ts"), *value_cols) \
+              .withColumn("__src", F.lit(0))
+
+    all_cols = set(lt.columns) | set(rt.columns) | \
+        {f"{c}{suffix}" for c in value_cols} | {"__rts"}
+    for c in value_cols:
+        lt = lt.withColumn(f"{c}{suffix}", F.lit(None).cast(dict(rt.dtypes)[c]))
+        rt = rt.withColumn(f"{c}{suffix}", F.col(c)).drop(c)
+    rt = rt.withColumn("__rts", F.col("__ts"))
+    lt = lt.withColumn("__rts", F.lit(None).cast("timestamp"))
+    for c in lt.columns:
+        if c not in rt.columns:
+            rt = rt.withColumn(c, F.lit(None).cast(dict(lt.dtypes)[c]))
+    unioned = lt.unionByName(rt.select(*lt.columns))
+
+    w = (Window.partitionBy(*on).orderBy(F.col("__ts").asc(), F.col("__src").asc())
+         .rowsBetween(Window.unboundedPreceding, 0))
+    out = unioned
+    for c in value_cols:
+        out = out.withColumn(f"{c}{suffix}",
+                             F.last(F.col(f"{c}{suffix}"), ignorenulls=True).over(w))
+    out = out.withColumn("__rts", F.last(F.col("__rts"), ignorenulls=True).over(w))
+    out = out.filter(F.col("__src") == 1)
+
+    if tolerance_days is not None:
+        stale = F.datediff(F.col("__ts"), F.col("__rts")) > tolerance_days
+        for c in value_cols:
+            out = out.withColumn(
+                f"{c}{suffix}",
+                F.when(stale | F.col("__rts").isNull(), F.lit(None))
+                 .otherwise(F.col(f"{c}{suffix}")))
+    return out.drop("__src", "__ts", "__rts")
+
+
+def salted_join(left: DataFrame, right: DataFrame, on: list[str],
+                salt: int = 8, how: str = "inner") -> DataFrame:
+    """Equi-join with explicit key salting for skew.
+
+    Left rows get a random salt in ``[0, salt)``; the right side is
+    replicated once per salt value, so each hot key spreads over ``salt``
+    tasks. Use when a single key's row count dwarfs a task's memory and
+    AQE's skew splitting isn't available (e.g. bucketed inputs).
+    """
+    lsalt = left.withColumn("__salt",
+                            (F.rand(seed=42) * salt).cast("int"))
+    rsalt = right.crossJoin(
+        F.broadcast(left.sparkSession.range(salt)
+                    .select(F.col("id").cast("int").alias("__salt"))))
+    return (lsalt.join(rsalt, on=[*on, "__salt"], how=how)
+            .drop("__salt"))

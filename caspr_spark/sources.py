@@ -59,6 +59,24 @@ def load_tables(spark: SparkSession, sf_dir: str,
     return {n: read_parquet_table(spark, f"{sf_dir}/{n}.parquet") for n in names}
 
 
+def write_bucketed_table(df: DataFrame, name: str, bucket_cols: list[str],
+                         num_buckets: int = 32,
+                         sort_cols: list[str] | None = None) -> DataFrame:
+    """Persist ``df`` bucketed (and optionally sorted) by join/agg keys.
+
+    Bucketing pre-shuffles the data once at write time: any later
+    equi-join or aggregation on ``bucket_cols`` between tables bucketed
+    the same way runs with NO exchange — at 100 TB this converts every
+    repeated entity-key join from a shuffle into a local merge. (Parquet
+    self-describing buckets need the session catalog: ``saveAsTable``.)
+    """
+    writer = df.write.mode("overwrite").bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(name)
+    return df.sparkSession.table(name)
+
+
 def write_parquet_handover(df: DataFrame, path: str, partitions: int | None = None,
                            block_size: int = 128 * 1024 * 1024) -> str:
     """Repartition + write parquet for downstream consumers (S1).
