@@ -453,6 +453,38 @@ def q_score_lstm(spark, sf_dir):
                          F.round(norm, 4).alias("emb_norm"))
 
 
+def q_score_transformer(spark, sf_dir):
+    """Transformer-encoder scoring through the same UDF path (no SQL
+    oracle — attention forward pass; rows-only check)."""
+    from caspr_spark.models import CASPRFactory
+    from caspr_spark.score import score
+    wide = q_pipeline_events(spark, sf_dir)
+    factory = CASPRFactory(seq_vocab_sizes={"event_type": 6},
+                           non_seq_vocab_sizes={}, n_seq_cont=2,
+                           n_non_seq_cont=0, seq_len=SEQ_N)
+    model = factory.create("TransformerAutoEncoder", seed=7)
+    cont_cols = [f"{s}_value" for s in range(1, SEQ_N + 1)] + \
+                [f"{s}_ts" for s in range(1, SEQ_N + 1)]
+    cat_cols = [f"{s}_event_type" for s in range(1, SEQ_N + 1)]
+    scored = score(wide, model, seq_len=SEQ_N, n_seq_cat=1, n_seq_cont=2,
+                   cont_cols=cont_cols, cat_cols=cat_cols)
+    norm = F.sqrt(F.aggregate(F.transform("embeddings",
+                                          lambda x: x.cast("double") ** 2),
+                              F.lit(0.0), lambda a, v: a + v))
+    return scored.select("user_id", F.size("embeddings").alias("emb_dim"),
+                         F.round(norm, 4).alias("emb_norm"))
+
+
+def q_e11_oversample(spark, sf_dir):
+    """E11: seeded oversample-to-parity; returns per-class counts
+    (rows-only — Spark's sample hashing is engine-specific)."""
+    from caspr_spark.noise import oversample_to_parity
+    emb = _t(spark, sf_dir, "embeddings")
+    d = emb.select((F.col("label") >= 5).cast("int").alias("y"))
+    out = oversample_to_parity(d, "y", seed=7)
+    return out.groupBy("y").agg(F.count("*").cast("long").alias("n"))
+
+
 def q_metrics_confusion(spark, sf_dir):
     from caspr_spark.metrics import confusion_counts
     emb = _t(spark, sf_dir, "embeddings")
@@ -718,6 +750,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_last3_state": q_stream_last3_state,
         "score_linear": q_score_linear,
         "score_lstm": q_score_lstm,
+        "score_transformer": q_score_transformer,
+        "e11_oversample": q_e11_oversample,
         "metrics_confusion": q_metrics_confusion,
         "metrics_roc_auc": q_metrics_roc_auc,
         "segment_kmeans": q_segment_kmeans,
