@@ -258,6 +258,39 @@ def q_x3_sliding_union(spark, sf_dir):
     return out
 
 
+def q_w5_sessionize(spark, sf_dir):
+    """Sessionization: new session when the gap to the previous event
+    exceeds 6 hours (lag + running sum over one entity window)."""
+    from caspr_spark.operators.rank import sessionize
+    ev = _events(spark, sf_dir)
+    out = sessionize(ev, "user_id", "ts", gap_minutes=360,
+                     tiebreak=["event_id"])
+    return out.select("event_id", "session_id")
+
+
+def q_llm_curate(spark, sf_dir):
+    """Composed corpus curation: quality filters -> language filter ->
+    exact dedup; returns survivors with token counts."""
+    from caspr_spark.llm.curate import curate_corpus
+    docs = _t(spark, sf_dir, "documents")
+    out = curate_corpus(docs, min_tokens=20, min_alpha_ratio=0.5,
+                        max_punct_ratio=0.2, languages=("en",))
+    return out.select("doc_id", F.col("n_tokens_ws").cast("long")
+                      .alias("n_tokens_ws"))
+
+
+def q_llm_curate_report(spark, sf_dir):
+    """Per-source curation accounting (docs in/kept, tokens kept)."""
+    from caspr_spark.llm.curate import curate_corpus, curation_report
+    docs = _t(spark, sf_dir, "documents")
+    curated = curate_corpus(docs, min_tokens=20, min_alpha_ratio=0.5,
+                            max_punct_ratio=0.2, languages=("en",))
+    rep = curation_report(docs, curated)
+    return rep.select("source", F.col("docs_in").cast("long").alias("docs_in"),
+                      F.col("docs_kept").cast("long").alias("docs_kept"),
+                      F.col("tokens_kept").cast("long").alias("tokens_kept"))
+
+
 def q_f5_outlier_removal(spark, sf_dir):
     # k=1.0 (not the reference's 3.0) so the synthetic uniform-ish value
     # column actually loses rows and the oracle check discriminates
@@ -581,7 +614,8 @@ def q_text_quality(spark, sf_dir):
     return df.select("doc_id", F.col("q_chars").cast("long").alias("q_chars"),
                      F.round("q_alpha_ratio", 6).alias("alpha_ratio"),
                      F.round("q_punct_ratio", 6).alias("punct_ratio"),
-                     F.round("q_mean_word_len", 6).alias("mean_word_len"))
+                     F.round("q_mean_word_len", 6).alias("mean_word_len"),
+                     F.round("q_stopword_ratio", 6).alias("stopword_ratio"))
 
 
 def q_text_langid(spark, sf_dir):
@@ -728,6 +762,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p3_pivot_last5": q_p3_pivot_last5,
         "p6_petastorm_rename": q_p6_petastorm_rename,
         "x3_sliding_union": q_x3_sliding_union,
+        "w5_sessionize": q_w5_sessionize,
+        "llm_curate": q_llm_curate,
+        "llm_curate_report": q_llm_curate_report,
         "f5_outlier_removal": q_f5_outlier_removal,
         "f6_null_drop": q_f6_null_drop,
         "a3_summary_stats": q_a3_summary_stats,
@@ -1068,6 +1105,53 @@ FROM events CROSS JOIN (SELECT max(ts) AS p FROM events) pred""",
 SELECT c_custkey,
   CAST(ntile(10) OVER (ORDER BY c_acctbal ASC, c_custkey ASC) AS INT) AS acctbal_decile
 FROM customer""",
+        "w5_sessionize": """
+SELECT event_id,
+  CAST(sum(CASE WHEN gap IS NULL OR gap > 360*60 THEN 1 ELSE 0 END)
+       OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+             ROWS UNBOUNDED PRECEDING) AS INT) AS session_id
+FROM (
+  SELECT event_id, user_id, ts,
+         floor(extract(epoch FROM ts))
+           - floor(extract(epoch FROM lag(ts) OVER (
+               PARTITION BY user_id ORDER BY ts ASC, event_id ASC))) AS gap
+  FROM events)""",
+        "llm_curate": f"""
+WITH q AS (
+  SELECT doc_id, text,
+    len(regexp_split_to_array(trim(text), '\\s+')) AS ntok,
+    length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE / length(text) AS alpha,
+    length(regexp_replace(text, '[^.,;:!?]', '', 'g'))::DOUBLE / length(text) AS punct
+  FROM documents),
+f AS (SELECT * FROM q
+      WHERE ntok >= 20 AND ntok <= 100000 AND alpha >= 0.5 AND punct <= 0.2),
+e AS (SELECT * FROM f
+      WHERE {lang_names}[list_position({hits_arr}, list_max({hits_arr}))] = 'en'),
+k AS (SELECT min(doc_id) AS doc_id FROM e
+      GROUP BY md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))))
+SELECT e.doc_id, CAST(e.ntok AS BIGINT) AS n_tokens_ws
+FROM e JOIN k USING (doc_id)""",
+        "llm_curate_report": f"""
+WITH q AS (
+  SELECT doc_id, source, text,
+    len(regexp_split_to_array(trim(text), '\\s+')) AS ntok,
+    length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE / length(text) AS alpha,
+    length(regexp_replace(text, '[^.,;:!?]', '', 'g'))::DOUBLE / length(text) AS punct
+  FROM documents),
+f AS (SELECT * FROM q
+      WHERE ntok >= 20 AND ntok <= 100000 AND alpha >= 0.5 AND punct <= 0.2),
+e AS (SELECT * FROM f
+      WHERE {lang_names}[list_position({hits_arr}, list_max({hits_arr}))] = 'en'),
+k AS (SELECT min(doc_id) AS doc_id FROM e
+      GROUP BY md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))),
+kept AS (SELECT e.* FROM e JOIN k USING (doc_id))
+SELECT d.source, CAST(count(*) AS BIGINT) AS docs_in,
+       CAST(coalesce(s.docs_kept, 0) AS BIGINT) AS docs_kept,
+       CAST(coalesce(s.tokens_kept, 0) AS BIGINT) AS tokens_kept
+FROM documents d
+LEFT JOIN (SELECT source, count(*) AS docs_kept, sum(ntok) AS tokens_kept
+           FROM kept GROUP BY source) s USING (source)
+GROUP BY d.source, s.docs_kept, s.tokens_kept""",
         "f5_outlier_removal": """
 SELECT event_id FROM events
 CROSS JOIN (SELECT avg(value) AS mu, stddev_samp(value) AS sd FROM events) s
@@ -1265,14 +1349,16 @@ SELECT doc_id,
   CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens_ws,
   CAST(len(regexp_extract_all(text, '{_BPE_RE_SQL}')) AS BIGINT) AS n_tokens_bpe
 FROM documents""",
-        "text_quality": """
+        "text_quality": f"""
 SELECT doc_id, CAST(length(text) AS BIGINT) AS q_chars,
   round(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE / length(text), 6)
     AS alpha_ratio,
   round(length(regexp_replace(text, '[^.,;:!?]', '', 'g'))::DOUBLE / length(text), 6)
     AS punct_ratio,
   round(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE
-        / len(regexp_split_to_array(trim(text), '\\s+')), 6) AS mean_word_len
+        / len(regexp_split_to_array(trim(text), '\\s+')), 6) AS mean_word_len,
+  round(len(regexp_extract_all(lower(text), '\\b({_LANGS_SQL["en"]})\\b'))::DOUBLE
+        / len(regexp_split_to_array(trim(text), '\\s+')), 6) AS stopword_ratio
 FROM documents""",
         "text_langid": f"""
 SELECT doc_id,

@@ -30,6 +30,8 @@ BENCH_QUERIES = [
     "x3_sliding_union",
     "a9_label_multihot",
     "e8_date_fill_pivoted",
+    "w5_sessionize",
+    "llm_curate",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",

@@ -17,6 +17,7 @@ from caspr_spark.llm.similarity import (
 from caspr_spark.llm.multimodal import (
     attach_binary_payload, extract_features, sample_frames,
 )
+from caspr_spark.llm.curate import curate_corpus, curation_report
 
 __all__ = [
     "add_token_counts", "add_quality_signals", "add_language_id", "add_fingerprint",
@@ -24,4 +25,5 @@ __all__ = [
     "ngram_jaccard_pairs",
     "cosine_topk", "cosine_topk_lsh", "add_lsh_bucket", "embedding_near_duplicates",
     "attach_binary_payload", "extract_features", "sample_frames",
+    "curate_corpus", "curation_report",
 ]

@@ -45,11 +45,14 @@ def add_quality_signals(df: DataFrame, text_col: str = "text",
     punct = F.length(F.regexp_replace(t, r"[^.,;:!?]", "")).cast("double")
     digits = F.length(F.regexp_replace(t, r"[^0-9]", "")).cast("double")
     words = F.size(F.split(F.trim(t), r"\s+")).cast("double")
+    sw_pat = r"\b(" + "|".join(LANG_STOPWORDS["en"]) + r")\b"
+    stops = F.regexp_count(F.lower(t), F.lit(sw_pat)).cast("double")
     return (df.withColumn(f"{prefix}chars", n.cast("long"))
               .withColumn(f"{prefix}alpha_ratio", alpha / n)
               .withColumn(f"{prefix}punct_ratio", punct / n)
               .withColumn(f"{prefix}digit_ratio", digits / n)
-              .withColumn(f"{prefix}mean_word_len", alpha / words))
+              .withColumn(f"{prefix}mean_word_len", alpha / words)
+              .withColumn(f"{prefix}stopword_ratio", stops / words))
 
 
 def _word_hits(text_col: str, words: list[str]):

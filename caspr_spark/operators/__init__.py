@@ -4,7 +4,9 @@ Operator IDs (W1, F1, E5, ...) refer to SURVEY.md §2's inventory of the
 reference's capabilities.
 """
 
-from caspr_spark.operators.rank import get_rank, timestamps_to_intervals
+from caspr_spark.operators.rank import (
+    get_rank, timestamps_to_intervals, sessionize,
+)
 from caspr_spark.operators.filters import (
     filter_history_window, filter_last_n, remove_outliers,
 )
@@ -23,7 +25,7 @@ from caspr_spark.operators.labels import build_multi_hot_labels, join_labels
 from caspr_spark.operators.joins import asof_join, salted_join
 
 __all__ = [
-    "get_rank", "timestamps_to_intervals",
+    "get_rank", "timestamps_to_intervals", "sessionize",
     "filter_history_window", "filter_last_n", "remove_outliers",
     "CategoricalEncoding", "fit_encoding",
     "fit_summary", "normalize_columns", "denormalize_columns",

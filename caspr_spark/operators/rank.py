@@ -37,6 +37,31 @@ def get_rank(df: DataFrame, tgt_id: list[str], activity_date: str,
     )
 
 
+def sessionize(df: DataFrame, tgt_id: list[str] | str, activity_date: str,
+               gap_minutes: int = 30, session_col: str = "session_id",
+               tiebreak: list[str] | None = None) -> DataFrame:
+    """Assign per-entity session ids: a new session starts whenever the gap
+    to the previous event exceeds ``gap_minutes``.
+
+    The classic event-log operator (absent from the reference, whose
+    interval featurization W2 stops at raw gaps): one lag + one running
+    sum over the same entity-partitioned window — a single shuffle that
+    downstream per-session aggregations reuse. Sessions number 1..k per
+    entity in time order.
+    """
+    if isinstance(tgt_id, str):
+        tgt_id = [tgt_id]
+    order = [F.col(activity_date)] + [F.col(c) for c in (tiebreak or [])]
+    w = Window.partitionBy(*[F.col(c) for c in tgt_id]).orderBy(*order)
+    gap = (F.unix_timestamp(F.col(activity_date))
+           - F.unix_timestamp(F.lag(F.col(activity_date), 1).over(w)))
+    new_session = F.when(gap.isNull() | (gap > gap_minutes * 60), 1).otherwise(0)
+    return df.withColumn(
+        session_col,
+        F.sum(new_session).over(w.rowsBetween(Window.unboundedPreceding, 0))
+         .cast("int"))
+
+
 def timestamps_to_intervals(df: DataFrame, tgt_id: list[str] | str,
                             activity_date: str,
                             interval_col: str = "interval",

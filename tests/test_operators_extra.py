@@ -121,3 +121,53 @@ class TestMultimodal:
         if not HAVE_PIL:
             with pytest.raises(NotImplementedError):
                 decode_image(b"\x89PNG")
+
+
+class TestSessionize:
+    def test_gap_splits_sessions(self, spark):
+        from caspr_spark.operators import sessionize
+        from pyspark.sql import functions as F
+        rows = [(1, 1, "2024-01-01 10:00:00"), (2, 1, "2024-01-01 10:10:00"),
+                (3, 1, "2024-01-01 12:00:00"),   # 110-min gap -> new session
+                (4, 1, "2024-01-01 12:20:00"),
+                (5, 2, "2024-01-01 10:00:00")]
+        df = spark.createDataFrame(rows, "event_id long, user_id long, ts_s string") \
+            .withColumn("ts", F.to_timestamp("ts_s")).drop("ts_s")
+        out = sessionize(df, "user_id", "ts", gap_minutes=30,
+                         tiebreak=["event_id"])
+        got = {r["event_id"]: r["session_id"] for r in out.collect()}
+        assert got == {1: 1, 2: 1, 3: 2, 4: 2, 5: 1}
+
+    def test_exact_gap_not_split(self, spark):
+        from caspr_spark.operators import sessionize
+        from pyspark.sql import functions as F
+        rows = [(1, 1, "2024-01-01 10:00:00"), (2, 1, "2024-01-01 10:30:00")]
+        df = spark.createDataFrame(rows, "event_id long, user_id long, ts_s string") \
+            .withColumn("ts", F.to_timestamp("ts_s")).drop("ts_s")
+        out = sessionize(df, "user_id", "ts", gap_minutes=30)
+        assert {r["session_id"] for r in out.collect()} == {1}
+
+
+class TestCuration:
+    def test_filters_and_dedup(self, spark):
+        from caspr_spark.llm.curate import curate_corpus, curation_report
+        rows = [
+            (1, "the cat and the dog sat with the mat in that sunny place "
+                "of warm light and it is nice to see them play all day", "a"),
+            (2, "the cat and the dog sat with the mat in that sunny place "
+                "of warm light and it is nice to see them play all day", "a"),
+            (3, "short text", "b"),                                # too few tokens
+            (4, "el rapido zorro de la casa que con los por una vez mas "
+                "salta sobre el perro perezoso cada manana sin falta hoy", "b"),
+            (5, "!!! ??? ... ,,, ;;; ::: !!! ??? ... ,,, ;;; ::: !!! ??? "
+                "... ,,, ;;; ::: !!! ??? ... ,,, ;;; :::", "c"),   # punct soup
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+        out = curate_corpus(df, min_tokens=15, languages=("en",))
+        kept = {r["doc_id"] for r in out.select("doc_id").collect()}
+        assert kept == {1}   # 2 is an exact dup, 3 too short, 4 es, 5 punct
+        rep = {r["source"]: (r["docs_in"], r["docs_kept"])
+               for r in curation_report(df, out).collect()}
+        assert rep["a"] == (2, 1)
+        assert rep["b"] == (2, 0)
+        assert rep["c"] == (1, 0)
