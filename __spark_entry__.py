@@ -237,6 +237,17 @@ def q_p3_pivot_last5(spark, sf_dir):
     return featurize_sequential(ev, ["user_id"], SEQ_N, ["value"])
 
 
+def q_p3_pivot_lineitem(spark, sf_dir):
+    """Same pivot operator on the biggest table (lineitem; order = entity),
+    ordered by ship date with line number as tiebreak."""
+    li = _t(spark, sf_dir, "lineitem")
+    # (l_orderkey, l_linenumber) is not unique in the synthetic data, so
+    # the tiebreak chain extends through price and partkey
+    ranked = get_rank(li, ["l_orderkey"], "l_shipdate",
+                      tiebreak=["l_linenumber", "l_extendedprice", "l_partkey"])
+    return featurize_sequential(ranked, ["l_orderkey"], 4, ["l_extendedprice"])
+
+
 def q_p6_petastorm_rename(spark, sf_dir):
     return petastorm_rename(q_p3_pivot_last5(spark, sf_dir))
 
@@ -760,6 +771,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e7_date_interval": q_e7_date_interval,
         "e10_quantile_bucket": q_e10_quantile_bucket,
         "p3_pivot_last5": q_p3_pivot_last5,
+        "p3_pivot_lineitem": q_p3_pivot_lineitem,
         "p6_petastorm_rename": q_p6_petastorm_rename,
         "x3_sliding_union": q_x3_sliding_union,
         "w5_sessionize": q_w5_sessionize,
@@ -1339,6 +1351,26 @@ SELECT doc_id, CAST(i AS INT) AS frame_idx,
 FROM documents, range(0, 8) r(i)
 WHERE i*16 < length(text)""",
         "p3_pivot_last5": _pivot_last5_sql(rename=False),
+        "p3_pivot_lineitem": """
+WITH r AS (
+  SELECT l_orderkey, l_extendedprice,
+         count(*) OVER (PARTITION BY l_orderkey) AS sl,
+         row_number() OVER (PARTITION BY l_orderkey
+                            ORDER BY l_shipdate DESC, l_linenumber DESC,
+                                     l_extendedprice DESC, l_partkey DESC) AS rd
+  FROM lineitem
+),
+k AS (
+  SELECT l_orderkey, l_extendedprice,
+         (sl - rd + 1) + CASE WHEN sl >= 4 THEN 4 - sl ELSE 0 END AS slot
+  FROM r WHERE rd <= 4
+)
+SELECT l_orderkey,
+  max(CASE WHEN slot=1 THEN l_extendedprice END) AS "1_l_extendedprice",
+  max(CASE WHEN slot=2 THEN l_extendedprice END) AS "2_l_extendedprice",
+  max(CASE WHEN slot=3 THEN l_extendedprice END) AS "3_l_extendedprice",
+  max(CASE WHEN slot=4 THEN l_extendedprice END) AS "4_l_extendedprice"
+FROM k GROUP BY l_orderkey""",
         "p6_petastorm_rename": _pivot_last5_sql(rename=True),
         "x3_sliding_union": _sliding_union_sql(),
         "dedup_exact": """

@@ -61,6 +61,9 @@ def main() -> None:
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
+    # JVM/codegen warmup so the first timed query doesn't absorb cold-start
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
     qs = entrymod.queries()
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:

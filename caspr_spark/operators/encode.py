@@ -138,9 +138,15 @@ def fit_encoding(df: DataFrame, cols: list[str],
     if not cols:
         return enc
 
+    # one TakeOrdered job per column, submitted concurrently — Spark's
+    # scheduler interleaves them, so a 3-cat-col fit costs ~1 job latency
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(max_workers=min(len(cols), 8)) as pool:
+        tops = list(pool.map(
+            lambda c: top_k_by_frequency(df, c, max_cardinality).collect(), cols))
+
     saturated: list[str] = []
-    for c in cols:
-        top = top_k_by_frequency(df, c, max_cardinality).collect()
+    for c, top in zip(cols, tops):
         # rows arrive already ordered by (count desc, value asc)
         enc.mappings[c] = [(r[c], i + 1) for i, r in enumerate(top)]
         if len(top) == max_cardinality:

@@ -107,3 +107,27 @@ class TestPipeline:
         pa = a.orderBy("user_id").toPandas()
         pb = b.orderBy("user_id").toPandas()
         assert pa[sorted(pa.columns)].equals(pb[sorted(pb.columns)])
+
+
+class TestEmptyInput:
+    def test_empty_events_schema_stable(self, micro_events, spark):
+        """An empty slice must still produce the full wide schema."""
+        from caspr_spark import ColumnRoles, SequenceFeaturizer
+        roles = ColumnRoles(tgt_id=["user_id"], activity_date="ts",
+                            cat_cols=["cat"], cont_cols=["val"],
+                            seq_cols=["cat", "val"], date_cols=["ts"],
+                            order_tiebreak=["event_id"])
+        feat = SequenceFeaturizer(roles=roles, history_days=7, seq_len=3,
+                                  interval=True)
+        _, model = feat.fit_transform(micro_events)
+        empty = micro_events.filter("user_id < 0")
+        out = model.transform(empty)
+        assert out.count() == 0
+        for c in ("1_cat", "2_cat", "3_cat", "1_val", "2_val", "3_val"):
+            assert c in out.columns
+
+    def test_featurize_requires_rank_columns(self, micro_events):
+        from caspr_spark.operators import featurize_sequential
+        import pytest as _pytest
+        with _pytest.raises(ValueError):
+            featurize_sequential(micro_events, ["user_id"], 3, ["val"])
