@@ -65,10 +65,16 @@ class SequenceFeaturizer:
         return model
 
     def fit_transform(self, df: DataFrame, _materialize: bool = True):
-        """Fit encoding + summary on ``df`` and featurize it in one pass."""
+        """Fit encoding + summary on ``df`` and featurize it in one pass.
+
+        The fit aggregations (per-column top-K, one stats pass) run on the
+        pre-rank plan — they don't depend on W1, so the fit jobs never
+        execute the entity window. Only the final featurization pays for
+        it, once.
+        """
         r = self.roles
         r.validate(df)
-        long_df = self._prepare(df)
+        long_df = self._prefix(df)
 
         encoding = fit_encoding(long_df, r.cat_cols, self.max_cardinality)
         long_df = encoding.apply(long_df, r.cat_cols)
@@ -77,20 +83,34 @@ class SequenceFeaturizer:
         long_df, summary = normalize_columns(long_df, norm_cols, None, self.scaling)
 
         model = SequenceFeaturizerModel(self, encoding, summary)
-        wide = model._finish(long_df) if _materialize else None
+        wide = model._finish(self._rank(long_df)) if _materialize else None
         return wide, model
 
-    def _prepare(self, df: DataFrame) -> DataFrame:
-        """Stages 1-3: stateless prefix shared by fit and transform."""
+    def _prefix(self, df: DataFrame) -> DataFrame:
+        """F1 filter + E7 date featurization (window-free stateless prefix).
+
+        The raw activity timestamp is stashed as ``__rank_ts`` so ranking
+        stays ordered by event time even after date columns become
+        interval/epoch features."""
         r = self.roles
         df = filter_history_window(df, r.activity_date, r.prediction_date, self.history_days)
-        df = get_rank(df, r.tgt_id, r.activity_date, tiebreak=r.order_tiebreak)
+        df = df.withColumn("__rank_ts", F.col(r.activity_date))
         for d in r.date_cols:
             if self.interval:
                 df = df.withColumn(d, F.datediff(F.col(r.prediction_date), F.col(d)))
             else:
                 df = df.withColumn(d, F.unix_timestamp(F.col(d)).cast("double"))
         return df
+
+    def _rank(self, df: DataFrame) -> DataFrame:
+        """W1 on the stashed raw timestamp; drops the stash."""
+        r = self.roles
+        return get_rank(df, r.tgt_id, "__rank_ts",
+                        tiebreak=r.order_tiebreak).drop("__rank_ts")
+
+    def _prepare(self, df: DataFrame) -> DataFrame:
+        """Stages 1-3 complete (transform path, no fitting)."""
+        return self._rank(self._prefix(df))
 
 
 @dataclass
