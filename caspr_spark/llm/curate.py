@@ -32,7 +32,9 @@ def curate_corpus(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     (near-dedup off by default: it adds the MinHash shuffle; at 100 TB
     run it as a separate pass over the already-curated corpus).
     """
-    out = add_token_counts(add_quality_signals(df, text_col), text_col)
+    from caspr_spark.sources import ensure_parallelism
+    out = add_token_counts(add_quality_signals(ensure_parallelism(df), text_col),
+                           text_col)
     out = out.filter(
         (F.col("n_tokens_ws") >= min_tokens) &
         (F.col("n_tokens_ws") <= max_tokens) &

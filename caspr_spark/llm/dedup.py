@@ -63,10 +63,17 @@ def minhash_signatures(df: DataFrame, id_col: str = "doc_id", text_col: str = "t
     map-side combines, so the shuffle carries one 64-long vector per
     (doc, input partition).
     """
+    sh = df.select(F.col(id_col), _shingles(text_col, shingle_size).alias("__shingles"))
+    return _signatures_from_shingles(sh, id_col, num_hashes, sig_col)
+
+
+def _signatures_from_shingles(sh: DataFrame, id_col: str, num_hashes: int,
+                              sig_col: str = "minhash") -> DataFrame:
+    """Signatures from a prepared ``(id, __shingles array)`` DataFrame."""
     p = F.lit(_MERSENNE31)
-    hashed = df.select(
+    hashed = sh.select(
         F.col(id_col),
-        F.explode(_shingles(text_col, shingle_size)).alias("__s")
+        F.explode("__shingles").alias("__s")
     ).select(
         id_col,
         F.pmod(F.xxhash64("__s"), p).alias("__h1"),
@@ -89,8 +96,17 @@ def minhash_lsh_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "te
     survivor rule — at 100 TB the connected-component pass is an iterative
     follow-up job over the tiny pairs table).
     """
+    from caspr_spark.sources import ensure_parallelism
+
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_size)
+    # shingle construction (the regex-heavy part) runs ONCE, at full
+    # parallelism: the persisted (id, shingles) relation feeds both
+    # signature generation and the exact-Jaccard verification join
+    sh_base = ensure_parallelism(df).select(
+        F.col(id_col), _shingles(text_col, shingle_size).alias("__shingles"))
+    if verify:
+        sh_base = sh_base.persist()
+    sigs = _signatures_from_shingles(sh_base, id_col, num_hashes)
 
     # `minhash` is an aggregate output (a materialized attribute), so the
     # band-key slices below just index an in-memory array — no re-hashing.
@@ -111,8 +127,7 @@ def minhash_lsh_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "te
                  .select("id_a", "id_b").distinct())
 
     if verify:
-        sh = df.select(F.col(id_col),
-                       _shingles(text_col, shingle_size).alias("__shingles"))
+        sh = sh_base
         pairs = (pairs
                  .join(sh.select(F.col(id_col).alias("id_a"),
                                  F.col("__shingles").alias("__sh_a")), "id_a")
@@ -140,7 +155,9 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     hashed once and the 63 per-bit vote sums are partial aggregates —
     never a per-bit re-scan of the token array.
     """
-    toks = df.select(
+    from caspr_spark.sources import ensure_parallelism
+
+    toks = ensure_parallelism(df).select(
         F.col(id_col),
         F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("__t"))
     hashed = toks.select(id_col, F.xxhash64("__t").alias("__h"))
@@ -191,7 +208,10 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "
     Shared-shingle self-join — exact but quadratic in bucket size; use
     ``minhash_lsh_dedup`` as the scale path for the same semantics.
     """
-    sh = df.select(F.col(id_col), _shingles(text_col, shingle_size).alias("__sh"))
+    from caspr_spark.sources import ensure_parallelism
+
+    sh = ensure_parallelism(df).select(
+        F.col(id_col), _shingles(text_col, shingle_size).alias("__sh"))
     exploded = sh.select(id_col, F.explode("__sh").alias("shingle"))
     cand = (exploded.alias("a").join(exploded.alias("b"), on="shingle")
             .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))

@@ -77,6 +77,9 @@ def extract_features(df: DataFrame, payload_col: str = "payload",
                         lambda h: int(max(h)) if len(h) else 0).astype("int32").values,
                 })
 
+    # NOTE: no forced repartition here — fanning a cheap Python kernel over
+    # many partitions costs more in python-worker startup than it saves;
+    # callers with heavy codecs repartition explicitly
     return df.select(id_col, payload_col).mapInPandas(kernel, schema)
 
 

@@ -44,9 +44,12 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int,
     ``round_digits`` rounds the similarity *before* ranking so orderings
     are reproducible across engines/float orders.
     """
+    from caspr_spark.sources import ensure_parallelism
+
     q = queries.select(F.col(id_col).alias(query_id_col),
                        F.col(vec_col).alias("__qvec"))
-    joined = corpus.select(id_col, vec_col).crossJoin(F.broadcast(q))
+    joined = ensure_parallelism(corpus.select(id_col, vec_col)) \
+        .crossJoin(F.broadcast(q))
     if exclude_self:
         joined = joined.filter(F.col(id_col) != F.col(query_id_col))
     sim = cosine_similarity_col(F.col("__qvec"), F.col(vec_col))
@@ -191,7 +194,9 @@ def embedding_near_duplicates(df: DataFrame, threshold: float = 0.95,
     LSH-bucketed self-join: only same-bucket pairs are scored, so the
     quadratic blowup is bounded by bucket size, not corpus size.
     """
-    b = add_lsh_bucket(df.select(id_col, vec_col), vec_col, n_planes, seed)
+    from caspr_spark.sources import ensure_parallelism
+    b = add_lsh_bucket(ensure_parallelism(df.select(id_col, vec_col)),
+                       vec_col, n_planes, seed)
     left = b.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__v_a"), "lsh_bucket")
     right = b.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__v_b"), "lsh_bucket")
     return (left.join(right, on="lsh_bucket")

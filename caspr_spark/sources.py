@@ -59,6 +59,20 @@ def load_tables(spark: SparkSession, sf_dir: str,
     return {n: read_parquet_table(spark, f"{sf_dir}/{n}.parquet") for n in names}
 
 
+def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Repartition up if the plan has fewer partitions than cores.
+
+    Small single-file inputs (one parquet row-group) otherwise pin
+    CPU-heavy per-row stages (shingling, hashing, regex, Python kernels)
+    to one task. No-op when the input is already wide — at 100 TB the
+    scan naturally yields thousands of partitions and this never fires.
+    """
+    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def write_bucketed_table(df: DataFrame, name: str, bucket_cols: list[str],
                          num_buckets: int = 32,
                          sort_cols: list[str] | None = None) -> DataFrame:
