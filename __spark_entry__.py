@@ -269,6 +269,25 @@ def q_x3_sliding_union(spark, sf_dir):
     return out
 
 
+def q_w6_rolling_window(spark, sf_dir):
+    """Trailing-7-day per-user aggregates via a RANGE frame."""
+    from caspr_spark.operators.rank import rolling_aggregate
+    ev = _events(spark, sf_dir)
+    out = rolling_aggregate(ev, "user_id", "ts", "value", days=7)
+    return out.select("event_id", F.round("r7d_sum", 6).alias("r7d_sum"),
+                      F.round("r7d_avg", 6).alias("r7d_avg"), "r7d_count")
+
+
+def q_a12_rollup(spark, sf_dir):
+    """Grouping-set subtotals (rollup) over orders — extension; the
+    reference has no cube/rollup (SURVEY §2.4)."""
+    orders = _t(spark, sf_dir, "orders")
+    return (orders.rollup("o_orderpriority", "o_orderstatus")
+            .agg(F.count("*").cast("long").alias("n"),
+                 F.round(F.sum("o_totalprice"), 4).alias("total"))
+            )
+
+
 def q_w5_sessionize(spark, sf_dir):
     """Sessionization: new session when the gap to the previous event
     exceeds 6 hours (lag + running sum over one entity window)."""
@@ -775,6 +794,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p6_petastorm_rename": q_p6_petastorm_rename,
         "x3_sliding_union": q_x3_sliding_union,
         "w5_sessionize": q_w5_sessionize,
+        "w6_rolling_window": q_w6_rolling_window,
+        "a12_rollup": q_a12_rollup,
         "llm_curate": q_llm_curate,
         "llm_curate_report": q_llm_curate_report,
         "f5_outlier_removal": q_f5_outlier_removal,
@@ -1117,6 +1138,18 @@ FROM events CROSS JOIN (SELECT max(ts) AS p FROM events) pred""",
 SELECT c_custkey,
   CAST(ntile(10) OVER (ORDER BY c_acctbal ASC, c_custkey ASC) AS INT) AS acctbal_decile
 FROM customer""",
+        "w6_rolling_window": """
+SELECT event_id,
+  round(sum(value) OVER w, 6) AS r7d_sum,
+  round(avg(value) OVER w, 6) AS r7d_avg,
+  CAST(count(value) OVER w AS BIGINT) AS r7d_count
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY floor(extract(epoch FROM ts))
+             RANGE BETWEEN 7*86400 PRECEDING AND CURRENT ROW)""",
+        "a12_rollup": """
+SELECT o_orderpriority, o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+       round(sum(o_totalprice), 4) AS total
+FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)""",
         "w5_sessionize": """
 SELECT event_id,
   CAST(sum(CASE WHEN gap IS NULL OR gap > 360*60 THEN 1 ELSE 0 END)

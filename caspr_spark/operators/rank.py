@@ -62,6 +62,29 @@ def sessionize(df: DataFrame, tgt_id: list[str] | str, activity_date: str,
          .cast("int"))
 
 
+def rolling_aggregate(df: DataFrame, tgt_id: list[str] | str,
+                      activity_date: str, value_col: str,
+                      days: int = 7,
+                      prefix: str | None = None) -> DataFrame:
+    """Per-entity trailing-``days`` window aggregates (sum/avg/count).
+
+    A RANGE frame over event-time seconds — ``[ts − days, ts]`` inclusive
+    — so results are frame-determined and independent of tie order (frames
+    include all peers). The reference has no sliding frame specs (SURVEY
+    §2.5 "not present"); this is the extension an activity-feature store
+    needs (trailing spend, trailing event rate).
+    """
+    if isinstance(tgt_id, str):
+        tgt_id = [tgt_id]
+    p = prefix if prefix is not None else f"r{days}d_"
+    w = (Window.partitionBy(*[F.col(c) for c in tgt_id])
+         .orderBy(F.unix_timestamp(F.col(activity_date)))
+         .rangeBetween(-days * 86400, 0))
+    return (df.withColumn(f"{p}sum", F.sum(value_col).over(w))
+              .withColumn(f"{p}avg", F.avg(value_col).over(w))
+              .withColumn(f"{p}count", F.count(value_col).over(w).cast("long")))
+
+
 def timestamps_to_intervals(df: DataFrame, tgt_id: list[str] | str,
                             activity_date: str,
                             interval_col: str = "interval",

@@ -171,3 +171,23 @@ class TestCuration:
         assert rep["a"] == (2, 1)
         assert rep["b"] == (2, 0)
         assert rep["c"] == (1, 0)
+
+
+class TestRollingAggregate:
+    def test_trailing_window_values(self, spark):
+        from caspr_spark.operators.rank import rolling_aggregate
+        from pyspark.sql import functions as F
+        rows = [(1, 1, "2024-01-01 00:00:00", 1.0),
+                (2, 1, "2024-01-05 00:00:00", 2.0),
+                (3, 1, "2024-01-09 00:00:00", 4.0),   # 01-01 out of 7d range
+                (4, 2, "2024-01-09 00:00:00", 8.0)]
+        df = spark.createDataFrame(
+            rows, "event_id long, user_id long, ts_s string, value double") \
+            .withColumn("ts", F.to_timestamp("ts_s")).drop("ts_s")
+        out = rolling_aggregate(df, "user_id", "ts", "value", days=7)
+        got = {r["event_id"]: (r["r7d_sum"], r["r7d_count"])
+               for r in out.collect()}
+        assert got[1] == (1.0, 1)
+        assert got[2] == (3.0, 2)     # 01-01 within [12-29, 01-05]
+        assert got[3] == (6.0, 2)     # 01-01 dropped, 01-05 kept (inclusive)
+        assert got[4] == (8.0, 1)     # other user untouched
