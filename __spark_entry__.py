@@ -288,6 +288,18 @@ def q_a12_rollup(spark, sf_dir):
             )
 
 
+def q_json_extract(spark, sf_dir):
+    """Typed JSON extraction from the event props column — declared
+    schema via from_json so Catalyst prunes and codegens (extension;
+    the reference has no JSON functions, SURVEY §2.9)."""
+    ev = _events(spark, sf_dir)
+    parsed = ev.withColumn("__p", F.from_json("props", "k INT"))
+    return parsed.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k_path"),
+        F.col("__p.k").alias("k_schema"))
+
+
 def q_w5_sessionize(spark, sf_dir):
     """Sessionization: new session when the gap to the previous event
     exceeds 6 hours (lag + running sum over one entity window)."""
@@ -793,6 +805,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p3_pivot_lineitem": q_p3_pivot_lineitem,
         "p6_petastorm_rename": q_p6_petastorm_rename,
         "x3_sliding_union": q_x3_sliding_union,
+        "json_extract": q_json_extract,
         "w5_sessionize": q_w5_sessionize,
         "w6_rolling_window": q_w6_rolling_window,
         "a12_rollup": q_a12_rollup,
@@ -1138,6 +1151,11 @@ FROM events CROSS JOIN (SELECT max(ts) AS p FROM events) pred""",
 SELECT c_custkey,
   CAST(ntile(10) OVER (ORDER BY c_acctbal ASC, c_custkey ASC) AS INT) AS acctbal_decile
 FROM customer""",
+        "json_extract": """
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS INT) AS k_path,
+       CAST(json_extract_string(props, '$.k') AS INT) AS k_schema
+FROM events""",
         "w6_rolling_window": """
 SELECT event_id,
   round(sum(value) OVER w, 6) AS r7d_sum,

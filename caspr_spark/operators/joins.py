@@ -42,8 +42,6 @@ def asof_join(left: DataFrame, right: DataFrame, on: list[str],
     rt = right.select(*on, F.col(right_ts).alias("__ts"), *value_cols) \
               .withColumn("__src", F.lit(0))
 
-    all_cols = set(lt.columns) | set(rt.columns) | \
-        {f"{c}{suffix}" for c in value_cols} | {"__rts"}
     for c in value_cols:
         lt = lt.withColumn(f"{c}{suffix}", F.lit(None).cast(dict(rt.dtypes)[c]))
         rt = rt.withColumn(f"{c}{suffix}", F.col(c)).drop(c)
