@@ -273,9 +273,17 @@ def q_w6_rolling_window(spark, sf_dir):
     """Trailing-7-day per-user aggregates via a RANGE frame."""
     from caspr_spark.operators.rank import rolling_aggregate
     ev = _events(spark, sf_dir)
-    out = rolling_aggregate(ev, "user_id", "ts", "value", days=7)
-    return out.select("event_id", F.round("r7d_sum", 6).alias("r7d_sum"),
-                      F.round("r7d_avg", 6).alias("r7d_avg"), "r7d_count")
+    # sum in integer cents: float accumulation order differs between
+    # engines and the 2-decimal data lands averages exactly on rounding
+    # boundaries — exact integer frames sidestep both
+    ev = ev.withColumn("value_c",
+                       F.round(F.col("value") * 100).cast("long"))
+    out = rolling_aggregate(ev, "user_id", "ts", "value_c", days=7)
+    return out.select(
+        "event_id",
+        (F.col("r7d_sum") / 100.0).alias("r7d_sum"),
+        F.round(F.col("r7d_sum") / 100.0 / F.col("r7d_count"), 6).alias("r7d_avg"),
+        "r7d_count")
 
 
 def q_a12_rollup(spark, sf_dir):
@@ -1158,10 +1166,10 @@ SELECT event_id,
 FROM events""",
         "w6_rolling_window": """
 SELECT event_id,
-  round(sum(value) OVER w, 6) AS r7d_sum,
-  round(avg(value) OVER w, 6) AS r7d_avg,
-  CAST(count(value) OVER w AS BIGINT) AS r7d_count
-FROM events
+  sum(value_c) OVER w / 100.0 AS r7d_sum,
+  round(sum(value_c) OVER w / 100.0 / count(value_c) OVER w, 6) AS r7d_avg,
+  CAST(count(value_c) OVER w AS BIGINT) AS r7d_count
+FROM (SELECT *, CAST(round(value * 100) AS BIGINT) AS value_c FROM events)
 WINDOW w AS (PARTITION BY user_id ORDER BY floor(extract(epoch FROM ts))
              RANGE BETWEEN 7*86400 PRECEDING AND CURRENT ROW)""",
         "a12_rollup": """
