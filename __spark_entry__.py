@@ -584,6 +584,25 @@ def q_metrics_roc_auc(spark, sf_dir):
     return roc_auc(d, "y", "s").select(F.round("auc", 9).alias("auc"))
 
 
+def q_metrics_roc_auc_binned(spark, sf_dir):
+    """Histogram-approximate AUC — the no-global-sort 100 TB path."""
+    from caspr_spark.metrics import roc_auc_binned
+    emb = _t(spark, sf_dir, "embeddings")
+    d = emb.select((F.col("label") >= 5).cast("int").alias("y"),
+                   F.col("embedding")[0].cast("double").alias("s"))
+    auc = roc_auc_binned(d, "y", "s", bins=256)
+    return spark.createDataFrame([(round(auc, 9),)], "auc double")
+
+
+def q_e10_quantile_approx(spark, sf_dir):
+    """E10 scale path: Greenwald-Khanna cutpoints + map-side bucket
+    assignment (no SQL oracle — sketch-specific cutpoints; rows-only)."""
+    from caspr_spark.segment import quantile_scores_approx
+    cust = _t(spark, sf_dir, "customer")
+    out = quantile_scores_approx(cust, ["c_acctbal"], q=10)
+    return out.select("c_custkey", "c_acctbal_score")
+
+
 def q_segment_kmeans(spark, sf_dir):
     """Seeded MLlib KMeans over the embedding table -> cluster sizes
     (no SQL oracle — iterative algorithm; rows-only check)."""
@@ -845,6 +864,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e11_oversample": q_e11_oversample,
         "metrics_confusion": q_metrics_confusion,
         "metrics_roc_auc": q_metrics_roc_auc,
+        "metrics_roc_auc_binned": q_metrics_roc_auc_binned,
+        "e10_quantile_approx": q_e10_quantile_approx,
         "segment_kmeans": q_segment_kmeans,
         "train_linear_ae": q_train_linear_ae,
         "simsearch_topk_lsh": q_simsearch_topk_lsh,
@@ -1383,6 +1404,21 @@ SELECT round((sum(CASE WHEN y=1 THEN ar END)
               - CAST(sum(y) AS DOUBLE) * (sum(y) + 1) / 2)
              / (CAST(sum(y) AS DOUBLE) * sum(1 - y)), 9) AS auc
 FROM a""",
+        "metrics_roc_auc_binned": """
+WITH d AS (SELECT CAST(label >= 5 AS INT) AS y,
+                  embedding[1]::DOUBLE AS s FROM embeddings),
+c AS (SELECT min(s) AS lo, (max(s) - min(s)) / 256 AS w FROM d),
+b AS (SELECT least(floor((d.s - c.lo) / c.w), 255) AS cell, d.y
+      FROM d CROSS JOIN c),
+h AS (SELECT cell, sum(y) AS p, sum(1 - y) AS n FROM b GROUP BY cell),
+o AS (SELECT p, n,
+        coalesce(sum(n) OVER (ORDER BY cell
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                 0) AS seen
+      FROM h)
+SELECT round(sum(p * (seen + n / 2.0))
+             / (CAST(sum(p) AS DOUBLE) * sum(n)), 9) AS auc
+FROM o""",
         "simsearch_topk_lsh": f"""
 WITH b AS ({_lsh_base_sql(4)}),
 q AS (SELECT vec_id AS query_id, v AS qv, bkt FROM b WHERE vec_id < 5),

@@ -62,6 +62,43 @@ def roc_auc(df: DataFrame, label_col: str, score_col: str) -> DataFrame:
             * F.sum((1 - F.col("__y")).cast("long")))).alias("auc"))
 
 
+def roc_auc_binned(df: DataFrame, label_col: str, score_col: str,
+                   bins: int = 1000) -> float:
+    """Approximate ROC-AUC via score histogram — the 100 TB path.
+
+    Buckets scores into ``bins`` quantile-free uniform cells between the
+    observed min/max, then computes the rank statistic on the histogram:
+    one agg for the range, one groupBy(bins) — no global sort/window.
+    Ties within a cell use the average-rank convention, so the estimate
+    converges to the exact tie-aware AUC as bins grow.
+    """
+    lab = F.col(label_col).cast("int")
+    lo, hi = df.agg(F.min(score_col), F.max(score_col)).collect()[0]
+    if hi == lo:
+        return 0.5
+    width = (hi - lo) / bins
+    cell = F.least(F.floor((F.col(score_col) - F.lit(lo)) / F.lit(width)),
+                   F.lit(bins - 1))
+    hist = (df.groupBy(cell.alias("__cell"))
+            .agg(F.sum(lab).alias("p"), F.sum(1 - lab).alias("n"))
+            .orderBy("__cell")
+            .collect())
+    auc_num = 0.0
+    seen_neg = 0
+    total_p = total_n = 0
+    for r in hist:
+        p, n = r["p"] or 0, r["n"] or 0
+        # positives in this cell beat all lower-cell negatives, tie with
+        # in-cell negatives (count 1/2 each)
+        auc_num += p * (seen_neg + n / 2.0)
+        seen_neg += n
+        total_p += p
+        total_n += n
+    if not total_p or not total_n:
+        return 0.5
+    return auc_num / (total_p * total_n)
+
+
 def top_k_hits(df: DataFrame, label_col: str, score_col: str, k: int) -> int:
     """How many of the k highest-scored rows are positive (top-k churn hits).
 

@@ -98,8 +98,8 @@ def quantile_scores(df: DataFrame, cols: list[str], q: int = 10,
                     tiebreak: list[str] | None = None) -> DataFrame:
     """E10 qcut-style 1..q scores per column (reverse for R-type cols).
 
-    ``ntile`` over a global order — exact; for 100 TB swap to
-    ``percentile_approx`` cutpoints + a bucket join.
+    ``ntile`` over a global order — exact; use ``quantile_scores_approx``
+    as the 100 TB path.
     """
     from pyspark.sql import Window
     for c in cols:
@@ -107,4 +107,27 @@ def quantile_scores(df: DataFrame, cols: list[str], q: int = 10,
         order = [direction] + [F.col(t).asc() for t in (tiebreak or [])]
         df = df.withColumn(f"{c}_score",
                            F.ntile(q).over(Window.orderBy(*order)).cast("int"))
+    return df
+
+
+def quantile_scores_approx(df: DataFrame, cols: list[str], q: int = 10,
+                           relative_error: float = 0.0001,
+                           reverse_cols: set[str] = frozenset()) -> DataFrame:
+    """Scale path for E10: Greenwald-Khanna cutpoints + a when-chain bucket
+    assignment — no global sort/window, one approxQuantile pass per batch
+    of columns, then pure map-side expressions.
+
+    Ties share a bucket (value-determined, unlike ntile's row-count
+    balancing), which is the semantics a distributed scorer wants anyway.
+    """
+    probs = [i / q for i in range(1, q)]
+    cuts = df.stat.approxQuantile(cols, probs, relative_error)
+    for c, cut in zip(cols, cuts):
+        expr = F.lit(1)
+        for edge in cut:
+            expr = expr + (F.col(c) > F.lit(edge)).cast("int")
+        score = expr.cast("int")
+        if c in reverse_cols:
+            score = (F.lit(q + 1) - score).cast("int")
+        df = df.withColumn(f"{c}_score", score)
     return df

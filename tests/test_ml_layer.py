@@ -272,3 +272,44 @@ class TestNoise:
                   out.groupBy("y").agg(F.count("*").alias("n")).collect()}
         assert counts[0] == 90
         assert counts[1] > 50  # fraction-based resample is approximate
+
+
+class TestScalePathVariants:
+    def test_binned_auc_converges_to_exact(self, spark, embeddings):
+        from pyspark.sql import functions as F
+        from caspr_spark.metrics import roc_auc, roc_auc_binned
+        d = embeddings.select((F.col("label") >= 5).cast("int").alias("y"),
+                              F.col("embedding")[0].cast("double").alias("s"))
+        exact = roc_auc(d, "y", "s").collect()[0]["auc"]
+        approx = roc_auc_binned(d, "y", "s", bins=2000)
+        assert abs(approx - exact) < 0.01
+
+    def test_binned_auc_degenerate(self, spark):
+        from caspr_spark.metrics import roc_auc_binned
+        df = spark.createDataFrame([(1, 0.5), (0, 0.5)], "y int, s double")
+        assert roc_auc_binned(df, "y", "s") == 0.5
+
+    def test_approx_quantile_scores_match_exact_on_distinct(self, spark):
+        import pandas as pd
+        import numpy as np
+        from caspr_spark.segment import quantile_scores, quantile_scores_approx
+        rng = np.random.default_rng(4)
+        pdf = pd.DataFrame({"v": rng.permutation(1000).astype(float),
+                            "id": range(1000)})
+        sdf = spark.createDataFrame(pdf)
+        exact = quantile_scores(sdf, ["v"], q=10, tiebreak=["id"]) \
+            .select("id", "v_score").toPandas().set_index("id").sort_index()
+        approx = quantile_scores_approx(sdf, ["v"], q=10) \
+            .select("id", "v_score").toPandas().set_index("id").sort_index()
+        # distinct uniform values: buckets agree except possibly at edges
+        agree = (exact["v_score"] == approx["v_score"]).mean()
+        assert agree > 0.98
+
+    def test_approx_quantile_reverse(self, spark):
+        import pandas as pd
+        from caspr_spark.segment import quantile_scores_approx
+        pdf = pd.DataFrame({"v": [1.0, 2.0, 3.0, 4.0]})
+        out = quantile_scores_approx(spark.createDataFrame(pdf), ["v"], q=2,
+                                     reverse_cols={"v"})
+        got = sorted((r["v"], r["v_score"]) for r in out.collect())
+        assert got[0][1] == 2 and got[-1][1] == 1
