@@ -793,6 +793,18 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+def q_dedup_components(spark, sf_dir):
+    """Connected components over the near-dup pair graph — iterative
+    min-label propagation, oracle-checked against DuckDB's recursive CTE
+    transitive closure."""
+    from caspr_spark.llm.dedup import ngram_jaccard_pairs, connected_components
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", shingle_size=3,
+                                threshold=0.2)
+    comp = connected_components(pairs)
+    return comp.select(F.col("id").alias("doc_id"), "component")
+
+
 def q_dedup_simhash(spark, sf_dir):
     """SimHash fingerprints (no SQL oracle — xxhash64-based)."""
     docs = _t(spark, sf_dir, "documents")
@@ -878,6 +890,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
+        "dedup_components": q_dedup_components,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "text_token_counts": q_text_token_counts,
         "text_quality": q_text_quality,
@@ -1086,6 +1099,27 @@ def _head_sql(n: int = 32) -> str:
     return (f"list_transform(range(1, least(length(text), {n}) + 1), "
             f"i -> unicode(substr(text, i, 1)))")
 
+
+_NGRAM_PAIRS_SQL = """
+WITH sh AS (
+  SELECT doc_id, list_distinct(
+    CASE WHEN len(t) >= 3
+         THEN list_transform(range(1, len(t) - 1),
+                             i -> array_to_string(t[i:i+2], ' '))
+         ELSE [array_to_string(t, ' ')] END) AS s
+  FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t FROM documents)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM (SELECT doc_id, unnest(s) AS g FROM sh) a
+  JOIN (SELECT doc_id, unnest(s) AS g FROM sh) b USING (g)
+  WHERE a.doc_id < b.doc_id)
+SELECT id_a, id_b, round(jaccard, 6) AS jaccard FROM (
+  SELECT c.id_a, c.id_b,
+    len(list_filter(sa.s, x -> list_contains(sb.s, x)))::DOUBLE
+      / (len(sa.s) + len(sb.s) - len(list_filter(sa.s, x -> list_contains(sb.s, x))))
+      AS jaccard
+  FROM cand c JOIN sh sa ON c.id_a = sa.doc_id JOIN sh sb ON c.id_b = sb.doc_id)
+WHERE jaccard >= 0.2"""
 
 _BPE_RE_SQL = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 _LANGS_SQL = {
@@ -1512,24 +1546,16 @@ s AS (
 SELECT query_id, vec_id, cosine, CAST(rk AS INT) AS rank FROM (
   SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rk
   FROM s) WHERE rk <= 5""",
-        "dedup_ngram_jaccard": """
-WITH sh AS (
-  SELECT doc_id, list_distinct(
-    CASE WHEN len(t) >= 3
-         THEN list_transform(range(1, len(t) - 1),
-                             i -> array_to_string(t[i:i+2], ' '))
-         ELSE [array_to_string(t, ' ')] END) AS s
-  FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t FROM documents)),
-cand AS (
-  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM (SELECT doc_id, unnest(s) AS g FROM sh) a
-  JOIN (SELECT doc_id, unnest(s) AS g FROM sh) b USING (g)
-  WHERE a.doc_id < b.doc_id)
-SELECT id_a, id_b, round(jaccard, 6) AS jaccard FROM (
-  SELECT c.id_a, c.id_b,
-    len(list_filter(sa.s, x -> list_contains(sb.s, x)))::DOUBLE
-      / (len(sa.s) + len(sb.s) - len(list_filter(sa.s, x -> list_contains(sb.s, x))))
-      AS jaccard
-  FROM cand c JOIN sh sa ON c.id_a = sa.doc_id JOIN sh sb ON c.id_b = sb.doc_id)
-WHERE jaccard >= 0.2""",
+        "dedup_ngram_jaccard": _NGRAM_PAIRS_SQL,
+        "dedup_components": f"""
+WITH RECURSIVE pairs AS ({_NGRAM_PAIRS_SQL}),
+edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION ALL SELECT id_b, id_a FROM pairs),
+nodes AS (SELECT DISTINCT src AS id FROM edges),
+walk(id, comp) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.dst, w.comp FROM walk w JOIN edges e ON e.src = w.id
+)
+SELECT id AS doc_id, min(comp) AS component FROM walk GROUP BY id""",
     }

@@ -144,6 +144,56 @@ def minhash_lsh_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "te
     return dedup, pairs
 
 
+def connected_components(pairs: DataFrame, id_a: str = "id_a",
+                         id_b: str = "id_b", max_iter: int = 20) -> DataFrame:
+    """Connected components of the near-dup pair graph -> (id, component).
+
+    Iterative min-label propagation: every node adopts the smallest label
+    in its neighborhood until fixpoint. Each round is one join + one
+    aggregate over the (tiny relative to the corpus) pairs table; the
+    loop usually converges in O(log(diameter)) rounds. Component id =
+    smallest member id, so output is deterministic.
+    """
+    edges = (pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+             .unionByName(pairs.select(F.col(id_b).alias("src"),
+                                       F.col(id_a).alias("dst"))))
+    labels = (edges.select(F.col("src").alias("id"))
+              .distinct()
+              .withColumn("component", F.col("id")))
+    for _ in range(max_iter):
+        neighbor_min = (edges.join(labels, on=edges.dst == labels.id)
+                        .groupBy("src").agg(F.min("component").alias("nmin")))
+        new_labels = (labels.join(neighbor_min,
+                                  on=labels.id == neighbor_min.src, how="left")
+                      .select(F.col("id"),
+                              F.least(F.col("component"),
+                                      F.coalesce(F.col("nmin"),
+                                                 F.col("component")))
+                               .alias("component")))
+        new_labels = new_labels.localCheckpoint(eager=True)
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), on="id")
+                   .filter(F.col("n.component") != F.col("o.component"))
+                   .count())
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_by_components(df: DataFrame, pairs: DataFrame,
+                        id_col: str = "doc_id") -> DataFrame:
+    """Keep one survivor (smallest id) per near-dup component.
+
+    The correct follow-up to ``minhash_lsh_dedup``'s greedy rule: A~B and
+    B~C collapse to one survivor even when A~C was never a candidate pair.
+    """
+    comp = connected_components(pairs)
+    losers = comp.filter(F.col("id") != F.col("component")) \
+                 .select(F.col("id").alias(id_col))
+    return df.join(losers, on=id_col, how="left_anti")
+
+
 def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
             out_col: str = "simhash", bits: int = 63) -> DataFrame:
     """SimHash fingerprints as ``(id_col, out_col: bigint)`` (<= 63 bits).

@@ -187,3 +187,47 @@ class TestText:
                for r in add_fingerprint(dup_docs).collect()}
         assert fps[1] == fps[2] == fps[3]
         assert fps[1] != fps[4]
+
+
+class TestConnectedComponents:
+    def test_chain_and_clique(self, spark):
+        from caspr_spark.llm.dedup import connected_components
+        # chain 1-2-3 (1~3 never paired) + isolated pair 10-11
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long")
+        comp = {r["id"]: r["component"]
+                for r in connected_components(pairs).collect()}
+        assert comp == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+    def test_matches_union_find(self, spark):
+        import random
+        from caspr_spark.llm.dedup import connected_components
+        rng = random.Random(7)
+        edges = [(rng.randrange(30), rng.randrange(30)) for _ in range(25)]
+        edges = [(a, b) for a, b in edges if a != b]
+        pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+        got = {r["id"]: r["component"]
+               for r in connected_components(pairs).collect()}
+
+        parent = {}
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+        def union(a, b):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        for a, b in edges:
+            union(a, b)
+        want = {x: find(x) for x in parent}
+        assert got == want
+
+    def test_dedup_by_components_transitive(self, spark, dup_docs):
+        from caspr_spark.llm.dedup import dedup_by_components
+        pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+        kept = {r["doc_id"] for r in
+                dedup_by_components(dup_docs, pairs).select("doc_id").collect()}
+        assert kept == {1, 4, 5, 6}
