@@ -87,43 +87,55 @@ def windowed_event_stats(stream: DataFrame, ts_col: str = "ts",
 
 
 def streaming_last_n(stream: DataFrame, n: int, key_col: str = "user_id",
-                     ts_col: str = "ts", value_col: str = "value",
+                     ts_col: str = "ts", value_col: str | list[str] = "value",
                      tiebreak_col: str = "event_id") -> DataFrame:
     """Stateful latest-n tracker: ``applyInPandasWithState`` keeping each
-    entity's n most-recent events across micro-batches.
+    entity's n most-recent events across micro-batches — the incremental
+    twin of the batch sequence featurizer, for one or several value
+    columns.
 
     Output: one row per entity per micro-batch with the current latest-n
-    values (slot 1 = oldest retained, like the pivot layout) plus a
+    values per column (slot 1 = oldest retained, the pivot layout) plus a
     monotonically increasing ``ver`` — in update mode the memory sink
     appends one row per key per batch, so the final state per key is the
-    max-``ver`` row. State is the bounded list of (ts_epoch_us, tiebreak,
-    value) triples + the counter — O(n) per key.
+    max-``ver`` row. State is the bounded (ts_epoch_us, tiebreak,
+    values...) tuple list + the counter — O(n·cols) per key.
     """
-    out_cols = [key_col, "ver"] + [f"{s}_{value_col}" for s in range(1, n + 1)]
+    value_cols = [value_col] if isinstance(value_col, str) else list(value_col)
+    out_cols = [key_col, "ver"] + [f"{s}_{c}" for c in value_cols
+                                   for s in range(1, n + 1)]
     out_schema = (f"{key_col} long, ver int, " +
-                  ", ".join(f"`{s}_{value_col}` double" for s in range(1, n + 1)))
-    state_schema = "ts array<long>, tb array<long>, v array<double>, ver int"
+                  ", ".join(f"`{s}_{c}` double" for c in value_cols
+                            for s in range(1, n + 1)))
+    state_schema = ("ts array<long>, tb array<long>, " +
+                    ", ".join(f"v{i} array<double>"
+                              for i in range(len(value_cols))) + ", ver int")
 
     def update(key, pdfs, state: GroupState):
         import pandas as pd
-        triples, ver = [], 0
+        tuples, ver = [], 0
         if state.exists:
-            ts0, tb0, v0, ver = state.get
-            triples = list(zip(ts0, tb0, v0))
+            st = state.get
+            ts0, tb0, vals0, ver = st[0], st[1], st[2:-1], st[-1]
+            tuples = list(zip(ts0, tb0, *vals0))
         for pdf in pdfs:
             ep = (pdf[ts_col].astype("int64") // 1000).tolist()  # ns -> us
-            triples.extend(zip(ep, pdf[tiebreak_col].tolist(),
-                               pdf[value_col].tolist()))
-        triples.sort()
-        triples = triples[-n:]
+            tuples.extend(zip(ep, pdf[tiebreak_col].tolist(),
+                              *[pdf[c].tolist() for c in value_cols]))
+        tuples.sort(key=lambda t: (t[0], t[1]))
+        tuples = tuples[-n:]
         state.update((
-            [int(t[0]) for t in triples],
-            [int(t[1]) for t in triples],
-            [float(t[2]) for t in triples],
+            [int(t[0]) for t in tuples],
+            [int(t[1]) for t in tuples],
+            *[[float(t[2 + i]) for t in tuples]
+              for i in range(len(value_cols))],
             ver + 1,
         ))
-        vals = [t[2] for t in triples] + [None] * (n - len(triples))
-        yield pd.DataFrame([[key[0], ver + 1, *vals]], columns=out_cols)
+        pad = n - len(tuples)
+        row = [key[0], ver + 1]
+        for i in range(len(value_cols)):
+            row += [t[2 + i] for t in tuples] + [None] * pad
+        yield pd.DataFrame([row], columns=out_cols)
 
     return (stream.groupBy(key_col)
             .applyInPandasWithState(update, out_schema, state_schema,

@@ -70,3 +70,22 @@ class TestStreamingLastN:
         for c in ("1_value", "2_value", "3_value"):
             a, b = got[c].fillna(-1), want[c].fillna(-1)
             assert abs(a - b).max() < 1e-9
+
+
+class TestStreamingLastNMultiCol:
+    def test_two_columns_match_batch_pivot(self, spark, events):
+        from pyspark.sql import functions as F
+        ev = events.withColumn("v2", F.col("value") * 2.0)
+        stream = stream_events(spark, f"{SF_DIR}/events.parquet") \
+            .withColumn("v2", F.col("value") * 2.0)
+        tbl = run_to_memory(streaming_last_n(stream, 3,
+                                             value_col=["value", "v2"]),
+                            "t_last3_mc", "update")
+        got = _final_state(tbl).toPandas().set_index("user_id").sort_index()
+
+        ranked = get_rank(ev, ["user_id"], "ts", tiebreak=["event_id"])
+        want = featurize_sequential(ranked, ["user_id"], 3, ["value", "v2"]) \
+            .toPandas().set_index("user_id").sort_index()
+        for c in ("1_value", "2_value", "3_value", "1_v2", "2_v2", "3_v2"):
+            a, b = got[c].fillna(-1), want[c].fillna(-1)
+            assert abs(a - b).max() < 1e-9
