@@ -81,7 +81,8 @@ def transform_and_load(pdf: pd.DataFrame, roles: ColumnRoles, seq_len: int,
     seq_cont = [c for c in roles.seq_cols
                 if c in roles.cont_cols or c in roles.date_cols]
     non_seq_cat = [c for c in roles.non_seq_cols if c in roles.cat_cols]
-    non_seq_cont = [c for c in roles.non_seq_cols if c in roles.cont_cols]
+    non_seq_cont = [c for c in roles.non_seq_cols
+                    if c in roles.cont_cols or c in roles.date_cols]
 
     n = len(pdf)
     y = (pdf[roles.output_cols].to_numpy(dtype=np.float32, na_value=0.0)

@@ -101,7 +101,10 @@ def minhash_lsh_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "te
     rows_per_band = num_hashes // bands
     # shingle construction (the regex-heavy part) runs ONCE, at full
     # parallelism: the persisted (id, shingles) relation feeds both
-    # signature generation and the exact-Jaccard verification join
+    # signature generation and the exact-Jaccard verification join.
+    # NOTE: the cache lives until Spark evicts it (LRU) — callers looping
+    # over many corpora should unpersist via df.sparkSession.catalog
+    # .clearCache() or evaluate eagerly and release.
     sh_base = ensure_parallelism(df).select(
         F.col(id_col), _shingles(text_col, shingle_size).alias("__shingles"))
     if verify:
@@ -233,6 +236,11 @@ def simhash_near_pairs(df: DataFrame, id_col: str = "doc_id",
     bucketing by (chunk_idx, chunk_value) finds all candidates with one
     small shuffle; exact Hamming verifies.
     """
+    if max_hamming > chunks - 1:
+        raise ValueError(
+            f"pigeonhole banding with {chunks} chunks only guarantees recall "
+            f"for max_hamming <= {chunks - 1}, got {max_hamming}; raise "
+            "`chunks` (pairs differing in more bits may share no exact chunk)")
     width = 64 // chunks
     chunk_idx = F.explode(F.sequence(F.lit(0), F.lit(chunks - 1))).alias("chunk")
     # SQL expr: the python shiftright wrapper demands a literal int bit count

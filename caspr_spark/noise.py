@@ -29,14 +29,19 @@ def add_gaussian_noise(df: DataFrame, cols: list[str], p: float = 0.1,
 def random_category_substitution(df: DataFrame, cols: list[str],
                                  vocab_sizes: dict[str, int], p: float = 0.1,
                                  seed: int = 42) -> DataFrame:
-    """With prob ``p``, replace an encoded category with a random code 1..V.
+    """With prob ``p``, replace an encoded category with a random *fitted*
+    code (E12 categorical — the reference swaps in a random in-vocab
+    category).
 
-    (E12 categorical — the reference swaps in a random in-vocab category.)
+    ``vocab_sizes`` follows ``CategoricalEncoding.vocab_sizes()`` —
+    fitted codes are ``1..V-1`` with 0 reserved for UNK, so the draw is
+    uniform over ``1..V-1`` (never UNK, never out-of-vocabulary).
     """
     for i, c in enumerate(cols):
         v = vocab_sizes[c]
         gate = F.rand(seed + 2 * i) < p
-        sub = (F.floor(F.rand(seed + 2 * i + 1) * v) + 1).cast(dict(df.dtypes)[c])
+        sub = (F.floor(F.rand(seed + 2 * i + 1) * (v - 1)) + 1) \
+            .cast(dict(df.dtypes)[c])
         df = df.withColumn(c, F.when(gate, sub).otherwise(F.col(c)))
     return df
 

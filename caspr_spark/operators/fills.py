@@ -47,7 +47,10 @@ def fill_date_nans(df: DataFrame, date_cols: list[str], history_days: int = 365,
             return df.fillna(history_days, subset=date_cols)
         default = F.unix_timestamp(F.date_sub(F.col(prediction_date), history_days))
         for c in date_cols:
-            df = df.withColumn(c, F.coalesce(F.col(c).cast("bigint"), default))
+            # fill nulls only — non-null values and the column dtype are
+            # preserved (the epoch feature is a double in this engine)
+            df = df.withColumn(
+                c, F.coalesce(F.col(c), default.cast(dict(df.dtypes)[c])))
         return df
 
     if interval:

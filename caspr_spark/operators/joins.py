@@ -79,7 +79,14 @@ def salted_join(left: DataFrame, right: DataFrame, on: list[str],
     replicated once per salt value, so each hot key spreads over ``salt``
     tasks. Use when a single key's row count dwarfs a task's memory and
     AQE's skew splitting isn't available (e.g. bucketed inputs).
+
+    Only inner/left joins: a right or full outer join would surface each
+    unmatched right row once per replica.
     """
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(f"salted_join supports inner/left joins, got {how!r}: "
+                         "right/full would duplicate unmatched right rows "
+                         "once per salt replica")
     lsalt = left.withColumn("__salt",
                             (F.rand(seed=42) * salt).cast("int"))
     rsalt = right.crossJoin(

@@ -28,8 +28,12 @@ def get_lookback_period(df: DataFrame, user_id: str, activity_date: str,
                         latest_prediction_date: datetime | None = None) -> int:
     """Days of history needed for ~``max_avg_sequence_length`` events/entity (A7).
 
-    Buckets the trailing four 30-day windows, averages events-per-active-user
-    per window, then scales. Reference: caspr/utils/spark/preprocess.py:493-528.
+    Buckets the trailing four 30-day windows plus a catch-all bucket for
+    anything older, averages events-per-active-user per bucket (the
+    catch-all is INCLUDED in the mean, matching the reference exactly —
+    on data much older than 120 days this skews the per-month rate, so
+    prefer passing a recent ``latest_prediction_date``).
+    Reference: caspr/utils/spark/preprocess.py:493-528.
     """
     if latest_prediction_date is None:
         latest_prediction_date = df.agg(F.max(activity_date)).collect()[0][0]

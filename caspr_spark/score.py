@@ -31,12 +31,19 @@ INNER_BATCH = 16 * 2048  # reference caspr/utils/spark/score.py:18
 
 def pack_for_scoring(df: DataFrame, cont_cols: list[str],
                      cat_cols: list[str]) -> DataFrame:
-    """P7 vectorization: flat wide columns -> two array columns."""
-    out = df.withColumn("cont_features",
-                        F.array(*[F.col(c).cast("double") for c in cont_cols]))
-    out = out.withColumn("cat_features",
-                         F.array(*[F.col(c).cast("long") for c in cat_cols]))
-    return out.drop(*cont_cols, *cat_cols)
+    """P7 vectorization: flat wide columns -> two array columns.
+
+    Thin wrapper over ``pack_feature_arrays`` that always materializes
+    both array columns (the scoring UDF takes two arguments even when one
+    group is empty)."""
+    from caspr_spark.operators.pivot import pack_feature_arrays
+    out = pack_feature_arrays(df, cont_cols, cat_cols)
+    if "cont_features" not in out.columns:
+        out = out.withColumn("cont_features",
+                             F.array().cast("array<double>"))
+    if "cat_features" not in out.columns:
+        out = out.withColumn("cat_features", F.array().cast("array<bigint>"))
+    return out
 
 
 def score(df: DataFrame, model, seq_len: int, n_seq_cat: int, n_seq_cont: int,

@@ -42,17 +42,22 @@ def stream_events(spark: SparkSession, path: str,
     import glob as _glob
     import os as _os
 
+    from caspr_spark.sources import _nanos_timestamp_cols
+
     if _os.path.isdir(path):
         base, pattern = path, "*.parquet"
-        sample = sorted(_glob.glob(_os.path.join(path, "*.parquet")))[0]
+        if not _glob.glob(_os.path.join(path, "*.parquet")):
+            raise ValueError(f"no parquet files under {path!r}")
     else:
         base, pattern = _os.path.dirname(path), _os.path.basename(path)
-        sample = path
 
-    schema = pq.read_schema(sample)
-    ns_cols = [n for n, t in zip(schema.names, schema.types)
-               if str(t) == "timestamp[ns]"]
-    spark.conf.set(_NANOS_CONF, "true")
+    ns_cols = _nanos_timestamp_cols(path)
+    if ns_cols:
+        # NOTE: intentionally NOT restored — the streaming query reads
+        # files lazily long after this function returns, so the legacy
+        # conf must stay set for the life of the stream. Batch reads are
+        # unaffected: read_parquet_table manages the conf per call.
+        spark.conf.set(_NANOS_CONF, "true")
     static = spark.read.option("pathGlobFilter", pattern).parquet(base)
     reader = (spark.readStream.schema(static.schema)
               .option("pathGlobFilter", pattern))
@@ -100,11 +105,15 @@ def streaming_last_n(stream: DataFrame, n: int, key_col: str = "user_id",
     appends one row per key per batch, so the final state per key is the
     max-``ver`` row. State is the bounded (ts_epoch_us, tiebreak,
     values...) tuple list + the counter — O(n·cols) per key.
+
+    The key column keeps its source type; value columns must be numeric
+    (tracked as doubles) and the tiebreak integral.
     """
     value_cols = [value_col] if isinstance(value_col, str) else list(value_col)
+    key_type = dict(stream.dtypes)[key_col]
     out_cols = [key_col, "ver"] + [f"{s}_{c}" for c in value_cols
                                    for s in range(1, n + 1)]
-    out_schema = (f"{key_col} long, ver int, " +
+    out_schema = (f"`{key_col}` {key_type}, ver int, " +
                   ", ".join(f"`{s}_{c}` double" for c in value_cols
                             for s in range(1, n + 1)))
     state_schema = ("ts array<long>, tb array<long>, " +

@@ -100,7 +100,7 @@ class TestSimHash:
 
     def test_near_pairs(self, dup_docs):
         fps = simhash(dup_docs)
-        pairs = simhash_near_pairs(fps, max_hamming=20)
+        pairs = simhash_near_pairs(fps, max_hamming=20, chunks=32)
         got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
         assert (1, 2) in got
 

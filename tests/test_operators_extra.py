@@ -191,3 +191,54 @@ class TestRollingAggregate:
         assert got[2] == (3.0, 2)     # 01-01 within [12-29, 01-05]
         assert got[3] == (6.0, 2)     # 01-01 dropped, 01-05 kept (inclusive)
         assert got[4] == (8.0, 1)     # other user untouched
+
+
+class TestReviewRegressions:
+    """Regressions for the round-1 code-review findings."""
+
+    def test_salted_join_rejects_outer(self, spark):
+        from caspr_spark.operators import salted_join
+        df = spark.createDataFrame([(1,)], "k long")
+        with pytest.raises(ValueError):
+            salted_join(df, df, on=["k"], how="full")
+
+    def test_category_substitution_never_unk_or_oov(self, spark):
+        import pandas as pd
+        import numpy as np
+        from caspr_spark.noise import random_category_substitution
+        df = spark.createDataFrame(pd.DataFrame({"c": np.full(2000, 1)}))
+        out = random_category_substitution(df, ["c"], {"c": 4}, p=1.0)
+        vals = {r["c"] for r in out.select("c").distinct().collect()}
+        assert vals <= {1, 2, 3}  # fitted codes only: never 0 (UNK) or 4
+
+    def test_simhash_pairs_pigeonhole_precondition(self, spark):
+        from caspr_spark.llm.dedup import simhash_near_pairs
+        df = spark.createDataFrame([(1, 5)], "doc_id long, simhash long")
+        with pytest.raises(ValueError):
+            simhash_near_pairs(df, max_hamming=4, chunks=4)
+
+    def test_absolute_date_fill_preserves_nonnull_and_dtype(self, spark):
+        from pyspark.sql import functions as F
+        from caspr_spark.operators import fill_date_nans
+        df = spark.createDataFrame(
+            [(1700000000.75, "2024-01-15"), (None, "2024-01-15")],
+            "ts double, pred_s string") \
+            .withColumn("prediction_date", F.to_timestamp("pred_s")) \
+            .drop("pred_s")
+        out = fill_date_nans(df, ["ts"], history_days=7, interval=False)
+        assert dict(out.dtypes)["ts"] == "double"
+        vals = sorted(r["ts"] for r in out.collect())
+        assert 1700000000.75 in vals  # fractional value untouched
+
+    def test_tensorize_includes_non_seq_date_cols(self):
+        import pandas as pd
+        from caspr_spark.roles import ColumnRoles
+        from caspr_spark.data import transform_and_load
+        roles = ColumnRoles(tgt_id=["uid"], activity_date="ts",
+                            cont_cols=["x"], date_cols=["ts", "signup"],
+                            seq_cols=["x"], non_seq_cols=["signup"])
+        pdf = pd.DataFrame({"uid": [1], "1_x": [0.5], "2_x": [0.6],
+                            "signup": [0.9]})
+        b = transform_and_load(pdf, roles, 2)
+        assert b.non_seq_cont.shape == (1, 1)
+        assert b.non_seq_cont[0, 0] == pd.Series([0.9], dtype="float32")[0]
