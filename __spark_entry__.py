@@ -654,8 +654,15 @@ def q_stream_last3_state(spark, sf_dir):
     from caspr_spark.streaming import (
         stream_events, streaming_last_n, run_to_memory)
     _utc(spark)
-    stream = stream_events(spark, f"{sf_dir}/events.parquet")
-    tbl = run_to_memory(streaming_last_n(stream, 3), "q_last3", "update")
+    # few thousand keys: 8 state-store partitions beat the default 32
+    # (each partition spins its own store + python worker per batch)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        stream = stream_events(spark, f"{sf_dir}/events.parquet")
+        tbl = run_to_memory(streaming_last_n(stream, 3), "q_last3", "update")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     w = W.partitionBy("user_id").orderBy(F.col("ver").desc())
     return (tbl.withColumn("__rn", F.row_number().over(w))
                .filter("__rn = 1").drop("__rn", "ver"))
