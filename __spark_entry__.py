@@ -668,6 +668,45 @@ def q_stream_last3_state(spark, sf_dir):
                .filter("__rn = 1").drop("__rn", "ver"))
 
 
+def q_stream_static_join(spark, sf_dir):
+    """Stream-static enrichment: per-batch broadcast join of a fitted
+    dimension (event-type codes) onto the stream, then a windowed count
+    per code — equals the batch join+group."""
+    from caspr_spark.operators.encode import top_k_by_frequency
+    from caspr_spark.streaming import (
+        stream_events, enrich_with_static, run_to_memory)
+    from pyspark.sql import Window as W
+    _utc(spark)
+    ev = _events(spark, sf_dir)
+    dim = top_k_by_frequency(ev, "event_type", 5) \
+        .withColumn("code", F.row_number().over(
+            W.orderBy(F.col("count").desc(), F.col("event_type").asc()))) \
+        .select("event_type", "code")
+    stream = stream_events(spark, f"{sf_dir}/events.parquet")
+    enriched = enrich_with_static(stream, dim, on="event_type")
+    agg = (enriched.groupBy("code")
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.round(F.sum("value"), 4).alias("sum_value")))
+    tbl = run_to_memory(agg, "q_ss_join", "complete")
+    return tbl.select(F.col("code").cast("int"),
+                      F.col("n").cast("long").alias("n"), "sum_value")
+
+
+def q_stream_dedup(spark, sf_dir):
+    """Watermarked streaming dedup: the stream unioned with itself (every
+    event duplicated) collapses back to exactly the distinct events."""
+    from caspr_spark.streaming import (
+        stream_events, streaming_dedup, run_to_memory)
+    _utc(spark)
+    stream = stream_events(spark, f"{sf_dir}/events.parquet")
+    doubled = stream.unionByName(stream)
+    deduped = streaming_dedup(doubled, ["event_id"], "ts", watermark="1 day")
+    counts = deduped.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"))
+    tbl = run_to_memory(counts, "q_stream_dedup", "complete")
+    return tbl
+
+
 # --------------------------------------------------------------------------
 # LLM-data-pipeline operators
 # --------------------------------------------------------------------------
@@ -877,6 +916,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x1_three_way_split": q_x1_three_way_split,
         "stream_windowed_stats": q_stream_windowed_stats,
         "stream_last3_state": q_stream_last3_state,
+        "stream_static_join": q_stream_static_join,
+        "stream_dedup": q_stream_dedup,
         "score_linear": q_score_linear,
         "score_lstm": q_score_lstm,
         "score_transformer": q_score_transformer,
@@ -1399,6 +1440,17 @@ dev AS (SELECT {', '.join(f'avg(abs(e.embedding[{j + 1}]::DOUBLE - mu.m{j})) AS 
             [__import__('math').sqrt(sum(v * v for v in col))
              for col in zip(*random_hyperplanes(64, SCORE_W_DIM,
                                                 seed=SCORE_W_SEED))][:8]),
+        "stream_static_join": """
+WITH dim AS (
+  SELECT event_type, row_number() OVER (ORDER BY count(*) DESC, event_type ASC) AS code
+  FROM events GROUP BY event_type)
+SELECT CAST(d.code AS INT) AS code, CAST(count(*) AS BIGINT) AS n,
+       round(sum(e.value), 4) AS sum_value
+FROM events e LEFT JOIN dim d USING (event_type)
+GROUP BY d.code""",
+        "stream_dedup": """
+SELECT event_type, CAST(count(DISTINCT event_id) AS BIGINT) AS n_events
+FROM events GROUP BY event_type""",
         "stream_windowed_stats": """
 SELECT date_trunc('day', ts) AS window_start, event_type,
        CAST(count(*) AS BIGINT) AS n, round(sum(value), 6) AS sum_value

@@ -151,6 +151,25 @@ def streaming_last_n(stream: DataFrame, n: int, key_col: str = "user_id",
                                     "update", GroupStateTimeout.NoTimeout))
 
 
+def enrich_with_static(stream: DataFrame, dim: DataFrame,
+                       on: list[str] | str) -> DataFrame:
+    """Stream-static enrichment join: each micro-batch joins the (small)
+    static dimension — planned as a broadcast hash join per batch, the
+    canonical way to attach dimension attributes to a stream."""
+    from pyspark.sql import functions as F
+    return stream.join(F.broadcast(dim), on=on, how="left")
+
+
+def streaming_dedup(stream: DataFrame, id_cols: list[str], ts_col: str = "ts",
+                    watermark: str = "1 day") -> DataFrame:
+    """Streaming exact dedup: drop repeats of ``id_cols`` with state
+    bounded by the event-time watermark (late duplicates beyond the
+    watermark age out of state — the at-scale contract for exactly-once
+    training-data ingestion)."""
+    return (stream.withWatermark(ts_col, watermark)
+            .dropDuplicates(id_cols))
+
+
 def run_to_memory(streaming_df: DataFrame, name: str,
                   output_mode: str = "complete",
                   timeout_sec: int = 120) -> DataFrame:

@@ -89,3 +89,31 @@ class TestStreamingLastNMultiCol:
         for c in ("1_value", "2_value", "3_value", "1_v2", "2_v2", "3_v2"):
             a, b = got[c].fillna(-1), want[c].fillna(-1)
             assert abs(a - b).max() < 1e-9
+
+
+class TestStreamStaticAndDedup:
+    def test_enrich_with_static_matches_batch(self, spark, events):
+        from pyspark.sql import functions as F
+        from caspr_spark.streaming import (
+            stream_events, enrich_with_static, run_to_memory)
+        dim = spark.createDataFrame(
+            [("click", 1), ("view", 2)], "event_type string, code int")
+        stream = stream_events(spark, f"{SF_DIR}/events.parquet")
+        agg = enrich_with_static(stream, dim, on="event_type") \
+            .groupBy("code").count()
+        got = {r["code"]: r["count"] for r in
+               run_to_memory(agg, "t_ss", "complete").collect()}
+        want = {r["code"]: r["count"] for r in
+                events.join(F.broadcast(dim), on="event_type", how="left")
+                      .groupBy("code").count().collect()}
+        assert got == want
+
+    def test_streaming_dedup_collapses_duplicates(self, spark, events):
+        from pyspark.sql import functions as F
+        from caspr_spark.streaming import (
+            stream_events, streaming_dedup, run_to_memory)
+        stream = stream_events(spark, f"{SF_DIR}/events.parquet")
+        doubled = stream.unionByName(stream)
+        deduped = streaming_dedup(doubled, ["event_id"], "ts")
+        out = run_to_memory(deduped.groupBy().count(), "t_sd", "complete")
+        assert out.collect()[0]["count"] == events.count()
