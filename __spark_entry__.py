@@ -248,6 +248,42 @@ def q_p3_pivot_lineitem(spark, sf_dir):
     return featurize_sequential(ranked, ["l_orderkey"], 4, ["l_extendedprice"])
 
 
+def q_p1_left_pad(spark, sf_dir):
+    """Left-padded pivot: histories shift right so slot n is always the
+    most recent event (slot = n - rank_desc + 1); NULL head for short
+    users (3-day window keeps users short)."""
+    ev = _with_prediction_date(_events(spark, sf_dir))
+    ev = filter_history_window(ev, "ts", "prediction_date", 3)
+    ranked = get_rank(ev, ["user_id"], "ts", tiebreak=["event_id"])
+    return featurize_sequential(ranked, ["user_id"], SEQ_N, ["value"],
+                                left_pad=True)
+
+
+def q_e1_fit_apply_split(spark, sf_dir):
+    """Leakage discipline: dictionary fitted on the first half of time,
+    reapplied to everything — values unseen in the fit window encode 0."""
+    ev = _events(spark, sf_dir)
+    mid = ev.agg(F.percentile(F.unix_timestamp("ts"), F.lit(0.5))) \
+        .collect()[0][0]
+    train = ev.filter(F.unix_timestamp("ts") <= mid)
+    enc = fit_encoding(train, ["event_type"], max_cardinality=2)
+    return enc.apply(ev).select(
+        "event_id", F.col("event_type").cast("int").alias("event_type_code"))
+
+
+def q_e5_fit_apply_split(spark, sf_dir):
+    """Scaling summary fitted on the first half of time, reapplied to the
+    full table (values outside the fit range land outside [0,1])."""
+    from caspr_spark.operators.scale import normalize_columns, fit_summary
+    ev = _events(spark, sf_dir)
+    mid = ev.agg(F.percentile(F.unix_timestamp("ts"), F.lit(0.5))) \
+        .collect()[0][0]
+    train = ev.filter(F.unix_timestamp("ts") <= mid)
+    summary = fit_summary(train, ["value"])
+    out, _ = normalize_columns(ev, ["value"], summary, "min_max")
+    return out.select("event_id", F.round("value", 9).alias("value_norm"))
+
+
 def q_p6_petastorm_rename(spark, sf_dir):
     return petastorm_rename(q_p3_pivot_last5(spark, sf_dir))
 
@@ -888,6 +924,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e10_quantile_bucket": q_e10_quantile_bucket,
         "p3_pivot_last5": q_p3_pivot_last5,
         "p3_pivot_lineitem": q_p3_pivot_lineitem,
+        "p1_left_pad": q_p1_left_pad,
+        "e1_fit_apply_split": q_e1_fit_apply_split,
+        "e5_fit_apply_split": q_e5_fit_apply_split,
         "p6_petastorm_rename": q_p6_petastorm_rename,
         "x3_sliding_union": q_x3_sliding_union,
         "json_extract": q_json_extract,
@@ -1538,6 +1577,34 @@ SELECT doc_id, CAST(i AS INT) AS frame_idx,
        CAST(unicode(substr(text, CAST(i*16 + 1 AS INT), 1)) AS INT) AS frame_byte
 FROM documents, range(0, 8) r(i)
 WHERE i*16 < length(text)""",
+        "p1_left_pad": f"""
+WITH pred AS (SELECT max(ts) AS p FROM events),
+f AS (SELECT e.user_id, e.value, e.ts, e.event_id
+      FROM events e CROSS JOIN pred
+      WHERE extract(epoch FROM e.ts) > floor(extract(epoch FROM pred.p)) - 3*86400
+        AND e.ts < pred.p),
+r AS (SELECT user_id, value,
+        row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rd
+      FROM f),
+k AS (SELECT user_id, value, {SEQ_N} - rd + 1 AS slot FROM r WHERE rd <= {SEQ_N})
+SELECT user_id,
+  {", ".join(f'max(CASE WHEN slot={s} THEN value END) AS "{s}_value"'
+             for s in range(1, SEQ_N + 1))}
+FROM k GROUP BY user_id""",
+        "e1_fit_apply_split": """
+WITH mid AS (SELECT quantile_cont(floor(epoch(ts)), 0.5) AS m FROM events),
+train AS (SELECT * FROM events CROSS JOIN mid WHERE floor(epoch(ts)) <= m),
+topk AS (SELECT event_type, code FROM (
+  SELECT event_type, row_number() OVER (ORDER BY count(*) DESC, event_type ASC) AS code
+  FROM train GROUP BY event_type) WHERE code <= 2)
+SELECT e.event_id, CAST(coalesce(t.code, 0) AS INT) AS event_type_code
+FROM events e LEFT JOIN topk t USING (event_type)""",
+        "e5_fit_apply_split": """
+WITH mid AS (SELECT quantile_cont(floor(epoch(ts)), 0.5) AS m FROM events),
+s AS (SELECT min(value) AS mn, max(value) AS mx
+      FROM events CROSS JOIN mid WHERE floor(epoch(ts)) <= m)
+SELECT event_id, round((value - s.mn) / (s.mx - s.mn), 9) AS value_norm
+FROM events CROSS JOIN s""",
         "p3_pivot_last5": _pivot_last5_sql(rename=False),
         "p3_pivot_lineitem": """
 WITH r AS (
