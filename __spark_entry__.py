@@ -98,6 +98,27 @@ def q_pipeline_events_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wide
 
 
+def q_pipeline_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full featurization of the biggest table (throughput evidence at
+    sf0.1's 600k rows; composite of oracle-checked stages — rows-only)."""
+    li = _t(spark, sf_dir, "lineitem")
+    pred = li.agg(F.max("l_shipdate")).collect()[0][0]
+    li = li.withColumn("prediction_date", F.lit(pred))
+    roles = ColumnRoles(
+        tgt_id=["l_orderkey"], activity_date="l_shipdate",
+        cat_cols=["l_returnflag", "l_linestatus"],
+        cont_cols=["l_quantity", "l_extendedprice", "l_discount"],
+        seq_cols=["l_returnflag", "l_linestatus", "l_quantity",
+                  "l_extendedprice", "l_discount", "l_shipdate"],
+        date_cols=["l_shipdate"],
+        order_tiebreak=["l_linenumber", "l_extendedprice", "l_partkey"])
+    feat = SequenceFeaturizer(roles=roles, history_days=3650, seq_len=4,
+                              interval=True, scaling="min_max",
+                              layout="array")
+    wide, _ = feat.fit_transform(li)
+    return wide
+
+
 def q_pipeline_orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J4 profile-join pipeline in absolute-date mode with label columns."""
     orders = _t(spark, sf_dir, "orders")
@@ -905,6 +926,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pipeline_events": q_pipeline_events,
         "pipeline_events_array": q_pipeline_events_array,
+        "pipeline_lineitem": q_pipeline_lineitem,
         "pipeline_orders_profile": q_pipeline_orders_profile,
         "w1_rank": q_w1_rank,
         "w2_intervals": q_w2_intervals,

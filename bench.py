@@ -21,6 +21,7 @@ BENCH_QUERIES = [
     "pipeline_events",
     "pipeline_events_array",
     "pipeline_orders_profile",
+    "pipeline_lineitem",
     "asof_join",
     "w1_rank",
     "f1_history_window",
