@@ -59,6 +59,10 @@ class SequenceFeaturizer:
     scaling: str = "min_max"
     max_cardinality: int = MAX_CAT_CARDINALITY
     layout: str = "wide"  # "wide" (reference-compatible) or "array" (scale path)
+    # persist the filtered prefix across the fit actions + featurization
+    # (one materialization instead of one scan per fit job); disable when
+    # the filtered window exceeds cluster storage
+    cache_fit: bool = True
 
     def fit(self, df: DataFrame) -> "SequenceFeaturizerModel":
         _, model = self.fit_transform(df, _materialize=False)
@@ -75,6 +79,8 @@ class SequenceFeaturizer:
         r = self.roles
         r.validate(df)
         long_df = self._prefix(df)
+        if self.cache_fit:
+            long_df = long_df.persist()
 
         encoding = fit_encoding(long_df, r.cat_cols, self.max_cardinality)
         long_df = encoding.apply(long_df, r.cat_cols)
@@ -174,7 +180,7 @@ class SequenceFeaturizerModel:
         os.makedirs(path, exist_ok=True)
         cfg = {k: getattr(self.params, k)
                for k in ("history_days", "seq_len", "left_pad", "interval",
-                          "scaling", "max_cardinality", "layout")}
+                          "scaling", "max_cardinality", "layout", "cache_fit")}
         cfg["roles"] = self.params.roles.to_dict()
         with open(os.path.join(path, "params.json"), "w") as f:
             json.dump(cfg, f)
