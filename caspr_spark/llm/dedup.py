@@ -78,7 +78,11 @@ def _signatures_from_shingles(sh: DataFrame, id_col: str, num_hashes: int,
         id_col,
         F.pmod(F.xxhash64("__s"), p).alias("__h1"),
         F.pmod(F.xxhash64("__s", F.lit(1)), p).alias("__h2"))
-    mins = [F.min(F.col("__h1") + i * F.col("__h2")).alias(f"__m{i}")
+    # the mod-p reduction per slot is essential: without it the orderings
+    # of h1 + i*h2 for large i all collapse to the h2 ordering and the
+    # "permutations" stop being min-wise independent (banding S-curve
+    # degrades to ~J instead of J^rows)
+    mins = [F.min(F.pmod(F.col("__h1") + i * F.col("__h2"), p)).alias(f"__m{i}")
             for i in range(num_hashes)]
     agg = hashed.groupBy(id_col).agg(*mins)
     return agg.select(id_col, F.array(*[f"__m{i}" for i in range(num_hashes)])
@@ -98,6 +102,10 @@ def minhash_lsh_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "te
     """
     from caspr_spark.sources import ensure_parallelism
 
+    if num_hashes % bands:
+        raise ValueError(f"bands ({bands}) must divide num_hashes "
+                         f"({num_hashes}); trailing signature slots would be "
+                         "silently ignored")
     rows_per_band = num_hashes // bands
     # shingle construction (the regex-heavy part) runs ONCE, at full
     # parallelism: the persisted (id, shingles) relation feeds both
@@ -148,15 +156,20 @@ def minhash_lsh_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "te
 
 
 def connected_components(pairs: DataFrame, id_a: str = "id_a",
-                         id_b: str = "id_b", max_iter: int = 20) -> DataFrame:
+                         id_b: str = "id_b", max_iter: int = 50,
+                         strict: bool = True) -> DataFrame:
     """Connected components of the near-dup pair graph -> (id, component).
 
     Iterative min-label propagation: every node adopts the smallest label
     in its neighborhood until fixpoint. Each round is one join + one
-    aggregate over the (tiny relative to the corpus) pairs table; the
-    loop usually converges in O(log(diameter)) rounds. Component id =
-    smallest member id, so output is deterministic.
+    aggregate over the (tiny relative to the corpus) pairs table, and the
+    label travels one hop per round — so convergence needs up to
+    graph-diameter rounds (pointer-jumping variants get O(log d); not
+    needed at near-dup cluster sizes). Component id = smallest member id,
+    so output is deterministic. Raises (``strict``) or warns if
+    ``max_iter`` rounds did not reach the fixpoint.
     """
+    import logging
     edges = (pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
              .unionByName(pairs.select(F.col(id_b).alias("src"),
                                        F.col(id_a).alias("dst"))))
@@ -181,6 +194,13 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
         labels = new_labels
         if changed == 0:
             break
+    else:
+        msg = (f"connected_components did not converge in {max_iter} rounds "
+               f"({changed} labels still changing); component ids may split "
+               "one true component")
+        if strict:
+            raise RuntimeError(msg)
+        logging.getLogger(__name__).warning(msg)
     return labels
 
 

@@ -30,7 +30,9 @@ def confusion_counts(df: DataFrame, label_col: str, pred_col: str) -> DataFrame:
 def classification_report(df: DataFrame, label_col: str, pred_col: str) -> dict:
     """Accuracy / precision / recall / F1 from the confusion counts."""
     r = confusion_counts(df, label_col, pred_col).collect()[0]
-    tp, fp, tn, fn = r["tp"], r["fp"], r["tn"], r["fn"]
+    # sum over zero rows is NULL, not 0
+    tp, fp = r["tp"] or 0, r["fp"] or 0
+    tn, fn = r["tn"] or 0, r["fn"] or 0
     total = tp + fp + tn + fn
     precision = tp / (tp + fp) if tp + fp else 0.0
     recall = tp / (tp + fn) if tp + fn else 0.0

@@ -38,37 +38,39 @@ def asof_join(left: DataFrame, right: DataFrame, on: list[str],
         value_cols = [c for c in right.columns
                       if c not in on and c != right_ts]
 
+    # every right row contributes ONE struct of (all values + its ts); the
+    # struct itself is never null for right rows, so last(..., ignorenulls)
+    # always picks the latest right ROW atomically — a legitimately-NULL
+    # value field stays NULL (no resurrection of older rows, no tearing
+    # across value columns)
     lt = left.withColumn("__src", F.lit(1)).withColumn("__ts", F.col(left_ts))
     rt = right.select(*on, F.col(right_ts).alias("__ts"), *value_cols) \
               .withColumn("__src", F.lit(0))
-
-    for c in value_cols:
-        lt = lt.withColumn(f"{c}{suffix}", F.lit(None).cast(dict(rt.dtypes)[c]))
-        rt = rt.withColumn(f"{c}{suffix}", F.col(c)).drop(c)
-    rt = rt.withColumn("__rts", F.col("__ts"))
-    lt = lt.withColumn("__rts", F.lit(None).cast("timestamp"))
+    rt = rt.withColumn("__rrow", F.struct(
+        *[F.col(c).alias(c) for c in value_cols],
+        F.col("__ts").alias("__rts")))
+    lt = lt.withColumn("__rrow", F.lit(None).cast(dict(rt.dtypes)["__rrow"]))
     for c in lt.columns:
         if c not in rt.columns:
             rt = rt.withColumn(c, F.lit(None).cast(dict(lt.dtypes)[c]))
+    rt = rt.drop(*value_cols)
     unioned = lt.unionByName(rt.select(*lt.columns))
 
     w = (Window.partitionBy(*on).orderBy(F.col("__ts").asc(), F.col("__src").asc())
          .rowsBetween(Window.unboundedPreceding, 0))
-    out = unioned
-    for c in value_cols:
-        out = out.withColumn(f"{c}{suffix}",
-                             F.last(F.col(f"{c}{suffix}"), ignorenulls=True).over(w))
-    out = out.withColumn("__rts", F.last(F.col("__rts"), ignorenulls=True).over(w))
+    out = unioned.withColumn("__rrow",
+                             F.last(F.col("__rrow"), ignorenulls=True).over(w))
     out = out.filter(F.col("__src") == 1)
 
+    stale = F.lit(False)
     if tolerance_days is not None:
-        stale = F.datediff(F.col("__ts"), F.col("__rts")) > tolerance_days
-        for c in value_cols:
-            out = out.withColumn(
-                f"{c}{suffix}",
-                F.when(stale | F.col("__rts").isNull(), F.lit(None))
-                 .otherwise(F.col(f"{c}{suffix}")))
-    return out.drop("__src", "__ts", "__rts")
+        stale = F.datediff(F.col("__ts"), F.col("__rrow.__rts")) > tolerance_days
+    for c in value_cols:
+        out = out.withColumn(
+            f"{c}{suffix}",
+            F.when(F.col("__rrow").isNull() | stale, F.lit(None))
+             .otherwise(F.col(f"__rrow.{c}")))
+    return out.drop("__src", "__ts", "__rrow")
 
 
 def salted_join(left: DataFrame, right: DataFrame, on: list[str],

@@ -25,6 +25,12 @@ def get_rank(df: DataFrame, tgt_id: list[str], activity_date: str,
     deterministically (ordered descending, i.e. a larger tiebreak value is
     treated as the later event); the reference omits this and is
     nondeterministic under ties.
+
+    NULL activity dates: ``seq_len`` counts non-null dates (SQL count
+    semantics, same as the reference) while ``row_number`` ranks every
+    row, so the invariant only holds when null-date rows are dropped
+    first (F6) — the featurization pipeline's history filter already
+    excludes them.
     """
     keys = [F.col(c) for c in tgt_id]
     order = [F.col(activity_date).desc()] + [F.col(c).desc() for c in (tiebreak or [])]

@@ -99,7 +99,9 @@ def quantile_scores(df: DataFrame, cols: list[str], q: int = 10,
     """E10 qcut-style 1..q scores per column (reverse for R-type cols).
 
     ``ntile`` over a global order — exact; use ``quantile_scores_approx``
-    as the 100 TB path.
+    as the 100 TB path. NULL values sort first (ascending), so they land
+    in score 1 (or q for reversed columns) — fill or drop nulls first if
+    that's not wanted; the approx path scores them NULL instead.
     """
     from pyspark.sql import Window
     for c in cols:
@@ -119,6 +121,7 @@ def quantile_scores_approx(df: DataFrame, cols: list[str], q: int = 10,
 
     Ties share a bucket (value-determined, unlike ntile's row-count
     balancing), which is the semantics a distributed scorer wants anyway.
+    NULL values score NULL (the exact path buckets them at the extreme).
     """
     probs = [i / q for i in range(1, q)]
     cuts = df.stat.approxQuantile(cols, probs, relative_error)

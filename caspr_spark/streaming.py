@@ -21,8 +21,6 @@ prediction-date filter, caspr/utils/spark/preprocess.py:577-581; SURVEY
 
 from __future__ import annotations
 
-import pyarrow.parquet as pq
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -162,19 +160,28 @@ def enrich_with_static(stream: DataFrame, dim: DataFrame,
 
 def streaming_dedup(stream: DataFrame, id_cols: list[str], ts_col: str = "ts",
                     watermark: str = "1 day") -> DataFrame:
-    """Streaming exact dedup: drop repeats of ``id_cols`` with state
-    bounded by the event-time watermark (late duplicates beyond the
-    watermark age out of state — the at-scale contract for exactly-once
-    training-data ingestion)."""
+    """Streaming exact dedup with watermark-BOUNDED state.
+
+    Uses ``dropDuplicatesWithinWatermark`` (Spark 3.5+): duplicate ids
+    arriving within the watermark horizon collapse, and each key's state
+    is evicted once the watermark passes it — plain ``dropDuplicates`` on
+    non-event-time keys would grow state forever."""
     return (stream.withWatermark(ts_col, watermark)
-            .dropDuplicates(id_cols))
+            .dropDuplicatesWithinWatermark(id_cols))
 
 
 def run_to_memory(streaming_df: DataFrame, name: str,
                   output_mode: str = "complete",
                   timeout_sec: int = 120) -> DataFrame:
-    """Drain a finite stream into an in-memory table and return it."""
+    """Drain a finite stream into an in-memory table and return it.
+
+    Raises on timeout instead of returning a partial table (the query is
+    stopped first so it can't keep mutating the sink)."""
     q = (streaming_df.writeStream.format("memory").queryName(name)
          .outputMode(output_mode).trigger(availableNow=True).start())
-    q.awaitTermination(timeout_sec)
+    finished = q.awaitTermination(timeout_sec)
+    if not finished:
+        q.stop()
+        raise TimeoutError(
+            f"stream {name!r} did not drain within {timeout_sec}s")
     return streaming_df.sparkSession.table(name)

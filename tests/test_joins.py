@@ -111,3 +111,73 @@ class TestBucketedJoin:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
             spark.sql("DROP TABLE IF EXISTS t_bucket_events")
             spark.sql("DROP TABLE IF EXISTS t_bucket_users")
+
+
+class TestAsofReviewRegressions:
+    def test_null_value_in_latest_right_row_not_resurrected(self, spark):
+        from pyspark.sql import functions as F
+        from caspr_spark.operators.joins import asof_join
+        right = spark.createDataFrame(
+            [(1, "2024-01-01", 5.0), (1, "2024-04-10", None)],
+            "k long, ts_s string, bid double") \
+            .withColumn("ts", F.to_timestamp("ts_s")).drop("ts_s")
+        left = spark.createDataFrame([(1, "2024-04-11")], "k long, ts_s string") \
+            .withColumn("ts", F.to_timestamp("ts_s")).drop("ts_s")
+        out = asof_join(left, right, on=["k"], value_cols=["bid"],
+                        tolerance_days=2)
+        # latest right row HAS null bid: result must be NULL, not the
+        # 100-day-old 5.0 validated against the newest timestamp
+        assert out.collect()[0]["bid_asof"] is None
+
+    def test_multi_value_cols_no_row_tearing(self, spark):
+        from pyspark.sql import functions as F
+        from caspr_spark.operators.joins import asof_join
+        right = spark.createDataFrame(
+            [(1, "2024-01-01", 5.0, 50.0), (1, "2024-02-01", None, 60.0)],
+            "k long, ts_s string, bid double, ask double") \
+            .withColumn("ts", F.to_timestamp("ts_s")).drop("ts_s")
+        left = spark.createDataFrame([(1, "2024-03-01")], "k long, ts_s string") \
+            .withColumn("ts", F.to_timestamp("ts_s")).drop("ts_s")
+        r = asof_join(left, right, on=["k"], value_cols=["bid", "ask"]) \
+            .collect()[0]
+        # both values come from the SAME (latest) right row
+        assert r["bid_asof"] is None and r["ask_asof"] == 60.0
+
+
+class TestDedupReviewRegressions:
+    def test_bands_must_divide(self, spark, documents):
+        from caspr_spark.llm.dedup import minhash_lsh_dedup
+        import pytest as _pytest
+        with _pytest.raises(ValueError):
+            minhash_lsh_dedup(documents, num_hashes=64, bands=12)
+
+    def test_minhash_slots_decorrelated(self, documents):
+        """With mod-p slots, distinct docs should NOT share most slots."""
+        import numpy as np
+        from caspr_spark.llm.dedup import minhash_signatures
+        sigs = minhash_signatures(documents, num_hashes=64).limit(20).collect()
+        S = np.array([r["minhash"] for r in sigs])
+        # fraction of matching slots between different docs ~ their
+        # jaccard (low); correlated slots would push this toward 1
+        frac = np.mean([(S[i] == S[j]).mean()
+                        for i in range(len(S)) for j in range(i + 1, len(S))])
+        assert frac < 0.5
+
+    def test_cc_nonconvergence_raises(self, spark):
+        from caspr_spark.llm.dedup import connected_components
+        chain = spark.createDataFrame([(i, i + 1) for i in range(10)],
+                                      "id_a long, id_b long")
+        import pytest as _pytest
+        with _pytest.raises(RuntimeError):
+            connected_components(chain, max_iter=3, strict=True)
+        # non-strict completes with a warning instead
+        out = connected_components(chain, max_iter=3, strict=False)
+        assert out.count() == 11
+
+
+class TestMetricsEmpty:
+    def test_classification_report_empty(self, spark):
+        from caspr_spark.metrics import classification_report
+        df = spark.createDataFrame([], "y int, pred int")
+        rep = classification_report(df, "y", "pred")
+        assert rep["accuracy"] == 0.0 and rep["f1"] == 0.0
