@@ -99,8 +99,9 @@ def q_pipeline_events_array(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_pipeline_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full featurization of the biggest table (throughput evidence at
-    sf0.1's 600k rows; composite of oracle-checked stages — rows-only)."""
+    """Full featurization of the biggest table through the array-layout
+    scale path (throughput evidence: 600k rows at sf0.1), hash-matched
+    against a complete SQL oracle."""
     li = _t(spark, sf_dir, "lineitem")
     pred = li.agg(F.max("l_shipdate")).collect()[0][0]
     li = li.withColumn("prediction_date", F.lit(pred))
@@ -1135,6 +1136,66 @@ FROM wide w JOIN prof p USING (o_custkey)
 """
 
 
+def _lineitem_pipeline_sql() -> str:
+    """Oracle twin of q_pipeline_lineitem (interval mode, no profile)."""
+    n, hist = 4, 3650
+    cats = ["l_returnflag", "l_linestatus"]
+    conts = ["l_quantity", "l_extendedprice", "l_discount"]
+    enc_ctes = ",\n".join(
+        f"enc_{c} AS (SELECT {c} AS v, "
+        f"row_number() OVER (ORDER BY count(*) DESC, {c} ASC) AS code "
+        f"FROM f GROUP BY 1)" for c in cats)
+    stat_sel = ", ".join(f"min({c}) AS mn_{c}, max({c}) AS mx_{c}"
+                         for c in conts)
+    coded = ", ".join(f"CAST(coalesce(e_{c}.code, 0) AS INT) AS {c}"
+                      for c in cats)
+    normed = ", ".join(f"(d.{c} - s.mn_{c}) / (s.mx_{c} - s.mn_{c}) AS {c}"
+                       for c in conts)
+    enc_joins = " ".join(f"LEFT JOIN enc_{c} e_{c} ON d.{c} = e_{c}.v"
+                         for c in cats)
+    pivots = []
+    for c in cats:
+        pivots += [f'coalesce(max(CASE WHEN slot={s} THEN {c} END), 0) '
+                   f'AS "{s}_{c}"' for s in range(1, n + 1)]
+    for c in conts:
+        pivots += [f'coalesce(max(CASE WHEN slot={s} THEN {c} END), 0.0) '
+                   f'AS "{s}_{c}"' for s in range(1, n + 1)]
+    pivots += [f'coalesce(max(CASE WHEN slot={s} THEN ti_n END), max(hist_n)) '
+               f'AS "{s}_l_shipdate"' for s in range(1, n + 1)]
+    pivot_sql = ",\n  ".join(pivots)
+    return f"""
+WITH pred AS (SELECT max(l_shipdate) AS p FROM lineitem),
+f AS (
+  SELECT l.*, pred.p FROM lineitem l CROSS JOIN pred
+  WHERE extract(epoch FROM l.l_shipdate) > floor(extract(epoch FROM pred.p)) - {hist}*86400
+    AND l.l_shipdate < pred.p
+),
+{enc_ctes},
+d AS (
+  SELECT f.*, (p::DATE - l_shipdate::DATE) AS ti,
+         count(*) OVER (PARTITION BY l_orderkey) AS sl,
+         row_number() OVER (PARTITION BY l_orderkey
+                            ORDER BY l_shipdate DESC, l_linenumber DESC,
+                                     l_extendedprice DESC, l_partkey DESC) AS rd
+  FROM f
+),
+stats AS (SELECT {stat_sel}, min(ti) AS mn_ti, max(ti) AS mx_ti FROM d),
+k AS (
+  SELECT d.l_orderkey,
+         (d.sl - d.rd + 1) + CASE WHEN d.sl >= {n} THEN {n} - d.sl ELSE 0 END AS slot,
+         {coded},
+         {normed},
+         CAST(d.ti - s.mn_ti AS DOUBLE) / CAST(s.mx_ti - s.mn_ti AS DOUBLE) AS ti_n,
+         CAST({hist} - s.mn_ti AS DOUBLE) / CAST(s.mx_ti - s.mn_ti AS DOUBLE) AS hist_n
+  FROM d {enc_joins} CROSS JOIN stats s
+  WHERE d.rd <= {n}
+)
+SELECT l_orderkey,
+  {pivot_sql}
+FROM k GROUP BY l_orderkey
+"""
+
+
 def _pivot_last5_sql(rename: bool = False) -> str:
     n = SEQ_N
     name = (lambda s: f"value{s}") if rename else (lambda s: f"{s}_value")
@@ -1248,6 +1309,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "pipeline_events": _events_pipeline_sql(),
         "pipeline_events_array": _events_pipeline_sql(),
+        "pipeline_lineitem": _lineitem_pipeline_sql(),
         "pipeline_orders_profile": _orders_pipeline_sql(),
         "w1_rank": """
 SELECT event_id, user_id,
