@@ -872,9 +872,9 @@ def q_explain_linear_ablation(spark, sf_dir):
 
 
 def q_x3_trainset_labeled(spark, sf_dir):
-    """X3 end-to-end: sliding-window featurize + multi-hot labels, fitted
-    once, reapplied per window (rows-only: composite of oracle-checked
-    stages)."""
+    """X3 end-to-end: sliding-window featurize + multi-hot labels —
+    encoding and scaling fitted on window 0 and reapplied to window 1,
+    hash-matched against a complete SQL oracle."""
     from datetime import timedelta
     from caspr_spark.pipeline import build_sliding_window_trainset
     ev = _events(spark, sf_dir)
@@ -1193,6 +1193,84 @@ k AS (
 SELECT l_orderkey,
   {pivot_sql}
 FROM k GROUP BY l_orderkey
+"""
+
+
+def _trainset_sql() -> str:
+    """Oracle twin of q_x3_trainset_labeled: two cutoffs (p-7d, p-14d),
+    encoding+summary fitted on window 0 and REAPPLIED to window 1,
+    7-day-forward multi-hot labels inner-joined per window."""
+    n, hist = 3, 7
+    acts = ["click", "error", "purchase", "signup", "view"]
+    blocks = []
+    for i in range(2):
+        cut = f"(p - INTERVAL {7 * (i + 1)} DAY)"
+        et = ",\n    ".join(
+            f'coalesce(max(CASE WHEN slot={s} THEN et END), 0) AS "{s}_event_type"'
+            for s in range(1, n + 1))
+        val = ",\n    ".join(
+            f'coalesce(max(CASE WHEN slot={s} THEN val_n END), 0.0) AS "{s}_value"'
+            for s in range(1, n + 1))
+        ts = ",\n    ".join(
+            f'coalesce(max(CASE WHEN slot={s} THEN ti_n END), max(hist_n)) AS "{s}_ts"'
+            for s in range(1, n + 1))
+        labs = ",\n    ".join(
+            f"CAST(least(count(*) FILTER (event_type = '{a}'), 1) AS INT) "
+            f"AS label_{a}" for a in acts)
+        blocks.append(f"""
+SELECT w.*, l.* EXCLUDE (user_id), {i} AS window_id
+FROM (
+  SELECT user_id,
+    {et},
+    {val},
+    {ts}
+  FROM (
+    SELECT d.user_id,
+      (d.sl - d.rd + 1) + CASE WHEN d.sl >= {n} THEN {n} - d.sl ELSE 0 END AS slot,
+      CAST(coalesce(enc.code, 0) AS INT) AS et,
+      (d.value - st.vmin) / (st.vmax - st.vmin) AS val_n,
+      CAST(d.ti - st.tmin AS DOUBLE) / CAST(st.tmax - st.tmin AS DOUBLE) AS ti_n,
+      CAST({hist} - st.tmin AS DOUBLE) / CAST(st.tmax - st.tmin AS DOUBLE) AS hist_n
+    FROM (
+      SELECT e.user_id, e.event_type, e.value, e.event_id,
+             ({cut})::DATE - e.ts::DATE AS ti,
+             count(*) OVER (PARTITION BY e.user_id) AS sl,
+             row_number() OVER (PARTITION BY e.user_id
+                                ORDER BY e.ts DESC, e.event_id DESC) AS rd
+      FROM events e CROSS JOIN p0
+      WHERE extract(epoch FROM e.ts) > floor(extract(epoch FROM {cut})) - {hist}*86400
+        AND e.ts < {cut}
+    ) d LEFT JOIN enc USING (event_type) CROSS JOIN stats st
+    WHERE d.rd <= {n}
+  ) GROUP BY user_id
+) w
+JOIN (
+  SELECT user_id,
+    {labs}
+  FROM events e CROSS JOIN p0
+  WHERE e.ts > {cut} AND e.ts <= {cut} + INTERVAL 7 DAY
+  GROUP BY user_id
+) l USING (user_id)""")
+    union = " UNION ALL ".join(blocks)
+    return f"""
+WITH p0 AS (SELECT max(ts) AS p FROM events),
+f0 AS (
+  SELECT e.user_id, e.event_type, e.value,
+         (p - INTERVAL 7 DAY)::DATE - e.ts::DATE AS ti
+  FROM events e CROSS JOIN p0
+  WHERE extract(epoch FROM e.ts)
+          > floor(extract(epoch FROM (p - INTERVAL 7 DAY))) - {hist}*86400
+    AND e.ts < p - INTERVAL 7 DAY
+),
+enc AS (
+  SELECT event_type, row_number() OVER (ORDER BY count(*) DESC, event_type ASC) AS code
+  FROM f0 GROUP BY event_type
+),
+stats AS (
+  SELECT min(value) AS vmin, max(value) AS vmax,
+         min(ti) AS tmin, max(ti) AS tmax FROM f0
+)
+{union}
 """
 
 
@@ -1712,6 +1790,7 @@ SELECT l_orderkey,
 FROM k GROUP BY l_orderkey""",
         "p6_petastorm_rename": _pivot_last5_sql(rename=True),
         "x3_sliding_union": _sliding_union_sql(),
+        "x3_trainset_labeled": _trainset_sql(),
         "dedup_exact": """
 SELECT min(doc_id) AS doc_id FROM documents
 GROUP BY md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))""",
