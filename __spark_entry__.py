@@ -344,6 +344,22 @@ def q_w6_rolling_window(spark, sf_dir):
         "r7d_count")
 
 
+def q_x6_set_ops(spark, sf_dir):
+    """Set operations (intersect/except — extension; 'not present' in the
+    reference, SURVEY §2.8): users active in BOTH halves of the window
+    minus users who errored in the final two days."""
+    ev = _events(spark, sf_dir)
+    mid = ev.agg(F.percentile(F.unix_timestamp("ts"), F.lit(0.5))) \
+        .collect()[0][0]
+    pred = ev.agg(F.max("ts")).collect()[0][0]
+    early = ev.filter(F.unix_timestamp("ts") <= mid).select("user_id")
+    late = ev.filter(F.unix_timestamp("ts") > mid).select("user_id")
+    err = ev.filter((F.col("event_type") == "error") &
+                    (F.col("ts") > F.lit(pred) - F.expr("INTERVAL 2 DAYS"))) \
+        .select("user_id")
+    return early.intersect(late).exceptAll(err.distinct())
+
+
 def q_a12_rollup(spark, sf_dir):
     """Grouping-set subtotals (rollup) over orders — extension; the
     reference has no cube/rollup (SURVEY §2.4)."""
@@ -956,6 +972,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w5_sessionize": q_w5_sessionize,
         "w6_rolling_window": q_w6_rolling_window,
         "a12_rollup": q_a12_rollup,
+        "x6_set_ops": q_x6_set_ops,
         "llm_curate": q_llm_curate,
         "llm_curate_report": q_llm_curate_report,
         "f5_outlier_removal": q_f5_outlier_removal,
@@ -1480,6 +1497,15 @@ WINDOW w AS (PARTITION BY user_id ORDER BY floor(extract(epoch FROM ts))
 SELECT o_orderpriority, o_orderstatus, CAST(count(*) AS BIGINT) AS n,
        round(sum(o_totalprice), 4) AS total
 FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)""",
+        "x6_set_ops": """
+WITH mid AS (SELECT quantile_cont(floor(epoch(ts)), 0.5) AS m FROM events),
+mx AS (SELECT max(ts) AS p FROM events),
+early AS (SELECT user_id FROM events CROSS JOIN mid WHERE floor(epoch(ts)) <= m),
+late AS (SELECT user_id FROM events CROSS JOIN mid WHERE floor(epoch(ts)) > m),
+err AS (SELECT DISTINCT user_id FROM events CROSS JOIN mx
+        WHERE event_type = 'error' AND ts > p - INTERVAL 2 DAY)
+SELECT user_id FROM (SELECT user_id FROM early INTERSECT SELECT user_id FROM late)
+EXCEPT ALL SELECT user_id FROM err""",
         "w5_sessionize": """
 SELECT event_id,
   CAST(sum(CASE WHEN gap IS NULL OR gap > 360*60 THEN 1 ELSE 0 END)

@@ -102,3 +102,72 @@ class TestScalingProperties:
         back = denormalize_columns(normed, ["x"], summary, scaling).toPandas()
         for orig, rt in zip(sorted(vals), sorted(back["x"])):
             assert rt == pytest.approx(orig, rel=1e-9, abs=1e-6)
+
+
+class TestEncodeProperties:
+    @given(vals=st.lists(st.sampled_from("abcdefgh"), min_size=1, max_size=60))
+    @settings(**SETTINGS)
+    def test_codes_are_freq_desc_then_value_asc(self, spark, vals):
+        from collections import Counter
+        from caspr_spark.operators import fit_encoding
+        df = spark.createDataFrame([(v,) for v in vals], "c string")
+        enc = fit_encoding(df, ["c"])
+        got = dict(enc.mappings["c"])
+        counts = Counter(vals)
+        want_order = sorted(counts, key=lambda v: (-counts[v], v))
+        assert got == {v: i + 1 for i, v in enumerate(want_order)}
+
+    @given(vals=st.lists(st.sampled_from("abcde"), min_size=1, max_size=40),
+           cap=st.integers(1, 4))
+    @settings(**SETTINGS)
+    def test_cap_keeps_top_k_and_unknowns_zero(self, spark, vals, cap):
+        from collections import Counter
+        from caspr_spark.operators import fit_encoding
+        df = spark.createDataFrame([(v,) for v in vals], "c string")
+        enc = fit_encoding(df, ["c"], max_cardinality=cap)
+        assert len(enc.mappings["c"]) == min(cap, len(set(vals)))
+        coded = enc.apply(df).toPandas()["c"]
+        counts = Counter(vals)
+        kept = set(sorted(counts, key=lambda v: (-counts[v], v))[:cap])
+        n_unknown = sum(1 for v in vals if v not in kept)
+        assert (coded == 0).sum() == n_unknown
+
+
+class TestAsofProperties:
+    @given(
+        lefts=st.lists(st.tuples(st.integers(1, 3), st.integers(0, 50)),
+                       min_size=1, max_size=15),
+        rights=st.lists(st.tuples(st.integers(1, 3), st.integers(0, 50),
+                                  st.floats(-10, 10, allow_nan=False)),
+                        min_size=1, max_size=15))
+    @settings(max_examples=8, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    def test_asof_matches_duckdb_on_random_data(self, spark, lefts, rights):
+        import duckdb
+        from pyspark.sql import functions as F
+        from caspr_spark.operators.joins import asof_join
+        # distinct (key, ts) on the right, as the operator contract requires
+        seen = set()
+        rights = [r for r in rights
+                  if (r[0], r[1]) not in seen and not seen.add((r[0], r[1]))]
+        ldf = spark.createDataFrame(
+            [(i, k, f"2024-01-01 00:{m:02d}:00") for i, (k, m) in
+             enumerate(lefts) if m < 60], "lid long, k long, ts_s string") \
+            .withColumn("ts", F.to_timestamp("ts_s")).drop("ts_s")
+        rdf = spark.createDataFrame(
+            [(k, f"2024-01-01 00:{m:02d}:00", v) for k, m, v in rights
+             if m < 60], "k long, ts_s string, val double") \
+            .withColumn("ts", F.to_timestamp("ts_s")).drop("ts_s")
+        got = asof_join(ldf, rdf, on=["k"], value_cols=["val"]) \
+            .select("lid", "val_asof").toPandas() \
+            .sort_values("lid").reset_index(drop=True)
+        con = duckdb.connect()
+        con.register("l", ldf.toPandas())
+        con.register("r", rdf.toPandas())
+        want = con.sql("""
+            SELECT l.lid, r.val AS val_asof FROM l
+            ASOF LEFT JOIN r ON l.k = r.k AND r.ts <= l.ts
+            ORDER BY l.lid""").df()
+        a = got["val_asof"].fillna(-999).values
+        b = want["val_asof"].fillna(-999).values
+        assert len(a) == len(b) and (abs(a - b) < 1e-9).all()
