@@ -13,7 +13,10 @@ from caspr_spark.operators import (
     normalize_columns, denormalize_columns,
 )
 
-SETTINGS = dict(max_examples=12, deadline=None,
+# derandomize: the sweeps must be reproducible in CI/driver runs — a
+# fresh random seed finding a novel counterexample mid-gate would read as
+# a flake, not a finding
+SETTINGS = dict(max_examples=12, deadline=None, derandomize=True,
                 suppress_health_check=[HealthCheck.function_scoped_fixture])
 
 
@@ -140,7 +143,7 @@ class TestAsofProperties:
         rights=st.lists(st.tuples(st.integers(1, 3), st.integers(0, 50),
                                   st.floats(-10, 10, allow_nan=False)),
                         min_size=1, max_size=15))
-    @settings(max_examples=8, deadline=None,
+    @settings(max_examples=8, deadline=None, derandomize=True,
               suppress_health_check=[HealthCheck.function_scoped_fixture])
     def test_asof_matches_duckdb_on_random_data(self, spark, lefts, rights):
         import duckdb
