@@ -360,6 +360,27 @@ def q_x6_set_ops(spark, sf_dir):
     return early.intersect(late).exceptAll(err.distinct())
 
 
+def q_w7_lead_dense_rank(spark, sf_dir):
+    """Remaining analytic forms (extension; 'not present' in reference,
+    SURVEY §2.5): lead to the next event's value, dense_rank over
+    per-user daily activity."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(),
+                                              F.col("event_id").asc())
+    wd = Window.partitionBy("user_id").orderBy(F.date_trunc("day", "ts"))
+    return ev.select(
+        "event_id",
+        F.lead("value", 1).over(w).alias("next_value"),
+        F.dense_rank().over(wd).cast("int").alias("day_rank"))
+
+
+def q_a13_cube(spark, sf_dir):
+    """CUBE grouping sets over orders (extension)."""
+    orders = _t(spark, sf_dir, "orders")
+    return (orders.cube("o_orderstatus", "o_orderpriority")
+            .agg(F.count("*").cast("long").alias("n")))
+
+
 def q_a12_rollup(spark, sf_dir):
     """Grouping-set subtotals (rollup) over orders — extension; the
     reference has no cube/rollup (SURVEY §2.4)."""
@@ -972,6 +993,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w5_sessionize": q_w5_sessionize,
         "w6_rolling_window": q_w6_rolling_window,
         "a12_rollup": q_a12_rollup,
+        "a13_cube": q_a13_cube,
+        "w7_lead_dense_rank": q_w7_lead_dense_rank,
         "x6_set_ops": q_x6_set_ops,
         "llm_curate": q_llm_curate,
         "llm_curate_report": q_llm_curate_report,
@@ -1497,6 +1520,16 @@ WINDOW w AS (PARTITION BY user_id ORDER BY floor(extract(epoch FROM ts))
 SELECT o_orderpriority, o_orderstatus, CAST(count(*) AS BIGINT) AS n,
        round(sum(o_totalprice), 4) AS total
 FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)""",
+        "a13_cube": """
+SELECT o_orderstatus, o_orderpriority, CAST(count(*) AS BIGINT) AS n
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""",
+        "w7_lead_dense_rank": """
+SELECT event_id,
+  lead(value, 1) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    AS next_value,
+  CAST(dense_rank() OVER (PARTITION BY user_id ORDER BY date_trunc('day', ts))
+       AS INT) AS day_rank
+FROM events""",
         "x6_set_ops": """
 WITH mid AS (SELECT quantile_cont(floor(epoch(ts)), 0.5) AS m FROM events),
 mx AS (SELECT max(ts) AS p FROM events),
