@@ -724,6 +724,32 @@ def q_train_linear_ae(spark, sf_dir):
         "epochs int, final_loss double, initial_loss double")
 
 
+def q_train_ae(spark, sf_dir):
+    """Teacher-forced autoencoder training — numpy backprop with the
+    reference's multi-criterion Σ CE + MSE loss (caspr/models/
+    model_wrapper.py:110-119,182-187) over the featurized events bundle
+    (no SQL oracle — iterative minibatch Adam; rows-only, fully seeded)."""
+    from caspr_spark.data import transform_and_load
+    from caspr_spark.models.autoencoder import fit_autoencoder
+    from caspr_spark.roles import ColumnRoles
+
+    wide = q_pipeline_events(spark, sf_dir).fillna(0.0)
+    roles = ColumnRoles(tgt_id=["user_id"], activity_date="ts",
+                        cat_cols=["event_type"], cont_cols=["value", "ts"],
+                        seq_cols=["event_type", "value", "ts"],
+                        non_seq_cols=[], output_cols=[])
+    bundle = transform_and_load(wide.toPandas(), roles, seq_len=SEQ_N)
+    model, hist = fit_autoencoder(bundle, hidden_dim=8, epochs=15, lr=3e-3,
+                                  batch_size=256, seed=7)
+    emb = model.encode(bundle.seq_cat, bundle.seq_cont,
+                       bundle.non_seq_cat, bundle.non_seq_cont)
+    return spark.createDataFrame(
+        [(len(hist), float(round(hist[0], 4)), float(round(min(hist), 4)),
+          bool(min(hist) < hist[0]), float(round(emb.var(axis=0).mean(), 6)))],
+        "epochs int, initial_loss double, best_loss double, "
+        "loss_decreased boolean, emb_var double")
+
+
 # --------------------------------------------------------------------------
 # Structured Streaming surface
 # --------------------------------------------------------------------------
@@ -961,7 +987,49 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Driver contract: the correctness gate certifies the FIRST 50 entries.
+
+    75 of the 86 queries carry full DuckDB oracles — more than one 50-slot
+    window holds — so certification rotates across rounds (COVERAGE.md maps
+    which round certified which row). Ordering discipline:
+      slots 1-26   oracle-bearing queries NOT yet driver-certified (round-1
+                   window missed the dedup/simsearch/streaming/metrics/
+                   scoring/text/multimodal suite),
+      slots 27-50  core round-1-certified rows retained in-window (one per
+                   SURVEY §2 family: pipelines, filters, encodes, pivots),
+      slots 51+    remaining oracle-bearing queries (all driver-green in
+                   CORRECTNESS_r01.json), then rows-only / no-oracle
+                   queries (seeded RNG, iterative) at the very end.
+    """
     return {
+        # --- slots 1-26: oracle-bearing, uncertified in round 1 ----------
+        "j2_semi_prune": q_j2_semi_prune,
+        "p7_array_pack": q_p7_array_pack,
+        "s1_parquet_roundtrip": q_s1_parquet_roundtrip,
+        "stream_windowed_stats": q_stream_windowed_stats,
+        "stream_last3_state": q_stream_last3_state,
+        "stream_static_join": q_stream_static_join,
+        "stream_dedup": q_stream_dedup,
+        "score_linear": q_score_linear,
+        "metrics_confusion": q_metrics_confusion,
+        "metrics_roc_auc": q_metrics_roc_auc,
+        "metrics_roc_auc_binned": q_metrics_roc_auc_binned,
+        "simsearch_topk": q_simsearch_topk,
+        "simsearch_topk_lsh": q_simsearch_topk_lsh,
+        "emb_near_dup": q_emb_near_dup,
+        "explain_linear_ablation": q_explain_linear_ablation,
+        "x3_trainset_labeled": q_x3_trainset_labeled,
+        "dedup_exact": q_dedup_exact,
+        "dedup_components": q_dedup_components,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "text_token_counts": q_text_token_counts,
+        "text_quality": q_text_quality,
+        "text_langid": q_text_langid,
+        "text_fingerprint": q_text_fingerprint,
+        "multimodal_binary_meta": q_multimodal_binary_meta,
+        "multimodal_features": q_multimodal_features,
+        "multimodal_frames": q_multimodal_frames,
+        # --- slots 27-50: core rows retained from the round-1 window -----
         "pipeline_events": q_pipeline_events,
         "pipeline_events_array": q_pipeline_events_array,
         "pipeline_lineitem": q_pipeline_lineitem,
@@ -971,83 +1039,60 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f1_history_window": q_f1_history_window,
         "f2_last_n": q_f2_last_n,
         "f4_profile_dedup": q_f4_profile_dedup,
-        "a1_cardinality": q_a1_cardinality,
-        "a2_topk_cat_freq": q_a2_topk_cat_freq,
-        "a5_events_per_entity": q_a5_events_per_entity,
-        "a6_seq_len_percentile": q_a6_seq_len_percentile,
-        "a7_lookback_period": q_a7_lookback_period,
+        "f5_outlier_removal": q_f5_outlier_removal,
+        "f6_null_drop": q_f6_null_drop,
         "e1_encode_capped": q_e1_encode_capped,
+        "e2_encode_collect": q_e2_encode_collect,
+        "e3_decode_roundtrip": q_e3_decode_roundtrip,
         "e5_normalize_minmax": q_e5_normalize_minmax,
-        "e5_normalize_standard": q_e5_normalize_standard,
         "e6_denormalize_roundtrip": q_e6_denormalize_roundtrip,
         "e7_date_interval": q_e7_date_interval,
+        "e8_date_fill_pivoted": q_e8_date_fill_pivoted,
+        "e9_fill_nans_pivoted": q_e9_fill_nans_pivoted,
         "e10_quantile_bucket": q_e10_quantile_bucket,
-        "p3_pivot_last5": q_p3_pivot_last5,
-        "p3_pivot_lineitem": q_p3_pivot_lineitem,
         "p1_left_pad": q_p1_left_pad,
+        "p3_pivot_last5": q_p3_pivot_last5,
+        "x3_sliding_union": q_x3_sliding_union,
+        "llm_curate": q_llm_curate,
+        # --- slots 51+: oracle-bearing, driver-green in round 1 ----------
+        "llm_curate_report": q_llm_curate_report,
+        "p3_pivot_lineitem": q_p3_pivot_lineitem,
         "e1_fit_apply_split": q_e1_fit_apply_split,
         "e5_fit_apply_split": q_e5_fit_apply_split,
+        "e5_normalize_standard": q_e5_normalize_standard,
         "p6_petastorm_rename": q_p6_petastorm_rename,
-        "x3_sliding_union": q_x3_sliding_union,
         "json_extract": q_json_extract,
         "w5_sessionize": q_w5_sessionize,
         "w6_rolling_window": q_w6_rolling_window,
+        "w7_lead_dense_rank": q_w7_lead_dense_rank,
         "a12_rollup": q_a12_rollup,
         "a13_cube": q_a13_cube,
-        "w7_lead_dense_rank": q_w7_lead_dense_rank,
         "x6_set_ops": q_x6_set_ops,
-        "llm_curate": q_llm_curate,
-        "llm_curate_report": q_llm_curate_report,
-        "f5_outlier_removal": q_f5_outlier_removal,
-        "f6_null_drop": q_f6_null_drop,
+        "a1_cardinality": q_a1_cardinality,
+        "a2_topk_cat_freq": q_a2_topk_cat_freq,
         "a3_summary_stats": q_a3_summary_stats,
+        "a4_max_date": q_a4_max_date,
+        "a5_events_per_entity": q_a5_events_per_entity,
+        "a6_seq_len_percentile": q_a6_seq_len_percentile,
+        "a7_lookback_period": q_a7_lookback_period,
         "a8_collect_distinct": q_a8_collect_distinct,
         "a9_label_multihot": q_a9_label_multihot,
         "a10_segment_profile": q_a10_segment_profile,
         "a11_nunique_lineitem": q_a11_nunique_lineitem,
         "asof_join": q_asof_join,
-        "e2_encode_collect": q_e2_encode_collect,
-        "a4_max_date": q_a4_max_date,
+        # --- rows-only / no-oracle queries last --------------------------
         "x5_sample": q_x5_sample,
-        "e3_decode_roundtrip": q_e3_decode_roundtrip,
-        "e8_date_fill_pivoted": q_e8_date_fill_pivoted,
-        "e9_fill_nans_pivoted": q_e9_fill_nans_pivoted,
-        "j2_semi_prune": q_j2_semi_prune,
-        "p7_array_pack": q_p7_array_pack,
-        "s1_parquet_roundtrip": q_s1_parquet_roundtrip,
         "x1_three_way_split": q_x1_three_way_split,
-        "stream_windowed_stats": q_stream_windowed_stats,
-        "stream_last3_state": q_stream_last3_state,
-        "stream_static_join": q_stream_static_join,
-        "stream_dedup": q_stream_dedup,
-        "score_linear": q_score_linear,
         "score_lstm": q_score_lstm,
         "score_transformer": q_score_transformer,
         "e11_oversample": q_e11_oversample,
-        "metrics_confusion": q_metrics_confusion,
-        "metrics_roc_auc": q_metrics_roc_auc,
-        "metrics_roc_auc_binned": q_metrics_roc_auc_binned,
         "e10_quantile_approx": q_e10_quantile_approx,
         "segment_kmeans": q_segment_kmeans,
         "train_linear_ae": q_train_linear_ae,
-        "simsearch_topk_lsh": q_simsearch_topk_lsh,
+        "train_ae": q_train_ae,
         "simsearch_topk_ivf": q_simsearch_topk_ivf,
-        "explain_linear_ablation": q_explain_linear_ablation,
-        "x3_trainset_labeled": q_x3_trainset_labeled,
-        "emb_near_dup": q_emb_near_dup,
-        "multimodal_features": q_multimodal_features,
-        "multimodal_frames": q_multimodal_frames,
-        "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
-        "dedup_components": q_dedup_components,
-        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-        "text_token_counts": q_text_token_counts,
-        "text_quality": q_text_quality,
-        "text_langid": q_text_langid,
-        "text_fingerprint": q_text_fingerprint,
-        "multimodal_binary_meta": q_multimodal_binary_meta,
-        "simsearch_topk": q_simsearch_topk,
     }
 
 

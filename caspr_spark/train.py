@@ -34,7 +34,14 @@ from pyspark.sql import functions as F
 
 @dataclass
 class EarlyStopping:
-    """Stop after ``patience`` epochs without ``min_delta`` improvement."""
+    """Stop after ``patience`` epochs without ``min_delta`` improvement.
+
+    With ``checkpoint_path`` (or the ``step`` kwarg), each improvement also
+    persists the best state to disk — the torch-free twin of the
+    reference's checkpoint sink (caspr/utils/early_stopping.py saves via
+    ``torch.save`` on improvement; SURVEY S6): weights as ``.npz`` keyed
+    ``p0..pN`` plus a sidecar ``.json`` of loss/epoch.
+    """
 
     patience: int = 8
     min_delta: float = 1e-5
@@ -42,20 +49,49 @@ class EarlyStopping:
     counter: int = 0
     best_state: list = field(default_factory=list)
     stopped_epoch: int | None = None
+    checkpoint_path: str | None = None
 
-    def step(self, loss: float, epoch: int, state: list | None = None) -> bool:
+    def step(self, loss: float, epoch: int, state: list | None = None,
+             checkpoint_path: str | None = None) -> bool:
         """Record one epoch; returns True when training should stop."""
         if loss < self.best_loss - self.min_delta:
             self.best_loss = loss
             self.counter = 0
             if state is not None:
                 self.best_state = [np.copy(p) for p in state]
+                path = checkpoint_path or self.checkpoint_path
+                if path:
+                    save_checkpoint(path, self.best_state, loss, epoch)
         else:
             self.counter += 1
             if self.counter >= self.patience:
                 self.stopped_epoch = epoch
                 return True
         return False
+
+
+def save_checkpoint(path: str, state: list, loss: float, epoch: int) -> None:
+    """Persist weights (npz) + metadata (json) — SURVEY S6 checkpoint sink."""
+    import json
+
+    np.savez(path if path.endswith(".npz") else path + ".npz",
+             **{f"p{i}": np.asarray(w) for i, w in enumerate(state)})
+    meta = (path[:-4] if path.endswith(".npz") else path) + ".json"
+    with open(meta, "w") as fh:
+        json.dump({"best_loss": float(loss), "epoch": int(epoch)}, fh)
+
+
+def load_checkpoint(path: str) -> tuple[list, dict]:
+    """Restore ``(state, meta)`` written by :func:`save_checkpoint`."""
+    import json
+
+    npz = path if path.endswith(".npz") else path + ".npz"
+    with np.load(npz) as z:
+        state = [z[f"p{i}"] for i in range(len(z.files))]
+    meta_path = (path[:-4] if path.endswith(".npz") else path) + ".json"
+    with open(meta_path) as fh:
+        meta = json.load(fh)
+    return state, meta
 
 
 def warmup_lr(base_lr: float, epoch: int, warmup_epochs: int = 5) -> float:
