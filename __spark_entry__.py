@@ -708,6 +708,56 @@ def q_segment_kmeans(spark, sf_dir):
                .select(F.col("segment").cast("int"), "n"))
 
 
+DEC_K = 4
+DEC_SEED = 97
+
+
+def _dec_centers():
+    from caspr_spark.dec import xavier_centers
+    return xavier_centers(DEC_K, 64, seed=DEC_SEED)
+
+
+def q_segment_dec(spark, sf_dir):
+    """DEC student-t soft assignment + target distribution + hard cluster
+    (caspr/models/dec.py:42-57,107-119) with fixed Xavier-init centroids —
+    closed-form given centers, so the whole thing is map-side expressions
+    plus one k-double aggregate and has an exact SQL oracle."""
+    from caspr_spark.dec import (hard_assignment, soft_assignment,
+                                 target_distribution)
+    emb = _t(spark, sf_dir, "embeddings")
+    q = soft_assignment(emb, "embedding", _dec_centers())
+    # round q before the f_j sums so both engines aggregate identical values
+    for j in range(DEC_K):
+        q = q.withColumn(f"q{j}", F.round(F.col(f"q{j}"), 6))
+    p = target_distribution(q, DEC_K)
+    out = hard_assignment(p, DEC_K)
+    return out.select(
+        "vec_id", "cluster",
+        *[F.col(f"q{j}") for j in range(DEC_K)],
+        *[F.round(F.col(f"p{j}"), 6).alias(f"p{j}") for j in range(DEC_K)])
+
+
+def q_segment_dec_fit(spark, sf_dir):
+    """Full DEC fit: seeded KMeans init + KL centroid refinement +
+    Hungarian-matched accuracy vs the generator labels (dec_utils.py:9-66;
+    no SQL oracle — iterative optimization; rows-only, fully seeded)."""
+    import numpy as np
+    from caspr_spark.dec import _soft_np, cluster_accuracy, fit_dec
+    pdf = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding",
+                                                 "label").toPandas()
+    Z = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    centers, hist = fit_dec(Z, k=10, seed=11, lr=0.5, epochs=40)
+    labels = _soft_np(Z, centers).argmax(axis=1)
+    _, acc = cluster_accuracy(pdf["label"].to_numpy(), labels,
+                              cluster_number=10)
+    sizes = np.bincount(labels, minlength=10)
+    return spark.createDataFrame(
+        [(len(hist), float(round(hist[0], 6)), float(round(hist[-1], 6)),
+          float(round(acc, 4)), int(sizes.max()), int(sizes.min()))],
+        "epochs int, initial_kl double, final_kl double, accuracy double, "
+        "max_cluster int, min_cluster int")
+
+
 def q_train_linear_ae(spark, sf_dir):
     """Distributed linear-AE fit: one Gram pass + driver GD (no SQL oracle
     — iterative optimization; rows-only check)."""
@@ -1029,7 +1079,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_binary_meta": q_multimodal_binary_meta,
         "multimodal_features": q_multimodal_features,
         "multimodal_frames": q_multimodal_frames,
-        # --- slots 27-50: core rows retained from the round-1 window -----
+        "segment_dec": q_segment_dec,
+        # --- slots 28-50: core rows retained from the round-1 window -----
         "pipeline_events": q_pipeline_events,
         "pipeline_events_array": q_pipeline_events_array,
         "pipeline_lineitem": q_pipeline_lineitem,
@@ -1053,8 +1104,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p1_left_pad": q_p1_left_pad,
         "p3_pivot_last5": q_p3_pivot_last5,
         "x3_sliding_union": q_x3_sliding_union,
-        "llm_curate": q_llm_curate,
         # --- slots 51+: oracle-bearing, driver-green in round 1 ----------
+        "llm_curate": q_llm_curate,
         "llm_curate_report": q_llm_curate_report,
         "p3_pivot_lineitem": q_p3_pivot_lineitem,
         "e1_fit_apply_split": q_e1_fit_apply_split,
@@ -1088,6 +1139,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e11_oversample": q_e11_oversample,
         "e10_quantile_approx": q_e10_quantile_approx,
         "segment_kmeans": q_segment_kmeans,
+        "segment_dec_fit": q_segment_dec_fit,
         "train_linear_ae": q_train_linear_ae,
         "train_ae": q_train_ae,
         "simsearch_topk_ivf": q_simsearch_topk_ivf,
@@ -1099,6 +1151,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # --------------------------------------------------------------------------
 # DuckDB oracles
 # --------------------------------------------------------------------------
+
+def _dec_sql() -> str:
+    """Exact SQL twin of q_segment_dec: same centroid literals, same
+    left-associative fp addition order as the Spark zip_with/aggregate
+    fold, q rounded to 6dp before the f_j sums on both engines."""
+    k, centers = DEC_K, _dec_centers()
+    nsq = []
+    for j in range(k):
+        terms = " + ".join(
+            f"(embedding[{i + 1}]::DOUBLE - {float(centers[j][i])!r})"
+            f"*(embedding[{i + 1}]::DOUBLE - {float(centers[j][i])!r})"
+            for i in range(64))
+        nsq.append(f"({terms}) AS nsq{j}")
+    tot = " + ".join(f"1.0/(1.0 + nsq{j})" for j in range(k))
+    wt = " + ".join(f"w{j}" for j in range(k))
+    cluster = " ".join(f"WHEN q{j} = g THEN {j}" for j in range(k - 1))
+    return f"""
+WITH d AS (SELECT vec_id, {', '.join(nsq)} FROM embeddings),
+n AS (SELECT vec_id, {', '.join(f'1.0/(1.0 + nsq{j}) AS nq{j}' for j in range(k))},
+             ({tot}) AS tot FROM d),
+qr AS (SELECT vec_id, {', '.join(f'round(nq{j}/tot, 6) AS q{j}' for j in range(k))} FROM n),
+f AS (SELECT {', '.join(f'sum(q{j}) AS f{j}' for j in range(k))} FROM qr),
+w AS (SELECT qr.*, {', '.join(f'q{j}*q{j}/f{j} AS w{j}' for j in range(k))}
+      FROM qr CROSS JOIN f),
+g AS (SELECT w.*, greatest({', '.join(f'q{j}' for j in range(k))}) AS g,
+             ({wt}) AS wt FROM w)
+SELECT vec_id, CAST(CASE {cluster} ELSE {k - 1} END AS INT) AS cluster,
+       {', '.join(f'q{j}' for j in range(k))},
+       {', '.join(f'round(w{j}/wt, 6) AS p{j}' for j in range(k))}
+FROM g"""
 
 def _pivot_cases(n, src, alias_prefix, fill="0"):
     return ",\n  ".join(
@@ -1939,6 +2021,7 @@ s AS (
 SELECT query_id, vec_id, cosine, CAST(rk AS INT) AS rank FROM (
   SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rk
   FROM s) WHERE rk <= 5""",
+        "segment_dec": _dec_sql(),
         "dedup_ngram_jaccard": _NGRAM_PAIRS_SQL,
         "dedup_components": f"""
 WITH RECURSIVE pairs AS ({_NGRAM_PAIRS_SQL}),

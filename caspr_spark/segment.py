@@ -5,9 +5,9 @@ silhouette-driven k sweep, PCA by explained-variance threshold, qcut
 decile scoring, per-cluster profiling). Rebuilt on MLlib so the fit is
 distributed: ``pyspark.ml.clustering.KMeans`` (seeded, k-means||),
 ``pyspark.ml.feature.PCA``, ``ClusteringEvaluator`` (silhouette).
-DEC (deep embedded clustering, caspr/models/dec.py) needs torch and is
-intentionally not reproduced here; KMeans covers the segmentation
-surface.
+DEC (deep embedded clustering, caspr/models/dec.py) lives in
+``caspr_spark.dec`` — torch-free: closed-form student-t assignment as
+Spark expressions, KL centroid refinement in numpy.
 """
 
 from __future__ import annotations

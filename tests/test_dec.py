@@ -1,0 +1,155 @@
+"""DEC — student-t assignment, target distribution, KL fit, Hungarian
+accuracy (reference caspr/models/dec.py:10-119, caspr/utils/segmentation/
+dec_utils.py:9-66)."""
+
+from itertools import permutations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from caspr_spark.dec import (
+    _linear_sum_assignment, _soft_np, _target_np, cluster_accuracy,
+    dec_loss_and_grad, fit_dec, hard_assignment, kl_divergence, kmeans_np,
+    soft_assignment, target_distribution, xavier_centers,
+)
+
+
+def _blobs(rng, means, n=80, scale=0.3):
+    Z = np.concatenate([rng.normal(loc=m, scale=scale, size=(n, len(m)))
+                        for m in means])
+    y = np.repeat(np.arange(len(means)), n)
+    return Z, y
+
+
+class TestNumpyCore:
+    def test_soft_assignment_rows_sum_to_one(self):
+        rng = np.random.default_rng(0)
+        q = _soft_np(rng.normal(size=(50, 4)), rng.normal(size=(3, 4)))
+        np.testing.assert_allclose(q.sum(axis=1), 1.0)
+        assert (q > 0).all()
+
+    def test_target_distribution_matches_reference_formula(self):
+        """p = (q²/f).T normalized — dec.py:107-119 Eq. 3."""
+        rng = np.random.default_rng(1)
+        q = _soft_np(rng.normal(size=(20, 3)), rng.normal(size=(4, 3)))
+        p = _target_np(q)
+        w = q ** 2 / q.sum(axis=0)
+        np.testing.assert_allclose(p, (w.T / w.sum(axis=1)).T)
+        np.testing.assert_allclose(p.sum(axis=1), 1.0)
+
+    def test_gradient_matches_numerical_with_detached_target(self):
+        """The reference detaches the target (dec.py:102 ``.detach()``),
+        so the gradient check holds p fixed."""
+        rng = np.random.default_rng(0)
+        Z = rng.normal(size=(30, 5))
+        centers = rng.normal(size=(3, 5))
+        _, grad, _, p0 = dec_loss_and_grad(Z, centers)
+
+        def loss_fixed_p(c):
+            q = _soft_np(Z, c)
+            return float((p0 * np.log(p0 / q)).sum() / len(Z))
+
+        eps = 1e-6
+        for j in range(3):
+            for d in range(5):
+                cp, cm = centers.copy(), centers.copy()
+                cp[j, d] += eps
+                cm[j, d] -= eps
+                num = (loss_fixed_p(cp) - loss_fixed_p(cm)) / (2 * eps)
+                ana = grad[j, d]
+                assert abs(num - ana) / (abs(num) + abs(ana) + 1e-10) < 1e-5
+
+    def test_fit_dec_recovers_blobs_and_loss_decreases(self):
+        rng = np.random.default_rng(5)
+        Z, y = _blobs(rng, [[0, 0, 0], [4, 4, 0], [0, 4, 4], [4, 0, 4]])
+        centers, hist = fit_dec(Z, 4, seed=1, epochs=30)
+        labels = _soft_np(Z, centers).argmax(axis=1)
+        _, acc = cluster_accuracy(y, labels, cluster_number=4)
+        assert acc == 1.0
+        assert hist[-1] <= hist[0] + 1e-12
+
+    def test_kmeans_np_deterministic(self):
+        rng = np.random.default_rng(2)
+        Z, _ = _blobs(rng, [[0, 0], [5, 5]])
+        c1, l1 = kmeans_np(Z, 2, seed=9)
+        c2, l2 = kmeans_np(Z, 2, seed=9)
+        np.testing.assert_array_equal(c1, c2)
+        np.testing.assert_array_equal(l1, l2)
+
+    def test_xavier_centers_bound_and_seeded(self):
+        c = xavier_centers(4, 64, seed=7)
+        a = np.sqrt(6.0 / (4 + 64))
+        assert (np.abs(c) <= a).all()
+        np.testing.assert_array_equal(c, xavier_centers(4, 64, seed=7))
+
+
+class TestHungarian:
+    def test_matches_brute_force(self):
+        rng = np.random.default_rng(0)
+        for _ in range(50):
+            n = int(rng.integers(2, 6))
+            cost = rng.normal(size=(n, n))
+            r, c = _linear_sum_assignment(cost)
+            got = cost[r, c].sum()
+            best = min(sum(cost[i, p[i]] for i in range(n))
+                       for p in permutations(range(n)))
+            assert got == pytest.approx(best)
+
+    def test_cluster_accuracy_permutation_invariant(self):
+        y = np.array([0, 0, 1, 1, 2, 2])
+        relabeled = np.array([2, 2, 0, 0, 1, 1])
+        _, acc = cluster_accuracy(y, relabeled)
+        assert acc == 1.0
+        _, acc2 = cluster_accuracy(y, np.array([2, 2, 0, 0, 1, 0]))
+        assert acc2 == pytest.approx(5 / 6)
+
+
+class TestSparkSide:
+    @pytest.fixture(scope="class")
+    def emb_df(self, spark):
+        rng = np.random.default_rng(3)
+        Z = rng.normal(size=(40, 6)).astype(np.float32)
+        return (spark.createDataFrame(
+            [(i, [float(v) for v in Z[i]]) for i in range(40)],
+            "id long, embedding array<float>"), Z)
+
+    def test_spark_assignment_matches_numpy(self, emb_df):
+        df, Z = emb_df
+        centers = xavier_centers(3, 6, seed=5)
+        q = soft_assignment(df, "embedding", centers)
+        pdf = q.orderBy("id").toPandas()
+        expected = _soft_np(Z.astype(np.float64), centers)
+        got = pdf[["q0", "q1", "q2"]].to_numpy()
+        np.testing.assert_allclose(got, expected, rtol=1e-6, atol=1e-7)
+
+    def test_spark_target_and_kl_match_numpy(self, emb_df):
+        df, Z = emb_df
+        centers = xavier_centers(3, 6, seed=5)
+        q = soft_assignment(df, "embedding", centers)
+        p = target_distribution(q, 3)
+        pdf = p.orderBy("id").toPandas()
+        qn = _soft_np(Z.astype(np.float64), centers)
+        pn = _target_np(qn)
+        np.testing.assert_allclose(pdf[["p0", "p1", "p2"]].to_numpy(), pn,
+                                   rtol=1e-6, atol=1e-7)
+        kl = kl_divergence(p, 3)
+        assert kl == pytest.approx(float((pn * np.log(pn / qn)).sum()
+                                         / len(Z)), rel=1e-6)
+
+    def test_hard_assignment_is_argmax(self, emb_df):
+        df, Z = emb_df
+        centers = xavier_centers(3, 6, seed=5)
+        out = hard_assignment(soft_assignment(df, "embedding", centers), 3)
+        pdf = out.orderBy("id").toPandas()
+        expected = _soft_np(Z.astype(np.float64), centers).argmax(axis=1)
+        np.testing.assert_array_equal(pdf["cluster"].to_numpy(), expected)
+
+    def test_soft_assignment_plan_is_map_only(self, emb_df):
+        """k map-side expressions, no shuffle, no Python UDF."""
+        df, _ = emb_df
+        q = soft_assignment(df, "embedding", xavier_centers(3, 6, seed=5))
+        plan = q._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
