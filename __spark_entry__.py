@@ -32,7 +32,8 @@ from caspr_spark.llm.text import (
 )
 from caspr_spark.llm.dedup import exact_dedup, minhash_lsh_dedup, simhash
 from caspr_spark.llm.similarity import (
-    cosine_topk, cosine_topk_lsh, embedding_near_duplicates, random_hyperplanes,
+    cosine_topk, cosine_topk_lsh, embedding_near_duplicates, lsh_plan,
+    random_hyperplanes,
 )
 from caspr_spark.llm.multimodal import (
     attach_binary_payload, extract_features, sample_frames,
@@ -42,6 +43,12 @@ SEQ_N = 5
 HIST_DAYS = 14
 ORDERS_N = 3
 ORDERS_HIST = 365
+
+# OR-amplified LSH sizing for the sf0.01 certification corpus (N=500).
+# Shared between the Spark queries and the DuckDB oracle SQL so both
+# engines bucket with byte-identical plane sets.
+LSH_TOPK_PLANES, LSH_TOPK_TABLES = lsh_plan(500, threshold=0.3, n_planes=4)
+LSH_NDUP_PLANES, LSH_NDUP_TABLES = lsh_plan(500, threshold=0.45, n_planes=4)
 
 
 def _utc(spark: SparkSession) -> SparkSession:
@@ -937,18 +944,26 @@ def q_simsearch_topk(spark, sf_dir):
 
 
 def q_simsearch_topk_lsh(spark, sf_dir):
-    """ANN scale path: LSH-bucketed candidate pruning + exact re-rank."""
+    """ANN scale path: OR-amplified LSH candidate pruning + exact re-rank.
+
+    Plane/table counts come from ``lsh_plan`` sized for the sf0.01
+    certification corpus (N=500, target sim 0.3, recall 0.9) and are
+    shared verbatim with the DuckDB oracle's bucket expressions.
+    """
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
-    out = cosine_topk_lsh(emb, queries, k=5, n_planes=4)
+    out = cosine_topk_lsh(emb, queries, k=5, dim=64,
+                          n_planes=LSH_TOPK_PLANES, n_tables=LSH_TOPK_TABLES)
     return out.select("query_id", "vec_id", "cosine",
                       F.col("rank").cast("int").alias("rank"))
 
 
 def q_emb_near_dup(spark, sf_dir):
-    """Embedding-cosine near-duplicate pairs (LSH-bucketed self-join)."""
+    """Embedding-cosine near-duplicate pairs (OR-amplified LSH self-join)."""
     emb = _t(spark, sf_dir, "embeddings")
-    return embedding_near_duplicates(emb, threshold=0.45, n_planes=4)
+    return embedding_near_duplicates(emb, threshold=0.45, dim=64,
+                                     n_planes=LSH_NDUP_PLANES,
+                                     n_tables=LSH_NDUP_TABLES)
 
 
 def q_multimodal_features(spark, sf_dir):
@@ -1500,10 +1515,18 @@ def _lsh_bucket_sql(vec_expr: str, n_planes: int, dim: int = 64,
     return " + ".join(terms)
 
 
-def _lsh_base_sql(n_planes: int) -> str:
-    return (f"SELECT vec_id, embedding::DOUBLE[] AS v, "
-            f"{_lsh_bucket_sql('embedding::DOUBLE[]', n_planes)} AS bkt "
-            f"FROM embeddings")
+def _lsh_base_sql(n_planes: int, n_tables: int = 1) -> str:
+    """Multi-table twin of ``add_lsh_buckets`` — table t seeds 42 + 1000t."""
+    bkts = ", ".join(
+        f"{_lsh_bucket_sql('embedding::DOUBLE[]', n_planes, seed=42 + 1000 * t)}"
+        f" AS bkt{t}" for t in range(n_tables))
+    return f"SELECT vec_id, embedding::DOUBLE[] AS v, {bkts} FROM embeddings"
+
+
+def _lsh_or_sql(a: str, b: str, n_tables: int) -> str:
+    """OR-amplified collision predicate: same bucket in any table."""
+    return "(" + " OR ".join(f"{a}.bkt{t} = {b}.bkt{t}"
+                             for t in range(n_tables)) + ")"
 
 
 _COS_SQL = ("list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a})) "
@@ -1900,20 +1923,22 @@ SELECT round(sum(p * (seen + n / 2.0))
              / (CAST(sum(p) AS DOUBLE) * sum(n)), 9) AS auc
 FROM o""",
         "simsearch_topk_lsh": f"""
-WITH b AS ({_lsh_base_sql(4)}),
-q AS (SELECT vec_id AS query_id, v AS qv, bkt FROM b WHERE vec_id < 5),
-s AS (SELECT q.query_id, b.vec_id,
-        round({_COS_SQL.format(a="q.qv", b="b.v")}, 6) AS cosine
-      FROM b JOIN q ON b.bkt = q.bkt AND b.vec_id != q.query_id)
+WITH b AS ({_lsh_base_sql(LSH_TOPK_PLANES, LSH_TOPK_TABLES)}),
+q AS (SELECT * FROM b WHERE vec_id < 5),
+s AS (SELECT q.vec_id AS query_id, b.vec_id,
+        round({_COS_SQL.format(a="q.v", b="b.v")}, 6) AS cosine
+      FROM b JOIN q ON {_lsh_or_sql("b", "q", LSH_TOPK_TABLES)}
+                   AND b.vec_id != q.vec_id)
 SELECT query_id, vec_id, cosine, CAST(rk AS INT) AS rank FROM (
   SELECT *, row_number() OVER (PARTITION BY query_id
                                ORDER BY cosine DESC, vec_id ASC) AS rk
   FROM s) WHERE rk <= 5""",
         "emb_near_dup": f"""
-WITH b AS ({_lsh_base_sql(4)})
+WITH b AS ({_lsh_base_sql(LSH_NDUP_PLANES, LSH_NDUP_TABLES)})
 SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b,
        round({_COS_SQL.format(a="a.v", b="c.v")}, 6) AS cosine
-FROM b a JOIN b c ON a.bkt = c.bkt AND a.vec_id < c.vec_id
+FROM b a JOIN b c ON {_lsh_or_sql("a", "c", LSH_NDUP_TABLES)}
+                 AND a.vec_id < c.vec_id
 WHERE round({_COS_SQL.format(a="a.v", b="c.v")}, 6) >= 0.45""",
         "multimodal_features": f"""
 SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

@@ -12,7 +12,8 @@ from caspr_spark.llm.dedup import (
     exact_dedup, minhash_signatures, minhash_lsh_dedup, simhash, ngram_jaccard_pairs,
 )
 from caspr_spark.llm.similarity import (
-    cosine_topk, cosine_topk_lsh, add_lsh_bucket, embedding_near_duplicates,
+    cosine_topk, cosine_topk_lsh, add_lsh_bucket, add_lsh_buckets,
+    embedding_near_duplicates, lsh_plan,
 )
 from caspr_spark.llm.multimodal import (
     attach_binary_payload, extract_features, sample_frames,
@@ -23,7 +24,8 @@ __all__ = [
     "add_token_counts", "add_quality_signals", "add_language_id", "add_fingerprint",
     "exact_dedup", "minhash_signatures", "minhash_lsh_dedup", "simhash",
     "ngram_jaccard_pairs",
-    "cosine_topk", "cosine_topk_lsh", "add_lsh_bucket", "embedding_near_duplicates",
+    "cosine_topk", "cosine_topk_lsh", "add_lsh_bucket", "add_lsh_buckets",
+    "embedding_near_duplicates", "lsh_plan",
     "attach_binary_payload", "extract_features", "sample_frames",
     "curate_corpus", "curation_report",
 ]

@@ -158,6 +158,85 @@ class TestSimilarity:
         for r in pairs.collect():
             assert r["id_a"] < r["id_b"] and r["cosine"] >= 0.5
 
+    def test_lsh_plan_scaling(self):
+        from caspr_spark.llm.similarity import lsh_plan
+        # planes grow log2 with corpus so expected bucket size stays bounded
+        p_small, _ = lsh_plan(2_000, threshold=0.3)
+        p_big, _ = lsh_plan(10**9, threshold=0.9)
+        assert p_small == 4 and p_big >= 20
+        # high-similarity targets need few tables even at many planes;
+        # low-similarity targets honestly report needing more tables
+        _, t_easy = lsh_plan(10**6, threshold=0.95, n_planes=20)
+        _, t_hard = lsh_plan(10**6, threshold=0.3, n_planes=20)
+        assert t_easy < t_hard
+
+    def test_multi_table_recall_monotone(self, embeddings):
+        """OR-amplification: more tables can only add candidate pairs."""
+        one = {(r["id_a"], r["id_b"]) for r in embedding_near_duplicates(
+            embeddings, threshold=0.3, n_planes=4, n_tables=1).collect()}
+        four = {(r["id_a"], r["id_b"]) for r in embedding_near_duplicates(
+            embeddings, threshold=0.3, n_planes=4, n_tables=4).collect()}
+        assert one <= four
+
+
+@pytest.mark.slow
+class TestLshRecallSf01:
+    """The scale gate for the ANN path: recall@10 >= 0.9 at sf0.1 with the
+    lsh_plan-sized index, and bucket sizes bounded well below the corpus."""
+
+    SF_DIR = "/root/testdata/sf0.1"
+
+    @pytest.fixture(scope="class")
+    def emb01(self, spark):
+        import os
+        path = f"{self.SF_DIR}/embeddings.parquet"
+        if not os.path.exists(path):
+            pytest.skip("sf0.1 testdata not present")
+        from caspr_spark.sources import read_parquet_table
+        return read_parquet_table(spark, path).cache()
+
+    def test_recall_at_10(self, emb01):
+        import numpy as np
+        from caspr_spark.llm.similarity import lsh_plan
+        pdf = emb01.select("vec_id", "embedding").toPandas()
+        ids = pdf["vec_id"].to_numpy()
+        mat = np.stack(pdf["embedding"].map(np.asarray)).astype("float64")
+        n = len(ids)
+        n_planes, n_tables = lsh_plan(n, threshold=0.3, target_recall=0.9)
+
+        n_queries = 200
+        out = cosine_topk_lsh(emb01, emb01.filter(f"vec_id < {n_queries}"),
+                              k=10, dim=64, n_planes=n_planes,
+                              n_tables=n_tables, n_corpus=n)
+        got = {}
+        for r in out.collect():
+            got.setdefault(r["query_id"], set()).add(r["vec_id"])
+
+        # exact top-10 with the same 6dp rounding + id tiebreak
+        mn = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        sims = mn @ mn.T
+        order = dict(zip(ids, range(n)))
+        hits = total = 0
+        for q in range(n_queries):
+            qi = order[q]
+            ranked = sorted(((round(sims[qi, j], 6), ids[j])
+                             for j in range(n) if ids[j] != q),
+                            key=lambda t: (-t[0], t[1]))[:10]
+            truth = {i for _, i in ranked}
+            hits += len(truth & got.get(q, set()))
+            total += 10
+        assert hits / total >= 0.9, f"recall@10 = {hits / total:.3f}"
+
+    def test_bucket_sizes_bounded(self, emb01):
+        from caspr_spark.llm.similarity import add_lsh_buckets, lsh_plan
+        n = emb01.count()
+        n_planes, n_tables = lsh_plan(n, threshold=0.3)
+        b = add_lsh_buckets(emb01, "embedding", 64, n_planes, n_tables)
+        sizes = (b.select(F.posexplode("lsh_buckets").alias("t", "bkt"))
+                  .groupBy("t", "bkt").count())
+        max_bucket = sizes.agg(F.max("count")).collect()[0][0]
+        assert max_bucket <= n / 4, f"max bucket {max_bucket} of {n}"
+
 
 class TestText:
     def test_token_counts(self, spark):
