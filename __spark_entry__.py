@@ -660,6 +660,32 @@ def q_score_transformer(spark, sf_dir):
                          F.round(norm, 4).alias("emb_norm"))
 
 
+def q_score_lstm_attention(spark, sf_dir):
+    """UnifiedEncoder scoring: DenseBnDropout embedding transform ->
+    2-layer bidirectional LSTM -> Bahdanau attention -> ReLU projection —
+    the reference's default LSTMAutoencoder encoder configuration
+    (caspr/models/unified_encoder.py:25-282, factory.py:107-154).
+    No SQL oracle — recurrent/attention forward pass; rows-only check."""
+    from caspr_spark.models import CASPRFactory
+    from caspr_spark.score import score
+    wide = q_pipeline_events(spark, sf_dir)
+    factory = CASPRFactory(seq_vocab_sizes={"event_type": 6},
+                           non_seq_vocab_sizes={}, n_seq_cont=2,
+                           n_non_seq_cont=0, seq_len=SEQ_N)
+    model = factory.create("UnifiedEncoder", seed=7, attention_heads=1,
+                           lstm_num_layers=2, lstm_bidirectional=True)
+    cont_cols = [f"{s}_value" for s in range(1, SEQ_N + 1)] + \
+                [f"{s}_ts" for s in range(1, SEQ_N + 1)]
+    cat_cols = [f"{s}_event_type" for s in range(1, SEQ_N + 1)]
+    scored = score(wide, model, seq_len=SEQ_N, n_seq_cat=1, n_seq_cont=2,
+                   cont_cols=cont_cols, cat_cols=cat_cols)
+    norm = F.sqrt(F.aggregate(F.transform("embeddings",
+                                          lambda x: x.cast("double") ** 2),
+                              F.lit(0.0), lambda a, v: a + v))
+    return scored.select("user_id", F.size("embeddings").alias("emb_dim"),
+                         F.round(norm, 4).alias("emb_norm"))
+
+
 def q_e11_oversample(spark, sf_dir):
     """E11: seeded oversample-to-parity; returns per-class counts
     (rows-only — Spark's sample hashing is engine-specific)."""
@@ -1151,6 +1177,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x1_three_way_split": q_x1_three_way_split,
         "score_lstm": q_score_lstm,
         "score_transformer": q_score_transformer,
+        "score_lstm_attention": q_score_lstm_attention,
         "e11_oversample": q_e11_oversample,
         "e10_quantile_approx": q_e10_quantile_approx,
         "segment_kmeans": q_segment_kmeans,

@@ -10,12 +10,17 @@ changes (the pandas-UDF scorer only calls ``model.encode``).
 """
 
 from caspr_spark.models.numpy_layers import (
-    CategoricalEmbedding, LSTMEncoder, TransformerEncoder, LinearEncoder,
+    BahdanauAttention, CategoricalEmbedding, ConvAggregation, DenseBnDropout,
+    LSTMEncoder, LinearEncoder, MLP, MultiHeadAttentionLSTMWrapper,
+    MultiLayerLSTM, TransformerEncoder, UnifiedEncoder,
 )
 from caspr_spark.models.factory import CASPRFactory, embedding_dim
 from caspr_spark.models.estimate import count_parameters, estimate_parameters
 
 __all__ = [
-    "CategoricalEmbedding", "LSTMEncoder", "TransformerEncoder", "LinearEncoder",
+    "BahdanauAttention", "CategoricalEmbedding", "ConvAggregation",
+    "DenseBnDropout", "LSTMEncoder", "LinearEncoder", "MLP",
+    "MultiHeadAttentionLSTMWrapper", "MultiLayerLSTM", "TransformerEncoder",
+    "UnifiedEncoder",
     "CASPRFactory", "embedding_dim", "count_parameters", "estimate_parameters",
 ]

@@ -11,11 +11,13 @@ registered under the same names.
 
 from __future__ import annotations
 
-from caspr_spark.models.numpy_layers import LSTMEncoder, TransformerEncoder
+from caspr_spark.models.numpy_layers import (
+    LSTMEncoder, TransformerEncoder, UnifiedEncoder,
+)
 
 MAX_EMB_SIZE = 25  # reference caspr/models/factory.py:19
 
-ARCHITECTURES = ("LSTMAutoencoder", "TransformerAutoEncoder")
+ARCHITECTURES = ("LSTMAutoencoder", "TransformerAutoEncoder", "UnifiedEncoder")
 
 
 def embedding_dim(vocab_size: int, max_emb_size: int = MAX_EMB_SIZE) -> int:
@@ -42,7 +44,7 @@ class CASPRFactory:
 
     def create(self, architecture: str = "TransformerAutoEncoder",
                hidden_dim: int = 64, n_layers: int = 2, n_heads: int = 2,
-               seed: int = 42):
+               seed: int = 42, **kwargs):
         seq_dims = [embedding_dim(v) for v in self.seq_vocab]
         non_seq_dims = [embedding_dim(v) for v in self.non_seq_vocab]
         if architecture == "LSTMAutoencoder":
@@ -55,5 +57,14 @@ class CASPRFactory:
                                       self.n_non_seq_cont, hidden_dim,
                                       n_layers, n_heads,
                                       max_len=self.seq_len + 2, seed=seed)
+        if architecture == "UnifiedEncoder":
+            # the reference's default LSTMAutoencoder encoder configuration:
+            # DenseBnDropout [50, 25] embedding transforms, Bahdanau
+            # attention (heads=1), optional conv aggregation and
+            # multi-layer/bidirectional LSTM (factory.py:107-154)
+            return UnifiedEncoder(self.seq_vocab, seq_dims, self.n_seq_cont,
+                                  self.non_seq_vocab, non_seq_dims,
+                                  self.n_non_seq_cont, hidden_dim,
+                                  seq_len=self.seq_len, seed=seed, **kwargs)
         raise ValueError(f"unknown architecture {architecture!r}; "
                          f"expected one of {ARCHITECTURES}")

@@ -112,6 +112,115 @@ class TestModels:
             self._factory().create("GPT97")
 
 
+class TestUnifiedEncoderZoo:
+    """Forward parity for the reference's default encoder family
+    (unified_encoder.py:25-282 and its building blocks)."""
+
+    def _factory(self):
+        return CASPRFactory(seq_vocab_sizes={"c1": 10},
+                            non_seq_vocab_sizes={"pc": 3},
+                            n_seq_cont=2, n_non_seq_cont=1, seq_len=T)
+
+    @pytest.mark.parametrize("kwargs", [
+        {},                                                  # Bahdanau default
+        {"attention_heads": 0},                              # no attention
+        {"attention_heads": 2},                              # MHA wrapper
+        {"lstm_num_layers": 2},                              # stacked LSTM
+        {"lstm_bidirectional": True},                        # bi-LSTM + Bahdanau
+        {"lstm_num_layers": 2, "lstm_bidirectional": True},
+        {"use_conv_agg": True, "kernel_size": (2, 3),
+         "stride": (1, 2), "max_pool_size": (1, 2)},         # conv fits T=3
+    ])
+    def test_encode_shapes_and_determinism(self, kwargs):
+        from caspr_spark.data import transform_and_load
+        b = transform_and_load(_wide_pdf(), ROLES, T)
+        m1 = self._factory().create("UnifiedEncoder", seed=11, **kwargs)
+        m2 = self._factory().create("UnifiedEncoder", seed=11, **kwargs)
+        e1 = m1.encode(b.seq_cat, b.seq_cont, b.non_seq_cat, b.non_seq_cont)
+        e2 = m2.encode(b.seq_cat, b.seq_cont, b.non_seq_cat, b.non_seq_cont)
+        assert e1.shape == (4, 64)
+        assert np.allclose(e1, e2)
+        assert np.isfinite(e1).all()
+        assert (e1 >= 0).all()          # ReLU output head
+        assert e1.std() > 0
+
+    @pytest.mark.parametrize("kwargs", [
+        {}, {"attention_heads": 0}, {"attention_heads": 2},
+        {"lstm_num_layers": 3}, {"lstm_bidirectional": True},
+        {"use_conv_agg": True, "kernel_size": (2, 3),
+         "stride": (1, 2), "max_pool_size": (1, 2)},
+    ])
+    def test_estimate_matches_count(self, kwargs):
+        model = self._factory().create("UnifiedEncoder", **kwargs)
+        est = estimate_parameters("UnifiedEncoder", {"c1": 10}, {"pc": 3},
+                                  2, 1, T, **kwargs)
+        assert est == count_parameters(model)
+
+    def test_mha_rejects_bidirectional(self):
+        with pytest.raises(AssertionError):
+            self._factory().create("UnifiedEncoder", attention_heads=4,
+                                   lstm_bidirectional=True)
+
+    def test_conv_agg_shapes_and_pooling(self):
+        from caspr_spark.models import ConvAggregation
+        rng = np.random.default_rng(0)
+        conv = ConvAggregation((3, 3), (2, 2), (2, 2), rng)
+        x = rng.normal(size=(5, 8, 11)).astype(np.float32)
+        out = conv(x)
+        assert out.shape == (5, *ConvAggregation.out_shape(8, 11, (3, 3),
+                                                           (2, 2), (2, 2)))
+        assert (np.abs(out) <= 1.0).all()  # tanh range
+        # max-pool: each output >= any single contributing conv activation
+        # sanity: doubling the kernel changes the output
+        conv2 = ConvAggregation((3, 3), (2, 2), (2, 2),
+                                np.random.default_rng(1))
+        assert not np.allclose(out, conv2(x))
+
+    def test_conv_agg_gated_off_when_window_too_large(self):
+        # seq_len 3 < kernel 5 -> reference silently disables conv agg
+        model = self._factory().create("UnifiedEncoder", use_conv_agg=True,
+                                       kernel_size=(5, 5))
+        assert model.conv is None
+
+    def test_multilayer_lstm_output_contract(self):
+        from caspr_spark.models import MultiLayerLSTM
+        rng = np.random.default_rng(3)
+        x = rng.normal(size=(6, 7, 5)).astype(np.float32)
+        lstm = MultiLayerLSTM(5, 16, num_layers=2, bidirectional=True,
+                              rng=np.random.default_rng(4))
+        out, (h0, c0), seq_inp = lstm(x)
+        assert out.shape == (6, 7, 32)      # directions concatenated
+        assert h0.shape == (6, 16) and c0.shape == (6, 16)
+        assert seq_inp.shape == (6, 16)     # dense projection of [h_fwd, h_bwd]
+        # forward-direction final state == last-step forward slice
+        assert np.allclose(out[:, -1, :16], h0)
+        # reverse direction's "final" state sits at position 0
+        uni = MultiLayerLSTM(5, 16, rng=np.random.default_rng(4))
+        out_u, (h_u, _), _ = uni(x)
+        assert np.allclose(out_u[:, -1, :], h_u)
+
+    def test_bahdanau_context_is_convex_combination(self):
+        from caspr_spark.models import BahdanauAttention
+        rng = np.random.default_rng(5)
+        att = BahdanauAttention(8, 1, rng)
+        enc = rng.normal(size=(4, 6, 8)).astype(np.float32)
+        ctx = att(enc)
+        assert ctx.shape == (4, 8)
+        # context lies within the per-feature min/max envelope of the steps
+        assert (ctx <= enc.max(axis=1) + 1e-5).all()
+        assert (ctx >= enc.min(axis=1) - 1e-5).all()
+
+    def test_mlp_head(self):
+        from caspr_spark.models import MLP
+        rng = np.random.default_rng(6)
+        x = rng.normal(size=(10, 12)).astype(np.float32)
+        mlp = MLP(12, [8, 4], 2, use_sigmoid=True, seed=9)
+        out = mlp(x)
+        assert out.shape == (10, 2)
+        assert ((out > 0) & (out < 1)).all()
+        assert np.allclose(out, MLP(12, [8, 4], 2, use_sigmoid=True, seed=9)(x))
+
+
 class TestScoring:
     def test_score_linear_matches_numpy(self, spark, embeddings):
         W = np.array([[1.0 if i == j else 0.0 for j in range(64)]
