@@ -687,12 +687,16 @@ def q_score_lstm_attention(spark, sf_dir):
 
 
 def q_e11_oversample(spark, sf_dir):
-    """E11: seeded oversample-to-parity; returns per-class counts
-    (rows-only — Spark's sample hashing is engine-specific)."""
-    from caspr_spark.noise import oversample_to_parity
+    """E11: SMOTE-NC oversample-to-parity (k-NN interpolation + categorical
+    majority vote, caspr/utils/preprocess.py:365-385). Per-class counts are
+    exact quotas; rows-only — interpolants are seeded-RNG values."""
+    from caspr_spark.noise import smote_nc_oversample
     emb = _t(spark, sf_dir, "embeddings")
-    d = emb.select((F.col("label") >= 5).cast("int").alias("y"))
-    out = oversample_to_parity(d, "y", seed=7)
+    d = emb.select(F.col("embedding")[0].cast("double").alias("x1"),
+                   F.col("embedding")[1].cast("double").alias("x2"),
+                   (F.col("label") % 3).cast("int").alias("c"),
+                   (F.col("label") >= 5).cast("int").alias("y"))
+    out = smote_nc_oversample(d, "y", ["x1", "x2"], ["c"], k=5, seed=7)
     return out.groupBy("y").agg(F.count("*").cast("long").alias("n"))
 
 

@@ -3,14 +3,18 @@
 Reference: caspr/utils/noise.py:6-77 (gaussian noise on continuous,
 random category substitution, both p=0.1 — torch-side there, seeded
 ``rand()``-gated column expressions here) and the SMOTE-NC oversampler
-(caspr/utils/preprocess.py:365-385). SMOTE interpolates synthetic
-neighbors — sklearn/imblearn territory; the scale-correct Spark
-alternative implemented here is stratified resampling-with-replacement
-to parity (the standard class-imbalance treatment when interpolation
-isn't available; combine with class weights downstream).
+(caspr/utils/preprocess.py:365-385). The reference delegates to
+imblearn's ``SMOTENC``; :func:`smote_nc_oversample` implements the same
+algorithm — within-class k-NN with the median-σ categorical penalty,
+uniform interpolation on continuous features, neighbor majority vote on
+categoricals — in numpy inside per-stratum ``applyInPandas``.
+``oversample_to_parity`` remains as the interpolation-free variant.
 """
 
 from __future__ import annotations
+
+import numpy as np
+import pandas as pd
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -61,3 +65,100 @@ def oversample_to_parity(df: DataFrame, label_col: str,
                                fraction=(majority - n) / n, seed=seed))
             out = out.unionByName(extra)
     return out
+
+
+def _smote_stratum(cont: np.ndarray, cat: np.ndarray, n_new: int, k: int,
+                   rng: np.random.Generator):
+    """SMOTE-NC synthesis inside one stratum (pure numpy).
+
+    Distance is Euclidean over continuous features plus, per differing
+    categorical, the squared median of the per-column continuous stds —
+    the SMOTE-NC metric (a one-hot coordinate scaled by σ_med/√2
+    contributes σ_med² per mismatched category). Synthetic continuous
+    values interpolate toward a random one of the k nearest same-class
+    neighbors; categoricals take the majority vote among those neighbors
+    (ties break on the smallest value for determinism).
+    """
+    n = len(cont)
+    k = min(k, n - 1)
+    if n_new <= 0 or k < 1:
+        return (np.empty((0, cont.shape[1])), np.empty((0, cat.shape[1]),
+                                                       dtype=cat.dtype))
+    sigma_med = np.median(cont.std(axis=0)) if cont.shape[1] else 1.0
+    d2 = ((cont[:, None, :] - cont[None, :, :]) ** 2).sum(axis=2)
+    if cat.shape[1]:
+        d2 = d2 + (cat[:, None, :] != cat[None, :, :]).sum(axis=2) * sigma_med ** 2
+    np.fill_diagonal(d2, np.inf)
+    nn = np.argsort(d2, axis=1, kind="stable")[:, :k]     # [n, k]
+
+    base = rng.integers(0, n, size=n_new)
+    pick = nn[base, rng.integers(0, k, size=n_new)]
+    u = rng.uniform(0.0, 1.0, size=(n_new, 1))
+    new_cont = cont[base] + u * (cont[pick] - cont[base])
+
+    new_cat = np.empty((n_new, cat.shape[1]), dtype=cat.dtype)
+    for j in range(cat.shape[1]):
+        neigh = cat[nn[base], j]                          # [n_new, k]
+        for i in range(n_new):
+            vals, cnts = np.unique(neigh[i], return_counts=True)
+            new_cat[i, j] = vals[np.argmax(cnts)]         # ties -> smallest
+    return new_cont, new_cat
+
+
+def smote_nc_oversample(df: DataFrame, label_col: str, cont_cols: list[str],
+                        cat_cols: list[str] | None = None, k: int = 5,
+                        salt_buckets: int = 1, seed: int = 42) -> DataFrame:
+    """SMOTE-NC (caspr/utils/preprocess.py:365-385): oversample every
+    minority class to the majority size with synthetic k-NN interpolants.
+
+    Output columns: ``cont_cols + cat_cols + [label_col]`` (synthetic rows
+    have no identity, so only features survive — same contract as the
+    reference, which feeds ``fit_resample`` features + label only).
+
+    Scale path: ``salt_buckets > 1`` splits each class into random strata
+    and synthesizes each stratum's share of the quota independently —
+    neighbors are then found within the stratum, which bounds the O(n²)
+    distance matrix per task while leaving the interpolation distribution
+    statistically unchanged. At 100 TB pick ``salt_buckets`` so a stratum
+    (~class_size / buckets rows) fits one task's memory.
+    """
+    cat_cols = cat_cols or []
+    feat = df.select(*[F.col(c).cast("double") for c in cont_cols],
+                     *cat_cols, label_col)
+    counts = {r[label_col]: r["n"] for r in
+              feat.groupBy(label_col).agg(F.count(F.lit(1)).alias("n")).collect()}
+    majority = max(counts.values())
+    quotas = {}
+    for lbl, n in counts.items():
+        need = majority - n
+        if need > 0:
+            per, rem = divmod(need, salt_buckets)
+            for b in range(salt_buckets):
+                quotas[(lbl, b)] = per + (1 if b < rem else 0)
+    if not quotas:
+        return feat
+
+    minority = feat.filter(F.col(label_col).isin(
+        [lbl for lbl, _ in quotas])).withColumn(
+        "__salt", F.floor(F.rand(seed) * salt_buckets).cast("int"))
+    schema = feat.schema
+
+    def synthesize(keys, pdf: pd.DataFrame) -> pd.DataFrame:
+        import zlib
+        lbl, bucket = keys
+        n_new = quotas.get((lbl, int(bucket)), 0)
+        cont = pdf[cont_cols].to_numpy(dtype=np.float64)
+        cat = pdf[cat_cols].to_numpy() if cat_cols else np.empty((len(pdf), 0))
+        # crc32, not hash(): Python str hashing is salted per process
+        rng = np.random.default_rng(
+            (seed, int(bucket), zlib.crc32(str(lbl).encode())))
+        new_cont, new_cat = _smote_stratum(cont, cat, n_new, k, rng)
+        out = {c: new_cont[:, i] for i, c in enumerate(cont_cols)}
+        for j, c in enumerate(cat_cols):
+            out[c] = new_cat[:, j]
+        out[label_col] = np.full(len(new_cont), lbl)
+        return pd.DataFrame(out, columns=[*cont_cols, *cat_cols, label_col])
+
+    synthetic = minority.groupBy(label_col, "__salt") \
+        .applyInPandas(synthesize, schema=schema)
+    return feat.unionByName(synthetic)

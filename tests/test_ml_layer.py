@@ -383,6 +383,66 @@ class TestNoise:
         assert counts[1] > 50  # fraction-based resample is approximate
 
 
+class TestSmoteNC:
+    """SMOTE-NC oversampler (caspr/utils/preprocess.py:365-385 semantics)."""
+
+    def _df(self, spark, n_min=20, n_maj=80):
+        rng = np.random.default_rng(8)
+        maj = pd.DataFrame({
+            "x1": rng.normal(0, 1, n_maj), "x2": rng.normal(0, 1, n_maj),
+            "c": rng.integers(1, 4, n_maj), "y": 0})
+        mino = pd.DataFrame({
+            "x1": rng.normal(5, 1, n_min), "x2": rng.normal(5, 1, n_min),
+            "c": rng.integers(2, 5, n_min), "y": 1})
+        return spark.createDataFrame(pd.concat([maj, mino]))
+
+    def test_exact_class_parity(self, spark):
+        from caspr_spark.noise import smote_nc_oversample
+        out = smote_nc_oversample(self._df(spark), "y", ["x1", "x2"], ["c"],
+                                  seed=3)
+        counts = {r["y"]: r["n"] for r in
+                  out.groupBy("y").agg(F.count("*").alias("n")).collect()}
+        assert counts == {0: 80, 1: 80}  # exact quota, not fraction-approx
+
+    def test_synthetic_rows_in_neighbor_hull(self, spark):
+        from caspr_spark.noise import smote_nc_oversample
+        df = self._df(spark)
+        out = smote_nc_oversample(df, "y", ["x1", "x2"], ["c"], seed=3)
+        pdf = df.toPandas()
+        mino = pdf[pdf.y == 1]
+        syn = out.toPandas()["y"].value_counts()
+        got = out.filter("y = 1").toPandas()
+        # interpolants of minority points stay inside the class bounding box
+        for col in ("x1", "x2"):
+            assert got[col].min() >= mino[col].min() - 1e-9
+            assert got[col].max() <= mino[col].max() + 1e-9
+        # categorical majority vote only emits in-class values
+        assert set(got["c"]) <= set(mino["c"])
+        assert syn[1] == 80
+
+    def test_deterministic_and_salted_parity(self, spark):
+        from caspr_spark.noise import smote_nc_oversample
+        df = self._df(spark)
+        a = smote_nc_oversample(df, "y", ["x1", "x2"], ["c"], seed=5) \
+            .orderBy("x1", "x2").toPandas()
+        b = smote_nc_oversample(df, "y", ["x1", "x2"], ["c"], seed=5) \
+            .orderBy("x1", "x2").toPandas()
+        pd.testing.assert_frame_equal(a, b)
+        # the salted scale path still hits the exact quota
+        salted = smote_nc_oversample(df, "y", ["x1", "x2"], ["c"], seed=5,
+                                     salt_buckets=3)
+        counts = {r["y"]: r["n"] for r in
+                  salted.groupBy("y").agg(F.count("*").alias("n")).collect()}
+        assert counts == {0: 80, 1: 80}
+
+    def test_continuous_only_and_balanced_noop(self, spark):
+        from caspr_spark.noise import smote_nc_oversample
+        rows = [(0.0, 0)] * 10 + [(1.0, 1)] * 10
+        df = spark.createDataFrame(rows, "x double, y int")
+        out = smote_nc_oversample(df, "y", ["x"], [])
+        assert out.count() == 20  # already balanced -> unchanged
+
+
 class TestScalePathVariants:
     def test_binned_auc_converges_to_exact(self, spark, embeddings):
         from pyspark.sql import functions as F
