@@ -837,6 +837,41 @@ def q_train_ae(spark, sf_dir):
         "loss_decreased boolean, emb_var double")
 
 
+def q_explain_grad_attribution(spark, sf_dir):
+    """Gradient×input + integrated-gradients attribution of the trained
+    autoencoder embedding per input feature — CASPRExplainer semantics
+    (caspr/utils/explain/CASPRExplainer.py:138-158,196-240): per-cat-var
+    summing, across-time aggregation. Completeness residual reported per
+    feature set (no SQL oracle — iterative training upstream; rows-only,
+    fully seeded)."""
+    import numpy as np
+    from caspr_spark.data import transform_and_load
+    from caspr_spark.models.attribution import (
+        feature_names, gradient_x_input, integrated_gradients)
+    from caspr_spark.models.autoencoder import fit_autoencoder
+    from caspr_spark.roles import ColumnRoles
+
+    wide = q_pipeline_events(spark, sf_dir).fillna(0.0)
+    roles = ColumnRoles(tgt_id=["user_id"], activity_date="ts",
+                        cat_cols=["event_type"], cont_cols=["value", "ts"],
+                        seq_cols=["event_type", "value", "ts"],
+                        non_seq_cols=[], output_cols=[])
+    bundle = transform_and_load(wide.toPandas(), roles, seq_len=SEQ_N)
+    model, _ = fit_autoencoder(bundle, hidden_dim=8, epochs=5, lr=3e-3,
+                               batch_size=256, seed=7)
+    gxi = gradient_x_input(model, bundle, target_dim=0)
+    ig, delta = integrated_gradients(model, bundle, target_dim=0, steps=32)
+    names = feature_names(model, bundle)
+    resid = float(np.abs(ig.sum(axis=1) - delta).max())
+    rows = [(names[j], float(round(np.abs(gxi[:, j]).mean(), 5)),
+             float(round(np.abs(ig[:, j]).mean(), 5)),
+             float(round(resid, 6)))
+            for j in range(len(names))]
+    return spark.createDataFrame(
+        rows, "feature string, mean_abs_gxi double, mean_abs_ig double, "
+              "completeness_resid double").orderBy("feature")
+
+
 # --------------------------------------------------------------------------
 # Structured Streaming surface
 # --------------------------------------------------------------------------
@@ -1188,6 +1223,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "segment_dec_fit": q_segment_dec_fit,
         "train_linear_ae": q_train_linear_ae,
         "train_ae": q_train_ae,
+        "explain_grad_attribution": q_explain_grad_attribution,
         "simsearch_topk_ivf": q_simsearch_topk_ivf,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,

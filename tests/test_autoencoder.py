@@ -175,3 +175,95 @@ class TestAdam:
         for _ in range(500):
             opt.step(params, {"w": 2 * params["w"]})
         np.testing.assert_allclose(params["w"], [0.0, 0.0], atol=1e-3)
+
+
+class TestAttribution:
+    """CASPRExplainer parity: grad×input / integrated gradients with
+    per-cat-var summing and across-time aggregation
+    (caspr/utils/explain/CASPRExplainer.py:138-158,196-240,258-280)."""
+
+    def _model_bundle(self, seed=3):
+        rng = np.random.default_rng(seed)
+        N, T = 12, 4
+        m = SequenceAutoencoder(seq_vocab=[4, 3], seq_emb_dims=[2, 2],
+                                n_seq_cont=2, non_seq_vocab=[3],
+                                non_seq_emb_dims=[2], n_non_seq_cont=2,
+                                seq_len=T, hidden_dim=6, seed=1)
+        b = TensorBundle(
+            seq_cat=rng.integers(0, 3, size=(N, T, 2)),
+            seq_cont=rng.normal(size=(N, T, 2)).astype(np.float32),
+            non_seq_cat=rng.integers(0, 3, size=(N, 1)),
+            non_seq_cont=rng.normal(size=(N, 2)).astype(np.float32),
+            y=np.zeros((N, 0), np.float32),
+            seq_cols=["etype", "estate", "val", "ts"],
+            non_seq_cols=["segment", "age", "balance"])
+        return m, b
+
+    def test_vjp_matches_numerical_gradient(self):
+        from caspr_spark.models.attribution import (
+            _embed_inputs, _encode_embedded, _encode_vjp)
+        m, b = self._model_bundle()
+        E, prof = _embed_inputs(m, b.seq_cat, b.seq_cont,
+                                b.non_seq_cat, b.non_seq_cont)
+        k = 2
+        _, dE, dprof = _encode_vjp(m, E, prof, k)
+        eps = 1e-6
+        rng = np.random.default_rng(0)
+        for _ in range(8):
+            n = int(rng.integers(E.shape[0]))
+            t = int(rng.integers(E.shape[1]))
+            f = int(rng.integers(E.shape[2]))
+            Ep, Em = E.copy(), E.copy()
+            Ep[n, t, f] += eps
+            Em[n, t, f] -= eps
+            num = (_encode_embedded(m, Ep, prof)[n, k]
+                   - _encode_embedded(m, Em, prof)[n, k]) / (2 * eps)
+            assert abs(num - dE[n, t, f]) < 1e-7
+
+    def test_ig_completeness_axiom(self):
+        from caspr_spark.models.attribution import integrated_gradients
+        m, b = self._model_bundle()
+        attr, delta = integrated_gradients(m, b, target_dim=1, steps=64)
+        np.testing.assert_allclose(attr.sum(axis=1), delta,
+                                   rtol=1e-4, atol=1e-6)
+
+    def test_across_time_sums_match_flattened(self):
+        from caspr_spark.models.attribution import (
+            feature_names, gradient_x_input)
+        m, b = self._model_bundle()
+        agg = gradient_x_input(m, b, 0, add_across_time=True)
+        flat = gradient_x_input(m, b, 0, add_across_time=False)
+        names_a = feature_names(m, b, add_across_time=True)
+        names_f = feature_names(m, b, add_across_time=False)
+        assert agg.shape[1] == len(names_a) == 7        # 4 seq + 3 profile
+        assert flat.shape[1] == len(names_f) == 4 * 4 + 3
+        # each aggregated seq feature equals the sum of its per-step slots
+        for j, name in enumerate(names_a[:4]):
+            slots = [i for i, nm in enumerate(names_f) if nm.startswith(f"{name}_t")]
+            assert len(slots) == 4
+            np.testing.assert_allclose(agg[:, j], flat[:, slots].sum(axis=1),
+                                       rtol=1e-10, atol=1e-12)
+        # profile block identical in both layouts
+        np.testing.assert_allclose(agg[:, 4:], flat[:, 16:], rtol=0, atol=0)
+
+    def test_gxi_first_order_of_ig(self):
+        """On a near-linear regime (tiny inputs) grad×input ≈ IG."""
+        from caspr_spark.models.attribution import (
+            gradient_x_input, integrated_gradients)
+        m, b = self._model_bundle()
+        b.seq_cont *= 0.001
+        b.non_seq_cont *= 0.001
+        for key in list(m.params):
+            if key.startswith("emb_"):
+                m.params[key] = m.params[key] * 0.001
+        gxi = gradient_x_input(m, b, 0)
+        ig, _ = integrated_gradients(m, b, 0, steps=64)
+        np.testing.assert_allclose(gxi, ig, rtol=5e-2, atol=1e-9)
+
+    def test_cat_summing_width(self):
+        """Cat attributions collapse emb dims: width counts variables."""
+        from caspr_spark.models.attribution import gradient_x_input
+        m, b = self._model_bundle()
+        attr = gradient_x_input(m, b, 0)
+        # 2 seq cat vars + 2 seq cont + 1 non-seq cat + 2 non-seq cont = 7
+        assert attr.shape == (12, 7)
