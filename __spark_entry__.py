@@ -763,10 +763,11 @@ def q_segment_dec(spark, sf_dir):
                                  target_distribution)
     emb = _t(spark, sf_dir, "embeddings")
     q = soft_assignment(emb, "embedding", _dec_centers())
-    # round q before the f_j sums so both engines aggregate identical values
+    # round q to 6dp, then sum f_j as scaled integers — exact and
+    # partition-order independent, so the oracle hash holds at any SF
     for j in range(DEC_K):
         q = q.withColumn(f"q{j}", F.round(F.col(f"q{j}"), 6))
-    p = target_distribution(q, DEC_K)
+    p = target_distribution(q, DEC_K, int_sum_scale=10**6)
     out = hard_assignment(p, DEC_K)
     return out.select(
         "vec_id", "cluster",
@@ -1119,20 +1120,22 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver contract: the correctness gate certifies the FIRST 50 entries.
 
-    75 of the 86 queries carry full DuckDB oracles — more than one 50-slot
+    76 of the 91 queries carry full DuckDB oracles — more than one 50-slot
     window holds — so certification rotates across rounds (COVERAGE.md maps
-    which round certified which row). Ordering discipline:
-      slots 1-26   oracle-bearing queries NOT yet driver-certified (round-1
-                   window missed the dedup/simsearch/streaming/metrics/
-                   scoring/text/multimodal suite),
-      slots 27-50  core round-1-certified rows retained in-window (one per
+    which round certified which row; tools/check_correctness.py re-runs the
+    FULL oracle suite locally each round -> CORRECTNESS_local_r{N}.json).
+    Ordering discipline:
+      slots 1-27   oracle-bearing queries first certified in the round-2
+                   window (dedup/simsearch/streaming/metrics/scoring/text/
+                   multimodal suite + segment_dec),
+      slots 28-50  core round-1-certified rows retained in-window (one per
                    SURVEY §2 family: pipelines, filters, encodes, pivots),
       slots 51+    remaining oracle-bearing queries (all driver-green in
                    CORRECTNESS_r01.json), then rows-only / no-oracle
                    queries (seeded RNG, iterative) at the very end.
     """
     return {
-        # --- slots 1-26: oracle-bearing, uncertified in round 1 ----------
+        # --- slots 1-27: oracle-bearing, first certified in round 2 ------
         "j2_semi_prune": q_j2_semi_prune,
         "p7_array_pack": q_p7_array_pack,
         "s1_parquet_roundtrip": q_s1_parquet_roundtrip,
@@ -1237,7 +1240,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def _dec_sql() -> str:
     """Exact SQL twin of q_segment_dec: same centroid literals, same
     left-associative fp addition order as the Spark zip_with/aggregate
-    fold, q rounded to 6dp before the f_j sums on both engines."""
+    fold, q rounded to 6dp and f_j summed as scaled integers on both
+    engines (exact, row-order independent)."""
     k, centers = DEC_K, _dec_centers()
     nsq = []
     for j in range(k):
@@ -1254,7 +1258,7 @@ WITH d AS (SELECT vec_id, {', '.join(nsq)} FROM embeddings),
 n AS (SELECT vec_id, {', '.join(f'1.0/(1.0 + nsq{j}) AS nq{j}' for j in range(k))},
              ({tot}) AS tot FROM d),
 qr AS (SELECT vec_id, {', '.join(f'round(nq{j}/tot, 6) AS q{j}' for j in range(k))} FROM n),
-f AS (SELECT {', '.join(f'sum(q{j}) AS f{j}' for j in range(k))} FROM qr),
+f AS (SELECT {', '.join(f'sum(CAST(round(q{j}*1000000) AS BIGINT))::DOUBLE/1000000.0 AS f{j}' for j in range(k))} FROM qr),
 w AS (SELECT qr.*, {', '.join(f'q{j}*q{j}/f{j} AS w{j}' for j in range(k))}
       FROM qr CROSS JOIN f),
 g AS (SELECT w.*, greatest({', '.join(f'q{j}' for j in range(k))}) AS g,

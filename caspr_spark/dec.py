@@ -67,15 +67,28 @@ def soft_assignment(df: DataFrame, vec_col: str, centers: np.ndarray,
 
 
 def target_distribution(df: DataFrame, k: int, prefix: str = "q",
-                        out_prefix: str = "p") -> DataFrame:
+                        out_prefix: str = "p",
+                        int_sum_scale: int | None = None) -> DataFrame:
     """Auxiliary target p_ij (caspr/models/dec.py:107-119, Eq. 3):
 
         p_ij = (q_ij^2 / f_j) / Σ_j' (q_ij'^2 / f_j'),   f_j = Σ_i q_ij
 
     The f_j vector is one single-row aggregate, broadcast back via a
-    cross join — the only non-map step, and it carries k doubles."""
-    freqs = df.agg(*[F.sum(f"{prefix}{j}").alias(f"__f{j}")
-                     for j in range(k)])
+    cross join — the only non-map step, and it carries k doubles.
+
+    ``int_sum_scale`` makes f_j partition-order independent: q is scaled,
+    rounded to a long, and summed as integers (exact, associative), then
+    divided back. With q pre-rounded to 6dp and scale=10**6 the sum is
+    bit-identical on any engine and any row order — use it whenever the
+    result feeds a hash-compared oracle at scale."""
+    if int_sum_scale:
+        freqs = df.agg(*[
+            (F.sum(F.round(F.col(f"{prefix}{j}") * int_sum_scale)
+                   .cast("long")).cast("double") / float(int_sum_scale))
+            .alias(f"__f{j}") for j in range(k)])
+    else:
+        freqs = df.agg(*[F.sum(f"{prefix}{j}").alias(f"__f{j}")
+                         for j in range(k)])
     out = df.crossJoin(F.broadcast(freqs))
     # q*q rather than pow(q, 2) so a SQL oracle can reproduce it bit-for-bit
     weights = [F.col(f"{prefix}{j}") * F.col(f"{prefix}{j}")
@@ -142,6 +155,8 @@ def kmeans_np(Z: np.ndarray, k: int, seed: int = 42, n_init: int = 20,
                 centers = new
                 break
             centers = new
+        lab = ((Z[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2) \
+            .argmin(axis=1)
         inertia = float(((Z - centers[lab]) ** 2).sum())
         if inertia < best_inertia:
             best_inertia, best = inertia, (centers, lab)
@@ -149,18 +164,22 @@ def kmeans_np(Z: np.ndarray, k: int, seed: int = 42, n_init: int = 20,
 
 
 def dec_loss_and_grad(Z: np.ndarray, centers: np.ndarray,
-                      alpha: float = 1.0):
+                      alpha: float = 1.0, p: np.ndarray | None = None):
     """Mean KL(P||Q) and its gradient w.r.t. the centroids.
 
     DEC paper §3.1.3: dL/dmu_j = -((alpha+1)/alpha) Σ_i
     (1 + ||z_i - mu_j||²/alpha)^{-1} (p_ij - q_ij)(z_i - mu_j) — here
-    scaled by 1/N to match the mean loss (dec.py:103 divides by batch)."""
+    scaled by 1/N to match the mean loss (dec.py:103 divides by batch).
+    Pass ``p`` to hold the target distribution fixed (DEC refreshes the
+    target only every ``update_interval`` steps); ``None`` recomputes it
+    from the current ``q``."""
     n = len(Z)
     diff = Z[:, None, :] - centers[None, :, :]          # [N,k,d]
     nsq = (diff ** 2).sum(axis=2)
     inv = 1.0 / (1.0 + nsq / alpha)
     q = _soft_np(Z, centers, alpha)
-    p = _target_np(q)
+    if p is None:
+        p = _target_np(q)
     loss = float((p * np.log(p / q)).sum() / n)
     coef = ((alpha + 1.0) / alpha) * inv * (p - q) / n  # [N,k]
     grad = -(coef[:, :, None] * diff).sum(axis=0)       # [k,d]
@@ -180,8 +199,11 @@ def fit_dec(Z: np.ndarray, k: int, alpha: float = 1.0, epochs: int = 100,
     centers = centers.astype(np.float64)
     prev = labels
     history: list[float] = []
-    for _ in range(epochs):
-        loss, grad, q, _ = dec_loss_and_grad(Z, centers, alpha)
+    p = None
+    for epoch in range(epochs):
+        if epoch % max(target_refresh, 1) == 0:
+            p = None                       # refresh target from current q
+        loss, grad, q, p = dec_loss_and_grad(Z, centers, alpha, p=p)
         history.append(loss)
         centers = centers - lr * grad
         lab = q.argmax(axis=1)
