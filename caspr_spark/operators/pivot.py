@@ -77,12 +77,16 @@ def featurize_sequential(df: DataFrame, tgt_id: list[str], n: int,
 
 def collect_sequences(df: DataFrame, tgt_id: list[str], n: int,
                       seq_cols: list[str], left_pad: bool = False,
-                      seq_suffix: str = "_seq") -> DataFrame:
+                      seq_suffix: str = "_seq",
+                      extra_aggs: list | None = None) -> DataFrame:
     """Array-layout alternative: each sequential column -> one length-``n``
     ``ArrayType`` column ``{col}{seq_suffix}`` (NULL-padded per the truth table).
 
     One ``map_from_entries(collect_list(...))`` hash aggregate per entity —
-    no pivot, no wide plan; the idiomatic shape at 100 TB.
+    no pivot, no wide plan; the idiomatic shape at 100 TB. ``extra_aggs``
+    ride the same aggregate (e.g. per-entity profile columns via
+    ``max(when(rank_desc=1, col))``), so attaching profile data costs zero
+    additional shuffles or joins.
     """
     required = {"seq_len", "rank_asc", "rank_desc"}
     if not required.issubset(df.columns):
@@ -94,7 +98,8 @@ def collect_sequences(df: DataFrame, tgt_id: list[str], n: int,
     entry = F.struct(F.col("rank").cast("int").alias("slot"),
                      F.struct(*[F.col(c).alias(c) for c in seq_cols]).alias("vals"))
     packed = df.groupBy(*tgt_id).agg(
-        F.map_from_entries(F.collect_list(entry)).alias("__slots"))
+        F.map_from_entries(F.collect_list(entry)).alias("__slots"),
+        *(extra_aggs or []))
     idx = F.sequence(F.lit(1), F.lit(n))
     for c in seq_cols:
         packed = packed.withColumn(

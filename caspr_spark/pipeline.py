@@ -153,16 +153,27 @@ class SequenceFeaturizerModel:
                          if not p.interval and r.prediction_date not in r.non_seq_cols
                          else [])
 
+        prof_vals = r.non_seq_cols + r.output_cols + extra_profile
         if p.layout == "array":
-            feat = collect_sequences(long_df, r.tgt_id, p.seq_len, r.seq_cols, p.left_pad)
+            # profile columns ride the sequence aggregate itself
+            # (max over the single rank-1 row is deterministic): the whole
+            # featurization — sequences + profile — is ONE hash aggregate,
+            # zero joins, the 100 TB shape
+            prof_aggs = [F.max(F.when(F.col("rank_desc") == 1, F.col(c)))
+                         .alias(c) for c in prof_vals]
+            feat = collect_sequences(long_df, r.tgt_id, p.seq_len, r.seq_cols,
+                                     p.left_pad, extra_aggs=prof_aggs)
             wide = sequences_to_wide(feat, r.seq_cols, p.seq_len)
         else:
             wide = featurize_sequential(long_df, r.tgt_id, p.seq_len, r.seq_cols, p.left_pad)
-
-        prof_cols = r.tgt_id + r.non_seq_cols + r.output_cols + extra_profile
-        if r.non_seq_cols or r.output_cols or extra_profile:
-            prof = long_df.select(*prof_cols).dropDuplicates()
-            wide = wide.join(prof, on=r.tgt_id, how="inner")
+            if prof_vals:
+                # deterministic one-row-per-entity profile from the rank-1
+                # (latest) row: map-side filter on the already-windowed long
+                # table, so the join reuses the tgt_id partitioning instead
+                # of paying a full-row dropDuplicates shuffle + re-shuffle
+                prof = (long_df.filter(F.col("rank_desc") == 1)
+                        .select(*(r.tgt_id + prof_vals)))
+                wide = wide.join(prof, on=r.tgt_id, how="inner")
 
         cat_w, cont_w, _, _, date_w = r.wide_lists(p.seq_len, p.left_pad)
         present = set(wide.columns)

@@ -1,0 +1,75 @@
+"""Regenerate tests/plan_snapshots.json — the pinned physical-plan digests.
+
+Run after an INTENTIONAL plan change:
+
+    python tools/gen_plan_snapshots.py
+
+Builds each snapshot query from ``__spark_entry__.queries()`` at sf0.001
+(plans only; construction-time fits/collects run on the tiny SF) and
+writes the ``caspr_spark.plans.plan_digest`` of each. tests/test_plans.py
+fails on any drift, so a broadcast join degrading to sort-merge or a
+Python eval node sneaking into a hot path is caught in CI, not at 100 TB.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = os.environ.get("SNAP_SF_DIR", "/root/testdata/sf0.001")
+OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                   "tests", "plan_snapshots.json")
+
+# batch headliners with a lazily-planned result DataFrame (streaming memory
+# sinks and driver-side training loops have no single plan to pin)
+SNAPSHOT_QUERIES = [
+    "pipeline_events",
+    "pipeline_events_array",
+    "pipeline_orders_profile",
+    "pipeline_lineitem",
+    "asof_join",
+    "w1_rank",
+    "f1_history_window",
+    "e1_encode_capped",
+    "e5_normalize_minmax",
+    "p3_pivot_last5",
+    "x3_sliding_union",
+    "a9_label_multihot",
+    "e8_date_fill_pivoted",
+    "w5_sessionize",
+    "j2_semi_prune",
+    "dedup_exact",
+    "text_token_counts",
+    "text_quality",
+    "text_langid",
+    "simsearch_topk",
+    "simsearch_topk_lsh",
+    "score_linear",
+    "segment_dec",
+    "multimodal_features",
+]
+
+
+def main() -> None:
+    import __spark_entry__ as entrymod
+    from caspr_spark import get_spark
+    from caspr_spark.plans import plan_digest
+
+    spark = get_spark("plan-snapshots", shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = entrymod.queries()
+    snaps: dict[str, dict[str, int]] = {}
+    for name in SNAPSHOT_QUERIES:
+        snaps[name] = plan_digest(qs[name](spark, SF_DIR))
+        print(f"{name}: {snaps[name]}")
+    with open(OUT, "w") as f:
+        json.dump(snaps, f, indent=1, sort_keys=True)
+        f.write("\n")
+    print(f"wrote {OUT}")
+
+
+if __name__ == "__main__":
+    main()
