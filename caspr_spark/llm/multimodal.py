@@ -63,18 +63,25 @@ def extract_features(df: DataFrame, payload_col: str = "payload",
     schema = f"{id_col} long, n_bytes long, head_mean double, head_max int"
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
         for pdf in batches:
             for start in range(0, len(pdf), batch_size):
                 chunk = pdf.iloc[start:start + batch_size]
                 payloads = chunk[payload_col]
-                heads = payloads.map(lambda b: b[:32])
+                n = len(chunk)
+                lens = np.fromiter((len(b) for b in payloads),
+                                   dtype=np.int64, count=n)
+                # pool vectorized: zero-pad each head to 32 bytes (C-level
+                # bytes ops), pool as one [n, 32] uint8 matrix
+                padded = b"".join(b[:32].ljust(32, b"\0") for b in payloads)
+                heads = np.frombuffer(padded, dtype=np.uint8).reshape(n, 32)
+                head_len = np.minimum(lens, 32)
+                head_sum = heads.sum(axis=1, dtype=np.int64)
                 yield pd.DataFrame({
                     id_col: chunk[id_col].values,
-                    "n_bytes": payloads.map(len).astype("int64").values,
-                    "head_mean": heads.map(
-                        lambda h: float(sum(h)) / len(h) if len(h) else 0.0).values,
-                    "head_max": heads.map(
-                        lambda h: int(max(h)) if len(h) else 0).astype("int32").values,
+                    "n_bytes": lens,
+                    "head_mean": head_sum / np.maximum(head_len, 1),
+                    "head_max": heads.max(axis=1).astype("int32"),
                 })
 
     # NOTE: no forced repartition here — fanning a cheap Python kernel over
@@ -95,20 +102,23 @@ def sample_frames(df: DataFrame, payload_col: str = "payload",
     (frame value = the sampled byte).
     """
     schema = f"{id_col} long, frame_idx int, frame_byte int"
+    span = (max_frames - 1) * stride + 1          # last sampled position + 1
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
         for pdf in batches:
-            ids, idxs, vals = [], [], []
-            for rid, payload in zip(pdf[id_col], pdf[payload_col]):
-                for i in range(max_frames):
-                    pos = i * stride
-                    if pos >= len(payload):
-                        break
-                    ids.append(rid)
-                    idxs.append(i)
-                    vals.append(payload[pos])
-            yield pd.DataFrame({id_col: pd.Series(ids, dtype="int64"),
-                                "frame_idx": pd.Series(idxs, dtype="int32"),
-                                "frame_byte": pd.Series(vals, dtype="int32")})
+            # strided bytes slicing is C-level: b[0:span:stride] IS the
+            # sampled frame sequence; fan-out via repeat/arange
+            sampled = [b[:span:stride] for b in pdf[payload_col]]
+            counts = np.fromiter((len(s) for s in sampled),
+                                 dtype=np.int64, count=len(sampled))
+            total = int(counts.sum())
+            offsets = np.repeat(counts.cumsum() - counts, counts)
+            yield pd.DataFrame({
+                id_col: np.repeat(pdf[id_col].to_numpy(np.int64), counts),
+                "frame_idx": (np.arange(total) - offsets).astype("int32"),
+                "frame_byte": np.frombuffer(b"".join(sampled),
+                                            dtype=np.uint8).astype("int32"),
+            })
 
     return df.select(id_col, payload_col).mapInPandas(kernel, schema)

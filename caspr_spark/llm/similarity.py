@@ -13,8 +13,11 @@ from __future__ import annotations
 
 import math
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType
 
 
 def _dot(a, b):
@@ -31,6 +34,25 @@ def cosine_similarity_col(a, b):
     ad = F.transform(a, lambda x: x.cast("double"))
     bd = F.transform(b, lambda x: x.cast("double"))
     return _dot(ad, bd) / (_norm(ad) * _norm(bd))
+
+
+@F.pandas_udf(DoubleType())
+def _pair_cosine(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Arrow-batched pairwise cosine — one einsum per batch.
+
+    The banded LSH paths score 100s of thousands of candidate pairs; a
+    per-pair ``aggregate(zip_with(...))`` expression walks ``dim`` lambda
+    frames per row, while this is ``n×dim`` BLAS flops per Arrow batch
+    (~100× less per-element overhead). Kept off the exact ``cosine_topk``
+    baseline, which stays pure-JVM by design.
+    """
+    if len(a) == 0:
+        return pd.Series([], dtype="float64")
+    av = np.vstack([np.asarray(v, dtype=np.float64) for v in a])
+    bv = np.vstack([np.asarray(v, dtype=np.float64) for v in b])
+    dots = np.einsum("ij,ij->i", av, bv)
+    return pd.Series(dots / (np.linalg.norm(av, axis=1)
+                             * np.linalg.norm(bv, axis=1)))
 
 
 def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int,
@@ -113,15 +135,6 @@ def lsh_plan(n_rows: int, threshold: float = 0.3, target_recall: float = 0.9,
     return n_planes, n_tables
 
 
-def _bucket_expr(vec_col: str, planes: list[list[float]]):
-    vd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    bucket = F.lit(0)
-    for i, plane in enumerate(planes):
-        p = F.array(*[F.lit(v) for v in plane])
-        bucket = bucket + F.when(_dot(vd, p) > 0, F.lit(1 << i)).otherwise(F.lit(0))
-    return bucket
-
-
 def add_lsh_bucket(df: DataFrame, vec_col: str = "embedding", dim: int = 64,
                    n_planes: int = 8, seed: int = 42,
                    out_col: str = "lsh_bucket") -> DataFrame:
@@ -132,8 +145,8 @@ def add_lsh_bucket(df: DataFrame, vec_col: str = "embedding", dim: int = 64,
     ``dim`` is an explicit parameter — no driver-side action is fired to
     infer it (the planes are a pure driver-side constant).
     """
-    return df.withColumn(
-        out_col, _bucket_expr(vec_col, random_hyperplanes(dim, n_planes, seed)))
+    tmp = add_lsh_buckets(df, vec_col, dim, n_planes, 1, seed, "__lsh_t")
+    return tmp.withColumn(out_col, F.element_at("__lsh_t", 1)).drop("__lsh_t")
 
 
 def add_lsh_buckets(df: DataFrame, vec_col: str, dim: int, n_planes: int,
@@ -144,15 +157,50 @@ def add_lsh_buckets(df: DataFrame, vec_col: str, dim: int, n_planes: int,
     Table ``t`` uses its own plane set (seed + 1000·t); a candidate pair
     only needs to collide in *one* table (OR-amplification), mirroring the
     banding of the MinHash path in ``dedup.minhash_lsh_dedup``.
+
+    All ``n_tables × n_planes`` sign bits are computed in ONE Arrow-batched
+    matmul (``signs = X @ planes.T``, bit-packed per table) inside a pandas
+    UDF. A Catalyst expression tree for the same computation carries
+    ``n_tables·n_planes·dim`` literal nodes (thousands at real sizes) whose
+    analysis/codegen dominates runtime; one BLAS matmul per Arrow batch is
+    the scan-bound shape that survives 100 TB.
     """
-    buckets = [_bucket_expr(vec_col, random_hyperplanes(dim, n_planes,
-                                                        seed + 1000 * t))
-               for t in range(n_tables)]
-    return df.withColumn(out_col, F.array(*buckets))
+    planes = np.array(
+        [random_hyperplanes(dim, n_planes, seed + 1000 * t)
+         for t in range(n_tables)], dtype=np.float64)          # [T, P, D]
+    flat = planes.reshape(n_tables * n_planes, dim)
+    weights = (1 << np.arange(n_planes)).astype(np.int64)
+
+    @F.pandas_udf("array<long>")
+    def _buckets(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        x = np.vstack([np.asarray(v, dtype=np.float64) for v in vecs])
+        signs = (x @ flat.T) > 0                               # [n, T·P]
+        b = (signs.reshape(len(x), n_tables, n_planes) * weights).sum(axis=2)
+        return pd.Series(list(b))
+
+    return df.withColumn(out_col, _buckets(F.col(vec_col)))
 
 
-def _explode_buckets(df: DataFrame, cols: list[str]) -> DataFrame:
-    return df.select(*cols, F.posexplode("lsh_buckets").alias("__t", "__b"))
+def _explode_buckets(df: DataFrame, cols: list[str],
+                     keep_buckets: str | None = None) -> DataFrame:
+    keep = [F.col("lsh_buckets").alias(keep_buckets)] if keep_buckets else []
+    return df.select(*cols, *keep,
+                     F.posexplode("lsh_buckets").alias("__t", "__b"))
+
+
+def _first_collision(a_buckets, b_buckets):
+    """0-based index of the first table where two bucket arrays agree.
+
+    Filtering the banded join on ``__t == _first_collision(...)`` emits each
+    candidate pair exactly once across the OR-ed tables — replacing the
+    post-join ``distinct`` (a full extra shuffle of the candidate set) with
+    a rowwise predicate on two tiny int arrays.
+    """
+    return F.array_position(
+        F.zip_with(a_buckets, b_buckets, lambda x, y: x == y),
+        F.lit(True)) - 1
 
 
 def cosine_topk_lsh(corpus: DataFrame, queries: DataFrame, k: int,
@@ -179,19 +227,21 @@ def cosine_topk_lsh(corpus: DataFrame, queries: DataFrame, k: int,
         n_tables = n_tables if n_tables is not None else auto_tables
     c = _explode_buckets(
         add_lsh_buckets(corpus.select(id_col, vec_col), vec_col, dim,
-                        n_planes, n_tables, seed), [id_col, vec_col])
+                        n_planes, n_tables, seed), [id_col, vec_col],
+        keep_buckets="__cb")
     q = _explode_buckets(
         add_lsh_buckets(
             queries.select(F.col(id_col).alias(query_id_col),
                            F.col(vec_col).alias("__qvec")),
-            "__qvec", dim, n_planes, n_tables, seed), [query_id_col, "__qvec"])
+            "__qvec", dim, n_planes, n_tables, seed), [query_id_col, "__qvec"],
+        keep_buckets="__qb")
     joined = (c.join(F.broadcast(q), on=["__t", "__b"])
-               .filter(F.col(id_col) != F.col(query_id_col)))
-    # distinct collapses multi-table duplicate candidates; cosine is a
-    # deterministic function of the pair so it can ride through the distinct
-    scored = (joined.withColumn(
-        "cosine", F.round(cosine_similarity_col(F.col("__qvec"), F.col(vec_col)), 6))
-        .select(query_id_col, id_col, "cosine").distinct())
+               .filter(F.col(id_col) != F.col(query_id_col))
+               .filter(F.col("__t") == _first_collision(F.col("__cb"),
+                                                        F.col("__qb"))))
+    scored = joined.withColumn(
+        "cosine", F.round(_pair_cosine(F.col("__qvec"), F.col(vec_col)), 6)) \
+        .select(query_id_col, id_col, "cosine")
     w = Window.partitionBy(query_id_col).orderBy(F.col("cosine").desc(),
                                                  F.col(id_col).asc())
     return (scored.withColumn("rank", F.row_number().over(w))
@@ -286,17 +336,29 @@ def embedding_near_duplicates(df: DataFrame, threshold: float = 0.95,
         auto_planes, auto_tables = lsh_plan(n, threshold, target_recall, n_planes)
         n_planes = n_planes if n_planes is not None else auto_planes
         n_tables = n_tables if n_tables is not None else auto_tables
-    b = _explode_buckets(
-        add_lsh_buckets(ensure_parallelism(df.select(id_col, vec_col)),
-                        vec_col, dim, n_planes, n_tables, seed),
-        [id_col, vec_col])
-    left = b.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__v_a"),
-                    "__t", "__b")
-    right = b.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__v_b"),
-                     "__t", "__b")
-    return (left.join(right, on=["__t", "__b"])
-                .filter(F.col("id_a") < F.col("id_b"))
-                .withColumn("cosine",
-                            F.round(cosine_similarity_col(F.col("__v_a"), F.col("__v_b")), 6))
-                .filter(F.col("cosine") >= threshold)
-                .select("id_a", "id_b", "cosine").distinct())
+    vecs = ensure_parallelism(df.select(id_col, vec_col))
+    # Band on a slim (id, buckets) projection: the ×n_tables explode and the
+    # self-join shuffle move ints only — vectors rejoin by id once, on the
+    # deduped candidate set (the standard banded-LSH join shape; at small SF
+    # AQE turns the rejoin into broadcasts). Persisted because the self-join
+    # consumes the hashed relation twice (same pattern as the persisted
+    # shingles in dedup.minhash_lsh_dedup); LRU-evicted like that path.
+    hashed = add_lsh_buckets(vecs, vec_col, dim, n_planes, n_tables, seed) \
+        .drop(vec_col).persist()
+    b = _explode_buckets(hashed, [id_col], keep_buckets="__bk")
+    left = b.select(F.col(id_col).alias("id_a"),
+                    F.col("__bk").alias("__bk_a"), "__t", "__b")
+    right = b.select(F.col(id_col).alias("id_b"),
+                     F.col("__bk").alias("__bk_b"), "__t", "__b")
+    pairs = (left.join(right, on=["__t", "__b"])
+                 .filter(F.col("id_a") < F.col("id_b"))
+                 .filter(F.col("__t") == _first_collision(F.col("__bk_a"),
+                                                          F.col("__bk_b")))
+                 .select("id_a", "id_b"))
+    va = vecs.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__v_a"))
+    vb = vecs.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__v_b"))
+    return (pairs.join(va, on="id_a").join(vb, on="id_b")
+                 .withColumn("cosine",
+                             F.round(_pair_cosine(F.col("__v_a"), F.col("__v_b")), 6))
+                 .filter(F.col("cosine") >= threshold)
+                 .select("id_a", "id_b", "cosine"))
