@@ -5,12 +5,18 @@ in DuckDB at sf0.01, compares row count, column names, and an
 order-insensitive value hash (columns sorted by name, rows sorted, floats
 canonicalized), and prints a per-query verdict.
 
-Usage: python tools/check_correctness.py [query_name ...]
+Usage: python tools/check_correctness.py [--json PATH] [query_name ...]
+
+``--json PATH`` additionally writes the per-round machine-readable record
+(same shape as the driver's CORRECTNESS_r{N}.json: totals plus per-query
+status / rows / sec / hash) so rotated-out operators keep a fresh local
+certification trail each round.
 """
 
 from __future__ import annotations
 
 import hashlib
+import json
 import os
 import sys
 import time
@@ -48,6 +54,12 @@ def main(names: list[str]) -> int:
     import __spark_entry__ as entrymod
     from caspr_spark import get_spark
 
+    json_path = None
+    if "--json" in names:
+        i = names.index("--json")
+        json_path = names[i + 1]
+        names = names[:i] + names[i + 2:]
+
     spark = get_spark("correctness")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -59,22 +71,27 @@ def main(names: list[str]) -> int:
     oracles = entrymod.oracle_sql()
     targets = names or list(qs)
     failures = 0
+    records: dict[str, dict] = {}
     for name in targets:
         t0 = time.time()
         try:
             sdf = qs[name](spark, SF_DIR).toPandas()
         except Exception as e:
             print(f"FAIL  {name}: spark error: {e}")
+            records[name] = {"status": "fail", "err": f"spark error: {e}"}
             failures += 1
             continue
         if name not in oracles:
             print(f"OK?   {name}: rows={len(sdf)} (no oracle, rows-only) "
                   f"[{time.time()-t0:.1f}s]")
+            records[name] = {"status": "rows_only", "rows": len(sdf),
+                             "sec": round(time.time() - t0, 1)}
             continue
         try:
             odf = con.sql(oracles[name]).df()
         except Exception as e:
             print(f"FAIL  {name}: oracle error: {e}")
+            records[name] = {"status": "fail", "err": f"oracle error: {e}"}
             failures += 1
             continue
         problems = []
@@ -96,11 +113,28 @@ def main(names: list[str]) -> int:
                             f"\n  oracle: {co.loc[i].to_dict()}")
         if problems:
             print(f"FAIL  {name}: " + "; ".join(problems))
+            records[name] = {"status": "fail", "err": "; ".join(problems)}
             failures += 1
         else:
             print(f"PASS  {name}: rows={len(sdf)} hash={value_hash(sdf)} "
                   f"[{time.time()-t0:.1f}s]")
+            records[name] = {"status": "pass", "rows": len(sdf),
+                             "sec": round(time.time() - t0, 1),
+                             "hash": value_hash(sdf)}
     print(f"\n{len(targets) - failures}/{len(targets)} passed")
+    if json_path:
+        statuses = [r["status"] for r in records.values()]
+        out = {
+            "sf_dir": SF_DIR,
+            "total": len(records),
+            "oracle_pass": statuses.count("pass"),
+            "oracle_fail": statuses.count("fail"),
+            "rows_only": statuses.count("rows_only"),
+            "queries": records,
+        }
+        with open(json_path, "w") as f:
+            json.dump(out, f, indent=1)
+        print(f"wrote {json_path}")
     return 1 if failures else 0
 
 
