@@ -53,6 +53,10 @@ LSH_NDUP_PLANES, LSH_NDUP_TABLES = lsh_plan(500, threshold=0.45, n_planes=4)
 
 def _utc(spark: SparkSession) -> SparkSession:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # parquet written without isAdjustedToUTC must read as session-TZ
+    # TIMESTAMP (not TIMESTAMP_NTZ): watermarks require it and the DuckDB
+    # oracle comparison assumes UTC wall-clock timestamps
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     return spark
 
 
@@ -1117,25 +1121,78 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
     return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+def q_range_join(spark, sf_dir):
+    """Bucketed interval join (joins.py range_join): 25 overlapping 36 h
+    campaign windows anchored at the dataset epoch; per-campaign event
+    count + value sum. The join is a hash equi-join on 12 h time buckets
+    with the range predicate as a post-filter — no nested-loop theta
+    join, no driver-side min(ts) action (the anchor is a constant)."""
+    from caspr_spark.operators import range_join
+    ev = _events(spark, sf_dir)
+    camp = (spark.range(25)
+            .select(F.col("id").cast("int").alias("campaign_id"),
+                    F.expr("timestampadd(HOUR, 24 * id, "
+                           "timestamp'2024-01-01 00:00:00')").alias("start_ts"))
+            .withColumn("end_ts", F.expr("timestampadd(HOUR, 36, start_ts)")))
+    joined = range_join(ev, camp, left_ts="ts", right_start="start_ts",
+                        right_end="end_ts", bucket_hours=12,
+                        broadcast_right=True)
+    return (joined.groupBy("campaign_id")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.round(F.sum("value"), 4).alias("sum_value")))
+
+
+def q_hypertable_rollup(spark, sf_dir):
+    """Continuous-aggregate rollup (timeseries.py): hourly layer once,
+    daily layer re-aggregated from the hourly table — the raw events are
+    scanned exactly once. Sums ride decimal(18,4) through both layers so
+    re-aggregation is order-free exact."""
+    from caspr_spark.operators.timeseries import (
+        continuous_rollup, hourly_aggregate,
+    )
+    ev = _events(spark, sf_dir)
+    hourly = hourly_aggregate(ev, "ts", ["event_type"], "value")
+    daily = continuous_rollup(hourly, "day", ["event_type"])
+    return daily.select(
+        F.to_date("bucket_day").alias("day"), "event_type", "n_events",
+        F.round(F.col("sum_value").cast("double"), 4).alias("sum_value"))
+
+
+def q_funnel(spark, sf_dir):
+    """Ordered conversion funnel view -> click -> purchase: stage k
+    requires an event STRICTLY after the entity's stage k-1 time. Single
+    lazy plan, every shuffle keyed on user_id (timeseries.py funnel)."""
+    from caspr_spark.operators.timeseries import funnel
+    ev = _events(spark, sf_dir)
+    return funnel(ev, ["view", "click", "purchase"], entity_col="user_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver contract: the correctness gate certifies the FIRST 50 entries.
 
-    76 of the 91 queries carry full DuckDB oracles — more than one 50-slot
+    79 of the 94 queries carry full DuckDB oracles — more than one 50-slot
     window holds — so certification rotates across rounds (COVERAGE.md maps
     which round certified which row; tools/check_correctness.py re-runs the
     FULL oracle suite locally each round -> CORRECTNESS_local_r{N}.json).
     Ordering discipline:
-      slots 1-27   oracle-bearing queries first certified in the round-2
+      slots 1-3    oracle-bearing queries NEW in round 3 (range join,
+                   hypertable rollup, funnel),
+      slots 4-30   oracle-bearing queries first certified in the round-2
                    window (dedup/simsearch/streaming/metrics/scoring/text/
                    multimodal suite + segment_dec),
-      slots 28-50  core round-1-certified rows retained in-window (one per
-                   SURVEY §2 family: pipelines, filters, encodes, pivots),
+      slots 31-50  core round-1-certified rows retained in-window (one per
+                   SURVEY §2 family: pipelines, filters, encodes, pivots;
+                   e6/e7/f6 rotated out this round, still local-certified),
       slots 51+    remaining oracle-bearing queries (all driver-green in
-                   CORRECTNESS_r01.json), then rows-only / no-oracle
+                   CORRECTNESS_r01/r02.json), then rows-only / no-oracle
                    queries (seeded RNG, iterative) at the very end.
     """
     return {
-        # --- slots 1-27: oracle-bearing, first certified in round 2 ------
+        # --- slots 1-3: oracle-bearing, new in round 3 -------------------
+        "range_join_campaigns": q_range_join,
+        "hypertable_rollup": q_hypertable_rollup,
+        "funnel_conversion": q_funnel,
+        # --- slots 4-30: oracle-bearing, first certified in round 2 ------
         "j2_semi_prune": q_j2_semi_prune,
         "p7_array_pack": q_p7_array_pack,
         "s1_parquet_roundtrip": q_s1_parquet_roundtrip,
@@ -1163,7 +1220,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "multimodal_frames": q_multimodal_frames,
         "segment_dec": q_segment_dec,
-        # --- slots 28-50: core rows retained from the round-1 window -----
+        # --- slots 31-50: core rows retained from the round-1 window -----
         "pipeline_events": q_pipeline_events,
         "pipeline_events_array": q_pipeline_events_array,
         "pipeline_lineitem": q_pipeline_lineitem,
@@ -1174,20 +1231,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f2_last_n": q_f2_last_n,
         "f4_profile_dedup": q_f4_profile_dedup,
         "f5_outlier_removal": q_f5_outlier_removal,
-        "f6_null_drop": q_f6_null_drop,
         "e1_encode_capped": q_e1_encode_capped,
         "e2_encode_collect": q_e2_encode_collect,
         "e3_decode_roundtrip": q_e3_decode_roundtrip,
         "e5_normalize_minmax": q_e5_normalize_minmax,
-        "e6_denormalize_roundtrip": q_e6_denormalize_roundtrip,
-        "e7_date_interval": q_e7_date_interval,
         "e8_date_fill_pivoted": q_e8_date_fill_pivoted,
         "e9_fill_nans_pivoted": q_e9_fill_nans_pivoted,
         "e10_quantile_bucket": q_e10_quantile_bucket,
         "p1_left_pad": q_p1_left_pad,
         "p3_pivot_last5": q_p3_pivot_last5,
         "x3_sliding_union": q_x3_sliding_union,
-        # --- slots 51+: oracle-bearing, driver-green in round 1 ----------
+        # --- slots 51+: oracle-bearing, driver-green in rounds 1-2 -------
+        "f6_null_drop": q_f6_null_drop,
+        "e6_denormalize_roundtrip": q_e6_denormalize_roundtrip,
+        "e7_date_interval": q_e7_date_interval,
         "llm_curate": q_llm_curate,
         "llm_curate_report": q_llm_curate_report,
         "p3_pivot_lineitem": q_p3_pivot_lineitem,
@@ -1650,6 +1707,39 @@ def oracle_sql() -> dict[str, str]:
         "pipeline_events_array": _events_pipeline_sql(),
         "pipeline_lineitem": _lineitem_pipeline_sql(),
         "pipeline_orders_profile": _orders_pipeline_sql(),
+        "range_join_campaigns": """
+WITH camp AS (
+  SELECT CAST(i AS INTEGER) AS campaign_id,
+         TIMESTAMP '2024-01-01 00:00:00' + to_hours(24 * i) AS start_ts,
+         TIMESTAMP '2024-01-01 00:00:00' + to_hours(24 * i + 36) AS end_ts
+  FROM range(0, 25) t(i))
+SELECT campaign_id, CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(e.value), 4) AS sum_value
+FROM camp JOIN events e ON e.ts >= camp.start_ts AND e.ts < camp.end_ts
+GROUP BY campaign_id""",
+        "hypertable_rollup": """
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS bucket_hour, event_type,
+         CAST(count(*) AS BIGINT) AS n_events,
+         sum(CAST(value AS DECIMAL(18,4))) AS sum_value
+  FROM events GROUP BY 1, 2)
+SELECT CAST(date_trunc('day', bucket_hour) AS DATE) AS day, event_type,
+       CAST(sum(n_events) AS BIGINT) AS n_events,
+       round(CAST(sum(sum_value) AS DOUBLE), 4) AS sum_value
+FROM hourly GROUP BY 1, 2""",
+        "funnel_conversion": """
+WITH s0 AS (SELECT user_id, min(ts) AS t0 FROM events
+            WHERE event_type = 'view' GROUP BY user_id),
+s1 AS (SELECT e.user_id, min(e.ts) AS t1 FROM events e
+       JOIN s0 USING (user_id)
+       WHERE e.event_type = 'click' AND e.ts > s0.t0 GROUP BY e.user_id),
+s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+       JOIN s1 USING (user_id)
+       WHERE e.event_type = 'purchase' AND e.ts > s1.t1 GROUP BY e.user_id)
+SELECT CAST(0 AS INTEGER) AS stage_idx, 'view' AS stage,
+       (SELECT count(*) FROM s0) AS n_entities
+UNION ALL SELECT 1, 'click', (SELECT count(*) FROM s1)
+UNION ALL SELECT 2, 'purchase', (SELECT count(*) FROM s2)""",
         "w1_rank": """
 SELECT event_id, user_id,
   count(*) OVER (PARTITION BY user_id) AS seq_len,

@@ -73,6 +73,43 @@ def asof_join(left: DataFrame, right: DataFrame, on: list[str],
     return out.drop("__src", "__ts", "__rrow")
 
 
+def range_join(left: DataFrame, right: DataFrame,
+               left_ts: str = "ts", right_start: str = "start_ts",
+               right_end: str = "end_ts", bucket_hours: int = 24,
+               broadcast_right: bool | None = None) -> DataFrame:
+    """Interval (range) join: pair each left row with every right interval
+    containing its timestamp (``start <= ts < end``), without the
+    quadratic theta-join.
+
+    Scale shape: a raw ``ON ts BETWEEN start AND end`` join has no equi
+    key, so Spark plans a broadcast-nested-loop — O(|L|·|R|) at 100 TB.
+    Instead both sides get discretized to ``bucket_hours`` time buckets:
+    each left row lands in exactly ONE bucket; each right interval
+    explodes to the buckets it covers (``sequence`` + ``explode``, a few
+    rows for sane widths). The join becomes a hash equi-join on the
+    bucket with the range predicate as a post-filter, and because a left
+    row has a single bucket, no dedup pass is needed. Pick
+    ``bucket_hours`` near the median interval length: wider buckets
+    replicate intervals less but keep more non-matching pairs to filter.
+
+    ``broadcast_right``: force (True) or suppress (False) broadcasting
+    the exploded interval side; default broadcasts only when the plan is
+    already loaded (None lets AQE decide from runtime stats).
+    """
+    sec = F.lit(bucket_hours * 3600).cast("long")
+    lb = left.withColumn(
+        "__bucket", (F.unix_timestamp(F.col(left_ts)) / sec).cast("long"))
+    rb = right.withColumn("__bucket", F.explode(F.sequence(
+        (F.unix_timestamp(F.col(right_start)) / sec).cast("long"),
+        (F.unix_timestamp(F.col(right_end)) / sec).cast("long"))))
+    if broadcast_right:
+        rb = F.broadcast(rb)
+    joined = lb.join(rb, on="__bucket", how="inner").filter(
+        (F.col(left_ts) >= F.col(right_start))
+        & (F.col(left_ts) < F.col(right_end)))
+    return joined.drop("__bucket")
+
+
 def salted_join(left: DataFrame, right: DataFrame, on: list[str],
                 salt: int = 8, how: str = "inner") -> DataFrame:
     """Equi-join with explicit key salting for skew.

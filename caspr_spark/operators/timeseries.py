@@ -1,0 +1,112 @@
+"""Time-series analytics: hypertable-style rollups and event funnels.
+
+The reference's aggregation layer is entity-centric (SURVEY §2.4); these
+are the time-centric extensions a large-scale event store needs:
+
+- ``time_bucket``: truncate timestamps to fixed-width buckets (the
+  TimescaleDB ``time_bucket`` / Flink tumbling-window primitive).
+- ``continuous_rollup``: the continuous-aggregate pattern — aggregate
+  once at a fine granularity, then answer every coarser granularity by
+  re-aggregating the (tiny) fine-level table instead of the raw events.
+  At 100 TB this is the difference between one scan per dashboard tile
+  and one scan total: the hourly layer is ~|keys|·24·365 rows/year, so
+  the daily/weekly/monthly rollups never touch the raw table. Counts
+  re-aggregate as sums of counts; sums as sums of sums (both algebraic);
+  for non-algebraic stats (distinct, percentiles) keep a sketch column
+  at the fine level instead.
+- ``funnel``: ordered multi-stage conversion (stage k strictly after
+  stage k-1 per entity). Every shuffle keys on the entity column and the
+  per-stage frontier shrinks monotonically, so stages after the first
+  join against ever-smaller (often broadcast-able) frontiers.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_BUCKET_SECONDS = {
+    "minute": 60, "hour": 3600, "day": 86400, "week": 604800,
+}
+
+
+def time_bucket(ts, width: str = "hour", n: int = 1):
+    """Column expr: ``ts`` truncated to ``n`` × ``width`` buckets.
+
+    ``n == 1`` uses ``date_trunc`` (stays a native timestamp op);
+    arbitrary ``n`` floors the epoch (epoch arithmetic, still codegen'd).
+    """
+    ts = F.col(ts) if isinstance(ts, str) else ts
+    if n == 1:
+        return F.date_trunc(width, ts)
+    sec = F.lit(_BUCKET_SECONDS[width] * n).cast("long")
+    return F.timestamp_seconds(
+        (F.unix_timestamp(ts) / sec).cast("long") * sec)
+
+
+def hourly_aggregate(df: DataFrame, ts_col: str = "ts",
+                     keys: list[str] | None = None,
+                     value_col: str = "value") -> DataFrame:
+    """Fine-granularity layer of a continuous aggregate: per (hour, keys)
+    row count + value sum. The value sum is carried as ``decimal(18,4)``
+    so coarser rollups re-aggregate EXACTLY (decimal addition is
+    associative-exact; double addition is not, and a rollup that changes
+    the answer when re-aggregated defeats the pattern)."""
+    keys = keys or []
+    return (df.groupBy(time_bucket(ts_col, "hour").alias("bucket_hour"),
+                       *keys)
+              .agg(F.count(F.lit(1)).alias("n_events"),
+                   F.sum(F.col(value_col).cast("decimal(18,4)"))
+                    .alias("sum_value")))
+
+
+def continuous_rollup(fine: DataFrame, width: str = "day",
+                      keys: list[str] | None = None,
+                      bucket_col: str = "bucket_hour") -> DataFrame:
+    """Coarse layer re-aggregated FROM the fine layer (never the raw
+    table): counts sum, sums sum. Input column contract is
+    ``hourly_aggregate``'s output."""
+    keys = keys or []
+    return (fine.groupBy(time_bucket(bucket_col, width).alias(f"bucket_{width}"),
+                         *keys)
+                .agg(F.sum("n_events").alias("n_events"),
+                     F.sum("sum_value").alias("sum_value")))
+
+
+def funnel(df: DataFrame, stages: list[str], entity_col: str = "user_id",
+           ts_col: str = "ts", type_col: str = "event_type") -> DataFrame:
+    """Ordered funnel: per entity, reach stage k only via an event of
+    ``stages[k]`` STRICTLY after the stage-k-1 timestamp; first such
+    event is the stage time. Returns one row per stage:
+    ``(stage_idx, stage, n_entities)`` — one lazy plan, no driver-side
+    counting.
+
+    Plan shape: stage 0 is a filtered groupBy on the entity; each later
+    stage left-joins the raw events (filtered to one type) against the
+    previous frontier on the entity key and re-groups, so an entity that
+    stalls keeps a NULL stage time instead of dropping out. Every
+    exchange hashes on ``entity_col`` and the per-type event slices only
+    shrink, so AQE broadcasts the later stages at scale; the final
+    counts are one tiny global agg fanned to one row per stage.
+    """
+    ent = (df.filter(F.col(type_col) == stages[0])
+             .groupBy(entity_col).agg(F.min(ts_col).alias("__t0")))
+    for i, stage in enumerate(stages[1:], start=1):
+        nxt = (df.filter(F.col(type_col) == stage)
+                 .select(entity_col, F.col(ts_col).alias("__ts")))
+        ent = (ent.join(nxt, on=entity_col, how="left")
+                  .groupBy(entity_col, *[f"__t{j}" for j in range(i)])
+                  .agg(F.min(F.when(F.col("__ts") > F.col(f"__t{i-1}"),
+                                    F.col("__ts"))).alias(f"__t{i}")))
+    stage_cols = [
+        F.sum(F.when(F.col(f"__t{i}").isNotNull(), 1).otherwise(0))
+         .alias(f"__n{i}") for i in range(len(stages))]
+    agg = ent.agg(*stage_cols)
+    per_stage = [agg.select(F.lit(i).alias("stage_idx"),
+                            F.lit(s).alias("stage"),
+                            F.col(f"__n{i}").cast("bigint")
+                             .alias("n_entities"))
+                 for i, s in enumerate(stages)]
+    return reduce(lambda a, b: a.unionByName(b), per_stage)

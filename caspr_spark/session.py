@@ -24,6 +24,11 @@ def get_spark(app_name: str = "caspr_spark", master: str | None = None,
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # parquet files written without isAdjustedToUTC would otherwise
+        # infer TIMESTAMP_NTZ (Spark 4 default), which watermarks reject
+        # and which diverges from the UTC-session TIMESTAMP the oracles
+        # compare against — read them as session-TZ timestamps instead
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or int(cpus)))
         # parquet scans: keep splits big enough to amortize task overhead
         .config("spark.sql.files.maxPartitionBytes", "134217728")

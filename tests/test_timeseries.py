@@ -1,0 +1,155 @@
+"""Tests for range join, time-bucket rollups, and the conversion funnel."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from caspr_spark.operators.joins import range_join
+from caspr_spark.operators.timeseries import (
+    continuous_rollup, funnel, hourly_aggregate, time_bucket,
+)
+from tests.test_plans import plan_of
+
+
+@pytest.fixture(scope="module")
+def intervals(spark):
+    # overlapping windows, incl. one spanning several buckets and one empty
+    return spark.createDataFrame(
+        [(0, "2024-01-01 00:00:00", "2024-01-01 12:00:00"),
+         (1, "2024-01-01 06:00:00", "2024-01-02 18:00:00"),
+         (2, "2024-03-01 00:00:00", "2024-03-02 00:00:00")],
+        "iv_id int, s string, e string") \
+        .select("iv_id", F.to_timestamp("s").alias("start_ts"),
+                F.to_timestamp("e").alias("end_ts"))
+
+
+@pytest.fixture(scope="module")
+def points(spark):
+    return spark.createDataFrame(
+        [(10, "2024-01-01 00:00:00"),   # == start of iv0 (inclusive)
+         (11, "2024-01-01 07:30:00"),   # inside iv0 AND iv1
+         (12, "2024-01-01 12:00:00"),   # == end of iv0 (exclusive) -> iv1 only
+         (13, "2024-01-02 17:59:59"),   # tail of iv1
+         (14, "2024-02-15 00:00:00")],  # matches nothing
+        "ev_id int, s string") \
+        .select("ev_id", F.to_timestamp("s").alias("ts"))
+
+
+class TestRangeJoin:
+    def test_matches_theta_join(self, points, intervals):
+        got = range_join(points, intervals, bucket_hours=6) \
+            .select("ev_id", "iv_id").collect()
+        want = points.join(
+            intervals,
+            (points.ts >= intervals.start_ts) & (points.ts < intervals.end_ts)) \
+            .select("ev_id", "iv_id").collect()
+        assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+    def test_boundary_semantics(self, points, intervals):
+        pairs = sorted(
+            (r.ev_id, r.iv_id)
+            for r in range_join(points, intervals, bucket_hours=6)
+            .select("ev_id", "iv_id").collect())
+        assert (10, 0) in pairs          # start inclusive
+        assert (12, 0) not in pairs      # end exclusive
+        assert (12, 1) in pairs
+        assert (11, 0) in pairs and (11, 1) in pairs   # overlap -> both
+        assert all(e != 14 for e, _ in pairs)
+
+    def test_bucket_width_invariance(self, points, intervals):
+        a = sorted((r.ev_id, r.iv_id) for r in
+                   range_join(points, intervals, bucket_hours=1)
+                   .select("ev_id", "iv_id").collect())
+        b = sorted((r.ev_id, r.iv_id) for r in
+                   range_join(points, intervals, bucket_hours=48)
+                   .select("ev_id", "iv_id").collect())
+        assert a == b
+
+    def test_no_nested_loop_join(self, points, intervals):
+        plan = plan_of(range_join(points, intervals, bucket_hours=6,
+                                  broadcast_right=True))
+        assert "BroadcastNestedLoop" not in plan
+        assert "CartesianProduct" not in plan
+
+
+class TestTimeBucket:
+    def test_one_hour_is_date_trunc(self, spark):
+        df = spark.createDataFrame([("2024-05-07 13:47:31",)], "s string") \
+            .select(F.to_timestamp("s").alias("ts"))
+        row = df.select(time_bucket("ts", "hour").alias("a"),
+                        F.date_trunc("hour", "ts").alias("b")).first()
+        assert row.a == row.b
+
+    def test_n_hour_floor(self, spark):
+        df = spark.createDataFrame(
+            [("2024-05-07 13:47:31",), ("2024-05-07 11:59:59",)], "s string") \
+            .select(F.to_timestamp("s").alias("ts"))
+        got = [r.b.hour for r in
+               df.select(time_bucket("ts", "hour", 6).alias("b")).collect()]
+        assert got == [12, 6]
+
+
+class TestContinuousRollup:
+    def test_rollup_equals_direct_daily(self, spark, events):
+        hourly = hourly_aggregate(events, "ts", ["event_type"], "value")
+        daily = continuous_rollup(hourly, "day", ["event_type"])
+        direct = (events.groupBy(
+            F.date_trunc("day", "ts").alias("bucket_day"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum(F.col("value").cast("decimal(18,4)")).alias("sum_value")))
+        key = lambda r: (r.bucket_day, r.event_type)
+        got = {key(r): (r.n_events, r.sum_value)
+               for r in daily.collect()}
+        want = {key(r): (r.n_events, r.sum_value)
+                for r in direct.collect()}
+        assert got == want
+
+    def test_weekly_from_hourly(self, spark, events):
+        hourly = hourly_aggregate(events, "ts", [], "value")
+        weekly = continuous_rollup(hourly, "week", [])
+        total = weekly.agg(F.sum("n_events").alias("n")).first().n
+        assert total == events.count()
+
+
+@pytest.fixture(scope="module")
+def funnel_events(spark):
+    rows = [
+        # u1 completes in order
+        (1, "2024-01-01 00:00:00", "view"),
+        (1, "2024-01-02 00:00:00", "click"),
+        (1, "2024-01-03 00:00:00", "buy"),
+        # u2: click BEFORE its first view -> stalls at view
+        (2, "2024-01-05 00:00:00", "click"),
+        (2, "2024-01-06 00:00:00", "view"),
+        (2, "2024-01-07 00:00:00", "buy"),
+        # u3: buy without any click -> stalls at view
+        (3, "2024-01-01 00:00:00", "view"),
+        (3, "2024-01-02 00:00:00", "buy"),
+        # u4: click at the SAME instant as view -> strictness blocks it
+        (4, "2024-01-01 00:00:00", "view"),
+        (4, "2024-01-01 00:00:00", "click"),
+        # u5: never views -> not in the funnel at all
+        (5, "2024-01-01 00:00:00", "click"),
+        (5, "2024-01-02 00:00:00", "buy"),
+    ]
+    return spark.createDataFrame(rows, "user_id long, s string, event_type string") \
+        .select("user_id", F.to_timestamp("s").alias("ts"), "event_type")
+
+
+class TestFunnel:
+    def test_ordered_strict_semantics(self, funnel_events):
+        out = {r.stage: r.n_entities
+               for r in funnel(funnel_events, ["view", "click", "buy"]).collect()}
+        # view: u1..u4; click after view: u1 only (u2 clicked before its
+        # view... but u2 has no click AFTER the view; u4 tied); buy: u1
+        assert out == {"view": 4, "click": 1, "buy": 1}
+
+    def test_stage_rows_and_order(self, funnel_events):
+        rows = funnel(funnel_events, ["view", "click"]).orderBy("stage_idx") \
+            .collect()
+        assert [(r.stage_idx, r.stage) for r in rows] == [(0, "view"), (1, "click")]
+
+    def test_monotone_nonincreasing(self, events):
+        rows = funnel(events, ["view", "click", "purchase", "signup"]) \
+            .orderBy("stage_idx").collect()
+        counts = [r.n_entities for r in rows]
+        assert counts == sorted(counts, reverse=True)
