@@ -37,6 +37,9 @@ SNAPSHOT_QUERIES = [
     "e5_normalize_minmax",
     "p3_pivot_last5",
     "x3_sliding_union",
+    "range_join_campaigns",
+    "hypertable_rollup",
+    "funnel_conversion",
     "a9_label_multihot",
     "e8_date_fill_pivoted",
     "w5_sessionize",
