@@ -1167,22 +1167,37 @@ def q_funnel(spark, sf_dir):
     return funnel(ev, ["view", "click", "purchase"], entity_col="user_id")
 
 
+def q_bloom_semi(spark, sf_dir):
+    """Bloom-prefiltered semi join (joins.py bloom_semi_join): events of
+    users with any purchase >= 190. The filter is one bit_or aggregation
+    of fitted state; the probe prunes the event scan BEFORE the exact
+    semi-join shuffle; false positives are scrubbed by the join, so the
+    result is bit-identical to the plain semi join (= the oracle)."""
+    from caspr_spark.operators import bloom_semi_join
+    ev = _events(spark, sf_dir)
+    premium = (ev.filter((F.col("event_type") == "purchase")
+                         & (F.col("value") >= 190))
+                 .select("user_id"))
+    out = bloom_semi_join(ev, premium, on="user_id", n_items=512)
+    return out.select("event_id", "user_id", "event_type")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver contract: the correctness gate certifies the FIRST 50 entries.
 
-    79 of the 94 queries carry full DuckDB oracles — more than one 50-slot
+    80 of the 95 queries carry full DuckDB oracles — more than one 50-slot
     window holds — so certification rotates across rounds (COVERAGE.md maps
     which round certified which row; tools/check_correctness.py re-runs the
     FULL oracle suite locally each round -> CORRECTNESS_local_r{N}.json).
     Ordering discipline:
-      slots 1-3    oracle-bearing queries NEW in round 3 (range join,
-                   hypertable rollup, funnel),
-      slots 4-30   oracle-bearing queries first certified in the round-2
+      slots 1-4    oracle-bearing queries NEW in round 3 (range join,
+                   hypertable rollup, funnel, bloom semi join),
+      slots 5-31   oracle-bearing queries first certified in the round-2
                    window (dedup/simsearch/streaming/metrics/scoring/text/
                    multimodal suite + segment_dec),
-      slots 31-50  core round-1-certified rows retained in-window (one per
+      slots 32-50  core round-1-certified rows retained in-window (one per
                    SURVEY §2 family: pipelines, filters, encodes, pivots;
-                   e6/e7/f6 rotated out this round, still local-certified),
+                   e3/e6/e7/f6 rotated out this round, still local-certified),
       slots 51+    remaining oracle-bearing queries (all driver-green in
                    CORRECTNESS_r01/r02.json), then rows-only / no-oracle
                    queries (seeded RNG, iterative) at the very end.
@@ -1192,7 +1207,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join_campaigns": q_range_join,
         "hypertable_rollup": q_hypertable_rollup,
         "funnel_conversion": q_funnel,
-        # --- slots 4-30: oracle-bearing, first certified in round 2 ------
+        "bloom_semi_join": q_bloom_semi,
+        # --- slots 5-31: oracle-bearing, first certified in round 2 ------
         "j2_semi_prune": q_j2_semi_prune,
         "p7_array_pack": q_p7_array_pack,
         "s1_parquet_roundtrip": q_s1_parquet_roundtrip,
@@ -1220,7 +1236,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "multimodal_frames": q_multimodal_frames,
         "segment_dec": q_segment_dec,
-        # --- slots 31-50: core rows retained from the round-1 window -----
+        # --- slots 32-50: core rows retained from the round-1 window -----
         "pipeline_events": q_pipeline_events,
         "pipeline_events_array": q_pipeline_events_array,
         "pipeline_lineitem": q_pipeline_lineitem,
@@ -1233,7 +1249,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f5_outlier_removal": q_f5_outlier_removal,
         "e1_encode_capped": q_e1_encode_capped,
         "e2_encode_collect": q_e2_encode_collect,
-        "e3_decode_roundtrip": q_e3_decode_roundtrip,
         "e5_normalize_minmax": q_e5_normalize_minmax,
         "e8_date_fill_pivoted": q_e8_date_fill_pivoted,
         "e9_fill_nans_pivoted": q_e9_fill_nans_pivoted,
@@ -1242,6 +1257,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p3_pivot_last5": q_p3_pivot_last5,
         "x3_sliding_union": q_x3_sliding_union,
         # --- slots 51+: oracle-bearing, driver-green in rounds 1-2 -------
+        "e3_decode_roundtrip": q_e3_decode_roundtrip,
         "f6_null_drop": q_f6_null_drop,
         "e6_denormalize_roundtrip": q_e6_denormalize_roundtrip,
         "e7_date_interval": q_e7_date_interval,
@@ -1717,6 +1733,10 @@ SELECT campaign_id, CAST(count(*) AS BIGINT) AS n_events,
        round(sum(e.value), 4) AS sum_value
 FROM camp JOIN events e ON e.ts >= camp.start_ts AND e.ts < camp.end_ts
 GROUP BY campaign_id""",
+        "bloom_semi_join": """
+SELECT event_id, user_id, event_type FROM events
+WHERE user_id IN (SELECT user_id FROM events
+                  WHERE event_type = 'purchase' AND value >= 190)""",
         "hypertable_rollup": """
 WITH hourly AS (
   SELECT date_trunc('hour', ts) AS bucket_hour, event_type,

@@ -16,6 +16,8 @@ joins a large-scale event pipeline needs:
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -108,6 +110,81 @@ def range_join(left: DataFrame, right: DataFrame,
         (F.col(left_ts) >= F.col(right_start))
         & (F.col(left_ts) < F.col(right_end)))
     return joined.drop("__bucket")
+
+
+def _bloom_probes(col, m_bits: int, k: int):
+    """k independent bit positions as native column exprs: probe i is
+    ``pmod(xxhash64(col, i), m)``. Seeding the hash per probe avoids the
+    classic h1 + i·h2 double-hash, whose int64 arithmetic overflows under
+    ANSI mode; k extra xxhash64 calls are codegen-cheap."""
+    return [F.pmod(F.xxhash64(col, F.lit(i)), F.lit(m_bits))
+            for i in range(k)]
+
+
+def bloom_semi_join(left: DataFrame, right: DataFrame, on: str,
+                    right_on: str | None = None, n_items: int | None = None,
+                    fpp: float = 0.01, how: str = "left_semi") -> DataFrame:
+    """Semi/anti join with a Bloom-filter prefilter on the big side.
+
+    The scale problem: ``events SEMI JOIN premium_users`` shuffles every
+    left row, even though most will not survive the join. Spark's own
+    runtime bloom filters solve this inside the optimizer; this operator
+    is the same technique made explicit and deterministic:
+
+    1. **Build** (one pass over the right side): k bit positions per key,
+       OR-ed into 64-bit words by one ``bit_or`` aggregation; the ≤ m/64
+       surviving words are collected as fitted state (same pattern as the
+       encode dictionaries / scaling summaries — a tiny driver-side
+       constant, megabytes at most, NOT the data).
+    2. **Probe** (pure codegen, before any exchange): the words become an
+       array literal; a left row survives iff all k probed bits are set.
+       The filter sits in the scan stage, so the exchange for the exact
+       join moves only ~selectivity + fpp of the left side.
+    3. **Scrub**: the surviving rows still run the exact semi/anti join —
+       Bloom false positives are removed, so the result is bit-identical
+       to the plain join.
+
+    ``n_items`` sizes the filter (``right.count()`` if omitted — pass the
+    catalog statistic at scale); ``fpp`` is the target false-positive rate.
+    """
+    right_on = right_on or on
+    if how not in ("left_semi", "left_anti"):
+        raise ValueError(f"bloom_semi_join supports left_semi/left_anti, got {how!r}")
+    if n_items is None:
+        n_items = right.select(right_on).distinct().count()
+    n = max(n_items, 1)
+    m_bits = max(64, int(-n * math.log(max(fpp, 1e-12)) / (math.log(2) ** 2)))
+    m_bits = ((m_bits + 63) // 64) * 64
+    k = max(1, round(m_bits / n * math.log(2)))
+
+    probes = _bloom_probes(F.col(right_on), m_bits, k)
+    words = (right.select(F.explode(F.array(*probes)).alias("pos"))
+             .select((F.col("pos") / 64).cast("int").alias("w"),
+                     F.expr("shiftleft(1L, int(pos % 64))").alias("bit"))
+             .groupBy("w").agg(F.expr("bit_or(bit)").alias("word"))
+             .collect())
+    dense = [0] * (m_bits // 64)
+    for r in words:
+        dense[r.w] = r.word
+
+    # probe: temp columns for the k positions + the word-array literal,
+    # one codegen'd conjunction checks every bit, temp columns dropped
+    probed = left.withColumn("__bw", F.lit(dense))
+    for i, p in enumerate(_bloom_probes(F.col(on), m_bits, k)):
+        probed = probed.withColumn(f"__bp{i}", p)
+    hit = F.expr(" AND ".join(
+        f"(shiftrightunsigned(element_at(__bw, int(__bp{i} / 64) + 1), "
+        f"int(__bp{i} % 64)) & 1L) = 1L" for i in range(k)))
+    tmp = ["__bw"] + [f"__bp{i}" for i in range(k)]
+    keys = (right.select(F.col(right_on).alias(on)) if right_on != on
+            else right.select(on)).distinct()
+    if how == "left_semi":
+        # probe-miss rows cannot be in the join; only hits reach the shuffle
+        return probed.filter(hit).drop(*tmp).join(keys, on=on, how="left_semi")
+    # anti: probe-miss rows are DEFINITE keepers (bloom has no false
+    # negatives) and bypass the join; only the hits need the exact check
+    return probed.filter(~hit).drop(*tmp).unionByName(
+        probed.filter(hit).drop(*tmp).join(keys, on=on, how="left_anti"))
 
 
 def salted_join(left: DataFrame, right: DataFrame, on: list[str],

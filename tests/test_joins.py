@@ -181,3 +181,64 @@ class TestMetricsEmpty:
         df = spark.createDataFrame([], "y int, pred int")
         rep = classification_report(df, "y", "pred")
         assert rep["accuracy"] == 0.0 and rep["f1"] == 0.0
+
+
+class TestBloomSemiJoin:
+    """bloom_semi_join must be bit-identical to the plain semi/anti join —
+    the bloom prefilter only prunes, never decides."""
+
+    @pytest.fixture(scope="class")
+    def sides(self, spark):
+        from pyspark.sql import functions as F2
+        left = spark.range(0, 3000).select(
+            F2.col("id").alias("k"), (F2.col("id") % 13).alias("v"))
+        right = spark.range(0, 3000, 11).select(F2.col("id").alias("k"))
+        return left, right
+
+    def test_semi_equals_plain(self, sides):
+        from caspr_spark.operators.joins import bloom_semi_join
+        left, right = sides
+        got = sorted(r.k for r in
+                     bloom_semi_join(left, right, "k", n_items=300).collect())
+        want = sorted(r.k for r in left.join(right, "k", "left_semi").collect())
+        assert got == want
+
+    def test_anti_equals_plain(self, sides):
+        from caspr_spark.operators.joins import bloom_semi_join
+        left, right = sides
+        got = sorted(r.k for r in
+                     bloom_semi_join(left, right, "k", n_items=300,
+                                     how="left_anti").collect())
+        want = sorted(r.k for r in left.join(right, "k", "left_anti").collect())
+        assert got == want
+
+    def test_undersized_filter_still_exact(self, sides):
+        # n_items far too small -> high fpp -> prefilter keeps extra rows,
+        # but the scrub join must still produce the exact result
+        from caspr_spark.operators.joins import bloom_semi_join
+        left, right = sides
+        got = sorted(r.k for r in
+                     bloom_semi_join(left, right, "k", n_items=4).collect())
+        want = sorted(r.k for r in left.join(right, "k", "left_semi").collect())
+        assert got == want
+
+    def test_empty_right(self, sides):
+        from caspr_spark.operators.joins import bloom_semi_join
+        left, right = sides
+        assert bloom_semi_join(left, right.filter("k < 0"), "k",
+                               n_items=1).count() == 0
+
+    def test_probe_is_codegen_prefilter(self, sides):
+        # the probe must be a native Filter (shiftrightunsigned over the
+        # word-array literal) with no Python eval anywhere in the plan
+        from caspr_spark.operators.joins import bloom_semi_join
+        left, right = sides
+        plan = plan_of(bloom_semi_join(left, right, "k", n_items=300))
+        assert "shiftrightunsigned" in plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+    def test_rejects_outer(self, sides):
+        from caspr_spark.operators.joins import bloom_semi_join
+        left, right = sides
+        with pytest.raises(ValueError, match="left_semi/left_anti"):
+            bloom_semi_join(left, right, "k", n_items=10, how="inner")

@@ -40,6 +40,7 @@ SNAPSHOT_QUERIES = [
     "range_join_campaigns",
     "hypertable_rollup",
     "funnel_conversion",
+    "bloom_semi_join",
     "a9_label_multihot",
     "e8_date_fill_pivoted",
     "w5_sessionize",
