@@ -1167,6 +1167,20 @@ def q_funnel(spark, sf_dir):
     return funnel(ev, ["view", "click", "purchase"], entity_col="user_id")
 
 
+def q_asof_join_forward(spark, sf_dir):
+    """Forward as-of join (pandas merge_asof direction='forward'): each
+    event gets the user's NEXT purchase value at-or-after it — same
+    union+window single-shuffle shape as the backward join, with a
+    following frame."""
+    from caspr_spark.operators import asof_join
+    ev = _events(spark, sf_dir)
+    purch = (ev.filter(F.col("event_type") == "purchase")
+               .groupBy("user_id", "ts").agg(F.max("value").alias("pval")))
+    out = asof_join(ev, purch, on=["user_id"], value_cols=["pval"],
+                    direction="forward")
+    return out.select("event_id", F.round("pval_asof", 6).alias("pval_asof"))
+
+
 def q_bloom_semi(spark, sf_dir):
     """Bloom-prefiltered semi join (joins.py bloom_semi_join): events of
     users with any purchase >= 190. The filter is one bit_or aggregation
@@ -1185,19 +1199,20 @@ def q_bloom_semi(spark, sf_dir):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver contract: the correctness gate certifies the FIRST 50 entries.
 
-    80 of the 95 queries carry full DuckDB oracles — more than one 50-slot
+    81 of the 96 queries carry full DuckDB oracles — more than one 50-slot
     window holds — so certification rotates across rounds (COVERAGE.md maps
     which round certified which row; tools/check_correctness.py re-runs the
     FULL oracle suite locally each round -> CORRECTNESS_local_r{N}.json).
     Ordering discipline:
-      slots 1-4    oracle-bearing queries NEW in round 3 (range join,
-                   hypertable rollup, funnel, bloom semi join),
-      slots 5-31   oracle-bearing queries first certified in the round-2
+      slots 1-5    oracle-bearing queries NEW in round 3 (range join,
+                   hypertable rollup, funnel, bloom semi join, forward
+                   as-of join),
+      slots 6-32   oracle-bearing queries first certified in the round-2
                    window (dedup/simsearch/streaming/metrics/scoring/text/
                    multimodal suite + segment_dec),
-      slots 32-50  core round-1-certified rows retained in-window (one per
+      slots 33-50  core round-1-certified rows retained in-window (one per
                    SURVEY §2 family: pipelines, filters, encodes, pivots;
-                   e3/e6/e7/f6 rotated out this round, still local-certified),
+                   e2/e3/e6/e7/f6 rotated out this round, still local-certified),
       slots 51+    remaining oracle-bearing queries (all driver-green in
                    CORRECTNESS_r01/r02.json), then rows-only / no-oracle
                    queries (seeded RNG, iterative) at the very end.
@@ -1208,7 +1223,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hypertable_rollup": q_hypertable_rollup,
         "funnel_conversion": q_funnel,
         "bloom_semi_join": q_bloom_semi,
-        # --- slots 5-31: oracle-bearing, first certified in round 2 ------
+        "asof_join_forward": q_asof_join_forward,
+        # --- slots 6-32: oracle-bearing, first certified in round 2 ------
         "j2_semi_prune": q_j2_semi_prune,
         "p7_array_pack": q_p7_array_pack,
         "s1_parquet_roundtrip": q_s1_parquet_roundtrip,
@@ -1236,7 +1252,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "multimodal_frames": q_multimodal_frames,
         "segment_dec": q_segment_dec,
-        # --- slots 32-50: core rows retained from the round-1 window -----
+        # --- slots 33-50: core rows retained from the round-1 window -----
         "pipeline_events": q_pipeline_events,
         "pipeline_events_array": q_pipeline_events_array,
         "pipeline_lineitem": q_pipeline_lineitem,
@@ -1248,7 +1264,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f4_profile_dedup": q_f4_profile_dedup,
         "f5_outlier_removal": q_f5_outlier_removal,
         "e1_encode_capped": q_e1_encode_capped,
-        "e2_encode_collect": q_e2_encode_collect,
         "e5_normalize_minmax": q_e5_normalize_minmax,
         "e8_date_fill_pivoted": q_e8_date_fill_pivoted,
         "e9_fill_nans_pivoted": q_e9_fill_nans_pivoted,
@@ -1257,6 +1272,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p3_pivot_last5": q_p3_pivot_last5,
         "x3_sliding_union": q_x3_sliding_union,
         # --- slots 51+: oracle-bearing, driver-green in rounds 1-2 -------
+        "e2_encode_collect": q_e2_encode_collect,
         "e3_decode_roundtrip": q_e3_decode_roundtrip,
         "f6_null_drop": q_f6_null_drop,
         "e6_denormalize_roundtrip": q_e6_denormalize_roundtrip,
@@ -1953,6 +1969,12 @@ SELECT CAST(count(DISTINCT l_linestatus) AS BIGINT) AS l_linestatus,
        CAST(count(DISTINCT l_returnflag) AS BIGINT) AS l_returnflag,
        CAST(count(DISTINCT l_suppkey) AS BIGINT) AS l_suppkey
 FROM lineitem""",
+        "asof_join_forward": """
+WITH p AS (SELECT user_id, ts, max(value) AS pval FROM events
+           WHERE event_type = 'purchase' GROUP BY 1, 2)
+SELECT e.event_id, round(p.pval, 6) AS pval_asof
+FROM events e ASOF LEFT JOIN p
+  ON e.user_id = p.user_id AND p.ts >= e.ts""",
         "asof_join": """
 WITH p AS (SELECT user_id, ts, max(value) AS pval FROM events
            WHERE event_type = 'purchase' GROUP BY 1, 2)

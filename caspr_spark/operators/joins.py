@@ -26,16 +26,24 @@ def asof_join(left: DataFrame, right: DataFrame, on: list[str],
               left_ts: str = "ts", right_ts: str = "ts",
               value_cols: list[str] | None = None,
               tolerance_days: int | None = None,
-              suffix: str = "_asof") -> DataFrame:
-    """Backward as-of join: attach each right row's ``value_cols`` to every
-    left row with ``right_ts <= left_ts`` (latest such, per ``on`` key).
+              suffix: str = "_asof",
+              direction: str = "backward") -> DataFrame:
+    """As-of join: attach each right row's ``value_cols`` to every left row
+    with ``right_ts <= left_ts`` (``direction="backward"``, latest such) or
+    ``right_ts >= left_ts`` (``direction="forward"``, earliest such), per
+    ``on`` key — pandas ``merge_asof`` semantics, one shuffle.
 
     Union the two sides tagged by origin, sort per key by (ts, origin),
-    and carry the right values forward with ``last(..., ignorenulls)``
-    over an unbounded-preceding frame. Ties (equal timestamps) resolve to
-    the right row (the tag orders right before left). ``tolerance_days``
-    nulls out matches older than the window.
+    and carry the right values with ``last(..., ignorenulls)`` over an
+    unbounded-preceding frame (backward) or ``first(..., ignorenulls)``
+    over an unbounded-following frame (forward). Ties (equal timestamps)
+    resolve to the right row: the origin tag orders right before left
+    going backward and after left going forward, so an equal-``ts`` right
+    row is always a candidate. ``tolerance_days`` nulls out matches
+    farther than the window in the join direction.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     if value_cols is None:
         value_cols = [c for c in right.columns
                       if c not in on and c != right_ts]
@@ -58,15 +66,27 @@ def asof_join(left: DataFrame, right: DataFrame, on: list[str],
     rt = rt.drop(*value_cols)
     unioned = lt.unionByName(rt.select(*lt.columns))
 
-    w = (Window.partitionBy(*on).orderBy(F.col("__ts").asc(), F.col("__src").asc())
-         .rowsBetween(Window.unboundedPreceding, 0))
-    out = unioned.withColumn("__rrow",
-                             F.last(F.col("__rrow"), ignorenulls=True).over(w))
+    if direction == "backward":
+        w = (Window.partitionBy(*on)
+             .orderBy(F.col("__ts").asc(), F.col("__src").asc())
+             .rowsBetween(Window.unboundedPreceding, 0))
+        picked = F.last(F.col("__rrow"), ignorenulls=True).over(w)
+    else:
+        # right rows (src 0) must sort AFTER the left row at equal ts so
+        # the [current, +inf) frame still sees them
+        w = (Window.partitionBy(*on)
+             .orderBy(F.col("__ts").asc(), F.col("__src").desc())
+             .rowsBetween(0, Window.unboundedFollowing))
+        picked = F.first(F.col("__rrow"), ignorenulls=True).over(w)
+    out = unioned.withColumn("__rrow", picked)
     out = out.filter(F.col("__src") == 1)
 
     stale = F.lit(False)
     if tolerance_days is not None:
-        stale = F.datediff(F.col("__ts"), F.col("__rrow.__rts")) > tolerance_days
+        gap = (F.datediff(F.col("__ts"), F.col("__rrow.__rts"))
+               if direction == "backward"
+               else F.datediff(F.col("__rrow.__rts"), F.col("__ts")))
+        stale = gap > tolerance_days
     for c in value_cols:
         out = out.withColumn(
             f"{c}{suffix}",

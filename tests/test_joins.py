@@ -46,6 +46,30 @@ class TestAsofJoin:
         assert got[(1, 100.0)] == 99.5    # same day -> kept
         assert got[(2, 49.0)] is None
 
+    def test_forward_semantics(self, quotes_trades):
+        quotes, trades = quotes_trades
+        out = asof_join(trades, quotes, on=["sym"], value_cols=["bid"],
+                        direction="forward")
+        got = {(r["sym"], r["px"]): r["bid_asof"] for r in out.collect()}
+        assert got[(1, 100.0)] == 100.5   # 10:00:05 -> next quote 10:00:10
+        assert got[(1, 101.0)] is None    # no later quote
+        assert got[(2, 50.0)] == 49.9     # equal ts matches (>=)
+        assert got[(2, 49.0)] == 49.9     # 09:00 -> next quote 10:00:03
+        assert got[(3, 7.0)] == 7.5       # later quote exists forward
+
+    def test_forward_tolerance(self, quotes_trades):
+        quotes, trades = quotes_trades
+        out = asof_join(trades, quotes, on=["sym"], value_cols=["bid"],
+                        direction="forward", tolerance_days=0)
+        got = {(r["sym"], r["px"]): r["bid_asof"] for r in out.collect()}
+        assert got[(2, 49.0)] == 49.9     # same day forward -> kept
+        assert got[(3, 7.0)] is None      # next day -> nulled by tolerance
+
+    def test_bad_direction(self, quotes_trades):
+        quotes, trades = quotes_trades
+        with pytest.raises(ValueError, match="backward|forward"):
+            asof_join(trades, quotes, on=["sym"], direction="nearest")
+
     def test_single_shuffle(self, quotes_trades):
         quotes, trades = quotes_trades
         plan = plan_of(asof_join(trades, quotes, on=["sym"], value_cols=["bid"]))
