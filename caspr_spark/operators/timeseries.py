@@ -76,9 +76,11 @@ def continuous_rollup(fine: DataFrame, width: str = "day",
 
 
 def funnel(df: DataFrame, stages: list[str], entity_col: str = "user_id",
-           ts_col: str = "ts", type_col: str = "event_type") -> DataFrame:
+           ts_col: str = "ts", type_col: str = "event_type",
+           max_gap_days: int | None = None) -> DataFrame:
     """Ordered funnel: per entity, reach stage k only via an event of
-    ``stages[k]`` STRICTLY after the stage-k-1 timestamp; first such
+    ``stages[k]`` STRICTLY after the stage-k-1 timestamp (and within
+    ``max_gap_days`` of it, when set — the conversion window); first such
     event is the stage time. Returns one row per stage:
     ``(stage_idx, stage, n_entities)`` — one lazy plan, no driver-side
     counting.
@@ -96,10 +98,13 @@ def funnel(df: DataFrame, stages: list[str], entity_col: str = "user_id",
     for i, stage in enumerate(stages[1:], start=1):
         nxt = (df.filter(F.col(type_col) == stage)
                  .select(entity_col, F.col(ts_col).alias("__ts")))
+        ok = F.col("__ts") > F.col(f"__t{i-1}")
+        if max_gap_days is not None:
+            ok = ok & (F.col("__ts") <= F.col(f"__t{i-1}")
+                       + F.expr(f"INTERVAL {int(max_gap_days)} DAY"))
         ent = (ent.join(nxt, on=entity_col, how="left")
                   .groupBy(entity_col, *[f"__t{j}" for j in range(i)])
-                  .agg(F.min(F.when(F.col("__ts") > F.col(f"__t{i-1}"),
-                                    F.col("__ts"))).alias(f"__t{i}")))
+                  .agg(F.min(F.when(ok, F.col("__ts"))).alias(f"__t{i}")))
     stage_cols = [
         F.sum(F.when(F.col(f"__t{i}").isNotNull(), 1).otherwise(0))
          .alias(f"__n{i}") for i in range(len(stages))]

@@ -148,6 +148,18 @@ class TestFunnel:
             .collect()
         assert [(r.stage_idx, r.stage) for r in rows] == [(0, "view"), (1, "click")]
 
+    def test_conversion_window(self, funnel_events):
+        # u1 clicks 1 day after view, buys 1 day after click; a 0-day
+        # window kills both conversions, a 1-day window keeps them
+        tight = {r.stage: r.n_entities for r in
+                 funnel(funnel_events, ["view", "click", "buy"],
+                        max_gap_days=0).collect()}
+        assert tight == {"view": 4, "click": 0, "buy": 0}
+        loose = {r.stage: r.n_entities for r in
+                 funnel(funnel_events, ["view", "click", "buy"],
+                        max_gap_days=1).collect()}
+        assert loose == {"view": 4, "click": 1, "buy": 1}
+
     def test_monotone_nonincreasing(self, events):
         rows = funnel(events, ["view", "click", "purchase", "signup"]) \
             .orderBy("stage_idx").collect()
