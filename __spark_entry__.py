@@ -131,6 +131,49 @@ def q_pipeline_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wide
 
 
+def q_pipeline_events_percutoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-entity prediction-date featurization: every user is cut off at
+    their OWN latest activity (not one global max(ts)). Exercises the
+    reference's core per-row-cutoff semantic
+    (caspr/utils/spark/preprocess.py:551, :577-581) end-to-end through
+    F1 -> W1 -> E1/E5 -> P3: the history filter, the interval features and
+    the fills all see a prediction_date that varies per row.
+    """
+    ev = _events(spark, sf_dir)
+    percut = ev.groupBy("user_id").agg(F.max("ts").alias("prediction_date"))
+    ev = ev.join(percut, on="user_id", how="inner")
+    feat = SequenceFeaturizer(roles=_event_roles(), history_days=HIST_DAYS,
+                              seq_len=SEQ_N, interval=True, scaling="min_max")
+    wide, _ = feat.fit_transform(ev)
+    return wide
+
+
+def q_pipeline_orders_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite (2-column) entity key through the full pipeline: the
+    reference's ``tgt_id`` is a *list* (caspr/utils/spark/preprocess.py:549);
+    here the entity is (c_nationkey, c_mktsegment) — a genuine multi-column
+    grain — driven through W1 ranking, P3 pivot and the absolute-date fill
+    path (J4-style profile carry rides the same composite key).
+    """
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    df = orders.join(customer, orders.o_custkey == customer.c_custkey).drop("c_custkey")
+    pred = orders.agg(F.max("o_orderdate")).collect()[0][0]
+    df = df.withColumn("prediction_date", F.lit(pred))
+    df = df.withColumn("c_nationkey", F.col("c_nationkey").cast("int"))
+    roles = ColumnRoles(
+        tgt_id=["c_nationkey", "c_mktsegment"], activity_date="o_orderdate",
+        cat_cols=["o_orderstatus", "o_orderpriority"],
+        cont_cols=["o_totalprice"],
+        seq_cols=["o_orderstatus", "o_orderpriority", "o_totalprice", "o_orderdate"],
+        date_cols=["o_orderdate"],
+        order_tiebreak=["o_orderkey"])
+    feat = SequenceFeaturizer(roles=roles, history_days=ORDERS_HIST,
+                              seq_len=ORDERS_N, interval=False, scaling="min_max")
+    wide, _ = feat.fit_transform(df)
+    return wide
+
+
 def q_pipeline_orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J4 profile-join pipeline in absolute-date mode with label columns."""
     orders = _t(spark, sf_dir, "orders")
@@ -1199,46 +1242,87 @@ def q_bloom_semi(spark, sf_dir):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver contract: the correctness gate certifies the FIRST 50 entries.
 
-    81 of the 96 queries carry full DuckDB oracles — more than one 50-slot
+    81+ of the queries carry full DuckDB oracles — more than one 50-slot
     window holds — so certification rotates across rounds (COVERAGE.md maps
     which round certified which row; tools/check_correctness.py re-runs the
     FULL oracle suite locally each round -> CORRECTNESS_local_r{N}.json).
-    Ordering discipline:
-      slots 1-5    oracle-bearing queries NEW in round 3 (range join,
-                   hypertable rollup, funnel, bloom semi join, forward
-                   as-of join),
-      slots 6-32   oracle-bearing queries first certified in the round-2
-                   window (dedup/simsearch/streaming/metrics/scoring/text/
-                   multimodal suite + segment_dec),
-      slots 33-50  core round-1-certified rows retained in-window (one per
-                   SURVEY §2 family: pipelines, filters, encodes, pivots;
-                   e2/e3/e6/e7/f6 rotated out this round, still local-certified),
+    Round-4 ordering discipline (per the round-3 verdict's top item):
+      slots 1-2    oracle-bearing queries NEW in round 4 (per-entity
+                   prediction-date pipeline, composite-entity-key pipeline),
+      slots 3-33   the 31 rows last driver-certified in ROUND 1 — they
+                   predate the r3 session-TZ timestamp-read change
+                   (commit 6d60e9d) and only the local suite has re-proven
+                   them since; leading with them completes a fully
+                   post-change driver-certified set,
+      slots 34-50  high-value r2/r3-certified rows re-run for redundancy
+                   (pipelines + streaming + LSH),
       slots 51+    remaining oracle-bearing queries (all driver-green in
-                   CORRECTNESS_r01/r02.json), then rows-only / no-oracle
-                   queries (seeded RNG, iterative) at the very end.
+                   r2/r3), then rows-only / no-oracle queries (seeded RNG,
+                   iterative) at the very end.
     """
     return {
-        # --- slots 1-3: oracle-bearing, new in round 3 -------------------
+        # --- slots 1-2: oracle-bearing, NEW in round 4 -------------------
+        "pipeline_events_percutoff": q_pipeline_events_percutoff,
+        "pipeline_orders_composite": q_pipeline_orders_composite,
+        # --- slots 3-33: the 31 round-1-certified rows (post-TZ-change
+        #     re-certification) ---------------------------------------------
+        "a1_cardinality": q_a1_cardinality,
+        "a2_topk_cat_freq": q_a2_topk_cat_freq,
+        "a3_summary_stats": q_a3_summary_stats,
+        "a4_max_date": q_a4_max_date,
+        "a5_events_per_entity": q_a5_events_per_entity,
+        "a6_seq_len_percentile": q_a6_seq_len_percentile,
+        "a7_lookback_period": q_a7_lookback_period,
+        "a8_collect_distinct": q_a8_collect_distinct,
+        "a9_label_multihot": q_a9_label_multihot,
+        "a10_segment_profile": q_a10_segment_profile,
+        "a11_nunique_lineitem": q_a11_nunique_lineitem,
+        "a12_rollup": q_a12_rollup,
+        "a13_cube": q_a13_cube,
+        "w5_sessionize": q_w5_sessionize,
+        "w6_rolling_window": q_w6_rolling_window,
+        "w7_lead_dense_rank": q_w7_lead_dense_rank,
+        "asof_join": q_asof_join,
+        "x6_set_ops": q_x6_set_ops,
+        "json_extract": q_json_extract,
+        "p3_pivot_lineitem": q_p3_pivot_lineitem,
+        "p6_petastorm_rename": q_p6_petastorm_rename,
+        "e1_fit_apply_split": q_e1_fit_apply_split,
+        "e5_fit_apply_split": q_e5_fit_apply_split,
+        "e5_normalize_standard": q_e5_normalize_standard,
+        "llm_curate": q_llm_curate,
+        "llm_curate_report": q_llm_curate_report,
+        "e2_encode_collect": q_e2_encode_collect,
+        "e3_decode_roundtrip": q_e3_decode_roundtrip,
+        "f6_null_drop": q_f6_null_drop,
+        "e6_denormalize_roundtrip": q_e6_denormalize_roundtrip,
+        "e7_date_interval": q_e7_date_interval,
+        # --- slots 34-50: r2/r3-certified rows re-run for redundancy -----
+        "pipeline_events": q_pipeline_events,
+        "pipeline_events_array": q_pipeline_events_array,
+        "pipeline_lineitem": q_pipeline_lineitem,
+        "pipeline_orders_profile": q_pipeline_orders_profile,
+        "emb_near_dup": q_emb_near_dup,
+        "simsearch_topk_lsh": q_simsearch_topk_lsh,
+        "simsearch_topk": q_simsearch_topk,
+        "stream_windowed_stats": q_stream_windowed_stats,
+        "stream_last3_state": q_stream_last3_state,
+        "stream_static_join": q_stream_static_join,
+        "stream_dedup": q_stream_dedup,
         "range_join_campaigns": q_range_join,
         "hypertable_rollup": q_hypertable_rollup,
         "funnel_conversion": q_funnel,
         "bloom_semi_join": q_bloom_semi,
         "asof_join_forward": q_asof_join_forward,
-        # --- slots 6-32: oracle-bearing, first certified in round 2 ------
+        "segment_dec": q_segment_dec,
+        # --- slots 51+: oracle-bearing, driver-green in rounds 1-3 -------
         "j2_semi_prune": q_j2_semi_prune,
         "p7_array_pack": q_p7_array_pack,
         "s1_parquet_roundtrip": q_s1_parquet_roundtrip,
-        "stream_windowed_stats": q_stream_windowed_stats,
-        "stream_last3_state": q_stream_last3_state,
-        "stream_static_join": q_stream_static_join,
-        "stream_dedup": q_stream_dedup,
         "score_linear": q_score_linear,
         "metrics_confusion": q_metrics_confusion,
         "metrics_roc_auc": q_metrics_roc_auc,
         "metrics_roc_auc_binned": q_metrics_roc_auc_binned,
-        "simsearch_topk": q_simsearch_topk,
-        "simsearch_topk_lsh": q_simsearch_topk_lsh,
-        "emb_near_dup": q_emb_near_dup,
         "explain_linear_ablation": q_explain_linear_ablation,
         "x3_trainset_labeled": q_x3_trainset_labeled,
         "dedup_exact": q_dedup_exact,
@@ -1251,12 +1335,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_binary_meta": q_multimodal_binary_meta,
         "multimodal_features": q_multimodal_features,
         "multimodal_frames": q_multimodal_frames,
-        "segment_dec": q_segment_dec,
-        # --- slots 33-50: core rows retained from the round-1 window -----
-        "pipeline_events": q_pipeline_events,
-        "pipeline_events_array": q_pipeline_events_array,
-        "pipeline_lineitem": q_pipeline_lineitem,
-        "pipeline_orders_profile": q_pipeline_orders_profile,
         "w1_rank": q_w1_rank,
         "w2_intervals": q_w2_intervals,
         "f1_history_window": q_f1_history_window,
@@ -1271,38 +1349,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p1_left_pad": q_p1_left_pad,
         "p3_pivot_last5": q_p3_pivot_last5,
         "x3_sliding_union": q_x3_sliding_union,
-        # --- slots 51+: oracle-bearing, driver-green in rounds 1-2 -------
-        "e2_encode_collect": q_e2_encode_collect,
-        "e3_decode_roundtrip": q_e3_decode_roundtrip,
-        "f6_null_drop": q_f6_null_drop,
-        "e6_denormalize_roundtrip": q_e6_denormalize_roundtrip,
-        "e7_date_interval": q_e7_date_interval,
-        "llm_curate": q_llm_curate,
-        "llm_curate_report": q_llm_curate_report,
-        "p3_pivot_lineitem": q_p3_pivot_lineitem,
-        "e1_fit_apply_split": q_e1_fit_apply_split,
-        "e5_fit_apply_split": q_e5_fit_apply_split,
-        "e5_normalize_standard": q_e5_normalize_standard,
-        "p6_petastorm_rename": q_p6_petastorm_rename,
-        "json_extract": q_json_extract,
-        "w5_sessionize": q_w5_sessionize,
-        "w6_rolling_window": q_w6_rolling_window,
-        "w7_lead_dense_rank": q_w7_lead_dense_rank,
-        "a12_rollup": q_a12_rollup,
-        "a13_cube": q_a13_cube,
-        "x6_set_ops": q_x6_set_ops,
-        "a1_cardinality": q_a1_cardinality,
-        "a2_topk_cat_freq": q_a2_topk_cat_freq,
-        "a3_summary_stats": q_a3_summary_stats,
-        "a4_max_date": q_a4_max_date,
-        "a5_events_per_entity": q_a5_events_per_entity,
-        "a6_seq_len_percentile": q_a6_seq_len_percentile,
-        "a7_lookback_period": q_a7_lookback_period,
-        "a8_collect_distinct": q_a8_collect_distinct,
-        "a9_label_multihot": q_a9_label_multihot,
-        "a10_segment_profile": q_a10_segment_profile,
-        "a11_nunique_lineitem": q_a11_nunique_lineitem,
-        "asof_join": q_asof_join,
         # --- rows-only / no-oracle queries last --------------------------
         "x5_sample": q_x5_sample,
         "x1_three_way_split": q_x1_three_way_split,
@@ -1405,6 +1451,113 @@ SELECT user_id,
   {val},
   {ts}
 FROM n GROUP BY user_id
+"""
+
+
+def _events_percutoff_sql() -> str:
+    """Oracle twin of q_pipeline_events_percutoff: identical to the global
+    pipeline oracle except ``pred`` is per-user (each user's max ts) and
+    joins by key instead of cross-joining a scalar."""
+    n, hist = SEQ_N, HIST_DAYS
+    et = _pivot_cases(n, "et", "event_type", "0")
+    val = _pivot_cases(n, "val_n", "value", "0.0")
+    ts = _pivot_cases(n, "ts_n", "ts", "max(hist_n)")
+    return f"""
+WITH pred AS (SELECT user_id, max(ts) AS p FROM events GROUP BY user_id),
+f AS (
+  SELECT e.event_id, e.user_id, e.event_type, e.value, e.ts, pred.p
+  FROM events e JOIN pred USING (user_id)
+  WHERE extract(epoch FROM e.ts) > floor(extract(epoch FROM pred.p)) - {hist}*86400
+    AND e.ts < pred.p
+),
+enc AS (
+  SELECT event_type, row_number() OVER (ORDER BY count(*) DESC, event_type ASC) AS code
+  FROM f GROUP BY event_type
+),
+d AS (
+  SELECT f.*, (p::DATE - ts::DATE) AS ts_feat,
+         count(*) OVER (PARTITION BY user_id) AS sl,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rd
+  FROM f
+),
+stats AS (
+  SELECT min(ts_feat) AS tmin, max(ts_feat) AS tmax,
+         min(value) AS vmin, max(value) AS vmax FROM d
+),
+n AS (
+  SELECT d.user_id,
+         (d.sl - d.rd + 1) + CASE WHEN d.sl >= {n} THEN {n} - d.sl ELSE 0 END AS slot,
+         CAST(coalesce(enc.code, 0) AS INT) AS et,
+         (d.value - s.vmin) / (s.vmax - s.vmin) AS val_n,
+         CAST(d.ts_feat - s.tmin AS DOUBLE) / CAST(s.tmax - s.tmin AS DOUBLE) AS ts_n,
+         CAST({hist} - s.tmin AS DOUBLE) / CAST(s.tmax - s.tmin AS DOUBLE) AS hist_n
+  FROM d LEFT JOIN enc USING (event_type) CROSS JOIN stats s
+  WHERE d.rd <= {n}
+)
+SELECT user_id,
+  {et},
+  {val},
+  {ts}
+FROM n GROUP BY user_id
+"""
+
+
+def _orders_composite_sql() -> str:
+    """Oracle twin of q_pipeline_orders_composite: the orders pipeline on
+    the composite (c_nationkey, c_mktsegment) entity key, absolute-date
+    mode, no profile columns."""
+    n, hist = ORDERS_N, ORDERS_HIST
+    st = _pivot_cases(n, "st", "o_orderstatus", "0")
+    pr = _pivot_cases(n, "pr", "o_orderpriority", "0")
+    tp = _pivot_cases(n, "tp_n", "o_totalprice", "0.0")
+    od = _pivot_cases(n, "od_n", "o_orderdate", "max(sow_n)")
+    return f"""
+WITH pred AS (SELECT max(o_orderdate) AS p FROM orders),
+j AS (
+  SELECT o.o_orderkey, o.o_orderstatus, o.o_orderpriority,
+         o.o_totalprice, o.o_orderdate,
+         CAST(c.c_nationkey AS INT) AS c_nationkey, c.c_mktsegment, pred.p
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey CROSS JOIN pred
+  WHERE extract(epoch FROM o.o_orderdate) > floor(extract(epoch FROM pred.p)) - {hist}*86400
+    AND o.o_orderdate < pred.p
+),
+enc_st AS (SELECT o_orderstatus AS v,
+                  row_number() OVER (ORDER BY count(*) DESC, o_orderstatus ASC) AS code
+           FROM j GROUP BY 1),
+enc_pr AS (SELECT o_orderpriority AS v,
+                  row_number() OVER (ORDER BY count(*) DESC, o_orderpriority ASC) AS code
+           FROM j GROUP BY 1),
+d AS (
+  SELECT j.*, CAST(floor(extract(epoch FROM o_orderdate)) AS DOUBLE) AS od_epoch,
+         count(*) OVER (PARTITION BY c_nationkey, c_mktsegment) AS sl,
+         row_number() OVER (PARTITION BY c_nationkey, c_mktsegment
+                            ORDER BY o_orderdate DESC, o_orderkey DESC) AS rd
+  FROM j
+),
+stats AS (
+  SELECT min(od_epoch) AS dmin, max(od_epoch) AS dmax,
+         min(o_totalprice) AS pmin, max(o_totalprice) AS pmax FROM d
+),
+n AS (
+  SELECT d.c_nationkey, d.c_mktsegment,
+         (d.sl - d.rd + 1) + CASE WHEN d.sl >= {n} THEN {n} - d.sl ELSE 0 END AS slot,
+         CAST(coalesce(est.code, 0) AS INT) AS st,
+         CAST(coalesce(epr.code, 0) AS INT) AS pr,
+         (d.o_totalprice - s.pmin) / (s.pmax - s.pmin) AS tp_n,
+         (d.od_epoch - s.dmin) / (s.dmax - s.dmin) AS od_n,
+         (CAST(floor(extract(epoch FROM (d.p::DATE - INTERVAL {hist} DAY))) AS DOUBLE) - s.dmin)
+            / (s.dmax - s.dmin) AS sow_n
+  FROM d LEFT JOIN enc_st est ON d.o_orderstatus = est.v
+         LEFT JOIN enc_pr epr ON d.o_orderpriority = epr.v
+         CROSS JOIN stats s
+  WHERE d.rd <= {n}
+)
+SELECT c_nationkey, c_mktsegment,
+  {st},
+  {pr},
+  {tp},
+  {od}
+FROM n GROUP BY c_nationkey, c_mktsegment
 """
 
 
@@ -1737,8 +1890,10 @@ def oracle_sql() -> dict[str, str]:
     return {
         "pipeline_events": _events_pipeline_sql(),
         "pipeline_events_array": _events_pipeline_sql(),
+        "pipeline_events_percutoff": _events_percutoff_sql(),
         "pipeline_lineitem": _lineitem_pipeline_sql(),
         "pipeline_orders_profile": _orders_pipeline_sql(),
+        "pipeline_orders_composite": _orders_composite_sql(),
         "range_join_campaigns": """
 WITH camp AS (
   SELECT CAST(i AS INTEGER) AS campaign_id,

@@ -12,6 +12,7 @@ precision — JVM-side, no Arrow hop.
 from __future__ import annotations
 
 import math
+import warnings
 
 import numpy as np
 import pandas as pd
@@ -130,8 +131,17 @@ def lsh_plan(n_rows: int, threshold: float = 0.3, target_recall: float = 0.9,
     if p_table >= 1.0 - 1e-12:
         n_tables = 1
     else:
-        n_tables = max(1, min(max_tables, math.ceil(
-            math.log(max(1.0 - target_recall, 1e-12)) / math.log(1.0 - p_table))))
+        wanted = max(1, math.ceil(
+            math.log(max(1.0 - target_recall, 1e-12)) / math.log(1.0 - p_table)))
+        n_tables = min(max_tables, wanted)
+        if wanted > max_tables:
+            achieved = 1.0 - (1.0 - p_table) ** n_tables
+            warnings.warn(
+                f"lsh_plan: recall target {target_recall} at threshold "
+                f"{threshold} needs {wanted} tables but max_tables={max_tables} "
+                f"binds; expected recall at the threshold is ~{achieved:.3f}. "
+                "Raise max_tables, lower n_planes, or accept the lower recall.",
+                stacklevel=2)
     return n_planes, n_tables
 
 

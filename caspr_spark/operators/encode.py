@@ -184,7 +184,8 @@ def fit_encoding(df: DataFrame, cols: list[str],
     return enc
 
 
-def fit_encoding_collect(df: DataFrame, cols: list[str]) -> CategoricalEncoding:
+def fit_encoding_collect(df: DataFrame, cols: list[str],
+                         max_cardinality: int = 100_000) -> CategoricalEncoding:
     """E2 fit: dictionary from *sorted distinct values*, codes 1..V (0=UNK).
 
     The reference's collect-strategy encoder gathers ``collect_set`` per
@@ -194,10 +195,28 @@ def fit_encoding_collect(df: DataFrame, cols: list[str]) -> CategoricalEncoding:
     here transform stays ``CategoricalEncoding.apply`` (broadcast join),
     only the fit ordering differs from ``fit_encoding`` (alphabetical vs
     frequency-ranked).
+
+    ``max_cardinality`` guards the driver: the reference collects the full
+    distinct set unconditionally and OOMs the driver on a miscategorized
+    high-cardinality column; here the cheap ``approx_count_distinct``
+    pre-check raises loudly instead. Use the capped ``fit_encoding`` (E1)
+    path for genuinely huge vocabularies.
     """
     enc = CategoricalEncoding()
     if not cols:
         return enc
+    approx = df.agg(*[F.approx_count_distinct(c).alias(c) for c in cols]) \
+               .collect()[0]
+    # approx_count_distinct's default rsd is 5%; use a 1.2 slack factor so
+    # the guard never false-positives near the cap
+    over = {c: int(approx[c]) for c in cols
+            if approx[c] > max_cardinality * 1.2}
+    if over:
+        raise ValueError(
+            f"fit_encoding_collect: column(s) exceed max_cardinality="
+            f"{max_cardinality}: {over} (approximate counts). Collecting "
+            "the full dictionary would risk driver OOM — raise "
+            "max_cardinality explicitly or use the capped fit_encoding (E1).")
     row = df.agg(*[F.sort_array(F.collect_set(c)).alias(c) for c in cols]) \
             .collect()[0]
     for c in cols:

@@ -17,6 +17,7 @@ joins a large-scale event pipeline needs:
 from __future__ import annotations
 
 import math
+import warnings
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -114,9 +115,9 @@ def range_join(left: DataFrame, right: DataFrame,
     ``bucket_hours`` near the median interval length: wider buckets
     replicate intervals less but keep more non-matching pairs to filter.
 
-    ``broadcast_right``: force (True) or suppress (False) broadcasting
-    the exploded interval side; default broadcasts only when the plan is
-    already loaded (None lets AQE decide from runtime stats).
+    ``broadcast_right``: True forces a broadcast hint on the exploded
+    interval side; None/False add no hint, leaving the strategy to AQE's
+    runtime statistics.
     """
     sec = F.lit(bucket_hours * 3600).cast("long")
     lb = left.withColumn(
@@ -130,6 +131,38 @@ def range_join(left: DataFrame, right: DataFrame,
         (F.col(left_ts) >= F.col(right_start))
         & (F.col(left_ts) < F.col(right_end)))
     return joined.drop("__bucket")
+
+
+# integer widening ladder for bloom key-type reconciliation; any other
+# numeric pair falls back to double (matching Spark's join-side implicit
+# cast), and non-numeric mismatches raise.
+_INT_LADDER = ["tinyint", "smallint", "int", "bigint"]
+_NUMERICISH = set(_INT_LADDER) | {"float", "double"}
+
+# hard ceiling on the bloom word-array literal embedded in every task's
+# plan: 2^29 bits = 64 MiB of longs. Above it we clamp and warn — the
+# filter keeps working at a worse fpp rather than OOMing the driver.
+_BLOOM_MAX_BITS = 1 << 29
+
+
+def _bloom_key_type(ltype: str, rtype: str) -> str | None:
+    """Common hash type for the two join keys, or None if they already
+    match. xxhash64 is type-sensitive (int 5 and bigint 5 hash
+    differently), so mismatched dtypes MUST be reconciled before hashing
+    or the filter produces false negatives — rows the exact join would
+    match after Spark's implicit cast get silently dropped. Raises on
+    pairs with no safe common type."""
+    if ltype == rtype:
+        return None
+    if ltype in _INT_LADDER and rtype in _INT_LADDER:
+        return _INT_LADDER[max(_INT_LADDER.index(ltype),
+                               _INT_LADDER.index(rtype))]
+    if (ltype in _NUMERICISH or ltype.startswith("decimal")) and \
+       (rtype in _NUMERICISH or rtype.startswith("decimal")):
+        return "double"
+    raise ValueError(
+        f"bloom_semi_join key dtypes differ ({ltype} vs {rtype}) with no "
+        "safe common hash type; cast the keys explicitly before joining")
 
 
 def _bloom_probes(col, m_bits: int, k: int):
@@ -170,14 +203,26 @@ def bloom_semi_join(left: DataFrame, right: DataFrame, on: str,
     right_on = right_on or on
     if how not in ("left_semi", "left_anti"):
         raise ValueError(f"bloom_semi_join supports left_semi/left_anti, got {how!r}")
+    common = _bloom_key_type(dict(left.dtypes)[on], dict(right.dtypes)[right_on])
+    build_key = F.col(right_on).cast(common) if common else F.col(right_on)
+    probe_key = F.col(on).cast(common) if common else F.col(on)
     if n_items is None:
         n_items = right.select(right_on).distinct().count()
     n = max(n_items, 1)
     m_bits = max(64, int(-n * math.log(max(fpp, 1e-12)) / (math.log(2) ** 2)))
     m_bits = ((m_bits + 63) // 64) * 64
+    if m_bits > _BLOOM_MAX_BITS:
+        eff_fpp = math.exp(-_BLOOM_MAX_BITS / n * math.log(2) ** 2)
+        warnings.warn(
+            f"bloom_semi_join: n_items={n_items:,} wants {m_bits // 8 // 2**20} MiB "
+            f"of filter; clamping to {_BLOOM_MAX_BITS // 8 // 2**20} MiB "
+            f"(effective fpp ~{eff_fpp:.3f} instead of {fpp}). The exact "
+            "scrub join keeps the result correct; only prefilter "
+            "selectivity degrades.", stacklevel=2)
+        m_bits = _BLOOM_MAX_BITS
     k = max(1, round(m_bits / n * math.log(2)))
 
-    probes = _bloom_probes(F.col(right_on), m_bits, k)
+    probes = _bloom_probes(build_key, m_bits, k)
     words = (right.select(F.explode(F.array(*probes)).alias("pos"))
              .select((F.col("pos") / 64).cast("int").alias("w"),
                      F.expr("shiftleft(1L, int(pos % 64))").alias("bit"))
@@ -190,7 +235,7 @@ def bloom_semi_join(left: DataFrame, right: DataFrame, on: str,
     # probe: temp columns for the k positions + the word-array literal,
     # one codegen'd conjunction checks every bit, temp columns dropped
     probed = left.withColumn("__bw", F.lit(dense))
-    for i, p in enumerate(_bloom_probes(F.col(on), m_bits, k)):
+    for i, p in enumerate(_bloom_probes(probe_key, m_bits, k)):
         probed = probed.withColumn(f"__bp{i}", p)
     hit = F.expr(" AND ".join(
         f"(shiftrightunsigned(element_at(__bw, int(__bp{i} / 64) + 1), "
