@@ -747,6 +747,21 @@ def q_e11_oversample(spark, sf_dir):
     return out.groupBy("y").agg(F.count("*").cast("long").alias("n"))
 
 
+def q_e12_time_shuffle(spark, sf_dir):
+    """E12 bounded time-axis shuffle (caspr/utils/noise.py:58-65): each
+    user's event sequence re-permuted with max displacement 2. Rows-only —
+    the permutation is Spark-seeded RNG — but the output carries both
+    ranks so the bound/permutation invariants are assertable downstream."""
+    from caspr_spark.noise import bounded_time_shuffle
+    ev = get_rank(_events(spark, sf_dir), ["user_id"], "ts",
+                  tiebreak=["event_id"])
+    out = bounded_time_shuffle(ev, ["user_id"], rank_col="rank_asc",
+                               shuffle_dist=2, seed=7, out_col="rank_shuf")
+    return out.select("event_id", "user_id",
+                      F.col("rank_asc").cast("long").alias("rank_asc"),
+                      F.col("rank_shuf").cast("long").alias("rank_shuf"))
+
+
 def q_metrics_confusion(spark, sf_dir):
     from caspr_spark.metrics import confusion_counts
     emb = _t(spark, sf_dir, "embeddings")
@@ -1356,6 +1371,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "score_transformer": q_score_transformer,
         "score_lstm_attention": q_score_lstm_attention,
         "e11_oversample": q_e11_oversample,
+        "e12_time_shuffle": q_e12_time_shuffle,
         "e10_quantile_approx": q_e10_quantile_approx,
         "segment_kmeans": q_segment_kmeans,
         "segment_dec_fit": q_segment_dec_fit,

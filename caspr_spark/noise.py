@@ -16,7 +16,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -48,6 +48,44 @@ def random_category_substitution(df: DataFrame, cols: list[str],
             .cast(dict(df.dtypes)[c])
         df = df.withColumn(c, F.when(gate, sub).otherwise(F.col(c)))
     return df
+
+
+def bounded_time_shuffle(df: DataFrame, tgt_id: list[str],
+                         rank_col: str = "rank_asc", shuffle_dist: int = 1,
+                         seed: int = 42,
+                         out_col: str | None = None) -> DataFrame:
+    """E12 time-axis shuffle: permute each entity's sequence so no element
+    lands more than ``shuffle_dist`` positions from where it started.
+
+    The reference (caspr/utils/noise.py:58-65) sorts per-sequence keys
+    ``position + U(0, shuffle_dist+1)`` on the torch batch; with keys of
+    that form the argsort displaces every element by at most
+    ``shuffle_dist`` (the bounded-shuffle construction used by denoising
+    sequence autoencoders). Here the keys are one seeded column expression
+    and the permutation is ONE ``row_number`` window per entity — when the
+    input already carries W1's rank the window reuses the existing
+    entity-key partitioning, so the op adds no exchange at any scale.
+
+    ``rank_col`` must hold each entity's 1..n sequence positions
+    (``get_rank``'s ``rank_asc``). The shuffled position lands in
+    ``out_col`` (default: replace ``rank_col``). Ties on the noisy key
+    break on the original rank, keeping the permutation deterministic for
+    a fixed partitioning.
+    """
+    if shuffle_dist < 0:
+        raise ValueError(f"shuffle_dist must be >= 0, got {shuffle_dist}")
+    if rank_col not in df.columns:
+        raise ValueError(f"call get_rank first: missing {rank_col!r}")
+    if shuffle_dist == 0:
+        return df.withColumn(out_col, F.col(rank_col)) if out_col else df
+    # materialize the noisy key first: rand() in a window ORDER BY would be
+    # re-evaluated non-deterministically between the sort and the rank
+    noisy = df.withColumn(
+        "__shuf_key", F.col(rank_col) + F.rand(seed) * (shuffle_dist + 1))
+    w = Window.partitionBy(*tgt_id).orderBy(F.col("__shuf_key").asc(),
+                                            F.col(rank_col).asc())
+    return noisy.withColumn(out_col or rank_col,
+                            F.row_number().over(w)).drop("__shuf_key")
 
 
 def oversample_to_parity(df: DataFrame, label_col: str,

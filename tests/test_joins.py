@@ -266,3 +266,43 @@ class TestBloomSemiJoin:
         left, right = sides
         with pytest.raises(ValueError, match="left_semi/left_anti"):
             bloom_semi_join(left, right, "k", n_items=10, how="inner")
+
+    def test_mismatched_int_dtypes_no_false_negatives(self, sides):
+        # xxhash64 is type-sensitive: int vs bigint keys hash differently,
+        # so without reconciliation the prefilter would silently drop every
+        # matching row. The widening cast must make bloom == plain join.
+        from pyspark.sql import functions as F2
+        from caspr_spark.operators.joins import bloom_semi_join
+        left, right = sides
+        left_int = left.withColumn("k", F2.col("k").cast("int"))
+        got = sorted(r.k for r in
+                     bloom_semi_join(left_int, right, "k", n_items=300).collect())
+        want = sorted(r.k for r in
+                      left_int.join(right, "k", "left_semi").collect())
+        assert got == want and len(got) > 0
+
+    def test_mismatched_string_dtype_raises(self, sides):
+        from pyspark.sql import functions as F2
+        from caspr_spark.operators.joins import bloom_semi_join
+        left, right = sides
+        with pytest.raises(ValueError, match="dtypes differ"):
+            bloom_semi_join(left.withColumn("k", F2.col("k").cast("string")),
+                            right, "k", n_items=10)
+
+    def test_filter_size_clamp_warns_and_stays_exact(self, sides):
+        import warnings as w
+        import caspr_spark.operators.joins as joins_mod
+        left, right = sides
+        orig = joins_mod._BLOOM_MAX_BITS
+        joins_mod._BLOOM_MAX_BITS = 1 << 12  # 4096 bits, forces the clamp
+        try:
+            with w.catch_warnings(record=True) as caught:
+                w.simplefilter("always")
+                got = sorted(r.k for r in joins_mod.bloom_semi_join(
+                    left, right, "k", n_items=3000).collect())
+            assert any("clamping" in str(c.message) for c in caught)
+            want = sorted(r.k for r in
+                          left.join(right, "k", "left_semi").collect())
+            assert got == want
+        finally:
+            joins_mod._BLOOM_MAX_BITS = orig

@@ -170,6 +170,22 @@ class TestSimilarity:
         _, t_hard = lsh_plan(10**6, threshold=0.3, n_planes=20)
         assert t_easy < t_hard
 
+    def test_lsh_plan_warns_when_max_tables_clamps(self):
+        import warnings as w
+        from caspr_spark.llm.similarity import lsh_plan
+        # threshold 0.3 at 23 planes needs far more than 64 OR-ed tables
+        # for 0.9 recall — the clamp must warn with the achieved estimate
+        with w.catch_warnings(record=True) as caught:
+            w.simplefilter("always")
+            _, n_tables = lsh_plan(10**9, threshold=0.3, n_planes=23)
+        assert n_tables == 64
+        assert any("recall target" in str(c.message) for c in caught)
+        # an easy plan must NOT warn
+        with w.catch_warnings(record=True) as caught:
+            w.simplefilter("always")
+            lsh_plan(500, threshold=0.45, n_planes=4)
+        assert not caught
+
     def test_multi_table_recall_monotone(self, embeddings):
         """OR-amplification: more tables can only add candidate pairs."""
         one = {(r["id_a"], r["id_b"]) for r in embedding_near_duplicates(

@@ -93,6 +93,16 @@ class TestEncoding:
         assert enc2.mappings == enc.mappings
         assert enc2.vocab_sizes() == {"cat": 4}
 
+    def test_collect_fit_cardinality_guard(self, spark, micro_events):
+        from caspr_spark.operators.encode import fit_encoding_collect
+        # under the cap: normal sorted-distinct dictionary
+        enc = fit_encoding_collect(micro_events, ["cat"], max_cardinality=10)
+        assert [v for v, _ in enc.mappings["cat"]] == ["a", "b", "c"]
+        # over the cap: raises instead of collecting an unbounded set
+        wide = spark.range(0, 5000).selectExpr("cast(id as string) AS cat")
+        with pytest.raises(ValueError, match="max_cardinality"):
+            fit_encoding_collect(wide, ["cat"], max_cardinality=100)
+
 
 class TestScaling:
     def test_minmax_bounds(self, events):
