@@ -874,6 +874,31 @@ def q_train_linear_ae(spark, sf_dir):
         "epochs int, final_loss double, initial_loss double")
 
 
+def q_train_linear_ae_ddp(spark, sf_dir):
+    """Distributed-semantics twin of train_linear_ae: 4 logical DDP
+    workers (sharded Gram + weighted allreduce + consensus stop,
+    caspr/utils/spark/large/train.py:114-183 semantics) — and the result
+    is asserted equal to the single-process fit, so the row itself
+    certifies the allreduce math. Rows-only (iterative optimization)."""
+    from caspr_spark.train import fit_linear_autoencoder
+    from caspr_spark.train_distributed import fit_linear_autoencoder_ddp
+    import numpy as _np
+    ev = _with_prediction_date(_events(spark, sf_dir))
+    ranked = get_rank(ev, ["user_id"], "ts", tiebreak=["event_id"])
+    wide = featurize_sequential(ranked, ["user_id"], SEQ_N, ["value"]) \
+        .fillna(0.0)
+    cols = [f"{s}_value" for s in range(1, SEQ_N + 1)]
+    m_ddp, hist = fit_linear_autoencoder_ddp(wide, cols, hidden_dim=2,
+                                             world_size=4, epochs=60,
+                                             lr=0.001, patience=10)
+    m_loc, _ = fit_linear_autoencoder(wide, cols, hidden_dim=2,
+                                      epochs=60, lr=0.001, patience=10)
+    parity = bool(_np.allclose(m_ddp.W, m_loc.W, rtol=1e-6, atol=1e-9))
+    return spark.createDataFrame(
+        [(len(hist), float(round(hist[-1], 4)), 4, parity)],
+        "epochs int, final_loss double, world_size int, matches_local boolean")
+
+
 def q_train_ae(spark, sf_dir):
     """Teacher-forced autoencoder training — numpy backprop with the
     reference's multi-criterion Σ CE + MSE loss (caspr/models/
@@ -1376,6 +1401,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "segment_kmeans": q_segment_kmeans,
         "segment_dec_fit": q_segment_dec_fit,
         "train_linear_ae": q_train_linear_ae,
+        "train_linear_ae_ddp": q_train_linear_ae_ddp,
         "train_ae": q_train_ae,
         "explain_grad_attribution": q_explain_grad_attribution,
         "simsearch_topk_ivf": q_simsearch_topk_ivf,

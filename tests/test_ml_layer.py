@@ -566,3 +566,61 @@ class TestOnnxGated:
         import pickle
         w2 = pickle.loads(pickle.dumps(w))
         np.testing.assert_allclose(w2.run(features=X)[0], got, rtol=1e-6)
+
+
+class TestDistributedTraining:
+    """DDP semantics torch-free: weighted allreduce + broadcast init +
+    consensus stop must reproduce single-process training exactly."""
+
+    def _wide(self, spark):
+        rng = np.random.default_rng(3)
+        pdf = pd.DataFrame(rng.normal(size=(400, 4)),
+                           columns=[f"x{i}" for i in range(4)])
+        return spark.createDataFrame(pdf), [f"x{i}" for i in range(4)]
+
+    @pytest.mark.parametrize("world", [1, 4])
+    def test_ddp_matches_local_fit(self, spark, world):
+        from caspr_spark.train import fit_linear_autoencoder
+        from caspr_spark.train_distributed import fit_linear_autoencoder_ddp
+        df, cols = self._wide(spark)
+        m_local, h_local = fit_linear_autoencoder(
+            df, cols, hidden_dim=2, epochs=30, lr=0.01, seed=5)
+        m_ddp, h_ddp = fit_linear_autoencoder_ddp(
+            df, cols, hidden_dim=2, world_size=world, epochs=30, lr=0.01,
+            seed=5)
+        # unequal hash shards + weighted allreduce still rebuild the exact
+        # global objective -> same trajectory up to float summation order
+        assert len(h_local) == len(h_ddp)
+        np.testing.assert_allclose(h_ddp, h_local, rtol=1e-8)
+        np.testing.assert_allclose(m_ddp.W, m_local.W, rtol=1e-6, atol=1e-9)
+
+    def test_consensus_stop_epoch(self):
+        from caspr_spark.train import EarlyStopping
+        from caspr_spark.train_distributed import DistributedEarlyStopping
+        losses = [1.0, 0.5, 0.4, 0.4, 0.4, 0.4, 0.4, 0.4, 0.4, 0.4]
+        solo = EarlyStopping(patience=3, min_delta=1e-3)
+        dist = DistributedEarlyStopping(patience=3, min_delta=1e-3)
+        stops = []
+        for stopper_step, tag in ((solo.step, "solo"),
+                                  (lambda l, e, s: dist.step_all(l, e, s), "dist")):
+            for e, l in enumerate(losses):
+                if stopper_step(l, e, [np.zeros(1)]):
+                    stops.append((tag, e))
+                    break
+        assert stops[0][1] == stops[1][1]
+
+    def test_allreduce_weighted_exact(self):
+        from caspr_spark.train_distributed import allreduce_weighted
+        parts = [(np.ones((2, 2)) * 3, 3), (np.ones((2, 2)) * 7, 7)]
+        G, n = allreduce_weighted(parts)
+        assert n == 10 and np.allclose(G, 10)
+
+    def test_torch_distributor_gated(self):
+        try:
+            import torch  # noqa: F401
+            pytest.skip("torch installed; absence path not testable")
+        except ImportError:
+            pass
+        from caspr_spark.train_distributed import fit_torch_distributed
+        with pytest.raises(ImportError, match="torch"):
+            fit_torch_distributed(train_fn=lambda: None, num_processes=2)
