@@ -947,17 +947,24 @@ def q_explain_grad_attribution(spark, sf_dir):
     bundle = transform_and_load(wide.toPandas(), roles, seq_len=SEQ_N)
     model, _ = fit_autoencoder(bundle, hidden_dim=8, epochs=5, lr=3e-3,
                                batch_size=256, seed=7)
+    from caspr_spark.models.attribution import deeplift
     gxi = gradient_x_input(model, bundle, target_dim=0)
     ig, delta = integrated_gradients(model, bundle, target_dim=0, steps=32)
+    dl, dl_delta = deeplift(model, bundle, target_dim=0)
     names = feature_names(model, bundle)
     resid = float(np.abs(ig.sum(axis=1) - delta).max())
+    # DeepLift's Rescale completeness is exact (machine precision), the
+    # strongest self-check of the three attribution methods
+    dl_resid = float(np.abs(dl.sum(axis=1) - dl_delta).max())
     rows = [(names[j], float(round(np.abs(gxi[:, j]).mean(), 5)),
              float(round(np.abs(ig[:, j]).mean(), 5)),
-             float(round(resid, 6)))
+             float(round(np.abs(dl[:, j]).mean(), 5)),
+             float(round(resid, 6)), float(round(dl_resid, 9)))
             for j in range(len(names))]
     return spark.createDataFrame(
         rows, "feature string, mean_abs_gxi double, mean_abs_ig double, "
-              "completeness_resid double").orderBy("feature")
+              "mean_abs_deeplift double, completeness_resid double, "
+              "deeplift_resid double").orderBy("feature")
 
 
 # --------------------------------------------------------------------------

@@ -146,6 +146,48 @@ def gradient_x_input(model, bundle: TensorBundle, target_dim: int = 0,
                               add_across_time)
 
 
+def deeplift(model, bundle: TensorBundle, target_dim: int = 0,
+             add_across_time: bool = True):
+    """DeepLift (Rescale rule) attribution from a zero embedded baseline.
+
+    The reference explains through Captum ``DeepLift``
+    (CASPRExplainer.py:25-395); for this encoder — linear pre-activation
+    followed by one tanh — the Rescale rule is computable in closed form:
+
+    - linear layer: contribution of input ``x_j`` is exactly
+      ``(x_j − x'_j) · W[j, k]`` (linear rule);
+    - tanh: every upstream contribution is scaled by the multiplier
+      ``m = (tanh(pre) − tanh(pre')) / (pre − pre')`` — the
+      slope of the secant between baseline and input pre-activations —
+      with the gradient ``1 − tanh²(pre')`` as the Δpre→0 fallback
+      (Captum's own near-zero guard).
+
+    Unlike :func:`integrated_gradients` (midpoint quadrature), DeepLift's
+    completeness here is EXACT: attributions sum to
+    ``h_k(x) − h_k(baseline)`` to machine precision. Returns
+    ``(attributions [N, n_features], delta [N])``.
+    """
+    p = model.params
+    E, prof = _embed_inputs(model, bundle.seq_cat, bundle.seq_cont,
+                            bundle.non_seq_cat, bundle.non_seq_cont)
+    N, T, F_ = E.shape
+    w_k = p["W_enc"][:, target_dim]                            # [T*F]
+    pre = E.reshape(N, -1) @ w_k + p["b_enc"][target_dim]      # [N]
+    pre0 = float(p["b_enc"][target_dim])
+    if prof is not None:
+        wp_k = p["W_prof"][:, target_dim]
+        pre = pre + prof @ wp_k
+    dpre = pre - pre0
+    grad0 = 1.0 - np.tanh(pre0) ** 2
+    m = np.where(np.abs(dpre) > 1e-9,
+                 (np.tanh(pre) - np.tanh(pre0)) / np.where(dpre == 0, 1.0, dpre),
+                 grad0)                                        # [N]
+    attr_E = (E.reshape(N, -1) * w_k * m[:, None]).reshape(N, T, F_)
+    attr_prof = prof * wp_k * m[:, None] if prof is not None else None
+    attr = _join_attributions(model, attr_E, attr_prof, add_across_time)
+    return attr, np.tanh(pre) - np.tanh(pre0)
+
+
 def integrated_gradients(model, bundle: TensorBundle, target_dim: int = 0,
                          steps: int = 64, add_across_time: bool = True):
     """Integrated gradients from a zero embedded baseline.

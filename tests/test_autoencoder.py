@@ -267,3 +267,47 @@ class TestAttribution:
         attr = gradient_x_input(m, b, 0)
         # 2 seq cat vars + 2 seq cont + 1 non-seq cat + 2 non-seq cont = 7
         assert attr.shape == (12, 7)
+
+
+class TestDeepLift:
+    """DeepLift Rescale over the tanh encoder: exact completeness and
+    agreement with IG in the many-step limit."""
+
+    def _model_bundle(self):
+        return TestAttribution._model_bundle(TestAttribution())
+
+    def test_exact_completeness(self):
+        from caspr_spark.models.attribution import deeplift
+        m, b = self._model_bundle()
+        for k in (0, 1, 3):
+            attr, delta = deeplift(m, b, target_dim=k)
+            # Rescale completeness is exact, not quadrature-approximate
+            np.testing.assert_allclose(attr.sum(axis=1), delta,
+                                       rtol=1e-12, atol=1e-12)
+
+    def test_converges_to_ig(self):
+        """For a single nonlinearity both methods integrate the same path:
+        DeepLift's secant slope == IG's averaged gradient in the limit."""
+        from caspr_spark.models.attribution import (deeplift,
+                                                    integrated_gradients)
+        m, b = self._model_bundle()
+        dl, _ = deeplift(m, b, target_dim=0)
+        ig, _ = integrated_gradients(m, b, target_dim=0, steps=2048)
+        np.testing.assert_allclose(dl, ig, rtol=1e-3, atol=1e-6)
+
+    def test_zero_input_zero_attr(self):
+        from caspr_spark.models.attribution import deeplift
+        m, b = self._model_bundle()
+        b.seq_cat *= 0
+        b.seq_cont *= 0.0
+        b.non_seq_cat *= 0
+        b.non_seq_cont *= 0.0
+        # zero-embedding rows ARE the baseline -> every attribution 0
+        m.params = {k: (v * 0 if k.startswith("emb_") and False else v)
+                    for k, v in m.params.items()}
+        for k in list(m.params):
+            if k.startswith("emb_"):
+                m.params[k] = np.zeros_like(m.params[k])
+        attr, delta = deeplift(m, b, target_dim=2)
+        np.testing.assert_allclose(attr, 0.0, atol=1e-15)
+        np.testing.assert_allclose(delta, 0.0, atol=1e-15)
