@@ -54,6 +54,9 @@ SNAPSHOT_QUERIES = [
     "score_linear",
     "segment_dec",
     "multimodal_features",
+    "pipeline_events_percutoff",
+    "pipeline_orders_composite",
+    "e12_time_shuffle",
 ]
 
 
