@@ -12,7 +12,8 @@ changes (the pandas-UDF scorer only calls ``model.encode``).
 from caspr_spark.models.numpy_layers import (
     BahdanauAttention, CategoricalEmbedding, ConvAggregation, DenseBnDropout,
     LSTMEncoder, LinearEncoder, MLP, MultiHeadAttentionLSTMWrapper,
-    MultiLayerLSTM, TransformerEncoder, UnifiedEncoder,
+    MultiLayerLSTM, TransformerDecoderBlocks, TransformerEncoder,
+    UnifiedEncoder,
 )
 from caspr_spark.models.factory import CASPRFactory, embedding_dim
 from caspr_spark.models.estimate import count_parameters, estimate_parameters
@@ -20,7 +21,7 @@ from caspr_spark.models.estimate import count_parameters, estimate_parameters
 __all__ = [
     "BahdanauAttention", "CategoricalEmbedding", "ConvAggregation",
     "DenseBnDropout", "LSTMEncoder", "LinearEncoder", "MLP",
-    "MultiHeadAttentionLSTMWrapper", "MultiLayerLSTM", "TransformerEncoder",
-    "UnifiedEncoder",
+    "MultiHeadAttentionLSTMWrapper", "MultiLayerLSTM",
+    "TransformerDecoderBlocks", "TransformerEncoder", "UnifiedEncoder",
     "CASPRFactory", "embedding_dim", "count_parameters", "estimate_parameters",
 ]

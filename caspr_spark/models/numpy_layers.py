@@ -423,6 +423,84 @@ class MultiLayerLSTM:
         return out + [self.W_dense, self.b_dense]
 
 
+class TransformerDecoderBlocks:
+    """Stack of the reference's ``TransformerDecoderLayer``
+    (caspr/models/transformer.py:169-233): masked multi-head
+    self-attention -> encoder cross-attention -> positionwise
+    feedforward, each with a post-norm residual (``norm(x + sublayer)``,
+    :207-227), plus the learned positional embedding the reference's
+    ``TransformerDecoder`` adds on entry (:234-260). Eval-mode forward
+    parity (dropout = identity); training remains on the recurrent
+    decoder head in ``models/autoencoder.py`` — hand-deriving backprop
+    through two attention sublayers per block is where numpy parity
+    stops paying for itself.
+
+    ``__call__(trg, enc_src)`` takes teacher-forced target states
+    ``[n, t, h]`` and encoder states ``[n, s, h]``; returns
+    ``(decoded [n, t, h], cross_attention [n, heads, t, s])`` — the
+    same pair the reference layer returns.
+    """
+
+    def __init__(self, hid_dim: int = 64, n_layers: int = 2,
+                 n_heads: int = 2, pf_dim: int = 128, max_len: int = 64,
+                 seed: int = 42):
+        assert hid_dim % n_heads == 0, "hid_dim must divide by n_heads"
+        rng = np.random.default_rng(seed)
+        s = 0.1
+        self.pos = rng.uniform(-s, s, size=(max_len, hid_dim)).astype(np.float32)
+        self.layers = []
+        for _ in range(n_layers):
+            layer = {}
+            for pfx in ("s", "c"):      # self-attn / cross-attn projections
+                for nm in ("Wq", "Wk", "Wv", "Wo"):
+                    layer[f"{pfx}_{nm}"] = rng.uniform(
+                        -s, s, size=(hid_dim, hid_dim)).astype(np.float32)
+            layer["W1"] = rng.uniform(-s, s, size=(hid_dim, pf_dim)).astype(np.float32)
+            layer["W2"] = rng.uniform(-s, s, size=(pf_dim, hid_dim)).astype(np.float32)
+            self.layers.append(layer)
+        self.h, self.heads = hid_dim, n_heads
+
+    @staticmethod
+    def _layernorm(x, eps=1e-5):
+        mu = x.mean(axis=-1, keepdims=True)
+        var = x.var(axis=-1, keepdims=True)
+        return (x - mu) / np.sqrt(var + eps)
+
+    def _mha(self, q_in, kv_in, layer, pfx, mask=None):
+        n, t, h = q_in.shape
+        srclen = kv_in.shape[1]
+        heads, dh = self.heads, h // self.heads
+        q = (q_in @ layer[f"{pfx}_Wq"]).reshape(n, t, heads, dh).transpose(0, 2, 1, 3)
+        k = (kv_in @ layer[f"{pfx}_Wk"]).reshape(n, srclen, heads, dh).transpose(0, 2, 1, 3)
+        v = (kv_in @ layer[f"{pfx}_Wv"]).reshape(n, srclen, heads, dh).transpose(0, 2, 1, 3)
+        logits = q @ k.transpose(0, 1, 3, 2) / np.sqrt(dh)
+        if mask is not None:
+            logits = np.where(mask[None, None, :, :], logits, -1e9)
+        att = _softmax(logits, axis=-1)
+        out = (att @ v).transpose(0, 2, 1, 3).reshape(n, t, h)
+        return out @ layer[f"{pfx}_Wo"], att
+
+    def __call__(self, trg: np.ndarray, enc_src: np.ndarray):
+        n, t, h = trg.shape
+        trg = trg + self.pos[:t][None, :, :]
+        causal = np.tril(np.ones((t, t), dtype=bool))   # trg_mask, :205-207
+        attention = None
+        for layer in self.layers:
+            _trg, _ = self._mha(trg, trg, layer, "s", mask=causal)
+            trg = self._layernorm(trg + _trg)
+            _trg, attention = self._mha(trg, enc_src, layer, "c")
+            trg = self._layernorm(trg + _trg)
+            ff = np.maximum(trg @ layer["W1"], 0.0) @ layer["W2"]
+            trg = self._layernorm(trg + ff)
+        return trg, attention
+
+    def parameters(self):
+        out = [self.pos]
+        for layer in self.layers:
+            out += list(layer.values())
+        return out
+
+
 class UnifiedEncoder:
     """The reference's default encoder: embeddings -> DenseBnDropout ->
     (conv aggregation) -> multi-layer/bi-LSTM -> Bahdanau or multi-head
