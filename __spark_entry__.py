@@ -1045,6 +1045,27 @@ def q_stream_dedup(spark, sf_dir):
     return tbl
 
 
+def q_stream_stream_join(spark, sf_dir):
+    """Watermarked stream-stream join: every view paired with the same
+    user's purchases in the following 3 days — two unbounded sides with
+    bounded state (watermark + time-range eviction), matches emitted in
+    append mode as they form; must equal the batch theta-join."""
+    from caspr_spark.streaming import (
+        stream_events, stream_stream_join, run_to_memory)
+    _utc(spark)
+    stream = stream_events(spark, f"{sf_dir}/events.parquet")
+    views = stream.filter(F.col("event_type") == "view") \
+        .select("user_id", F.col("event_id").alias("view_id"), "ts")
+    purchases = stream.filter(F.col("event_type") == "purchase") \
+        .select("user_id", F.col("event_id").alias("purchase_id"), "ts")
+    joined = stream_stream_join(views, purchases, on="user_id",
+                                max_delay="3 days", watermark="1 day")
+    out = joined.select("user_id", "view_id", "purchase_id",
+                        F.datediff(F.col("ts_r"), F.col("ts")).cast("int")
+                         .alias("gap_days"))
+    return run_to_memory(out, "q_stream_stream_join", "append")
+
+
 # --------------------------------------------------------------------------
 # LLM-data-pipeline operators
 # --------------------------------------------------------------------------
@@ -1302,7 +1323,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                    them since; leading with them completes a fully
                    post-change driver-certified set,
       slots 34-50  high-value r2/r3-certified rows re-run for redundancy
-                   (pipelines + streaming + LSH),
+                   (pipelines + streaming + LSH) plus the new
+                   stream_stream_join; segment_dec moves to slot 51
+                   (r3-certified, still in the local suite),
       slots 51+    remaining oracle-bearing queries (all driver-green in
                    r2/r3), then rows-only / no-oracle queries (seeded RNG,
                    iterative) at the very end.
@@ -1356,6 +1379,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_last3_state": q_stream_last3_state,
         "stream_static_join": q_stream_static_join,
         "stream_dedup": q_stream_dedup,
+        "stream_stream_join": q_stream_stream_join,
         "range_join_campaigns": q_range_join,
         "hypertable_rollup": q_hypertable_rollup,
         "funnel_conversion": q_funnel,
@@ -2268,6 +2292,13 @@ GROUP BY d.code""",
         "stream_dedup": """
 SELECT event_type, CAST(count(DISTINCT event_id) AS BIGINT) AS n_events
 FROM events GROUP BY event_type""",
+        "stream_stream_join": """
+SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id,
+       CAST(p.ts::DATE - v.ts::DATE AS INT) AS gap_days
+FROM events v JOIN events p
+  ON v.user_id = p.user_id
+ AND v.event_type = 'view' AND p.event_type = 'purchase'
+ AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 3 DAY""",
         "stream_windowed_stats": """
 SELECT date_trunc('day', ts) AS window_start, event_type,
        CAST(count(*) AS BIGINT) AS n, round(sum(value), 6) AS sum_value

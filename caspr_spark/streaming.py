@@ -158,6 +158,51 @@ def enrich_with_static(stream: DataFrame, dim: DataFrame,
     return stream.join(F.broadcast(dim), on=on, how="left")
 
 
+def stream_stream_join(left: DataFrame, right: DataFrame,
+                       on: str | list[str], left_ts: str = "ts",
+                       right_ts: str = "ts", max_delay: str = "3 days",
+                       watermark: str = "1 day",
+                       suffix: str = "_r") -> DataFrame:
+    """Watermarked stream-stream inner join with an event-time bound.
+
+    The canonical Spark shape for correlating two unbounded streams:
+    both sides carry watermarks, and the join condition pairs the equi
+    key with a time-range predicate
+    (``left_ts <= right_ts <= left_ts + max_delay``). The range bound
+    plus the watermarks is what makes state finite — each side's rows
+    are evicted once the other side's watermark passes the last instant
+    they could still match; without the bound the join would buffer both
+    streams forever. Matches emit as they form (append mode), so no
+    final-watermark flush is needed to see results.
+
+    Right-side columns that collide with left names (including the
+    timestamp) are suffixed. Inner join only: streaming outer joins need
+    the watermark delta to emit nulls and are a different latency
+    contract.
+    """
+    on = [on] if isinstance(on, str) else list(on)
+    renamed = {}
+    rw = right
+    for c in right.columns:
+        if c in left.columns:
+            renamed[c] = c + suffix
+            rw = rw.withColumnRenamed(c, c + suffix)
+    rts = renamed.get(right_ts, right_ts)
+    lw = left.withWatermark(left_ts, watermark)
+    rw = rw.withWatermark(rts, watermark)
+    cond = F.lit(True)
+    for k in on:
+        cond = cond & (F.col(k) == F.col(renamed.get(k, k)))
+    cond = cond & (F.col(rts) >= F.col(left_ts)) \
+                & (F.col(rts) <= F.col(left_ts) + F.expr(f"INTERVAL {max_delay}"))
+    out = lw.join(rw, cond, "inner")
+    # collapse the duplicated join keys back to one column each
+    for k in on:
+        if k in renamed:
+            out = out.drop(renamed[k])
+    return out
+
+
 def streaming_dedup(stream: DataFrame, id_cols: list[str], ts_col: str = "ts",
                     watermark: str = "1 day") -> DataFrame:
     """Streaming exact dedup with watermark-BOUNDED state.

@@ -117,3 +117,65 @@ class TestStreamStaticAndDedup:
         deduped = streaming_dedup(doubled, ["event_id"], "ts")
         out = run_to_memory(deduped.groupBy().count(), "t_sd", "complete")
         assert out.collect()[0]["count"] == events.count()
+
+
+class TestStreamStreamJoin:
+    def _batch_pairs(self, events):
+        v = events.filter("event_type = 'view'") \
+            .select("user_id", F.col("event_id").alias("view_id"),
+                    F.col("ts").alias("vts"))
+        p = events.filter("event_type = 'purchase'") \
+            .select(F.col("user_id").alias("pu"),
+                    F.col("event_id").alias("purchase_id"),
+                    F.col("ts").alias("pts"))
+        j = v.join(p, (v.user_id == p.pu) & (p.pts >= v.vts)
+                   & (p.pts <= v.vts + F.expr("INTERVAL 3 days")))
+        return sorted((r.view_id, r.purchase_id) for r in j.collect())
+
+    def test_matches_batch_theta_join(self, spark, events):
+        from caspr_spark.streaming import stream_stream_join
+        stream = stream_events(spark, f"{SF_DIR}/events.parquet")
+        views = stream.filter("event_type = 'view'") \
+            .select("user_id", F.col("event_id").alias("view_id"), "ts")
+        purch = stream.filter("event_type = 'purchase'") \
+            .select("user_id", F.col("event_id").alias("purchase_id"), "ts")
+        out = stream_stream_join(views, purch, on="user_id",
+                                 max_delay="3 days", watermark="1 day")
+        tbl = run_to_memory(out, "t_ssj", "append")
+        got = sorted((r.view_id, r.purchase_id) for r in tbl.collect())
+        assert got == self._batch_pairs(events)
+        assert len(got) > 0
+
+    def test_batch_boundary_independence(self, spark, events, tmp_path):
+        """Same matches whether both sides arrive in 1 file or 4.
+
+        Files are split by TIME RANGE (part-00000 = earliest quarter...):
+        a stream-stream join only guarantees completeness for data that
+        arrives within its watermark, so the multi-batch replay must be
+        (roughly) time-ordered like a real stream — a random shuffle of
+        history into files is a time machine, and the watermark correctly
+        drops its beyond-horizon arrivals."""
+        import os
+        import time as _time
+
+        import numpy as _np
+
+        from caspr_spark.streaming import stream_stream_join
+        multi = str(tmp_path / "ssj_multi")
+        os.makedirs(multi)
+        pdf = events.toPandas().sort_values(["ts", "event_id"])
+        for i, part in enumerate(_np.array_split(pdf, 4)):
+            # sequential writes -> ascending mtimes, so the file source
+            # replays the quarters in time order like a real stream
+            part.to_parquet(f"{multi}/part-{i}.parquet", index=False)
+            _time.sleep(0.05)
+        stream = stream_events(spark, multi, max_files_per_trigger=1)
+        views = stream.filter("event_type = 'view'") \
+            .select("user_id", F.col("event_id").alias("view_id"), "ts")
+        purch = stream.filter("event_type = 'purchase'") \
+            .select("user_id", F.col("event_id").alias("purchase_id"), "ts")
+        out = stream_stream_join(views, purch, on="user_id",
+                                 max_delay="3 days", watermark="1 day")
+        tbl = run_to_memory(out, "t_ssj_multi", "append", timeout_sec=180)
+        got = sorted((r.view_id, r.purchase_id) for r in tbl.collect())
+        assert got == self._batch_pairs(events)
