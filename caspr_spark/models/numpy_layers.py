@@ -442,8 +442,10 @@ class TransformerDecoderBlocks:
     """
 
     def __init__(self, hid_dim: int = 64, n_layers: int = 2,
-                 n_heads: int = 2, pf_dim: int = 128, max_len: int = 64,
+                 n_heads: int = 4, pf_dim: int = 128, max_len: int = 64,
                  seed: int = 42):
+        # defaults mirror the reference factory's decoder configuration:
+        # 2 layers x 4 heads, pf 128 (caspr/models/factory.py:68-77)
         assert hid_dim % n_heads == 0, "hid_dim must divide by n_heads"
         rng = np.random.default_rng(seed)
         s = 0.1
