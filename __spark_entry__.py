@@ -38,6 +38,7 @@ from caspr_spark.llm.similarity import (
 from caspr_spark.llm.multimodal import (
     attach_binary_payload, extract_features, sample_frames,
 )
+from caspr_spark.operators.sampling import _threshold_hex as _sample_thresh
 
 SEQ_N = 5
 HIST_DAYS = 14
@@ -1045,6 +1046,39 @@ def q_stream_dedup(spark, sf_dir):
     return tbl
 
 
+SAMPLE_FRACS = {"en": 0.25, "de": 0.6, "es": 0.4, "fr": 1.0, "zh": 0.0}
+
+
+def q_stratified_sample_exact(spark, sf_dir):
+    """Deterministic exact stratified sample: ceil(f_lang * n_lang) docs
+    per language, lowest-md5-first — reproducible on any engine
+    (portable hash order), unlike engine-seeded sample()/randomSplit."""
+    from caspr_spark.operators.sampling import stratified_sample_exact
+    docs = _t(spark, sf_dir, "documents")
+    out = stratified_sample_exact(docs, "lang", SAMPLE_FRACS,
+                                  id_cols=["doc_id"], seed=42)
+    return out.select("doc_id", "lang")
+
+
+def q_stratified_sample_hash(spark, sf_dir):
+    """Map-only hash-threshold stratified sample (the no-shuffle 100 TB
+    path): keep iff md5 prefix < per-stratum threshold."""
+    from caspr_spark.operators.sampling import stratified_sample_hash
+    docs = _t(spark, sf_dir, "documents")
+    out = stratified_sample_hash(docs, "lang", SAMPLE_FRACS,
+                                 id_cols=["doc_id"], seed=42)
+    return out.select("doc_id", "lang")
+
+
+def q_downsample_cap(spark, sf_dir):
+    """Per-stratum cap: at most 50 documents per language,
+    lowest-hash-first (the 'no language may dominate' curation rule)."""
+    from caspr_spark.operators.sampling import downsample_to_cap
+    docs = _t(spark, sf_dir, "documents")
+    return downsample_to_cap(docs, "lang", 50, id_cols=["doc_id"],
+                             seed=7).select("doc_id", "lang")
+
+
 def q_stream_stream_join(spark, sf_dir):
     """Watermarked stream-stream join: every view paired with the same
     user's purchases in the following 3 days — two unbounded sides with
@@ -1315,26 +1349,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     which round certified which row; tools/check_correctness.py re-runs the
     FULL oracle suite locally each round -> CORRECTNESS_local_r{N}.json).
     Round-4 ordering discipline (per the round-3 verdict's top item):
-      slots 1-2    oracle-bearing queries NEW in round 4 (per-entity
-                   prediction-date pipeline, composite-entity-key pipeline),
-      slots 3-33   the 31 rows last driver-certified in ROUND 1 — they
+      slots 1-5    oracle-bearing queries NEW in round 4 (per-entity
+                   prediction-date pipeline, composite-entity-key
+                   pipeline, deterministic stratified samplers),
+      slots 6-36   the 31 rows last driver-certified in ROUND 1 — they
                    predate the r3 session-TZ timestamp-read change
                    (commit 6d60e9d) and only the local suite has re-proven
                    them since; leading with them completes a fully
                    post-change driver-certified set,
-      slots 34-50  high-value r2/r3-certified rows re-run for redundancy
+      slots 37-50  high-value r2/r3-certified rows re-run for redundancy
                    (pipelines + streaming + LSH) plus the new
-                   stream_stream_join; segment_dec moves to slot 51
-                   (r3-certified, still in the local suite),
+                   stream_stream_join; funnel/bloom/asof-forward/
+                   segment_dec rotate to 51+ (r3-certified, still in the
+                   local suite),
       slots 51+    remaining oracle-bearing queries (all driver-green in
                    r2/r3), then rows-only / no-oracle queries (seeded RNG,
                    iterative) at the very end.
     """
     return {
-        # --- slots 1-2: oracle-bearing, NEW in round 4 -------------------
+        # --- slots 1-5: oracle-bearing, NEW in round 4 -------------------
         "pipeline_events_percutoff": q_pipeline_events_percutoff,
         "pipeline_orders_composite": q_pipeline_orders_composite,
-        # --- slots 3-33: the 31 round-1-certified rows (post-TZ-change
+        "stratified_sample_exact": q_stratified_sample_exact,
+        "stratified_sample_hash": q_stratified_sample_hash,
+        "downsample_cap": q_downsample_cap,
+        # --- slots 6-36: the 31 round-1-certified rows (post-TZ-change
         #     re-certification) ---------------------------------------------
         "a1_cardinality": q_a1_cardinality,
         "a2_topk_cat_freq": q_a2_topk_cat_freq,
@@ -1382,11 +1421,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_stream_join": q_stream_stream_join,
         "range_join_campaigns": q_range_join,
         "hypertable_rollup": q_hypertable_rollup,
+        # --- slots 51+: oracle-bearing, driver-green in rounds 1-3 -------
         "funnel_conversion": q_funnel,
         "bloom_semi_join": q_bloom_semi,
         "asof_join_forward": q_asof_join_forward,
         "segment_dec": q_segment_dec,
-        # --- slots 51+: oracle-bearing, driver-green in rounds 1-3 -------
         "j2_semi_prune": q_j2_semi_prune,
         "p7_array_pack": q_p7_array_pack,
         "s1_parquet_roundtrip": q_s1_parquet_roundtrip,
@@ -2292,6 +2331,28 @@ GROUP BY d.code""",
         "stream_dedup": """
 SELECT event_type, CAST(count(DISTINCT event_id) AS BIGINT) AS n_events
 FROM events GROUP BY event_type""",
+        "stratified_sample_exact": (lambda fr: f"""
+WITH c AS (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY md5('42|' || CAST(doc_id AS VARCHAR))) AS rk,
+         count(*) OVER (PARTITION BY lang) AS n
+  FROM documents)
+SELECT doc_id, lang FROM c
+WHERE rk <= ceil((CASE lang {' '.join(f"WHEN '{k}' THEN {v!r}" for k, v in sorted(fr.items()))} END) * n)
+""")(SAMPLE_FRACS),
+        "stratified_sample_hash": (lambda fr: f"""
+SELECT doc_id, lang FROM documents
+WHERE substr(md5('42|' || CAST(doc_id AS VARCHAR)), 1, 8) <
+      CASE lang {' '.join(f"WHEN '{k}' THEN '{_sample_thresh(v)}'" for k, v in sorted(fr.items()))} END
+""")(SAMPLE_FRACS),
+        "downsample_cap": """
+WITH c AS (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY md5('7|' || CAST(doc_id AS VARCHAR))) AS rk
+  FROM documents)
+SELECT doc_id, lang FROM c WHERE rk <= 50""",
         "stream_stream_join": """
 SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id,
        CAST(p.ts::DATE - v.ts::DATE AS INT) AS gap_days

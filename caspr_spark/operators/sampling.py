@@ -1,0 +1,112 @@
+"""Deterministic stratified sampling — the reproducible downsampler a
+training-data pipeline needs.
+
+The reference's only sampling is ``randomSplit``/``sample`` (X5,
+caspr/data/load.py:64-79) — engine-seeded RNG whose output depends on
+partitioning, so a rerun on repartitioned data yields a different
+sample. Corpus curation needs better: per-stratum (language, source,
+label) fractions that are *reproducible from the data itself*. Both
+operators here key the decision on ``md5`` of the row's id columns — a
+portable hash with identical output in Spark, DuckDB, and Python — so
+the sample is a pure function of (ids, seed), independent of
+partitioning, cluster size, or engine.
+
+Two shapes, two scales:
+
+- :func:`stratified_sample_hash` — keep a row iff the hex prefix of
+  ``md5(seed||ids)`` falls under the stratum's threshold. Map-only: no
+  shuffle, no state, pushes through whole-stage codegen; the fraction is
+  approximate (binomial around f·n). THE 100 TB path.
+- :func:`stratified_sample_exact` — rank rows per stratum by the same
+  hash and keep exactly ``ceil(f · n)``. One window shuffle on the
+  stratum key; exact counts. For bounded strata (labels, languages) —
+  a single giant stratum should use the hash path or salt first.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# hex prefix length used for thresholding: 8 nibbles = 32 bits of the
+# md5, plenty of resolution for any practical fraction
+_PREFIX = 8
+
+
+def _hash_col(id_cols: list[str], seed: int):
+    return F.md5(F.concat_ws("|", F.lit(str(seed)),
+                             *[F.col(c).cast("string") for c in id_cols]))
+
+
+def _threshold_hex(fraction: float) -> str:
+    """Largest hex prefix kept for ``fraction`` (lexicographic compare).
+
+    fraction 1.0 must compare above EVERY hex prefix — naively it
+    formats to a 9-character string whose '1' sorts below 'a'-'f', so
+    keep-everything is encoded as 'g'×8 instead ('g' > any hex digit).
+    """
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    if fraction >= 1.0:
+        return "g" * _PREFIX
+    return format(int(fraction * (1 << (4 * _PREFIX))), f"0{_PREFIX}x")
+
+
+def stratified_sample_hash(df: DataFrame, stratum_col: str,
+                           fractions: dict | float, id_cols: list[str],
+                           seed: int = 42) -> DataFrame:
+    """Map-only deterministic stratified sample.
+
+    ``fractions`` is a per-stratum dict (strata absent from it are
+    DROPPED — explicit is better than a silent keep) or one float for
+    every stratum. The kept set is exactly reproducible on any engine
+    that can compute md5 of the same strings.
+    """
+    h = F.substring(_hash_col(id_cols, seed), 1, _PREFIX)
+    if isinstance(fractions, dict):
+        thresh = F.lit(None).cast("string")
+        for value, frac in sorted(fractions.items(), key=lambda kv: str(kv[0])):
+            thresh = F.when(F.col(stratum_col) == value,
+                            F.lit(_threshold_hex(frac))).otherwise(thresh)
+    else:
+        thresh = F.lit(_threshold_hex(float(fractions)))
+    return df.filter(thresh.isNotNull() & (h < thresh))
+
+
+def stratified_sample_exact(df: DataFrame, stratum_col: str,
+                            fractions: dict | float, id_cols: list[str],
+                            seed: int = 42) -> DataFrame:
+    """Exact-count deterministic stratified sample (``ceil(f · n)`` rows
+    per stratum, lowest-hash-first). One window shuffle on the stratum.
+    """
+    h = _hash_col(id_cols, seed)
+    w = Window.partitionBy(stratum_col).orderBy(h.asc())
+    ranked = df.withColumn("__rk", F.row_number().over(w)) \
+               .withColumn("__n", F.count(F.lit(1)).over(
+                   Window.partitionBy(stratum_col)))
+    if isinstance(fractions, dict):
+        quota = F.lit(None).cast("long")
+        for value, frac in sorted(fractions.items(), key=lambda kv: str(kv[0])):
+            if not 0.0 <= frac <= 1.0:
+                raise ValueError(f"fraction must be in [0, 1], got {frac}")
+            quota = F.when(F.col(stratum_col) == value,
+                           F.ceil(F.lit(frac) * F.col("__n"))).otherwise(quota)
+    else:
+        frac = float(fractions)
+        if not 0.0 <= frac <= 1.0:
+            raise ValueError(f"fraction must be in [0, 1], got {frac}")
+        quota = F.ceil(F.lit(frac) * F.col("__n"))
+    return ranked.filter(quota.isNotNull() & (F.col("__rk") <= quota)) \
+                 .drop("__rk", "__n")
+
+
+def downsample_to_cap(df: DataFrame, stratum_col: str, cap: int,
+                      id_cols: list[str], seed: int = 42) -> DataFrame:
+    """Keep at most ``cap`` rows per stratum (lowest-hash-first) — the
+    usual 'no language may exceed N documents' curation rule. Same
+    deterministic ordering as the exact sampler."""
+    if cap < 0:
+        raise ValueError(f"cap must be >= 0, got {cap}")
+    w = Window.partitionBy(stratum_col).orderBy(_hash_col(id_cols, seed).asc())
+    return df.withColumn("__rk", F.row_number().over(w)) \
+             .filter(F.col("__rk") <= cap).drop("__rk")

@@ -242,3 +242,64 @@ class TestReviewRegressions:
         b = transform_and_load(pdf, roles, 2)
         assert b.non_seq_cont.shape == (1, 1)
         assert b.non_seq_cont[0, 0] == pd.Series([0.9], dtype="float32")[0]
+
+
+class TestDeterministicSampling:
+    """Samplers must be pure functions of (ids, seed) — identical output
+    under any partitioning, unlike engine-seeded sample()."""
+
+    @pytest.fixture(scope="class")
+    def docs(self, spark):
+        rows = [(i, ["en", "de", "es"][i % 3]) for i in range(600)]
+        return spark.createDataFrame(rows, "doc_id long, lang string")
+
+    def test_exact_quota_and_partition_independence(self, docs):
+        from caspr_spark.operators.sampling import stratified_sample_exact
+        fr = {"en": 0.5, "de": 0.25, "es": 0.0}
+        out = stratified_sample_exact(docs, "lang", fr, ["doc_id"], seed=1)
+        counts = {r["lang"]: r["n"] for r in
+                  out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+        assert counts == {"en": 100, "de": 50}  # ceil(f*200), es dropped
+        a = sorted(r.doc_id for r in out.collect())
+        b = sorted(r.doc_id for r in stratified_sample_exact(
+            docs.repartition(13), "lang", fr, ["doc_id"], seed=1).collect())
+        assert a == b
+
+    def test_hash_sample_fraction_and_determinism(self, docs):
+        from caspr_spark.operators.sampling import stratified_sample_hash
+        out = stratified_sample_hash(docs, "lang", 0.5, ["doc_id"], seed=3)
+        n = out.count()
+        assert 240 < n < 360  # binomial around 300
+        again = stratified_sample_hash(docs.repartition(7), "lang", 0.5,
+                                       ["doc_id"], seed=3)
+        assert sorted(r.doc_id for r in out.collect()) == \
+               sorted(r.doc_id for r in again.collect())
+        # different seed -> different sample
+        other = stratified_sample_hash(docs, "lang", 0.5, ["doc_id"], seed=4)
+        assert sorted(r.doc_id for r in other.collect()) != \
+               sorted(r.doc_id for r in out.collect())
+
+    def test_hash_dict_drops_missing_strata(self, docs):
+        from caspr_spark.operators.sampling import stratified_sample_hash
+        out = stratified_sample_hash(docs, "lang", {"en": 1.0}, ["doc_id"])
+        assert {r["lang"] for r in out.select("lang").distinct().collect()} \
+            == {"en"}
+        assert out.count() == 200  # fraction 1.0 keeps every en row
+
+    def test_cap_and_subset_stability(self, docs):
+        from caspr_spark.operators.sampling import downsample_to_cap
+        capped = downsample_to_cap(docs, "lang", 30, ["doc_id"], seed=5)
+        counts = {r["lang"]: r["n"] for r in
+                  capped.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+        assert counts == {"en": 30, "de": 30, "es": 30}
+        # cap larger than stratum keeps everything
+        assert downsample_to_cap(docs, "lang", 10**6,
+                                 ["doc_id"]).count() == 600
+
+    def test_fraction_validation(self, docs):
+        from caspr_spark.operators.sampling import (stratified_sample_exact,
+                                                    stratified_sample_hash)
+        with pytest.raises(ValueError, match="fraction"):
+            stratified_sample_hash(docs, "lang", 1.5, ["doc_id"])
+        with pytest.raises(ValueError, match="fraction"):
+            stratified_sample_exact(docs, "lang", {"en": -0.1}, ["doc_id"])
