@@ -1140,6 +1140,64 @@ def q_text_fingerprint(spark, sf_dir):
     return add_fingerprint(docs).select("doc_id", "fingerprint")
 
 
+def q_text_repetition(spark, sf_dir):
+    """Gopher-style word-level repetition signals (filtering.py
+    repetition_signals): distinct-word ratio, most-frequent-word fraction,
+    most-frequent-bigram fraction. Grams built via sequence/slice codegen,
+    exploded once with a kind tag, two keyed map-side-combinable aggs."""
+    from caspr_spark.llm.filtering import repetition_signals
+    docs = _t(spark, sf_dir, "documents")
+    rep = repetition_signals(docs)
+    return rep.select(
+        "doc_id", F.col("n_words").cast("int").alias("n_words"),
+        F.round("distinct_ratio", 6).alias("distinct_ratio"),
+        F.round("top_word_frac", 6).alias("top_word_frac"),
+        F.round("top_bigram_frac", 6).alias("top_bigram_frac"))
+
+
+def q_pii_redact(spark, sf_dir):
+    """PII scrub (filtering.py redact_pii): deterministic synthetic PII
+    (email / IPv4 / phone derived from doc_id) appended to each document,
+    then redacted with the shared Java∩RE2 regex set — so the oracle can
+    run the byte-identical patterns. Pure regexp_replace projection."""
+    from caspr_spark.llm.filtering import redact_pii
+    docs = _t(spark, sf_dir, "documents")
+    inj = docs.withColumn("text", F.concat(
+        F.col("text"),
+        F.lit(" contact user"), F.col("doc_id").cast("string"),
+        F.lit("@example.com or 10.0."), (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7 call +1 555 000 "), (1000 + F.col("doc_id") % 9000).cast("string")))
+    return redact_pii(inj).select(
+        "doc_id", "redacted",
+        F.col("n_emails").cast("int").alias("n_emails"),
+        F.col("n_ips").cast("int").alias("n_ips"),
+        F.col("n_phones").cast("int").alias("n_phones"))
+
+
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (filtering.py decontaminate): drop
+    training docs (source != src0) sharing any word 4-gram with the
+    held-out set (source = src0). Gram hashes are md5 (cross-engine
+    stable); the benchmark hash set is broadcast so the contamination
+    scan is map-only over the training corpus."""
+    from caspr_spark.llm.filtering import decontaminate
+    docs = _t(spark, sf_dir, "documents")
+    train = docs.filter(F.col("source") != "src0")
+    bench = docs.filter(F.col("source") == "src0")
+    return decontaminate(train, bench, n=4).select("doc_id", "source")
+
+
+def q_bm25_search(spark, sf_dir):
+    """BM25 keyword search (search.py bm25_topk): top-15 documents for a
+    3-term query. Postings filtered to query terms before the tf shuffle;
+    df/corpus stats broadcast; top-k via TakeOrderedAndProject (never a
+    global single-task sort)."""
+    from caspr_spark.llm.search import bm25_topk
+    docs = _t(spark, sf_dir, "documents")
+    out = bm25_topk(docs, ["spark", "join", "window"], k=15)
+    return out.select("doc_id", "score", F.col("rank").cast("int").alias("rank"))
+
+
 def q_multimodal_binary_meta(spark, sf_dir):
     """Opaque-binary column plumbing: byte length + content hash of the
     payload (text bytes stand in for image/audio payloads here)."""
@@ -1357,7 +1415,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                    (commit 6d60e9d) and only the local suite has re-proven
                    them since; leading with them completes a fully
                    post-change driver-certified set,
-      slots 37-50  high-value r2/r3-certified rows re-run for redundancy
+      slots 37-40  oracle-bearing queries NEW in round 4, part two: the
+                   text filtering + search suite (repetition signals,
+                   PII redaction, n-gram decontamination, BM25 top-k),
+      slots 41-50  high-value r2/r3-certified rows re-run for redundancy
                    (pipelines + streaming + LSH) plus the new
                    stream_stream_join; funnel/bloom/asof-forward/
                    segment_dec rotate to 51+ (r3-certified, still in the
@@ -1406,22 +1467,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f6_null_drop": q_f6_null_drop,
         "e6_denormalize_roundtrip": q_e6_denormalize_roundtrip,
         "e7_date_interval": q_e7_date_interval,
-        # --- slots 34-50: r2/r3-certified rows re-run for redundancy -----
+        # --- slots 37-40: oracle-bearing, NEW in round 4 (text filtering
+        #     + search suite) --------------------------------------------
+        "text_repetition": q_text_repetition,
+        "pii_redact": q_pii_redact,
+        "decontaminate": q_decontaminate,
+        "bm25_search": q_bm25_search,
+        # --- slots 41-50: r2/r3-certified rows re-run for redundancy -----
         "pipeline_events": q_pipeline_events,
         "pipeline_events_array": q_pipeline_events_array,
         "pipeline_lineitem": q_pipeline_lineitem,
         "pipeline_orders_profile": q_pipeline_orders_profile,
         "emb_near_dup": q_emb_near_dup,
         "simsearch_topk_lsh": q_simsearch_topk_lsh,
-        "simsearch_topk": q_simsearch_topk,
         "stream_windowed_stats": q_stream_windowed_stats,
         "stream_last3_state": q_stream_last3_state,
-        "stream_static_join": q_stream_static_join,
         "stream_dedup": q_stream_dedup,
         "stream_stream_join": q_stream_stream_join,
+        # --- slots 51+: oracle-bearing, driver-green in rounds 1-3 -------
+        "simsearch_topk": q_simsearch_topk,
+        "stream_static_join": q_stream_static_join,
         "range_join_campaigns": q_range_join,
         "hypertable_rollup": q_hypertable_rollup,
-        # --- slots 51+: oracle-bearing, driver-green in rounds 1-3 -------
         "funnel_conversion": q_funnel,
         "bloom_semi_join": q_bloom_semi,
         "asof_join_forward": q_asof_join_forward,
@@ -2529,6 +2596,101 @@ FROM documents""",
         "text_fingerprint": """
 SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
 FROM documents""",
+        "text_repetition": r"""
+WITH w AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS word,
+         generate_subscripts(regexp_split_to_array(trim(lower(text)), '\s+'), 1) AS pos
+  FROM documents
+), big AS (
+  SELECT doc_id, word || ' ' || lead(word) OVER (PARTITION BY doc_id ORDER BY pos) AS bigram
+  FROM w
+), uni_c AS (
+  SELECT doc_id, word, count(*) AS c FROM w GROUP BY 1,2
+), big_c AS (
+  SELECT doc_id, bigram, count(*) AS c FROM big WHERE bigram IS NOT NULL GROUP BY 1,2
+), uni_s AS (
+  SELECT doc_id, max(c) AS top1, sum(c) AS tot1, count(*) AS nd FROM uni_c GROUP BY 1
+), big_s AS (
+  SELECT doc_id, max(c) AS top2, sum(c) AS tot2 FROM big_c GROUP BY 1
+)
+SELECT u.doc_id, CAST(u.tot1 AS INT) AS n_words,
+       round(u.nd::DOUBLE / u.tot1, 6) AS distinct_ratio,
+       round(u.top1::DOUBLE / u.tot1, 6) AS top_word_frac,
+       round(coalesce(b.top2::DOUBLE / b.tot2, 0.0), 6) AS top_bigram_frac
+FROM uni_s u LEFT JOIN big_s b USING (doc_id)""",
+        "pii_redact": r"""
+WITH inj AS (
+  SELECT doc_id,
+         text || ' contact user' || doc_id || '@example.com or 10.0.' ||
+         (doc_id % 256) || '.7 call +1 555 000 ' || (1000 + doc_id % 9000) AS text
+  FROM documents
+), s AS (
+  SELECT doc_id, text,
+    regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                   '[EMAIL]', 'g') AS s1
+  FROM inj
+), s2 AS (
+  SELECT *, regexp_replace(s1, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b',
+                           '[IP]', 'g') AS sb
+  FROM s
+)
+SELECT doc_id,
+  regexp_replace(sb, '\+?\d[\d -]{7,}\d', '[PHONE]', 'g') AS redacted,
+  CAST(len(regexp_extract_all(text,
+    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_emails,
+  CAST(len(regexp_extract_all(s1,
+    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INT) AS n_ips,
+  CAST(len(regexp_extract_all(sb, '\+?\d[\d -]{7,}\d')) AS INT) AS n_phones
+FROM s2""",
+        "decontaminate": r"""
+WITH w AS (
+  SELECT doc_id, source,
+         unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS word,
+         generate_subscripts(regexp_split_to_array(trim(lower(text)), '\s+'), 1) AS pos
+  FROM documents
+), g AS (
+  SELECT doc_id, source,
+    word || ' ' || lead(word,1) OVER pw || ' ' || lead(word,2) OVER pw || ' ' ||
+    lead(word,3) OVER pw AS gram
+  FROM w WINDOW pw AS (PARTITION BY doc_id ORDER BY pos)
+), h AS (
+  SELECT doc_id, source, md5(gram) AS gram_hash FROM g WHERE gram IS NOT NULL
+), contaminated AS (
+  SELECT DISTINCT t.doc_id
+  FROM h t JOIN (SELECT DISTINCT gram_hash FROM h WHERE source = 'src0') b
+    USING (gram_hash)
+  WHERE t.source <> 'src0'
+)
+SELECT doc_id, source FROM documents
+WHERE source <> 'src0' AND doc_id NOT IN (SELECT doc_id FROM contaminated)""",
+        "bm25_search": r"""
+WITH w AS (
+  SELECT doc_id, len(regexp_split_to_array(trim(lower(text)), '\s+')) AS dl,
+         unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf, first(dl) AS dl
+  FROM w WHERE term IN ('spark','join','window') GROUP BY 1,2
+), dfreq AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1
+), stats AS (
+  SELECT count(*) AS n_docs, avg(dl) AS avgdl
+  FROM (SELECT doc_id,
+          len(regexp_split_to_array(trim(lower(text)), '\s+')) AS dl
+        FROM documents)
+), scored AS (
+  SELECT tf.doc_id,
+    round(sum( ln(1.0 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+               * (tf.tf * 2.2)
+               / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * tf.dl / stats.avgdl)) ), 6)
+      AS score
+  FROM tf JOIN dfreq USING (term) CROSS JOIN stats
+  GROUP BY 1
+)
+SELECT doc_id, score, CAST(rank AS INT) AS rank FROM (
+  SELECT doc_id, score, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 15""",
         "multimodal_binary_meta": """
 SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
        md5(text) AS content_md5

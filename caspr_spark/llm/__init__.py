@@ -19,6 +19,10 @@ from caspr_spark.llm.multimodal import (
     attach_binary_payload, extract_features, sample_frames,
 )
 from caspr_spark.llm.curate import curate_corpus, curation_report
+from caspr_spark.llm.filtering import (
+    repetition_signals, redact_pii, ngram_hashes, decontaminate,
+)
+from caspr_spark.llm.search import bm25_topk
 
 __all__ = [
     "add_token_counts", "add_quality_signals", "add_language_id", "add_fingerprint",
@@ -28,4 +32,6 @@ __all__ = [
     "embedding_near_duplicates", "lsh_plan",
     "attach_binary_payload", "extract_features", "sample_frames",
     "curate_corpus", "curation_report",
+    "repetition_signals", "redact_pii", "ngram_hashes", "decontaminate",
+    "bm25_topk",
 ]

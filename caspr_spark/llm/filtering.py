@@ -1,0 +1,168 @@
+"""Corpus quality filtering: repetition signals, PII redaction, decontamination.
+
+The document-level filters a web-scale training-data pipeline runs after
+dedup (reference scope: CASPR stops at featurization — these extend the
+engine to the LLM-curation surface the task brief asks for):
+
+- **Repetition signals** — the Gopher/MassiveText-style "most frequent
+  word / 2-gram fraction" and distinct-word-ratio rules used to drop
+  boilerplate and degenerate generations.
+- **PII redaction** — regex scrubbing of emails / IPv4 addresses /
+  phone-like digit runs, the standard pre-release hygiene pass.
+- **Benchmark decontamination** — remove training documents that share
+  any word n-gram with an evaluation set (the GPT-3/PaLM appendix
+  methodology: n-gram collision ⇒ contaminated).
+
+All three are pure `pyspark.sql.functions` column arithmetic — regexes,
+higher-order array functions, hash joins — so every stage stays in JVM
+whole-stage codegen. The only shuffles are keyed, map-side-combinable
+aggregations (doc_id / gram hash); nothing is quadratic in corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# --------------------------------------------------------------------------
+# repetition signals (Gopher-style)
+# --------------------------------------------------------------------------
+
+
+def _words(text_col: Column) -> Column:
+    return F.split(F.trim(F.lower(text_col)), r"\s+")
+
+
+def _word_ngrams(words: Column, n: int) -> Column:
+    """Contiguous word ``n``-grams of an array column, joined by single
+    spaces — built with sequence/transform/slice so construction is pure
+    codegen (no explode, no shuffle). Empty array when the doc is shorter
+    than ``n`` words (guarded: ``sequence(1, 0)`` would count DOWN)."""
+    k = F.size(words) - F.lit(n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(1), k),
+        lambda i: F.concat_ws(" ", F.slice(words, i, n)))
+    return F.when(k >= 1, grams).otherwise(F.array().cast("array<string>"))
+
+
+def repetition_signals(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """Per-document repetition statistics (Gopher rules, word-level).
+
+    Returns one row per document with:
+
+    - ``n_words``        — whitespace word count
+    - ``distinct_ratio`` — distinct words / words (low ⇒ degenerate)
+    - ``top_word_frac``  — occurrences of the most frequent word / words
+    - ``top_bigram_frac``— occurrences of the most frequent 2-gram /
+      bigram count (the MassiveText "duplicate 2-gram fraction" analog)
+
+    Plan shape: unigrams and bigrams are exploded **once** with a kind
+    tag, counted by (doc, kind, gram) — a keyed aggregation with map-side
+    combine — then reduced to per-doc maxima. Two hash exchanges on
+    bounded keys; no window, no per-doc quadratic work. ``n_words`` and
+    ``distinct_ratio`` never leave codegen (array_distinct on the row).
+    """
+    words = _words(F.col(text_col))
+    tagged = F.concat(
+        F.transform(words, lambda w: F.struct(F.lit(1).alias("kind"),
+                                              w.alias("gram"))),
+        F.transform(_word_ngrams(words, 2),
+                    lambda g: F.struct(F.lit(2).alias("kind"),
+                                       g.alias("gram"))))
+    base = df.select(
+        F.col(id_col),
+        F.size(words).alias("n_words"),
+        F.size(F.array_distinct(words)).alias("n_distinct"),
+        tagged.alias("grams"))
+    counts = (base.select(id_col, F.explode("grams").alias("g"))
+                  .groupBy(id_col, "g.kind", "g.gram").count())
+    top = (counts.groupBy(id_col)
+           .agg(F.max(F.when(F.col("kind") == 1, F.col("count"))).alias("top1"),
+                F.sum(F.when(F.col("kind") == 1, F.col("count"))).alias("tot1"),
+                F.max(F.when(F.col("kind") == 2, F.col("count"))).alias("top2"),
+                F.sum(F.when(F.col("kind") == 2, F.col("count"))).alias("tot2")))
+    return (base.drop("grams")
+            .join(top, on=id_col)
+            .select(id_col, "n_words",
+                    (F.col("n_distinct") / F.col("n_words")).alias("distinct_ratio"),
+                    (F.col("top1") / F.col("tot1")).alias("top_word_frac"),
+                    F.when(F.col("tot2") > 0, F.col("top2") / F.col("tot2"))
+                     .otherwise(F.lit(0.0)).alias("top_bigram_frac")))
+
+
+# --------------------------------------------------------------------------
+# PII redaction
+# --------------------------------------------------------------------------
+
+# Patterns kept to the regex subset Java's engine and RE2 agree on
+# (no backreferences, no lookaround) so the DuckDB oracle can run the
+# exact same patterns.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PHONE_RE = r"\+?\d[\d -]{7,}\d"
+
+
+def redact_pii(df: DataFrame, text_col: str = "text",
+               out_col: str = "redacted",
+               count_cols: bool = True) -> DataFrame:
+    """Scrub emails, IPv4 addresses, and phone-like digit runs.
+
+    Replacement order matters: emails first (their local parts contain
+    digits a later pass could half-match), then IPs, then the greedy
+    phone pattern — the phone character class has no ``.``/``@`` so it
+    cannot re-match inside the earlier placeholders. Adds ``out_col``
+    plus ``n_emails / n_ips / n_phones`` match counts when
+    ``count_cols``. One projection, zero shuffles."""
+    t = F.col(text_col)
+    step1 = F.regexp_replace(t, EMAIL_RE, "[EMAIL]")
+    step2 = F.regexp_replace(step1, IPV4_RE, "[IP]")
+    step3 = F.regexp_replace(step2, PHONE_RE, "[PHONE]")
+    out = df.withColumn(out_col, step3)
+    if count_cols:
+        out = (out.withColumn("n_emails", F.regexp_count(t, F.lit(EMAIL_RE)))
+                  .withColumn("n_ips", F.regexp_count(step1, F.lit(IPV4_RE)))
+                  .withColumn("n_phones", F.regexp_count(step2, F.lit(PHONE_RE))))
+    return out
+
+
+# --------------------------------------------------------------------------
+# benchmark decontamination
+# --------------------------------------------------------------------------
+
+
+def ngram_hashes(df: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text", n: int = 8) -> DataFrame:
+    """(id, gram_hash) pairs — one row per contiguous word n-gram.
+
+    The hash is ``md5`` of the space-joined gram (cross-engine stable, so
+    oracles can reproduce it; 128 bits ⇒ collisions are ignorable at any
+    corpus size). Construction is codegen (sequence/slice), the explode
+    is the only row-multiplying step, and downstream joins move 32-byte
+    hashes instead of documents."""
+    grams = _word_ngrams(_words(F.col(text_col)), n)
+    return (df.select(F.col(id_col), F.explode(grams).alias("gram"))
+              .select(id_col, F.md5(F.col("gram")).alias("gram_hash")))
+
+
+def decontaminate(train: DataFrame, benchmark: DataFrame,
+                  id_col: str = "doc_id", text_col: str = "text",
+                  n: int = 8, broadcast_benchmark: bool = True) -> DataFrame:
+    """Drop training docs sharing ANY word ``n``-gram with the benchmark.
+
+    The GPT-3-appendix decontamination rule. Plan: hash both sides'
+    n-grams, semi-join train grams against the (distinct) benchmark gram
+    set to get contaminated doc ids, anti-join those ids back. The
+    benchmark side is an eval set — small by definition — so its distinct
+    hash set is broadcast (``broadcast_benchmark``), making the whole
+    contamination scan a map-only pass over the training corpus: the only
+    real shuffles are the two distincts on ids/hashes, both bounded by
+    benchmark size + contaminated-doc count, never the corpus."""
+    bench = ngram_hashes(benchmark, id_col, text_col, n) \
+        .select("gram_hash").distinct()
+    if broadcast_benchmark:
+        bench = F.broadcast(bench)
+    contaminated = (ngram_hashes(train, id_col, text_col, n)
+                    .join(bench, on="gram_hash", how="left_semi")
+                    .select(id_col).distinct())
+    return train.join(contaminated, on=id_col, how="left_anti")

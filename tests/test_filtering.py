@@ -1,0 +1,129 @@
+"""Unit tests for the corpus-filtering + search suite (filtering.py, search.py)."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from caspr_spark.llm.filtering import (
+    repetition_signals, redact_pii, ngram_hashes, decontaminate,
+)
+from caspr_spark.llm.search import bm25_topk
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+class TestRepetitionSignals:
+    def test_hand_computed(self, spark):
+        df = _docs(spark, [(1, "a a a b")])
+        r = repetition_signals(df).collect()[0]
+        assert r.n_words == 4
+        assert r.distinct_ratio == pytest.approx(2 / 4)
+        assert r.top_word_frac == pytest.approx(3 / 4)
+        # bigrams: "a a", "a a", "a b" -> top 2/3
+        assert r.top_bigram_frac == pytest.approx(2 / 3)
+
+    def test_all_distinct(self, spark):
+        df = _docs(spark, [(1, "w x y z")])
+        r = repetition_signals(df).collect()[0]
+        assert r.distinct_ratio == 1.0
+        assert r.top_word_frac == pytest.approx(1 / 4)
+        assert r.top_bigram_frac == pytest.approx(1 / 3)
+
+    def test_single_word_doc_has_zero_bigram_frac(self, spark):
+        r = repetition_signals(_docs(spark, [(1, "solo")])).collect()[0]
+        assert r.n_words == 1
+        assert r.top_bigram_frac == 0.0
+
+    def test_case_insensitive(self, spark):
+        r = repetition_signals(_docs(spark, [(1, "Spam SPAM spam")])).collect()[0]
+        assert r.top_word_frac == 1.0
+
+
+class TestRedactPII:
+    def test_all_three_kinds(self, spark):
+        df = _docs(spark, [(1, "mail a.b@x.co.uk ip 10.0.0.1 tel +44 20 7946 0958 end")])
+        r = redact_pii(df).collect()[0]
+        assert "[EMAIL]" in r.redacted and "[IP]" in r.redacted and "[PHONE]" in r.redacted
+        assert "a.b@x.co.uk" not in r.redacted and "10.0.0.1" not in r.redacted
+        assert (r.n_emails, r.n_ips, r.n_phones) == (1, 1, 1)
+
+    def test_clean_text_untouched(self, spark):
+        df = _docs(spark, [(1, "no pii here just words and a 3.14 constant")])
+        r = redact_pii(df).collect()[0]
+        assert r.redacted == "no pii here just words and a 3.14 constant"
+        assert (r.n_emails, r.n_ips, r.n_phones) == (0, 0, 0)
+
+    def test_phone_does_not_eat_ip_or_email(self, spark):
+        # digits in the email local part / IP octets must not leak into a
+        # phone match after their own placeholders are substituted
+        df = _docs(spark, [(1, "u123456789@d.com 192.168.001.001")])
+        r = redact_pii(df).collect()[0]
+        assert r.redacted == "[EMAIL] [IP]"
+        assert r.n_phones == 0
+
+
+class TestDecontaminate:
+    def test_shared_ngram_removed(self, spark):
+        train = _docs(spark, [(1, "alpha beta gamma delta"),
+                              (2, "totally unrelated content here")])
+        bench = _docs(spark, [(10, "x alpha beta gamma delta y")])
+        kept = decontaminate(train, bench, n=4).select("doc_id").collect()
+        assert [r.doc_id for r in kept] == [2]
+
+    def test_short_doc_never_contaminated(self, spark):
+        # shorter than n words -> no n-grams -> cannot collide
+        train = _docs(spark, [(1, "alpha beta")])
+        bench = _docs(spark, [(10, "alpha beta gamma delta")])
+        assert decontaminate(train, bench, n=4).count() == 1
+
+    def test_ngram_hashes_counts(self, spark):
+        df = _docs(spark, [(1, "a b c d e")])
+        assert ngram_hashes(df, n=3).count() == 3  # abc bcd cde
+        assert ngram_hashes(df, n=5).count() == 1
+        assert ngram_hashes(df, n=6).count() == 0
+
+    def test_hash_is_order_sensitive(self, spark):
+        h1 = ngram_hashes(_docs(spark, [(1, "a b c")]), n=3).collect()[0].gram_hash
+        h2 = ngram_hashes(_docs(spark, [(1, "c b a")]), n=3).collect()[0].gram_hash
+        assert h1 != h2
+
+
+class TestBM25:
+    def test_hand_computed_score(self, spark):
+        df = _docs(spark, [(1, "cat dog"), (2, "cat cat cat cat"),
+                           (3, "bird bird bird bird bird bird")])
+        out = {r.doc_id: r.score for r in bm25_topk(df, ["cat"], k=3).collect()}
+        n, avgdl, k1, b = 3, 4.0, 1.2, 0.75
+        idf = math.log(1 + (n - 2 + 0.5) / (2 + 0.5))
+
+        def s(tf, dl):
+            return round(idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl)), 6)
+
+        assert out[1] == pytest.approx(s(1, 2))
+        assert out[2] == pytest.approx(s(2 * 2, 4))
+        assert 3 not in out  # no query term -> unscored
+
+    def test_rank_deterministic_on_ties(self, spark):
+        df = _docs(spark, [(5, "cat"), (3, "cat"), (9, "cat")])
+        ranks = [(r.doc_id, r.rank) for r in
+                 bm25_topk(df, ["cat"], k=3).orderBy("rank").collect()]
+        assert ranks == [(3, 1), (5, 2), (9, 3)]  # score ties -> id asc
+
+    def test_empty_terms_raises(self, spark):
+        with pytest.raises(ValueError):
+            bm25_topk(_docs(spark, [(1, "x")]), [], k=1)
+
+    def test_multi_term_sum(self, spark):
+        df = _docs(spark, [(1, "cat dog"), (2, "cat mouse")])
+        one = {r.doc_id: r.score for r in bm25_topk(df, ["cat"], k=2).collect()}
+        both = {r.doc_id: r.score for r in bm25_topk(df, ["cat", "dog"], k=2).collect()}
+        assert both[1] > one[1]  # doc 1 gains the dog term
+        assert both[2] == one[2]  # doc 2 unchanged
+
+    def test_plan_is_take_ordered(self, spark):
+        df = _docs(spark, [(1, "cat dog")])
+        plan = bm25_topk(df, ["cat"], k=5)._jdf.queryExecution().executedPlan().toString()
+        assert "TakeOrderedAndProject" in plan
