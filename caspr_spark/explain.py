@@ -84,3 +84,82 @@ def ablation_importance(df: DataFrame, model, seq_len: int, n_seq_cat: int,
         imp = rescored.agg(F.avg(delta)).collect()[0][0]
         rows.append((j, float(imp or 0.0)))
     return df.sparkSession.createDataFrame(rows, "feature int, importance double")
+
+
+# --------------------------------------------------------------------------
+# attribution presentation helpers (reference caspr/utils/explain/utils.py)
+# --------------------------------------------------------------------------
+
+
+def separate_pos_neg(attribution):
+    """Split an attribution frame into (positive-part, negative-part).
+
+    Parity with the reference helper (caspr/utils/explain/utils.py:6-13):
+    element-wise ``x*(x>=0)`` and ``x*(x<0)``, so the two parts sum back
+    to the original. Works on pandas DataFrames and numpy arrays alike.
+    """
+    pos = attribution * (attribution >= 0)
+    neg = attribution * ~(attribution >= 0)
+    return pos, neg
+
+
+def visualize_layout(explanations, separate_pos_neg_imp: bool = False):
+    """Bar-chart geometry for :func:`visualize`, computed without plotting.
+
+    Mirrors the reference's pre-plot arithmetic
+    (caspr/utils/explain/utils.py:30-55): mean per-feature positive and
+    negative importances, combined into one bar set unless
+    ``separate_pos_neg_imp``, plus symmetric/one-sided x limits. Split out
+    so the layout is unit-testable in a matplotlib-free container.
+    """
+    feature_names = list(explanations.columns)
+    pos_df, neg_df = separate_pos_neg(explanations)
+    importances_pos = np.asarray(pos_df.values, dtype=float)
+    importances_neg = np.asarray(neg_df.values, dtype=float)
+    if importances_pos.ndim == 2:
+        importances_pos = importances_pos.mean(axis=0)
+        importances_neg = importances_neg.mean(axis=0)
+    xlim_pos = float(np.max(importances_pos) * 1.25)
+    xlim_neg = float(np.max(np.abs(importances_neg)) * 1.25)
+    if not separate_pos_neg_imp:
+        xlim_pos += xlim_neg
+        xlim_neg = 0.0
+        importances_pos = importances_pos + np.abs(importances_neg)
+        importances_neg = None
+    else:
+        xlim_pos = max(xlim_pos, xlim_neg)
+        xlim_neg = -xlim_pos
+    return {"feature_names": feature_names, "pos": importances_pos,
+            "neg": importances_neg, "xlim": (xlim_neg, xlim_pos)}
+
+
+def visualize(explanations, separate_pos_neg_imp: bool = False,
+              title: str = "Average Feature Importances",
+              axis_title: str = "Features", save_fig: str | None = None):
+    """Horizontal-bar plot of mean feature attributions.
+
+    Gated on matplotlib (absent from this container — same pattern as the
+    Pillow-gated image codec and the onnx-gated export): the layout math
+    in :func:`visualize_layout` carries the testable behavior; this
+    function is only the plotting shell (reference
+    caspr/utils/explain/utils.py:16-73).
+    """
+    try:
+        import matplotlib.pyplot as plt
+    except ImportError as exc:  # pragma: no cover - container has no matplotlib
+        raise NotImplementedError(
+            "visualize requires matplotlib; install it or use "
+            "visualize_layout() for the underlying bar data") from exc
+    lay = visualize_layout(explanations, separate_pos_neg_imp)
+    x_pos = np.arange(len(lay["feature_names"]))
+    width = 0.3
+    plt.figure(figsize=(10, 10))
+    plt.barh(x_pos, lay["pos"], width, align="center")
+    if lay["neg"] is not None:
+        plt.barh(x_pos + width, lay["neg"], width, align="center")
+    plt.yticks(x_pos + width / 2, lay["feature_names"], wrap=True)
+    plt.ylabel(axis_title)
+    plt.title(title)
+    plt.gca().set_xlim(list(lay["xlim"]))
+    if save_fig is not None:
+        plt.savefig(save_fig)

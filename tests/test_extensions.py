@@ -126,3 +126,46 @@ class TestExplain:
             .toPandas().set_index("feature")
         assert imp.loc[0, "importance"] > 0
         assert imp.loc[1, "importance"] > 0
+
+
+class TestAttributionPresentation:
+    """separate_pos_neg / visualize_layout parity (reference explain/utils.py)."""
+
+    def test_separate_pos_neg_parts_sum_back(self):
+        import pandas as pd
+        from caspr_spark.explain import separate_pos_neg
+        df = pd.DataFrame({"a": [1.0, -2.0, 0.0], "b": [-0.5, 0.5, 3.0]})
+        pos, neg = separate_pos_neg(df)
+        assert (pos.values >= 0).all() and (neg.values <= 0).all()
+        assert ((pos + neg) == df).all().all()
+
+    def test_layout_combined_matches_reference_arithmetic(self):
+        import pandas as pd
+        from caspr_spark.explain import visualize_layout
+        df = pd.DataFrame({"a": [1.0, -2.0], "b": [0.5, 0.5]})
+        lay = visualize_layout(df)
+        # mean pos = [.5,.5], mean |neg| = [1,0] -> combined bars [1.5,.5],
+        # xlim_pos = .5*1.25 + 1*1.25 = 1.875, one-sided
+        assert lay["pos"].tolist() == [1.5, 0.5]
+        assert lay["neg"] is None
+        assert lay["xlim"] == (0.0, 1.875)
+
+    def test_layout_separated_is_symmetric(self):
+        import pandas as pd
+        from caspr_spark.explain import visualize_layout
+        lay = visualize_layout(pd.DataFrame({"a": [1.0, -2.0], "b": [0.5, 0.5]}),
+                               separate_pos_neg_imp=True)
+        lo, hi = lay["xlim"]
+        assert lo == -hi and lay["neg"] is not None
+
+    def test_visualize_gated_without_matplotlib(self):
+        import pandas as pd
+        import pytest
+        try:
+            import matplotlib  # noqa: F401
+            pytest.skip("matplotlib present; gate not exercised")
+        except ImportError:
+            pass
+        from caspr_spark.explain import visualize
+        with pytest.raises(NotImplementedError):
+            visualize(pd.DataFrame({"a": [1.0]}))
