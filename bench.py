@@ -15,6 +15,8 @@ import os
 import sys
 import time
 
+import pandas as pd
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 BENCH_QUERIES = [
@@ -62,8 +64,30 @@ def main() -> None:
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # JVM/codegen warmup so the first timed query doesn't absorb cold-start
+    # JVM/codegen warmup so the first timed query doesn't absorb cold-start.
+    # Exercises every machinery class the bench queries share — aggregate
+    # codegen, exchange, broadcast join, window, and the Arrow/pandas-UDF
+    # worker pool — on synthetic data unrelated to any query's input, so
+    # per-query "cold" numbers measure the query, not whichever query
+    # happens to run first paying the session's one-time costs (measured
+    # at ~5-6 s for the first Arrow-path query otherwise).
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    @F.pandas_udf("double")
+    def _wu(s: pd.Series) -> pd.Series:
+        return s * 1.0
+
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    w = spark.range(10_000).withColumn("g", F.col("id") % 16)
+    w.select(_wu(F.col("id").cast("double")).alias("x")) \
+        .agg(F.sum("x")).collect()
+    gc = w.groupBy("g").count()
+    (w.join(gc, "g")
+      .join(F.broadcast(gc.limit(4)), "g", "left_semi")
+      .withColumn("r", F.row_number().over(
+          Window.partitionBy("g").orderBy("id")))
+      .agg(F.max("r")).collect())
 
     qs = entrymod.queries()
     timings: dict[str, float] = {}
@@ -88,6 +112,11 @@ def main() -> None:
         "value_warm": round(sum(warm.values()), 3),
         "queries_warm": warm,
         "sf": float(sf),
+        "notes": "cold = first run per query in a shared warmed session; "
+                 "warm = immediate second run (steady-state plan cost a "
+                 "long-lived cluster sees). At sf0.1 the LSH suite's data "
+                 "is ~1 MB, so cold times there are plan-compile-bound, "
+                 "not data-bound; see SCALING_r04.md for sf1 behavior.",
     }))
 
 

@@ -37,8 +37,7 @@ def cosine_similarity_col(a, b):
     return _dot(ad, bd) / (_norm(ad) * _norm(bd))
 
 
-@F.pandas_udf(DoubleType())
-def _pair_cosine(a: pd.Series, b: pd.Series) -> pd.Series:
+def _pair_cosine_fn(a: pd.Series, b: pd.Series) -> pd.Series:
     """Arrow-batched pairwise cosine — one einsum per batch.
 
     The banded LSH paths score 100s of thousands of candidate pairs; a
@@ -54,6 +53,18 @@ def _pair_cosine(a: pd.Series, b: pd.Series) -> pd.Series:
     dots = np.einsum("ij,ij->i", av, bv)
     return pd.Series(dots / (np.linalg.norm(av, axis=1)
                              * np.linalg.norm(bv, axis=1)))
+
+
+_pair_cosine = F.pandas_udf(_pair_cosine_fn, DoubleType())
+# A second instance marked nondeterministic: referencing the SAME aliased
+# result column from both a Filter and the output Project makes Catalyst
+# inline a deterministic UDF into both operators — two ArrowEvalPython
+# nodes, i.e. every candidate pair scored twice. The marking (the function
+# is in fact deterministic) pins evaluation to one Project below the
+# Filter. A distinct instance because asNondeterministic() mutates in
+# place and the rank-ordering paths keep the deterministic one.
+_pair_cosine_once = F.pandas_udf(_pair_cosine_fn,
+                                 DoubleType()).asNondeterministic()
 
 
 def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int,
@@ -200,6 +211,82 @@ def _explode_buckets(df: DataFrame, cols: list[str],
                      F.posexplode("lsh_buckets").alias("__t", "__b"))
 
 
+def _packs(n_planes: int, n_tables: int) -> bool:
+    """True when all table bucket ids fit in one signed 64-bit word."""
+    return n_planes * n_tables <= 63
+
+
+def add_lsh_buckets_packed(df: DataFrame, vec_col: str, dim: int,
+                           n_planes: int, n_tables: int, seed: int = 42,
+                           out_col: str = "lsh_packed") -> DataFrame:
+    """All ``n_tables`` bucket ids bit-packed into ONE long column.
+
+    Table ``t`` occupies bits ``[t·n_planes, (t+1)·n_planes)`` of the word
+    (requires ``n_planes·n_tables ≤ 63``). Versus the array layout this
+    shrinks the per-row payload the banded self-join shuffles from a
+    ``n_tables``-element long array (~8·T bytes + Arrow offsets) to 8
+    bytes, and lets the first-collision dedup predicate run as integer
+    bit ops instead of a ``zip_with``/``array_position`` lambda walk.
+    Same planes, same bucket ids — candidate semantics are identical to
+    :func:`add_lsh_buckets`.
+    """
+    if not _packs(n_planes, n_tables):
+        raise ValueError(
+            f"{n_tables} tables x {n_planes} planes = "
+            f"{n_planes * n_tables} bits does not fit a signed long")
+    planes = np.array(
+        [random_hyperplanes(dim, n_planes, seed + 1000 * t)
+         for t in range(n_tables)], dtype=np.float64)          # [T, P, D]
+    flat = planes.reshape(n_tables * n_planes, dim)
+    # bit p of table t lands at position t*n_planes + p
+    weights = (1 << np.arange(n_tables * n_planes)).astype(np.int64)
+
+    @F.pandas_udf("long")
+    def _packed(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype="int64")
+        x = np.vstack([np.asarray(v, dtype=np.float64) for v in vecs])
+        signs = (x @ flat.T) > 0                               # [n, T·P]
+        return pd.Series((signs * weights).sum(axis=1))
+
+    return df.withColumn(out_col, _packed(F.col(vec_col)))
+
+
+def _explode_packed(df: DataFrame, cols: list[str], n_planes: int,
+                    n_tables: int, packed_col: str = "lsh_packed") -> DataFrame:
+    """One row per (table, bucket) from the packed word.
+
+    The transient unpack array never reaches an exchange — the explode
+    happens in the same stage; only (__t, __b) ints and the packed long
+    flow on.
+    """
+    mask = (1 << n_planes) - 1
+    unpack = F.expr(
+        f"transform(sequence(0, {n_tables - 1}), "
+        f"t -> shiftright({packed_col}, t * {n_planes}) & {mask}L)")
+    return df.select(*cols, packed_col,
+                     F.posexplode(unpack).alias("__t", "__b"))
+
+
+def _first_collision_packed(packed_a, packed_b, n_planes: int,
+                            n_tables: int):
+    """0-based index of the first table whose packed bucket bits agree.
+
+    Pure integer ops on the XOR of the two packed words: table ``t``
+    collides iff its ``n_planes``-bit field in ``a XOR b`` is zero. The
+    CASE chain is ``n_tables`` branches of shift+mask — cheaper to codegen
+    and evaluate than the array ``zip_with`` + ``array_position`` walk,
+    and it reads two longs instead of two long arrays.
+    """
+    mask = (1 << n_planes) - 1
+    x = packed_a.bitwiseXOR(packed_b)
+    out = F.lit(-1)
+    for t in range(n_tables - 1, -1, -1):
+        field = F.shiftright(x, t * n_planes).bitwiseAND(F.lit(mask))
+        out = F.when(field == 0, F.lit(t)).otherwise(out)
+    return out
+
+
 def _first_collision(a_buckets, b_buckets):
     """0-based index of the first table where two bucket arrays agree.
 
@@ -218,7 +305,8 @@ def cosine_topk_lsh(corpus: DataFrame, queries: DataFrame, k: int,
                     vec_col: str = "embedding", query_id_col: str = "query_id",
                     n_planes: int | None = None, n_tables: int | None = None,
                     threshold: float = 0.3, target_recall: float = 0.9,
-                    n_corpus: int | None = None, seed: int = 42) -> DataFrame:
+                    n_corpus: int | None = None, seed: int = 42,
+                    packed: bool | None = None) -> DataFrame:
     """Approximate top-k: OR-amplified LSH candidate pruning, exact re-rank.
 
     ``n_tables`` independent plane sets are OR-ed — a corpus vector is a
@@ -228,27 +316,45 @@ def cosine_topk_lsh(corpus: DataFrame, queries: DataFrame, k: int,
     (pass ``n_corpus`` to avoid the sizing ``count()``; at scale it is a
     known catalog statistic). At 100 TB the corpus is bucketed once and can
     be written partitioned by (table, bucket); each query probes only its
-    n_tables buckets.
+    n_tables buckets. ``packed=None`` auto-selects the bit-packed bucket
+    layout whenever ``n_planes·n_tables ≤ 63`` (identical candidates,
+    smaller shuffle rows); pass False to force the array layout.
     """
     if n_planes is None or n_tables is None:
         n = n_corpus if n_corpus is not None else corpus.count()
         auto_planes, auto_tables = lsh_plan(n, threshold, target_recall, n_planes)
         n_planes = n_planes if n_planes is not None else auto_planes
         n_tables = n_tables if n_tables is not None else auto_tables
-    c = _explode_buckets(
-        add_lsh_buckets(corpus.select(id_col, vec_col), vec_col, dim,
-                        n_planes, n_tables, seed), [id_col, vec_col],
-        keep_buckets="__cb")
-    q = _explode_buckets(
-        add_lsh_buckets(
-            queries.select(F.col(id_col).alias(query_id_col),
-                           F.col(vec_col).alias("__qvec")),
-            "__qvec", dim, n_planes, n_tables, seed), [query_id_col, "__qvec"],
-        keep_buckets="__qb")
+    if packed is None:
+        packed = _packs(n_planes, n_tables)
+    if packed:
+        c = _explode_packed(
+            add_lsh_buckets_packed(corpus.select(id_col, vec_col), vec_col,
+                                   dim, n_planes, n_tables, seed, "__cp"),
+            [id_col, vec_col], n_planes, n_tables, "__cp")
+        q = _explode_packed(
+            add_lsh_buckets_packed(
+                queries.select(F.col(id_col).alias(query_id_col),
+                               F.col(vec_col).alias("__qvec")),
+                "__qvec", dim, n_planes, n_tables, seed, "__qp"),
+            [query_id_col, "__qvec"], n_planes, n_tables, "__qp")
+        dedup = F.col("__t") == _first_collision_packed(
+            F.col("__cp"), F.col("__qp"), n_planes, n_tables)
+    else:
+        c = _explode_buckets(
+            add_lsh_buckets(corpus.select(id_col, vec_col), vec_col, dim,
+                            n_planes, n_tables, seed), [id_col, vec_col],
+            keep_buckets="__cb")
+        q = _explode_buckets(
+            add_lsh_buckets(
+                queries.select(F.col(id_col).alias(query_id_col),
+                               F.col(vec_col).alias("__qvec")),
+                "__qvec", dim, n_planes, n_tables, seed),
+            [query_id_col, "__qvec"], keep_buckets="__qb")
+        dedup = F.col("__t") == _first_collision(F.col("__cb"), F.col("__qb"))
     joined = (c.join(F.broadcast(q), on=["__t", "__b"])
                .filter(F.col(id_col) != F.col(query_id_col))
-               .filter(F.col("__t") == _first_collision(F.col("__cb"),
-                                                        F.col("__qb"))))
+               .filter(dedup))
     scored = joined.withColumn(
         "cosine", F.round(_pair_cosine(F.col("__qvec"), F.col(vec_col)), 6)) \
         .select(query_id_col, id_col, "cosine")
@@ -329,7 +435,8 @@ def embedding_near_duplicates(df: DataFrame, threshold: float = 0.95,
                               n_tables: int | None = None,
                               target_recall: float = 0.9,
                               n_corpus: int | None = None,
-                              seed: int = 42) -> DataFrame:
+                              seed: int = 42,
+                              packed: bool | None = None) -> DataFrame:
     """Embedding-cosine near-dup pairs (id_a < id_b, cosine >= threshold).
 
     OR-amplified LSH self-join: a pair is scored if it shares a bucket in
@@ -346,29 +453,53 @@ def embedding_near_duplicates(df: DataFrame, threshold: float = 0.95,
         auto_planes, auto_tables = lsh_plan(n, threshold, target_recall, n_planes)
         n_planes = n_planes if n_planes is not None else auto_planes
         n_tables = n_tables if n_tables is not None else auto_tables
-    vecs = ensure_parallelism(df.select(id_col, vec_col))
+    if packed is None:
+        packed = _packs(n_planes, n_tables)
+    # cpu_light: per-row hashing work is one 48-flop matmul row — tiny
+    # corpora don't need a full-width fan-out for it
+    vecs = ensure_parallelism(df.select(id_col, vec_col), cpu_light=True)
     # Band on a slim (id, buckets) projection: the ×n_tables explode and the
     # self-join shuffle move ints only — vectors rejoin by id once, on the
     # deduped candidate set (the standard banded-LSH join shape; at small SF
     # AQE turns the rejoin into broadcasts). Persisted because the self-join
     # consumes the hashed relation twice (same pattern as the persisted
     # shingles in dedup.minhash_lsh_dedup); LRU-evicted like that path.
-    hashed = add_lsh_buckets(vecs, vec_col, dim, n_planes, n_tables, seed) \
-        .drop(vec_col).persist()
-    b = _explode_buckets(hashed, [id_col], keep_buckets="__bk")
-    left = b.select(F.col(id_col).alias("id_a"),
-                    F.col("__bk").alias("__bk_a"), "__t", "__b")
-    right = b.select(F.col(id_col).alias("id_b"),
-                     F.col("__bk").alias("__bk_b"), "__t", "__b")
+    # Default layout bit-packs all table buckets into one long (8-byte
+    # shuffle payload + integer first-collision dedup) when they fit.
+    if packed:
+        hashed = add_lsh_buckets_packed(vecs, vec_col, dim, n_planes,
+                                        n_tables, seed) \
+            .drop(vec_col).persist()
+        b = _explode_packed(hashed, [id_col], n_planes, n_tables)
+        left = b.select(F.col(id_col).alias("id_a"),
+                        F.col("lsh_packed").alias("__pk_a"), "__t", "__b")
+        right = b.select(F.col(id_col).alias("id_b"),
+                         F.col("lsh_packed").alias("__pk_b"), "__t", "__b")
+        dedup = F.col("__t") == _first_collision_packed(
+            F.col("__pk_a"), F.col("__pk_b"), n_planes, n_tables)
+    else:
+        hashed = add_lsh_buckets(vecs, vec_col, dim, n_planes, n_tables,
+                                 seed).drop(vec_col).persist()
+        b = _explode_buckets(hashed, [id_col], keep_buckets="__bk")
+        left = b.select(F.col(id_col).alias("id_a"),
+                        F.col("__bk").alias("__bk_a"), "__t", "__b")
+        right = b.select(F.col(id_col).alias("id_b"),
+                         F.col("__bk").alias("__bk_b"), "__t", "__b")
+        dedup = F.col("__t") == _first_collision(F.col("__bk_a"),
+                                                 F.col("__bk_b"))
     pairs = (left.join(right, on=["__t", "__b"])
                  .filter(F.col("id_a") < F.col("id_b"))
-                 .filter(F.col("__t") == _first_collision(F.col("__bk_a"),
-                                                          F.col("__bk_b")))
+                 .filter(dedup)
                  .select("id_a", "id_b"))
-    va = vecs.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__v_a"))
-    vb = vecs.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__v_b"))
+    # Rejoin sides read the raw projection, NOT the ensure_parallelism
+    # repartition: these sides end up broadcast (small) or AQE-planned
+    # (large), and a round-robin Exchange feeding a BroadcastExchange is
+    # pure wasted shuffle (observed in the physical plan before this fix).
+    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__v_a"))
+    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__v_b"))
+    score_once = F.round(
+        _pair_cosine_once(F.col("__v_a"), F.col("__v_b")), 6)
     return (pairs.join(va, on="id_a").join(vb, on="id_b")
-                 .withColumn("cosine",
-                             F.round(_pair_cosine(F.col("__v_a"), F.col("__v_b")), 6))
+                 .withColumn("cosine", score_once)
                  .filter(F.col("cosine") >= threshold)
                  .select("id_a", "id_b", "cosine"))

@@ -59,15 +59,32 @@ def load_tables(spark: SparkSession, sf_dir: str,
     return {n: read_parquet_table(spark, f"{sf_dir}/{n}.parquet") for n in names}
 
 
-def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+def ensure_parallelism(df: DataFrame, min_partitions: int | None = None,
+                       cpu_light: bool = False) -> DataFrame:
     """Repartition up if the plan has fewer partitions than cores.
 
     Small single-file inputs (one parquet row-group) otherwise pin
     CPU-heavy per-row stages (shingling, hashing, regex, Python kernels)
     to one task. No-op when the input is already wide — at 100 TB the
     scan naturally yields thousands of partitions and this never fires.
+
+    ``cpu_light=True`` declares the downstream per-row work cheap (a
+    vectorized matmul, simple exprs): the target is then capped by the
+    optimizer's size estimate (~2 MB of input per task, floor 4), since
+    fanning a 1 MB relation out to 32 tasks of a few dozen rows buys no
+    CPU and pays 32 task schedules per downstream stage. CPU-bound
+    kernels (the default) always get the full core count — for them the
+    bytes-per-task heuristic under-parallelizes badly (shingling 5k docs
+    is minutes of CPU on single-digit MB of input).
     """
     target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if min_partitions is None and cpu_light:
+        try:
+            size = int(df._jdf.queryExecution().optimizedPlan()
+                       .stats().sizeInBytes())
+            target = max(4, min(target, size // (2 << 20) + 1))
+        except Exception:
+            pass  # stats unavailable (e.g. streaming plan): keep cores
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df

@@ -194,6 +194,35 @@ class TestSimilarity:
             embeddings, threshold=0.3, n_planes=4, n_tables=4).collect()}
         assert one <= four
 
+    def test_packed_layout_identical_to_array(self, embeddings):
+        """The bit-packed bucket layout is a pure physical optimization:
+        same planes, same buckets, same first-collision dedup — so the
+        output must be row-identical to the array layout for both the
+        self-join (near-dup) and the query-probe (top-k) shapes."""
+        arr = embedding_near_duplicates(embeddings, threshold=0.45,
+                                        n_planes=4, n_tables=12,
+                                        packed=False) \
+            .orderBy("id_a", "id_b").collect()
+        pk = embedding_near_duplicates(embeddings, threshold=0.45,
+                                       n_planes=4, n_tables=12,
+                                       packed=True) \
+            .orderBy("id_a", "id_b").collect()
+        assert arr == pk
+        q = embeddings.filter("vec_id < 3")
+        arr2 = cosine_topk_lsh(embeddings, q, 5, n_planes=4, n_tables=12,
+                               packed=False).orderBy("query_id", "rank") \
+            .collect()
+        pk2 = cosine_topk_lsh(embeddings, q, 5, n_planes=4, n_tables=12,
+                              packed=True).orderBy("query_id", "rank") \
+            .collect()
+        assert arr2 == pk2
+
+    def test_packed_layout_rejects_overflow(self, embeddings):
+        from caspr_spark.llm.similarity import add_lsh_buckets_packed
+        with pytest.raises(ValueError, match="does not fit"):
+            add_lsh_buckets_packed(embeddings, "embedding", 64,
+                                   n_planes=8, n_tables=8)
+
 
 @pytest.mark.slow
 class TestLshRecallSf01:
