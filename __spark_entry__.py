@@ -1198,6 +1198,59 @@ def q_bm25_search(spark, sf_dir):
     return out.select("doc_id", "score", F.col("rank").cast("int").alias("rank"))
 
 
+def q_seq_pack_offset(spark, sf_dir):
+    """Offset-based sequence packing (mixture.py pack_sequences_offset):
+    documents laid on a per-language token tape, seq_id = which
+    512-token training sequence the document STARTS in. One window
+    cumsum per language — a single hash exchange at any scale."""
+    from caspr_spark.llm.mixture import pack_sequences_offset
+    from caspr_spark.llm.text import add_token_counts
+    docs = _t(spark, sf_dir, "documents")
+    out = pack_sequences_offset(add_token_counts(docs), "n_tokens_ws", 512,
+                                group_cols=["lang"])
+    return out.select("doc_id", "lang", "n_tokens_ws", "seq_id",
+                      "seq_offset")
+
+
+def q_seq_pack_nextfit(spark, sf_dir):
+    """Exact next-fit sequence packing (mixture.py pack_sequences_nextfit):
+    no multi-document sequence exceeds the 512-token budget. Sequential
+    within a language (the unit of parallelism), applyInPandas per group;
+    oracle is the same walk as a DuckDB recursive CTE."""
+    from caspr_spark.llm.mixture import pack_sequences_nextfit
+    from caspr_spark.llm.text import add_token_counts
+    docs = _t(spark, sf_dir, "documents")
+    toks = add_token_counts(docs).select("doc_id", "lang", "n_tokens_ws")
+    out = pack_sequences_nextfit(toks, "n_tokens_ws", 512,
+                                 group_cols=["lang"])
+    return out.select("doc_id", "lang", "seq_id", "seq_fill")
+
+
+def q_mixture_sample(spark, sf_dir):
+    """Temperature-weighted domain mixture (mixture.py mixture_sample):
+    sources re-weighted by n^0.5 toward a 200-doc budget, kept set by
+    map-only md5 threshold. Rates computed by two micro-aggregates
+    broadcast back — the corpus sees one filter pass, no shuffle."""
+    from caspr_spark.llm.mixture import mixture_sample
+    docs = _t(spark, sf_dir, "documents")
+    out = mixture_sample(docs, "source", budget=200, alpha=0.5,
+                         id_cols=["doc_id"], rate_col="rate")
+    return out.select("doc_id", "source", F.round("rate", 9).alias("rate"))
+
+
+def q_cluster_balanced(spark, sf_dir):
+    """Diversity-balanced sampling (mixture.py cluster_balanced_sample):
+    at most 8 vectors per deterministic LSH bucket (6 hyperplanes),
+    lowest-md5-first — caps dense embedding-space regions so the kept
+    corpus spans the space."""
+    from caspr_spark.llm.mixture import cluster_balanced_sample
+    emb = _t(spark, sf_dir, "embeddings")
+    out = cluster_balanced_sample(emb, cap=8, vec_col="embedding",
+                                  id_col="vec_id", n_planes=6, seed=42,
+                                  keep_cluster_col="cluster")
+    return out.select("vec_id", "cluster")
+
+
 def q_multimodal_binary_meta(spark, sf_dir):
     """Opaque-binary column plumbing: byte length + content hash of the
     payload (text bytes stand in for image/audio payloads here)."""
@@ -1418,11 +1471,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       slots 37-40  oracle-bearing queries NEW in round 4, part two: the
                    text filtering + search suite (repetition signals,
                    PII redaction, n-gram decontamination, BM25 top-k),
-      slots 41-50  high-value r2/r3-certified rows re-run for redundancy
-                   (pipelines + streaming + LSH) plus the new
-                   stream_stream_join; funnel/bloom/asof-forward/
-                   segment_dec rotate to 51+ (r3-certified, still in the
-                   local suite),
+      slots 41-44  oracle-bearing queries NEW in round 4, part three: the
+                   training-mixture suite (offset + next-fit sequence
+                   packing, temperature mixture sampling,
+                   diversity-balanced sampling),
+      slots 45-50  high-value r2/r3-certified rows re-run for redundancy
+                   (pipelines + LSH) plus the new stream_stream_join;
+                   funnel/bloom/asof-forward/segment_dec and three
+                   r3-certified stream queries rotate to 51+
+                   (still in the local suite),
       slots 51+    remaining oracle-bearing queries (all driver-green in
                    r2/r3), then rows-only / no-oracle queries (seeded RNG,
                    iterative) at the very end.
@@ -1473,18 +1530,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact": q_pii_redact,
         "decontaminate": q_decontaminate,
         "bm25_search": q_bm25_search,
-        # --- slots 41-50: r2/r3-certified rows re-run for redundancy -----
+        # --- slots 41-44: oracle-bearing, NEW in round 4, part three: the
+        #     training-mixture suite (sequence packing x2, temperature
+        #     mixture sampling, diversity-balanced sampling) --------------
+        "seq_pack_offset": q_seq_pack_offset,
+        "seq_pack_nextfit": q_seq_pack_nextfit,
+        "mixture_sample": q_mixture_sample,
+        "cluster_balanced": q_cluster_balanced,
+        # --- slots 45-50: r2/r3-certified rows re-run for redundancy
+        #     plus the new stream_stream_join ----------------------------
         "pipeline_events": q_pipeline_events,
-        "pipeline_events_array": q_pipeline_events_array,
         "pipeline_lineitem": q_pipeline_lineitem,
         "pipeline_orders_profile": q_pipeline_orders_profile,
         "emb_near_dup": q_emb_near_dup,
         "simsearch_topk_lsh": q_simsearch_topk_lsh,
+        "stream_stream_join": q_stream_stream_join,
+        # --- slots 51+: oracle-bearing, driver-green in rounds 1-3 -------
+        "pipeline_events_array": q_pipeline_events_array,
         "stream_windowed_stats": q_stream_windowed_stats,
         "stream_last3_state": q_stream_last3_state,
         "stream_dedup": q_stream_dedup,
-        "stream_stream_join": q_stream_stream_join,
-        # --- slots 51+: oracle-bearing, driver-green in rounds 1-3 -------
         "simsearch_topk": q_simsearch_topk,
         "stream_static_join": q_stream_static_join,
         "range_join_campaigns": q_range_join,
@@ -2691,6 +2756,64 @@ SELECT doc_id, score, CAST(rank AS INT) AS rank FROM (
   SELECT doc_id, score, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
   FROM scored
 ) WHERE rank <= 15""",
+        "seq_pack_offset": r"""
+WITH t AS (
+  SELECT doc_id, lang,
+         CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+           AS n_tokens_ws
+  FROM documents)
+SELECT doc_id, lang, n_tokens_ws,
+       CAST(floor((sum(n_tokens_ws) OVER w - n_tokens_ws) / 512) AS BIGINT)
+         AS seq_id,
+       CAST((sum(n_tokens_ws) OVER w - n_tokens_ws) % 512 AS BIGINT)
+         AS seq_offset
+FROM t
+WINDOW w AS (PARTITION BY lang ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""",
+        "seq_pack_nextfit": r"""
+WITH RECURSIVE base AS (
+  SELECT doc_id, lang,
+         CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+           AS tok,
+         row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+  FROM documents),
+walk AS (
+  SELECT lang, rn, doc_id, tok, CAST(0 AS BIGINT) AS seq_id, tok AS fill
+  FROM base WHERE rn = 1
+  UNION ALL
+  SELECT b.lang, b.rn, b.doc_id, b.tok,
+         CASE WHEN w.fill > 0 AND w.fill + b.tok > 512
+              THEN w.seq_id + 1 ELSE w.seq_id END,
+         CASE WHEN w.fill > 0 AND w.fill + b.tok > 512
+              THEN b.tok ELSE w.fill + b.tok END
+  FROM walk w JOIN base b ON b.lang = w.lang AND b.rn = w.rn + 1)
+SELECT doc_id, lang, seq_id, fill AS seq_fill FROM walk""",
+        "mixture_sample": r"""
+WITH c AS (
+  SELECT source, CAST(count(*) AS DOUBLE) AS n FROM documents GROUP BY source),
+w AS (SELECT sum(pow(n, 0.5)) AS wsum FROM c),
+r AS (SELECT source,
+             least(1.0, 200.0 * pow(n, 0.5) / wsum / n) AS rate
+      FROM c CROSS JOIN w)
+SELECT d.doc_id, d.source, round(r.rate, 9) AS rate
+FROM documents d JOIN r USING (source)
+WHERE substr(md5('42|' || CAST(d.doc_id AS VARCHAR)), 1, 8) <
+      CASE WHEN r.rate >= 1.0 THEN 'gggggggg'
+           ELSE printf('%08x', CAST(floor(r.rate * 4294967296.0) AS BIGINT))
+      END""",
+        "cluster_balanced": f"""
+WITH b AS (
+  SELECT vec_id,
+         CAST({_lsh_bucket_sql('embedding::DOUBLE[]', 6, seed=42)} AS BIGINT)
+           AS cluster
+  FROM embeddings),
+rk AS (
+  SELECT vec_id, cluster,
+         row_number() OVER (PARTITION BY cluster
+                            ORDER BY md5('42|' || CAST(vec_id AS VARCHAR)))
+           AS rn
+  FROM b)
+SELECT vec_id, cluster FROM rk WHERE rn <= 8""",
         "multimodal_binary_meta": """
 SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
        md5(text) AS content_md5

@@ -23,6 +23,10 @@ from caspr_spark.llm.filtering import (
     repetition_signals, redact_pii, ngram_hashes, decontaminate,
 )
 from caspr_spark.llm.search import bm25_topk
+from caspr_spark.llm.mixture import (
+    mixture_sample, pack_sequences_offset, pack_sequences_nextfit,
+    cluster_balanced_sample,
+)
 
 __all__ = [
     "add_token_counts", "add_quality_signals", "add_language_id", "add_fingerprint",
@@ -34,4 +38,6 @@ __all__ = [
     "curate_corpus", "curation_report",
     "repetition_signals", "redact_pii", "ngram_hashes", "decontaminate",
     "bm25_topk",
+    "mixture_sample", "pack_sequences_offset", "pack_sequences_nextfit",
+    "cluster_balanced_sample",
 ]

@@ -1,0 +1,186 @@
+"""Training-mixture composition: domain weighting, sequence packing,
+diversity-balanced sampling.
+
+The last mile of a pretraining data pipeline: after curation/dedup the
+corpus must be (1) re-weighted across domains (temperature sampling a la
+multilingual/multi-source training recipes), (2) packed into fixed
+token-budget training sequences, and (3) balanced so no dense semantic
+cluster dominates. Everything here is deterministic and engine-portable
+(md5 thresholds, window arithmetic) so results certify against a SQL
+oracle — same discipline as operators/sampling.py.
+
+All paths are scale-shaped: mixture rates are computed by a tiny
+per-domain aggregate broadcast back (never a driver collect), packing is
+one window per shard, and the diversity cap rides the LSH bucket id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from caspr_spark.operators.sampling import _hash_col, downsample_to_cap
+
+_PREFIX = 8  # md5 hex prefix compared against the rate threshold
+
+
+def _rate_to_hex(rate):
+    """Column expr: largest kept md5 hex prefix for a rate in [0, 1].
+
+    Mirrors operators.sampling._threshold_hex but computed IN-PLAN from a
+    rate column: floor(rate · 2^32) rendered as 8 lowercase hex digits;
+    rate ≥ 1 becomes 'g'×8 which lexicographically exceeds every hex
+    string (keep-all). Identical arithmetic runs in the SQL oracle, so
+    the kept set is engine-portable.
+    """
+    hex8 = F.lpad(F.lower(F.hex(
+        F.floor(rate * F.lit(float(1 << (4 * _PREFIX)))).cast("bigint"))),
+        _PREFIX, "0")
+    return F.when(rate >= 1.0, F.lit("g" * _PREFIX)).otherwise(hex8)
+
+
+def mixture_sample(df: DataFrame, domain_col: str, budget: int,
+                   alpha: float = 0.5, id_cols: list[str] | None = None,
+                   seed: int = 42, rate_col: str | None = None) -> DataFrame:
+    """Temperature-weighted domain mixture sample.
+
+    Target share of domain d is w_d = n_d^alpha / Σ_e n_e^alpha (alpha=1
+    reproduces the natural distribution, alpha=0 uniform across domains;
+    0<alpha<1 up-weights the tail — the standard temperature-sampling
+    recipe for multi-source corpora). Each domain is then kept at rate
+    min(1, budget·w_d / n_d) via the map-only md5-threshold test, so the
+    expected output size is ≈ ``budget`` rows, skewed toward rare
+    domains.
+
+    Scale shape: one tiny groupBy on the domain (map-side combined), a
+    scalar total via a second micro-agg, both broadcast back — the corpus
+    itself is touched by exactly one map-side filter pass, no shuffle, no
+    driver-side state. ``rate_col`` optionally exposes the per-row kept
+    rate for auditing.
+    """
+    if id_cols is None:
+        id_cols = [domain_col]
+    counts = df.groupBy(domain_col).agg(
+        F.count(F.lit(1)).cast("double").alias("__n"))
+    wsum = counts.agg(F.sum(F.pow(F.col("__n"), F.lit(float(alpha))))
+                      .alias("__wsum"))
+    rates = (counts.crossJoin(F.broadcast(wsum))
+             .withColumn("__rate", F.least(
+                 F.lit(1.0),
+                 F.lit(float(budget)) * F.pow(F.col("__n"), F.lit(float(alpha)))
+                 / F.col("__wsum") / F.col("__n")))
+             .select(domain_col, "__rate"))
+    h = F.substring(_hash_col(id_cols, seed), 1, _PREFIX)
+    out = (df.join(F.broadcast(rates), on=domain_col)
+             .filter(h < _rate_to_hex(F.col("__rate"))))
+    if rate_col:
+        return out.withColumnRenamed("__rate", rate_col)
+    return out.drop("__rate")
+
+
+def pack_sequences_offset(df: DataFrame, token_col: str, budget: int,
+                          group_cols: list[str] | None = None,
+                          order_cols: list[str] | None = None,
+                          id_col: str = "doc_id",
+                          seq_col: str = "seq_id",
+                          offset_col: str = "seq_offset") -> DataFrame:
+    """Offset-based sequence packing: seq_id = floor(prev_cumsum/budget).
+
+    Documents (in a deterministic order) are laid out on one conceptual
+    token tape per group; a document belongs to the sequence its FIRST
+    token falls in. A document straddling a boundary overflows its
+    sequence by < its own length — the semantics of packing-with-
+    truncation, where the trainer clips the tail. For strict no-overflow
+    bins use :func:`pack_sequences_nextfit`.
+
+    One window (cumulative sum) per group — a single hash exchange on the
+    group key at any scale; no iterative or driver-side step.
+    """
+    group_cols = group_cols or []
+    order_cols = order_cols or [id_col]
+    w = (Window.partitionBy(*group_cols).orderBy(*order_cols)
+         if group_cols else Window.partitionBy().orderBy(*order_cols))
+    prev_cum = F.sum(token_col).over(w) - F.col(token_col)
+    return (df.withColumn(seq_col, F.floor(prev_cum / F.lit(int(budget))))
+              .withColumn(offset_col,
+                          (prev_cum % F.lit(int(budget))).cast("long")))
+
+
+def pack_sequences_nextfit(df: DataFrame, token_col: str, budget: int,
+                           group_cols: list[str],
+                           id_col: str = "doc_id",
+                           seq_col: str = "seq_id",
+                           fill_col: str = "seq_fill") -> DataFrame:
+    """Exact next-fit packing: no sequence exceeds ``budget`` tokens
+    (except a single document longer than the budget, which gets its own
+    sequence).
+
+    Next-fit walks documents in id order, appending to the current
+    sequence while it fits, else opening a new one — inherently
+    sequential WITHIN a group, so the group key is the unit of
+    parallelism (shard/domain/language). Runs as one applyInPandas per
+    group: state is two integers, memory is one group's rows (bounded by
+    shard size — choose group_cols so shards are; the whole corpus in one
+    group would serialize the walk, which is next-fit's intrinsic cost,
+    not Spark's). ``fill_col`` reports the sequence's running fill after
+    the document, so max(fill) per seq audits the budget invariant.
+    """
+    if not group_cols:
+        raise ValueError("pack_sequences_nextfit needs group_cols — the "
+                         "group is the unit of parallelism")
+    import pandas as pd
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    if any(f.name in (seq_col, fill_col) for f in df.schema.fields):
+        raise ValueError(f"{seq_col}/{fill_col} already present")
+    out_schema = StructType(list(df.schema.fields)
+                            + [StructField(seq_col, LongType()),
+                               StructField(fill_col, LongType())])
+    b = int(budget)
+
+    def walk(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col).reset_index(drop=True)
+        seqs, fills = [], []
+        cur, fill = 0, 0
+        for tok in pdf[token_col].astype("int64"):
+            if fill > 0 and fill + tok > b:
+                cur += 1
+                fill = 0
+            fill += tok
+            seqs.append(cur)
+            fills.append(fill)
+        pdf[seq_col] = pd.Series(seqs, dtype="int64")
+        pdf[fill_col] = pd.Series(fills, dtype="int64")
+        return pdf
+
+    return df.groupBy(*group_cols).applyInPandas(walk, schema=out_schema)
+
+
+def cluster_balanced_sample(df: DataFrame, cap: int,
+                            cluster_col: str | None = None,
+                            vec_col: str | None = None,
+                            id_col: str = "doc_id", dim: int = 64,
+                            n_planes: int = 6, seed: int = 42,
+                            keep_cluster_col: str | None = None) -> DataFrame:
+    """Diversity-balanced sample: at most ``cap`` rows per semantic
+    cluster, lowest-hash-first.
+
+    The anti-mode-collapse curation rule: dense regions of embedding
+    space (boilerplate, templates, near-identical pages) are capped so
+    the kept corpus spans the space. Clusters come from ``cluster_col``
+    if the caller already has one (KMeans cells, IVF cells), else from a
+    deterministic LSH bucket over ``vec_col`` — the no-training scale
+    path, engine-portable for certification.
+    """
+    if cluster_col is None:
+        if vec_col is None:
+            raise ValueError("need cluster_col or vec_col")
+        from caspr_spark.llm.similarity import add_lsh_bucket
+        df = add_lsh_bucket(df, vec_col, dim, n_planes, seed,
+                            out_col="__cluster")
+        cluster_col = "__cluster"
+    out = downsample_to_cap(df, cluster_col, cap, id_cols=[id_col],
+                            seed=seed)
+    if keep_cluster_col and cluster_col == "__cluster":
+        return out.withColumnRenamed("__cluster", keep_cluster_col)
+    return out.drop("__cluster") if cluster_col == "__cluster" else out

@@ -1,0 +1,128 @@
+"""Training-mixture composition: domain weighting, sequence packing,
+diversity-balanced sampling (caspr_spark/llm/mixture.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from caspr_spark.llm.mixture import (cluster_balanced_sample, mixture_sample,
+                                     pack_sequences_nextfit,
+                                     pack_sequences_offset)
+from caspr_spark.llm.text import add_token_counts
+
+
+class TestMixtureSample:
+    def test_hits_budget_and_deterministic(self, documents):
+        out = mixture_sample(documents, "source", budget=200, alpha=0.5,
+                             id_cols=["doc_id"])
+        n = out.count()
+        # md5-threshold sampling is binomial per domain; ±40% at n=200
+        assert 120 <= n <= 280
+        again = mixture_sample(documents, "source", budget=200, alpha=0.5,
+                               id_cols=["doc_id"])
+        assert sorted(r["doc_id"] for r in out.select("doc_id").collect()) \
+            == sorted(r["doc_id"] for r in again.select("doc_id").collect())
+
+    def test_alpha_zero_uniformizes(self, documents):
+        """alpha=0 targets equal per-domain counts regardless of size."""
+        nat = dict(documents.groupBy("lang").count().collect()
+                   and [(r["lang"], r["count"]) for r in
+                        documents.groupBy("lang").count().collect()])
+        out = mixture_sample(documents, "lang", budget=100, alpha=0.0,
+                             id_cols=["doc_id"])
+        got = {r["lang"]: r["count"]
+               for r in out.groupBy("lang").count().collect()}
+        # every language targeted at 20 docs; allow binomial noise
+        assert set(got) <= set(nat)
+        for lang, c in got.items():
+            assert c <= max(40, nat[lang])
+
+    def test_alpha_one_is_natural_rate(self, documents):
+        """alpha=1: every domain sampled at the same budget/total rate."""
+        out = mixture_sample(documents, "lang", budget=250, alpha=1.0,
+                             id_cols=["doc_id"], rate_col="rate")
+        rates = {round(r["rate"], 9) for r in
+                 out.select("rate").distinct().collect()}
+        assert len(rates) == 1  # uniform rate across domains
+        assert abs(next(iter(rates)) - 0.5) < 1e-9  # 250 / 500
+
+    def test_budget_above_corpus_keeps_all(self, documents):
+        out = mixture_sample(documents, "lang", budget=10_000, alpha=0.7,
+                             id_cols=["doc_id"])
+        assert out.count() == documents.count()
+
+
+class TestPackOffset:
+    def test_assignment_and_offsets(self, documents):
+        toks = add_token_counts(documents)
+        out = pack_sequences_offset(toks, "n_tokens_ws", 512,
+                                    group_cols=["lang"])
+        rows = out.select("lang", "doc_id", "n_tokens_ws", "seq_id",
+                          "seq_offset").collect()
+        assert len(rows) == documents.count()
+        assert all(0 <= r["seq_offset"] < 512 for r in rows)
+        # recompute per group in python
+        by_lang = {}
+        for r in sorted(rows, key=lambda r: (r["lang"], r["doc_id"])):
+            cum = by_lang.get(r["lang"], 0)
+            assert r["seq_id"] == cum // 512
+            assert r["seq_offset"] == cum % 512
+            by_lang[r["lang"]] = cum + r["n_tokens_ws"]
+
+    def test_global_tape_when_no_groups(self, documents):
+        toks = add_token_counts(documents).limit(50)
+        out = pack_sequences_offset(toks, "n_tokens_ws", 256)
+        assert out.select("seq_id").distinct().count() >= 2
+
+
+class TestPackNextfit:
+    def test_budget_invariant(self, documents):
+        toks = add_token_counts(documents)
+        out = pack_sequences_nextfit(toks, "n_tokens_ws", 512,
+                                     group_cols=["lang"])
+        stats = (out.groupBy("lang", "seq_id")
+                 .agg(F.sum("n_tokens_ws").alias("total"),
+                      F.count("*").alias("docs")).collect())
+        for r in stats:
+            # a multi-doc sequence never exceeds the budget; a single
+            # over-long doc may
+            assert r["docs"] == 1 or r["total"] <= 512
+        assert out.count() == documents.count()
+
+    def test_matches_python_walk(self, documents):
+        toks = add_token_counts(documents).filter("lang = 'en'")
+        out = {r["doc_id"]: (r["seq_id"], r["seq_fill"])
+               for r in pack_sequences_nextfit(
+                   toks, "n_tokens_ws", 300, group_cols=["lang"]).collect()}
+        rows = sorted(toks.select("doc_id", "n_tokens_ws").collect(),
+                      key=lambda r: r["doc_id"])
+        cur, fill = 0, 0
+        for r in rows:
+            tok = r["n_tokens_ws"]
+            if fill > 0 and fill + tok > 300:
+                cur, fill = cur + 1, 0
+            fill += tok
+            assert out[r["doc_id"]] == (cur, fill)
+
+    def test_requires_groups(self, documents):
+        with pytest.raises(ValueError, match="group_cols"):
+            pack_sequences_nextfit(documents, "n_chars", 512, group_cols=[])
+
+
+class TestClusterBalanced:
+    def test_cap_via_lsh(self, embeddings):
+        out = cluster_balanced_sample(embeddings, cap=5, vec_col="embedding",
+                                      id_col="vec_id",
+                                      keep_cluster_col="cluster")
+        per = out.groupBy("cluster").count().collect()
+        assert all(r["count"] <= 5 for r in per)
+        assert out.count() < embeddings.count()
+
+    def test_precomputed_cluster_col(self, documents):
+        out = cluster_balanced_sample(documents, cap=3, cluster_col="lang",
+                                      id_col="doc_id")
+        per = out.groupBy("lang").count().collect()
+        assert all(r["count"] == 3 for r in per)  # every lang has >= 3 docs
+
+    def test_requires_cluster_or_vec(self, documents):
+        with pytest.raises(ValueError, match="cluster_col or vec_col"):
+            cluster_balanced_sample(documents, cap=3)
