@@ -1251,6 +1251,29 @@ def q_cluster_balanced(spark, sf_dir):
     return out.select("vec_id", "cluster")
 
 
+def q_lm_perplexity(spark, sf_dir):
+    """CCNet-style quality scoring (lm.py): fit a smoothed bigram model
+    on the corpus, score every doc by bigram pseudo-perplexity. Counts
+    stay distributed (join-based scoring, never broadcast-vocabulary);
+    per-token log-probs sum as 1e-9 fixed-point BIGINTs so the
+    distributed sum is exact — no accumulation-order drift."""
+    from caspr_spark.llm.lm import fit_bigram_model, score_perplexity
+    docs = _t(spark, sf_dir, "documents")
+    uni, bi, v = fit_bigram_model(docs)
+    return score_perplexity(docs, uni, bi, v)
+
+
+def q_doc_chunks(spark, sf_dir):
+    """Retrieval chunking (text.py chunk_documents): 48-token windows
+    with 16-token overlap, every token covered, no empty tail chunk.
+    Pure narrow exprs — split once, sequence+explode+slice; zero
+    shuffles."""
+    from caspr_spark.llm.text import chunk_documents
+    docs = _t(spark, sf_dir, "documents")
+    out = chunk_documents(docs, chunk_tokens=48, overlap=16)
+    return out.select("doc_id", "chunk_id", "n_chunk_tokens", "chunk_text")
+
+
 def q_multimodal_binary_meta(spark, sf_dir):
     """Opaque-binary column plumbing: byte length + content hash of the
     payload (text bytes stand in for image/audio payloads here)."""
@@ -1475,11 +1498,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                    training-mixture suite (offset + next-fit sequence
                    packing, temperature mixture sampling,
                    diversity-balanced sampling),
-      slots 45-50  high-value r2/r3-certified rows re-run for redundancy
-                   (pipelines + LSH) plus the new stream_stream_join;
-                   funnel/bloom/asof-forward/segment_dec and three
-                   r3-certified stream queries rotate to 51+
-                   (still in the local suite),
+      slots 45-46  oracle-bearing queries NEW in round 4, part four
+                   (bigram-LM perplexity scoring, retrieval chunking),
+      slots 47-50  the flagship pipeline + the two LSH queries whose
+                   physical layout changed this round + the new
+                   stream_stream_join; funnel/bloom/asof-forward/
+                   segment_dec, two pipelines, and three r3-certified
+                   stream queries rotate to 51+ (still in the local
+                   suite),
       slots 51+    remaining oracle-bearing queries (all driver-green in
                    r2/r3), then rows-only / no-oracle queries (seeded RNG,
                    iterative) at the very end.
@@ -1537,15 +1563,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seq_pack_nextfit": q_seq_pack_nextfit,
         "mixture_sample": q_mixture_sample,
         "cluster_balanced": q_cluster_balanced,
-        # --- slots 45-50: r2/r3-certified rows re-run for redundancy
-        #     plus the new stream_stream_join ----------------------------
+        # --- slots 45-46: oracle-bearing, NEW in round 4, part four
+        #     (bigram-LM quality scoring, retrieval chunking) ------------
+        "lm_perplexity": q_lm_perplexity,
+        "doc_chunks": q_doc_chunks,
+        # --- slots 47-50: the flagship pipeline, the two LSH queries
+        #     whose physical layout changed this round (bit-packed
+        #     buckets), and the new stream_stream_join -------------------
         "pipeline_events": q_pipeline_events,
-        "pipeline_lineitem": q_pipeline_lineitem,
-        "pipeline_orders_profile": q_pipeline_orders_profile,
         "emb_near_dup": q_emb_near_dup,
         "simsearch_topk_lsh": q_simsearch_topk_lsh,
         "stream_stream_join": q_stream_stream_join,
         # --- slots 51+: oracle-bearing, driver-green in rounds 1-3 -------
+        "pipeline_lineitem": q_pipeline_lineitem,
+        "pipeline_orders_profile": q_pipeline_orders_profile,
         "pipeline_events_array": q_pipeline_events_array,
         "stream_windowed_stats": q_stream_windowed_stats,
         "stream_last3_state": q_stream_last3_state,
@@ -2814,6 +2845,50 @@ rk AS (
            AS rn
   FROM b)
 SELECT vec_id, cluster FROM rk WHERE rn <= 8""",
+        "lm_perplexity": r"""
+WITH tok AS (
+  SELECT doc_id,
+         list_prepend('<s>', regexp_split_to_array(trim(lower(text)),
+                                                   '\s+')) AS t
+  FROM documents),
+pairs AS (
+  SELECT doc_id, g['w1'] AS w1, g['w2'] AS w2
+  FROM (SELECT doc_id,
+               unnest(list_transform(range(1, len(t)),
+                                     i -> {'w1': t[i], 'w2': t[i+1]})) AS g
+        FROM tok)),
+uni AS (
+  SELECT w, count(*) AS c_uni
+  FROM (SELECT unnest(t) AS w FROM tok) GROUP BY w),
+bi AS (SELECT w1, w2, count(*) AS c_bi FROM pairs GROUP BY 1, 2),
+v AS (SELECT CAST(count(*) AS DOUBLE) AS vocab FROM uni),
+sc AS (
+  SELECT p.doc_id,
+         CAST(round(ln((coalesce(b.c_bi, 0) + 1.0)
+                       / (coalesce(u.c_uni, 0) + v.vocab))
+                    * 1000000000) AS BIGINT) AS lp
+  FROM pairs p
+  LEFT JOIN bi b ON b.w1 = p.w1 AND b.w2 = p.w2
+  LEFT JOIN uni u ON u.w = p.w1
+  CROSS JOIN v)
+SELECT doc_id, count(*) AS n_bigrams,
+       round(exp(-(sum(lp) / 1000000000.0) / count(*)), 4) AS perplexity
+FROM sc GROUP BY doc_id""",
+        "doc_chunks": r"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+  FROM documents),
+c AS (
+  SELECT doc_id, toks,
+         unnest(range(0, CAST(ceil(greatest(len(toks) - 16, 1) / 32.0)
+                              AS BIGINT))) AS chunk_id
+  FROM t)
+SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+       CAST(least(48, len(toks) - chunk_id * 32) AS BIGINT)
+         AS n_chunk_tokens,
+       array_to_string(toks[chunk_id * 32 + 1 : chunk_id * 32 + 48], ' ')
+         AS chunk_text
+FROM c""",
         "multimodal_binary_meta": """
 SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
        md5(text) AS content_md5

@@ -7,6 +7,10 @@ same DataFrame-first principles as the featurization engine.
 
 from caspr_spark.llm.text import (
     add_token_counts, add_quality_signals, add_language_id, add_fingerprint,
+    chunk_documents,
+)
+from caspr_spark.llm.lm import (
+    fit_bigram_model, score_perplexity, perplexity_buckets,
 )
 from caspr_spark.llm.dedup import (
     exact_dedup, minhash_signatures, minhash_lsh_dedup, simhash, ngram_jaccard_pairs,
@@ -40,4 +44,6 @@ __all__ = [
     "bm25_topk",
     "mixture_sample", "pack_sequences_offset", "pack_sequences_nextfit",
     "cluster_balanced_sample",
+    "chunk_documents", "fit_bigram_model", "score_perplexity",
+    "perplexity_buckets",
 ]

@@ -133,6 +133,14 @@ def minhash_lsh_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "te
 
     left = banded.select(F.col(id_col).alias("id_a"), "band", "band_key")
     right = banded.select(F.col(id_col).alias("id_b"), "band", "band_key")
+    # The distinct() is one extra shuffle — of the candidate-pair
+    # relation, which for a mostly-unique corpus is FAR smaller than the
+    # banded relation. The similarity path's first-collision trick does
+    # not transfer here: band keys are 64-bit hashes (cannot bit-pack 16
+    # of them into a word), so emitting each pair once would mean carrying
+    # a bands-element long array through the banding shuffle — ~8·bands
+    # extra bytes on ALL N·bands rows to save a shuffle of the few
+    # candidate rows. Keep the distinct.
     pairs = (left.join(right, on=["band", "band_key"])
                  .filter(F.col("id_a") < F.col("id_b"))
                  .select("id_a", "id_b").distinct())

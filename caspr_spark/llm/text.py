@@ -85,3 +85,43 @@ def add_fingerprint(df: DataFrame, text_col: str = "text",
     (lower-cased, whitespace collapsed) — the exact-dedup key."""
     norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
     return df.withColumn(out_col, F.md5(norm))
+
+
+def chunk_documents(df: DataFrame, chunk_tokens: int = 128, overlap: int = 32,
+                    id_col: str = "doc_id", text_col: str = "text",
+                    chunk_id_col: str = "chunk_id",
+                    chunk_col: str = "chunk_text") -> DataFrame:
+    """Split documents into overlapping fixed-token-window chunks.
+
+    Retrieval/embedding prep: chunk i covers whitespace tokens
+    ``[i·stride, i·stride + chunk_tokens)`` with
+    ``stride = chunk_tokens − overlap``; the last chunk starts at the
+    final stride position that still introduces new tokens, so every
+    token appears in ≥1 chunk and no empty trailing chunk is emitted.
+
+    Pure narrow expressions — split once, ``sequence`` + ``explode`` +
+    per-chunk ``slice``/``array_join``; no shuffle at all (the explode
+    fan-out is bounded by doc length / stride). Output grain is one row
+    per (document, chunk).
+    """
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError(f"need 0 <= overlap ({overlap}) < chunk_tokens "
+                         f"({chunk_tokens})")
+    stride = chunk_tokens - overlap
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    n = F.size(toks)
+    # number of stride starts that introduce new tokens:
+    # ceil(max(n - overlap, 1) / stride)
+    n_chunks = F.ceil(F.greatest(n - F.lit(overlap), F.lit(1))
+                      / F.lit(stride)).cast("int")
+    return (df.withColumn("__toks", toks)
+              .withColumn(chunk_id_col,
+                          F.explode(F.sequence(F.lit(0), n_chunks - 1)))
+              .withColumn("n_chunk_tokens", F.least(
+                  F.lit(chunk_tokens),
+                  F.size("__toks") - F.col(chunk_id_col) * stride)
+                  .cast("long"))
+              .withColumn(chunk_col, F.array_join(
+                  F.slice("__toks", F.col(chunk_id_col) * stride + 1,
+                          chunk_tokens), " "))
+              .drop("__toks"))
