@@ -57,6 +57,13 @@ SNAPSHOT_QUERIES = [
     "pipeline_events_percutoff",
     "pipeline_orders_composite",
     "e12_time_shuffle",
+    "emb_near_dup",
+    "seq_pack_offset",
+    "seq_pack_nextfit",
+    "mixture_sample",
+    "cluster_balanced",
+    "lm_perplexity",
+    "doc_chunks",
 ]
 
 
