@@ -1274,6 +1274,16 @@ def q_doc_chunks(spark, sf_dir):
     return out.select("doc_id", "chunk_id", "n_chunk_tokens", "chunk_text")
 
 
+def q_winnow_pairs(spark, sf_dir):
+    """Winnowing fingerprint matching (dedup.py winnow_pairs): MOSS-style
+    local fingerprints (min md5 per 5-gram-hash window over word
+    4-grams), pairs sharing >= 2. Fingerprints in > 1000 docs are
+    dropped before the self-join (hot-key discipline)."""
+    from caspr_spark.llm.dedup import winnow_pairs
+    docs = _t(spark, sf_dir, "documents")
+    return winnow_pairs(docs, k=4, window=5, min_shared=2, max_df=1000)
+
+
 def q_multimodal_binary_meta(spark, sf_dir):
     """Opaque-binary column plumbing: byte length + content hash of the
     payload (text bytes stand in for image/audio payloads here)."""
@@ -1498,14 +1508,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                    training-mixture suite (offset + next-fit sequence
                    packing, temperature mixture sampling,
                    diversity-balanced sampling),
-      slots 45-46  oracle-bearing queries NEW in round 4, part four
-                   (bigram-LM perplexity scoring, retrieval chunking),
-      slots 47-50  the flagship pipeline + the two LSH queries whose
-                   physical layout changed this round + the new
+      slots 45-47  oracle-bearing queries NEW in round 4, part four
+                   (bigram-LM perplexity scoring, retrieval chunking,
+                   winnowing fingerprint pairs),
+      slots 48-50  the two LSH queries whose physical layout changed
+                   this round (bit-packed buckets) + the new
                    stream_stream_join; funnel/bloom/asof-forward/
-                   segment_dec, two pipelines, and three r3-certified
-                   stream queries rotate to 51+ (still in the local
-                   suite),
+                   segment_dec, the r3-certified pipelines, and three
+                   r3-certified stream queries rotate to 51+ (still in
+                   the local suite),
       slots 51+    remaining oracle-bearing queries (all driver-green in
                    r2/r3), then rows-only / no-oracle queries (seeded RNG,
                    iterative) at the very end.
@@ -1567,14 +1578,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #     (bigram-LM quality scoring, retrieval chunking) ------------
         "lm_perplexity": q_lm_perplexity,
         "doc_chunks": q_doc_chunks,
-        # --- slots 47-50: the flagship pipeline, the two LSH queries
-        #     whose physical layout changed this round (bit-packed
-        #     buckets), and the new stream_stream_join -------------------
-        "pipeline_events": q_pipeline_events,
+        # --- slot 47: oracle-bearing, NEW in round 4 (winnowing) ---------
+        "winnow_pairs": q_winnow_pairs,
+        # --- slots 48-50: the two LSH queries whose physical layout
+        #     changed this round (bit-packed buckets) and the new
+        #     stream_stream_join ----------------------------------------
         "emb_near_dup": q_emb_near_dup,
         "simsearch_topk_lsh": q_simsearch_topk_lsh,
         "stream_stream_join": q_stream_stream_join,
         # --- slots 51+: oracle-bearing, driver-green in rounds 1-3 -------
+        "pipeline_events": q_pipeline_events,
         "pipeline_lineitem": q_pipeline_lineitem,
         "pipeline_orders_profile": q_pipeline_orders_profile,
         "pipeline_events_array": q_pipeline_events_array,
@@ -2889,6 +2902,38 @@ SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
        array_to_string(toks[chunk_id * 32 + 1 : chunk_id * 32 + 48], ' ')
          AS chunk_text
 FROM c""",
+        "winnow_pairs": r"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS tk
+  FROM documents),
+g AS (
+  SELECT doc_id, s['pos'] AS pos, md5(s['g']) AS h
+  FROM (SELECT doc_id,
+               unnest(CASE WHEN len(tk) >= 4
+                      THEN list_transform(range(1, len(tk) - 2),
+                             i -> {'pos': i,
+                                   'g': array_to_string(tk[i:i+3], ' ')})
+                      ELSE [{'pos': CAST(1 AS BIGINT),
+                             'g': array_to_string(tk, ' ')}] END) AS s
+        FROM t)),
+fp AS (
+  SELECT DISTINCT doc_id, wmin AS fingerprint
+  FROM (SELECT doc_id, pos,
+               min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING)
+                 AS wmin,
+               count(*) OVER (PARTITION BY doc_id) AS n
+        FROM g)
+  WHERE pos <= n - 4 OR pos = 1),
+rare AS (
+  SELECT fingerprint FROM fp GROUP BY fingerprint HAVING count(*) <= 1000)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+FROM (SELECT * FROM fp JOIN rare USING (fingerprint)) a
+JOIN (SELECT * FROM fp JOIN rare USING (fingerprint)) b
+  USING (fingerprint)
+WHERE a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING count(*) >= 2""",
         "multimodal_binary_meta": """
 SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
        md5(text) AS content_md5

@@ -309,3 +309,80 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "
                                    F.size(F.array_union("__sh_a", "__sh_b")))
             .filter(F.col("jaccard") >= threshold)
             .select("id_a", "id_b", "jaccard"))
+
+
+def winnow_fingerprints(df: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", k: int = 4,
+                        window: int = 5,
+                        fp_col: str = "fingerprint") -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken 2003).
+
+    The MOSS local fingerprinting scheme: hash every word ``k``-gram,
+    slide a ``window`` over consecutive gram hashes, keep each window's
+    minimum — guaranteeing any shared substring of
+    ``window + k - 1`` tokens yields at least one shared fingerprint
+    (the detection floor), while storing only ~2/(window+1) of all gram
+    hashes. Hashes are md5 hex strings, min is lexicographic — identical
+    on any engine, so the output certifies against a SQL oracle. (The
+    paper breaks min ties at the rightmost position to minimize
+    fingerprint density; here ties are broken by the hash alone — md5
+    ties require identical grams, which select the same fingerprint
+    either way.)
+
+    Output grain: DISTINCT (doc, fingerprint) — the per-doc fingerprint
+    set. One window per doc (a single hash exchange on the doc id);
+    short docs (< k tokens) hash their whole token list as one gram.
+    """
+    from pyspark.sql import Window as W
+
+    from caspr_spark.sources import ensure_parallelism
+
+    # ordered, NON-distinct gram sequence (unlike _shingles: winnowing is
+    # positional — repeated grams occupy their own windows)
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    n_toks = F.size(toks)
+    gram_seq = F.when(
+        n_toks >= k,
+        F.transform(F.sequence(F.lit(1), n_toks - F.lit(k - 1)),
+                    lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
+    ).otherwise(F.array(F.concat_ws(" ", toks)))
+    grams = ensure_parallelism(df).select(
+        F.col(id_col), F.posexplode(gram_seq).alias("__pos", "__g"))
+    h = grams.withColumn("__h", F.md5(F.col("__g")))
+    full = W.partitionBy(id_col).orderBy("__pos").rowsBetween(0, window - 1)
+    n = W.partitionBy(id_col)
+    return (h.withColumn("__wmin", F.min("__h").over(full))
+             .withColumn("__n", F.count(F.lit(1)).over(n))
+             # only full windows select: starts 0 .. n-window (all of them
+             # when the doc has fewer grams than the window)
+             .filter((F.col("__pos") <= F.col("__n") - window)
+                     | (F.col("__pos") == 0))
+             .select(id_col, F.col("__wmin").alias(fp_col))
+             .distinct())
+
+
+def winnow_pairs(df: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text", k: int = 4, window: int = 5,
+                 min_shared: int = 2, max_df: int | None = 1000) -> DataFrame:
+    """Document pairs sharing >= ``min_shared`` winnowing fingerprints.
+
+    The plagiarism/boilerplate detector over the fingerprint index:
+    self-join on the fingerprint, count matches per pair. Fingerprints
+    present in more than ``max_df`` documents are dropped before the join
+    — they are corpus boilerplate, and at web scale a single hot
+    fingerprint would otherwise fan out quadratically (same hot-key
+    discipline as ``decontaminate``'s df cap).
+    """
+    fps = winnow_fingerprints(df, id_col, text_col, k, window)
+    if max_df is not None:
+        rare = (fps.groupBy("fingerprint")
+                .agg(F.count(F.lit(1)).alias("__df"))
+                .filter(F.col("__df") <= max_df).select("fingerprint"))
+        fps = fps.join(rare, on="fingerprint")
+    pairs = (fps.alias("a").join(fps.alias("b"), on="fingerprint")
+             .select(F.col(f"a.{id_col}").alias("id_a"),
+                     F.col(f"b.{id_col}").alias("id_b"))
+             .filter(F.col("id_a") < F.col("id_b")))
+    return (pairs.groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("n_shared"))
+            .filter(F.col("n_shared") >= min_shared))

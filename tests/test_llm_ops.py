@@ -355,3 +355,57 @@ class TestConnectedComponents:
         kept = {r["doc_id"] for r in
                 dedup_by_components(dup_docs, pairs).select("doc_id").collect()}
         assert kept == {1, 4, 5, 6}
+
+
+class TestWinnowing:
+    def test_matches_python_oracle(self, documents):
+        """Exact fingerprint-set parity with a direct python winnow."""
+        import hashlib
+        from caspr_spark.llm.dedup import winnow_fingerprints
+        fp = winnow_fingerprints(documents, k=4, window=5)
+        got = {}
+        for r in fp.collect():
+            got.setdefault(r["doc_id"], set()).add(r["fingerprint"])
+        docs = {r["doc_id"]: r["text"] for r in
+                documents.select("doc_id", "text").limit(20).collect()}
+        for doc_id, text in docs.items():
+            t = text.strip().lower().split()
+            grams = ([" ".join(t[i:i + 4]) for i in range(len(t) - 3)]
+                     if len(t) >= 4 else [" ".join(t)])
+            hs = [hashlib.md5(g.encode()).hexdigest() for g in grams]
+            if len(hs) >= 5:
+                expect = {min(hs[i:i + 5]) for i in range(len(hs) - 4)}
+            else:
+                expect = {min(hs)}
+            assert got[doc_id] == expect, doc_id
+
+    def test_detection_floor(self, spark):
+        """Docs sharing a run of window+k-1 tokens share >= 1 fingerprint."""
+        from caspr_spark.llm.dedup import winnow_pairs
+        shared = "alpha bravo charlie delta echo foxtrot golf hotel"  # 8 = 5+4-1
+        df = spark.createDataFrame(
+            [(1, f"unrelated prefix one two {shared} tail xx"),
+             (2, f"{shared} completely different ending words here"),
+             (3, "nothing in common with the others at all truly")],
+            ["doc_id", "text"])
+        pairs = {(r["id_a"], r["id_b"])
+                 for r in winnow_pairs(df, min_shared=1,
+                                       max_df=None).collect()}
+        assert (1, 2) in pairs
+        assert not any(3 in p for p in pairs)
+
+    def test_short_doc_single_fingerprint(self, spark):
+        from caspr_spark.llm.dedup import winnow_fingerprints
+        df = spark.createDataFrame([(1, "two words")], ["doc_id", "text"])
+        assert winnow_fingerprints(df).count() == 1
+
+    def test_max_df_drops_boilerplate(self, spark):
+        """A fingerprint in every doc is excluded from pairing."""
+        from caspr_spark.llm.dedup import winnow_pairs
+        boiler = "copyright two thousand twenty four all rights reserved"
+        rows = [(i, f"document number {i} unique body content here {boiler}")
+                for i in range(1, 6)]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        capped = winnow_pairs(df, min_shared=1, max_df=3).count()
+        uncapped = winnow_pairs(df, min_shared=1, max_df=None).count()
+        assert uncapped == 10 and capped < uncapped
