@@ -1284,6 +1284,33 @@ def q_winnow_pairs(spark, sf_dir):
     return winnow_pairs(docs, k=4, window=5, min_shared=2, max_df=1000)
 
 
+def q_related_docs(spark, sf_dir):
+    """TF-IDF more-like-this retrieval (search.py related_documents):
+    top-3 related docs per doc by sparse-vector cosine. Pairs form
+    through shared terms only (inverted-index self-join, df-capped at
+    10% of the corpus — fractional so the cap scales with N); dot
+    products and norms accumulate as 1e-9 fixed-point BIGINTs so
+    distributed sums are exact."""
+    from caspr_spark.llm.search import related_documents
+    docs = _t(spark, sf_dir, "documents")
+    return related_documents(docs, k=3, max_df=0.1, min_cosine=0.05)
+
+
+def q_sketch_distinct_rollup(spark, sf_dir):
+    """Continuous COUNT DISTINCT via HLL sketch layer (timeseries.py
+    distinct_sketch_layer/rollup): hourly per-event-type sketches of
+    distinct users, re-aggregated to daily WITHOUT rescanning raw events.
+    Rows-only: the datasketches binary has no DuckDB twin; tests pin
+    exactness at low cardinality and the 4-sigma error bound at 200k."""
+    from caspr_spark.operators.timeseries import (distinct_rollup,
+                                                  distinct_sketch_layer)
+    ev = _t(spark, sf_dir, "events")
+    layer = distinct_sketch_layer(ev, "user_id", keys=["event_type"])
+    out = distinct_rollup(layer, "day", keys=["event_type"])
+    return out.select(F.col("bucket_day").cast("date").alias("day"),
+                      "event_type", "n_distinct", "n_events")
+
+
 def q_multimodal_binary_meta(spark, sf_dir):
     """Opaque-binary column plumbing: byte length + content hash of the
     payload (text bytes stand in for image/audio payloads here)."""
@@ -1508,15 +1535,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                    training-mixture suite (offset + next-fit sequence
                    packing, temperature mixture sampling,
                    diversity-balanced sampling),
-      slots 45-47  oracle-bearing queries NEW in round 4, part four
+      slots 45-48  oracle-bearing queries NEW in round 4, part four
                    (bigram-LM perplexity scoring, retrieval chunking,
-                   winnowing fingerprint pairs),
-      slots 48-50  the two LSH queries whose physical layout changed
-                   this round (bit-packed buckets) + the new
-                   stream_stream_join; funnel/bloom/asof-forward/
-                   segment_dec, the r3-certified pipelines, and three
-                   r3-certified stream queries rotate to 51+ (still in
-                   the local suite),
+                   winnowing fingerprint pairs, tf-idf related docs),
+      slots 49-50  emb_near_dup — the query exercising every piece of
+                   this round's LSH physical-layout change (bit-packed
+                   buckets, single-eval scoring, lean rejoins) — and the
+                   new stream_stream_join; funnel/bloom/asof-forward/
+                   segment_dec, the r3-certified pipelines, and four
+                   r3-certified stream/LSH queries rotate to 51+ (still
+                   in the local suite),
       slots 51+    remaining oracle-bearing queries (all driver-green in
                    r2/r3), then rows-only / no-oracle queries (seeded RNG,
                    iterative) at the very end.
@@ -1578,15 +1606,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #     (bigram-LM quality scoring, retrieval chunking) ------------
         "lm_perplexity": q_lm_perplexity,
         "doc_chunks": q_doc_chunks,
-        # --- slot 47: oracle-bearing, NEW in round 4 (winnowing) ---------
+        # --- slots 47-48: oracle-bearing, NEW in round 4 (winnowing,
+        #     tf-idf related docs) --------------------------------------
         "winnow_pairs": q_winnow_pairs,
-        # --- slots 48-50: the two LSH queries whose physical layout
-        #     changed this round (bit-packed buckets) and the new
-        #     stream_stream_join ----------------------------------------
+        "related_docs": q_related_docs,
+        # --- slots 49-50: the LSH query whose physical layout changed
+        #     this round (bit-packed buckets, single-eval scoring, lean
+        #     rejoins — emb_near_dup exercises every changed piece) and
+        #     the new stream_stream_join --------------------------------
         "emb_near_dup": q_emb_near_dup,
-        "simsearch_topk_lsh": q_simsearch_topk_lsh,
         "stream_stream_join": q_stream_stream_join,
         # --- slots 51+: oracle-bearing, driver-green in rounds 1-3 -------
+        "simsearch_topk_lsh": q_simsearch_topk_lsh,
         "pipeline_events": q_pipeline_events,
         "pipeline_lineitem": q_pipeline_lineitem,
         "pipeline_orders_profile": q_pipeline_orders_profile,
@@ -1653,6 +1684,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simsearch_topk_ivf": q_simsearch_topk_ivf,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
+        "sketch_distinct_rollup": q_sketch_distinct_rollup,
     }
 
 
@@ -2934,6 +2966,48 @@ JOIN (SELECT * FROM fp JOIN rare USING (fingerprint)) b
 WHERE a.doc_id < b.doc_id
 GROUP BY 1, 2
 HAVING count(*) >= 2""",
+        "related_docs": r"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+  FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+stats AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+dfreq AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY 1
+  HAVING count(*) <= ceil(0.1 * (SELECT n_docs FROM stats))),
+w AS (
+  SELECT tf.doc_id, tf.term,
+         tf.tf * (ln((stats.n_docs + 1.0) / (dfreq.df + 1.0)) + 1.0)
+           AS weight
+  FROM tf JOIN dfreq USING (term) CROSS JOIN stats),
+norms AS (
+  SELECT doc_id,
+         sqrt(sum(CAST(round(weight * weight * 1000000000) AS BIGINT))
+              / 1000000000.0) AS nrm
+  FROM w GROUP BY 1),
+dots AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         sum(CAST(round(a.weight * b.weight * 1000000000) AS BIGINT))
+           AS dotfx
+  FROM w a JOIN w b USING (term)
+  WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+sym AS (
+  SELECT id_a, id_b,
+         round((dotfx / 1000000000.0) / (na.nrm * nb.nrm), 6) AS cosine
+  FROM dots
+  JOIN norms na ON na.doc_id = dots.id_a
+  JOIN norms nb ON nb.doc_id = dots.id_b),
+bidir AS (
+  SELECT id_a, id_b, cosine FROM sym WHERE cosine >= 0.05
+  UNION ALL
+  SELECT id_b, id_a, cosine FROM sym WHERE cosine >= 0.05)
+SELECT id_a AS doc_id, id_b AS related_id, cosine,
+       CAST(rank AS INT) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY id_a
+                                   ORDER BY cosine DESC, id_b ASC) AS rank
+      FROM bidir)
+WHERE rank <= 3""",
         "multimodal_binary_meta": """
 SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
        md5(text) AS content_md5

@@ -71,3 +71,105 @@ def bm25_topk(docs: DataFrame, terms: list[str], k: int = 10,
     top = scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
     w = Window.orderBy(F.col("score").desc(), F.col(id_col).asc())
     return top.withColumn("rank", F.row_number().over(w))
+
+
+_FX = 10 ** 9  # fixed-point scale: engine-portable exact accumulation
+
+
+def tfidf_weights(docs: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text",
+                  max_df: int | float | None = None) -> DataFrame:
+    """Sparse TF-IDF document vectors as a (doc, term, weight) relation.
+
+    ``weight = tf · (ln((N+1)/(df+1)) + 1)`` with raw term counts —
+    integer tf and a per-term idf from single ``ln`` calls, so every
+    weight is a deterministic double (no float accumulation anywhere;
+    the norm consumers need is computed downstream in fixed point).
+    ``max_df`` drops corpus-boilerplate terms before anything else — at
+    web scale a term in half the corpus adds no signal and quadratic
+    join fan-out.
+
+    The sparse relation IS the representation: at 100 TB a dense
+    vocabulary vector per doc is impossible, while (doc, term, w) rows
+    partition, join, and aggregate like any other table.
+    """
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+"))
+         .alias("term"))
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    stats = docs.agg(F.countDistinct(id_col).alias("n_docs"))
+    if max_df is not None:
+        if isinstance(max_df, float):
+            # fractional cap scales with the corpus — an absolute cap
+            # tuned on a sample silently drops the whole vocabulary when
+            # the corpus grows 10x
+            if not 0.0 < max_df <= 1.0:
+                raise ValueError(f"fractional max_df must be in (0, 1], "
+                                 f"got {max_df}")
+            df_ = (df_.crossJoin(F.broadcast(stats))
+                   .filter(F.col("df")
+                           <= F.ceil(F.lit(max_df) * F.col("n_docs")))
+                   .select("term", "df"))
+        else:
+            df_ = df_.filter(F.col("df") <= max_df)
+    idf = F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0
+    return (tf.join(F.broadcast(df_), on="term")
+              .crossJoin(F.broadcast(stats))
+              .select(id_col, "term",
+                      (F.col("tf") * idf).alias("weight")))
+
+
+def related_documents(docs: DataFrame, k: int = 5, id_col: str = "doc_id",
+                      text_col: str = "text",
+                      max_df: int | float | None = 0.1,
+                      min_cosine: float = 0.0) -> DataFrame:
+    """Top-``k`` most similar documents per document by TF-IDF cosine.
+
+    The related-content / more-like-this retrieval primitive, computed
+    corpus-wide: documents pair through SHARED TERMS only (an inverted-
+    index self-join — never an all-pairs product), per-pair dot products
+    and per-doc norms accumulate as 1e-9 fixed-point BIGINTs (exact
+    integer sums, immune to accumulation-order drift), and the top-k per
+    document is a window over the scored pairs. ``max_df`` bounds the
+    join fan-out: a term shared by m docs contributes m² pair rows, so
+    boilerplate terms are dropped — same hot-key discipline as
+    ``winnow_pairs``/``decontaminate``.
+    """
+    w = tfidf_weights(docs, id_col, text_col, max_df).persist()
+    fx = F.round(F.col("weight") * F.col("weight") * _FX).cast("long")
+    norms = (w.withColumn("__w2", fx)
+              .groupBy(id_col).agg(F.sum("__w2").alias("__n2fx"))
+              .select(id_col,
+                      F.sqrt(F.col("__n2fx") / float(_FX)).alias("__norm")))
+    a = w.select(F.col(id_col).alias("id_a"), "term",
+                 F.col("weight").alias("__wa"))
+    b = w.select(F.col(id_col).alias("id_b"), "term",
+                 F.col("weight").alias("__wb"))
+    dots = (a.join(b, on="term")
+             .filter(F.col("id_a") < F.col("id_b"))
+             .withColumn("__pfx", F.round(F.col("__wa") * F.col("__wb")
+                                          * _FX).cast("long"))
+             .groupBy("id_a", "id_b")
+             .agg(F.sum("__pfx").alias("__dotfx")))
+    na = norms.select(F.col(id_col).alias("id_a"),
+                      F.col("__norm").alias("__na"))
+    nb = norms.select(F.col(id_col).alias("id_b"),
+                      F.col("__norm").alias("__nb"))
+    sym = (dots.join(na, "id_a").join(nb, "id_b")
+               .withColumn("cosine", F.round(
+                   (F.col("__dotfx") / float(_FX))
+                   / (F.col("__na") * F.col("__nb")), 6))
+               .filter(F.col("cosine") >= min_cosine)
+               .select("id_a", "id_b", "cosine"))
+    # both directions so every doc ranks its neighbors
+    both = sym.union(sym.select(F.col("id_b").alias("id_a"),
+                                F.col("id_a").alias("id_b"), "cosine"))
+    rk = Window.partitionBy("id_a").orderBy(F.col("cosine").desc(),
+                                            F.col("id_b").asc())
+    return (both.withColumn("rank", F.row_number().over(rk))
+                .filter(F.col("rank") <= k)
+                .select(F.col("id_a").alias(id_col),
+                        F.col("id_b").alias("related_id"), "cosine",
+                        "rank"))

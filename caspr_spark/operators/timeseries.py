@@ -75,6 +75,56 @@ def continuous_rollup(fine: DataFrame, width: str = "day",
                      F.sum("sum_value").alias("sum_value")))
 
 
+def distinct_sketch_layer(df: DataFrame, key_col: str, ts_col: str = "ts",
+                          keys: list[str] | None = None,
+                          width: str = "hour", lgk: int = 12) -> DataFrame:
+    """Fine layer of a continuous COUNT DISTINCT: an HLL sketch per
+    (bucket, keys).
+
+    Distinct counts are the one aggregate the decimal-sum hypertable
+    pattern cannot re-aggregate (distincts don't add), and re-scanning
+    100 TB of raw events for every weekly-uniques query is exactly what
+    the layer pattern exists to avoid. Datasketches HLL closes the gap:
+    sketches are tiny (2^lgk bytes-ish), order-independent, and union
+    losslessly at the same precision — so the persisted hourly layer
+    answers distinct-users-over-ANY-range via :func:`distinct_rollup`
+    without touching raw data. ~±1.6% relative error at lgk=12.
+    """
+    keys = keys or []
+    return (df.groupBy(time_bucket(ts_col, width).alias(f"bucket_{width}"),
+                       *keys)
+              .agg(F.hll_sketch_agg(F.col(key_col), F.lit(lgk))
+                    .alias("distinct_sketch"),
+                   F.count(F.lit(1)).alias("n_events")))
+
+
+def distinct_rollup(fine: DataFrame, width: str = "day",
+                    keys: list[str] | None = None,
+                    bucket_col: str = "bucket_hour",
+                    out_col: str = "n_distinct") -> DataFrame:
+    """Coarse distinct-count layer re-aggregated FROM the sketch layer:
+    sketches union (map-side combined like any agg), then estimate.
+    Input column contract is ``distinct_sketch_layer``'s output; pass
+    ``width=None``-like usage by grouping only on ``keys`` is spelled
+    ``distinct_total``."""
+    keys = keys or []
+    return (fine.groupBy(time_bucket(bucket_col, width)
+                         .alias(f"bucket_{width}"), *keys)
+                .agg(F.hll_sketch_estimate(
+                        F.hll_union_agg("distinct_sketch")).alias(out_col),
+                     F.sum("n_events").alias("n_events")))
+
+
+def distinct_total(fine: DataFrame, keys: list[str] | None = None,
+                   out_col: str = "n_distinct") -> DataFrame:
+    """Grand-total distinct estimate from the sketch layer (no time
+    bucket): one union per key group."""
+    keys = keys or []
+    gb = fine.groupBy(*keys) if keys else fine.groupBy()
+    return gb.agg(F.hll_sketch_estimate(
+        F.hll_union_agg("distinct_sketch")).alias(out_col))
+
+
 def funnel(df: DataFrame, stages: list[str], entity_col: str = "user_id",
            ts_col: str = "ts", type_col: str = "event_type",
            max_gap_days: int | None = None) -> DataFrame:

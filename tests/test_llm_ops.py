@@ -409,3 +409,60 @@ class TestWinnowing:
         capped = winnow_pairs(df, min_shared=1, max_df=3).count()
         uncapped = winnow_pairs(df, min_shared=1, max_df=None).count()
         assert uncapped == 10 and capped < uncapped
+
+
+class TestRelatedDocuments:
+    def test_matches_python_tfidf(self, documents):
+        import collections
+        import math
+        from caspr_spark.llm.search import related_documents
+        out = related_documents(documents, k=3, max_df=50, min_cosine=0.05)
+        rows = out.collect()
+        assert rows
+        texts = {r["doc_id"]: r["text"] for r in
+                 documents.select("doc_id", "text").collect()}
+        n = len(texts)
+        tf = {d: collections.Counter(t.strip().lower().split())
+              for d, t in texts.items()}
+        dfc = collections.Counter()
+        for c in tf.values():
+            for t in c:
+                dfc[t] += 1
+
+        def vec(d):
+            return {t: c * (math.log((n + 1) / (dfc[t] + 1)) + 1)
+                    for t, c in tf[d].items() if dfc[t] <= 50}
+
+        for r in rows[:15]:
+            va, vb = vec(r["doc_id"]), vec(r["related_id"])
+            dot = sum(round(va[t] * vb[t] * 1e9)
+                      for t in va if t in vb) / 1e9
+            na = math.sqrt(sum(round(x * x * 1e9)
+                               for x in va.values()) / 1e9)
+            nb = math.sqrt(sum(round(x * x * 1e9)
+                               for x in vb.values()) / 1e9)
+            assert r["cosine"] == round(dot / (na * nb), 6)
+
+    def test_symmetric_and_ranked(self, documents):
+        from caspr_spark.llm.search import related_documents
+        out = related_documents(documents, k=3, max_df=50,
+                                min_cosine=0.05)
+        pairs = {(r["doc_id"], r["related_id"]): r for r in out.collect()}
+        # clone pairs rank each other first with cosine 1.0
+        top = [p for p, r in pairs.items() if r["cosine"] == 1.0]
+        assert top, "expected clone pairs in testdata"
+        for a, b in top[:5]:
+            assert (b, a) in pairs  # both directions present
+        per_doc = {}
+        for (a, _), r in pairs.items():
+            per_doc.setdefault(a, []).append(r["rank"])
+        for ranks in per_doc.values():
+            assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+    def test_max_df_drops_hot_terms(self, spark):
+        from caspr_spark.llm.search import tfidf_weights
+        rows = [(i, f"common shared filler unique{i}") for i in range(20)]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        w = tfidf_weights(df, max_df=10)
+        terms = {r["term"] for r in w.select("term").distinct().collect()}
+        assert "common" not in terms and "unique3" in terms

@@ -165,3 +165,51 @@ class TestFunnel:
             .orderBy("stage_idx").collect()
         counts = [r.n_entities for r in rows]
         assert counts == sorted(counts, reverse=True)
+
+
+class TestDistinctSketch:
+    def test_rollup_matches_exact_at_low_cardinality(self, spark, events):
+        from pyspark.sql import functions as F
+        from caspr_spark.operators.timeseries import (
+            distinct_rollup, distinct_sketch_layer, distinct_total)
+        layer = distinct_sketch_layer(events, "user_id",
+                                      keys=["event_type"])
+        tot = distinct_total(layer, keys=["event_type"])
+        exact = events.groupBy("event_type").agg(
+            F.countDistinct("user_id").alias("exact"))
+        for r in tot.join(exact, "event_type").collect():
+            # sparse-mode HLL is exact at cardinalities << 2^lgk
+            assert r["n_distinct"] == r["exact"]
+        # daily rollup from the hourly layer == daily straight from raw
+        day = distinct_rollup(layer, "day", keys=["event_type"])
+        from caspr_spark.operators.timeseries import time_bucket
+        direct = events.groupBy(
+            time_bucket("ts", "day").alias("bucket_day"), "event_type") \
+            .agg(F.countDistinct("user_id").alias("exact"))
+        j = day.join(direct, ["bucket_day", "event_type"])
+        assert j.filter("n_distinct != exact").count() == 0
+        assert j.count() == day.count()
+
+    def test_error_bound_at_high_cardinality(self, spark):
+        from pyspark.sql import functions as F
+        from caspr_spark.operators.timeseries import (
+            distinct_sketch_layer, distinct_total)
+        df = spark.range(200_000).select(
+            F.col("id").alias("user_id"),
+            F.timestamp_seconds(F.lit(1700000000) + F.col("id") % 86400)
+             .alias("ts"))
+        layer = distinct_sketch_layer(df, "user_id")
+        est = distinct_total(layer).collect()[0]["n_distinct"]
+        # lgk=12 -> ~1.6% relative standard error; allow 4 sigma
+        assert abs(est - 200_000) / 200_000 < 0.065
+
+    def test_union_is_order_and_split_invariant(self, spark, events):
+        """Sketch of the union == union of per-bucket sketches: the
+        mergeability contract that makes the layer re-aggregable."""
+        from caspr_spark.operators.timeseries import (
+            distinct_sketch_layer, distinct_total)
+        hourly = distinct_sketch_layer(events, "user_id", width="hour")
+        weekly = distinct_sketch_layer(events, "user_id", width="week")
+        a = distinct_total(hourly).collect()[0]["n_distinct"]
+        b = distinct_total(weekly).collect()[0]["n_distinct"]
+        assert a == b
