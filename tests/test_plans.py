@@ -142,6 +142,11 @@ class TestPlanSnapshots:
         import os
         from caspr_spark.plans import plan_digest
         sf_dir = os.environ.get("TEST_SF_DIR", "/root/testdata/sf0.001")
+        # digests are pinned against a COLD cache: a relation another test
+        # left persisted (the LSH paths cache their hashed projection)
+        # otherwise swaps scan subtrees for InMemoryTableScan and the
+        # shuffle counts drift
+        spark.catalog.clearCache()
         got = plan_digest(entry_queries[name](spark, sf_dir))
         assert got == self.SNAPSHOTS[name], (
             f"plan drift in {name}: {got} != pinned {self.SNAPSHOTS[name]} "

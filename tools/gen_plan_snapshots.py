@@ -64,6 +64,9 @@ SNAPSHOT_QUERIES = [
     "cluster_balanced",
     "lm_perplexity",
     "doc_chunks",
+    "winnow_pairs",
+    "related_docs",
+    "sketch_distinct_rollup",
 ]
 
 
@@ -77,6 +80,7 @@ def main() -> None:
     qs = entrymod.queries()
     snaps: dict[str, dict[str, int]] = {}
     for name in SNAPSHOT_QUERIES:
+        spark.catalog.clearCache()  # digests are pinned against a cold cache
         snaps[name] = plan_digest(qs[name](spark, SF_DIR))
         print(f"{name}: {snaps[name]}")
     with open(OUT, "w") as f:
