@@ -29,6 +29,22 @@ def _tokens(text_col: str):
         F.split(F.trim(F.lower(F.col(text_col))), r"\s+"))
 
 
+def _bigram_pairs(df: DataFrame, text_col: str,
+                  id_col: str | None = None) -> DataFrame:
+    """(w1, w2) bigram rows — self-zip inside the token array, no
+    positional self-join. One definition shared by fit and score so the
+    two can never silently disagree on pair construction."""
+    t = _tokens(text_col)
+    zipped = F.explode(F.arrays_zip(
+        F.slice(t, 1, F.size(t) - 1),
+        F.slice(t, 2, F.size(t) - 1))).alias("__bg")
+    cols = ([F.col(id_col)] if id_col else []) + [zipped]
+    out = df.select(*cols)
+    keep = ([id_col] if id_col else [])
+    return out.select(*keep, F.col("__bg.0").alias("w1"),
+                      F.col("__bg.1").alias("w2"))
+
+
 def fit_bigram_model(df: DataFrame, text_col: str = "text"
                      ) -> tuple[DataFrame, DataFrame, int]:
     """Fit corpus bigram/unigram counts.
@@ -37,18 +53,17 @@ def fit_bigram_model(df: DataFrame, text_col: str = "text"
     (``w, c_uni`` and ``w1, w2, c_bi``) and the context vocabulary size
     used by add-one smoothing. Both aggregations map-side combine; the
     model stays distributed — at web scale the bigram table is billions
-    of rows and is exactly what a join (not a broadcast) is for.
+    of rows and is exactly what a join (not a broadcast) is for. The
+    unigram relation is persisted: the sizing ``count()`` is an eager
+    action and scoring joins the same relation again — without the
+    persist the corpus scan + explode + agg would run twice (LRU-lived,
+    like the other fitted-state caches in this package).
     """
     toks = df.select(F.explode(_tokens(text_col)).alias("w"))
-    # bigram pairs via self-zip inside the array — no positional self-join
-    pairs = df.select(F.explode(F.arrays_zip(
-        F.slice(_tokens(text_col), 1, F.size(_tokens(text_col)) - 1),
-        F.slice(_tokens(text_col), 2, F.size(_tokens(text_col)) - 1),
-    )).alias("__bg")).select(F.col("__bg.0").alias("w1"),
-                             F.col("__bg.1").alias("w2"))
     unigrams = (toks.groupBy("w")
-                .agg(F.count(F.lit(1)).alias("c_uni")))
-    bigrams = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_bi"))
+                .agg(F.count(F.lit(1)).alias("c_uni")).persist())
+    bigrams = _bigram_pairs(df, text_col).groupBy("w1", "w2") \
+        .agg(F.count(F.lit(1)).alias("c_bi"))
     vocab = unigrams.count()
     return unigrams, bigrams, vocab
 
@@ -69,14 +84,7 @@ def score_perplexity(df: DataFrame, unigrams: DataFrame, bigrams: DataFrame,
     per gram), then ONE groupBy on the doc id summing 1e-9-rounded
     log-probs as exact integers.
     """
-    t = _tokens(text_col)
-    pairs = df.select(
-        F.col(id_col),
-        F.explode(F.arrays_zip(
-            F.slice(t, 1, F.size(t) - 1),
-            F.slice(t, 2, F.size(t) - 1),
-        )).alias("__bg")).select(
-        id_col, F.col("__bg.0").alias("w1"), F.col("__bg.1").alias("w2"))
+    pairs = _bigram_pairs(df, text_col, id_col)
     scored = (pairs
               .join(bigrams, on=["w1", "w2"], how="left")
               .join(unigrams.withColumnRenamed("w", "w1"), on="w1",

@@ -40,7 +40,7 @@ def _rate_to_hex(rate):
 
 
 def mixture_sample(df: DataFrame, domain_col: str, budget: int,
-                   alpha: float = 0.5, id_cols: list[str] | None = None,
+                   id_cols: list[str], alpha: float = 0.5,
                    seed: int = 42, rate_col: str | None = None) -> DataFrame:
     """Temperature-weighted domain mixture sample.
 
@@ -57,9 +57,17 @@ def mixture_sample(df: DataFrame, domain_col: str, budget: int,
     itself is touched by exactly one map-side filter pass, no shuffle, no
     driver-side state. ``rate_col`` optionally exposes the per-row kept
     rate for auditing.
+
+    ``id_cols`` must identify ROWS (e.g. the doc id) — hashing the domain
+    value itself would keep or drop whole domains wholesale, which is why
+    the parameter is required rather than defaulted (same contract as
+    ``stratified_sample_hash``). Rows with a NULL domain are dropped —
+    the rate join is an equi-join, and an unattributable row has no
+    defined mixture weight; fill the domain first if they should count.
     """
-    if id_cols is None:
-        id_cols = [domain_col]
+    if not id_cols:
+        raise ValueError("id_cols must name the row-identifying columns "
+                         "(hash-threshold sampling needs per-row hashes)")
     counts = df.groupBy(domain_col).agg(
         F.count(F.lit(1)).cast("double").alias("__n"))
     wsum = counts.agg(F.sum(F.pow(F.col("__n"), F.lit(float(alpha))))
@@ -98,6 +106,8 @@ def pack_sequences_offset(df: DataFrame, token_col: str, budget: int,
     """
     group_cols = group_cols or []
     order_cols = order_cols or [id_col]
+    if any(c in df.columns for c in (seq_col, offset_col)):
+        raise ValueError(f"{seq_col}/{offset_col} already present")
     w = (Window.partitionBy(*group_cols).orderBy(*order_cols)
          if group_cols else Window.partitionBy().orderBy(*order_cols))
     prev_cum = F.sum(token_col).over(w) - F.col(token_col)

@@ -115,7 +115,10 @@ def tfidf_weights(docs: DataFrame, id_col: str = "doc_id",
         else:
             df_ = df_.filter(F.col("df") <= max_df)
     idf = F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0
-    return (tf.join(F.broadcast(df_), on="term")
+    # the df relation is vocabulary-sized — under Zipf the rare tail IS
+    # the vocabulary, so no broadcast hint: AQE broadcasts it when small
+    # and plans a shuffle join when it isn't
+    return (tf.join(df_, on="term")
               .crossJoin(F.broadcast(stats))
               .select(id_col, "term",
                       (F.col("tf") * idf).alias("weight")))
@@ -137,6 +140,10 @@ def related_documents(docs: DataFrame, k: int = 5, id_col: str = "doc_id",
     boilerplate terms are dropped — same hot-key discipline as
     ``winnow_pairs``/``decontaminate``.
     """
+    # persisted because the weights relation feeds three consumers
+    # (norms + both join sides); lives until LRU eviction, same contract
+    # as the persisted shingles/buckets in dedup.py / similarity.py —
+    # callers looping over corpora should spark.catalog.clearCache()
     w = tfidf_weights(docs, id_col, text_col, max_df).persist()
     fx = F.round(F.col("weight") * F.col("weight") * _FX).cast("long")
     norms = (w.withColumn("__w2", fx)
