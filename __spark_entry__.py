@@ -1512,6 +1512,101 @@ def q_bloom_semi(spark, sf_dir):
     return out.select("event_id", "user_id", "event_type")
 
 
+def q_clean_paragraph_dedup(spark, sf_dir):
+    """Corpus-global paragraph dedup (clean.py paragraph_dedup): the
+    C4 §2.2 / RefinedWeb sub-document pass — keep only the FIRST
+    occurrence of each distinct unit across the whole corpus, rebuild
+    docs from their surviving units. Unit separator is the literal
+    ' the ' (the synthetic corpus has no newlines). One exchange on the
+    unit hash, one on doc_id; nothing quadratic."""
+    from caspr_spark.llm.clean import paragraph_dedup
+    docs = _t(spark, sf_dir, "documents")
+    return paragraph_dedup(docs, sep=" the ")
+
+
+def q_clean_boilerplate(spark, sf_dir):
+    """Boilerplate-unit removal (clean.py remove_boilerplate): drop
+    units occurring in >= 5 distinct docs; the frequent-unit set is
+    broadcast so the corpus-side scrub is a map-only anti join."""
+    from caspr_spark.llm.clean import remove_boilerplate
+    docs = _t(spark, sf_dir, "documents")
+    return remove_boilerplate(docs, sep=" the ", min_docs=5)
+
+
+def q_quality_hashed_bow(spark, sf_dir):
+    """Hashed bag-of-words quality classifier (filtering.py
+    quality_score_hashed_bow): md5-bucketed features, linear weights,
+    sigmoid — zero shuffles, the score computes inside the text scan."""
+    from caspr_spark.llm.filtering import quality_score_hashed_bow
+    docs = _t(spark, sf_dir, "documents")
+    q = quality_score_hashed_bow(docs)
+    return q.select("doc_id", "n_tokens",
+                    F.round("quality", 6).alias("quality"))
+
+
+def q_token_budget_select(spark, sf_dir):
+    """Greedy token-budget selection (sampling.py select_to_token_budget
+    over global_running_sum): best-documents-first until 20k cumulative
+    tokens. The running sum is the 3-step distributed prefix scan —
+    range partition, tiny driver offset collect, parallel intra-
+    partition windows — never a single-task global window."""
+    from caspr_spark.llm.filtering import quality_score_hashed_bow
+    from caspr_spark.operators.sampling import select_to_token_budget
+    docs = _t(spark, sf_dir, "documents")
+    scored = (quality_score_hashed_bow(docs)
+              .withColumn("q6", F.round("quality", 6)))
+    sel = select_to_token_budget(scored, budget=20000,
+                                 token_col="n_tokens",
+                                 order_by=[F.col("q6").desc(),
+                                           F.col("doc_id")])
+    return sel.select("doc_id", "n_tokens", "cum_tokens")
+
+
+def q_merge_upsert(spark, sf_dir):
+    """Latest-wins upsert compaction (merge.py merge_upsert): pre-1997
+    orders as the base snapshot, 1997+ orders as the CDC batch with
+    status-'F' rows as delete tombstones; one window shuffle on the
+    merge key elects each customer's current order."""
+    from caspr_spark.operators.merge import merge_upsert
+    orders = _t(spark, sf_dir, "orders")
+    base = orders.filter(F.col("o_orderdate") < "1997-01-01")
+    upd = (orders.filter(F.col("o_orderdate") >= "1997-01-01")
+                 .withColumn("deleted", F.col("o_orderstatus") == "F"))
+    out = merge_upsert(base, upd, keys=["o_custkey"],
+                       version_cols=["o_orderdate", "o_orderkey"],
+                       delete_col="deleted")
+    return out.select("o_custkey", "o_orderkey", "o_orderdate",
+                      "o_totalprice")
+
+
+def q_hybrid_search_rrf(spark, sf_dir):
+    """Hybrid retrieval (search.py rrf_fuse): BM25 top-20 + dense cosine
+    top-20 fused by reciprocal-rank — the calibration-free lexical+dense
+    combiner. The fuse itself is a candidate-sized keyed agg."""
+    from caspr_spark.llm.search import bm25_topk, rrf_fuse
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    lex = bm25_topk(docs, ["spark", "join", "window"], k=20)
+    dense = (cosine_topk(emb, emb.filter(F.col("vec_id") == 0), k=20)
+             .select(F.col("vec_id").alias("doc_id"), "rank"))
+    fused = rrf_fuse([lex.select("doc_id", "rank"), dense], topk=10)
+    return fused.select("doc_id", "rrf_score",
+                        F.col("n_lists").cast("int").alias("n_lists"),
+                        F.col("rank").cast("int").alias("rank"))
+
+
+def q_dedup_keep_best(spark, sf_dir):
+    """Component resolution keeping the BEST member (dedup.py
+    dedup_keep_best): near-dup components from the oracled n-gram
+    Jaccard pairs, survivor = highest n_chars per component."""
+    from caspr_spark.llm.dedup import ngram_jaccard_pairs, dedup_keep_best
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", shingle_size=3,
+                                threshold=0.2)
+    out = dedup_keep_best(docs, pairs, quality_col="n_chars")
+    return out.select("doc_id", "n_chars")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver contract: the correctness gate certifies the FIRST 50 entries.
 
@@ -1616,7 +1711,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #     the new stream_stream_join --------------------------------
         "emb_near_dup": q_emb_near_dup,
         "stream_stream_join": q_stream_stream_join,
-        # --- slots 51+: oracle-bearing, driver-green in rounds 1-3 -------
+        # --- slots 51-57: oracle-bearing, NEW in round 4, part five
+        #     (corpus cleaning, quality classifier, token-budget
+        #     selection, upsert compaction, hybrid retrieval, keep-best
+        #     dedup) — local-certified this round, driver rotation next --
+        "clean_paragraph_dedup": q_clean_paragraph_dedup,
+        "clean_boilerplate": q_clean_boilerplate,
+        "quality_hashed_bow": q_quality_hashed_bow,
+        "token_budget_select": q_token_budget_select,
+        "merge_upsert_orders": q_merge_upsert,
+        "hybrid_search_rrf": q_hybrid_search_rrf,
+        "dedup_keep_best": q_dedup_keep_best,
+        # --- slots 58+: oracle-bearing, driver-green in rounds 1-3 -------
         "simsearch_topk_lsh": q_simsearch_topk_lsh,
         "pipeline_events": q_pipeline_events,
         "pipeline_lineitem": q_pipeline_lineitem,
@@ -2191,6 +2297,25 @@ SELECT id_a, id_b, round(jaccard, 6) AS jaccard FROM (
       AS jaccard
   FROM cand c JOIN sh sa ON c.id_a = sa.doc_id JOIN sh sb ON c.id_b = sb.doc_id)
 WHERE jaccard >= 0.2"""
+
+# unit explosion for the corpus-cleaning oracles: literal ' the ' split,
+# 1-based pos (ordering only), whitespace-only units dropped — exactly
+# clean.split_units(min_chars=1)
+_UNITS_SQL = """
+  SELECT doc_id,
+         unnest(string_split(text, ' the ')) AS unit,
+         unnest(range(1, len(string_split(text, ' the '))+1)) AS pos
+  FROM documents"""
+
+# hashed bag-of-words featurization twin of
+# filtering.quality_score_hashed_bow (placeholder weights, 1024 buckets)
+_HASHED_BOW_SQL = r"""
+ SELECT doc_id, len(toks)::bigint AS n_tokens,
+   list_sum(list_transform(toks,
+     t -> ((('0x'||substr(md5(t),1,8))::ubigint % 1024)::double/1024 - 0.5)))
+     AS wsum
+ FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+       FROM documents)"""
 
 _BPE_RE_SQL = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 _LANGS_SQL = {
@@ -3037,4 +3162,111 @@ walk(id, comp) AS (
   SELECT e.dst, w.comp FROM walk w JOIN edges e ON e.src = w.id
 )
 SELECT id AS doc_id, min(comp) AS component FROM walk GROUP BY id""",
+        "clean_paragraph_dedup": f"""
+WITH u AS ({_UNITS_SQL}),
+f AS (
+  SELECT doc_id, pos, unit,
+         row_number() OVER (PARTITION BY unit ORDER BY doc_id, pos) AS rn
+  FROM u WHERE length(trim(unit)) >= 1)
+SELECT doc_id, string_agg(unit, ' the ' ORDER BY pos) AS text_dedup
+FROM f WHERE rn = 1 GROUP BY doc_id""",
+        "clean_boilerplate": f"""
+WITH u AS ({_UNITS_SQL}),
+uu AS (SELECT * FROM u WHERE length(trim(unit)) >= 1),
+freq AS (SELECT unit FROM uu GROUP BY unit
+         HAVING count(DISTINCT doc_id) >= 5),
+keep AS (SELECT * FROM uu WHERE unit NOT IN (SELECT unit FROM freq))
+SELECT d.doc_id,
+       coalesce(string_agg(k.unit, ' the ' ORDER BY k.pos), '') AS text_clean,
+       count(k.unit)::bigint AS n_kept
+FROM documents d LEFT JOIN keep k USING (doc_id)
+GROUP BY d.doc_id""",
+        "quality_hashed_bow": f"""
+SELECT doc_id, n_tokens,
+       round(1/(1+exp(-(wsum/n_tokens))), 6) AS quality
+FROM ({_HASHED_BOW_SQL})""",
+        "token_budget_select": f"""
+WITH s AS (
+ SELECT doc_id, n_tokens,
+        round(1/(1+exp(-(wsum/n_tokens))), 6) AS q6
+ FROM ({_HASHED_BOW_SQL}))
+SELECT doc_id, n_tokens, cum_tokens FROM (
+ SELECT doc_id, n_tokens,
+        CAST(sum(n_tokens) OVER (ORDER BY q6 DESC, doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT)
+          AS cum_tokens
+ FROM s)
+WHERE cum_tokens <= 20000""",
+        "merge_upsert_orders": """
+WITH tagged AS (
+  SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+         CASE WHEN o_orderdate >= DATE '1997-01-01' THEN 1 ELSE 0 END AS src,
+         (o_orderdate >= DATE '1997-01-01' AND o_orderstatus = 'F') AS deleted
+  FROM orders),
+r AS (SELECT *, row_number() OVER (PARTITION BY o_custkey
+        ORDER BY o_orderdate DESC, o_orderkey DESC, src DESC) AS rn
+      FROM tagged)
+SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice
+FROM r WHERE rn = 1 AND NOT deleted""",
+        "hybrid_search_rrf": r"""
+WITH w AS (
+  SELECT doc_id, len(regexp_split_to_array(trim(lower(text)), '\s+')) AS dl,
+         unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf, first(dl) AS dl
+  FROM w WHERE term IN ('spark','join','window') GROUP BY 1,2
+), dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+stats AS (
+  SELECT count(*) AS n_docs, avg(dl) AS avgdl
+  FROM (SELECT doc_id,
+          len(regexp_split_to_array(trim(lower(text)), '\s+')) AS dl
+        FROM documents)
+), scored AS (
+  SELECT tf.doc_id,
+    round(sum( ln(1.0 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+               * (tf.tf * 2.2)
+               / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * tf.dl / stats.avgdl)) ), 6)
+      AS score
+  FROM tf JOIN dfreq USING (term) CROSS JOIN stats GROUP BY 1
+), lex AS (
+  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+  FROM scored ORDER BY rank LIMIT 20
+), q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+sim AS (
+  SELECT e.vec_id AS doc_id,
+    round(list_dot_product(q.qv, e.embedding::DOUBLE[])
+          / (sqrt(list_dot_product(q.qv, q.qv))
+             * sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                     e.embedding::DOUBLE[]))), 6) AS cosine
+  FROM embeddings e CROSS JOIN q WHERE e.vec_id != 0
+), dense AS (
+  SELECT doc_id, row_number() OVER (ORDER BY cosine DESC, doc_id ASC) AS rank
+  FROM sim ORDER BY rank LIMIT 20
+), u AS (
+  SELECT doc_id, 1.0/(60 + rank) AS contrib FROM lex
+  UNION ALL SELECT doc_id, 1.0/(60 + rank) FROM dense
+), fused AS (
+  SELECT doc_id, round(sum(contrib), 9) AS rrf_score, count(*) AS n_lists
+  FROM u GROUP BY 1)
+SELECT doc_id, rrf_score, CAST(n_lists AS INT) AS n_lists,
+       CAST(rank AS INT) AS rank FROM (
+  SELECT *, row_number() OVER (ORDER BY rrf_score DESC, doc_id ASC) AS rank
+  FROM fused) WHERE rank <= 10""",
+        "dedup_keep_best": f"""
+WITH RECURSIVE pr AS ({_NGRAM_PAIRS_SQL}),
+edges AS (SELECT id_a AS src, id_b AS dst FROM pr
+          UNION ALL SELECT id_b, id_a FROM pr),
+nodes AS (SELECT DISTINCT src AS id FROM edges),
+walk(id, comp) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.dst, w.comp FROM walk w JOIN edges e ON e.src = w.id),
+comp AS (SELECT id, min(comp) AS component FROM walk GROUP BY id),
+ranked AS (
+  SELECT d.doc_id, row_number() OVER (PARTITION BY c.component
+           ORDER BY d.n_chars DESC, d.doc_id ASC) AS rn
+  FROM documents d JOIN comp c ON d.doc_id = c.id)
+SELECT doc_id, n_chars FROM documents
+WHERE doc_id NOT IN (SELECT doc_id FROM ranked WHERE rn > 1)""",
     }

@@ -16,7 +16,7 @@ Scale shape (100 TB corpus):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -222,6 +222,34 @@ def dedup_by_components(df: DataFrame, pairs: DataFrame,
     comp = connected_components(pairs)
     losers = comp.filter(F.col("id") != F.col("component")) \
                  .select(F.col("id").alias(id_col))
+    return df.join(losers, on=id_col, how="left_anti")
+
+
+def dedup_keep_best(df: DataFrame, pairs: DataFrame, quality_col: str,
+                    id_col: str = "doc_id") -> DataFrame:
+    """Resolve near-dup components by keeping the BEST member.
+
+    ``dedup_by_components`` keeps the smallest id — fine for
+    reproducibility, wrong for curation: when a template page exists in
+    ten copies you want the longest / highest-quality copy, not the one
+    crawled first. This variant elects the member with the highest
+    ``quality_col`` (doc-id tie-break) per component and drops the rest;
+    rows in no component always survive.
+
+    Plan: components are computed over the pairs graph only (near-dup
+    docs, a fraction of the corpus); the election is one window over
+    that component-sized relation; survivors apply as a single anti
+    join. The component relation is NOT broadcast-hinted — at web scale
+    dup clusters can cover half the corpus, so AQE decides.
+    """
+    comp = connected_components(pairs)
+    scored = (df.select(F.col(id_col), F.col(quality_col))
+                .join(comp, on=F.col(id_col) == F.col("id"))
+                .drop("id"))
+    w = Window.partitionBy("component").orderBy(F.col(quality_col).desc(),
+                                                F.col(id_col).asc())
+    losers = (scored.withColumn("__rn", F.row_number().over(w))
+                    .filter(F.col("__rn") > 1).select(id_col))
     return df.join(losers, on=id_col, how="left_anti")
 
 

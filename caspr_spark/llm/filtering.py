@@ -127,6 +127,60 @@ def redact_pii(df: DataFrame, text_col: str = "text",
 
 
 # --------------------------------------------------------------------------
+# hashed bag-of-words quality classifier
+# --------------------------------------------------------------------------
+
+
+def quality_score_hashed_bow(df: DataFrame, id_col: str = "doc_id",
+                             text_col: str = "text", n_buckets: int = 1024,
+                             weights: list[float] | None = None,
+                             bias: float = 0.0,
+                             out_col: str = "quality") -> DataFrame:
+    """fasttext-style linear quality classifier over hashed bag-of-words.
+
+    The standard web-corpus quality gate (CCNet / GPT-3's WebText
+    classifier shape): tokenize, hash each token into ``n_buckets``
+    feature buckets, average the bucket weights, squash with a sigmoid.
+
+    - ``bucket(tok) = int(md5(tok)[:8], 16) % n_buckets`` — md5 so the
+      featurization is engine-portable (oracles reproduce it exactly).
+    - ``weights``: a trained weight vector (length ``n_buckets``), baked
+      into the plan as an array literal — a few KB even at 64k buckets,
+      so every executor evaluates it in codegen with no lookup join.
+      ``None`` uses the deterministic placeholder
+      ``w[b] = b/n_buckets - 0.5`` (certifiable without a model file).
+
+    Adds ``n_tokens`` and ``out_col`` = sigmoid(bias + mean weight).
+    Zero shuffles: split/transform/aggregate are all row-local, so the
+    score is computed in the same scan that reads the text — at 100 TB
+    this pass is I/O-bound, exactly as a filter should be.
+    """
+    if weights is not None and len(weights) != n_buckets:
+        raise ValueError(
+            f"weights has {len(weights)} entries, expected {n_buckets}")
+    words = _words(F.col(text_col))
+    nb = F.lit(n_buckets)
+    buckets = F.transform(
+        words,
+        lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10)
+                   .cast("long") % nb)
+    if weights is None:
+        def wexpr(b):
+            return b.cast("double") / nb - F.lit(0.5)
+    else:
+        arr = F.array(*[F.lit(float(w)) for w in weights])
+        def wexpr(b):
+            return F.element_at(arr, (b + 1).cast("int"))
+    wsum = F.aggregate(buckets, F.lit(0.0),
+                       lambda acc, b: acc + wexpr(b))
+    n = F.size(words)
+    mean = F.when(n > 0, wsum / n).otherwise(F.lit(0.0))
+    score = F.lit(1.0) / (F.lit(1.0) + F.exp(-(F.lit(float(bias)) + mean)))
+    return df.select(F.col(id_col), n.alias("n_tokens"),
+                     score.alias(out_col))
+
+
+# --------------------------------------------------------------------------
 # benchmark decontamination
 # --------------------------------------------------------------------------
 

@@ -73,6 +73,40 @@ def bm25_topk(docs: DataFrame, terms: list[str], k: int = 10,
     return top.withColumn("rank", F.row_number().over(w))
 
 
+def rrf_fuse(rankings: list[DataFrame], id_col: str = "doc_id",
+             rank_col: str = "rank", k0: int = 60,
+             topk: int | None = None) -> DataFrame:
+    """Reciprocal-rank fusion of N retrieval rankings (Cormack et al.):
+    ``rrf = Σ_r 1/(k0 + rank_r)`` over the rankings that returned the
+    document. The standard way to combine a lexical (BM25) and a dense
+    (embedding ANN) retriever without score calibration — ranks are
+    comparable even when scores aren't.
+
+    Each input carries (id, rank). Returns (id, rrf_score, n_lists,
+    rank) — ``n_lists`` = how many rankings contained the doc, ``rank``
+    = 1.. by fused score (doc-id tie-break). The union is candidate-
+    sized (Σ k_i rows, not corpus-sized), so the fuse is a single tiny
+    keyed agg no matter how large the corpus behind the retrievers is.
+    """
+    if not rankings:
+        raise ValueError("rrf_fuse needs at least one ranking")
+    parts = [r.select(F.col(id_col),
+                      (F.lit(1.0) / (F.lit(float(k0)) + F.col(rank_col)))
+                      .alias("__contrib"))
+             for r in rankings]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    fused = (u.groupBy(id_col)
+              .agg(F.round(F.sum("__contrib"), 9).alias("rrf_score"),
+                   F.count("*").alias("n_lists")))
+    w = Window.orderBy(F.col("rrf_score").desc(), F.col(id_col).asc())
+    out = fused.withColumn("rank", F.row_number().over(w))
+    if topk is not None:
+        out = out.filter(F.col("rank") <= topk)
+    return out
+
+
 _FX = 10 ** 9  # fixed-point scale: engine-portable exact accumulation
 
 

@@ -1,0 +1,63 @@
+"""Latest-wins upsert compaction — MERGE semantics as one window pass.
+
+A training-data lake ingests change streams (re-crawls, relabels, GDPR
+deletes) next to its base snapshots; the compaction that resolves them
+is the lakehouse MERGE (Delta/Hudi/Iceberg upsert). The reference has
+no counterpart (CASPR assumes immutable inputs) — this extends the
+engine with the standard Spark formulation: union the base snapshot
+with the update batch, elect one winner per key by version, honor
+delete tombstones.
+
+Plan shape: ONE hash exchange on the merge keys (the row_number
+window); no join at all — the union is free (both legs scan in the same
+stage). At 100 TB the per-key group is bounded by that key's update
+count, so the window never materializes more than a handful of rows per
+key; hot keys are AQE-skew-splittable since row_number only needs the
+partition-local group.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def merge_upsert(base: DataFrame, updates: DataFrame, keys: list[str],
+                 version_cols: list[str],
+                 delete_col: str | None = None) -> DataFrame:
+    """Compact ``base`` + ``updates`` to one current row per key.
+
+    - ``keys`` — the merge identity (e.g. primary key, or entity id for
+      latest-state tables).
+    - ``version_cols`` — ordering that decides "latest"; MUST totally
+      order the rows within a key (append a unique id as the last
+      column) or the winner is nondeterministic. Higher wins.
+    - ``delete_col`` — optional boolean tombstone column on ``updates``;
+      a key whose winning row is a tombstone disappears from the output
+      (the GDPR/retraction path). Base rows without the column are
+      treated as live.
+
+    Ties on all ``version_cols`` resolve toward ``updates`` (the CDC
+    convention: a same-version update supersedes the snapshot).
+    """
+    if not keys:
+        raise ValueError("merge_upsert needs at least one key column")
+    if not version_cols:
+        raise ValueError("merge_upsert needs at least one version column")
+    b, u = base, updates
+    if delete_col is not None:
+        if delete_col not in u.columns:
+            raise ValueError(f"delete_col {delete_col!r} not in updates")
+        if delete_col not in b.columns:
+            b = b.withColumn(delete_col, F.lit(False))
+    tagged = (b.withColumn("__src", F.lit(0))
+               .unionByName(u.withColumn("__src", F.lit(1))))
+    w = Window.partitionBy(*keys).orderBy(
+        *[F.col(v).desc() for v in version_cols], F.col("__src").desc())
+    out = (tagged.withColumn("__rn", F.row_number().over(w))
+                 .filter(F.col("__rn") == 1)
+                 .drop("__rn", "__src"))
+    if delete_col is not None:
+        out = out.filter(~F.coalesce(F.col(delete_col), F.lit(False))) \
+                 .drop(delete_col)
+    return out

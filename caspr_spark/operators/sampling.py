@@ -100,6 +100,70 @@ def stratified_sample_exact(df: DataFrame, stratum_col: str,
                  .drop("__rk", "__n")
 
 
+def global_running_sum(df: DataFrame, value_col: str, order_by: list,
+                       out_col: str = "running_sum",
+                       num_partitions: int | None = None) -> DataFrame:
+    """Distributed prefix sum over a GLOBAL total order — without the
+    single-task global window a naive ``sum().over(orderBy(...))`` plans.
+
+    The classic three-step parallel scan:
+
+    1. ``repartitionByRange`` on the order expressions — partition *i*
+       holds a contiguous slice of the total order (equal keys co-locate;
+       callers must make the order unique, e.g. append an id tiebreak).
+    2. One tiny driver collect of the per-partition totals (#partitions
+       rows — KBs at any data size) prefix-summed into per-partition
+       offsets, rejoined by broadcast.
+    3. An intra-partition running sum (window keyed on the partition id,
+       so every partition scans in parallel) plus the offset.
+
+    The frame is persisted between the totals pass and the scan pass so
+    both see identical range boundaries (the range partitioner samples;
+    pinning the data is what makes the two passes coherent) — callers
+    streaming 100 TB through this should expect one disk-backed
+    materialization, the same cost Spark's own ``zipWithIndex`` pays.
+    ``order_by`` takes column names or Column sort expressions
+    (``F.col("q").desc()``). Null ``value_col`` rows add 0.
+    """
+    args = [F.col(c) if isinstance(c, str) else c for c in order_by]
+    d = (df.repartitionByRange(num_partitions, *args) if num_partitions
+         else df.repartitionByRange(*args))
+    d = d.withColumn("__pid", F.spark_partition_id())
+    d.persist()
+    totals = {r["__pid"]: r["t"] for r in
+              d.groupBy("__pid").agg(F.sum(value_col).alias("t")).collect()}
+    offsets, acc = [], 0
+    for pid in sorted(totals):
+        offsets.append((pid, acc))
+        acc += totals[pid] or 0
+    spark = df.sparkSession
+    off = F.broadcast(spark.createDataFrame(offsets, "__pid int, __off long")) \
+        if offsets else None
+    w = (Window.partitionBy("__pid").orderBy(*args)
+               .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    run = F.sum(F.coalesce(F.col(value_col), F.lit(0))).over(w)
+    if off is None:
+        return d.withColumn(out_col, run).drop("__pid")
+    return (d.join(off, on="__pid")
+             .withColumn(out_col, run + F.col("__off"))
+             .drop("__pid", "__off"))
+
+
+def select_to_token_budget(df: DataFrame, budget: int, token_col: str,
+                           order_by: list,
+                           out_col: str = "cum_tokens") -> DataFrame:
+    """Greedy budget selection: walk the corpus in priority order and
+    keep documents while the cumulative token count stays within
+    ``budget`` — the 'best N-billion tokens' curation step that turns a
+    scored corpus into a training mix. ``order_by`` must be a total
+    order (append an id tiebreak) so the kept set is deterministic.
+    Adds ``out_col`` (inclusive running total) to the kept rows."""
+    if budget < 0:
+        raise ValueError(f"budget must be >= 0, got {budget}")
+    cum = global_running_sum(df, token_col, order_by, out_col)
+    return cum.filter(F.col(out_col) <= budget)
+
+
 def downsample_to_cap(df: DataFrame, stratum_col: str, cap: int,
                       id_cols: list[str], seed: int = 42) -> DataFrame:
     """Keep at most ``cap`` rows per stratum (lowest-hash-first) — the

@@ -1,0 +1,218 @@
+"""Unit tests for the round-4 curation operators: structural cleaning
+(clean.py), hashed-BoW quality scoring, budget selection (sampling.py),
+upsert compaction (merge.py), RRF fusion, keep-best dedup."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from caspr_spark.llm.clean import (
+    split_units, paragraph_dedup, remove_boilerplate,
+)
+from caspr_spark.llm.filtering import quality_score_hashed_bow
+from caspr_spark.llm.dedup import dedup_keep_best
+from caspr_spark.llm.search import rrf_fuse
+from caspr_spark.operators.merge import merge_upsert
+from caspr_spark.operators.sampling import (
+    global_running_sum, select_to_token_budget,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+class TestSplitUnits:
+    def test_positions_and_filter(self, spark):
+        df = _docs(spark, [(1, "aa|bb||cc")])
+        u = {(r.pos, r.unit)
+             for r in split_units(df, sep="|").collect()}
+        # the empty unit between || is dropped, positions keep gaps
+        assert u == {(0, "aa"), (1, "bb"), (3, "cc")}
+
+    def test_regex_metachars_escaped(self, spark):
+        df = _docs(spark, [(1, "a.b")])
+        u = [r.unit for r in split_units(df, sep=".").collect()]
+        assert sorted(u) == ["a", "b"]  # literal dot, not regex any-char
+
+
+class TestParagraphDedup:
+    def test_first_occurrence_wins(self, spark):
+        df = _docs(spark, [(1, "x|y"), (2, "y|z"), (3, "x|z")])
+        out = {r.doc_id: r.text_dedup
+               for r in paragraph_dedup(df, sep="|").collect()}
+        # doc1 keeps both; doc2 keeps z (y seen in doc1); doc3 empties out
+        assert out == {1: "x|y", 2: "z"}
+
+    def test_order_preserved_within_doc(self, spark):
+        df = _docs(spark, [(1, "c|a|b")])
+        out = paragraph_dedup(df, sep="|").collect()[0]
+        assert out.text_dedup == "c|a|b"
+
+    def test_intra_doc_repeat_collapses(self, spark):
+        df = _docs(spark, [(1, "x|x|y")])
+        out = paragraph_dedup(df, sep="|").collect()[0]
+        assert out.text_dedup == "x|y"
+
+
+class TestRemoveBoilerplate:
+    def test_frequent_unit_dropped_row_count_stable(self, spark):
+        df = _docs(spark, [(1, "nav|body1"), (2, "nav|body2"),
+                           (3, "nav|body3"), (4, "nav")])
+        out = {r.doc_id: (r.text_clean, r.n_kept)
+               for r in remove_boilerplate(df, sep="|",
+                                           min_docs=3).collect()}
+        assert out == {1: ("body1", 1), 2: ("body2", 1),
+                       3: ("body3", 1), 4: ("", 0)}
+
+    def test_below_threshold_kept(self, spark):
+        df = _docs(spark, [(1, "nav|a"), (2, "nav|b")])
+        out = {r.doc_id: r.text_clean
+               for r in remove_boilerplate(df, sep="|",
+                                           min_docs=3).collect()}
+        assert out == {1: "nav|a", 2: "nav|b"}
+
+
+class TestQualityHashedBow:
+    def test_placeholder_matches_manual(self, spark):
+        import hashlib
+        df = _docs(spark, [(1, "Hello world")])
+        r = quality_score_hashed_bow(df, n_buckets=64).collect()[0]
+        assert r.n_tokens == 2
+
+        def w(tok):
+            b = int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) % 64
+            return b / 64 - 0.5
+        mean = (w("hello") + w("world")) / 2
+        assert r.quality == pytest.approx(1 / (1 + math.exp(-mean)))
+
+    def test_trained_weights_path(self, spark):
+        df = _docs(spark, [(1, "a b")])
+        weights = [1.0] * 16
+        r = quality_score_hashed_bow(df, n_buckets=16, weights=weights,
+                                     bias=-1.0).collect()[0]
+        # every bucket weighs 1.0 -> mean 1.0, bias -1 -> sigmoid(0)=0.5
+        assert r.quality == pytest.approx(0.5)
+
+    def test_weight_length_mismatch_raises(self, spark):
+        df = _docs(spark, [(1, "a")])
+        with pytest.raises(ValueError, match="weights"):
+            quality_score_hashed_bow(df, n_buckets=16, weights=[1.0])
+
+
+class TestGlobalRunningSum:
+    def test_matches_pandas_cumsum(self, spark):
+        rows = [(i, (i * 37) % 11 + 1) for i in range(200)]
+        df = spark.createDataFrame(rows, "id long, v long")
+        out = (global_running_sum(df, "v", [F.col("id")], num_partitions=7)
+               .orderBy("id").toPandas())
+        assert list(out.running_sum) == list(out.v.cumsum())
+
+    def test_desc_order(self, spark):
+        df = spark.createDataFrame([(1, 10), (2, 20), (3, 30)],
+                                   "id long, v long")
+        out = {r.id: r.running_sum for r in global_running_sum(
+            df, "v", [F.col("id").desc()], num_partitions=2).collect()}
+        assert out == {3: 30, 2: 50, 1: 60}
+
+    def test_budget_selection_boundary(self, spark):
+        df = spark.createDataFrame([(1, 5), (2, 5), (3, 5)],
+                                   "id long, tok long")
+        kept = sorted(r.id for r in select_to_token_budget(
+            df, budget=10, token_col="tok",
+            order_by=[F.col("id")]).collect())
+        assert kept == [1, 2]  # third row would exceed the budget
+
+    def test_negative_budget_raises(self, spark):
+        df = spark.createDataFrame([(1, 5)], "id long, tok long")
+        with pytest.raises(ValueError, match="budget"):
+            select_to_token_budget(df, budget=-1, token_col="tok",
+                                   order_by=["id"])
+
+
+class TestMergeUpsert:
+    def _frames(self, spark):
+        base = spark.createDataFrame(
+            [(1, 1, "old1"), (2, 1, "old2"), (3, 1, "old3")],
+            "k long, ver long, val string")
+        upd = spark.createDataFrame(
+            [(1, 2, "new1", False),   # newer version wins
+             (2, 1, "tie2", False),   # same version: update wins
+             (3, 2, "gone", True),    # tombstone deletes the key
+             (4, 1, "ins4", False)],  # brand-new key inserts
+            "k long, ver long, val string, deleted boolean")
+        return base, upd
+
+    def test_upsert_semantics(self, spark):
+        base, upd = self._frames(spark)
+        out = {r.k: r.val for r in merge_upsert(
+            base, upd, keys=["k"], version_cols=["ver"],
+            delete_col="deleted").collect()}
+        assert out == {1: "new1", 2: "tie2", 4: "ins4"}
+
+    def test_no_delete_col(self, spark):
+        base, upd = self._frames(spark)
+        out = {r.k: r.val for r in merge_upsert(
+            base, upd.drop("deleted"), keys=["k"],
+            version_cols=["ver"]).collect()}
+        assert out == {1: "new1", 2: "tie2", 3: "gone", 4: "ins4"}
+
+    def test_stale_update_loses(self, spark):
+        base = spark.createDataFrame([(1, 5, "cur")],
+                                     "k long, ver long, val string")
+        upd = spark.createDataFrame([(1, 3, "stale")],
+                                    "k long, ver long, val string")
+        out = merge_upsert(base, upd, keys=["k"],
+                           version_cols=["ver"]).collect()
+        assert out[0].val == "cur"
+
+    def test_validation(self, spark):
+        base, upd = self._frames(spark)
+        with pytest.raises(ValueError, match="key"):
+            merge_upsert(base, upd, keys=[], version_cols=["ver"])
+        with pytest.raises(ValueError, match="version"):
+            merge_upsert(base, upd, keys=["k"], version_cols=[])
+        with pytest.raises(ValueError, match="delete_col"):
+            merge_upsert(base, upd.drop("deleted"), keys=["k"],
+                         version_cols=["ver"], delete_col="deleted")
+
+
+class TestRrfFuse:
+    def test_formula(self, spark):
+        a = spark.createDataFrame([(10, 1), (20, 2)], "doc_id long, rank int")
+        b = spark.createDataFrame([(20, 1), (30, 2)], "doc_id long, rank int")
+        out = {r.doc_id: (r.rrf_score, r.n_lists, r.rank)
+               for r in rrf_fuse([a, b], k0=60).collect()}
+        assert out[20][0] == pytest.approx(
+            round(1 / 61 + 1 / 62, 9))
+        assert out[20][1] == 2 and out[20][2] == 1
+        assert out[10][1] == 1
+        # doc 10 (rank 1 in list a) beats doc 30 (rank 2 in list b)
+        assert out[10][2] == 2 and out[30][2] == 3
+
+    def test_topk_and_validation(self, spark):
+        a = spark.createDataFrame([(1, 1), (2, 2), (3, 3)],
+                                  "doc_id long, rank int")
+        assert rrf_fuse([a], topk=2).count() == 2
+        with pytest.raises(ValueError, match="ranking"):
+            rrf_fuse([])
+
+
+class TestDedupKeepBest:
+    def test_best_member_survives(self, spark):
+        docs = spark.createDataFrame(
+            [(1, 10), (2, 99), (3, 50), (4, 7)], "doc_id long, q long")
+        # component {1,2,3} via chain 1-2, 2-3; doc 4 untouched
+        pairs = spark.createDataFrame([(1, 2), (2, 3)],
+                                      "id_a long, id_b long")
+        kept = sorted(r.doc_id for r in dedup_keep_best(
+            docs, pairs, quality_col="q").collect())
+        assert kept == [2, 4]
+
+    def test_tie_breaks_to_lowest_id(self, spark):
+        docs = spark.createDataFrame([(5, 1), (6, 1)], "doc_id long, q long")
+        pairs = spark.createDataFrame([(5, 6)], "id_a long, id_b long")
+        kept = [r.doc_id for r in dedup_keep_best(
+            docs, pairs, quality_col="q").collect()]
+        assert kept == [5]
