@@ -986,6 +986,19 @@ def q_stream_windowed_stats(spark, sf_dir):
                       F.round("sum_value", 6).alias("sum_value"))
 
 
+def q_stream_sessions(spark, sf_dir):
+    """Streaming sessionization (streaming.py streaming_sessions):
+    native session_window state-store agg drained with availableNow —
+    must equal the batch lag/cumsum sessionization (the oracle)."""
+    from caspr_spark.streaming import (
+        stream_events, streaming_sessions, run_to_memory)
+    _utc(spark)
+    stream = stream_events(spark, f"{sf_dir}/events.parquet")
+    tbl = run_to_memory(streaming_sessions(stream), "q_sessions", "complete")
+    return tbl.select("user_id", "session_start", "session_end",
+                      F.col("n").cast("long").alias("n"), "sum_value")
+
+
 def q_stream_last3_state(spark, sf_dir):
     """Custom stateful streaming operator (applyInPandasWithState):
     per-entity latest-3 tracker — final state must equal the batch pivot."""
@@ -1722,6 +1735,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_upsert_orders": q_merge_upsert,
         "hybrid_search_rrf": q_hybrid_search_rrf,
         "dedup_keep_best": q_dedup_keep_best,
+        "stream_sessions": q_stream_sessions,
         # --- slots 58+: oracle-bearing, driver-green in rounds 1-3 -------
         "simsearch_topk_lsh": q_simsearch_topk_lsh,
         "pipeline_events": q_pipeline_events,
@@ -3253,6 +3267,19 @@ SELECT doc_id, rrf_score, CAST(n_lists AS INT) AS n_lists,
        CAST(rank AS INT) AS rank FROM (
   SELECT *, row_number() OVER (ORDER BY rrf_score DESC, doc_id ASC) AS rank
   FROM fused) WHERE rank <= 10""",
+        "stream_sessions": """
+WITH l AS (
+  SELECT user_id, ts, value,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+  FROM events),
+f AS (SELECT *, CASE WHEN prev IS NULL OR ts >= prev + INTERVAL 2 DAY
+                     THEN 1 ELSE 0 END AS brk FROM l),
+s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS sid FROM f)
+SELECT user_id, min(ts) AS session_start,
+       max(ts) + INTERVAL 2 DAY AS session_end,
+       count(*)::bigint AS n, round(sum(value), 6) AS sum_value
+FROM s GROUP BY user_id, sid""",
         "dedup_keep_best": f"""
 WITH RECURSIVE pr AS ({_NGRAM_PAIRS_SQL}),
 edges AS (SELECT id_a AS src, id_b AS dst FROM pr

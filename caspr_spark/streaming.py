@@ -149,6 +149,38 @@ def streaming_last_n(stream: DataFrame, n: int, key_col: str = "user_id",
                                     "update", GroupStateTimeout.NoTimeout))
 
 
+def streaming_sessions(stream: DataFrame, gap: str = "2 days",
+                       key_col: str = "user_id", ts_col: str = "ts",
+                       value_col: str = "value",
+                       watermark: str = "40 days") -> DataFrame:
+    """Event-time sessionization over an unbounded stream — the
+    incremental twin of the batch ``sessionize`` (W5), via Spark's
+    native ``session_window`` state store.
+
+    One row per (entity, session): start, end (= last event + gap, the
+    session_window convention), event count, value sum. Sessions merge
+    while an event lands strictly inside the gap horizon (``ts <
+    prev + gap``); the watermark bounds both late-data acceptance and
+    state retention — at production scale it should be the real
+    lateness SLA (minutes), which evicts each session's state shortly
+    after it closes. The generous default exists for finite
+    availableNow drains where nothing may be dropped.
+
+    Scale shape: the grouping shuffles once on (key, session-window);
+    merging is done by the state store per key, so skew follows the
+    entity key distribution — same bound as every per-entity operator
+    here (AQE-splittable, no global state).
+    """
+    return (stream.withWatermark(ts_col, watermark)
+            .groupBy(F.col(key_col),
+                     F.session_window(F.col(ts_col), gap).alias("sw"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.sum(value_col), 6).alias("sum_value"))
+            .select(key_col, F.col("sw.start").alias("session_start"),
+                    F.col("sw.end").alias("session_end"), "n",
+                    "sum_value"))
+
+
 def enrich_with_static(stream: DataFrame, dim: DataFrame,
                        on: list[str] | str) -> DataFrame:
     """Stream-static enrichment join: each micro-batch joins the (small)

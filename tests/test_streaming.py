@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 from caspr_spark.operators import get_rank, featurize_sequential
 from caspr_spark.streaming import (
     stream_events, windowed_event_stats, streaming_last_n, run_to_memory,
+    streaming_sessions,
 )
 
 SF_DIR = os.environ.get("TEST_SF_DIR", "/root/testdata/sf0.001")
@@ -179,3 +180,52 @@ class TestStreamStreamJoin:
         tbl = run_to_memory(out, "t_ssj_multi", "append", timeout_sec=180)
         got = sorted((r.view_id, r.purchase_id) for r in tbl.collect())
         assert got == self._batch_pairs(events)
+
+
+class TestStreamingSessions:
+    def _want(self, events):
+        """Batch twin: lag/cumsum sessionization with the session_window
+        convention (break at ts >= prev + gap; end = last + gap)."""
+        w = Window.partitionBy("user_id").orderBy("ts")
+        gap_us = 2 * 86400 * 1_000_000
+        us = (F.unix_micros("ts")
+              - F.unix_micros(F.lag("ts", 1).over(w)))
+        brk = F.when(us.isNull() | (us >= gap_us), 1).otherwise(0)
+        sess = (events.withColumn("sid", F.sum(brk).over(
+                    w.rowsBetween(Window.unboundedPreceding, 0)))
+                .groupBy("user_id", "sid")
+                .agg(F.min("ts").alias("session_start"),
+                     (F.max("ts") + F.expr("INTERVAL 2 DAYS"))
+                     .alias("session_end"),
+                     F.count(F.lit(1)).alias("n"),
+                     F.round(F.sum("value"), 6).alias("sum_value")))
+        return (sess.drop("sid").toPandas()
+                .sort_values(["user_id", "session_start"])
+                .reset_index(drop=True))
+
+    def test_single_batch_matches_batch_sessionize(self, spark, events):
+        stream = stream_events(spark, f"{SF_DIR}/events.parquet")
+        tbl = run_to_memory(streaming_sessions(stream), "t_sess", "complete")
+        got = (tbl.toPandas().sort_values(["user_id", "session_start"])
+               .reset_index(drop=True))
+        want = self._want(events)
+        assert len(got) == len(want)
+        assert (got.user_id.values == want.user_id.values).all()
+        assert (got.session_start.values == want.session_start.values).all()
+        assert (got.session_end.values == want.session_end.values).all()
+        assert (got.n.values == want.n.values).all()
+        assert abs(got.sum_value.values - want.sum_value.values).max() < 1e-6
+
+    def test_batch_boundary_independence(self, spark, events, tmp_path):
+        """Sessions merge correctly across micro-batch boundaries."""
+        multi = str(tmp_path / "sess_multi")
+        events.repartition(4).write.mode("overwrite").parquet(multi)
+        stream = stream_events(spark, multi, max_files_per_trigger=1)
+        tbl = run_to_memory(streaming_sessions(stream), "t_sess_multi",
+                            "complete", timeout_sec=180)
+        got = (tbl.toPandas().sort_values(["user_id", "session_start"])
+               .reset_index(drop=True))
+        want = self._want(events)
+        assert len(got) == len(want)
+        assert (got.session_start.values == want.session_start.values).all()
+        assert (got.n.values == want.n.values).all()

@@ -67,6 +67,15 @@ SNAPSHOT_QUERIES = [
     "winnow_pairs",
     "related_docs",
     "sketch_distinct_rollup",
+    # round-4 part five (dedup_keep_best excluded: its iterative
+    # connected-components localCheckpoint makes the final plan a
+    # checkpoint scan, not a stable declarative plan)
+    "clean_paragraph_dedup",
+    "clean_boilerplate",
+    "quality_hashed_bow",
+    "token_budget_select",
+    "merge_upsert_orders",
+    "hybrid_search_rrf",
 ]
 
 
