@@ -216,3 +216,116 @@ class TestDedupKeepBest:
         kept = [r.doc_id for r in dedup_keep_best(
             docs, pairs, quality_col="q").collect()]
         assert kept == [5]
+
+
+class TestHeavyHitters:
+    def _tokens(self, spark, n_parts=8):
+        # 'hot' appears 120x, 'warm' 40x, tail words once each (total 560)
+        rows = ([("hot",)] * 120 + [("warm",)] * 40
+                + [(f"tail{i}",) for i in range(400)])
+        return spark.createDataFrame(rows, "token string") \
+                    .repartition(n_parts)
+
+    def test_exact_vs_groupby(self, spark):
+        from caspr_spark.operators.frequent import heavy_hitters
+        toks = self._tokens(spark)
+        got = {r.token: r.cnt
+               for r in heavy_hitters(toks, "token", 0.05).collect()}
+        n = toks.count()
+        want = {r.token: r["count"] for r in
+                toks.groupBy("token").count()
+                    .filter(F.col("count") > 0.05 * n).collect()}
+        assert got == want == {"hot": 120, "warm": 40}
+
+    def test_partitioning_independent(self, spark):
+        from caspr_spark.operators.frequent import heavy_hitters
+        for p in (1, 3, 16):
+            got = {r.token: r.cnt for r in heavy_hitters(
+                self._tokens(spark, p), "token", 0.1).collect()}
+            assert got == {"hot": 120}
+
+    def test_validation(self, spark):
+        from caspr_spark.operators.frequent import heavy_hitters
+        toks = self._tokens(spark)
+        with pytest.raises(ValueError, match="threshold_frac"):
+            heavy_hitters(toks, "token", 1.5)
+        with pytest.raises(ValueError, match="width"):
+            heavy_hitters(toks, "token", 0.1, width=5)  # < 1/0.1
+
+
+class TestFuzzyJoin:
+    def test_typo_matches_within_block(self, spark):
+        from caspr_spark.operators.joins import fuzzy_join
+        left = spark.createDataFrame([(1, "jonathan smith")],
+                                     "lid long, lname string")
+        right = spark.createDataFrame(
+            [(10, "jonathan smyth"),   # distance 1, same prefix
+             (11, "jonathan smith jr"),  # distance 3 > max
+             (12, "bonathan smith")],  # distance 1, DIFFERENT block
+            "rid long, rname string")
+        got = [(r.lid, r.rid, r.edit_distance) for r in fuzzy_join(
+            left, right, "lname", "rname", max_distance=2,
+            block_len=3).collect()]
+        # the cross-block typo is missed by design (documented recall
+        # contract); the over-distance candidate is scrubbed
+        assert got == [(1, 10, 1)]
+
+    def test_exact_match_distance_zero(self, spark):
+        from caspr_spark.operators.joins import fuzzy_join
+        left = spark.createDataFrame([(1, "acme corp")],
+                                     "lid long, lname string")
+        got = fuzzy_join(left, left.select(
+            F.col("lid").alias("rid"), F.col("lname").alias("rname")),
+            "lname", "rname").collect()
+        assert got[0].edit_distance == 0
+
+    def test_validation(self, spark):
+        from caspr_spark.operators.joins import fuzzy_join
+        df = spark.createDataFrame([(1, "x")], "i long, s string")
+        with pytest.raises(ValueError, match="max_distance"):
+            fuzzy_join(df, df, "s", "s2", max_distance=-1)
+        with pytest.raises(ValueError, match="both"):
+            fuzzy_join(df, df, "s", "s")
+
+
+class TestZorder:
+    def test_corner_values(self, spark):
+        from caspr_spark.operators.layout import zorder_value
+        df = spark.createDataFrame([(0, 0.0), (3, 3.0), (0, 3.0)],
+                                   "x long, y double")
+        got = {(r.x, r.y): r.zvalue for r in
+               zorder_value(df, ["x", "y"], bits=2).collect()}
+        # quantized to [0,3]: (0,0)->0; (3,3)->interleave(11,11)=1111b=15;
+        # (0,3)->y bits at odd positions: 1010b=10
+        assert got == {(0, 0.0): 0, (3, 3.0): 15, (0, 3.0): 10}
+
+    def test_locality_of_range_partitioning(self, spark):
+        """Z-ordered ranges are tight in BOTH dims; a 1-D sort is not."""
+        from caspr_spark.operators.layout import zorder_repartition
+        rows = [(i, float(j)) for i in range(32) for j in range(32)]
+        df = spark.createDataFrame(rows, "x long, y double")
+        parts = (zorder_repartition(df, ["x", "y"], 4, bits=5)
+                 .withColumn("pid", F.spark_partition_id())
+                 .groupBy("pid")
+                 .agg((F.max("x") - F.min("x")).alias("rx"),
+                      (F.max("y") - F.min("y")).alias("ry"))
+                 .collect())
+        # 4 z-range quarters of a 32x32 grid are 16x32 strips at worst
+        # (never full-extent in both dims); a lexicographic sort would
+        # give ry = 31 in every partition
+        assert all(r.rx + r.ry < 62 for r in parts)
+
+    def test_null_and_constant_columns(self, spark):
+        from caspr_spark.operators.layout import zorder_value
+        df = spark.createDataFrame([(None, 1.0, 5), (2, 2.0, 5)],
+                                   "x long, y double, c long")
+        out = zorder_value(df, ["x", "y", "c"], bits=4).collect()
+        assert all(r.zvalue is not None for r in out)
+
+    def test_validation(self, spark):
+        from caspr_spark.operators.layout import zorder_value
+        df = spark.createDataFrame([(1, 2)], "x long, y long")
+        with pytest.raises(ValueError, match="63-bit"):
+            zorder_value(df, ["x", "y"], bits=32)
+        with pytest.raises(ValueError, match="2 columns"):
+            zorder_value(df, ["x"])

@@ -76,6 +76,9 @@ SNAPSHOT_QUERIES = [
     "token_budget_select",
     "merge_upsert_orders",
     "hybrid_search_rrf",
+    "heavy_hitters",
+    "fuzzy_join_parts",
+    "zorder_layout",
 ]
 
 
