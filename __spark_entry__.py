@@ -1662,6 +1662,45 @@ def q_zorder_layout(spark, sf_dir):
     return zv.select("event_id", "zvalue")
 
 
+def q_weighted_sample(spark, sf_dir):
+    """Deterministic weighted sampling without replacement (sampling.py
+    weighted_sample_topk, Efraimidis-Spirakis): 200 documents drawn
+    proportional to n_chars; md5-derived uniforms make the draw a pure
+    function of (ids, seed) and reproducible in the oracle."""
+    from caspr_spark.operators.sampling import weighted_sample_topk
+    docs = _t(spark, sf_dir, "documents")
+    out = weighted_sample_topk(docs, k=200, weight_col="n_chars",
+                               id_cols=["doc_id"])
+    return out.select("doc_id", "n_chars")
+
+
+def q_cv_folds(spark, sf_dir):
+    """Deterministic k-fold assignment (sampling.py assign_folds):
+    5 folds over orders by md5(seed||orderkey) mod k — partition- and
+    engine-independent, unlike randomSplit. Per-fold row count + price
+    total summed as integer cents (exact, order-free)."""
+    from caspr_spark.operators.sampling import assign_folds
+    orders = _t(spark, sf_dir, "orders")
+    f5 = assign_folds(orders, ["o_orderkey"], k=5)
+    return (f5.groupBy("fold")
+              .agg(F.count(F.lit(1)).alias("n"),
+                   (F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+                    / 100.0).alias("price_total")))
+
+
+def q_source_csv_roundtrip(spark, sf_dir):
+    """CSV interchange sink/source (sources.py write_table/read_table):
+    events written as headered csv, read back with an explicit schema —
+    values must survive the text round-trip bit-exactly."""
+    from caspr_spark.sources import write_table, read_table
+    ev = _events(spark, sf_dir).select("event_id", "user_id",
+                                       "event_type", "value")
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        ".tmp", "handover_events_csv")
+    write_table(ev, path, format="csv")
+    return read_table(spark, path, format="csv", schema=ev.schema)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver contract: the correctness gate certifies the FIRST 50 entries.
 
@@ -1781,6 +1820,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_hitters": q_heavy_hitters,
         "fuzzy_join_parts": q_fuzzy_join,
         "zorder_layout": q_zorder_layout,
+        "weighted_sample": q_weighted_sample,
+        "cv_folds": q_cv_folds,
+        "source_csv_roundtrip": q_source_csv_roundtrip,
         # --- slots 58+: oracle-bearing, driver-green in rounds 1-3 -------
         "simsearch_topk_lsh": q_simsearch_topk_lsh,
         "pipeline_events": q_pipeline_events,
@@ -3332,6 +3374,22 @@ SELECT doc_id, rrf_score, CAST(n_lists AS INT) AS n_lists,
        CAST(rank AS INT) AS rank FROM (
   SELECT *, row_number() OVER (ORDER BY rrf_score DESC, doc_id ASC) AS rank
   FROM fused) WHERE rank <= 10""",
+        "weighted_sample": """
+SELECT doc_id, n_chars FROM (
+  SELECT doc_id, n_chars,
+         -ln((('0x'||substr(md5('42|'||doc_id), 1, 8))::ubigint::double + 1.0)
+             / 4294967297.0) / n_chars AS es_key
+  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0)
+ORDER BY es_key ASC, doc_id ASC LIMIT 200""",
+        "cv_folds": """
+SELECT (('0x'||substr(md5('42|'||o_orderkey), 1, 8))::ubigint % 5)::int
+         AS fold,
+       count(*)::bigint AS n,
+       sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0
+         AS price_total
+FROM orders GROUP BY 1""",
+        "source_csv_roundtrip": """
+SELECT event_id, user_id, event_type, value FROM events""",
         "heavy_hitters": r"""
 WITH t AS (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
            FROM documents)

@@ -28,6 +28,14 @@ from caspr_spark.operators.joins import (
 from caspr_spark.operators.timeseries import (
     continuous_rollup, funnel, hourly_aggregate, time_bucket,
 )
+from caspr_spark.operators.joins import fuzzy_join
+from caspr_spark.operators.merge import merge_upsert
+from caspr_spark.operators.frequent import heavy_hitters
+from caspr_spark.operators.layout import zorder_value, zorder_repartition
+from caspr_spark.operators.sampling import (
+    stratified_sample_hash, stratified_sample_exact, downsample_to_cap,
+    global_running_sum, select_to_token_budget,
+)
 
 __all__ = [
     "get_rank", "timestamps_to_intervals", "sessionize",
@@ -42,4 +50,8 @@ __all__ = [
     "build_multi_hot_labels", "join_labels",
     "asof_join", "bloom_semi_join", "range_join", "salted_join",
     "time_bucket", "hourly_aggregate", "continuous_rollup", "funnel",
+    "fuzzy_join", "merge_upsert", "heavy_hitters",
+    "zorder_value", "zorder_repartition",
+    "stratified_sample_hash", "stratified_sample_exact",
+    "downsample_to_cap", "global_running_sum", "select_to_token_budget",
 ]

@@ -174,3 +174,46 @@ def downsample_to_cap(df: DataFrame, stratum_col: str, cap: int,
     w = Window.partitionBy(stratum_col).orderBy(_hash_col(id_cols, seed).asc())
     return df.withColumn("__rk", F.row_number().over(w)) \
              .filter(F.col("__rk") <= cap).drop("__rk")
+
+
+def weighted_sample_topk(df: DataFrame, k: int, weight_col: str,
+                         id_cols: list[str], seed: int = 42,
+                         key_col: str = "es_key") -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis–
+    Spirakis A-ES): each row draws a portable hash-uniform u ∈ (0, 1)
+    and competes with key ``-ln(u) / weight``; the ``k`` SMALLEST keys
+    win (the exponential-race form — a row's key is an Exp(weight)
+    variate, so inclusion probability is proportional to weight at each
+    draw, the weighted analog of reservoir sampling).
+
+    Same determinism contract as the stratified samplers: u comes from
+    ``md5(seed||ids)``, so the sample is a pure function of (ids, seed)
+    — independent of partitioning, cluster size, or engine. Rows with
+    non-positive / null weight never win (they'd need infinite keys) and
+    are filtered out up front. Top-k plans as TakeOrdered (per-partition
+    k then a k-row driver merge), never a global sort.
+    """
+    if k <= 0:
+        raise ValueError(f"k must be > 0, got {k}")
+    u = ((F.conv(F.substring(_hash_col(id_cols, seed), 1, _PREFIX), 16, 10)
+           .cast("double") + 1.0) / float((1 << (4 * _PREFIX)) + 1))
+    key = -F.log(u) / F.col(weight_col).cast("double")
+    return (df.filter(F.col(weight_col).isNotNull()
+                      & (F.col(weight_col) > 0))
+              .withColumn(key_col, key)
+              .orderBy(F.col(key_col).asc(), *[F.col(c) for c in id_cols])
+              .limit(k))
+
+
+def assign_folds(df: DataFrame, id_cols: list[str], k: int,
+                 seed: int = 42, fold_col: str = "fold") -> DataFrame:
+    """Deterministic k-fold assignment for cross-validation:
+    ``fold = md5(seed||ids) mod k`` — partition-independent,
+    engine-portable, and stable across reruns (unlike randomSplit,
+    whose assignment depends on the physical partitioning). Map-only.
+    """
+    if k <= 1:
+        raise ValueError(f"k must be >= 2, got {k}")
+    h = F.conv(F.substring(_hash_col(id_cols, seed), 1, _PREFIX), 16, 10) \
+         .cast("long")
+    return df.withColumn(fold_col, F.pmod(h, F.lit(k)).cast("int"))

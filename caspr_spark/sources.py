@@ -120,3 +120,53 @@ def write_parquet_handover(df: DataFrame, path: str, partitions: int | None = No
     writer = (df.repartition(partitions) if partitions else df).write
     writer.mode("overwrite").option("parquet.block.size", block_size).parquet(path)
     return path
+
+
+def write_table(df: DataFrame, path: str, format: str = "csv",
+                mode: str = "overwrite", compression: str | None = None,
+                **options) -> str:
+    """Write ``df`` as csv (header on) or json (JSON-lines) — the
+    interchange formats the parquet-native reference never speaks.
+
+    CSV/JSONL are row formats with no column pruning or predicate
+    pushdown, so they are HANDOVER formats here (exports to other
+    stacks), not storage formats; the scale path stays parquet. Pass
+    ``compression`` ('gzip', 'zstd', ...) for wire-size-sensitive
+    exports — note gzip'd csv is not splittable, so one file = one read
+    task downstream.
+    """
+    if format not in ("csv", "json"):
+        raise ValueError(f"format must be csv or json, got {format!r}")
+    writer = df.write.mode(mode)
+    if format == "csv":
+        writer = writer.option("header", "true")
+    if compression:
+        writer = writer.option("compression", compression)
+    for k, v in options.items():
+        writer = writer.option(k, v)
+    getattr(writer, format)(path)
+    return path
+
+
+def read_table(spark: SparkSession, path: str, format: str = "csv",
+               schema=None, **options) -> DataFrame:
+    """Read a csv/json table written by :func:`write_table`.
+
+    ALWAYS pass ``schema`` in production — schema inference runs an
+    extra full scan of the data and infers per-file types that can
+    disagree across files; with an explicit schema the read is
+    single-pass and stable. (Falls back to inference when omitted, for
+    exploration only.)
+    """
+    if format not in ("csv", "json"):
+        raise ValueError(f"format must be csv or json, got {format!r}")
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    elif format == "csv":
+        options.setdefault("inferSchema", "true")
+    if format == "csv":
+        options.setdefault("header", "true")
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return getattr(reader, format)(path)

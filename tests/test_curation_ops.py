@@ -329,3 +329,100 @@ class TestZorder:
             zorder_value(df, ["x", "y"], bits=32)
         with pytest.raises(ValueError, match="2 columns"):
             zorder_value(df, ["x"])
+
+
+class TestWeightedSample:
+    def _docs(self, spark, n=100):
+        return spark.createDataFrame(
+            [(i, float((i % 7) + 1)) for i in range(n)],
+            "id long, w double")
+
+    def test_partitioning_independent(self, spark):
+        from caspr_spark.operators.sampling import weighted_sample_topk
+        a = sorted(r.id for r in weighted_sample_topk(
+            self._docs(spark), 20, "w", ["id"]).collect())
+        b = sorted(r.id for r in weighted_sample_topk(
+            self._docs(spark).repartition(13), 20, "w", ["id"]).collect())
+        assert a == b and len(a) == 20
+
+    def test_seed_changes_sample(self, spark):
+        from caspr_spark.operators.sampling import weighted_sample_topk
+        a = sorted(r.id for r in weighted_sample_topk(
+            self._docs(spark), 20, "w", ["id"], seed=1).collect())
+        b = sorted(r.id for r in weighted_sample_topk(
+            self._docs(spark), 20, "w", ["id"], seed=2).collect())
+        assert a != b
+
+    def test_nonpositive_weights_excluded(self, spark):
+        from caspr_spark.operators.sampling import weighted_sample_topk
+        df = spark.createDataFrame(
+            [(1, 1.0), (2, 0.0), (3, -4.0), (4, None)],
+            "id long, w double")
+        got = [r.id for r in weighted_sample_topk(df, 10, "w",
+                                                  ["id"]).collect()]
+        assert got == [1]
+
+    def test_weight_bias(self, spark):
+        """An item with overwhelming weight is (essentially) always in."""
+        from caspr_spark.operators.sampling import weighted_sample_topk
+        df = spark.createDataFrame(
+            [(0, 1e12)] + [(i, 1.0) for i in range(1, 50)],
+            "id long, w double")
+        got = {r.id for r in weighted_sample_topk(df, 5, "w",
+                                                  ["id"]).collect()}
+        assert 0 in got
+
+    def test_validation(self, spark):
+        from caspr_spark.operators.sampling import weighted_sample_topk
+        with pytest.raises(ValueError, match="k"):
+            weighted_sample_topk(self._docs(spark), 0, "w", ["id"])
+
+
+class TestAssignFolds:
+    def test_deterministic_and_bounded(self, spark):
+        from caspr_spark.operators.sampling import assign_folds
+        df = spark.createDataFrame([(i,) for i in range(500)], "id long")
+        a = {r.id: r.fold for r in assign_folds(df, ["id"], 5).collect()}
+        b = {r.id: r.fold for r in assign_folds(
+            df.repartition(7), ["id"], 5).collect()}
+        assert a == b
+        assert set(a.values()) == {0, 1, 2, 3, 4}
+        # roughly even: each fold within 3 sigma of 100
+        from collections import Counter
+        counts = Counter(a.values())
+        assert all(60 <= c <= 140 for c in counts.values())
+
+    def test_validation(self, spark):
+        from caspr_spark.operators.sampling import assign_folds
+        df = spark.createDataFrame([(1,)], "id long")
+        with pytest.raises(ValueError, match="k"):
+            assign_folds(df, ["id"], 1)
+
+
+class TestCsvJsonSources:
+    def test_csv_roundtrip(self, spark, tmp_path):
+        from caspr_spark.sources import write_table, read_table
+        df = spark.createDataFrame(
+            [(1, "a,b", 1.5), (2, 'quo"te', -0.25), (3, None, None)],
+            "id long, s string, v double")
+        p = str(tmp_path / "t_csv")
+        write_table(df, p, format="csv")
+        back = read_table(spark, p, format="csv", schema=df.schema)
+        assert sorted(back.collect()) == sorted(df.collect())
+
+    def test_json_roundtrip(self, spark, tmp_path):
+        from caspr_spark.sources import write_table, read_table
+        df = spark.createDataFrame(
+            [(1, "x", 2.5), (2, "y", None)], "id long, s string, v double")
+        p = str(tmp_path / "t_json")
+        write_table(df, p, format="json", compression="gzip")
+        back = read_table(spark, p, format="json", schema=df.schema)
+        assert sorted(back.collect()) == sorted(df.collect())
+
+    def test_format_validation(self, spark, tmp_path):
+        from caspr_spark.sources import write_table, read_table
+        df = spark.createDataFrame([(1,)], "id long")
+        with pytest.raises(ValueError, match="format"):
+            write_table(df, str(tmp_path / "x"), format="orc")
+        with pytest.raises(ValueError, match="format"):
+            read_table(spark, str(tmp_path / "x"), format="avro")

@@ -79,6 +79,8 @@ SNAPSHOT_QUERIES = [
     "heavy_hitters",
     "fuzzy_join_parts",
     "zorder_layout",
+    "weighted_sample",
+    "cv_folds",
 ]
 
 
