@@ -1662,6 +1662,18 @@ def q_zorder_layout(spark, sf_dir):
     return zv.select("event_id", "zvalue")
 
 
+def q_llm_curate_v2(spark, sf_dir):
+    """End-to-end C4-shaped curation v2 (curate.py curate_corpus_v2):
+    boilerplate strip -> corpus-global paragraph dedup -> hashed-BoW
+    quality -> greedy 20k-token budget selection. Four keyed exchanges
+    plus map-only scoring; the oracle composes the same four stages as
+    one CTE chain."""
+    from caspr_spark.llm.curate import curate_corpus_v2
+    docs = _t(spark, sf_dir, "documents")
+    out = curate_corpus_v2(docs, sep=" the ", min_docs=5, budget=20000)
+    return out.select("doc_id", "n_tokens", "q6", "cum_tokens")
+
+
 def q_weighted_sample(spark, sf_dir):
     """Deterministic weighted sampling without replacement (sampling.py
     weighted_sample_topk, Efraimidis-Spirakis): 200 documents drawn
@@ -1823,6 +1835,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": q_weighted_sample,
         "cv_folds": q_cv_folds,
         "source_csv_roundtrip": q_source_csv_roundtrip,
+        "llm_curate_v2": q_llm_curate_v2,
         # --- slots 58+: oracle-bearing, driver-green in rounds 1-3 -------
         "simsearch_topk_lsh": q_simsearch_topk_lsh,
         "pipeline_events": q_pipeline_events,
@@ -2399,24 +2412,32 @@ SELECT id_a, id_b, round(jaccard, 6) AS jaccard FROM (
   FROM cand c JOIN sh sa ON c.id_a = sa.doc_id JOIN sh sb ON c.id_b = sb.doc_id)
 WHERE jaccard >= 0.2"""
 
-# unit explosion for the corpus-cleaning oracles: literal ' the ' split,
-# 1-based pos (ordering only), whitespace-only units dropped — exactly
-# clean.split_units(min_chars=1)
-_UNITS_SQL = """
+def _units_sql(src: str = "documents", text: str = "text") -> str:
+    """Unit explosion for the corpus-cleaning oracles: literal ' the '
+    split, 1-based pos (ordering only), whitespace-only units dropped —
+    exactly clean.split_units(min_chars=1)."""
+    return f"""
   SELECT doc_id,
-         unnest(string_split(text, ' the ')) AS unit,
-         unnest(range(1, len(string_split(text, ' the '))+1)) AS pos
-  FROM documents"""
+         unnest(string_split({text}, ' the ')) AS unit,
+         unnest(range(1, len(string_split({text}, ' the '))+1)) AS pos
+  FROM {src}"""
 
-# hashed bag-of-words featurization twin of
-# filtering.quality_score_hashed_bow (placeholder weights, 1024 buckets)
-_HASHED_BOW_SQL = r"""
+
+def _hashed_bow_sql(src: str = "documents", text: str = "text") -> str:
+    """Hashed bag-of-words featurization twin of
+    filtering.quality_score_hashed_bow (placeholder weights, 1024
+    buckets)."""
+    return rf"""
  SELECT doc_id, len(toks)::bigint AS n_tokens,
    list_sum(list_transform(toks,
      t -> ((('0x'||substr(md5(t),1,8))::ubigint % 1024)::double/1024 - 0.5)))
      AS wsum
- FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
-       FROM documents)"""
+ FROM (SELECT doc_id, string_split_regex(trim(lower({text})), '\s+') AS toks
+       FROM {src})"""
+
+
+_UNITS_SQL = _units_sql()
+_HASHED_BOW_SQL = _hashed_bow_sql()
 
 def _zorder_sql(bits: int = 8) -> str:
     """SQL twin of q_zorder_layout: identical min-max quantization
@@ -3374,6 +3395,30 @@ SELECT doc_id, rrf_score, CAST(n_lists AS INT) AS n_lists,
        CAST(rank AS INT) AS rank FROM (
   SELECT *, row_number() OVER (ORDER BY rrf_score DESC, doc_id ASC) AS rank
   FROM fused) WHERE rank <= 10""",
+        "llm_curate_v2": f"""
+WITH u AS ({_units_sql()}),
+uu AS (SELECT * FROM u WHERE length(trim(unit)) >= 1),
+freq AS (SELECT unit FROM uu GROUP BY unit
+         HAVING count(DISTINCT doc_id) >= 5),
+keep AS (SELECT * FROM uu WHERE unit NOT IN (SELECT unit FROM freq)),
+clean AS (SELECT doc_id, string_agg(unit, ' the ' ORDER BY pos) AS text
+          FROM keep GROUP BY doc_id),
+u2 AS ({_units_sql("clean", "text")}),
+f2 AS (SELECT doc_id, pos, unit,
+              row_number() OVER (PARTITION BY unit
+                                 ORDER BY doc_id, pos) AS rn
+       FROM u2 WHERE length(trim(unit)) >= 1),
+ded AS (SELECT doc_id, string_agg(unit, ' the ' ORDER BY pos) AS text
+        FROM f2 WHERE rn = 1 GROUP BY doc_id),
+s AS ({_hashed_bow_sql("ded", "text")}),
+sc AS (SELECT doc_id, n_tokens,
+              round(1/(1+exp(-(wsum/n_tokens))), 6) AS q6 FROM s)
+SELECT doc_id, n_tokens, q6, cum_tokens FROM (
+  SELECT doc_id, n_tokens, q6,
+         CAST(sum(n_tokens) OVER (ORDER BY q6 DESC, doc_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS cum_tokens
+  FROM sc) WHERE cum_tokens <= 20000""",
         "weighted_sample": """
 SELECT doc_id, n_chars FROM (
   SELECT doc_id, n_chars,

@@ -89,6 +89,26 @@ def main() -> None:
           Window.partitionBy("g").orderBy("id")))
       .agg(F.max("r")).collect())
 
+    # Host-speed calibration: two FIXED synthetic workloads (one JVM
+    # shuffle-bound, one BLAS-bound) whose cost depends only on the
+    # machine, never on this repo's code. Per-query seconds are host-
+    # dependent (observed ±35% across the VMs that ran rounds 1-4 at
+    # identical code); dividing by these calibrations separates real
+    # plan regressions from the host lottery when comparing rounds.
+    import numpy as np
+
+    t0 = time.time()
+    (spark.range(0, 50_000_000, 1, 32)
+          .withColumn("g", F.col("id") % 1024)
+          .groupBy("g").agg(F.sum("id")).collect())
+    calib_spark = round(time.time() - t0, 3)
+    rng = np.random.default_rng(0)
+    a = rng.standard_normal((1024, 1024))
+    t0 = time.time()
+    for _ in range(8):
+        a = np.tanh(a @ a.T / 1024)
+    calib_numpy = round(time.time() - t0, 3)
+
     qs = entrymod.queries()
     timings: dict[str, float] = {}
     warm: dict[str, float] = {}
@@ -112,11 +132,17 @@ def main() -> None:
         "value_warm": round(sum(warm.values()), 3),
         "queries_warm": warm,
         "sf": float(sf),
+        "calibration": {"spark_shuffle_sec": calib_spark,
+                        "numpy_gemm_sec": calib_numpy},
         "notes": "cold = first run per query in a shared warmed session; "
                  "warm = immediate second run (steady-state plan cost a "
                  "long-lived cluster sees). At sf0.1 the LSH suite's data "
                  "is ~1 MB, so cold times there are plan-compile-bound, "
-                 "not data-bound; see SCALING_r04.md for sf1 behavior.",
+                 "not data-bound; see SCALING_r04.md for sf1 behavior. "
+                 "calibration = fixed synthetic workloads (code-"
+                 "independent) for cross-round host-speed normalization; "
+                 "r1-r3 benches predate the field and ran on hosts "
+                 "observed up to ~35% faster per-query at identical code.",
     }))
 
 

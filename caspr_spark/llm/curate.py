@@ -58,3 +58,39 @@ def curation_report(df: DataFrame, curated: DataFrame,
         F.sum("n_tokens_ws").alias("tokens_kept"))
     return (inp.join(kept, on=source_col, how="left")
             .fillna(0, subset=["docs_kept", "tokens_kept"]))
+
+
+def curate_corpus_v2(df: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text", sep: str = "\n\n",
+                     min_docs: int = 5, budget: int = 20000,
+                     n_buckets: int = 1024,
+                     weights: list[float] | None = None) -> DataFrame:
+    """The C4/RefinedWeb-shaped curation pipeline, composed end-to-end:
+
+    1. boilerplate-unit removal (``clean.remove_boilerplate``) — docs
+       emptied by the scrub drop out,
+    2. corpus-global paragraph dedup (``clean.paragraph_dedup``),
+    3. hashed-BoW quality scoring (``filtering.quality_score_hashed_bow``)
+       over the CLEANED text,
+    4. greedy token-budget selection (``sampling.select_to_token_budget``)
+       best-quality-first.
+
+    Returns the selected documents as (id, n_tokens, q6, cum_tokens).
+    Every stage is the scale-shaped operator it composes — all
+    exchanges are keyed on unit-hash / doc-id / the budget range
+    partition, all joins broadcast, scoring is map-only; nothing is
+    quadratic and nothing driver-sized except the prefix-sum offsets.
+    """
+    from caspr_spark.llm.clean import paragraph_dedup, remove_boilerplate
+    from caspr_spark.llm.filtering import quality_score_hashed_bow
+    from caspr_spark.operators.sampling import select_to_token_budget
+
+    clean = (remove_boilerplate(df, id_col, text_col, sep, min_docs)
+             .filter(F.col("n_kept") > 0))
+    ded = paragraph_dedup(clean, id_col, "text_clean", sep)
+    scored = quality_score_hashed_bow(ded, id_col, "text_dedup",
+                                      n_buckets, weights)
+    scored = scored.withColumn("q6", F.round("quality", 6))
+    return select_to_token_budget(
+        scored.select(id_col, "n_tokens", "q6"), budget, "n_tokens",
+        [F.col("q6").desc(), F.col(id_col)])

@@ -426,3 +426,29 @@ class TestCsvJsonSources:
             write_table(df, str(tmp_path / "x"), format="orc")
         with pytest.raises(ValueError, match="format"):
             read_table(spark, str(tmp_path / "x"), format="avro")
+
+
+class TestCurateV2:
+    def test_composition_semantics(self, spark):
+        from caspr_spark.llm.curate import curate_corpus_v2
+        # docs 1-3 share the 'nav' boilerplate unit; doc 4 is ONLY
+        # boilerplate and must vanish; doc 5's 'body1' dedups into doc 1
+        df = _docs(spark, [(1, "nav|body1 x"), (2, "nav|body2 y z"),
+                           (3, "nav|body3"), (4, "nav"),
+                           (5, "body1 x|extra w")])
+        out = {r.doc_id: (r.n_tokens, r.cum_tokens) for r in
+               curate_corpus_v2(df, sep="|", min_docs=3,
+                                budget=100).collect()}
+        assert 4 not in out            # emptied by the boilerplate scrub
+        assert out[5][0] == 2          # 'body1 x' deduped away, 'extra w' stays
+        assert out[1][0] == 2          # doc 1 keeps its first occurrence
+        # cumulative totals equal the sum of selected doc tokens
+        assert max(c for _, c in out.values()) == \
+            sum(n for n, _ in out.values())
+
+    def test_budget_cuts(self, spark):
+        from caspr_spark.llm.curate import curate_corpus_v2
+        df = _docs(spark, [(i, f"w{i}a w{i}b w{i}c") for i in range(20)])
+        out = curate_corpus_v2(df, sep="|", min_docs=99,
+                               budget=9).collect()
+        assert len(out) == 3 and all(r.cum_tokens <= 9 for r in out)

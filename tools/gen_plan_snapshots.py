@@ -81,6 +81,7 @@ SNAPSHOT_QUERIES = [
     "zorder_layout",
     "weighted_sample",
     "cv_folds",
+    "llm_curate_v2",
 ]
 
 
