@@ -1674,6 +1674,56 @@ def q_llm_curate_v2(spark, sf_dir):
     return out.select("doc_id", "n_tokens", "q6", "cum_tokens")
 
 
+def q_diff_snapshots(spark, sf_dir):
+    """Change-data feed between snapshots (merge.py diff_snapshots):
+    per-customer latest order as of 1997 vs as of 1998 (customers
+    divisible by 13 dropped from the new snapshot) — inserted/deleted/
+    updated rows from ONE full-outer equi-join."""
+    from caspr_spark.operators.merge import diff_snapshots
+    from pyspark.sql import Window as W
+    orders = _t(spark, sf_dir, "orders")
+
+    def snap(upper):
+        w = W.partitionBy("o_custkey").orderBy(F.col("o_orderdate").desc(),
+                                               F.col("o_orderkey").desc())
+        return (orders.filter(F.col("o_orderdate") < upper)
+                .withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+                .select("o_custkey", "o_orderkey", "o_totalprice"))
+
+    old = snap("1997-01-01")
+    new = snap("1998-01-01").filter(F.col("o_custkey") % 13 != 0)
+    out = diff_snapshots(old, new, keys=["o_custkey"],
+                         compare_cols=["o_orderkey", "o_totalprice"])
+    return out.select("o_custkey", "change_type",
+                      "o_orderkey_old", "o_orderkey_new")
+
+
+def q_profile_table(spark, sf_dir):
+    """Data-profiling report (profile.py profile_table): nulls /
+    distincts / min / max / modal value for three event columns — one
+    aggregation pass + one melt-count-window pass, k columns in the
+    same shuffle."""
+    from caspr_spark.operators.profile import profile_table
+    ev = _events(spark, sf_dir)
+    return profile_table(ev, ["event_type", "user_id", "value"])
+
+
+def q_semantic_dedup(spark, sf_dir):
+    """Semantic dedup end-product (SemDeDup-shaped): embedding-cosine
+    near-dup pairs (the oracled LSH path) -> connected components ->
+    keep the highest-n_chars member per component (dedup.py
+    dedup_keep_best), joined to documents by the shared id domain."""
+    from caspr_spark.llm.dedup import dedup_keep_best
+    emb = _t(spark, sf_dir, "embeddings")
+    docs = _t(spark, sf_dir, "documents")
+    pairs = embedding_near_duplicates(emb, threshold=0.45, dim=64,
+                                      n_planes=LSH_NDUP_PLANES,
+                                      n_tables=LSH_NDUP_TABLES)
+    out = dedup_keep_best(docs, pairs, quality_col="n_chars")
+    return out.select("doc_id", "n_chars")
+
+
 def q_weighted_sample(spark, sf_dir):
     """Deterministic weighted sampling without replacement (sampling.py
     weighted_sample_topk, Efraimidis-Spirakis): 200 documents drawn
@@ -1836,6 +1886,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cv_folds": q_cv_folds,
         "source_csv_roundtrip": q_source_csv_roundtrip,
         "llm_curate_v2": q_llm_curate_v2,
+        "diff_snapshots": q_diff_snapshots,
+        "profile_table": q_profile_table,
+        "semantic_dedup": q_semantic_dedup,
         # --- slots 58+: oracle-bearing, driver-green in rounds 1-3 -------
         "simsearch_topk_lsh": q_simsearch_topk_lsh,
         "pipeline_events": q_pipeline_events,
@@ -2438,6 +2491,30 @@ def _hashed_bow_sql(src: str = "documents", text: str = "text") -> str:
 
 _UNITS_SQL = _units_sql()
 _HASHED_BOW_SQL = _hashed_bow_sql()
+
+
+def _profile_sql(table: str, cols: list[str]) -> str:
+    """SQL twin of profile.profile_table: one UNION ALL arm per
+    (column, metric); modal tie-break = smallest string value."""
+    arms = []
+    for c in cols:
+        arms += [
+            f"""SELECT '{c}' AS "column", 'n_nulls' AS metric,
+  (count(*) FILTER (WHERE {c} IS NULL))::varchar AS value FROM {table}""",
+            f"""SELECT '{c}', 'n_distinct',
+  count(DISTINCT {c})::varchar FROM {table}""",
+            f"""SELECT '{c}', 'min', min({c})::varchar FROM {table}""",
+            f"""SELECT '{c}', 'max', max({c})::varchar FROM {table}""",
+            f"""SELECT '{c}', 'top_value', value FROM (
+  SELECT {c}::varchar AS value, count(*) AS cnt FROM {table}
+  WHERE {c} IS NOT NULL GROUP BY 1
+  ORDER BY cnt DESC, value ASC LIMIT 1)""",
+            f"""SELECT '{c}', 'top_count', cnt::varchar FROM (
+  SELECT {c}::varchar AS value, count(*) AS cnt FROM {table}
+  WHERE {c} IS NOT NULL GROUP BY 1
+  ORDER BY cnt DESC, value ASC LIMIT 1)""",
+        ]
+    return "\nUNION ALL\n".join(arms)
 
 def _zorder_sql(bits: int = 8) -> str:
     """SQL twin of q_zorder_layout: identical min-max quantization
@@ -3395,6 +3472,57 @@ SELECT doc_id, rrf_score, CAST(n_lists AS INT) AS n_lists,
        CAST(rank AS INT) AS rank FROM (
   SELECT *, row_number() OVER (ORDER BY rrf_score DESC, doc_id ASC) AS rank
   FROM fused) WHERE rank <= 10""",
+        "diff_snapshots": """
+WITH snap_old AS (
+  SELECT o_custkey, o_orderkey, o_totalprice FROM (
+    SELECT *, row_number() OVER (PARTITION BY o_custkey
+               ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+    FROM orders WHERE o_orderdate < DATE '1997-01-01') WHERE rn = 1),
+snap_new AS (
+  SELECT o_custkey, o_orderkey, o_totalprice FROM (
+    SELECT *, row_number() OVER (PARTITION BY o_custkey
+               ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+    FROM orders WHERE o_orderdate < DATE '1998-01-01') WHERE rn = 1
+  AND o_custkey % 13 != 0),
+j AS (
+  SELECT coalesce(o.o_custkey, n.o_custkey) AS o_custkey,
+         o.o_orderkey AS o_orderkey_old, n.o_orderkey AS o_orderkey_new,
+         o.o_totalprice AS p_old, n.o_totalprice AS p_new,
+         (o.o_custkey IS NOT NULL) AS in_old,
+         (n.o_custkey IS NOT NULL) AS in_new
+  FROM snap_old o FULL OUTER JOIN snap_new n USING (o_custkey))
+SELECT o_custkey,
+       CASE WHEN NOT in_old THEN 'inserted'
+            WHEN NOT in_new THEN 'deleted'
+            ELSE 'updated' END AS change_type,
+       o_orderkey_old, o_orderkey_new
+FROM j
+WHERE NOT in_old OR NOT in_new
+   OR o_orderkey_old IS DISTINCT FROM o_orderkey_new
+   OR p_old IS DISTINCT FROM p_new""",
+        "profile_table": _profile_sql("events",
+                                      ["event_type", "user_id", "value"]),
+        "semantic_dedup": f"""
+WITH RECURSIVE b AS ({_lsh_base_sql(LSH_NDUP_PLANES, LSH_NDUP_TABLES)}),
+pr AS (
+  SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b
+  FROM b a JOIN b c ON {_lsh_or_sql("a", "c", LSH_NDUP_TABLES)}
+                   AND a.vec_id < c.vec_id
+  WHERE round({_COS_SQL.format(a="a.v", b="c.v")}, 6) >= 0.45),
+edges AS (SELECT id_a AS src, id_b AS dst FROM pr
+          UNION ALL SELECT id_b, id_a FROM pr),
+nodes AS (SELECT DISTINCT src AS id FROM edges),
+walk(id, comp) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.dst, w.comp FROM walk w JOIN edges e ON e.src = w.id),
+comp AS (SELECT id, min(comp) AS component FROM walk GROUP BY id),
+ranked AS (
+  SELECT d.doc_id, row_number() OVER (PARTITION BY c.component
+           ORDER BY d.n_chars DESC, d.doc_id ASC) AS rn
+  FROM documents d JOIN comp c ON d.doc_id = c.id)
+SELECT doc_id, n_chars FROM documents
+WHERE doc_id NOT IN (SELECT doc_id FROM ranked WHERE rn > 1)""",
         "llm_curate_v2": f"""
 WITH u AS ({_units_sql()}),
 uu AS (SELECT * FROM u WHERE length(trim(unit)) >= 1),

@@ -61,3 +61,50 @@ def merge_upsert(base: DataFrame, updates: DataFrame, keys: list[str],
         out = out.filter(~F.coalesce(F.col(delete_col), F.lit(False))) \
                  .drop(delete_col)
     return out
+
+
+def diff_snapshots(old: DataFrame, new: DataFrame, keys: list[str],
+                   compare_cols: list[str] | None = None,
+                   change_col: str = "change_type") -> DataFrame:
+    """Change-data feed between two snapshots of the same table: one row
+    per key that was ``inserted``, ``deleted``, or ``updated`` —
+    the audit/replication complement of :func:`merge_upsert` (what Delta
+    calls the change data feed, computed lakehouse-agnostically).
+
+    ``compare_cols`` limits which columns define "changed" (default:
+    every shared non-key column). Output carries the keys, the change
+    type, and both versions of each compared column (``<c>_old`` /
+    ``<c>_new``, null on the missing side). Unchanged keys are absent.
+
+    Plan: ONE full-outer hash equi-join on the keys plus a row-local
+    comparison — change detection at any scale is exactly one shuffle
+    per side. Null-safe equality (``<=>``) so a null->value flip counts
+    as a change rather than vanishing.
+    """
+    if not keys:
+        raise ValueError("diff_snapshots needs at least one key column")
+    if compare_cols is None:
+        compare_cols = [c for c in old.columns
+                        if c in new.columns and c not in keys]
+    missing = [c for c in compare_cols
+               if c not in old.columns or c not in new.columns]
+    if missing:
+        raise ValueError(f"compare_cols not in both snapshots: {missing}")
+    o = old.select(*keys, *compare_cols,
+                   F.lit(True).alias("__in_old"))
+    for c in compare_cols:
+        o = o.withColumnRenamed(c, f"{c}_old")
+    n = new.select(*keys, *compare_cols,
+                   F.lit(True).alias("__in_new"))
+    for c in compare_cols:
+        n = n.withColumnRenamed(c, f"{c}_new")
+    j = o.join(n, on=keys, how="full_outer")
+    changed = F.lit(False)
+    for c in compare_cols:
+        changed = changed | ~F.col(f"{c}_old").eqNullSafe(F.col(f"{c}_new"))
+    ctype = (F.when(F.col("__in_old").isNull(), F.lit("inserted"))
+              .when(F.col("__in_new").isNull(), F.lit("deleted"))
+              .when(changed, F.lit("updated")))
+    return (j.withColumn(change_col, ctype)
+             .filter(F.col(change_col).isNotNull())
+             .drop("__in_old", "__in_new"))

@@ -452,3 +452,74 @@ class TestCurateV2:
         out = curate_corpus_v2(df, sep="|", min_docs=99,
                                budget=9).collect()
         assert len(out) == 3 and all(r.cum_tokens <= 9 for r in out)
+
+
+class TestDiffSnapshots:
+    def _snaps(self, spark):
+        old = spark.createDataFrame(
+            [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0),
+             (4, None, 40.0)],
+            "k long, s string, v double")
+        new = spark.createDataFrame(
+            [(1, "a", 10.0),     # unchanged -> absent from the diff
+             (2, "B", 20.0),     # updated (string change)
+             (4, "d", 40.0),     # updated (null -> value)
+             (5, "e", 50.0)],    # inserted; key 3 deleted
+            "k long, s string, v double")
+        return old, new
+
+    def test_change_types(self, spark):
+        from caspr_spark.operators.merge import diff_snapshots
+        old, new = self._snaps(spark)
+        got = {r.k: r.change_type for r in diff_snapshots(
+            old, new, keys=["k"]).collect()}
+        assert got == {2: "updated", 3: "deleted", 4: "updated",
+                       5: "inserted"}
+
+    def test_compare_cols_subset(self, spark):
+        from caspr_spark.operators.merge import diff_snapshots
+        old, new = self._snaps(spark)
+        got = {r.k: r.change_type for r in diff_snapshots(
+            old, new, keys=["k"], compare_cols=["v"]).collect()}
+        # v never changes: only membership diffs remain
+        assert got == {3: "deleted", 5: "inserted"}
+
+    def test_validation(self, spark):
+        from caspr_spark.operators.merge import diff_snapshots
+        old, new = self._snaps(spark)
+        with pytest.raises(ValueError, match="key"):
+            diff_snapshots(old, new, keys=[])
+        with pytest.raises(ValueError, match="compare_cols"):
+            diff_snapshots(old, new, keys=["k"], compare_cols=["nope"])
+
+
+class TestProfileTable:
+    def test_metrics(self, spark):
+        from caspr_spark.operators.profile import profile_table
+        df = spark.createDataFrame(
+            [(1, "x"), (2, "x"), (3, None), (4, "y")],
+            "id long, s string")
+        got = {(r.column, r.metric): r.value
+               for r in profile_table(df).collect()}
+        assert got[("s", "n_nulls")] == "1"
+        assert got[("s", "n_distinct")] == "2"
+        assert got[("s", "top_value")] == "x"
+        assert got[("s", "top_count")] == "2"
+        assert got[("id", "min")] == "1" and got[("id", "max")] == "4"
+        assert got[("id", "n_nulls")] == "0"
+
+    def test_modal_tiebreak_smallest_string(self, spark):
+        from caspr_spark.operators.profile import profile_table
+        df = spark.createDataFrame([("b",), ("a",)], "s string")
+        got = {(r.column, r.metric): r.value
+               for r in profile_table(df).collect()}
+        assert got[("s", "top_value")] == "a"
+
+    def test_validation_and_no_modal(self, spark):
+        from caspr_spark.operators.profile import profile_table
+        df = spark.createDataFrame([(1,)], "id long")
+        with pytest.raises(ValueError, match="columns"):
+            profile_table(df, ["ghost"])
+        out = profile_table(df, include_modal=False)
+        assert {r.metric for r in out.collect()} == \
+            {"n_nulls", "n_distinct", "min", "max"}

@@ -82,6 +82,8 @@ SNAPSHOT_QUERIES = [
     "weighted_sample",
     "cv_folds",
     "llm_curate_v2",
+    "diff_snapshots",
+    "profile_table",
 ]
 
 
