@@ -54,6 +54,25 @@ BENCH_QUERIES = [
     "stream_last3_state",
 ]
 
+# Round-4 additions, timed but NOT in the headline totals: the headline
+# query set is frozen so `value`/`value_warm` stay comparable with the
+# r1 baseline and earlier rounds; these report under `queries_extended`.
+EXTENDED_QUERIES = [
+    "clean_paragraph_dedup",
+    "clean_boilerplate",
+    "quality_hashed_bow",
+    "token_budget_select",
+    "merge_upsert_orders",
+    "hybrid_search_rrf",
+    "heavy_hitters",
+    "zorder_layout",
+    "weighted_sample",
+    "diff_snapshots",
+    "profile_table",
+    "llm_curate_v2",
+    "stream_sessions",
+]
+
 
 def main() -> None:
     import __spark_entry__ as entrymod
@@ -124,6 +143,13 @@ def main() -> None:
         df.count()
         warm[name] = round(time.time() - t0, 3)
 
+    extended: dict[str, float] = {}
+    for name in EXTENDED_QUERIES:
+        t0 = time.time()
+        df = qs[name](spark, sf_dir)
+        df.count()
+        extended[name] = round(time.time() - t0, 3)
+
     print(json.dumps({
         "metric": "caspr_spark headline queries wall-clock",
         "value": round(sum(timings.values()), 3),
@@ -132,6 +158,7 @@ def main() -> None:
         "value_warm": round(sum(warm.values()), 3),
         "queries_warm": warm,
         "sf": float(sf),
+        "queries_extended": extended,
         "calibration": {"spark_shuffle_sec": calib_spark,
                         "numpy_gemm_sec": calib_numpy},
         "notes": "cold = first run per query in a shared warmed session; "
@@ -142,7 +169,10 @@ def main() -> None:
                  "calibration = fixed synthetic workloads (code-"
                  "independent) for cross-round host-speed normalization; "
                  "r1-r3 benches predate the field and ran on hosts "
-                 "observed up to ~35% faster per-query at identical code.",
+                 "observed up to ~35% faster per-query at identical code. "
+                 "queries_extended = round-4 operators timed cold, "
+                 "excluded from value/value_warm so the headline totals "
+                 "stay baseline-comparable.",
     }))
 
 

@@ -22,11 +22,23 @@ from caspr_spark.llm.similarity import (
 from caspr_spark.llm.multimodal import (
     attach_binary_payload, extract_features, sample_frames,
 )
-from caspr_spark.llm.curate import curate_corpus, curation_report
+from caspr_spark.llm.curate import (
+    curate_corpus, curation_report, curate_corpus_v2,
+)
 from caspr_spark.llm.filtering import (
     repetition_signals, redact_pii, ngram_hashes, decontaminate,
+    quality_score_hashed_bow,
 )
-from caspr_spark.llm.search import bm25_topk
+from caspr_spark.llm.clean import (
+    split_units, paragraph_dedup, remove_boilerplate,
+)
+from caspr_spark.llm.dedup import (
+    connected_components, dedup_by_components, dedup_keep_best,
+    winnow_fingerprints, winnow_pairs,
+)
+from caspr_spark.llm.search import (
+    bm25_topk, rrf_fuse, tfidf_weights, related_documents,
+)
 from caspr_spark.llm.mixture import (
     mixture_sample, pack_sequences_offset, pack_sequences_nextfit,
     cluster_balanced_sample,
@@ -39,9 +51,13 @@ __all__ = [
     "cosine_topk", "cosine_topk_lsh", "add_lsh_bucket", "add_lsh_buckets",
     "embedding_near_duplicates", "lsh_plan",
     "attach_binary_payload", "extract_features", "sample_frames",
-    "curate_corpus", "curation_report",
+    "curate_corpus", "curation_report", "curate_corpus_v2",
     "repetition_signals", "redact_pii", "ngram_hashes", "decontaminate",
-    "bm25_topk",
+    "quality_score_hashed_bow",
+    "split_units", "paragraph_dedup", "remove_boilerplate",
+    "connected_components", "dedup_by_components", "dedup_keep_best",
+    "winnow_fingerprints", "winnow_pairs",
+    "bm25_topk", "rrf_fuse", "tfidf_weights", "related_documents",
     "mixture_sample", "pack_sequences_offset", "pack_sequences_nextfit",
     "cluster_balanced_sample",
     "chunk_documents", "fit_bigram_model", "score_perplexity",
