@@ -1724,6 +1724,31 @@ def q_semantic_dedup(spark, sf_dir):
     return out.select("doc_id", "n_chars")
 
 
+def q_quantize_embeddings(spark, sf_dir):
+    """Symmetric int8 embedding quantization (similarity.py
+    quantize_embeddings, FAISS-SQ8 shape): per-vector absmax scale +
+    rounded codes, exploded to (vec, pos, q) for full-fidelity
+    certification. Pure element-wise arithmetic — fuses into the scan."""
+    from caspr_spark.llm.similarity import quantize_embeddings
+    emb = _t(spark, sf_dir, "embeddings")
+    q = quantize_embeddings(emb)
+    return q.select("vec_id", F.round("scale", 9).alias("scale"),
+                    F.posexplode("qvec").alias("pos", "q")) \
+            .select("vec_id", "scale", F.col("pos").cast("int").alias("pos"),
+                    F.col("q").cast("int").alias("q"))
+
+
+def q_covariance_matrix(spark, sf_dir):
+    """Single-pass covariance/correlation matrix (profile.py
+    covariance_matrix): all pairs of three lineitem measures from ONE
+    aggregation (k(k+3)/2 partial aggregates), population ddof."""
+    from caspr_spark.operators.profile import covariance_matrix
+    li = _t(spark, sf_dir, "lineitem")
+    out = covariance_matrix(li, ["l_quantity", "l_discount", "l_tax"])
+    return out.select("col_a", "col_b", F.round("cov", 6).alias("cov"),
+                      F.round("corr", 6).alias("corr"))
+
+
 def q_weighted_sample(spark, sf_dir):
     """Deterministic weighted sampling without replacement (sampling.py
     weighted_sample_topk, Efraimidis-Spirakis): 200 documents drawn
@@ -1889,6 +1914,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "diff_snapshots": q_diff_snapshots,
         "profile_table": q_profile_table,
         "semantic_dedup": q_semantic_dedup,
+        "quantize_embeddings": q_quantize_embeddings,
+        "covariance_matrix": q_covariance_matrix,
         # --- slots 58+: oracle-bearing, driver-green in rounds 1-3 -------
         "simsearch_topk_lsh": q_simsearch_topk_lsh,
         "pipeline_events": q_pipeline_events,
@@ -3472,6 +3499,48 @@ SELECT doc_id, rrf_score, CAST(n_lists AS INT) AS n_lists,
        CAST(rank AS INT) AS rank FROM (
   SELECT *, row_number() OVER (ORDER BY rrf_score DESC, doc_id ASC) AS rank
   FROM fused) WHERE rank <= 10""",
+        "quantize_embeddings": """
+WITH s AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) / 127.0
+           AS scale
+  FROM embeddings)
+SELECT vec_id, round(scale, 9) AS scale, CAST(i AS INT) AS pos,
+       CAST(CASE WHEN scale > 0 THEN round(v[CAST(i+1 AS INT)] / scale)
+                 ELSE 0 END AS INT) AS q
+FROM s, range(0, 64) r(i)""",
+        "covariance_matrix": """
+WITH d AS (
+  SELECT l_quantity::double AS a, l_discount::double AS b,
+         l_tax::double AS c
+  FROM lineitem
+  WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL
+    AND l_tax IS NOT NULL),
+m AS (
+  SELECT count(*)::double AS n,
+         sum(a) AS sa, sum(b) AS sb, sum(c) AS sc,
+         sum(a*a) AS paa, sum(a*b) AS pab, sum(a*c) AS pac,
+         sum(b*b) AS pbb, sum(b*c) AS pbc, sum(c*c) AS pcc
+  FROM d),
+v AS (
+  SELECT n, (paa - sa*sa/n)/n AS vaa, (pbb - sb*sb/n)/n AS vbb,
+         (pcc - sc*sc/n)/n AS vcc,
+         (pab - sa*sb/n)/n AS vab, (pac - sa*sc/n)/n AS vac,
+         (pbc - sb*sc/n)/n AS vbc
+  FROM m)
+SELECT 'l_quantity' AS col_a, 'l_quantity' AS col_b,
+       round(vaa, 6) AS cov, round(vaa/(sqrt(vaa)*sqrt(vaa)), 6) AS corr
+  FROM v
+UNION ALL SELECT 'l_quantity', 'l_discount', round(vab, 6),
+       round(vab/(sqrt(vaa)*sqrt(vbb)), 6) FROM v
+UNION ALL SELECT 'l_quantity', 'l_tax', round(vac, 6),
+       round(vac/(sqrt(vaa)*sqrt(vcc)), 6) FROM v
+UNION ALL SELECT 'l_discount', 'l_discount', round(vbb, 6),
+       round(vbb/(sqrt(vbb)*sqrt(vbb)), 6) FROM v
+UNION ALL SELECT 'l_discount', 'l_tax', round(vbc, 6),
+       round(vbc/(sqrt(vbb)*sqrt(vcc)), 6) FROM v
+UNION ALL SELECT 'l_tax', 'l_tax', round(vcc, 6),
+       round(vcc/(sqrt(vcc)*sqrt(vcc)), 6) FROM v""",
         "diff_snapshots": """
 WITH snap_old AS (
   SELECT o_custkey, o_orderkey, o_totalprice FROM (

@@ -503,3 +503,40 @@ def embedding_near_duplicates(df: DataFrame, threshold: float = 0.95,
                  .withColumn("cosine", score_once)
                  .filter(F.col("cosine") >= threshold)
                  .select("id_a", "id_b", "cosine"))
+
+
+def quantize_embeddings(df: DataFrame, vec_col: str = "embedding",
+                        out_col: str = "qvec",
+                        scale_col: str = "scale") -> DataFrame:
+    """Symmetric per-vector int8 quantization — the 4x storage/IO
+    compression a vector store applies before indexing (FAISS SQ8 /
+    Milvus flavor, absmax variant).
+
+    ``scale = max(|v|)/127`` per vector; ``q_i = round(v_i/scale)`` in
+    [-127, 127]. Both the scale and the rounding are pure element-wise
+    column arithmetic (transform/aggregate — no UDF, no shuffle), so
+    quantization fuses into whatever scan produces the vectors. All-zero
+    vectors get scale 0 and an all-zero code (guarded divide).
+
+    Recall cost at ANN time is the usual SQ8 tradeoff (cosine on
+    dequantized vectors is within ~1e-2 of exact for unit-norm data);
+    `dequantize_embeddings` restores floats for exact re-ranking.
+    """
+    v = F.col(vec_col)
+    absmax = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    scale = (absmax / F.lit(127.0)).cast("double")
+    q = F.when(
+        scale > 0,
+        F.transform(v, lambda x: F.round(x / scale).cast("tinyint"))
+    ).otherwise(F.transform(v, lambda x: F.lit(0).cast("tinyint")))
+    return df.withColumn(scale_col, scale).withColumn(out_col, q)
+
+
+def dequantize_embeddings(df: DataFrame, qvec_col: str = "qvec",
+                          scale_col: str = "scale",
+                          out_col: str = "embedding") -> DataFrame:
+    """Inverse of :func:`quantize_embeddings`: ``v_i ≈ q_i · scale``."""
+    s = F.col(scale_col)
+    return df.withColumn(
+        out_col,
+        F.transform(F.col(qvec_col), lambda q: q.cast("double") * s))

@@ -88,3 +88,48 @@ def profile_table(df: DataFrame, cols: list[str] | None = None,
             F.lit("top_count").alias("metric"),
             F.col("cnt").cast("string").alias("value"))))
     return out.unionByName(modal_rows)
+
+
+def covariance_matrix(df: DataFrame, cols: list[str],
+                      ddof: int = 0) -> DataFrame:
+    """Exact covariance + Pearson correlation for every column pair in
+    ONE aggregation pass (the textbook sums-of-products identities) —
+    profiling k columns costs one scan with k(k+3)/2 partial aggregates,
+    not k² two-pass jobs.
+
+    Returns the upper triangle (col_a <= col_b) as
+    (col_a, col_b, cov, corr) with population covariance by default
+    (``ddof=1`` for the sample estimator). Null handling is strict:
+    rows with a null in ANY profiled column are dropped first, so every
+    pair sees the same row set (pairwise-complete stats that differ per
+    pair are a footgun in downstream linear algebra).
+    """
+    if len(cols) < 2:
+        raise ValueError("covariance_matrix needs at least 2 columns")
+    if ddof not in (0, 1):
+        raise ValueError(f"ddof must be 0 or 1, got {ddof}")
+    d = df.na.drop(subset=cols).select(
+        *[F.col(c).cast("double").alias(c) for c in cols])
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for c in cols:
+        aggs.append(F.sum(F.col(c)).alias(f"s_{c}"))
+    for i, a in enumerate(cols):
+        for b in cols[i:]:
+            aggs.append(F.sum(F.col(a) * F.col(b)).alias(f"p_{a}_{b}"))
+    row = d.agg(*aggs).first()
+    n = row["n"]
+    out = []
+    for i, a in enumerate(cols):
+        for b in cols[i:]:
+            if n <= ddof:
+                cov = corr = None
+            else:
+                cov = (row[f"p_{a}_{b}"] - row[f"s_{a}"] * row[f"s_{b}"] / n) \
+                    / (n - ddof)
+                va = (row[f"p_{a}_{a}"] - row[f"s_{a}"] ** 2 / n) / (n - ddof)
+                vb = (row[f"p_{b}_{b}"] - row[f"s_{b}"] ** 2 / n) / (n - ddof)
+                corr = cov / (va ** 0.5 * vb ** 0.5) \
+                    if va > 0 and vb > 0 else None
+            out.append((a, b, cov, corr))
+    return df.sparkSession.createDataFrame(
+        out, "col_a string, col_b string, cov double, corr double")

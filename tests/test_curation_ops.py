@@ -523,3 +523,74 @@ class TestProfileTable:
         out = profile_table(df, include_modal=False)
         assert {r.metric for r in out.collect()} == \
             {"n_nulls", "n_distinct", "min", "max"}
+
+
+class TestQuantizeEmbeddings:
+    def test_roundtrip_fidelity(self, spark, embeddings):
+        from caspr_spark.llm.similarity import (
+            quantize_embeddings, dequantize_embeddings)
+        q = quantize_embeddings(embeddings)
+        back = dequantize_embeddings(q.drop("embedding"), out_col="emb2")
+        err = (back.join(embeddings, "vec_id")
+               .select(F.aggregate(
+                   F.zip_with("embedding", "emb2",
+                              lambda a, b: F.abs(a - b)),
+                   F.lit(0.0), lambda acc, x: F.greatest(acc, x))
+                   .alias("maxerr"))
+               .agg(F.max("maxerr")).first()[0])
+        # absmax SQ8: error bound is scale/2 = absmax/254 per component
+        mx = embeddings.select(F.max(F.array_max(F.transform(
+            "embedding", lambda x: F.abs(x))))).first()[0]
+        assert err <= mx / 254 + 1e-9
+
+    def test_codes_bounded_and_zero_vector(self, spark):
+        from caspr_spark.llm.similarity import quantize_embeddings
+        df = spark.createDataFrame(
+            [(1, [0.0, 0.0]), (2, [1.0, -2.0])],
+            "vec_id long, embedding array<double>")
+        got = {r.vec_id: (r.scale, list(r.qvec))
+               for r in quantize_embeddings(df).collect()}
+        assert got[1] == (0.0, [0, 0])
+        s, qv = got[2]
+        assert s == pytest.approx(2.0 / 127)
+        assert qv == [64, -127] or qv == [63, -127]  # 1.0/s = 63.5 rounds
+
+
+class TestCovarianceMatrix:
+    def test_matches_numpy(self, spark):
+        import numpy as np
+        from caspr_spark.operators.profile import covariance_matrix
+        rng = np.random.default_rng(7)
+        x = rng.normal(size=300)
+        y = 2 * x + rng.normal(size=300)
+        z = rng.normal(size=300)
+        df = spark.createDataFrame(
+            [(float(a), float(b), float(c)) for a, b, c in zip(x, y, z)],
+            "x double, y double, z double")
+        got = {(r.col_a, r.col_b): (r.cov, r.corr)
+               for r in covariance_matrix(df, ["x", "y", "z"]).collect()}
+        c = np.cov(np.vstack([x, y, z]), ddof=0)
+        r = np.corrcoef(np.vstack([x, y, z]))
+        for i, a in enumerate("xyz"):
+            for j, b in enumerate("xyz"):
+                if i <= j:
+                    assert got[(a, b)][0] == pytest.approx(c[i, j])
+                    assert got[(a, b)][1] == pytest.approx(r[i, j])
+
+    def test_nulls_dropped_listwise(self, spark):
+        from caspr_spark.operators.profile import covariance_matrix
+        df = spark.createDataFrame(
+            [(1.0, 2.0), (2.0, 4.0), (None, 100.0), (3.0, 6.0)],
+            "x double, y double")
+        got = {(r.col_a, r.col_b): r.corr
+               for r in covariance_matrix(df, ["x", "y"]).collect()}
+        assert got[("x", "y")] == pytest.approx(1.0)
+
+    def test_validation(self, spark):
+        from caspr_spark.operators.profile import covariance_matrix
+        df = spark.createDataFrame([(1.0,)], "x double")
+        with pytest.raises(ValueError, match="2 columns"):
+            covariance_matrix(df, ["x"])
+        df2 = spark.createDataFrame([(1.0, 2.0)], "x double, y double")
+        with pytest.raises(ValueError, match="ddof"):
+            covariance_matrix(df2, ["x", "y"], ddof=2)

@@ -84,6 +84,7 @@ SNAPSHOT_QUERIES = [
     "llm_curate_v2",
     "diff_snapshots",
     "profile_table",
+    "quantize_embeddings",
 ]
 
 
