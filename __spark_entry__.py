@@ -1749,6 +1749,38 @@ def q_covariance_matrix(spark, sf_dir):
                       F.round("corr", 6).alias("corr"))
 
 
+def q_rollup_incremental(spark, sf_dir):
+    """Incremental view maintenance (timeseries.py merge_rollup_delta):
+    the hourly layer built from pre-cut history, folded with the
+    post-cut delta batch, then rolled to daily — must equal the rollup
+    over the full history bit-for-bit (decimal sums make the merge an
+    exact monoid fold). Refresh cost scales with the delta, not the
+    history."""
+    from caspr_spark.operators.timeseries import (
+        continuous_rollup, hourly_aggregate, merge_rollup_delta)
+    ev = _events(spark, sf_dir)
+    cut = "2024-01-15"
+    base = hourly_aggregate(ev.filter(F.col("ts") < cut), "ts",
+                            ["event_type"], "value")
+    delta = hourly_aggregate(ev.filter(F.col("ts") >= cut), "ts",
+                             ["event_type"], "value")
+    merged = merge_rollup_delta(base, delta, ["event_type"])
+    daily = continuous_rollup(merged, "day", ["event_type"])
+    return daily.select(
+        F.to_date("bucket_day").alias("day"), "event_type", "n_events",
+        F.round(F.col("sum_value").cast("double"), 4).alias("sum_value"))
+
+
+def q_outlier_robust(spark, sf_dir):
+    """Robust outlier filter (filters.py remove_outliers_robust):
+    median ± 3.5·MAD_n on the event value — the 50%-breakdown twin of
+    F5's mean/σ rule; exact-median fit here, GK approx at scale."""
+    from caspr_spark.operators.filters import remove_outliers_robust
+    ev = _events(spark, sf_dir)
+    out = remove_outliers_robust(ev, ["value"], k=3.5)
+    return out.select("event_id", "value")
+
+
 def q_weighted_sample(spark, sf_dir):
     """Deterministic weighted sampling without replacement (sampling.py
     weighted_sample_topk, Efraimidis-Spirakis): 200 documents drawn
@@ -1916,6 +1948,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": q_semantic_dedup,
         "quantize_embeddings": q_quantize_embeddings,
         "covariance_matrix": q_covariance_matrix,
+        "rollup_incremental": q_rollup_incremental,
+        "outlier_robust": q_outlier_robust,
         # --- slots 58+: oracle-bearing, driver-green in rounds 1-3 -------
         "simsearch_topk_lsh": q_simsearch_topk_lsh,
         "pipeline_events": q_pipeline_events,
@@ -3499,6 +3533,22 @@ SELECT doc_id, rrf_score, CAST(n_lists AS INT) AS n_lists,
        CAST(rank AS INT) AS rank FROM (
   SELECT *, row_number() OVER (ORDER BY rrf_score DESC, doc_id ASC) AS rank
   FROM fused) WHERE rank <= 10""",
+        "rollup_incremental": """
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS bucket_hour, event_type,
+         CAST(count(*) AS BIGINT) AS n_events,
+         sum(CAST(value AS DECIMAL(18,4))) AS sum_value
+  FROM events GROUP BY 1, 2)
+SELECT CAST(date_trunc('day', bucket_hour) AS DATE) AS day, event_type,
+       CAST(sum(n_events) AS BIGINT) AS n_events,
+       round(CAST(sum(sum_value) AS DOUBLE), 4) AS sum_value
+FROM hourly GROUP BY 1, 2""",
+        "outlier_robust": """
+WITH m AS (SELECT median(value) AS mu FROM events),
+md AS (SELECT median(abs(e.value - m.mu)) AS mad
+       FROM events e CROSS JOIN m)
+SELECT event_id, value FROM events CROSS JOIN m CROSS JOIN md
+WHERE abs(value - mu) <= 3.5 * 1.4826 * mad""",
         "quantize_embeddings": """
 WITH s AS (
   SELECT vec_id, embedding::DOUBLE[] AS v,

@@ -58,3 +58,39 @@ def remove_outliers(df: DataFrame, cols: list[str], k: float = 3.0) -> DataFrame
             continue
         cond = cond & (F.abs(F.col(c) - F.lit(mu)) <= F.lit(k) * F.lit(sd))
     return df.filter(cond)
+
+
+def remove_outliers_robust(df: DataFrame, cols: list[str],
+                           k: float = 3.5,
+                           relative_error: float = 0.0) -> DataFrame:
+    """Drop rows outside ``median ± k·MAD_n`` per column — the robust
+    twin of :func:`remove_outliers` (mean/σ break down when the
+    contamination itself inflates σ; median/MAD have a 50% breakdown
+    point, and k≈3.5 on the normal-consistent MAD is the usual rule).
+
+    ``MAD_n = 1.4826 · median(|x - median(x)|)`` (normal-consistency
+    constant). Fit is two aggregate passes (medians, then absolute
+    deviations' medians); ``relative_error > 0`` switches both to
+    Spark's Greenwald-Khanna approximate percentiles — the 100 TB path
+    where an exact median would force a per-column global sort. The
+    filter itself is codegen predicates, same as the classic version.
+    """
+    MAD_K = 1.4826
+
+    def med(c):
+        if relative_error > 0:
+            return F.percentile_approx(c, 0.5,
+                                       int(1.0 / relative_error))
+        return F.median(c)
+
+    meds = df.agg(*[med(F.col(c)).alias(c) for c in cols]).collect()[0]
+    mads = df.agg(*[med(F.abs(F.col(c) - F.lit(meds[c]))).alias(c)
+                    for c in cols]).collect()[0]
+    cond = F.lit(True)
+    for c in cols:
+        m, mad = meds[c], mads[c]
+        if m is None or mad is None or mad == 0:
+            continue
+        cond = cond & (F.abs(F.col(c) - F.lit(m))
+                       <= F.lit(k * MAD_K) * F.lit(mad))
+    return df.filter(cond)

@@ -165,3 +165,25 @@ def funnel(df: DataFrame, stages: list[str], entity_col: str = "user_id",
                              .alias("n_entities"))
                  for i, s in enumerate(stages)]
     return reduce(lambda a, b: a.unionByName(b), per_stage)
+
+
+def merge_rollup_delta(base: DataFrame, delta: DataFrame,
+                       keys: list[str] | None = None,
+                       bucket_col: str = "bucket_hour") -> DataFrame:
+    """Incremental view maintenance for the continuous aggregate: fold a
+    DELTA batch's fine layer into the BASE fine layer without touching
+    the raw history.
+
+    Counts and decimal sums are commutative monoids, so
+    ``merge(hourly(old), hourly(new)) == hourly(old ∪ new)`` exactly —
+    the property the decimal-sum carrier in ``hourly_aggregate`` exists
+    to guarantee (double sums would drift on re-merge). One union + one
+    keyed agg over aggregate-sized (not raw-sized) relations: the
+    incremental refresh cost is proportional to the delta's bucket
+    count, never the history.
+    """
+    keys = keys or []
+    return (base.unionByName(delta)
+            .groupBy(bucket_col, *keys)
+            .agg(F.sum("n_events").alias("n_events"),
+                 F.sum("sum_value").alias("sum_value")))

@@ -594,3 +594,58 @@ class TestCovarianceMatrix:
         df2 = spark.createDataFrame([(1.0, 2.0)], "x double, y double")
         with pytest.raises(ValueError, match="ddof"):
             covariance_matrix(df2, ["x", "y"], ddof=2)
+
+
+class TestMergeRollupDelta:
+    def test_merge_equals_full(self, spark, events):
+        from caspr_spark.operators.timeseries import (
+            hourly_aggregate, merge_rollup_delta)
+        cut = "2024-01-15"
+        base = hourly_aggregate(events.filter(F.col("ts") < cut),
+                                "ts", ["event_type"], "value")
+        delta = hourly_aggregate(events.filter(F.col("ts") >= cut),
+                                 "ts", ["event_type"], "value")
+        merged = (merge_rollup_delta(base, delta, ["event_type"])
+                  .orderBy("bucket_hour", "event_type").collect())
+        full = (hourly_aggregate(events, "ts", ["event_type"], "value")
+                .orderBy("bucket_hour", "event_type").collect())
+        assert merged == full  # decimal sums: bit-exact, not approx
+
+    def test_empty_delta_is_identity(self, spark, events):
+        from caspr_spark.operators.timeseries import (
+            hourly_aggregate, merge_rollup_delta)
+        base = hourly_aggregate(events, "ts", ["event_type"], "value")
+        empty = base.filter(F.lit(False))
+        merged = (merge_rollup_delta(base, empty, ["event_type"])
+                  .orderBy("bucket_hour", "event_type").collect())
+        assert merged == base.orderBy("bucket_hour", "event_type").collect()
+
+
+class TestRobustOutliers:
+    def test_resists_contamination(self, spark):
+        from caspr_spark.operators.filters import (
+            remove_outliers, remove_outliers_robust)
+        # 70 inliers around 0, 30 points at 1e6: 30% contamination
+        # inflates mean and σ enough that the classic ±3σ rule keeps the
+        # junk (|1e6 - mean| < 3σ); the 50%-breakdown MAD rule doesn't
+        rows = [(i, float(i % 7) - 3.0) for i in range(70)] + \
+               [(100 + i, 1e6 + i) for i in range(30)]
+        df = spark.createDataFrame(rows, "id long, v double")
+        robust = {r.id for r in remove_outliers_robust(
+            df, ["v"], k=3.5).collect()}
+        assert all(i < 70 for i in robust) and len(robust) == 70
+        classic = {r.id for r in remove_outliers(df, ["v"], k=3.0).collect()}
+        assert any(i >= 100 for i in classic)  # σ blown up -> keeps junk
+
+    def test_approx_path_close_to_exact(self, spark, events):
+        from caspr_spark.operators.filters import remove_outliers_robust
+        exact = remove_outliers_robust(events, ["value"], k=3.5).count()
+        approx = remove_outliers_robust(events, ["value"], k=3.5,
+                                        relative_error=0.001).count()
+        assert abs(exact - approx) <= 0.02 * exact
+
+    def test_zero_mad_keeps_all(self, spark):
+        from caspr_spark.operators.filters import remove_outliers_robust
+        df = spark.createDataFrame([(i, 5.0) for i in range(10)],
+                                   "id long, v double")
+        assert remove_outliers_robust(df, ["v"]).count() == 10

@@ -85,6 +85,8 @@ SNAPSHOT_QUERIES = [
     "diff_snapshots",
     "profile_table",
     "quantize_embeddings",
+    "rollup_incremental",
+    "outlier_robust",
 ]
 
 
