@@ -999,6 +999,25 @@ def q_stream_sessions(spark, sf_dir):
                       F.col("n").cast("long").alias("n"), "sum_value")
 
 
+def q_stream_anomaly(spark, sf_dir):
+    """Prequential streaming anomaly z-scores (streaming.py
+    streaming_anomaly_zscore): each event scored against its entity's
+    running stats BEFORE absorption — single-batch drain must equal the
+    batch preceding-rows window (the oracle)."""
+    from caspr_spark.streaming import (
+        stream_events, streaming_anomaly_zscore, run_to_memory)
+    _utc(spark)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        stream = stream_events(spark, f"{sf_dir}/events.parquet")
+        tbl = run_to_memory(streaming_anomaly_zscore(stream),
+                            "q_stream_anomaly", "update")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return tbl.select("user_id", "event_id", "n_prior", "z")
+
+
 def q_stream_last3_state(spark, sf_dir):
     """Custom stateful streaming operator (applyInPandasWithState):
     per-entity latest-3 tracker — final state must equal the batch pivot."""
@@ -1950,6 +1969,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "covariance_matrix": q_covariance_matrix,
         "rollup_incremental": q_rollup_incremental,
         "outlier_robust": q_outlier_robust,
+        "stream_anomaly": q_stream_anomaly,
         # --- slots 58+: oracle-bearing, driver-green in rounds 1-3 -------
         "simsearch_topk_lsh": q_simsearch_topk_lsh,
         "pipeline_events": q_pipeline_events,
@@ -3533,6 +3553,22 @@ SELECT doc_id, rrf_score, CAST(n_lists AS INT) AS n_lists,
        CAST(rank AS INT) AS rank FROM (
   SELECT *, row_number() OVER (ORDER BY rrf_score DESC, doc_id ASC) AS rank
   FROM fused) WHERE rank <= 10""",
+        "stream_anomaly": """
+WITH w AS (
+  SELECT user_id, event_id, value,
+         count(value) OVER win AS n_prior,
+         sum(value) OVER win AS s,
+         sum(value*value) OVER win AS q
+  FROM events WHERE value IS NOT NULL
+  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+SELECT user_id, event_id, CAST(coalesce(n_prior, 0) AS INT) AS n_prior,
+       CASE WHEN n_prior >= 2
+                 AND sqrt((q - s*s/n_prior)/(n_prior - 1)) > 0
+            THEN round((value - s/n_prior)
+                       / sqrt((q - s*s/n_prior)/(n_prior - 1)), 6)
+       END AS z
+FROM w""",
         "rollup_incremental": """
 WITH hourly AS (
   SELECT date_trunc('hour', ts) AS bucket_hour, event_type,

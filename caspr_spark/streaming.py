@@ -181,6 +181,64 @@ def streaming_sessions(stream: DataFrame, gap: str = "2 days",
                     "sum_value"))
 
 
+def streaming_anomaly_zscore(stream: DataFrame, key_col: str = "user_id",
+                             ts_col: str = "ts", value_col: str = "value",
+                             tiebreak_col: str = "event_id") -> DataFrame:
+    """Prequential per-entity anomaly scores over an unbounded stream:
+    each event is z-scored against its entity's running statistics as
+    they stood BEFORE that event arrived (test-then-train, so the score
+    is honest — an event never influences its own baseline).
+
+    State per key is three numbers (count, sum, sum-of-squares); the
+    per-batch update is vectorized (cumulative sums over the batch's
+    time-sorted values), so the Python worker does O(rows) numpy work,
+    never a per-row interpreter loop. Emits (key, tiebreak, n_prior, z)
+    with ``z`` null until two prior observations exist or the prior
+    variance is 0; null values are ignored (excluded from both scoring
+    and the state).
+
+    Exact prequential semantics require a time-ordered replay, same
+    contract as the stream-stream join: events must arrive no earlier
+    than already-absorbed state (a shuffled-history replay would score
+    events against statistics from their future).
+    """
+    key_type = dict(stream.dtypes)[key_col]
+    tb_type = dict(stream.dtypes)[tiebreak_col]
+    out_schema = (f"`{key_col}` {key_type}, `{tiebreak_col}` {tb_type}, "
+                  "n_prior int, z double")
+    state_schema = "n long, s double, q double"
+
+    def update(key, pdfs, state: GroupState):
+        import numpy as np
+        import pandas as pd
+        n, s, q = (state.get if state.exists else (0, 0.0, 0.0))
+        frames = [pdf[[ts_col, tiebreak_col, value_col]] for pdf in pdfs]
+        batch = pd.concat(frames).sort_values([ts_col, tiebreak_col])
+        batch = batch[batch[value_col].notna()]
+        v = batch[value_col].to_numpy(dtype="float64")
+        k = len(v)
+        pn = n + np.arange(k)
+        ps = s + np.concatenate([[0.0], np.cumsum(v)[:-1]])
+        pq = q + np.concatenate([[0.0], np.cumsum(v * v)[:-1]])
+        with np.errstate(invalid="ignore", divide="ignore"):
+            var = (pq - ps * ps / np.maximum(pn, 1)) / np.maximum(pn - 1, 1)
+            sd = np.sqrt(var)
+            z = (v - ps / np.maximum(pn, 1)) / sd
+        z = np.where((pn >= 2) & (sd > 0), np.round(z, 6), np.nan)
+        state.update((int(n + k), float(s + v.sum()),
+                      float(q + (v * v).sum())))
+        yield pd.DataFrame({
+            key_col: [key[0]] * k,
+            tiebreak_col: batch[tiebreak_col].to_numpy(),
+            "n_prior": pn.astype("int32"),
+            "z": z,
+        })
+
+    return (stream.groupBy(key_col)
+            .applyInPandasWithState(update, out_schema, state_schema,
+                                    "update", GroupStateTimeout.NoTimeout))
+
+
 def enrich_with_static(stream: DataFrame, dim: DataFrame,
                        on: list[str] | str) -> DataFrame:
     """Stream-static enrichment join: each micro-batch joins the (small)

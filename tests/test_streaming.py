@@ -229,3 +229,57 @@ class TestStreamingSessions:
         assert len(got) == len(want)
         assert (got.session_start.values == want.session_start.values).all()
         assert (got.n.values == want.n.values).all()
+
+
+class TestStreamingAnomalyZscore:
+    def _want(self, events):
+        from pyspark.sql import Window as W
+        win = (W.partitionBy("user_id").orderBy("ts", "event_id")
+               .rowsBetween(W.unboundedPreceding, -1))
+        e = events.filter(F.col("value").isNotNull())
+        s, q, n = (F.sum("value").over(win),
+                   F.sum(F.col("value") * F.col("value")).over(win),
+                   F.count("value").over(win))
+        sd = F.sqrt((q - s * s / n) / (n - 1))
+        z = F.when((n >= 2) & (sd > 0),
+                   F.round((F.col("value") - s / n) / sd, 6))
+        return {r.event_id: (r.n_prior, r.z) for r in
+                e.select("event_id",
+                         F.coalesce(n, F.lit(0)).cast("int").alias("n_prior"),
+                         z.alias("z")).collect()}
+
+    def test_single_batch_matches_window(self, spark, events):
+        from caspr_spark.streaming import streaming_anomaly_zscore
+        stream = stream_events(spark, f"{SF_DIR}/events.parquet")
+        tbl = run_to_memory(streaming_anomaly_zscore(stream),
+                            "t_anom", "update")
+        got = {r.event_id: (r.n_prior, r.z) for r in tbl.collect()}
+        want = self._want(events)
+        assert got.keys() == want.keys()
+        for k in want:
+            assert got[k][0] == want[k][0]
+            a, b = got[k][1], want[k][1]
+            assert (a is None and b is None) or abs(a - b) < 1e-6
+
+    def test_time_ordered_multibatch(self, spark, events, tmp_path):
+        """Prequential state carries across batches on an ordered replay."""
+        import os
+        import time as _time
+        import numpy as _np
+        from caspr_spark.streaming import streaming_anomaly_zscore
+        multi = str(tmp_path / "anom_multi")
+        os.makedirs(multi)
+        pdf = events.toPandas().sort_values(["ts", "event_id"])
+        for i, part in enumerate(_np.array_split(pdf, 4)):
+            part.to_parquet(f"{multi}/part-{i}.parquet", index=False)
+            _time.sleep(0.05)
+        stream = stream_events(spark, multi, max_files_per_trigger=1)
+        tbl = run_to_memory(streaming_anomaly_zscore(stream),
+                            "t_anom_multi", "update", timeout_sec=180)
+        got = {r.event_id: (r.n_prior, r.z) for r in tbl.collect()}
+        want = self._want(events)
+        assert got.keys() == want.keys()
+        for k in want:
+            assert got[k][0] == want[k][0]
+            a, b = got[k][1], want[k][1]
+            assert (a is None and b is None) or abs(a - b) < 1e-6
