@@ -1800,6 +1800,37 @@ def q_outlier_robust(spark, sf_dir):
     return out.select("event_id", "value")
 
 
+def q_calibration_bins(spark, sf_dir):
+    """Reliability-diagram bins (metrics.py calibration_bins): a
+    deterministic sigmoid score over the first embedding component vs
+    the label-0 indicator — one keyed aggregation."""
+    from caspr_spark.metrics import calibration_bins
+    emb = _t(spark, sf_dir, "embeddings")
+    scored = emb.select(
+        (F.col("label") == 0).cast("int").alias("y"),
+        (F.lit(1.0) / (F.lit(1.0)
+                       + F.exp(F.lit(-4.0)
+                               * F.element_at("embedding", 1).cast("double"))))
+        .alias("score"))
+    out = calibration_bins(scored, "y", "score", n_bins=10)
+    return out.select("bin", "n", F.round("mean_score", 6).alias("mean_score"),
+                      F.round("positive_rate", 6).alias("positive_rate"))
+
+
+def q_drift_psi(spark, sf_dir):
+    """Population Stability Index (metrics.py drift_psi): event values
+    before vs after 2024-01-15, 10 equal-width bins over the baseline
+    range with epsilon-floored proportions; per-bin contributions plus
+    the headline total (bin = -1). Two keyed aggs, monitoring at scan
+    cost."""
+    from caspr_spark.metrics import drift_psi
+    ev = _events(spark, sf_dir)
+    cut = "2024-01-15"
+    out = drift_psi(ev.filter(F.col("ts") < cut),
+                    ev.filter(F.col("ts") >= cut), "value", n_bins=10)
+    return out
+
+
 def q_weighted_sample(spark, sf_dir):
     """Deterministic weighted sampling without replacement (sampling.py
     weighted_sample_topk, Efraimidis-Spirakis): 200 documents drawn
@@ -1970,6 +2001,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_incremental": q_rollup_incremental,
         "outlier_robust": q_outlier_robust,
         "stream_anomaly": q_stream_anomaly,
+        "calibration_bins": q_calibration_bins,
+        "drift_psi": q_drift_psi,
         # --- slots 58+: oracle-bearing, driver-green in rounds 1-3 -------
         "simsearch_topk_lsh": q_simsearch_topk_lsh,
         "pipeline_events": q_pipeline_events,
@@ -3553,6 +3586,43 @@ SELECT doc_id, rrf_score, CAST(n_lists AS INT) AS n_lists,
        CAST(rank AS INT) AS rank FROM (
   SELECT *, row_number() OVER (ORDER BY rrf_score DESC, doc_id ASC) AS rank
   FROM fused) WHERE rank <= 10""",
+        "calibration_bins": """
+WITH s AS (
+  SELECT CASE WHEN label = 0 THEN 1 ELSE 0 END AS y,
+         1.0/(1.0 + exp(-4.0 * (embedding[1]::double))) AS score
+  FROM embeddings)
+SELECT CAST(least(floor(score * 10), 9) AS INT) AS bin,
+       count(*)::bigint AS n,
+       round(avg(score), 6) AS mean_score,
+       round(avg(y::double), 6) AS positive_rate
+FROM s GROUP BY 1""",
+        "drift_psi": """
+WITH st AS (
+  SELECT min(value::double) AS lo, max(value::double) AS hi
+  FROM events WHERE ts < TIMESTAMP '2024-01-15' AND value IS NOT NULL),
+pb AS (
+  SELECT greatest(0, least(CAST(floor((value::double - st.lo) * 10
+                                      / (st.hi - st.lo)) AS INT), 9)) AS bin,
+         count(*)::double AS n
+  FROM events CROSS JOIN st
+  WHERE ts < TIMESTAMP '2024-01-15' AND value IS NOT NULL GROUP BY 1),
+qb AS (
+  SELECT greatest(0, least(CAST(floor((value::double - st.lo) * 10
+                                      / (st.hi - st.lo)) AS INT), 9)) AS bin,
+         count(*)::double AS n
+  FROM events CROSS JOIN st
+  WHERE ts >= TIMESTAMP '2024-01-15' AND value IS NOT NULL GROUP BY 1),
+d AS (
+  SELECT CAST(r.range AS INT) AS bin,
+         greatest(coalesce(pb.n, 0) / (SELECT sum(n) FROM pb), 1e-6) AS p,
+         greatest(coalesce(qb.n, 0) / (SELECT sum(n) FROM qb), 1e-6) AS q
+  FROM range(0, 10) r
+  LEFT JOIN pb ON pb.bin = r.range LEFT JOIN qb ON qb.bin = r.range)
+SELECT bin, round(p, 9) AS p, round(q, 9) AS q,
+       round((p - q) * ln(p / q), 9) AS psi
+FROM d
+UNION ALL
+SELECT -1, NULL, NULL, round(sum((p - q) * ln(p / q)), 9) FROM d""",
         "stream_anomaly": """
 WITH w AS (
   SELECT user_id, event_id, value,

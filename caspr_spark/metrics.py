@@ -109,3 +109,76 @@ def top_k_hits(df: DataFrame, label_col: str, score_col: str, k: int) -> int:
     """
     top = df.orderBy(F.col(score_col).desc()).limit(k)
     return top.agg(F.sum(F.col(label_col).cast("long"))).collect()[0][0] or 0
+
+
+def calibration_bins(df: DataFrame, label_col: str, score_col: str,
+                     n_bins: int = 10) -> DataFrame:
+    """Reliability-diagram bins: scores in [0, 1] cut into ``n_bins``
+    equal-width bins; per bin the count, mean predicted score, and
+    empirical positive rate — the aggregation behind calibration curves
+    and expected calibration error (``ECE = Σ n_b/N · |conf_b -
+    acc_b|``, computable from this output with one more fold).
+
+    One keyed aggregation (map-side combined); scores exactly 1.0 fold
+    into the top bin. Bins with no rows are absent (the caller decides
+    whether absence or zero is the right rendering).
+    """
+    if n_bins < 1:
+        raise ValueError(f"n_bins must be >= 1, got {n_bins}")
+    s = F.col(score_col).cast("double")
+    b = F.least(F.floor(s * n_bins).cast("int"), F.lit(n_bins - 1))
+    return (df.groupBy(b.alias("bin"))
+              .agg(F.count(F.lit(1)).alias("n"),
+                   F.avg(s).alias("mean_score"),
+                   F.avg(F.col(label_col).cast("double"))
+                    .alias("positive_rate")))
+
+
+def drift_psi(base: DataFrame, current: DataFrame, col: str,
+              n_bins: int = 10, epsilon: float = 1e-6) -> DataFrame:
+    """Population Stability Index between a baseline sample and a
+    current sample of the same numeric column — the standard
+    drift-monitoring score (rule of thumb: < 0.1 stable, 0.1-0.25
+    moderate shift, > 0.25 investigate).
+
+    Bin edges are equal-width over the BASELINE min/max (fit-time
+    scalars from one tiny agg); out-of-range current values clamp into
+    the edge bins so new mass beyond the baseline range is counted, not
+    dropped. ``PSI = Σ_b (p_b - q_b) · ln(p_b / q_b)`` with
+    ``epsilon``-floored proportions (an empty bin would otherwise make
+    the log infinite). Returns one row per bin (p, q, contribution)
+    plus the total under bin = -1, so the report and the headline
+    number come from the same plan. Each side is one keyed agg —
+    monitoring cost is two scans at any scale.
+    """
+    if n_bins < 1:
+        raise ValueError(f"n_bins must be >= 1, got {n_bins}")
+    lo, hi = base.agg(F.min(F.col(col).cast("double")),
+                      F.max(F.col(col).cast("double"))).first()
+    if lo is None or hi is None or hi == lo:
+        raise ValueError(f"baseline column {col!r} has no spread "
+                         "(empty, all-null, or constant)")
+
+    def binned(df):
+        x = F.col(col).cast("double")
+        raw = F.floor((x - F.lit(lo)) * n_bins / F.lit(hi - lo)).cast("int")
+        clamped = F.greatest(F.lit(0), F.least(raw, F.lit(n_bins - 1)))
+        return (df.filter(x.isNotNull())
+                  .groupBy(clamped.alias("bin"))
+                  .agg(F.count(F.lit(1)).alias("n")))
+
+    spark = base.sparkSession
+    p = {r["bin"]: r["n"] for r in binned(base).collect()}
+    q = {r["bin"]: r["n"] for r in binned(current).collect()}
+    np_, nq = sum(p.values()), sum(q.values())
+    import math
+    rows, total = [], 0.0
+    for i in range(n_bins):
+        pb = max(p.get(i, 0) / np_, epsilon)
+        qb = max(q.get(i, 0) / nq, epsilon)
+        contrib = (pb - qb) * math.log(pb / qb)
+        total += contrib
+        rows.append((i, round(pb, 9), round(qb, 9), round(contrib, 9)))
+    rows.append((-1, None, None, round(total, 9)))
+    return spark.createDataFrame(
+        rows, "bin int, p double, q double, psi double")

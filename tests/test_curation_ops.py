@@ -649,3 +649,48 @@ class TestRobustOutliers:
         df = spark.createDataFrame([(i, 5.0) for i in range(10)],
                                    "id long, v double")
         assert remove_outliers_robust(df, ["v"]).count() == 10
+
+
+class TestCalibrationBins:
+    def test_hand_computed(self, spark):
+        from caspr_spark.metrics import calibration_bins
+        df = spark.createDataFrame(
+            [(1, 0.05), (0, 0.08),   # bin 0
+             (1, 0.95), (1, 1.00)],  # bin 9 (score 1.0 folds in)
+            "y int, score double")
+        got = {r.bin: (r.n, r.mean_score, r.positive_rate)
+               for r in calibration_bins(df, "y", "score").collect()}
+        assert set(got) == {0, 9}
+        assert got[0] == (2, pytest.approx(0.065), pytest.approx(0.5))
+        assert got[9] == (2, pytest.approx(0.975), pytest.approx(1.0))
+
+    def test_validation(self, spark):
+        from caspr_spark.metrics import calibration_bins
+        df = spark.createDataFrame([(1, 0.5)], "y int, score double")
+        with pytest.raises(ValueError, match="n_bins"):
+            calibration_bins(df, "y", "score", n_bins=0)
+
+
+class TestDriftPsi:
+    def test_identical_distributions_score_zero(self, spark):
+        from caspr_spark.metrics import drift_psi
+        df = spark.createDataFrame([(float(i % 10),) for i in range(1000)],
+                                   "v double")
+        out = {r.bin: r.psi for r in drift_psi(df, df, "v").collect()}
+        assert out[-1] == pytest.approx(0.0, abs=1e-9)
+
+    def test_shift_detected_and_clamping(self, spark):
+        from caspr_spark.metrics import drift_psi
+        base = spark.createDataFrame([(float(i % 10),) for i in range(1000)],
+                                     "v double")
+        # current values beyond the baseline range clamp into the top bin
+        cur = spark.createDataFrame([(50.0,)] * 1000, "v double")
+        rows = {r.bin: r for r in drift_psi(base, cur, "v").collect()}
+        assert rows[-1].psi > 0.25          # strong drift flagged
+        assert rows[9].q == pytest.approx(1.0)  # all mass clamped to bin 9
+
+    def test_validation(self, spark):
+        from caspr_spark.metrics import drift_psi
+        const = spark.createDataFrame([(1.0,)] * 5, "v double")
+        with pytest.raises(ValueError, match="spread"):
+            drift_psi(const, const, "v")

@@ -87,6 +87,7 @@ SNAPSHOT_QUERIES = [
     "quantize_embeddings",
     "rollup_incremental",
     "outlier_robust",
+    "calibration_bins",
 ]
 
 
