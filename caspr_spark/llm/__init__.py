@@ -17,7 +17,8 @@ from caspr_spark.llm.dedup import (
 )
 from caspr_spark.llm.similarity import (
     cosine_topk, cosine_topk_lsh, add_lsh_bucket, add_lsh_buckets,
-    embedding_near_duplicates, lsh_plan,
+    embedding_near_duplicates, lsh_plan, quantize_embeddings,
+    dequantize_embeddings,
 )
 from caspr_spark.llm.multimodal import (
     attach_binary_payload, extract_features, sample_frames,
@@ -49,7 +50,8 @@ __all__ = [
     "exact_dedup", "minhash_signatures", "minhash_lsh_dedup", "simhash",
     "ngram_jaccard_pairs",
     "cosine_topk", "cosine_topk_lsh", "add_lsh_bucket", "add_lsh_buckets",
-    "embedding_near_duplicates", "lsh_plan",
+    "embedding_near_duplicates", "lsh_plan", "quantize_embeddings",
+    "dequantize_embeddings",
     "attach_binary_payload", "extract_features", "sample_frames",
     "curate_corpus", "curation_report", "curate_corpus_v2",
     "repetition_signals", "redact_pii", "ngram_hashes", "decontaminate",

@@ -21,10 +21,9 @@ Plan shapes (both scale-safe at 100 TB):
   first occurrence wins deterministically), then one regroup on id to
   reassemble. No joins, nothing quadratic.
 - Boilerplate's frequent-unit set is ``count(distinct id) >= min_docs``
-  — a keyed agg with map-side partial aggregation; the surviving set is
-  small by construction (boilerplate = few distinct strings repeated
-  often) and is applied as a BROADCAST anti join, so the corpus-side
-  pass is map-only.
+  — a keyed agg with map-side partial aggregation — applied as an anti
+  join with no forced broadcast (the set grows with the corpus; AQE
+  broadcasts it while it fits).
 """
 
 from __future__ import annotations
@@ -52,17 +51,21 @@ def split_units(df: DataFrame, id_col: str = "doc_id",
 
 
 def _reassemble(units: DataFrame, id_col: str, sep: str,
-                out_col: str) -> DataFrame:
+                out_col: str, count_col: str | None = None) -> DataFrame:
     """(id, pos, unit) -> one row per id with units rejoined in pos order.
 
     collect_list + array_sort(struct(pos, unit)) keeps the regroup a
-    single keyed aggregation (no window, no second sort exchange)."""
-    return (units.groupBy(id_col)
-            .agg(F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "unit"))),
-                    lambda s: s["unit"]),
-                sep).alias(out_col)))
+    single keyed aggregation (no window, no second sort exchange).
+    ``count_col`` optionally adds the surviving-unit count in the same
+    aggregation."""
+    aggs = [F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "unit"))),
+            lambda s: s["unit"]),
+        sep).alias(out_col)]
+    if count_col is not None:
+        aggs.append(F.count("*").alias(count_col))
+    return units.groupBy(id_col).agg(*aggs)
 
 
 def paragraph_dedup(df: DataFrame, id_col: str = "doc_id",
@@ -101,9 +104,12 @@ def remove_boilerplate(df: DataFrame, id_col: str = "doc_id",
     count — so the pass never changes corpus cardinality (filtering on
     emptiness is the caller's policy decision).
 
-    The frequent-unit set is tiny by construction, so it is broadcast
-    and the corpus-side scrub is a map-only anti join; the two real
-    shuffles (unit-hash agg, id regroup) are both map-side combinable.
+    The frequent-unit set is usually small, but it grows with the
+    corpus (any sentence repeated across >= ``min_docs`` pages
+    qualifies), so it carries NO broadcast hint — AQE broadcasts it
+    while it fits and plans a shuffle anti join when it doesn't. The
+    two keyed shuffles (unit-frequency agg, id regroup) are both
+    map-side combinable.
     """
     units = split_units(df, id_col, text_col, sep, min_chars)
     units = units.withColumn("__h", F.md5(F.col("unit")))
@@ -111,14 +117,8 @@ def remove_boilerplate(df: DataFrame, id_col: str = "doc_id",
                 .agg(F.count_distinct(F.col(id_col)).alias("__df"))
                 .filter(F.col("__df") >= min_docs)
                 .select("__h"))
-    kept = units.join(F.broadcast(frequent), on="__h", how="left_anti")
-    body = (kept.groupBy(id_col)
-            .agg(F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "unit"))),
-                    lambda s: s["unit"]),
-                sep).alias(out_col),
-                F.count("*").alias("n_kept")))
+    kept = units.join(frequent, on="__h", how="left_anti")
+    body = _reassemble(kept, id_col, sep, out_col, count_col="n_kept")
     base = df.select(id_col)
     return (base.join(body, on=id_col, how="left")
                 .select(F.col(id_col),

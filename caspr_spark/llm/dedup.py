@@ -242,10 +242,11 @@ def dedup_keep_best(df: DataFrame, pairs: DataFrame, quality_col: str,
     join. The component relation is NOT broadcast-hinted — at web scale
     dup clusters can cover half the corpus, so AQE decides.
     """
-    comp = connected_components(pairs)
+    comp = connected_components(pairs).select(
+        F.col("id").alias("__cid"), "component")
     scored = (df.select(F.col(id_col), F.col(quality_col))
-                .join(comp, on=F.col(id_col) == F.col("id"))
-                .drop("id"))
+                .join(comp, on=F.col(id_col) == F.col("__cid"))
+                .drop("__cid"))
     w = Window.partitionBy("component").orderBy(F.col(quality_col).desc(),
                                                 F.col(id_col).asc())
     losers = (scored.withColumn("__rn", F.row_number().over(w))
@@ -401,7 +402,11 @@ def winnow_pairs(df: DataFrame, id_col: str = "doc_id",
     fingerprint would otherwise fan out quadratically (same hot-key
     discipline as ``decontaminate``'s df cap).
     """
-    fps = winnow_fingerprints(df, id_col, text_col, k, window)
+    # persisted: the fingerprint relation (tokenize -> gram explode ->
+    # two windows -> distinct, the dominant cost) feeds the df cap and
+    # BOTH self-join sides — same multi-consumer contract as the
+    # persisted shingles above / tfidf weights in search.py
+    fps = winnow_fingerprints(df, id_col, text_col, k, window).persist()
     if max_df is not None:
         rare = (fps.groupBy("fingerprint")
                 .agg(F.count(F.lit(1)).alias("__df"))

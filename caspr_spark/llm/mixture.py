@@ -68,8 +68,12 @@ def mixture_sample(df: DataFrame, domain_col: str, budget: int,
     if not id_cols:
         raise ValueError("id_cols must name the row-identifying columns "
                          "(hash-threshold sampling needs per-row hashes)")
-    counts = df.groupBy(domain_col).agg(
-        F.count(F.lit(1)).cast("double").alias("__n"))
+    # NULL domains are excluded from the counts too — a null group in
+    # the n^alpha normalization would deflate every real domain's rate
+    # while its own rows are dropped at the equi-join anyway
+    counts = (df.filter(F.col(domain_col).isNotNull())
+                .groupBy(domain_col)
+                .agg(F.count(F.lit(1)).cast("double").alias("__n")))
     wsum = counts.agg(F.sum(F.pow(F.col("__n"), F.lit(float(alpha))))
                       .alias("__wsum"))
     rates = (counts.crossJoin(F.broadcast(wsum))

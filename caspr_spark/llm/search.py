@@ -179,6 +179,16 @@ def related_documents(docs: DataFrame, k: int = 5, id_col: str = "doc_id",
     # as the persisted shingles/buckets in dedup.py / similarity.py —
     # callers looping over corpora should spark.catalog.clearCache()
     w = tfidf_weights(docs, id_col, text_col, max_df).persist()
+    # Fixed-point accumulation overflows silently (Spark wraps longs) if
+    # any single weight² · 1e9 approaches 2^63 — a degenerate doc with a
+    # term at tf ≈ 1e4 gets there. Guard loudly with a 1e4-term headroom
+    # budget; cost is one agg over the already-persisted weights.
+    max_w = w.agg(F.max(F.abs(F.col("weight")))).first()[0] or 0.0
+    if max_w * max_w * _FX > (1 << 62) / 1e4:
+        raise ValueError(
+            f"max |tf-idf weight| {max_w:.1f} would overflow the 1e-9 "
+            "fixed-point accumulators; cap term frequency upstream (clip "
+            "tf, drop degenerate documents) or lower max_df")
     fx = F.round(F.col("weight") * F.col("weight") * _FX).cast("long")
     norms = (w.withColumn("__w2", fx)
               .groupBy(id_col).agg(F.sum("__w2").alias("__n2fx"))

@@ -171,6 +171,9 @@ def drift_psi(base: DataFrame, current: DataFrame, col: str,
     p = {r["bin"]: r["n"] for r in binned(base).collect()}
     q = {r["bin"]: r["n"] for r in binned(current).collect()}
     np_, nq = sum(p.values()), sum(q.values())
+    if nq == 0:
+        raise ValueError(f"current sample has no non-null rows in {col!r}; "
+                         "PSI is undefined for an empty window")
     import math
     rows, total = [], 0.0
     for i in range(n_bins):
@@ -182,3 +185,16 @@ def drift_psi(base: DataFrame, current: DataFrame, col: str,
     rows.append((-1, None, None, round(total, 9)))
     return spark.createDataFrame(
         rows, "bin int, p double, q double, psi double")
+
+
+def expected_calibration_error(df: DataFrame, label_col: str,
+                               score_col: str, n_bins: int = 10) -> float:
+    """ECE = Σ_b (n_b/N) · |mean_score_b − positive_rate_b| over the
+    :func:`calibration_bins` output — the headline scalar of a
+    reliability diagram. One aggregation + a bins-sized driver fold."""
+    rows = calibration_bins(df, label_col, score_col, n_bins).collect()
+    total = sum(r["n"] for r in rows)
+    if total == 0:
+        return 0.0
+    return float(sum(r["n"] * abs(r["mean_score"] - r["positive_rate"])
+                     for r in rows) / total)

@@ -29,12 +29,19 @@ from caspr_spark.operators.timeseries import (
     continuous_rollup, funnel, hourly_aggregate, time_bucket,
 )
 from caspr_spark.operators.joins import fuzzy_join
-from caspr_spark.operators.merge import merge_upsert
+from caspr_spark.operators.merge import merge_upsert, diff_snapshots
 from caspr_spark.operators.frequent import heavy_hitters
 from caspr_spark.operators.layout import zorder_value, zorder_repartition
+from caspr_spark.operators.profile import profile_table, covariance_matrix
+from caspr_spark.operators.filters import remove_outliers_robust
+from caspr_spark.operators.timeseries import (
+    merge_rollup_delta, distinct_sketch_layer, distinct_rollup,
+    distinct_total,
+)
 from caspr_spark.operators.sampling import (
     stratified_sample_hash, stratified_sample_exact, downsample_to_cap,
-    global_running_sum, select_to_token_budget,
+    global_running_sum, select_to_token_budget, weighted_sample_topk,
+    assign_folds,
 )
 
 __all__ = [
@@ -50,8 +57,12 @@ __all__ = [
     "build_multi_hot_labels", "join_labels",
     "asof_join", "bloom_semi_join", "range_join", "salted_join",
     "time_bucket", "hourly_aggregate", "continuous_rollup", "funnel",
-    "fuzzy_join", "merge_upsert", "heavy_hitters",
+    "fuzzy_join", "merge_upsert", "diff_snapshots", "heavy_hitters",
     "zorder_value", "zorder_repartition",
+    "profile_table", "covariance_matrix", "remove_outliers_robust",
+    "merge_rollup_delta", "distinct_sketch_layer", "distinct_rollup",
+    "distinct_total",
     "stratified_sample_hash", "stratified_sample_exact",
     "downsample_to_cap", "global_running_sum", "select_to_token_budget",
+    "weighted_sample_topk", "assign_folds",
 ]

@@ -47,8 +47,8 @@ def profile_table(df: DataFrame, cols: list[str] | None = None,
     aggs = []
     for c in cols:
         aggs += [
-            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
-             .alias(f"nn_{c}"),
+            F.coalesce(F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)),
+                       F.lit(0)).alias(f"nn_{c}"),
             nd(F.col(c)).alias(f"nd_{c}"),
             F.min(F.col(c)).cast("string").alias(f"mn_{c}"),
             F.max(F.col(c)).cast("string").alias(f"mx_{c}"),
@@ -110,24 +110,28 @@ def covariance_matrix(df: DataFrame, cols: list[str],
         raise ValueError(f"ddof must be 0 or 1, got {ddof}")
     d = df.na.drop(subset=cols).select(
         *[F.col(c).cast("double").alias(c) for c in cols])
+    # aliases are POSITIONAL (s_0, p_0_1) — name-derived aliases would
+    # collide for underscore-bearing columns ((a, b_c) vs (a_b, c))
     aggs = [F.count(F.lit(1)).alias("n")]
-    for c in cols:
-        aggs.append(F.sum(F.col(c)).alias(f"s_{c}"))
-    for i, a in enumerate(cols):
-        for b in cols[i:]:
-            aggs.append(F.sum(F.col(a) * F.col(b)).alias(f"p_{a}_{b}"))
+    for i, c in enumerate(cols):
+        aggs.append(F.sum(F.col(c)).alias(f"s_{i}"))
+    for i in range(len(cols)):
+        for j in range(i, len(cols)):
+            aggs.append(F.sum(F.col(cols[i]) * F.col(cols[j]))
+                        .alias(f"p_{i}_{j}"))
     row = d.agg(*aggs).first()
     n = row["n"]
     out = []
     for i, a in enumerate(cols):
-        for b in cols[i:]:
+        for j in range(i, len(cols)):
+            b = cols[j]
             if n <= ddof:
                 cov = corr = None
             else:
-                cov = (row[f"p_{a}_{b}"] - row[f"s_{a}"] * row[f"s_{b}"] / n) \
+                cov = (row[f"p_{i}_{j}"] - row[f"s_{i}"] * row[f"s_{j}"] / n) \
                     / (n - ddof)
-                va = (row[f"p_{a}_{a}"] - row[f"s_{a}"] ** 2 / n) / (n - ddof)
-                vb = (row[f"p_{b}_{b}"] - row[f"s_{b}"] ** 2 / n) / (n - ddof)
+                va = (row[f"p_{i}_{i}"] - row[f"s_{i}"] ** 2 / n) / (n - ddof)
+                vb = (row[f"p_{j}_{j}"] - row[f"s_{j}"] ** 2 / n) / (n - ddof)
                 corr = cov / (va ** 0.5 * vb ** 0.5) \
                     if va > 0 and vb > 0 else None
             out.append((a, b, cov, corr))

@@ -227,12 +227,14 @@ def streaming_anomaly_zscore(stream: DataFrame, key_col: str = "user_id",
         z = np.where((pn >= 2) & (sd > 0), np.round(z, 6), np.nan)
         state.update((int(n + k), float(s + v.sum()),
                       float(q + (v * v).sum())))
-        yield pd.DataFrame({
-            key_col: [key[0]] * k,
-            tiebreak_col: batch[tiebreak_col].to_numpy(),
-            "n_prior": pn.astype("int32"),
-            "z": z,
-        })
+        if k:  # an all-null batch emits nothing (empty frames would
+            #   reach Arrow with object dtypes and fail the schema)
+            yield pd.DataFrame({
+                key_col: [key[0]] * k,
+                tiebreak_col: batch[tiebreak_col].to_numpy(),
+                "n_prior": pn.astype("int32"),
+                "z": z,
+            })
 
     return (stream.groupBy(key_col)
             .applyInPandasWithState(update, out_schema, state_schema,

@@ -694,3 +694,73 @@ class TestDriftPsi:
         const = spark.createDataFrame([(1.0,)] * 5, "v double")
         with pytest.raises(ValueError, match="spread"):
             drift_psi(const, const, "v")
+
+
+class TestExpectedCalibrationError:
+    def test_perfectly_calibrated_scores(self, spark):
+        from caspr_spark.metrics import expected_calibration_error
+        # score 0.25 bin: 1 of 4 positive; score 0.75 bin: 3 of 4
+        rows = [(1 if i == 0 else 0, 0.25) for i in range(4)] + \
+               [(0 if i == 0 else 1, 0.75) for i in range(4)]
+        df = spark.createDataFrame(rows, "y int, score double")
+        assert expected_calibration_error(df, "y", "score") == \
+            pytest.approx(0.0, abs=1e-12)
+
+    def test_overconfident_scores(self, spark):
+        from caspr_spark.metrics import expected_calibration_error
+        df = spark.createDataFrame([(0, 0.95)] * 10, "y int, score double")
+        assert expected_calibration_error(df, "y", "score") == \
+            pytest.approx(0.95)
+
+
+class TestReviewRegressions:
+    """Regression pins for the round-4 code-review findings."""
+
+    def test_covariance_underscore_columns_do_not_collide(self, spark):
+        # (a, b_c) and (a_b, c) used to alias to the same agg column
+        from caspr_spark.operators.profile import covariance_matrix
+        df = spark.createDataFrame(
+            [(1.0, 2.0, 10.0, 3.0), (2.0, 1.0, 20.0, 5.0),
+             (3.0, 5.0, 30.0, 7.0)],
+            "a double, b_c double, a_b double, c double")
+        got = {(r.col_a, r.col_b): r.cov for r in covariance_matrix(
+            df, ["a", "b_c", "a_b", "c"]).collect()}
+        import numpy as np
+        a = np.array([1.0, 2.0, 3.0]); bc = np.array([2.0, 1.0, 5.0])
+        ab = np.array([10.0, 20.0, 30.0]); c = np.array([3.0, 5.0, 7.0])
+        assert got[("a", "b_c")] == pytest.approx(
+            np.cov(a, bc, ddof=0)[0, 1])
+        assert got[("a_b", "c")] == pytest.approx(
+            np.cov(ab, c, ddof=0)[0, 1])
+
+    def test_keep_best_with_id_named_id(self, spark):
+        docs = spark.createDataFrame([(1, 10), (2, 99)], "id long, q long")
+        pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+        kept = [r.id for r in dedup_keep_best(
+            docs, pairs, quality_col="q", id_col="id").collect()]
+        assert kept == [2]
+
+    def test_mixture_null_domain_does_not_deflate_rates(self, spark):
+        from caspr_spark.llm.mixture import mixture_sample
+        rows = [(i, "a") for i in range(100)] + \
+               [(100 + i, None) for i in range(100)]
+        df = spark.createDataFrame(rows, "doc_id long, dom string")
+        # budget covers the whole non-null domain: rate must clamp to 1
+        out = mixture_sample(df, "dom", budget=100, id_cols=["doc_id"])
+        assert out.count() == 100  # was ~50 when the null group diluted
+
+    def test_profile_empty_table_renders_zero_nulls(self, spark):
+        from caspr_spark.operators.profile import profile_table
+        df = spark.createDataFrame([], "c long")
+        got = {(r.column, r.metric): r.value
+               for r in profile_table(df, include_modal=False).collect()}
+        assert got[("c", "n_nulls")] == "0"
+        assert got[("c", "n_distinct")] == "0"
+
+    def test_drift_psi_empty_current_raises(self, spark):
+        from caspr_spark.metrics import drift_psi
+        base = spark.createDataFrame([(float(i),) for i in range(10)],
+                                     "v double")
+        empty = base.filter(F.lit(False))
+        with pytest.raises(ValueError, match="current sample"):
+            drift_psi(base, empty, "v")
