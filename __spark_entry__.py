@@ -1873,8 +1873,9 @@ def q_source_csv_roundtrip(spark, sf_dir):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver contract: the correctness gate certifies the FIRST 50 entries.
 
-    81+ of the queries carry full DuckDB oracles — more than one 50-slot
-    window holds — so certification rotates across rounds (COVERAGE.md maps
+    124 of the 142 queries carry full DuckDB oracles — more than one
+    50-slot window holds — so certification rotates across rounds
+    (COVERAGE.md maps
     which round certified which row; tools/check_correctness.py re-runs the
     FULL oracle suite locally each round -> CORRECTNESS_local_r{N}.json).
     Round-4 ordering discipline (per the round-3 verdict's top item):
@@ -1903,7 +1904,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                    segment_dec, the r3-certified pipelines, and four
                    r3-certified stream/LSH queries rotate to 51+ (still
                    in the local suite),
-      slots 51+    remaining oracle-bearing queries (all driver-green in
+      slots 51-75  oracle-bearing queries NEW in round 4, part five —
+                   the corpus-cleaning / curation / data-engineering /
+                   monitoring batch (clean_*, quality_hashed_bow,
+                   token_budget_select, merge_upsert_orders,
+                   hybrid_search_rrf, dedup_keep_best, stream_sessions,
+                   heavy_hitters, fuzzy_join_parts, zorder_layout,
+                   weighted_sample, cv_folds, source_csv_roundtrip,
+                   llm_curate_v2, diff_snapshots, profile_table,
+                   semantic_dedup, quantize_embeddings,
+                   covariance_matrix, rollup_incremental,
+                   outlier_robust, stream_anomaly, calibration_bins,
+                   drift_psi) — local-certified at both SFs this round,
+                   queued for driver rotation,
+      slots 76+    remaining oracle-bearing queries (all driver-green in
                    r2/r3), then rows-only / no-oracle queries (seeded RNG,
                    iterative) at the very end.
     """
@@ -1974,10 +1988,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #     the new stream_stream_join --------------------------------
         "emb_near_dup": q_emb_near_dup,
         "stream_stream_join": q_stream_stream_join,
-        # --- slots 51-57: oracle-bearing, NEW in round 4, part five
+        # --- slots 51-75: oracle-bearing, NEW in round 4, part five
         #     (corpus cleaning, quality classifier, token-budget
-        #     selection, upsert compaction, hybrid retrieval, keep-best
-        #     dedup) — local-certified this round, driver rotation next --
+        #     selection, upsert compaction + CDC diff, hybrid retrieval,
+        #     keep-best + semantic dedup, heavy hitters, fuzzy join,
+        #     z-order, weighted/k-fold sampling, csv source, curation
+        #     v2, profiling + covariance, quantization, IVM rollup,
+        #     robust outliers, streaming sessions/anomaly, calibration,
+        #     PSI) — local-certified this round, driver rotation next --
         "clean_paragraph_dedup": q_clean_paragraph_dedup,
         "clean_boilerplate": q_clean_boilerplate,
         "quality_hashed_bow": q_quality_hashed_bow,
