@@ -279,7 +279,8 @@ def salted_join(left: DataFrame, right: DataFrame, on: list[str],
 
 def fuzzy_join(left: DataFrame, right: DataFrame, left_col: str,
                right_col: str, max_distance: int = 1, block_len: int = 3,
-               out_col: str = "edit_distance") -> DataFrame:
+               out_col: str = "edit_distance",
+               max_block_pairs: int | None = None) -> DataFrame:
     """Blocked approximate string join — the entity-resolution /
     record-linkage primitive (match names, titles, addresses that differ
     by typos).
@@ -301,7 +302,13 @@ def fuzzy_join(left: DataFrame, right: DataFrame, left_col: str,
     never a cartesian product — and the quadratic levenshtein work is
     confined within blocks, so block granularity is the knob trading
     recall against per-block fan-out (same discipline as the LSH
-    banding in ``llm.dedup``).
+    banding in ``llm.dedup``). A HOT block (many rows sharing a prefix —
+    e.g. low-diversity name vocabularies) still fans out as nl·nr within
+    itself; ``max_block_pairs`` drops blocks whose pair fan-out exceeds
+    the cap, with a warning naming how many blocks were skipped — the
+    same stated-recall hot-key cap as ``winnow_pairs``' ``max_df``. The
+    sf1 scale sweep measured the uncapped pathology at ~100x
+    (SCALING_r04.md); production callers should set a cap.
     """
     if max_distance < 0:
         raise ValueError(f"max_distance must be >= 0, got {max_distance}")
@@ -315,6 +322,23 @@ def fuzzy_join(left: DataFrame, right: DataFrame, left_col: str,
         "__blk", F.lower(F.substring(F.col(left_col), 1, block_len)))
     rb = right.withColumn(
         "__blk", F.lower(F.substring(F.col(right_col), 1, block_len)))
+    if max_block_pairs is not None:
+        if max_block_pairs < 1:
+            raise ValueError(
+                f"max_block_pairs must be >= 1, got {max_block_pairs}")
+        sizes = (lb.groupBy("__blk").agg(F.count(F.lit(1)).alias("__nl"))
+                 .join(rb.groupBy("__blk")
+                         .agg(F.count(F.lit(1)).alias("__nr")), "__blk"))
+        n_hot = sizes.filter(
+            F.col("__nl") * F.col("__nr") > max_block_pairs).count()
+        if n_hot:
+            warnings.warn(
+                f"fuzzy_join: dropping {n_hot} hot block(s) whose pair "
+                f"fan-out exceeds max_block_pairs={max_block_pairs}; "
+                "matches inside them are NOT produced (recall cap)")
+        keep = (sizes.filter(F.col("__nl") * F.col("__nr")
+                             <= max_block_pairs).select("__blk"))
+        lb = lb.join(keep, on="__blk", how="left_semi")
     dist = F.levenshtein(F.col(left_col), F.col(right_col), max_distance)
     return (lb.join(rb, on="__blk", how="inner")
               .withColumn(out_col, dist)

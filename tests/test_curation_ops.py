@@ -764,3 +764,38 @@ class TestReviewRegressions:
         empty = base.filter(F.lit(False))
         with pytest.raises(ValueError, match="current sample"):
             drift_psi(base, empty, "v")
+
+
+class TestFuzzyJoinBlockCap:
+    def test_hot_block_dropped_with_warning(self, spark):
+        import warnings as w
+        from caspr_spark.operators.joins import fuzzy_join
+        left = spark.createDataFrame(
+            [(i, "aaax") for i in range(20)] + [(100, "zzzq")],
+            "lid long, lname string")
+        right = spark.createDataFrame(
+            [(i, "aaay") for i in range(20)] + [(200, "zzzw")],
+            "rid long, rname string")
+        with w.catch_warnings(record=True) as caught:
+            w.simplefilter("always")
+            out = fuzzy_join(left, right, "lname", "rname",
+                             max_distance=2, block_len=3,
+                             max_block_pairs=100).collect()
+        # the 20x20 'aaa' block exceeds the cap and is dropped; the
+        # 1x1 'zzz' block survives
+        assert [(r.lid, r.rid) for r in out] == [(100, 200)]
+        assert any("hot block" in str(c.message) for c in caught)
+
+    def test_no_cap_keeps_everything(self, spark):
+        from caspr_spark.operators.joins import fuzzy_join
+        left = spark.createDataFrame([(1, "abcd")], "lid long, lname string")
+        assert fuzzy_join(left, left.select(
+            F.col("lid").alias("rid"), F.col("lname").alias("rname")),
+            "lname", "rname").count() == 1
+
+    def test_cap_validation(self, spark):
+        from caspr_spark.operators.joins import fuzzy_join
+        df = spark.createDataFrame([(1, "x")], "i long, s string")
+        df2 = df.select(F.col("i").alias("j"), F.col("s").alias("t"))
+        with pytest.raises(ValueError, match="max_block_pairs"):
+            fuzzy_join(df, df2, "s", "t", max_block_pairs=0)
