@@ -1558,8 +1558,10 @@ def q_clean_paragraph_dedup(spark, sf_dir):
 
 def q_clean_boilerplate(spark, sf_dir):
     """Boilerplate-unit removal (clean.py remove_boilerplate): drop
-    units occurring in >= 5 distinct docs; the frequent-unit set is
-    broadcast so the corpus-side scrub is a map-only anti join."""
+    units occurring in >= 5 distinct docs; the frequent-unit set
+    carries NO broadcast hint by design — AQE broadcasts it while it
+    fits and degrades to a shuffle anti join when the corpus grows it
+    past the threshold (clean.py:108-111)."""
     from caspr_spark.llm.clean import remove_boilerplate
     docs = _t(spark, sf_dir, "documents")
     return remove_boilerplate(docs, sep=" the ", min_docs=5)
@@ -1656,7 +1658,11 @@ def q_fuzzy_join(spark, sf_dir):
     """Blocked approximate string join (joins.py fuzzy_join): every 7th
     part name with its last character dropped, re-linked to the part
     table by 4-char-prefix blocking + thresholded levenshtein <= 2.
-    Equi-join on the block key — no cartesian anywhere."""
+    Equi-join on the block key — no cartesian anywhere. The hot-block
+    cap (now the operator DEFAULT, r4 verdict item 2) is passed
+    explicitly so the certified plan is the capped production plan; at
+    these prefix cardinalities no block approaches 1e6 pairs, so the
+    result set is identical to the uncapped oracle."""
     from caspr_spark.operators.joins import fuzzy_join
     part = _t(spark, sf_dir, "part")
     probe = (part.filter(F.col("p_partkey") % 7 == 0)
@@ -1664,7 +1670,8 @@ def q_fuzzy_join(spark, sf_dir):
                          F.expr("substring(p_name, 1, length(p_name)-1)")
                           .alias("probe_name")))
     fj = fuzzy_join(probe, part.select("p_partkey", "p_name"),
-                    "probe_name", "p_name", max_distance=2, block_len=4)
+                    "probe_name", "p_name", max_distance=2, block_len=4,
+                    max_block_pairs=1_000_000)
     return fj.select("probe_id", "p_partkey", "edit_distance")
 
 
@@ -1878,58 +1885,91 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (COVERAGE.md maps
     which round certified which row; tools/check_correctness.py re-runs the
     FULL oracle suite locally each round -> CORRECTNESS_local_r{N}.json).
-    Round-4 ordering discipline (per the round-3 verdict's top item):
-      slots 1-5    oracle-bearing queries NEW in round 4 (per-entity
-                   prediction-date pipeline, composite-entity-key
-                   pipeline, deterministic stratified samplers),
-      slots 6-36   the 31 rows last driver-certified in ROUND 1 — they
-                   predate the r3 session-TZ timestamp-read change
-                   (commit 6d60e9d) and only the local suite has re-proven
-                   them since; leading with them completes a fully
-                   post-change driver-certified set,
-      slots 37-40  oracle-bearing queries NEW in round 4, part two: the
-                   text filtering + search suite (repetition signals,
-                   PII redaction, n-gram decontamination, BM25 top-k),
-      slots 41-44  oracle-bearing queries NEW in round 4, part three: the
-                   training-mixture suite (offset + next-fit sequence
-                   packing, temperature mixture sampling,
-                   diversity-balanced sampling),
-      slots 45-48  oracle-bearing queries NEW in round 4, part four
-                   (bigram-LM perplexity scoring, retrieval chunking,
-                   winnowing fingerprint pairs, tf-idf related docs),
-      slots 49-50  emb_near_dup — the query exercising every piece of
-                   this round's LSH physical-layout change (bit-packed
-                   buckets, single-eval scoring, lean rejoins) — and the
-                   new stream_stream_join; funnel/bloom/asof-forward/
-                   segment_dec, the r3-certified pipelines, and four
-                   r3-certified stream/LSH queries rotate to 51+ (still
-                   in the local suite),
-      slots 51-75  oracle-bearing queries NEW in round 4, part five —
-                   the corpus-cleaning / curation / data-engineering /
-                   monitoring batch (clean_*, quality_hashed_bow,
-                   token_budget_select, merge_upsert_orders,
-                   hybrid_search_rrf, dedup_keep_best, stream_sessions,
-                   heavy_hitters, fuzzy_join_parts, zorder_layout,
-                   weighted_sample, cv_folds, source_csv_roundtrip,
-                   llm_curate_v2, diff_snapshots, profile_table,
-                   semantic_dedup, quantize_embeddings,
-                   covariance_matrix, rollup_incremental,
-                   outlier_robust, stream_anomaly, calibration_bins,
-                   drift_psi) — local-certified at both SFs this round,
-                   queued for driver rotation,
-      slots 76+    remaining oracle-bearing queries (all driver-green in
-                   r2/r3), then rows-only / no-oracle queries (seeded RNG,
+    Round-5 ordering discipline (per the round-4 verdict's top item):
+      slots 1-25   the round-4 "part five" batch — corpus cleaning /
+                   curation / data-engineering / monitoring
+                   (clean_* ... drift_psi) — local-oracle green at both
+                   SFs in round 4 but NEVER driver-certified; leading
+                   with them closes that gap (r4 verdict item 1).
+                   fuzzy_join_parts now passes the hot-block cap
+                   explicitly (r4 verdict item 2: cap is the operator
+                   default as of this round),
+      slots 26-50  the r2/r3-driver-certified block longest out of the
+                   window (pipelines, streaming suite, simsearch,
+                   range/bloom/funnel/rollup, scoring/metrics/explain) —
+                   refreshed so no oracle row's last certification ages
+                   past two rounds,
+      slots 51+    the rows driver-certified in round 4 (CORRECTNESS_r04
+                   50/50 green), then the remaining r1-certified rows,
+                   then rows-only / no-oracle queries (seeded RNG,
                    iterative) at the very end.
     """
     return {
-        # --- slots 1-5: oracle-bearing, NEW in round 4 -------------------
+        # --- slots 1-25: the round-4 part-five batch, first driver
+        #     certification (corpus cleaning, quality classifier,
+        #     token-budget selection, upsert compaction + CDC diff,
+        #     hybrid retrieval, keep-best + semantic dedup, heavy
+        #     hitters, fuzzy join (hot-block cap now default), z-order,
+        #     weighted/k-fold sampling, csv source, curation v2,
+        #     profiling + covariance, quantization, IVM rollup, robust
+        #     outliers, streaming sessions/anomaly, calibration, PSI) --
+        "clean_paragraph_dedup": q_clean_paragraph_dedup,
+        "clean_boilerplate": q_clean_boilerplate,
+        "quality_hashed_bow": q_quality_hashed_bow,
+        "token_budget_select": q_token_budget_select,
+        "merge_upsert_orders": q_merge_upsert,
+        "hybrid_search_rrf": q_hybrid_search_rrf,
+        "dedup_keep_best": q_dedup_keep_best,
+        "stream_sessions": q_stream_sessions,
+        "heavy_hitters": q_heavy_hitters,
+        "fuzzy_join_parts": q_fuzzy_join,
+        "zorder_layout": q_zorder_layout,
+        "weighted_sample": q_weighted_sample,
+        "cv_folds": q_cv_folds,
+        "source_csv_roundtrip": q_source_csv_roundtrip,
+        "llm_curate_v2": q_llm_curate_v2,
+        "diff_snapshots": q_diff_snapshots,
+        "profile_table": q_profile_table,
+        "semantic_dedup": q_semantic_dedup,
+        "quantize_embeddings": q_quantize_embeddings,
+        "covariance_matrix": q_covariance_matrix,
+        "rollup_incremental": q_rollup_incremental,
+        "outlier_robust": q_outlier_robust,
+        "stream_anomaly": q_stream_anomaly,
+        "calibration_bins": q_calibration_bins,
+        "drift_psi": q_drift_psi,
+        # --- slots 26-50: r2/r3-certified block, refreshed this round --
+        "simsearch_topk_lsh": q_simsearch_topk_lsh,
+        "pipeline_events": q_pipeline_events,
+        "pipeline_lineitem": q_pipeline_lineitem,
+        "pipeline_orders_profile": q_pipeline_orders_profile,
+        "pipeline_events_array": q_pipeline_events_array,
+        "stream_windowed_stats": q_stream_windowed_stats,
+        "stream_last3_state": q_stream_last3_state,
+        "stream_dedup": q_stream_dedup,
+        "simsearch_topk": q_simsearch_topk,
+        "stream_static_join": q_stream_static_join,
+        "range_join_campaigns": q_range_join,
+        "hypertable_rollup": q_hypertable_rollup,
+        "funnel_conversion": q_funnel,
+        "bloom_semi_join": q_bloom_semi,
+        "asof_join_forward": q_asof_join_forward,
+        "segment_dec": q_segment_dec,
+        "j2_semi_prune": q_j2_semi_prune,
+        "p7_array_pack": q_p7_array_pack,
+        "s1_parquet_roundtrip": q_s1_parquet_roundtrip,
+        "score_linear": q_score_linear,
+        "metrics_confusion": q_metrics_confusion,
+        "metrics_roc_auc": q_metrics_roc_auc,
+        "metrics_roc_auc_binned": q_metrics_roc_auc_binned,
+        "explain_linear_ablation": q_explain_linear_ablation,
+        "x3_trainset_labeled": q_x3_trainset_labeled,
+        # --- slots 51-100: driver-certified in round 4 (50/50 green) ----
         "pipeline_events_percutoff": q_pipeline_events_percutoff,
         "pipeline_orders_composite": q_pipeline_orders_composite,
         "stratified_sample_exact": q_stratified_sample_exact,
         "stratified_sample_hash": q_stratified_sample_hash,
         "downsample_cap": q_downsample_cap,
-        # --- slots 6-36: the 31 round-1-certified rows (post-TZ-change
-        #     re-certification) ---------------------------------------------
         "a1_cardinality": q_a1_cardinality,
         "a2_topk_cat_freq": q_a2_topk_cat_freq,
         "a3_summary_stats": q_a3_summary_stats,
@@ -1961,92 +2001,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f6_null_drop": q_f6_null_drop,
         "e6_denormalize_roundtrip": q_e6_denormalize_roundtrip,
         "e7_date_interval": q_e7_date_interval,
-        # --- slots 37-40: oracle-bearing, NEW in round 4 (text filtering
-        #     + search suite) --------------------------------------------
         "text_repetition": q_text_repetition,
         "pii_redact": q_pii_redact,
         "decontaminate": q_decontaminate,
         "bm25_search": q_bm25_search,
-        # --- slots 41-44: oracle-bearing, NEW in round 4, part three: the
-        #     training-mixture suite (sequence packing x2, temperature
-        #     mixture sampling, diversity-balanced sampling) --------------
         "seq_pack_offset": q_seq_pack_offset,
         "seq_pack_nextfit": q_seq_pack_nextfit,
         "mixture_sample": q_mixture_sample,
         "cluster_balanced": q_cluster_balanced,
-        # --- slots 45-46: oracle-bearing, NEW in round 4, part four
-        #     (bigram-LM quality scoring, retrieval chunking) ------------
         "lm_perplexity": q_lm_perplexity,
         "doc_chunks": q_doc_chunks,
-        # --- slots 47-48: oracle-bearing, NEW in round 4 (winnowing,
-        #     tf-idf related docs) --------------------------------------
         "winnow_pairs": q_winnow_pairs,
         "related_docs": q_related_docs,
-        # --- slots 49-50: the LSH query whose physical layout changed
-        #     this round (bit-packed buckets, single-eval scoring, lean
-        #     rejoins — emb_near_dup exercises every changed piece) and
-        #     the new stream_stream_join --------------------------------
         "emb_near_dup": q_emb_near_dup,
         "stream_stream_join": q_stream_stream_join,
-        # --- slots 51-75: oracle-bearing, NEW in round 4, part five
-        #     (corpus cleaning, quality classifier, token-budget
-        #     selection, upsert compaction + CDC diff, hybrid retrieval,
-        #     keep-best + semantic dedup, heavy hitters, fuzzy join,
-        #     z-order, weighted/k-fold sampling, csv source, curation
-        #     v2, profiling + covariance, quantization, IVM rollup,
-        #     robust outliers, streaming sessions/anomaly, calibration,
-        #     PSI) — local-certified this round, driver rotation next --
-        "clean_paragraph_dedup": q_clean_paragraph_dedup,
-        "clean_boilerplate": q_clean_boilerplate,
-        "quality_hashed_bow": q_quality_hashed_bow,
-        "token_budget_select": q_token_budget_select,
-        "merge_upsert_orders": q_merge_upsert,
-        "hybrid_search_rrf": q_hybrid_search_rrf,
-        "dedup_keep_best": q_dedup_keep_best,
-        "stream_sessions": q_stream_sessions,
-        "heavy_hitters": q_heavy_hitters,
-        "fuzzy_join_parts": q_fuzzy_join,
-        "zorder_layout": q_zorder_layout,
-        "weighted_sample": q_weighted_sample,
-        "cv_folds": q_cv_folds,
-        "source_csv_roundtrip": q_source_csv_roundtrip,
-        "llm_curate_v2": q_llm_curate_v2,
-        "diff_snapshots": q_diff_snapshots,
-        "profile_table": q_profile_table,
-        "semantic_dedup": q_semantic_dedup,
-        "quantize_embeddings": q_quantize_embeddings,
-        "covariance_matrix": q_covariance_matrix,
-        "rollup_incremental": q_rollup_incremental,
-        "outlier_robust": q_outlier_robust,
-        "stream_anomaly": q_stream_anomaly,
-        "calibration_bins": q_calibration_bins,
-        "drift_psi": q_drift_psi,
-        # --- slots 58+: oracle-bearing, driver-green in rounds 1-3 -------
-        "simsearch_topk_lsh": q_simsearch_topk_lsh,
-        "pipeline_events": q_pipeline_events,
-        "pipeline_lineitem": q_pipeline_lineitem,
-        "pipeline_orders_profile": q_pipeline_orders_profile,
-        "pipeline_events_array": q_pipeline_events_array,
-        "stream_windowed_stats": q_stream_windowed_stats,
-        "stream_last3_state": q_stream_last3_state,
-        "stream_dedup": q_stream_dedup,
-        "simsearch_topk": q_simsearch_topk,
-        "stream_static_join": q_stream_static_join,
-        "range_join_campaigns": q_range_join,
-        "hypertable_rollup": q_hypertable_rollup,
-        "funnel_conversion": q_funnel,
-        "bloom_semi_join": q_bloom_semi,
-        "asof_join_forward": q_asof_join_forward,
-        "segment_dec": q_segment_dec,
-        "j2_semi_prune": q_j2_semi_prune,
-        "p7_array_pack": q_p7_array_pack,
-        "s1_parquet_roundtrip": q_s1_parquet_roundtrip,
-        "score_linear": q_score_linear,
-        "metrics_confusion": q_metrics_confusion,
-        "metrics_roc_auc": q_metrics_roc_auc,
-        "metrics_roc_auc_binned": q_metrics_roc_auc_binned,
-        "explain_linear_ablation": q_explain_linear_ablation,
-        "x3_trainset_labeled": q_x3_trainset_labeled,
+        # --- slots 101+: remaining r1-certified oracle rows -------------
         "dedup_exact": q_dedup_exact,
         "dedup_components": q_dedup_components,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -2625,24 +2594,39 @@ _UNITS_SQL = _units_sql()
 _HASHED_BOW_SQL = _hashed_bow_sql()
 
 
-def _profile_sql(table: str, cols: list[str]) -> str:
+def _profile_sql(table: str, cols: list[str],
+                 float_cols: set[str] | None = None) -> str:
     """SQL twin of profile.profile_table: one UNION ALL arm per
-    (column, metric); modal tie-break = smallest string value."""
+    (column, metric); modal tie-break = smallest string value.
+    Floating columns are rendered through the same canonical
+    round-6dp -> DECIMAL(38,6) -> varchar path as the impl, so the
+    report never depends on an engine's native double formatting
+    (Java Double.toString vs DuckDB printf diverge on scientific
+    notation and shortest-digit output)."""
+    float_cols = float_cols or set()
     arms = []
     for c in cols:
+        v = (f"round({c}::double, 6)::DECIMAL(38,6)::varchar"
+             if c in float_cols else f"{c}::varchar")
+
+        def _agg(fn: str) -> str:
+            if c in float_cols:
+                return (f"round({fn}({c}::double), 6)"
+                        "::DECIMAL(38,6)::varchar")
+            return f"{fn}({c})::varchar"
         arms += [
             f"""SELECT '{c}' AS "column", 'n_nulls' AS metric,
   (count(*) FILTER (WHERE {c} IS NULL))::varchar AS value FROM {table}""",
             f"""SELECT '{c}', 'n_distinct',
   count(DISTINCT {c})::varchar FROM {table}""",
-            f"""SELECT '{c}', 'min', min({c})::varchar FROM {table}""",
-            f"""SELECT '{c}', 'max', max({c})::varchar FROM {table}""",
+            f"""SELECT '{c}', 'min', {_agg('min')} FROM {table}""",
+            f"""SELECT '{c}', 'max', {_agg('max')} FROM {table}""",
             f"""SELECT '{c}', 'top_value', value FROM (
-  SELECT {c}::varchar AS value, count(*) AS cnt FROM {table}
+  SELECT {v} AS value, count(*) AS cnt FROM {table}
   WHERE {c} IS NOT NULL GROUP BY 1
   ORDER BY cnt DESC, value ASC LIMIT 1)""",
             f"""SELECT '{c}', 'top_count', cnt::varchar FROM (
-  SELECT {c}::varchar AS value, count(*) AS cnt FROM {table}
+  SELECT {v} AS value, count(*) AS cnt FROM {table}
   WHERE {c} IS NOT NULL GROUP BY 1
   ORDER BY cnt DESC, value ASC LIMIT 1)""",
         ]
@@ -2652,18 +2636,27 @@ def _zorder_sql(bits: int = 8) -> str:
     """SQL twin of q_zorder_layout: identical min-max quantization
     arithmetic (IEEE double ops are deterministic, so floor() agrees
     bit-for-bit) and the same interleave positions (user_id -> even
-    bits, value -> odd)."""
+    bits, value -> odd). Mirrors the impl's edge handling exactly
+    (layout.py zorder_value): null values quantize to 0 via coalesce,
+    and an all-null or constant column (max == min) contributes no bits
+    instead of dividing by zero."""
     top = float((1 << bits) - 1)
     tu = " + ".join(f"(((qu >> {i}) & 1) << {2 * i})" for i in range(bits))
     tv = " + ".join(f"(((qv >> {i}) & 1) << {2 * i + 1})"
                     for i in range(bits))
+
+    def _q(col: str, mn: str, mx: str) -> str:
+        return (f"CASE WHEN s.{mx} IS NULL OR s.{mn} IS NULL "
+                f"OR s.{mx} = s.{mn} THEN 0 "
+                f"ELSE coalesce(floor(({col}::double - s.{mn}) * {top} "
+                f"/ (s.{mx} - s.{mn}))::bigint, 0) END")
     return f"""
 WITH s AS (SELECT min(user_id::double) AS mnu, max(user_id::double) AS mxu,
                   min(value::double) AS mnv, max(value::double) AS mxv
            FROM events),
 q AS (SELECT event_id,
-        floor((user_id::double - s.mnu) * {top} / (s.mxu - s.mnu))::bigint AS qu,
-        floor((value::double  - s.mnv) * {top} / (s.mxv - s.mnv))::bigint AS qv
+        {_q('user_id', 'mnu', 'mxu')} AS qu,
+        {_q('value', 'mnv', 'mxv')} AS qv
       FROM events CROSS JOIN s)
 SELECT event_id, ({tu} + {tv})::bigint AS zvalue FROM q"""
 
@@ -3744,7 +3737,8 @@ WHERE NOT in_old OR NOT in_new
    OR o_orderkey_old IS DISTINCT FROM o_orderkey_new
    OR p_old IS DISTINCT FROM p_new""",
         "profile_table": _profile_sql("events",
-                                      ["event_type", "user_id", "value"]),
+                                      ["event_type", "user_id", "value"],
+                                      float_cols={"value"}),
         "semantic_dedup": f"""
 WITH RECURSIVE b AS ({_lsh_base_sql(LSH_NDUP_PLANES, LSH_NDUP_TABLES)}),
 pr AS (

@@ -280,7 +280,7 @@ def salted_join(left: DataFrame, right: DataFrame, on: list[str],
 def fuzzy_join(left: DataFrame, right: DataFrame, left_col: str,
                right_col: str, max_distance: int = 1, block_len: int = 3,
                out_col: str = "edit_distance",
-               max_block_pairs: int | None = None) -> DataFrame:
+               max_block_pairs: int | None = 1_000_000) -> DataFrame:
     """Blocked approximate string join — the entity-resolution /
     record-linkage primitive (match names, titles, addresses that differ
     by typos).
@@ -308,7 +308,9 @@ def fuzzy_join(left: DataFrame, right: DataFrame, left_col: str,
     the cap, with a warning naming how many blocks were skipped — the
     same stated-recall hot-key cap as ``winnow_pairs``' ``max_df``. The
     sf1 scale sweep measured the uncapped pathology at ~100x
-    (SCALING_r04.md); production callers should set a cap.
+    (SCALING_r04.md), so the cap is ON BY DEFAULT (1e6 pairs per block);
+    pass ``max_block_pairs=None`` to opt out when full recall inside hot
+    blocks matters more than bounded work.
     """
     if max_distance < 0:
         raise ValueError(f"max_distance must be >= 0, got {max_distance}")

@@ -43,6 +43,19 @@ def profile_table(df: DataFrame, cols: list[str] | None = None,
     missing = [c for c in cols if c not in df.columns]
     if missing:
         raise ValueError(f"columns not in DataFrame: {missing}")
+    dtypes = dict(df.dtypes)
+
+    def _render(expr, c):
+        # floating columns get a FIXED canonical decimal rendering
+        # (6 dp): Java's Double.toString and other engines' printf
+        # disagree on scientific-notation thresholds and shortest-digit
+        # output, so a raw double->string cast is not portable across
+        # engines (or stable across report consumers)
+        if dtypes[c] in ("double", "float"):
+            return (F.round(expr.cast("double"), 6)
+                    .cast("decimal(38,6)").cast("string"))
+        return expr.cast("string")
+
     nd = (F.approx_count_distinct if approx_distinct else F.count_distinct)
     aggs = []
     for c in cols:
@@ -50,8 +63,8 @@ def profile_table(df: DataFrame, cols: list[str] | None = None,
             F.coalesce(F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)),
                        F.lit(0)).alias(f"nn_{c}"),
             nd(F.col(c)).alias(f"nd_{c}"),
-            F.min(F.col(c)).cast("string").alias(f"mn_{c}"),
-            F.max(F.col(c)).cast("string").alias(f"mx_{c}"),
+            _render(F.min(F.col(c)), c).alias(f"mn_{c}"),
+            _render(F.max(F.col(c)), c).alias(f"mx_{c}"),
         ]
     row = df.agg(*aggs).first()
     spark = df.sparkSession
@@ -69,7 +82,7 @@ def profile_table(df: DataFrame, cols: list[str] | None = None,
         return out
     melted = df.select(F.explode(F.array(*[
         F.struct(F.lit(c).alias("column"),
-                 F.col(c).cast("string").alias("value"))
+                 _render(F.col(c), c).alias("value"))
         for c in cols])).alias("kv")) \
         .select("kv.column", "kv.value") \
         .filter(F.col("value").isNotNull())

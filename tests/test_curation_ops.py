@@ -799,3 +799,13 @@ class TestFuzzyJoinBlockCap:
         df2 = df.select(F.col("i").alias("j"), F.col("s").alias("t"))
         with pytest.raises(ValueError, match="max_block_pairs"):
             fuzzy_join(df, df2, "s", "t", max_block_pairs=0)
+
+    def test_cap_is_default(self):
+        # r4 verdict item 2: a 100 TB caller on defaults must NOT hit
+        # the quadratic hot-block pathology (481 s vs 6.4 s at sf1,
+        # SCALING_r04.md) — the cap ships ON; None is the opt-out
+        import inspect
+        from caspr_spark.operators.joins import fuzzy_join
+        default = inspect.signature(fuzzy_join).parameters[
+            "max_block_pairs"].default
+        assert default == 1_000_000
