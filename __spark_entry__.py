@@ -1377,11 +1377,31 @@ def q_simsearch_topk_lsh(spark, sf_dir):
 
 
 def q_emb_near_dup(spark, sf_dir):
-    """Embedding-cosine near-duplicate pairs (OR-amplified LSH self-join)."""
+    """Embedding-cosine near-duplicate pairs (OR-amplified LSH self-join).
+
+    Constants (n_planes/n_tables) are PINNED so the DuckDB oracle can
+    reproduce the hyperplanes — this row is the oracle-compat check.
+    The pinned plan is sized for sf0.01 and deliberately NOT the
+    production plan at larger corpora; q_emb_near_dup_auto is the
+    auto-sized production twin the bench measures (r4 verdict item 3)."""
     emb = _t(spark, sf_dir, "embeddings")
     return embedding_near_duplicates(emb, threshold=0.45, dim=64,
                                      n_planes=LSH_NDUP_PLANES,
                                      n_tables=LSH_NDUP_TABLES)
+
+
+def q_emb_near_dup_auto(spark, sf_dir):
+    """Embedding near-dup with the PRODUCTION auto-sized LSH plan
+    (similarity.py lsh_plan): planes scale with the corpus count so the
+    expected bucket stays ~128 rows at any N, tables from the recall
+    bound at threshold 0.9 (true near-dups). Rows-only check — the
+    plane constants depend on the runtime corpus count, so no fixed SQL
+    oracle can mirror them; the operator's exactness is separately
+    proven by the pinned-constant oracle row (emb_near_dup) and the
+    full-probe==exact property tests."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_near_duplicates(emb, threshold=0.9, dim=64,
+                                     target_recall=0.9)
 
 
 def q_multimodal_features(spark, sf_dir):
@@ -2059,6 +2079,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
         "sketch_distinct_rollup": q_sketch_distinct_rollup,
+        "emb_near_dup_auto": q_emb_near_dup_auto,
     }
 
 

@@ -71,6 +71,10 @@ EXTENDED_QUERIES = [
     "profile_table",
     "llm_curate_v2",
     "stream_sessions",
+    # round-5: the auto-sized production LSH plan (the pinned-constant
+    # emb_near_dup in the headline set is the oracle-compat plan; this
+    # entry is what a user actually runs — r4 verdict item 3)
+    "emb_near_dup_auto",
 ]
 
 

@@ -1,0 +1,73 @@
+"""Cache-lifetime discipline for operators that ``persist()`` intermediates.
+
+Several operators cache a relation that their returned (lazy) DataFrame
+consumes more than once — the hashed LSH projections in
+``llm.similarity.embedding_near_duplicates``, the shingle signatures in
+``llm.dedup.minhash_lsh_dedup``, the winnowing fingerprints in
+``llm.dedup.winnow_pairs``, the tf-idf weights in
+``llm.search.related_documents``, the featurizer's long relation in
+``pipeline``, and the prefix-sum frame in
+``operators.sampling.global_running_sum``. The cache must outlive the
+operator call (the result is consumed lazily, often twice), so the
+operator itself cannot unpersist — a one-shot caller relies on Spark's
+LRU block eviction, which is correct but leaves storage-memory pressure
+to chance in loop-shaped workloads (grid searches, per-partition-date
+reruns) where dozens of stale cached relations pile up.
+
+``cache_scope`` makes the lifetime explicit::
+
+    with cache_scope():
+        pairs = minhash_lsh_dedup(docs).collect()   # materialize INSIDE
+    # every relation the call persisted is unpersisted here
+
+Operators report their persisted handles through :func:`register_cache`,
+which is a no-op when no scope is active — one-shot callers keep the
+exact LRU behavior they had. Scopes nest; each handle is released by the
+innermost scope active when it was created. The contract is that results
+are MATERIALIZED inside the scope: a DataFrame that escapes un-collected
+recomputes its (correct) lineage without the cache.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import threading
+from typing import Iterator
+
+from pyspark.sql import DataFrame
+
+_scopes = threading.local()
+
+
+def register_cache(df: DataFrame) -> DataFrame:
+    """Record a just-``persist()``-ed DataFrame with the active
+    :func:`cache_scope`, if any. Returns ``df`` for chaining."""
+    stack = getattr(_scopes, "stack", None)
+    if stack:
+        stack[-1].append(df)
+    return df
+
+
+@contextlib.contextmanager
+def cache_scope(blocking: bool = False) -> Iterator[list[DataFrame]]:
+    """Unpersist every relation cached by operators inside the block.
+
+    Yields the (mutable) list of registered handles, mostly for tests.
+    ``blocking=True`` waits for block removal — useful when the very
+    next statement re-persists similarly-sized data and eviction racing
+    allocation would spill.
+    """
+    stack = getattr(_scopes, "stack", None)
+    if stack is None:
+        stack = _scopes.stack = []
+    handles: list[DataFrame] = []
+    stack.append(handles)
+    try:
+        yield handles
+    finally:
+        stack.pop()
+        for d in handles:
+            try:
+                d.unpersist(blocking=blocking)
+            except Exception:  # session already stopped — nothing to free
+                pass

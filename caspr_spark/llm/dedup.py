@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from caspr_spark.cache import register_cache
+
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                 normalize: bool = True) -> DataFrame:
@@ -110,13 +112,13 @@ def minhash_lsh_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "te
     # shingle construction (the regex-heavy part) runs ONCE, at full
     # parallelism: the persisted (id, shingles) relation feeds both
     # signature generation and the exact-Jaccard verification join.
-    # NOTE: the cache lives until Spark evicts it (LRU) — callers looping
-    # over many corpora should unpersist via df.sparkSession.catalog
-    # .clearCache() or evaluate eagerly and release.
+    # NOTE: for a one-shot caller the cache lives until Spark evicts it
+    # (LRU); loop callers wrap the call + materialization in
+    # ``caspr_spark.cache_scope()`` which unpersists on exit.
     sh_base = ensure_parallelism(df).select(
         F.col(id_col), _shingles(text_col, shingle_size).alias("__shingles"))
     if verify:
-        sh_base = sh_base.persist()
+        sh_base = register_cache(sh_base.persist())
     sigs = _signatures_from_shingles(sh_base, id_col, num_hashes)
 
     # `minhash` is an aggregate output (a materialized attribute), so the
@@ -406,7 +408,8 @@ def winnow_pairs(df: DataFrame, id_col: str = "doc_id",
     # two windows -> distinct, the dominant cost) feeds the df cap and
     # BOTH self-join sides — same multi-consumer contract as the
     # persisted shingles above / tfidf weights in search.py
-    fps = winnow_fingerprints(df, id_col, text_col, k, window).persist()
+    fps = register_cache(
+        winnow_fingerprints(df, id_col, text_col, k, window).persist())
     if max_df is not None:
         rare = (fps.groupBy("fingerprint")
                 .agg(F.count(F.lit(1)).alias("__df"))

@@ -25,6 +25,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from caspr_spark.cache import register_cache
+
 
 def bm25_topk(docs: DataFrame, terms: list[str], k: int = 10,
               id_col: str = "doc_id", text_col: str = "text",
@@ -177,8 +179,9 @@ def related_documents(docs: DataFrame, k: int = 5, id_col: str = "doc_id",
     # persisted because the weights relation feeds three consumers
     # (norms + both join sides); lives until LRU eviction, same contract
     # as the persisted shingles/buckets in dedup.py / similarity.py —
-    # callers looping over corpora should spark.catalog.clearCache()
-    w = tfidf_weights(docs, id_col, text_col, max_df).persist()
+    # loop callers scope the lifetime with caspr_spark.cache_scope()
+    w = register_cache(
+        tfidf_weights(docs, id_col, text_col, max_df).persist())
     # Fixed-point accumulation overflows silently (Spark wraps longs) if
     # any single weight² · 1e9 approaches 2^63 — a degenerate doc with a
     # term at tf ≈ 1e4 gets there. Guard loudly with a 1e4-term headroom

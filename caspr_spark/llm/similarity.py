@@ -20,6 +20,8 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import DoubleType
 
+from caspr_spark.cache import register_cache
+
 
 def _dot(a, b):
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
@@ -463,13 +465,15 @@ def embedding_near_duplicates(df: DataFrame, threshold: float = 0.95,
     # deduped candidate set (the standard banded-LSH join shape; at small SF
     # AQE turns the rejoin into broadcasts). Persisted because the self-join
     # consumes the hashed relation twice (same pattern as the persisted
-    # shingles in dedup.minhash_lsh_dedup); LRU-evicted like that path.
+    # shingles in dedup.minhash_lsh_dedup); LRU-evicted like that path
+    # (or released deterministically by a caspr_spark.cache_scope()).
     # Default layout bit-packs all table buckets into one long (8-byte
     # shuffle payload + integer first-collision dedup) when they fit.
     if packed:
-        hashed = add_lsh_buckets_packed(vecs, vec_col, dim, n_planes,
-                                        n_tables, seed) \
-            .drop(vec_col).persist()
+        hashed = register_cache(
+            add_lsh_buckets_packed(vecs, vec_col, dim, n_planes,
+                                   n_tables, seed)
+            .drop(vec_col).persist())
         b = _explode_packed(hashed, [id_col], n_planes, n_tables)
         left = b.select(F.col(id_col).alias("id_a"),
                         F.col("lsh_packed").alias("__pk_a"), "__t", "__b")
@@ -478,8 +482,9 @@ def embedding_near_duplicates(df: DataFrame, threshold: float = 0.95,
         dedup = F.col("__t") == _first_collision_packed(
             F.col("__pk_a"), F.col("__pk_b"), n_planes, n_tables)
     else:
-        hashed = add_lsh_buckets(vecs, vec_col, dim, n_planes, n_tables,
-                                 seed).drop(vec_col).persist()
+        hashed = register_cache(
+            add_lsh_buckets(vecs, vec_col, dim, n_planes, n_tables,
+                            seed).drop(vec_col).persist())
         b = _explode_buckets(hashed, [id_col], keep_buckets="__bk")
         left = b.select(F.col(id_col).alias("id_a"),
                         F.col("__bk").alias("__bk_a"), "__t", "__b")

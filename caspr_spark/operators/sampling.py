@@ -28,6 +28,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from caspr_spark.cache import register_cache
+
 # hex prefix length used for thresholding: 8 nibbles = 32 bits of the
 # md5, plenty of resolution for any practical fraction
 _PREFIX = 8
@@ -129,7 +131,7 @@ def global_running_sum(df: DataFrame, value_col: str, order_by: list,
     d = (df.repartitionByRange(num_partitions, *args) if num_partitions
          else df.repartitionByRange(*args))
     d = d.withColumn("__pid", F.spark_partition_id())
-    d.persist()
+    register_cache(d.persist())
     totals = {r["__pid"]: r["t"] for r in
               d.groupBy("__pid").agg(F.sum(value_col).alias("t")).collect()}
     offsets, acc = [], 0

@@ -35,6 +35,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from caspr_spark.cache import register_cache
 from caspr_spark.roles import ColumnRoles
 from caspr_spark.operators.encode import (CategoricalEncoding, fit_encoding,
                                           MAX_CAT_CARDINALITY)
@@ -80,7 +81,7 @@ class SequenceFeaturizer:
         r.validate(df)
         long_df = self._prefix(df)
         if self.cache_fit:
-            long_df = long_df.persist()
+            long_df = register_cache(long_df.persist())
 
         encoding = fit_encoding(long_df, r.cat_cols, self.max_cardinality)
         long_df = encoding.apply(long_df, r.cat_cols)
