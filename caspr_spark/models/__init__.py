@@ -17,8 +17,12 @@ from caspr_spark.models.numpy_layers import (
 )
 from caspr_spark.models.factory import CASPRFactory, embedding_dim
 from caspr_spark.models.estimate import count_parameters, estimate_parameters
+from caspr_spark.models.transformer_ae import (
+    TransformerSequenceAutoencoder, fit_transformer_autoencoder,
+)
 
 __all__ = [
+    "TransformerSequenceAutoencoder", "fit_transformer_autoencoder",
     "BahdanauAttention", "CategoricalEmbedding", "ConvAggregation",
     "DenseBnDropout", "LSTMEncoder", "LinearEncoder", "MLP",
     "MultiHeadAttentionLSTMWrapper", "MultiLayerLSTM",

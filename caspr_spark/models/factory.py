@@ -68,3 +68,30 @@ class CASPRFactory:
                                   seq_len=self.seq_len, seed=seed, **kwargs)
         raise ValueError(f"unknown architecture {architecture!r}; "
                          f"expected one of {ARCHITECTURES}")
+
+    def create_trainable(self, architecture: str = "TransformerAutoEncoder",
+                         hidden_dim: int = 32, seed: int = 42, **kwargs):
+        """Trainable (numpy-backprop) autoencoder for either reference
+        architecture — the ``fit``-capable twins of :meth:`create`'s
+        forward-only encoders. ``LSTMAutoencoder`` maps to the
+        recurrent-decoder ``SequenceAutoencoder`` (model_wrapper.py:28-120
+        training semantics), ``TransformerAutoEncoder`` to
+        ``TransformerSequenceAutoencoder`` (:217-281)."""
+        from caspr_spark.models.autoencoder import SequenceAutoencoder
+        from caspr_spark.models.transformer_ae import (
+            TransformerSequenceAutoencoder)
+        seq_dims = [embedding_dim(v) for v in self.seq_vocab]
+        non_seq_dims = [embedding_dim(v) for v in self.non_seq_vocab]
+        common = (self.seq_vocab, seq_dims, self.n_seq_cont,
+                  self.non_seq_vocab, non_seq_dims, self.n_non_seq_cont)
+        if architecture == "LSTMAutoencoder":
+            return SequenceAutoencoder(*common, seq_len=self.seq_len,
+                                       hidden_dim=hidden_dim, seed=seed,
+                                       **kwargs)
+        if architecture == "TransformerAutoEncoder":
+            return TransformerSequenceAutoencoder(
+                *common, seq_len=self.seq_len, hid_dim=hidden_dim,
+                seed=seed, **kwargs)
+        raise ValueError(f"unknown trainable architecture {architecture!r}; "
+                         "expected 'LSTMAutoencoder' or "
+                         "'TransformerAutoEncoder'")
