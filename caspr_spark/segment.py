@@ -12,6 +12,7 @@ Spark expressions, KL centroid refinement in numpy.
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -134,3 +135,89 @@ def quantile_scores_approx(df: DataFrame, cols: list[str], q: int = 10,
             score = (F.lit(q + 1) - score).cast("int")
         df = df.withColumn(f"{c}_score", score)
     return df
+
+
+def tsne_sample_frame(df: DataFrame, feature_cols: list[str] | None = None,
+                      vec_col: str | None = None,
+                      label_col: str = "segment", sample_n: int = 1000,
+                      seed: int = 1):
+    """Bounded driver-side sample for the t-SNE cluster plot.
+
+    The reference visualizes clusters by sampling <= ``tsne_sample``
+    rows and running 2-D t-SNE on them
+    (caspr/utils/segmentation/pandas.py:121-130, plt_tsne :369-370);
+    t-SNE is O(n²)-ish and inherently local, so the ONLY distributed
+    part is this bounded sample — the collect is capped at ``sample_n``
+    rows by construction (never data-sized). Returns ``(X [n, d]
+    float64, labels [n])`` ready for any manifold embedder. Ungated:
+    the sampling/assembly math is testable without sklearn.
+    """
+    if sample_n < 1:
+        raise ValueError(f"sample_n must be >= 1, got {sample_n}")
+    cols = [vec_col] if vec_col is not None else list(feature_cols or [])
+    if not cols:
+        raise ValueError("pass feature_cols or vec_col")
+    total = df.count()
+    frac = min(1.0, (sample_n * 1.2) / max(total, 1))   # oversample, trim
+    pdf = (df.select(*cols, label_col).sample(fraction=frac, seed=seed)
+             .limit(sample_n).toPandas())
+    if vec_col is not None:
+        X = np.vstack([np.asarray(v, dtype=np.float64)
+                       for v in pdf[vec_col]])
+    else:
+        X = pdf[list(feature_cols)].to_numpy(dtype=np.float64)
+    return X, pdf[label_col].to_numpy()
+
+
+def tsne_layout(df: DataFrame, feature_cols: list[str] | None = None,
+                vec_col: str | None = None, label_col: str = "segment",
+                sample_n: int = 1000, seed: int = 1,
+                perplexity: float = 30.0):
+    """2-D t-SNE coordinates + cluster labels for the sampled rows.
+
+    Gated on scikit-learn (absent from this container — same pattern as
+    the matplotlib-gated ``explain.visualize`` and the onnx-gated
+    export): the reference's ``plt_tsne``
+    (caspr/utils/segmentation/pandas.py:369-383) minus the plotting
+    shell. Returns ``(coords [n, 2], labels [n])``.
+    """
+    try:
+        from sklearn.manifold import TSNE
+    except ImportError as exc:  # pragma: no cover - container lacks sklearn
+        raise NotImplementedError(
+            "tsne_layout requires scikit-learn; install it or use "
+            "tsne_sample_frame() for the sampled feature matrix") from exc
+    X, labels = tsne_sample_frame(df, feature_cols, vec_col, label_col,
+                                  sample_n, seed)
+    per = min(perplexity, max(1.0, (len(X) - 1) / 3.0))
+    coords = TSNE(n_components=2, perplexity=per,
+                  random_state=seed).fit_transform(X)
+    return coords, labels
+
+
+def plot_tsne(df: DataFrame, feature_cols: list[str] | None = None,
+              vec_col: str | None = None, label_col: str = "segment",
+              sample_n: int = 1000, seed: int = 1,
+              save_fig: str | None = None):
+    """Scatter of the t-SNE layout colored by cluster — the reference's
+    ``plt_tsne`` plot (caspr/utils/segmentation/pandas.py:369-383).
+    Gated on matplotlib on top of the sklearn gate in
+    :func:`tsne_layout`."""
+    try:
+        import matplotlib.pyplot as plt
+    except ImportError as exc:  # pragma: no cover - no matplotlib here
+        raise NotImplementedError(
+            "plot_tsne requires matplotlib; tsne_layout() returns the "
+            "underlying coordinates") from exc
+    coords, labels = tsne_layout(df, feature_cols, vec_col, label_col,
+                                 sample_n, seed)
+    plt.figure(figsize=(12, 8))
+    plt.scatter(coords[:, 0], coords[:, 1], c=labels,
+                cmap=plt.cm.get_cmap("jet", 256))
+    plt.colorbar(ticks=range(256))
+    plt.clim(-0.5, 9.5)
+    if save_fig:
+        plt.savefig(save_fig, bbox_inches="tight")
+    else:  # pragma: no cover - interactive path
+        plt.show()
+    return coords, labels

@@ -336,6 +336,50 @@ class TestSegmentation:
         assert p1[0] != p1[99]
         assert silhouette_score(seg1, ["x", "y"]) > 0.8
 
+    def test_tsne_sample_frame_bounded_and_deterministic(self, spark):
+        # r4 verdict item 7: the distributed half of the reference's
+        # t-SNE cluster viz (pandas.py:121-130) — a BOUNDED sample
+        # collect, never data-sized
+        from caspr_spark.segment import tsne_sample_frame
+        rng = np.random.default_rng(3)
+        pdf = pd.DataFrame(rng.normal(size=(500, 2)), columns=["x", "y"])
+        pdf["segment"] = (pdf.x > 0).astype(int)
+        sdf = spark.createDataFrame(pdf)
+        X1, l1 = tsne_sample_frame(sdf, ["x", "y"], sample_n=50, seed=9)
+        X2, l2 = tsne_sample_frame(sdf, ["x", "y"], sample_n=50, seed=9)
+        assert X1.shape[0] <= 50 and X1.shape[1] == 2
+        assert len(l1) == len(X1)
+        np.testing.assert_array_equal(X1, X2)
+        np.testing.assert_array_equal(l1, l2)
+        with pytest.raises(ValueError, match="sample_n"):
+            tsne_sample_frame(sdf, ["x", "y"], sample_n=0)
+        with pytest.raises(ValueError, match="feature_cols"):
+            tsne_sample_frame(sdf, sample_n=5)
+
+    def test_tsne_sample_frame_vec_col(self, spark):
+        from caspr_spark.segment import tsne_sample_frame
+        sdf = spark.createDataFrame(
+            [(i, [float(i), float(-i)], i % 2) for i in range(40)],
+            "i long, emb array<double>, segment int")
+        X, labels = tsne_sample_frame(sdf, vec_col="emb", sample_n=10)
+        assert X.shape[1] == 2 and set(labels) <= {0, 1}
+
+    def test_tsne_layout_gate(self, spark):
+        # gated exactly like explain.visualize: actionable error when
+        # sklearn is absent, real layout when present
+        from caspr_spark.segment import tsne_layout
+        sdf = spark.createDataFrame(
+            [(float(i % 7), float(i % 5), i % 2) for i in range(60)],
+            "x double, y double, segment int")
+        try:
+            import sklearn  # noqa: F401
+        except ImportError:
+            with pytest.raises(NotImplementedError, match="scikit-learn"):
+                tsne_layout(sdf, ["x", "y"], sample_n=30)
+            return
+        coords, labels = tsne_layout(sdf, ["x", "y"], sample_n=30)
+        assert coords.shape == (len(labels), 2)
+
     def test_pca_variance_threshold(self, spark):
         rng = np.random.default_rng(2)
         z = rng.normal(size=(200, 1))
@@ -566,6 +610,75 @@ class TestOnnxGated:
         import pickle
         w2 = pickle.loads(pickle.dumps(w))
         np.testing.assert_allclose(w2.run(features=X)[0], got, rtol=1e-6)
+
+
+class TestLstmOnnxGraph:
+    """r4 verdict item 6: the LSTM encoder exports through a
+    backend-neutral node program. Parity vs the numpy forward runs
+    UNGATED (the numpy graph interpreter needs no onnx); the
+    onnxruntime agreement test is gated on the optional dep."""
+
+    def _model_and_feeds(self, seed=5, with_profile=True):
+        from caspr_spark.models.numpy_layers import LSTMEncoder
+        rng = np.random.default_rng(seed)
+        N, T = 6, 4
+        m = LSTMEncoder(seq_vocab=[5, 3], seq_emb_dims=[3, 2], n_seq_cont=2,
+                        non_seq_vocab=[4] if with_profile else [],
+                        non_seq_emb_dims=[2] if with_profile else [],
+                        n_non_seq_cont=1 if with_profile else 0,
+                        hidden_dim=7, seed=seed)
+        data = dict(
+            seq_cat=rng.integers(0, 3, size=(N, T, 2)).astype(np.int64),
+            seq_cont=rng.normal(size=(N, T, 2)).astype(np.float32))
+        if with_profile:
+            data["non_seq_cat"] = rng.integers(
+                0, 4, size=(N, 1)).astype(np.int64)
+            data["non_seq_cont"] = rng.normal(size=(N, 1)).astype(np.float32)
+        else:
+            data["non_seq_cat"] = np.zeros((N, 0), np.int64)
+            data["non_seq_cont"] = np.zeros((N, 0), np.float32)
+        return m, T, data
+
+    @pytest.mark.parametrize("with_profile", [True, False])
+    def test_graph_matches_numpy_forward_ungated(self, with_profile):
+        from caspr_spark.models.onnx_io import (lstm_encoder_graph,
+                                                run_graph_numpy)
+        m, T, data = self._model_and_feeds(with_profile=with_profile)
+        want = m.encode(data["seq_cat"], data["seq_cont"],
+                        data["non_seq_cat"], data["non_seq_cont"])
+        prog = lstm_encoder_graph(m, seq_len=T)
+        feeds = {k: data[k] for k in prog.inputs}
+        got = run_graph_numpy(prog, feeds)[0]
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+    def test_graph_uses_standard_ops_only(self):
+        from caspr_spark.models.onnx_io import lstm_encoder_graph
+        m, T, _ = self._model_and_feeds()
+        prog = lstm_encoder_graph(m, seq_len=T)
+        allowed = {"MatMul", "Add", "Mul", "Sigmoid", "Tanh", "Relu",
+                   "Concat", "Gather", "Slice", "Squeeze", "Identity"}
+        assert {op for op, *_ in prog.nodes} <= allowed
+
+    def test_export_requires_seq_len(self):
+        from caspr_spark.models.onnx_io import export_onnx
+        m, _, _ = self._model_and_feeds()
+        with pytest.raises(ValueError, match="seq_len"):
+            export_onnx(m, "/tmp/never.onnx")
+
+    def test_onnxruntime_agreement_gated(self, tmp_path):
+        pytest.importorskip("onnx")
+        pytest.importorskip("onnxruntime")
+        from caspr_spark.models.onnx_io import ONNXWrapper, export_onnx
+        m, T, data = self._model_and_feeds()
+        want = m.encode(data["seq_cat"], data["seq_cont"],
+                        data["non_seq_cat"], data["non_seq_cont"])
+        p = str(tmp_path / "lstm.onnx")
+        export_onnx(m, p, seq_len=T)
+        w = ONNXWrapper(p)
+        feeds = {k: v for k, v in data.items() if v.size}
+        got = w.session.run(None, {k: np.asarray(v) for k, v in
+                                   feeds.items()})[0]
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
 
 
 class TestDistributedTraining:
