@@ -1203,6 +1203,43 @@ def q_text_fingerprint(spark, sf_dir):
     return add_fingerprint(docs).select("doc_id", "fingerprint")
 
 
+def q_text_normalize(spark, sf_dir):
+    """Structural text normalization (text.py normalize_text): control
+    chars -> space, typographic punctuation -> ASCII, whitespace
+    collapse, lowercase — pure codegen inside the document scan, zero
+    shuffles. Every pattern is Java-and-DuckDB-portable so the oracle
+    reproduces the bytes exactly."""
+    from caspr_spark.llm.text import normalize_text
+    docs = _t(spark, sf_dir, "documents")
+    return normalize_text(docs, lowercase=True).select("doc_id", "text_norm")
+
+
+def q_scd2_orders(spark, sf_dir):
+    """Type-2 SCD history (merge.py scd2_history): per-customer
+    order-status/priority version intervals from the orders change log —
+    consecutive identical states collapse, valid_from/valid_to close
+    over (date, orderkey) order. One keyed exchange for both windows."""
+    from caspr_spark.operators.merge import scd2_history
+    orders = _t(spark, sf_dir, "orders")
+    return scd2_history(orders, keys=["o_custkey"], ts_col="o_orderdate",
+                        attr_cols=["o_orderstatus", "o_orderpriority"],
+                        tiebreak=["o_orderkey"])
+
+
+def q_attribution_last_touch(spark, sf_dir):
+    """Last-touch conversion attribution (timeseries.py
+    attribute_conversions): each purchase credited to the most recent
+    view/click strictly before it, carried forward by
+    last(ignorenulls) over the preceding-rows frame — one keyed window,
+    never a conversions-x-touches range self-join."""
+    from caspr_spark.operators.timeseries import attribute_conversions
+    ev = _events(spark, sf_dir)
+    out = attribute_conversions(ev, conversion_type="purchase",
+                                touch_types=("view", "click"),
+                                model="last", tiebreak=["event_id"])
+    return out.select("event_id", "user_id", "touch_ts", "touch_type")
+
+
 def q_text_repetition(spark, sf_dir):
     """Gopher-style word-level repetition signals (filtering.py
     repetition_signals): distinct-word ratio, most-frequent-word fraction,
@@ -1931,7 +1968,7 @@ def q_source_csv_roundtrip(spark, sf_dir):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver contract: the correctness gate certifies the FIRST 50 entries.
 
-    124 of the 142 queries carry full DuckDB oracles — more than one
+    127 of the 147 queries carry full DuckDB oracles — more than one
     50-slot window holds — so certification rotates across rounds
     (COVERAGE.md maps
     which round certified which row; tools/check_correctness.py re-runs the
@@ -2015,7 +2052,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "metrics_roc_auc_binned": q_metrics_roc_auc_binned,
         "explain_linear_ablation": q_explain_linear_ablation,
         "x3_trainset_labeled": q_x3_trainset_labeled,
-        # --- slots 51-100: driver-certified in round 4 (50/50 green) ----
+        # --- slots 51-53: oracle-bearing, NEW in round 5 (SCD2 history,
+        #     text normalization, last-touch attribution) — local-
+        #     certified at both SFs this round, driver rotation next ----
+        "scd2_orders": q_scd2_orders,
+        "text_normalize": q_text_normalize,
+        "attribution_last_touch": q_attribution_last_touch,
+        # --- slots 54-103: driver-certified in round 4 (50/50 green) ----
         "pipeline_events_percutoff": q_pipeline_events_percutoff,
         "pipeline_orders_composite": q_pipeline_orders_composite,
         "stratified_sample_exact": q_stratified_sample_exact,
@@ -3259,6 +3302,53 @@ FROM documents""",
         "text_fingerprint": """
 SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
 FROM documents""",
+        "text_normalize": r"""
+SELECT doc_id,
+       lower(trim(regexp_replace(
+         replace(
+           translate(
+             regexp_replace(text,
+               '[\x00-\x08\x0B-\x1F\x7F\x80-\x9F]', ' ', 'g'),
+             '‘’“”–—' || chr(160), $$''""--$$ || ' '),
+           '…', '...'),
+         '\s+', ' ', 'g'))) AS text_norm
+FROM documents""",
+        "scd2_orders": """
+WITH ordered AS (
+  SELECT o_custkey, o_orderstatus, o_orderpriority, o_orderdate, o_orderkey,
+         lag(o_orderstatus)   OVER w AS ps,
+         lag(o_orderpriority) OVER w AS pp,
+         row_number()         OVER w AS rn
+  FROM orders
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
+points AS (
+  SELECT * FROM ordered
+  WHERE rn = 1 OR (o_orderstatus IS DISTINCT FROM ps)
+             OR (o_orderpriority IS DISTINCT FROM pp)),
+intervals AS (
+  SELECT o_custkey, o_orderstatus, o_orderpriority,
+         o_orderdate AS valid_from,
+         lead(o_orderdate) OVER (PARTITION BY o_custkey
+                                 ORDER BY o_orderdate, o_orderkey)
+           AS valid_to
+  FROM points)
+SELECT o_custkey, o_orderstatus, o_orderpriority, valid_from, valid_to,
+       (valid_to IS NULL) AS is_current
+FROM intervals""",
+        "attribution_last_touch": """
+WITH w AS (
+  SELECT event_id, user_id, event_type,
+         last_value(CASE WHEN event_type IN ('view', 'click')
+                         THEN ts END IGNORE NULLS)
+           OVER prior AS touch_ts,
+         last_value(CASE WHEN event_type IN ('view', 'click')
+                         THEN event_type END IGNORE NULLS)
+           OVER prior AS touch_type
+  FROM events
+  WINDOW prior AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+SELECT event_id, user_id, touch_ts, touch_type
+FROM w WHERE event_type = 'purchase'""",
         "text_repetition": r"""
 WITH w AS (
   SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS word,

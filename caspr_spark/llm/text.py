@@ -125,3 +125,51 @@ def chunk_documents(df: DataFrame, chunk_tokens: int = 128, overlap: int = 32,
                   F.slice("__toks", F.col(chunk_id_col) * stride + 1,
                           chunk_tokens), " "))
               .drop("__toks"))
+
+
+def normalize_text(df: DataFrame, text_col: str = "text",
+                   out_col: str = "text_norm", lowercase: bool = False,
+                   strip_control: bool = True,
+                   normalize_punct: bool = True,
+                   collapse_whitespace: bool = True) -> DataFrame:
+    """Structural text normalization — the first pass of every corpus
+    pipeline (C4/CCNet run an equivalent before any filtering so that
+    dedup hashes and quality signals see canonical bytes).
+
+    Composable steps, all pure codegen expressions (zero shuffles, zero
+    Python — the normalizer runs inside the document scan):
+
+    - ``strip_control`` — replace C0/C1 control characters (except
+      newline and tab) with a space: crawl text embeds NUL/VT/escape
+      bytes that break downstream tokenizers, and replacing rather than
+      deleting keeps words the control byte separated from fusing.
+    - ``normalize_punct`` — map typographic variants to ASCII
+      (curly quotes -> straight, en/em-dash -> hyphen, ellipsis
+      character -> dots, non-breaking space -> space) via one
+      ``translate`` + one ``replace`` (the ellipsis expands to three
+      chars, which translate cannot do).
+    - ``collapse_whitespace`` — runs of whitespace -> single space,
+      trimmed (runs after control-stripping so its replacement spaces
+      collapse away).
+    - ``lowercase`` — off by default (dedup wants it, quality scoring
+      and PII detection often do not).
+
+    Every pattern is Java∩RE2∩PCRE-portable (same discipline as
+    ``filtering.redact_pii``), so an engine-independent oracle can
+    reproduce the output byte-for-byte.
+    """
+    c = F.col(text_col)
+    if strip_control:
+        # C0 minus \t \n, DEL, C1 — explicit ranges, no \p classes
+        c = F.regexp_replace(
+            c, "[\\x00-\\x08\\x0B-\\x1F\\x7F\\x80-\\x9F]", " ")
+    if normalize_punct:
+        punct_from = "\u2018\u2019\u201c\u201d\u2013\u2014\u00a0"
+        punct_to = "''\"\"-- "
+        c = F.translate(c, punct_from, punct_to)
+        c = F.replace(c, F.lit("…"), F.lit("..."))
+    if collapse_whitespace:
+        c = F.trim(F.regexp_replace(c, "\\s+", " "))
+    if lowercase:
+        c = F.lower(c)
+    return df.withColumn(out_col, c)

@@ -27,9 +27,10 @@ contrib ops (caspr/utils/onnx.py:18-41). The same program runs under a
 ~60-line numpy interpreter (:func:`run_graph_numpy`), so graph-vs-model
 parity is tested UNGATED in this container; the gated test additionally
 asserts onnxruntime agreement when the dependency is present. The
-transformer encoder still raises (LayerNorm/softmax stacks are where
-hand-assembly stops paying for itself — score through
-``caspr_spark.score.score`` instead).
+**transformer encoder** exports the same way
+(:func:`transformer_encoder_graph`) via native opset-17 Softmax and
+LayerNormalization — all three fitted encoder families (linear, LSTM,
+transformer) serialize, each with zero custom ops.
 """
 
 from __future__ import annotations
@@ -98,6 +99,7 @@ class GraphProgram:
     initializers: dict = field(default_factory=dict)   # name -> ndarray
     inputs: dict = field(default_factory=dict)  # name -> (np.dtype, shape)
     outputs: list = field(default_factory=list)
+    out_dim: int | None = None
     _n: int = 0
 
     def emit(self, op: str, ins: list[str], attrs: dict | None = None,
@@ -207,6 +209,106 @@ def lstm_encoder_graph(model, seq_len: int) -> GraphProgram:
     return g
 
 
+def transformer_encoder_graph(model, seq_len: int) -> GraphProgram:
+    """Graph for a fitted
+    :class:`~caspr_spark.models.numpy_layers.TransformerEncoder` —
+    embedding Gathers, the ``x·W_in·√H`` entry (profile appended as one
+    extra position), per-layer multi-head self-attention (Reshape /
+    Transpose / batched MatMul / Softmax) and ReLU FF, post-norm
+    residuals via the native ``LayerNormalization`` op (scale = ones:
+    the numpy forward is non-affine), flattened per-position states as
+    the embedding. Standard opset-17 ops only — the reference's export
+    needed contrib Gelu/Trilu/Inverse (caspr/utils/onnx.py:18-41); this
+    stack does not."""
+    g = GraphProgram()
+    H, heads = model.h, model.heads
+    dh = H // heads
+    tables = model.seq_emb.tables
+    n_cat = len(tables)
+    n_cont = model.n_seq_feats - sum(t.shape[1] for t in tables)
+
+    if n_cat:
+        g.inputs["seq_cat"] = (np.int64, ("batch", seq_len, n_cat))
+    if n_cont:
+        g.inputs["seq_cont"] = (np.float32, ("batch", seq_len, n_cont))
+    parts = []
+    for i, table in enumerate(tables):
+        g.const(f"emb_s{i}", np.asarray(table, dtype=np.float32))
+        idx = g.emit("Slice", ["seq_cat"],
+                     {"starts": [i], "ends": [i + 1], "axes": [2]})
+        idx = g.emit("Squeeze", [idx], {"axes": [2]})
+        parts.append(g.emit("Gather", [f"emb_s{i}", idx], {"axis": 0}))
+    if n_cont:
+        parts.append("seq_cont")
+    x = parts[0] if len(parts) == 1 else g.emit("Concat", parts, {"axis": -1})
+
+    g.const("W_in", np.asarray(model.W_in, dtype=np.float32))
+    g.const("__sqrtH", np.asarray(np.sqrt(H), dtype=np.float32))
+    z = g.emit("Mul", [g.emit("MatMul", [x, "W_in"]), "__sqrtH"])
+    t = seq_len
+    if model.has_profile:
+        ptables = model.non_seq_emb.tables
+        n_pcont = model.W_prof.shape[0] - sum(tb.shape[1] for tb in ptables)
+        if ptables:
+            g.inputs["non_seq_cat"] = (np.int64, ("batch", len(ptables)))
+        if n_pcont:
+            g.inputs["non_seq_cont"] = (np.float32, ("batch", n_pcont))
+        pparts = []
+        for j, table in enumerate(ptables):
+            g.const(f"emb_n{j}", np.asarray(table, dtype=np.float32))
+            idx = g.emit("Slice", ["non_seq_cat"],
+                         {"starts": [j], "ends": [j + 1], "axes": [1]})
+            idx = g.emit("Squeeze", [idx], {"axes": [1]})
+            pparts.append(g.emit("Gather", [f"emb_n{j}", idx], {"axis": 0}))
+        if n_pcont:
+            pparts.append("non_seq_cont")
+        prof = pparts[0] if len(pparts) == 1 else g.emit(
+            "Concat", pparts, {"axis": -1})
+        g.const("W_prof", np.asarray(model.W_prof, dtype=np.float32))
+        pz = g.emit("MatMul", [prof, "W_prof"])
+        pz = g.emit("Unsqueeze", [pz], {"axes": [1]})
+        z = g.emit("Concat", [z, pz], {"axis": 1})
+        t += 1
+    g.const("pos", np.asarray(model.pos[:t], dtype=np.float32))
+    z = g.emit("Add", [z, "pos"])
+
+    g.const("__ones_h", np.ones(H, dtype=np.float32))
+    g.const("__inv_sqrt_dh",
+            np.asarray(1.0 / np.sqrt(dh), dtype=np.float32))
+    g.const("__shape_heads", np.asarray([0, t, heads, dh], dtype=np.int64))
+    g.const("__shape_merge", np.asarray([0, t, H], dtype=np.int64))
+    for li, layer in enumerate(model.layers):
+        for nm in ("Wq", "Wk", "Wv", "Wo", "W1", "W2"):
+            g.const(f"L{li}_{nm}", np.asarray(layer[nm], dtype=np.float32))
+        qkv = []
+        for nm in ("Wq", "Wk", "Wv"):
+            proj = g.emit("MatMul", [z, f"L{li}_{nm}"])
+            proj = g.emit("Reshape", [proj, "__shape_heads"])
+            qkv.append(g.emit("Transpose", [proj], {"perm": [0, 2, 1, 3]}))
+        q, k, v = qkv
+        kt = g.emit("Transpose", [k], {"perm": [0, 1, 3, 2]})
+        logits = g.emit("Mul", [g.emit("MatMul", [q, kt]), "__inv_sqrt_dh"])
+        att = g.emit("Softmax", [logits], {"axis": -1})
+        ctx = g.emit("MatMul", [att, v])
+        ctx = g.emit("Transpose", [ctx], {"perm": [0, 2, 1, 3]})
+        ctx = g.emit("Reshape", [ctx, "__shape_merge"])
+        attn_out = g.emit("MatMul", [ctx, f"L{li}_Wo"])
+        z = g.emit("LayerNormalization",
+                   [g.emit("Add", [z, attn_out]), "__ones_h"],
+                   {"axis": -1, "epsilon": 1e-5})
+        ff = g.emit("MatMul", [
+            g.emit("Relu", [g.emit("MatMul", [z, f"L{li}_W1"])]),
+            f"L{li}_W2"])
+        z = g.emit("LayerNormalization",
+                   [g.emit("Add", [z, ff]), "__ones_h"],
+                   {"axis": -1, "epsilon": 1e-5})
+    g.const("__shape_flat", np.asarray([0, t * H], dtype=np.int64))
+    g.emit("Reshape", [z, "__shape_flat"], out="embedding")
+    g.outputs = ["embedding"]
+    g.out_dim = t * H
+    return g
+
+
 def run_graph_numpy(program: GraphProgram,
                     feeds: dict[str, np.ndarray]) -> list[np.ndarray]:
     """Execute a :class:`GraphProgram` in numpy — the always-available
@@ -236,6 +338,26 @@ def run_graph_numpy(program: GraphProgram,
             r = np.take(a[0], a[1], axis=attrs.get("axis", 0))
         elif op == "Squeeze":
             r = np.squeeze(a[0], axis=tuple(attrs["axes"]))
+        elif op == "Unsqueeze":
+            r = np.expand_dims(a[0], axis=tuple(attrs["axes"]))
+        elif op == "Transpose":
+            r = np.transpose(a[0], axes=attrs["perm"])
+        elif op == "Reshape":
+            shape = [a[0].shape[i] if s == 0 else int(s)
+                     for i, s in enumerate(a[1])]
+            r = a[0].reshape(shape)
+        elif op == "Softmax":
+            ax = attrs.get("axis", -1)
+            m = a[0].max(axis=ax, keepdims=True)
+            e = np.exp(a[0] - m)
+            r = e / e.sum(axis=ax, keepdims=True)
+        elif op == "LayerNormalization":
+            eps = attrs.get("epsilon", 1e-5)
+            mu = a[0].mean(axis=-1, keepdims=True)
+            var = a[0].var(axis=-1, keepdims=True)
+            r = (a[0] - mu) / np.sqrt(var + eps) * a[1]
+            if len(a) > 2:
+                r = r + a[2]
         elif op == "Slice":
             sl = [slice(None)] * a[0].ndim
             for ax, s, e in zip(attrs["axes"], attrs["starts"],
@@ -248,29 +370,24 @@ def run_graph_numpy(program: GraphProgram,
     return [env[n] for n in program.outputs]
 
 
-def export_lstm_encoder_onnx(model, path: str, seq_len: int) -> None:
-    """Serialize a fitted ``LSTMEncoder`` to ``path`` (gated on onnx).
-
-    Standard ops only — no custom-op registration, unlike the
-    reference's Gelu/Trilu/Inverse contrib ops (caspr/utils/onnx.py).
-    """
+def _emit_onnx(prog: GraphProgram, path: str, graph_name: str,
+               out_dim: int) -> None:
+    """Convert a :class:`GraphProgram` to a checked .onnx file."""
     onnx, _ = _require_onnx()
     from onnx import TensorProto, helper, numpy_helper
 
-    prog = lstm_encoder_graph(model, seq_len)
     dt = {np.int64: TensorProto.INT64, np.float32: TensorProto.FLOAT}
     g_inputs = [helper.make_tensor_value_info(
         n, dt[d], ["batch_size", *shape[1:]])
         for n, (d, shape) in prog.inputs.items()]
     out = helper.make_tensor_value_info(
-        "embedding", TensorProto.FLOAT,
-        ["batch_size", model.hidden_dim])
+        "embedding", TensorProto.FLOAT, ["batch_size", out_dim])
     inits = [numpy_helper.from_array(v, name=k)
              for k, v in prog.initializers.items()]
     nodes = []
     extra = 0
     for op, ins, outs, attrs in prog.nodes:
-        if op in ("Slice", "Squeeze"):
+        if op in ("Slice", "Squeeze", "Unsqueeze"):
             # opset >= 13: starts/ends/axes travel as input tensors
             tins = list(ins)
             for key in (("starts", "ends", "axes") if op == "Slice"
@@ -281,16 +398,33 @@ def export_lstm_encoder_onnx(model, path: str, seq_len: int) -> None:
                     np.asarray(attrs[key], dtype=np.int64), name=name))
                 tins.append(name)
             nodes.append(helper.make_node(op, tins, outs))
-        elif op in ("Concat", "Gather"):
-            nodes.append(helper.make_node(op, ins, outs, **attrs))
         else:
-            nodes.append(helper.make_node(op, ins, outs))
-    graph = helper.make_graph(nodes, "caspr_lstm_encoder", g_inputs, [out],
+            nodes.append(helper.make_node(op, ins, outs, **attrs))
+    graph = helper.make_graph(nodes, graph_name, g_inputs, [out],
                               initializer=inits)
     onnx_model = helper.make_model(
         graph, opset_imports=[helper.make_opsetid("", OPSET_VERSION)])
     onnx.checker.check_model(onnx_model)
     onnx.save(onnx_model, path)
+
+
+def export_lstm_encoder_onnx(model, path: str, seq_len: int) -> None:
+    """Serialize a fitted ``LSTMEncoder`` to ``path`` (gated on onnx).
+
+    Standard ops only — no custom-op registration, unlike the
+    reference's Gelu/Trilu/Inverse contrib ops (caspr/utils/onnx.py).
+    """
+    _emit_onnx(lstm_encoder_graph(model, seq_len), path,
+               "caspr_lstm_encoder", model.hidden_dim)
+
+
+def export_transformer_encoder_onnx(model, path: str, seq_len: int) -> None:
+    """Serialize a fitted ``TransformerEncoder`` to ``path`` (gated).
+
+    Uses native opset-17 Softmax / LayerNormalization — still zero
+    custom ops, completing S5 parity for both deep encoders."""
+    prog = transformer_encoder_graph(model, seq_len)
+    _emit_onnx(prog, path, "caspr_transformer_encoder", prog.out_dim)
 
 
 def export_onnx(model, model_path: str, seq_len: int | None = None) -> None:
@@ -301,8 +435,12 @@ def export_onnx(model, model_path: str, seq_len: int | None = None) -> None:
     latter's unroll); the transformer encoder raises (see module
     docstring).
     """
-    if hasattr(model, "W") and not hasattr(model, "U"):
-        export_linear_autoencoder_onnx(model, model_path)
+    if hasattr(model, "layers") and hasattr(model, "W_in"):
+        if seq_len is None:
+            raise ValueError("export_onnx(TransformerEncoder) needs "
+                             "seq_len (positional table + reshapes are "
+                             "length-specialized)")
+        export_transformer_encoder_onnx(model, model_path, seq_len)
         return
     if hasattr(model, "U") and hasattr(model, "hidden_dim"):
         if seq_len is None:
@@ -310,11 +448,13 @@ def export_onnx(model, model_path: str, seq_len: int | None = None) -> None:
                              "(the graph unrolls the recurrence)")
         export_lstm_encoder_onnx(model, model_path, seq_len)
         return
+    if getattr(model, "W", None) is not None and not hasattr(model, "enc"):
+        export_linear_autoencoder_onnx(model, model_path)
+        return
     raise NotImplementedError(
-        f"ONNX export is implemented for LinearAutoencoder and "
-        f"LSTMEncoder; got {type(model).__name__}. The transformer "
-        "stack would need LayerNorm/softmax assembly per block — score "
-        "it through caspr_spark.score.score instead.")
+        f"ONNX export is implemented for LinearAutoencoder, LSTMEncoder "
+        f"and TransformerEncoder; got {type(model).__name__}. Score "
+        "other encoders through caspr_spark.score.score instead.")
 
 
 class ONNXWrapper:

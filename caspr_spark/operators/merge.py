@@ -108,3 +108,51 @@ def diff_snapshots(old: DataFrame, new: DataFrame, keys: list[str],
     return (j.withColumn(change_col, ctype)
              .filter(F.col(change_col).isNotNull())
              .drop("__in_old", "__in_new"))
+
+
+def scd2_history(changes: DataFrame, keys: list[str], ts_col: str,
+                 attr_cols: list[str],
+                 tiebreak: list[str] | None = None,
+                 from_col: str = "valid_from", to_col: str = "valid_to",
+                 current_col: str = "is_current") -> DataFrame:
+    """Build a type-2 slowly-changing-dimension history from a change log.
+
+    Input: after-image rows (full attribute state per observation, e.g.
+    CDC events or periodic snapshots), any number per key. Output: one
+    row per (key, attribute-state interval) — ``valid_from`` (the first
+    observation of that state), ``valid_to`` (exclusive; the next
+    state's start, null while current) and ``is_current`` — the
+    standard dimension-table versioning (Kimball SCD type 2) that lets
+    a fact row join to the attributes AS OF its own timestamp.
+
+    Consecutive observations with identical ``attr_cols`` collapse into
+    one interval (null-safe comparison, so null -> value transitions
+    open a new version); re-appearing states re-open (A -> B -> A is
+    three intervals — history, not a distinct on state).
+
+    Plan shape: ONE hash exchange on the key — both windows (the lag
+    change-detector and the lead interval-closer) share the
+    (key, ts)-sorted partition Catalyst plans once. Never a self-join;
+    at 100 TB the cost is the one sort-shuffle any per-entity
+    history pass pays. ``tiebreak`` must make (ts, tiebreak) unique per
+    key or version order is nondeterministic.
+    """
+    if not keys:
+        raise ValueError("scd2_history needs at least one key column")
+    if not attr_cols:
+        raise ValueError("scd2_history needs at least one attribute column")
+    order = [F.col(ts_col).asc()] + [F.col(t).asc() for t in (tiebreak or [])]
+    w = Window.partitionBy(*keys).orderBy(*order)
+    changed = F.lit(False)
+    for c in attr_cols:
+        changed = changed | ~F.col(c).eqNullSafe(F.lag(F.col(c), 1).over(w))
+    first = F.row_number().over(w) == 1
+    points = (changes.withColumn("__new_version", first | changed)
+                     .filter(F.col("__new_version"))
+                     .drop("__new_version"))
+    w2 = Window.partitionBy(*keys).orderBy(*order)
+    return (points
+            .withColumn(from_col, F.col(ts_col))
+            .withColumn(to_col, F.lead(F.col(ts_col), 1).over(w2))
+            .withColumn(current_col, F.col(to_col).isNull())
+            .select(*keys, *attr_cols, from_col, to_col, current_col))

@@ -24,7 +24,7 @@ from __future__ import annotations
 
 from functools import reduce
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 _BUCKET_SECONDS = {
@@ -187,3 +187,47 @@ def merge_rollup_delta(base: DataFrame, delta: DataFrame,
             .groupBy(bucket_col, *keys)
             .agg(F.sum("n_events").alias("n_events"),
                  F.sum("sum_value").alias("sum_value")))
+
+
+def attribute_conversions(df: DataFrame, entity_col: str = "user_id",
+                          ts_col: str = "ts",
+                          type_col: str = "event_type",
+                          conversion_type: str = "purchase",
+                          touch_types: tuple[str, ...] = ("view", "click"),
+                          model: str = "last",
+                          tiebreak: list[str] | None = None) -> DataFrame:
+    """Marketing-attribution join: credit each conversion event to the
+    first- or last-preceding touch event of the same entity.
+
+    The companion of :func:`funnel` (that counts stage reach; this
+    assigns per-conversion credit). ``model='last'`` is last-touch
+    (credit the most recent touch strictly before the conversion),
+    ``'first'`` first-touch (the touch that originated the journey).
+    Conversions with no prior touch keep null attribution (direct
+    conversions — dropping them silently would overstate channel ROI).
+
+    Plan shape: ONE window over (entity, time) — the touch columns are
+    carried forward with ``last/first(..., ignorenulls=True)`` over the
+    preceding-rows frame, so attribution at any scale is one keyed
+    sort-shuffle, never a range self-join of conversions against
+    touches (the naive formulation, quadratic in touches per entity).
+    """
+    if model not in ("first", "last"):
+        raise ValueError(f"model must be 'first' or 'last', got {model!r}")
+    if not touch_types:
+        raise ValueError("touch_types must be non-empty")
+    order = [F.col(ts_col).asc()] + [F.col(t).asc()
+                                     for t in (tiebreak or [])]
+    w = (Window.partitionBy(entity_col).orderBy(*order)
+         .rowsBetween(Window.unboundedPreceding, -1))
+    is_touch = F.col(type_col).isin(*touch_types)
+    touch = F.when(is_touch, F.struct(F.col(ts_col).alias("ts"),
+                                      F.col(type_col).alias("type")))
+    pick = (F.last(touch, ignorenulls=True)
+            if model == "last" else F.first(touch, ignorenulls=True))
+    attributed = pick.over(w)
+    return (df.withColumn("__attr", attributed)
+              .filter(F.col(type_col) == conversion_type)
+              .withColumn("touch_ts", F.col("__attr.ts"))
+              .withColumn("touch_type", F.col("__attr.type"))
+              .drop("__attr"))

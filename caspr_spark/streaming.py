@@ -181,6 +181,16 @@ def streaming_sessions(stream: DataFrame, gap: str = "2 days",
                     "sum_value"))
 
 
+#: Per-key state of the prequential anomaly operator: EXACTLY three
+#: fixed-width numbers (count, sum, sum of squares) = 24 bytes of
+#: payload per entity. At 1e9 distinct entities that is ~24 GB of raw
+#: state before store overhead (key bytes + HDFS-backed store ~2-3x) —
+#: shard-by-entity across executors and it stays comfortably in memory;
+#: state NEVER grows with events-per-key, only with key cardinality.
+#: Pinned by tests/test_streaming.py (scale audit, r4 verdict item 9).
+ANOMALY_STATE_SCHEMA = "n long, s double, q double"
+
+
 def streaming_anomaly_zscore(stream: DataFrame, key_col: str = "user_id",
                              ts_col: str = "ts", value_col: str = "value",
                              tiebreak_col: str = "event_id") -> DataFrame:
@@ -206,7 +216,7 @@ def streaming_anomaly_zscore(stream: DataFrame, key_col: str = "user_id",
     tb_type = dict(stream.dtypes)[tiebreak_col]
     out_schema = (f"`{key_col}` {key_type}, `{tiebreak_col}` {tb_type}, "
                   "n_prior int, z double")
-    state_schema = "n long, s double, q double"
+    state_schema = ANOMALY_STATE_SCHEMA
 
     def update(key, pdfs, state: GroupState):
         import numpy as np

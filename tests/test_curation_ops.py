@@ -809,3 +809,75 @@ class TestFuzzyJoinBlockCap:
         default = inspect.signature(fuzzy_join).parameters[
             "max_block_pairs"].default
         assert default == 1_000_000
+
+
+class TestScd2History:
+    def _log(self, spark):
+        rows = [
+            (1, "2024-01-01", "A", 10),
+            (1, "2024-01-02", "A", 11),   # same state -> collapses
+            (1, "2024-01-03", "B", 12),   # change -> new version
+            (1, "2024-01-04", "A", 13),   # re-appearing state re-opens
+            (2, "2024-01-01", "X", 14),
+        ]
+        return spark.createDataFrame(
+            [(k, d, s, i) for k, d, s, i in rows],
+            "k long, d_s string, status string, id long"
+        ).withColumn("d", F.col("d_s").cast("date")).drop("d_s")
+
+    def test_versions_and_intervals(self, spark):
+        from caspr_spark.operators.merge import scd2_history
+        out = scd2_history(self._log(spark), keys=["k"], ts_col="d",
+                           attr_cols=["status"], tiebreak=["id"])
+        got = sorted([(r.k, r.status, str(r.valid_from),
+                       str(r.valid_to), r.is_current)
+                      for r in out.collect()])
+        assert got == [
+            (1, "A", "2024-01-01", "2024-01-03", False),
+            (1, "A", "2024-01-04", "None", True),
+            (1, "B", "2024-01-03", "2024-01-04", False),
+            (2, "X", "2024-01-01", "None", True),
+        ]
+
+    def test_null_transition_opens_version(self, spark):
+        from caspr_spark.operators.merge import scd2_history
+        df = spark.createDataFrame(
+            [(1, "2024-01-01", None, 1), (1, "2024-01-02", "A", 2)],
+            "k long, d_s string, status string, id long"
+        ).withColumn("d", F.col("d_s").cast("date")).drop("d_s")
+        out = scd2_history(df, ["k"], "d", ["status"], tiebreak=["id"])
+        assert out.count() == 2
+
+    def test_validation(self, spark):
+        from caspr_spark.operators.merge import scd2_history
+        df = spark.createDataFrame([(1,)], "k long")
+        with pytest.raises(ValueError, match="key"):
+            scd2_history(df, [], "d", ["s"])
+        with pytest.raises(ValueError, match="attribute"):
+            scd2_history(df, ["k"], "d", [])
+
+
+class TestNormalizeText:
+    def test_all_steps(self, spark):
+        from caspr_spark.llm.text import normalize_text
+        df = spark.createDataFrame(
+            [(1, "He said “hi” — twice…\tok\x00now")],
+            "id long, text string")
+        r = normalize_text(df, lowercase=True).first()
+        assert r.text_norm == 'he said "hi" - twice... ok now'
+
+    def test_steps_toggle(self, spark):
+        from caspr_spark.llm.text import normalize_text
+        df = spark.createDataFrame([(1, "  A’s   B  ")],
+                                   "id long, text string")
+        keep = normalize_text(df, lowercase=False,
+                              collapse_whitespace=False).first().text_norm
+        assert keep == "  A's   B  "
+        norm = normalize_text(df).first().text_norm
+        assert norm == "A's B"
+
+    def test_control_replacement_does_not_fuse_words(self, spark):
+        from caspr_spark.llm.text import normalize_text
+        df = spark.createDataFrame([(1, "more\x0bjunk")],
+                                   "id long, text string")
+        assert normalize_text(df).first().text_norm == "more junk"

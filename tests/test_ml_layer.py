@@ -665,6 +665,33 @@ class TestLstmOnnxGraph:
         with pytest.raises(ValueError, match="seq_len"):
             export_onnx(m, "/tmp/never.onnx")
 
+    @pytest.mark.parametrize("with_profile", [True, False])
+    def test_transformer_graph_matches_numpy_forward(self, with_profile):
+        from caspr_spark.models.numpy_layers import TransformerEncoder
+        from caspr_spark.models.onnx_io import (run_graph_numpy,
+                                                transformer_encoder_graph)
+        rng = np.random.default_rng(11)
+        N, T = 5, 4
+        m = TransformerEncoder(
+            seq_vocab=[5, 3], seq_emb_dims=[3, 2], n_seq_cont=2,
+            non_seq_vocab=[4] if with_profile else [],
+            non_seq_emb_dims=[2] if with_profile else [],
+            n_non_seq_cont=1 if with_profile else 0,
+            hidden_dim=8, n_layers=2, n_heads=2, max_len=T + 2, seed=3)
+        data = dict(
+            seq_cat=rng.integers(0, 3, size=(N, T, 2)).astype(np.int64),
+            seq_cont=rng.normal(size=(N, T, 2)).astype(np.float32),
+            non_seq_cat=rng.integers(0, 4, size=(N, 1)).astype(np.int64)
+            if with_profile else np.zeros((N, 0), np.int64),
+            non_seq_cont=rng.normal(size=(N, 1)).astype(np.float32)
+            if with_profile else np.zeros((N, 0), np.float32))
+        want = m.encode(data["seq_cat"], data["seq_cont"],
+                        data["non_seq_cat"], data["non_seq_cont"])
+        prog = transformer_encoder_graph(m, seq_len=T)
+        got = run_graph_numpy(prog, {k: data[k] for k in prog.inputs})[0]
+        assert prog.out_dim == want.shape[1]
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
     def test_onnxruntime_agreement_gated(self, tmp_path):
         pytest.importorskip("onnx")
         pytest.importorskip("onnxruntime")

@@ -261,6 +261,21 @@ class TestStreamingAnomalyZscore:
             a, b = got[k][1], want[k][1]
             assert (a is None and b is None) or abs(a - b) < 1e-6
 
+    def test_state_is_three_fixed_width_numbers(self):
+        # r4 verdict item 9: stream_anomaly grew 5.1x at 10x KEYS in the
+        # sf1 sweep — expected, because state scales with key
+        # cardinality. This pins the per-key payload at exactly three
+        # fixed-width numbers (24 bytes), so the 1e9-key footprint
+        # stays a computable ~24 GB + store overhead and can never
+        # regress into per-event state silently.
+        from pyspark.sql.types import DoubleType, LongType, StructType
+        from caspr_spark.streaming import ANOMALY_STATE_SCHEMA
+        st = StructType.fromDDL(ANOMALY_STATE_SCHEMA)
+        assert len(st.fields) == 3
+        widths = {LongType: 8, DoubleType: 8}
+        payload = sum(widths[type(f.dataType)] for f in st.fields)
+        assert payload == 24
+
     def test_time_ordered_multibatch(self, spark, events, tmp_path):
         """Prequential state carries across batches on an ordered replay."""
         import os

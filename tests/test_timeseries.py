@@ -213,3 +213,58 @@ class TestDistinctSketch:
         a = distinct_total(hourly).collect()[0]["n_distinct"]
         b = distinct_total(weekly).collect()[0]["n_distinct"]
         assert a == b
+
+
+class TestAttribution:
+    def _events(self, spark):
+        rows = [
+            # user 1: view -> click -> purchase -> purchase
+            (1, 1, "view", "2024-01-01 10:00:00"),
+            (2, 1, "click", "2024-01-01 11:00:00"),
+            (3, 1, "purchase", "2024-01-01 12:00:00"),
+            (4, 1, "purchase", "2024-01-01 13:00:00"),
+            # user 2: direct purchase, no touches
+            (5, 2, "purchase", "2024-01-01 09:00:00"),
+            # user 3: touch AFTER the purchase must not attribute
+            (6, 3, "purchase", "2024-01-02 08:00:00"),
+            (7, 3, "click", "2024-01-02 09:00:00"),
+        ]
+        return spark.createDataFrame(
+            [(i, u, t, ts) for i, u, t, ts in rows],
+            "event_id long, user_id long, event_type string, ts_s string"
+        ).withColumn("ts", F.col("ts_s").cast("timestamp")).drop("ts_s")
+
+    def test_last_touch(self, spark):
+        from caspr_spark.operators.timeseries import attribute_conversions
+        got = {r.event_id: r.touch_type for r in attribute_conversions(
+            self._events(spark), tiebreak=["event_id"]).collect()}
+        assert got == {3: "click", 4: "click", 5: None, 6: None}
+
+    def test_first_touch(self, spark):
+        from caspr_spark.operators.timeseries import attribute_conversions
+        got = {r.event_id: r.touch_type for r in attribute_conversions(
+            self._events(spark), model="first",
+            tiebreak=["event_id"]).collect()}
+        assert got == {3: "view", 4: "view", 5: None, 6: None}
+
+    def test_validation(self, spark):
+        from caspr_spark.operators.timeseries import attribute_conversions
+        ev = self._events(spark)
+        import pytest as _pytest
+        with _pytest.raises(ValueError, match="model"):
+            attribute_conversions(ev, model="linear")
+        with _pytest.raises(ValueError, match="touch_types"):
+            attribute_conversions(ev, touch_types=())
+
+    def test_same_ts_tiebreak_excludes_self_row(self, spark):
+        # conversion at the same ts as a touch: ROWS frame ends 1
+        # PRECEDING in (ts, event_id) order, so the touch with a lower
+        # event_id at the same ts IS credited
+        from caspr_spark.operators.timeseries import attribute_conversions
+        ev = spark.createDataFrame(
+            [(1, 1, "click", "2024-01-01 10:00:00"),
+             (2, 1, "purchase", "2024-01-01 10:00:00")],
+            "event_id long, user_id long, event_type string, ts_s string"
+        ).withColumn("ts", F.col("ts_s").cast("timestamp")).drop("ts_s")
+        got = attribute_conversions(ev, tiebreak=["event_id"]).collect()
+        assert got[0].touch_type == "click"

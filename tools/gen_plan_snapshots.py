@@ -88,6 +88,10 @@ SNAPSHOT_QUERIES = [
     "rollup_incremental",
     "outlier_robust",
     "calibration_bins",
+    # round-5 additions
+    "scd2_orders",
+    "text_normalize",
+    "attribution_last_touch",
 ]
 
 
