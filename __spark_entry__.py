@@ -1501,6 +1501,22 @@ def q_multimodal_frames(spark, sf_dir):
     return sample_frames(docs, stride=16, max_frames=8)
 
 
+def q_simsearch_topk_pq(spark, sf_dir):
+    """Product-quantization ANN (pq.py): per-subspace MLlib KMeans
+    codebooks (8 subspaces x 16 centroids over dim 64 -> 8 small codes
+    per vector), asymmetric-distance top-10 for a held-out query
+    vector. Rows-only: KMeans is iterative; ADC agreement with exact
+    distances is certified by tests/test_pq.py."""
+    import numpy as np
+    from caspr_spark.llm.pq import fit_pq, pq_encode, pq_search
+    emb = _t(spark, sf_dir, "embeddings")
+    cb = fit_pq(emb, dim=64, m=8, k=16, max_iter=10)
+    enc = pq_encode(emb, cb)
+    q = np.asarray(
+        emb.orderBy("vec_id").first()["embedding"], dtype=np.float64)
+    return pq_search(enc, q, cb, top_k=10)
+
+
 def q_simsearch_topk_ivf(spark, sf_dir):
     """IVF ANN: KMeans coarse cells + n_probe search (no SQL oracle —
     iterative clustering; rows-only check)."""
@@ -1983,7 +1999,7 @@ def q_source_csv_roundtrip(spark, sf_dir):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver contract: the correctness gate certifies the FIRST 50 entries.
 
-    127 of the 148 queries carry full DuckDB oracles — more than one
+    127 of the 149 queries carry full DuckDB oracles — more than one
     50-slot window holds — so certification rotates across rounds
     (COVERAGE.md maps
     which round certified which row; tools/check_correctness.py re-runs the
@@ -2171,6 +2187,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_distinct_rollup": q_sketch_distinct_rollup,
         "emb_near_dup_auto": q_emb_near_dup_auto,
         "bpe_tokenize": q_bpe_tokenize,
+        "simsearch_topk_pq": q_simsearch_topk_pq,
     }
 
 
