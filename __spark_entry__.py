@@ -1399,6 +1399,20 @@ def q_winnow_pairs(spark, sf_dir):
     return winnow_pairs(docs, k=4, window=5, min_shared=2, max_df=1000)
 
 
+def q_pagerank_docs(spark, sf_dir):
+    """PageRank centrality over the winnowing similarity graph
+    (graph.py pagerank): canonical-document election signal for near-dup
+    clusters. Five fixed-point iterations — contributions summed as
+    BIGINTs (order-independent), so this ITERATIVE algorithm carries an
+    exact unrolled-CTE DuckDB oracle."""
+    from caspr_spark.llm.dedup import winnow_pairs
+    from caspr_spark.operators.graph import pagerank
+    docs = _t(spark, sf_dir, "documents")
+    pairs = winnow_pairs(docs, k=4, window=5, min_shared=2, max_df=1000)
+    return pagerank(pairs, src="id_a", dst="id_b", damping=0.85,
+                    iterations=5)
+
+
 def q_related_docs(spark, sf_dir):
     """TF-IDF more-like-this retrieval (search.py related_documents):
     top-3 related docs per doc by sparse-vector cosine. Pairs form
@@ -1999,7 +2013,7 @@ def q_source_csv_roundtrip(spark, sf_dir):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver contract: the correctness gate certifies the FIRST 50 entries.
 
-    127 of the 149 queries carry full DuckDB oracles — more than one
+    128 of the 150 queries carry full DuckDB oracles — more than one
     50-slot window holds — so certification rotates across rounds
     (COVERAGE.md maps
     which round certified which row; tools/check_correctness.py re-runs the
@@ -2089,6 +2103,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_orders": q_scd2_orders,
         "text_normalize": q_text_normalize,
         "attribution_last_touch": q_attribution_last_touch,
+        "pagerank_docs": q_pagerank_docs,
         # --- slots 54-103: driver-certified in round 4 (50/50 green) ----
         "pipeline_events_percutoff": q_pipeline_events_percutoff,
         "pipeline_orders_composite": q_pipeline_orders_composite,
@@ -2797,6 +2812,51 @@ _LANGS_SQL = {
     "de": "der|die|und|das|mit|von|ein|nicht",
     "fr": "le|la|les|des|est|une|dans|pour",
 }
+
+
+_WINNOW_PAIRS_SQL = r"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS tk
+  FROM documents),
+g AS (
+  SELECT doc_id, s['pos'] AS pos, md5(s['g']) AS h
+  FROM (SELECT doc_id,
+               unnest(CASE WHEN len(tk) >= 4
+                      THEN list_transform(range(1, len(tk) - 2),
+                             i -> {'pos': i,
+                                   'g': array_to_string(tk[i:i+3], ' ')})
+                      ELSE [{'pos': CAST(1 AS BIGINT),
+                             'g': array_to_string(tk, ' ')}] END) AS s
+        FROM t)),
+fp AS (
+  SELECT DISTINCT doc_id, wmin AS fingerprint
+  FROM (SELECT doc_id, pos,
+               min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING)
+                 AS wmin,
+               count(*) OVER (PARTITION BY doc_id) AS n
+        FROM g)
+  WHERE pos <= n - 4 OR pos = 1),
+rare AS (
+  SELECT fingerprint FROM fp GROUP BY fingerprint HAVING count(*) <= 1000)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+FROM (SELECT * FROM fp JOIN rare USING (fingerprint)) a
+JOIN (SELECT * FROM fp JOIN rare USING (fingerprint)) b
+  USING (fingerprint)
+WHERE a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING count(*) >= 2"""
+
+
+
+def _pagerank_sql_entry() -> str:
+    """Oracle twin of q_pagerank_docs: the winnowing pair graph as the
+    edge CTE, 5 unrolled fixed-point PageRank iterations (graph.py
+    pagerank_sql) — an ITERATIVE algorithm with an exact SQL oracle,
+    possible because contributions accumulate as order-independent
+    BIGINT fixed point."""
+    from caspr_spark.operators.graph import pagerank_sql
+    return pagerank_sql(_WINNOW_PAIRS_SQL, damping=0.85, iterations=5)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -3579,38 +3639,8 @@ SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
        array_to_string(toks[chunk_id * 32 + 1 : chunk_id * 32 + 48], ' ')
          AS chunk_text
 FROM c""",
-        "winnow_pairs": r"""
-WITH t AS (
-  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS tk
-  FROM documents),
-g AS (
-  SELECT doc_id, s['pos'] AS pos, md5(s['g']) AS h
-  FROM (SELECT doc_id,
-               unnest(CASE WHEN len(tk) >= 4
-                      THEN list_transform(range(1, len(tk) - 2),
-                             i -> {'pos': i,
-                                   'g': array_to_string(tk[i:i+3], ' ')})
-                      ELSE [{'pos': CAST(1 AS BIGINT),
-                             'g': array_to_string(tk, ' ')}] END) AS s
-        FROM t)),
-fp AS (
-  SELECT DISTINCT doc_id, wmin AS fingerprint
-  FROM (SELECT doc_id, pos,
-               min(h) OVER (PARTITION BY doc_id ORDER BY pos
-                            ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING)
-                 AS wmin,
-               count(*) OVER (PARTITION BY doc_id) AS n
-        FROM g)
-  WHERE pos <= n - 4 OR pos = 1),
-rare AS (
-  SELECT fingerprint FROM fp GROUP BY fingerprint HAVING count(*) <= 1000)
-SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
-FROM (SELECT * FROM fp JOIN rare USING (fingerprint)) a
-JOIN (SELECT * FROM fp JOIN rare USING (fingerprint)) b
-  USING (fingerprint)
-WHERE a.doc_id < b.doc_id
-GROUP BY 1, 2
-HAVING count(*) >= 2""",
+        "winnow_pairs": _WINNOW_PAIRS_SQL,
+        "pagerank_docs": _pagerank_sql_entry(),
         "related_docs": r"""
 WITH tok AS (
   SELECT doc_id,

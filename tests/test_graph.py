@@ -1,0 +1,98 @@
+"""PageRank over pair tables (operators/graph.py): hand-checked ranks,
+mass conservation, determinism, and the fixed-point discipline that
+makes the iterative oracle exact."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from caspr_spark.operators.graph import FP_SCALE, pagerank
+
+
+def _numpy_pagerank(edges, damping=0.85, iterations=10):
+    """Reference twin with the SAME fixed-point arithmetic."""
+    dedges = set()
+    for a, b in edges:
+        dedges.add((a, b))
+        dedges.add((b, a))
+    nodes = sorted({x for e in dedges for x in e})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    deg = {v: 0 for v in nodes}
+    for s, _ in dedges:
+        deg[s] += 1
+    rank = {v: 1.0 / n for v in nodes}
+    for _ in range(iterations):
+        fp = {v: 0 for v in nodes}
+        for s, d in dedges:
+            fp[d] += int(np.round(rank[s] * FP_SCALE / deg[s]))
+        rank = {v: (1 - damping) / n + damping * (fp[v] / FP_SCALE)
+                for v in nodes}
+    return {v: round(rank[v], 9) for v in nodes}, idx
+
+
+class TestPagerank:
+    def test_star_center_dominates(self, spark):
+        edges = [(0, i) for i in range(1, 6)]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = {r.id: r.rank for r in pagerank(df, iterations=20).collect()}
+        assert got[0] > max(got[i] for i in range(1, 6)) * 2
+        leaf = [got[i] for i in range(1, 6)]
+        assert max(leaf) - min(leaf) < 1e-12   # symmetry
+
+    def test_matches_fixed_point_reference(self, spark):
+        rng = np.random.default_rng(5)
+        edges = {(int(a), int(b)) for a, b in
+                 rng.integers(0, 12, size=(30, 2)) if a != b}
+        df = spark.createDataFrame(sorted(edges), "src long, dst long")
+        got = {r.id: r.rank for r in
+               pagerank(df, iterations=6).collect()}
+        want, _ = _numpy_pagerank(sorted(edges), iterations=6)
+        assert got.keys() == want.keys()
+        for v in want:
+            assert got[v] == pytest.approx(want[v], abs=1e-9)
+
+    def test_mass_conserved_undirected(self, spark):
+        df = spark.createDataFrame([(1, 2), (2, 3), (3, 4), (4, 1)],
+                                   "src long, dst long")
+        total = pagerank(df, iterations=15).agg(F.sum("rank")).first()[0]
+        assert total == pytest.approx(1.0, abs=1e-6)
+
+    def test_directed_sink_drops_mass(self, spark):
+        # 1 -> 2, 2 has no outlinks: its mass drains (documented)
+        df = spark.createDataFrame([(1, 2)], "src long, dst long")
+        out = pagerank(df, iterations=10, undirected=False)
+        total = out.agg(F.sum("rank")).first()[0]
+        assert total < 1.0
+
+    def test_validation(self, spark):
+        df = spark.createDataFrame([(1, 2)], "src long, dst long")
+        with pytest.raises(ValueError, match="damping"):
+            pagerank(df, damping=1.5)
+        with pytest.raises(ValueError, match="iterations"):
+            pagerank(df, iterations=0)
+
+    def test_cache_scope_releases_everything(self, spark):
+        from caspr_spark import cache_scope
+
+        def ids():
+            jmap = spark.sparkContext._jsc.getPersistentRDDs()
+            return {int(k) for k in jmap.keySet().toArray()}
+        before = ids()
+        df = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+        with cache_scope():
+            pagerank(df, iterations=2).collect()
+        # edge/node persists are released by the operator itself; the
+        # final lineage-anchoring checkpoint by the scope
+        assert ids() == before
+
+    def test_at_most_final_checkpoint_survives(self, spark):
+        def ids():
+            jmap = spark.sparkContext._jsc.getPersistentRDDs()
+            return {int(k) for k in jmap.keySet().toArray()}
+        before = ids()
+        df = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+        pagerank(df, iterations=4).collect()
+        # superseded per-iteration checkpoints are unpersisted eagerly;
+        # only the final one (the result's data) may remain
+        assert len(ids() - before) <= 1
