@@ -1399,6 +1399,29 @@ def q_winnow_pairs(spark, sf_dir):
     return winnow_pairs(docs, k=4, window=5, min_shared=2, max_df=1000)
 
 
+_EXPECT_RULES = [
+    {"rule": "not_null", "col": "user_id"},
+    {"rule": "unique", "col": "event_id"},
+    {"rule": "in_range", "col": "value", "min": 0, "max": 400},
+    {"rule": "in_set", "col": "event_type",
+     "values": ["view", "click", "purchase", "signup"]},
+    {"rule": "matches", "col": "event_type", "pattern": "[a-z_]+"},
+    {"rule": "row_count_between", "min": 1, "max": 100_000_000},
+]
+
+
+def q_expectations_events(spark, sf_dir):
+    """Declarative data-quality gate (expect.py validate_expectations):
+    six rules — null check, uniqueness, range, set membership, regex
+    shape, row-count band — evaluated in ONE aggregation pass; the
+    report is the long-format audit artifact. Two rules intentionally
+    catch real 'violations' in the synthetic data (values above 400,
+    the 'error' event type) so the report discriminates."""
+    from caspr_spark.operators.expect import validate_expectations
+    ev = _events(spark, sf_dir)
+    return validate_expectations(ev, _EXPECT_RULES)
+
+
 def q_pagerank_docs(spark, sf_dir):
     """PageRank centrality over the winnowing similarity graph
     (graph.py pagerank): canonical-document election signal for near-dup
@@ -2013,7 +2036,7 @@ def q_source_csv_roundtrip(spark, sf_dir):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver contract: the correctness gate certifies the FIRST 50 entries.
 
-    128 of the 150 queries carry full DuckDB oracles — more than one
+    129 of the 151 queries carry full DuckDB oracles — more than one
     50-slot window holds — so certification rotates across rounds
     (COVERAGE.md maps
     which round certified which row; tools/check_correctness.py re-runs the
@@ -2104,6 +2127,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_normalize": q_text_normalize,
         "attribution_last_touch": q_attribution_last_touch,
         "pagerank_docs": q_pagerank_docs,
+        "expectations_events": q_expectations_events,
         # --- slots 54-103: driver-certified in round 4 (50/50 green) ----
         "pipeline_events_percutoff": q_pipeline_events_percutoff,
         "pipeline_orders_composite": q_pipeline_orders_composite,
@@ -2857,6 +2881,13 @@ def _pagerank_sql_entry() -> str:
     BIGINT fixed point."""
     from caspr_spark.operators.graph import pagerank_sql
     return pagerank_sql(_WINNOW_PAIRS_SQL, damping=0.85, iterations=5)
+
+
+def _expectations_sql_entry() -> str:
+    """Oracle twin of q_expectations_events: the same rule list
+    compiled to a UNION ALL report by expect.expectations_sql."""
+    from caspr_spark.operators.expect import expectations_sql
+    return expectations_sql("events", _EXPECT_RULES)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -3641,6 +3672,7 @@ SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
 FROM c""",
         "winnow_pairs": _WINNOW_PAIRS_SQL,
         "pagerank_docs": _pagerank_sql_entry(),
+        "expectations_events": _expectations_sql_entry(),
         "related_docs": r"""
 WITH tok AS (
   SELECT doc_id,

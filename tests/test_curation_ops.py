@@ -881,3 +881,56 @@ class TestNormalizeText:
         df = spark.createDataFrame([(1, "more\x0bjunk")],
                                    "id long, text string")
         assert normalize_text(df).first().text_norm == "more junk"
+
+
+class TestValidateExpectations:
+    def _df(self, spark):
+        return spark.createDataFrame(
+            [(1, "a", 5.0), (2, "b", 50.0), (2, "zz", None),
+             (None, "a", -1.0)],
+            "k long, s string, v double")
+
+    def test_all_rules_one_pass(self, spark):
+        from caspr_spark.operators.expect import validate_expectations
+        rules = [
+            {"rule": "not_null", "col": "k"},
+            {"rule": "unique", "col": "k"},
+            {"rule": "in_range", "col": "v", "min": 0, "max": 10},
+            {"rule": "in_set", "col": "s", "values": ["a", "b"]},
+            {"rule": "matches", "col": "s", "pattern": "[a-y]+"},
+            {"rule": "row_count_between", "min": 1, "max": 3},
+        ]
+        rep = {r.rule_id: (r.n_checked, r.n_violations, r.passed)
+               for r in validate_expectations(
+                   self._df(spark), rules).collect()}
+        assert rep[0] == (4, 1, False)   # one null k
+        assert rep[1] == (3, 1, False)   # k=2 duplicated (nulls skip)
+        assert rep[2] == (3, 2, False)   # 50.0 and -1.0 out of range
+        assert rep[3] == (4, 1, False)   # 'zz' not in set
+        assert rep[4] == (4, 1, False)   # 'zz' fails the [a-y]+ shape
+        assert rep[5] == (4, 1, False)   # 4 rows > max 3
+
+    def test_passing_report(self, spark):
+        from caspr_spark.operators.expect import validate_expectations
+        df = spark.createDataFrame([(1, "a"), (2, "b")],
+                                   "k long, s string")
+        rep = validate_expectations(df, [
+            {"rule": "not_null", "col": "k"},
+            {"rule": "unique", "col": "k"},
+            {"rule": "row_count_between", "min": 1},
+        ]).collect()
+        assert all(r.passed for r in rep)
+        assert all(r.n_violations == 0 for r in rep)
+
+    def test_validation_errors(self, spark):
+        from caspr_spark.operators.expect import validate_expectations
+        df = spark.createDataFrame([(1,)], "k long")
+        with pytest.raises(ValueError, match="at least one"):
+            validate_expectations(df, [])
+        with pytest.raises(ValueError, match="unknown rule"):
+            validate_expectations(df, [{"rule": "nope", "col": "k"}])
+        with pytest.raises(ValueError, match="in_range"):
+            validate_expectations(df, [{"rule": "in_range", "col": "k"}])
+        with pytest.raises(ValueError, match="in_set"):
+            validate_expectations(df, [{"rule": "in_set", "col": "k",
+                                        "values": []}])
