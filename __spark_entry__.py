@@ -1422,6 +1422,19 @@ def q_expectations_events(spark, sf_dir):
     return validate_expectations(ev, _EXPECT_RULES)
 
 
+def q_resample_daily(spark, sf_dir):
+    """Per-entity time-grid resampling with gap fill (timeseries.py
+    resample_entities): daily value sums on a gap-free grid between
+    each user's first and last event, holes filled with 0 — one
+    entity-keyed shuffle, grid bounded per entity."""
+    from caspr_spark.operators.timeseries import resample_entities
+    ev = _events(spark, sf_dir)
+    out = resample_entities(ev, value_cols=["value"], step="1 day",
+                            agg="sum", fill="zero")
+    return out.select("user_id", "bucket",
+                      F.round("value", 6).alias("value"))
+
+
 def q_pagerank_docs(spark, sf_dir):
     """PageRank centrality over the winnowing similarity graph
     (graph.py pagerank): canonical-document election signal for near-dup
@@ -2036,7 +2049,7 @@ def q_source_csv_roundtrip(spark, sf_dir):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver contract: the correctness gate certifies the FIRST 50 entries.
 
-    129 of the 151 queries carry full DuckDB oracles — more than one
+    130 of the 152 queries carry full DuckDB oracles — more than one
     50-slot window holds — so certification rotates across rounds
     (COVERAGE.md maps
     which round certified which row; tools/check_correctness.py re-runs the
@@ -2128,6 +2141,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "attribution_last_touch": q_attribution_last_touch,
         "pagerank_docs": q_pagerank_docs,
         "expectations_events": q_expectations_events,
+        "resample_daily": q_resample_daily,
         # --- slots 54-103: driver-certified in round 4 (50/50 green) ----
         "pipeline_events_percutoff": q_pipeline_events_percutoff,
         "pipeline_orders_composite": q_pipeline_orders_composite,
@@ -3673,6 +3687,19 @@ FROM c""",
         "winnow_pairs": _WINNOW_PAIRS_SQL,
         "pagerank_docs": _pagerank_sql_entry(),
         "expectations_events": _expectations_sql_entry(),
+        "resample_daily": """
+WITH b AS (
+  SELECT user_id, date_trunc('day', ts) AS bucket,
+         sum(value) AS value
+  FROM events GROUP BY 1, 2),
+span AS (SELECT user_id, min(bucket) AS lo, max(bucket) AS hi
+         FROM b GROUP BY 1),
+grid AS (SELECT user_id,
+                unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS bucket
+         FROM span)
+SELECT g.user_id, g.bucket,
+       coalesce(round(b.value, 6), 0) AS value
+FROM grid g LEFT JOIN b USING (user_id, bucket)""",
         "related_docs": r"""
 WITH tok AS (
   SELECT doc_id,

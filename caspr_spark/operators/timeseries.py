@@ -231,3 +231,75 @@ def attribute_conversions(df: DataFrame, entity_col: str = "user_id",
               .withColumn("touch_ts", F.col("__attr.ts"))
               .withColumn("touch_type", F.col("__attr.type"))
               .drop("__attr"))
+
+
+def resample_entities(df: DataFrame, entity_col: str = "user_id",
+                      ts_col: str = "ts", value_cols: list[str] | None = None,
+                      step: str = "1 day", agg: str = "sum",
+                      fill: str = "zero") -> DataFrame:
+    """Regularize each entity's event stream onto a fixed time grid —
+    the ``resample``/``GROUP BY time bucket FILL`` primitive every
+    time-series store exposes (gap-free per-entity series are what
+    sequence models and rolling features assume; the featurizer's
+    pad-shift handles MISSING STEPS AT THE ENDS, this handles holes).
+
+    Per entity: aggregate ``value_cols`` into ``step``-wide buckets
+    (``agg`` in sum/avg/min/max/count), then materialize EVERY grid
+    bucket between that entity's first and last event via
+    ``sequence()`` + explode, filling holes with ``fill``:
+
+    - ``"zero"`` — 0 (count-like semantics),
+    - ``"null"`` — leave missing,
+    - ``"ffill"`` — carry the last observed bucket forward
+      (state-of-the-world semantics).
+
+    Scale shape: ONE shuffle on the entity key shared by the bucket
+    aggregation and the fill window; the grid explode is
+    ``span/step`` rows per entity (the output's own size — nothing
+    quadratic). The grid is entity-local (first..last event), so one
+    ancient entity cannot blow up every entity's series length.
+    """
+    if agg not in ("sum", "avg", "min", "max", "count"):
+        raise ValueError(f"agg must be sum/avg/min/max/count, got {agg!r}")
+    if fill not in ("zero", "null", "ffill"):
+        raise ValueError(f"fill must be zero/null/ffill, got {fill!r}")
+    value_cols = list(value_cols or [])
+    if agg != "count" and not value_cols:
+        raise ValueError("value_cols required unless agg='count'")
+    bucket = F.date_trunc(_norm_width(step), F.col(ts_col))
+    aggs = ([F.count(F.lit(1)).alias("n_events")] if agg == "count" else
+            [getattr(F, agg if agg != "avg" else "avg")(F.col(c)).alias(c)
+             for c in value_cols])
+    out_cols = ["n_events"] if agg == "count" else value_cols
+    buckets = (df.withColumn("__b", bucket)
+                 .groupBy(entity_col, F.col("__b").alias("bucket"))
+                 .agg(*aggs))
+    step_expr = F.expr(f"interval {step}")
+    grid = (buckets.groupBy(entity_col)
+            .agg(F.min("bucket").alias("__lo"), F.max("bucket").alias("__hi"))
+            .select(entity_col,
+                    F.explode(F.sequence(F.col("__lo"), F.col("__hi"),
+                                         step_expr)).alias("bucket")))
+    filled = grid.join(buckets, on=[entity_col, "bucket"], how="left")
+    if fill == "zero":
+        filled = filled.na.fill(0, subset=out_cols)
+    elif fill == "ffill":
+        w = (Window.partitionBy(entity_col).orderBy("bucket")
+             .rowsBetween(Window.unboundedPreceding, 0))
+        for c in out_cols:
+            filled = filled.withColumn(
+                c, F.last(F.col(c), ignorenulls=True).over(w))
+    return filled
+
+
+def _norm_width(step: str) -> str:
+    """'1 day' -> 'day' for date_trunc (only unit steps are griddable
+    with date_trunc alignment; multi-unit steps would need epoch
+    arithmetic and are rejected loudly)."""
+    parts = step.split()
+    if len(parts) == 2 and parts[0] == "1":
+        return parts[1]
+    if len(parts) == 1:
+        return parts[0]
+    raise ValueError(f"only unit steps supported ('1 day', '1 hour'), "
+                     f"got {step!r}")

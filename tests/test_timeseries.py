@@ -268,3 +268,53 @@ class TestAttribution:
         ).withColumn("ts", F.col("ts_s").cast("timestamp")).drop("ts_s")
         got = attribute_conversions(ev, tiebreak=["event_id"]).collect()
         assert got[0].touch_type == "click"
+
+
+class TestResample:
+    def _ev(self, spark):
+        rows = [
+            (1, "2024-01-01 10:00:00", 1.0),
+            (1, "2024-01-01 11:00:00", 2.0),
+            # gap on the 2nd
+            (1, "2024-01-03 09:00:00", 4.0),
+            (2, "2024-01-05 00:00:00", 7.0),
+        ]
+        return spark.createDataFrame(rows,
+            "user_id long, ts_s string, value double") \
+            .withColumn("ts", F.col("ts_s").cast("timestamp")).drop("ts_s")
+
+    def test_zero_fill_and_grid(self, spark):
+        from caspr_spark.operators.timeseries import resample_entities
+        out = {(r.user_id, str(r.bucket)[:10]): r.value
+               for r in resample_entities(
+                   self._ev(spark), value_cols=["value"]).collect()}
+        assert out == {(1, "2024-01-01"): 3.0, (1, "2024-01-02"): 0.0,
+                       (1, "2024-01-03"): 4.0, (2, "2024-01-05"): 7.0}
+
+    def test_ffill(self, spark):
+        from caspr_spark.operators.timeseries import resample_entities
+        out = {(r.user_id, str(r.bucket)[:10]): r.value
+               for r in resample_entities(
+                   self._ev(spark), value_cols=["value"],
+                   fill="ffill").collect()}
+        assert out[(1, "2024-01-02")] == 3.0   # carried forward
+
+    def test_null_fill_and_count(self, spark):
+        from caspr_spark.operators.timeseries import resample_entities
+        out = {(r.user_id, str(r.bucket)[:10]): r.n_events
+               for r in resample_entities(
+                   self._ev(spark), agg="count", fill="null").collect()}
+        assert out[(1, "2024-01-02")] is None
+        assert out[(1, "2024-01-01")] == 2
+
+    def test_validation(self, spark):
+        from caspr_spark.operators.timeseries import resample_entities
+        ev = self._ev(spark)
+        with pytest.raises(ValueError, match="agg"):
+            resample_entities(ev, value_cols=["value"], agg="median")
+        with pytest.raises(ValueError, match="fill"):
+            resample_entities(ev, value_cols=["value"], fill="bfill")
+        with pytest.raises(ValueError, match="value_cols"):
+            resample_entities(ev, agg="sum")
+        with pytest.raises(ValueError, match="unit steps"):
+            resample_entities(ev, value_cols=["value"], step="2 days")
