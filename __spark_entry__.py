@@ -2133,16 +2133,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "metrics_roc_auc_binned": q_metrics_roc_auc_binned,
         "explain_linear_ablation": q_explain_linear_ablation,
         "x3_trainset_labeled": q_x3_trainset_labeled,
-        # --- slots 51-53: oracle-bearing, NEW in round 5 (SCD2 history,
-        #     text normalization, last-touch attribution) — local-
-        #     certified at both SFs this round, driver rotation next ----
+        # --- slots 51-56: oracle-bearing, NEW in round 5 (SCD2 history,
+        #     text normalization, last-touch attribution, fixed-point
+        #     PageRank, data-quality expectations, time-grid resample)
+        #     — local-certified at both SFs this round, driver rotation
+        #     next ------------------------------------------------------
         "scd2_orders": q_scd2_orders,
         "text_normalize": q_text_normalize,
         "attribution_last_touch": q_attribution_last_touch,
         "pagerank_docs": q_pagerank_docs,
         "expectations_events": q_expectations_events,
         "resample_daily": q_resample_daily,
-        # --- slots 54-103: driver-certified in round 4 (50/50 green) ----
+        # --- slots 57-106: driver-certified in round 4 (50/50 green) ----
         "pipeline_events_percutoff": q_pipeline_events_percutoff,
         "pipeline_orders_composite": q_pipeline_orders_composite,
         "stratified_sample_exact": q_stratified_sample_exact,

@@ -82,6 +82,10 @@ EXTENDED_QUERIES = [
     "text_normalize",
     "attribution_last_touch",
     "bpe_tokenize",
+    "pagerank_docs",
+    "expectations_events",
+    "resample_daily",
+    "simsearch_topk_pq",
 ]
 
 

@@ -104,3 +104,113 @@ class TestHeavyHittersModel:
         c = Counter(tokens)
         want = {t: n for t, n in c.items() if n > frac * len(tokens)}
         assert got == want
+
+
+class TestScd2Model:
+    @given(obs=st.lists(st.tuples(st.integers(0, 2),     # key
+                                  st.integers(1, 8),     # day
+                                  st.sampled_from("AB")),  # state
+                        min_size=1, max_size=14))
+    @settings(**SETTINGS)
+    def test_intervals_tile_and_asof_reconstructs(self, spark, obs):
+        from caspr_spark.operators.merge import scd2_history
+        rows = [(k, f"2024-01-0{d}", s, i)
+                for i, (k, d, s) in enumerate(obs)]
+        df = spark.createDataFrame(
+            rows, "k long, d_s string, status string, id long"
+        ).withColumn("d", F.col("d_s").cast("date")).drop("d_s")
+        hist = scd2_history(df, ["k"], "d", ["status"],
+                            tiebreak=["id"]).collect()
+        by_key = {}
+        for r in hist:
+            by_key.setdefault(r.k, []).append(r)
+        for k, ivs in by_key.items():
+            ivs.sort(key=lambda r: r.valid_from)
+            # intervals tile: each valid_to == next valid_from; exactly
+            # one current version per key
+            for a, b in zip(ivs, ivs[1:]):
+                assert a.valid_to == b.valid_from
+            assert [r.is_current for r in ivs].count(True) == 1
+            assert ivs[-1].is_current
+            # consecutive intervals always change state
+            for a, b in zip(ivs, ivs[1:]):
+                assert a.status != b.status
+        # every interval's key exists in the input and its valid_from
+        # is one of that key's observation dates
+        in_days = {(k, f"2024-01-0{d}") for k, d, _ in obs}
+        for r in hist:
+            assert (r.k, str(r.valid_from)) in in_days
+
+
+class TestNormalizeIdempotent:
+    @given(texts=st.lists(st.text(
+        alphabet=st.sampled_from(list("ab \t‘“– \x07…")),
+        max_size=18), min_size=1, max_size=6))
+    @settings(**SETTINGS)
+    def test_normalize_twice_equals_once(self, spark, texts):
+        from caspr_spark.llm.text import normalize_text
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "id long, text string")
+        once = normalize_text(df, lowercase=True)
+        twice = normalize_text(once.select(
+            "id", F.col("text_norm").alias("text")), lowercase=True)
+        a = {r.id: r.text_norm for r in once.collect()}
+        b = {r.id: r.text_norm for r in twice.collect()}
+        assert a == b
+
+
+class TestAttributionModel:
+    @given(evs=st.lists(st.tuples(st.integers(0, 2),        # user
+                                  st.integers(0, 20),       # minute
+                                  st.sampled_from(["view", "click",
+                                                   "purchase"])),
+                        min_size=1, max_size=16))
+    @settings(**SETTINGS)
+    def test_matches_bruteforce(self, spark, evs):
+        from caspr_spark.operators.timeseries import attribute_conversions
+        rows = [(i, u, t, f"2024-01-01 00:{m:02d}:00")
+                for i, (u, m, t) in enumerate(evs)]
+        df = spark.createDataFrame(
+            rows, "event_id long, user_id long, event_type string, "
+                  "ts_s string"
+        ).withColumn("ts", F.col("ts_s").cast("timestamp")).drop("ts_s")
+        got = {r.event_id: r.touch_type for r in attribute_conversions(
+            df, tiebreak=["event_id"]).collect()}
+        # brute force: sort per user by (minute, event_id); last touch
+        # strictly before in that order
+        want = {}
+        for i, (u, m, t) in enumerate(evs):
+            if t != "purchase":
+                continue
+            prior = [(m2, i2, t2) for i2, (u2, m2, t2) in enumerate(evs)
+                     if u2 == u and t2 in ("view", "click")
+                     and (m2, i2) < (m, i)]
+            want[i] = max(prior)[2] if prior else None
+        assert got == want
+
+
+class TestResampleModel:
+    @given(evs=st.lists(st.tuples(st.integers(0, 1),       # user
+                                  st.integers(1, 9),       # day
+                                  st.integers(0, 50)),     # value
+                        min_size=1, max_size=12))
+    @settings(**SETTINGS)
+    def test_grid_complete_and_sums_exact(self, spark, evs):
+        from caspr_spark.operators.timeseries import resample_entities
+        rows = [(u, f"2024-01-0{d} 12:00:00", float(v))
+                for u, d, v in evs]
+        df = spark.createDataFrame(
+            rows, "user_id long, ts_s string, value double"
+        ).withColumn("ts", F.col("ts_s").cast("timestamp")).drop("ts_s")
+        out = resample_entities(df, value_cols=["value"]).collect()
+        got = {(r.user_id, str(r.bucket)[:10]): r.value for r in out}
+        by_user_days = {}
+        sums = {}
+        for u, d, v in evs:
+            by_user_days.setdefault(u, []).append(d)
+            sums[(u, d)] = sums.get((u, d), 0.0) + v
+        want = {}
+        for u, days in by_user_days.items():
+            for d in range(min(days), max(days) + 1):
+                want[(u, f"2024-01-0{d}")] = sums.get((u, d), 0.0)
+        assert got == want
