@@ -1425,8 +1425,8 @@ def q_expectations_events(spark, sf_dir):
 def q_resample_daily(spark, sf_dir):
     """Per-entity time-grid resampling with gap fill (timeseries.py
     resample_entities): daily value sums on a gap-free grid between
-    each user's first and last event, holes filled with 0 — one
-    entity-keyed shuffle, grid bounded per entity."""
+    each user's first and last event, holes filled with 0 — keyed
+    exchanges over reduced relations only, grid bounded per entity."""
     from caspr_spark.operators.timeseries import resample_entities
     ev = _events(spark, sf_dir)
     out = resample_entities(ev, value_cols=["value"], step="1 day",

@@ -253,11 +253,15 @@ def resample_entities(df: DataFrame, entity_col: str = "user_id",
     - ``"ffill"`` — carry the last observed bucket forward
       (state-of-the-world semantics).
 
-    Scale shape: ONE shuffle on the entity key shared by the bucket
-    aggregation and the fill window; the grid explode is
-    ``span/step`` rows per entity (the output's own size — nothing
-    quadratic). The grid is entity-local (first..last event), so one
-    ancient entity cannot blow up every entity's series length.
+    Scale shape: two keyed exchanges (the (entity, bucket) aggregation
+    and the entity-level span aggregation over the already-reduced
+    bucket relation — the second moves bucket counts, not events) plus
+    the grid join, which AQE broadcasts while the bucket relation fits
+    and plans entity-keyed otherwise; the ffill window shares the grid
+    join's entity partitioning. The grid explode is ``span/step`` rows
+    per entity (the output's own size — nothing quadratic), and the
+    grid is entity-local (first..last event), so one ancient entity
+    cannot blow up every entity's series length.
     """
     if agg not in ("sum", "avg", "min", "max", "count"):
         raise ValueError(f"agg must be sum/avg/min/max/count, got {agg!r}")

@@ -92,6 +92,7 @@ SNAPSHOT_QUERIES = [
     "scd2_orders",
     "text_normalize",
     "attribution_last_touch",
+    "resample_daily",
 ]
 
 
