@@ -2046,10 +2046,56 @@ def q_source_csv_roundtrip(spark, sf_dir):
     return read_table(spark, path, format="csv", schema=ev.schema)
 
 
+def q_skew_report(spark, sf_dir):
+    """Shuffle-skew diagnosis (profile.py diagnose_skew): the 10
+    heaviest lineitem order keys with row fraction and imbalance factor
+    (cnt / mean-rows-per-key ≈ the salt factor needed) — the check run
+    before keying a 100 TB shuffle."""
+    from caspr_spark.operators.profile import diagnose_skew
+    li = _t(spark, sf_dir, "lineitem")
+    return diagnose_skew(li, ["l_orderkey"], top_n=10)
+
+
+def q_shards_roundtrip(spark, sf_dir):
+    """Deterministic training-shard export (sources.py
+    write_training_shards): orders hashed into 8 shards by portable
+    md5(seed, key), manifest with per-shard counts + order-insensitive
+    id checksums, read back WITH verification — values must survive
+    the round-trip exactly (oracle = the source table)."""
+    from caspr_spark.sources import (read_training_shards,
+                                     write_training_shards)
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        ".tmp", "training_shards_orders")
+    write_training_shards(orders, path, n_shards=8, id_col="o_orderkey")
+    back = read_training_shards(spark, path, verify=True)
+    return back.select("o_orderkey", "o_custkey", "o_orderstatus",
+                       "o_totalprice")
+
+
+def q_stream_topk(spark, sf_dir):
+    """Streaming windowed top-k (streaming.py streaming_windowed_topk +
+    topk_of_windows): per-day top-3 event types from a watermark-bounded
+    streaming count, batch-finished on the sink — must equal the batch
+    date_trunc count + rank."""
+    from caspr_spark.streaming import (run_to_memory, stream_events,
+                                       streaming_windowed_topk,
+                                       topk_of_windows)
+    _utc(spark)
+    stream = stream_events(spark, f"{sf_dir}/events.parquet")
+    counts = streaming_windowed_topk(stream, k=3, window="1 day",
+                                     watermark="1 day")
+    tbl = run_to_memory(counts, "q_stream_topk", "complete")
+    return topk_of_windows(tbl, k=3).select(
+        "window_start", "key", F.col("cnt").cast("long").alias("cnt"),
+        "rk")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver contract: the correctness gate certifies the FIRST 50 entries.
 
-    130 of the 152 queries carry full DuckDB oracles — more than one
+    133 of the 155 queries carry full DuckDB oracles — more than one
     50-slot window holds — so certification rotates across rounds
     (COVERAGE.md maps
     which round certified which row; tools/check_correctness.py re-runs the
@@ -2133,9 +2179,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "metrics_roc_auc_binned": q_metrics_roc_auc_binned,
         "explain_linear_ablation": q_explain_linear_ablation,
         "x3_trainset_labeled": q_x3_trainset_labeled,
-        # --- slots 51-56: oracle-bearing, NEW in round 5 (SCD2 history,
+        # --- slots 51-59: oracle-bearing, NEW in round 5 (SCD2 history,
         #     text normalization, last-touch attribution, fixed-point
-        #     PageRank, data-quality expectations, time-grid resample)
+        #     PageRank, data-quality expectations, time-grid resample,
+        #     skew report, training shards, streaming top-k)
         #     — local-certified at both SFs this round, driver rotation
         #     next ------------------------------------------------------
         "scd2_orders": q_scd2_orders,
@@ -2144,7 +2191,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_docs": q_pagerank_docs,
         "expectations_events": q_expectations_events,
         "resample_daily": q_resample_daily,
-        # --- slots 57-106: driver-certified in round 4 (50/50 green) ----
+        "skew_report": q_skew_report,
+        "shards_roundtrip": q_shards_roundtrip,
+        "stream_topk": q_stream_topk,
+        # --- slots 60-109: driver-certified in round 4 (50/50 green) ----
         "pipeline_events_percutoff": q_pipeline_events_percutoff,
         "pipeline_orders_composite": q_pipeline_orders_composite,
         "stratified_sample_exact": q_stratified_sample_exact,
@@ -3689,6 +3739,28 @@ FROM c""",
         "winnow_pairs": _WINNOW_PAIRS_SQL,
         "pagerank_docs": _pagerank_sql_entry(),
         "expectations_events": _expectations_sql_entry(),
+        "skew_report": """
+WITH c AS (SELECT l_orderkey::varchar AS key, count(*) AS cnt
+           FROM lineitem GROUP BY 1),
+s AS (SELECT sum(cnt)::DOUBLE AS total,
+             count(*)::DOUBLE AS n_keys FROM c)
+SELECT key, cnt,
+       round(cnt / (SELECT total FROM s), 6) AS frac,
+       round(cnt / ((SELECT total FROM s) / (SELECT n_keys FROM s)), 6)
+         AS imbalance
+FROM c ORDER BY cnt DESC, key ASC LIMIT 10""",
+        "shards_roundtrip": """
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders""",
+        "stream_topk": """
+WITH c AS (
+  SELECT date_trunc('day', ts) AS window_start, event_type AS key,
+         count(*)::BIGINT AS cnt
+  FROM events GROUP BY 1, 2),
+r AS (SELECT *, row_number() OVER (PARTITION BY window_start
+                                   ORDER BY cnt DESC, key ASC) AS rk
+      FROM c)
+SELECT window_start, key, cnt, CAST(rk AS INT) AS rk FROM r
+WHERE rk <= 3""",
         "resample_daily": """
 WITH b AS (
   SELECT user_id, date_trunc('day', ts) AS bucket,

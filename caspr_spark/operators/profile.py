@@ -150,3 +150,40 @@ def covariance_matrix(df: DataFrame, cols: list[str],
             out.append((a, b, cov, corr))
     return df.sparkSession.createDataFrame(
         out, "col_a string, col_b string, cov double, corr double")
+
+
+def diagnose_skew(df: DataFrame, keys: list[str], top_n: int = 10) -> DataFrame:
+    """Shuffle-skew report for a prospective join/agg key — the check a
+    100 TB pipeline runs BEFORE keying a shuffle on a column (a single
+    hot key serializes one reducer; AQE splits help joins but not
+    aggregations with non-combinable state).
+
+    Returns the ``top_n`` heaviest key groups as
+    (key, cnt, frac, imbalance) — ``frac`` of all rows, ``imbalance`` =
+    cnt / mean-rows-per-key (1.0 = perfectly uniform; the value is
+    roughly the salt factor needed to level that key). Composite keys
+    render as a '\\x1f'-joined string so the report schema is fixed.
+
+    Cost: one groupBy on the candidate key + a two-row stats broadcast —
+    the same shuffle you were about to do anyway, minus the payload.
+    Deterministic order: cnt desc, key asc.
+    """
+    if not keys:
+        raise ValueError("diagnose_skew needs at least one key column")
+    if top_n < 1:
+        raise ValueError(f"top_n must be >= 1, got {top_n}")
+    key = F.concat_ws("\x1f", *[F.col(k).cast("string") for k in keys])
+    counts = (df.select(key.alias("key"))
+                .groupBy("key").agg(F.count(F.lit(1)).alias("cnt")))
+    stats = counts.agg(F.sum("cnt").alias("total"),
+                       F.count(F.lit(1)).alias("n_keys")).first()
+    total, n_keys = stats["total"] or 0, stats["n_keys"] or 1
+    mean = total / n_keys if n_keys else 1.0
+    return (counts
+            .orderBy(F.col("cnt").desc(), F.col("key").asc())
+            .limit(top_n)
+            .select("key", "cnt",
+                    F.round(F.col("cnt") / F.lit(float(total)), 6)
+                     .alias("frac"),
+                    F.round(F.col("cnt") / F.lit(float(mean)), 6)
+                     .alias("imbalance")))

@@ -170,3 +170,88 @@ def read_table(spark: SparkSession, path: str, format: str = "csv",
     for k, v in options.items():
         reader = reader.option(k, v)
     return getattr(reader, format)(path)
+
+
+def write_training_shards(df: DataFrame, path: str, n_shards: int,
+                          id_col: str, sort_cols: list[str] | None = None,
+                          seed: int = 42) -> dict:
+    """Export a training corpus as ``n_shards`` DETERMINISTIC shards +
+    a manifest — the handover format a multi-node data loader consumes
+    (each worker reads ``shard = rank % n_shards``, exactly once, no
+    coordination).
+
+    Shard assignment is ``md5(seed ‖ id) mod n_shards`` — the portable
+    keyed-hash discipline of ``operators.sampling`` (stable across
+    Spark versions, partitionings, and engines, unlike ``hash()``), so
+    re-exporting the same table yields byte-identical shard membership.
+    Rows sort by ``sort_cols`` (default: the id) INSIDE each shard —
+    deterministic iteration order without any global sort. The manifest
+    (``_manifest.json``) records per-shard row counts and an
+    order-insensitive id checksum, which ``read_training_shards``
+    re-verifies — torn/partial exports fail loudly at read time, not
+    as silently-shorter epochs.
+
+    Scale shape: one hash exchange into ``n_shards`` write tasks
+    (``repartition`` on the shard id), sort within partitions only.
+    """
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    shard = F.pmod(
+        F.conv(F.substring(F.md5(F.concat_ws(
+            "\x1f", F.lit(str(seed)), F.col(id_col).cast("string"))), 1, 15),
+            16, 10).cast("long"), F.lit(n_shards)).cast("int")
+    out = df.withColumn("__shard", shard)
+    sort_cols = list(sort_cols or [id_col])
+    (out.repartition(n_shards, F.col("__shard"))
+        .sortWithinPartitions("__shard", *sort_cols)
+        .write.mode("overwrite").partitionBy("__shard").parquet(path))
+    per_shard = {int(r["__shard"]): {"rows": int(r["rows"]),
+                                     "id_xor": int(r["id_xor"])}
+                 for r in out.groupBy("__shard").agg(
+                     F.count(F.lit(1)).alias("rows"),
+                     # order-insensitive checksum: XOR of id hashes
+                     F.bit_xor(F.conv(F.substring(F.md5(
+                         F.col(id_col).cast("string")), 1, 15), 16, 10)
+                         .cast("long")).alias("id_xor")).collect()}
+    manifest = {
+        "n_shards": n_shards, "id_col": id_col, "seed": seed,
+        "total_rows": sum(v["rows"] for v in per_shard.values()),
+        "shards": {str(k): per_shard.get(k, {"rows": 0, "id_xor": 0})
+                   for k in range(n_shards)},
+    }
+    import json as _json
+    import os as _os
+    with open(_os.path.join(path, "_manifest.json"), "w") as fh:
+        _json.dump(manifest, fh, indent=1, sort_keys=True)
+    return manifest
+
+
+def read_training_shards(spark: SparkSession, path: str,
+                         verify: bool = True) -> DataFrame:
+    """Read a shard export back (all shards), verifying the manifest's
+    per-shard row counts and id checksums when ``verify`` (one
+    aggregation over the ids — cheap next to the read itself)."""
+    import json as _json
+    import os as _os
+    with open(_os.path.join(path, "_manifest.json")) as fh:
+        manifest = _json.load(fh)
+    df = spark.read.parquet(path)
+    if verify:
+        id_col = manifest["id_col"]
+        got = {int(r["__shard"]): (int(r["rows"]), int(r["id_xor"]))
+               for r in df.groupBy("__shard").agg(
+                   F.count(F.lit(1)).alias("rows"),
+                   F.bit_xor(F.conv(F.substring(F.md5(
+                       F.col(id_col).cast("string")), 1, 15), 16, 10)
+                       .cast("long")).alias("id_xor")).collect()}
+        for k, want in manifest["shards"].items():
+            if want["rows"] == 0:
+                continue
+            g = got.get(int(k))
+            if g != (want["rows"], want["id_xor"]):
+                raise ValueError(
+                    f"shard {k} fails manifest verification: "
+                    f"got rows/checksum {g}, manifest says "
+                    f"({want['rows']}, {want['id_xor']}) — partial or "
+                    "torn export")
+    return df

@@ -21,7 +21,7 @@ prediction-date filter, caspr/utils/spark/preprocess.py:577-581; SURVEY
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import LongType
@@ -332,3 +332,39 @@ def run_to_memory(streaming_df: DataFrame, name: str,
         raise TimeoutError(
             f"stream {name!r} did not drain within {timeout_sec}s")
     return streaming_df.sparkSession.table(name)
+
+
+def streaming_windowed_topk(stream: DataFrame, k: int = 3,
+                            ts_col: str = "ts",
+                            key_col: str = "event_type",
+                            window: str = "1 day",
+                            watermark: str = "1 day") -> DataFrame:
+    """Windowed count stream feeding a per-window top-k — the trending
+    dashboard shape (top hashtags per hour, top error codes per day).
+
+    Structured Streaming forbids ranking windows inside a streaming
+    plan, so this returns the WATERMARK-BOUNDED windowed counts stream
+    (per (window, key), state evicted past the watermark — the scalable
+    half); :func:`topk_of_windows` is the batch finisher a consumer
+    applies to the sink table, where the relation is already reduced to
+    (windows × keys) rows. Splitting at exactly that line keeps the
+    unbounded-state part streaming-safe and the rank part trivially
+    small.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    return (stream.withWatermark(ts_col, watermark)
+            .groupBy(F.window(F.col(ts_col), window).alias("w"),
+                     F.col(key_col).alias("key"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .select(F.col("w.start").alias("window_start"), "key", "cnt"))
+
+
+def topk_of_windows(counts: DataFrame, k: int = 3) -> DataFrame:
+    """Batch finisher for :func:`streaming_windowed_topk`'s sink table:
+    rank keys per window (cnt desc, key asc — deterministic) and keep
+    the top ``k``."""
+    w = Window.partitionBy("window_start").orderBy(
+        F.col("cnt").desc(), F.col("key").asc())
+    return (counts.withColumn("rk", F.row_number().over(w))
+                  .filter(F.col("rk") <= k))

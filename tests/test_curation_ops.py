@@ -934,3 +934,81 @@ class TestValidateExpectations:
         with pytest.raises(ValueError, match="in_set"):
             validate_expectations(df, [{"rule": "in_set", "col": "k",
                                         "values": []}])
+
+
+class TestDiagnoseSkew:
+    def test_hot_key_surfaces(self, spark):
+        from caspr_spark.operators.profile import diagnose_skew
+        rows = [(1, i) for i in range(90)] + [(k, 0) for k in range(2, 12)]
+        df = spark.createDataFrame(rows, "k long, x long")
+        rep = diagnose_skew(df, ["k"], top_n=3).collect()
+        assert rep[0].key == "1" and rep[0].cnt == 90
+        # 11 keys, 100 rows -> mean 100/11; imbalance of the hot key
+        assert rep[0].imbalance == pytest.approx(90 / (100 / 11), abs=1e-6)
+        assert rep[0].frac == pytest.approx(0.9, abs=1e-6)
+
+    def test_composite_key_and_ties(self, spark):
+        from caspr_spark.operators.profile import diagnose_skew
+        df = spark.createDataFrame(
+            [(1, "a"), (1, "a"), (2, "b"), (1, "b")], "k long, s string")
+        rep = diagnose_skew(df, ["k", "s"], top_n=10).collect()
+        assert rep[0].key == "1\x1fa" and rep[0].cnt == 2
+        # ties order by key asc
+        assert [r.key for r in rep[1:]] == ["1\x1fb", "2\x1fb"]
+
+    def test_validation(self, spark):
+        from caspr_spark.operators.profile import diagnose_skew
+        df = spark.createDataFrame([(1,)], "k long")
+        with pytest.raises(ValueError, match="key"):
+            diagnose_skew(df, [])
+        with pytest.raises(ValueError, match="top_n"):
+            diagnose_skew(df, ["k"], top_n=0)
+
+
+class TestTrainingShards:
+    def _df(self, spark):
+        return spark.createDataFrame(
+            [(i, f"v{i}") for i in range(200)], "id long, v string")
+
+    def test_roundtrip_and_manifest(self, spark, tmp_path):
+        from caspr_spark.sources import (read_training_shards,
+                                         write_training_shards)
+        path = str(tmp_path / "shards")
+        man = write_training_shards(self._df(spark), path, 4, "id")
+        assert man["total_rows"] == 200
+        assert sum(v["rows"] for v in man["shards"].values()) == 200
+        # no empty shards at this size and every shard reasonably loaded
+        assert all(v["rows"] > 20 for v in man["shards"].values())
+        back = read_training_shards(spark, path)
+        assert back.count() == 200
+        assert {r.id for r in back.select("id").collect()} == set(range(200))
+
+    def test_assignment_deterministic_across_partitionings(self, spark,
+                                                           tmp_path):
+        from caspr_spark.sources import write_training_shards
+        df = self._df(spark)
+        m1 = write_training_shards(df.repartition(3), str(tmp_path / "a"),
+                                   4, "id")
+        m2 = write_training_shards(df.repartition(11), str(tmp_path / "b"),
+                                   4, "id")
+        assert m1["shards"] == m2["shards"]
+
+    def test_verification_catches_tampering(self, spark, tmp_path):
+        import glob
+        import os
+        from caspr_spark.sources import (read_training_shards,
+                                         write_training_shards)
+        path = str(tmp_path / "shards")
+        write_training_shards(self._df(spark), path, 2, "id")
+        # drop one shard's files -> read must fail loudly
+        victim = glob.glob(os.path.join(path, "__shard=1", "*.parquet"))
+        for f in victim:
+            os.remove(f)
+        with pytest.raises(ValueError, match="manifest verification"):
+            read_training_shards(spark, path)
+
+    def test_validation(self, spark, tmp_path):
+        from caspr_spark.sources import write_training_shards
+        with pytest.raises(ValueError, match="n_shards"):
+            write_training_shards(self._df(spark), str(tmp_path / "x"),
+                                  0, "id")

@@ -298,3 +298,58 @@ class TestStreamingAnomalyZscore:
             assert got[k][0] == want[k][0]
             a, b = got[k][1], want[k][1]
             assert (a is None and b is None) or abs(a - b) < 1e-6
+
+
+class TestStreamingTopk:
+    def test_matches_batch_topk(self, spark, events):
+        from caspr_spark.streaming import (streaming_windowed_topk,
+                                           topk_of_windows)
+        stream = stream_events(spark, f"{SF_DIR}/events.parquet")
+        counts = streaming_windowed_topk(stream, k=3, window="1 day",
+                                         watermark="1 day")
+        tbl = run_to_memory(counts, "t_topk", "complete")
+        got = {(str(r.window_start), r.key, r.cnt, r.rk)
+               for r in topk_of_windows(tbl, k=3).collect()}
+        bw = Window.partitionBy("window_start").orderBy(
+            F.col("cnt").desc(), F.col("key").asc())
+        want = {(str(r.window_start), r.key, r.cnt, r.rk) for r in
+                (events.groupBy(
+                    F.date_trunc("day", "ts").alias("window_start"),
+                    F.col("event_type").alias("key"))
+                 .agg(F.count(F.lit(1)).alias("cnt"))
+                 .withColumn("rk", F.row_number().over(bw))
+                 .filter("rk <= 3")).collect()}
+        assert got == want
+
+    def test_batch_boundary_independence(self, spark, events, tmp_path):
+        import numpy as _np
+        import time as _time
+        from caspr_spark.streaming import (streaming_windowed_topk,
+                                           topk_of_windows)
+        multi = str(tmp_path / "topk_multi")
+        os.makedirs(multi)
+        pdf = events.toPandas().sort_values(["ts", "event_id"])
+        for i, part in enumerate(_np.array_split(pdf, 3)):
+            part.to_parquet(f"{multi}/part-{i}.parquet", index=False)
+            _time.sleep(0.05)
+        stream = stream_events(spark, multi, max_files_per_trigger=1)
+        counts = streaming_windowed_topk(stream, k=3, window="1 day",
+                                         watermark="1 day")
+        tbl = run_to_memory(counts, "t_topk_multi", "complete",
+                            timeout_sec=180)
+        single = run_to_memory(
+            streaming_windowed_topk(
+                stream_events(spark, f"{SF_DIR}/events.parquet"),
+                k=3, window="1 day", watermark="1 day"),
+            "t_topk_single", "complete")
+        a = {(str(r.window_start), r.key, r.cnt, r.rk)
+             for r in topk_of_windows(tbl, 3).collect()}
+        b = {(str(r.window_start), r.key, r.cnt, r.rk)
+             for r in topk_of_windows(single, 3).collect()}
+        assert a == b
+
+    def test_validation(self, spark):
+        from caspr_spark.streaming import streaming_windowed_topk
+        stream = stream_events(spark, f"{SF_DIR}/events.parquet")
+        with pytest.raises(ValueError, match="k must"):
+            streaming_windowed_topk(stream, k=0)
