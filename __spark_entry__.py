@@ -957,6 +957,34 @@ def q_train_transformer_ae(spark, sf_dir):
         "loss_decreased boolean, emb_var double")
 
 
+def q_train_lstm_ae(spark, sf_dir):
+    """Teacher-forced autoencoder training with the REAL LSTM encoder
+    (models/autoencoder.py encoder='lstm'): full BPTT through the gate
+    recurrence — the reference LSTMAutoencoder's encoder family
+    (caspr/models/multi_layer_lstm.py:7-63) trained end-to-end without
+    torch. Rows-only (iterative Adam); gradients certified by
+    finite-difference tests."""
+    from caspr_spark.data import transform_and_load
+    from caspr_spark.models.autoencoder import fit_autoencoder
+    from caspr_spark.roles import ColumnRoles
+
+    wide = q_pipeline_events(spark, sf_dir).fillna(0.0)
+    roles = ColumnRoles(tgt_id=["user_id"], activity_date="ts",
+                        cat_cols=["event_type"], cont_cols=["value", "ts"],
+                        seq_cols=["event_type", "value", "ts"],
+                        non_seq_cols=[], output_cols=[])
+    bundle = transform_and_load(wide.toPandas(), roles, seq_len=SEQ_N)
+    model, hist = fit_autoencoder(bundle, hidden_dim=8, epochs=12, lr=3e-3,
+                                  batch_size=256, seed=7, encoder="lstm")
+    emb = model.encode(bundle.seq_cat, bundle.seq_cont,
+                       bundle.non_seq_cat, bundle.non_seq_cont)
+    return spark.createDataFrame(
+        [(len(hist), float(round(hist[0], 4)), float(round(min(hist), 4)),
+          bool(min(hist) < hist[0]), float(round(emb.var(axis=0).mean(), 6)))],
+        "epochs int, initial_loss double, best_loss double, "
+        "loss_decreased boolean, emb_var double")
+
+
 def q_explain_grad_attribution(spark, sf_dir):
     """Gradient×input + integrated-gradients attribution of the trained
     autoencoder embedding per input feature — CASPRExplainer semantics
@@ -2095,7 +2123,7 @@ def q_stream_topk(spark, sf_dir):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver contract: the correctness gate certifies the FIRST 50 entries.
 
-    133 of the 155 queries carry full DuckDB oracles — more than one
+    133 of the 156 queries carry full DuckDB oracles — more than one
     50-slot window holds — so certification rotates across rounds
     (COVERAGE.md maps
     which round certified which row; tools/check_correctness.py re-runs the
@@ -2284,6 +2312,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_linear_ae": q_train_linear_ae,
         "train_linear_ae_ddp": q_train_linear_ae_ddp,
         "train_ae": q_train_ae,
+        "train_lstm_ae": q_train_lstm_ae,
         "train_transformer_ae": q_train_transformer_ae,
         "explain_grad_attribution": q_explain_grad_attribution,
         "simsearch_topk_ivf": q_simsearch_topk_ivf,

@@ -23,10 +23,10 @@ absent from this environment, so the backward pass is hand-written):
   (:120-130), early stopping with best-state restore
   (caspr/utils/early_stopping.py), seeded minibatch shuffling.
 
-The encoder here is a tractable flatten-MLP + tanh over the embedded
-sequence (the architecture is deliberately simpler than the LSTM — the
-*training* semantics are what the reference contributes; swap the
-encoder for a torch LSTM when torch is available). Scale note: training
+Two encoders: the default tractable flatten-MLP + tanh, and (round 5)
+``encoder="lstm"`` — a real single-layer LSTM with hand-written BPTT
+through the gate recurrence, the reference architecture's encoder
+family without torch. Scale note: training
 runs driver-side on a sampled/collected ``TensorBundle``, matching the
 reference's single-node torch loop (caspr/utils/train.py:133-176);
 tensorization and scoring stay distributed (``caspr_spark.score``).
@@ -67,7 +67,18 @@ def _mse_loss_grad(pred: np.ndarray, target: np.ndarray):
 
 
 class SequenceAutoencoder:
-    """Flatten-MLP encoder + teacher-forced recurrent decoder (numpy).
+    """Teacher-forced recurrent autoencoder (numpy) with a choice of
+    encoder:
+
+    - ``encoder="mlp"`` (default, round-4 behavior) — flatten-MLP +
+      tanh over the embedded sequence; tractable and fast.
+    - ``encoder="lstm"`` — a REAL single-layer LSTM over the embedded
+      steps (gate order i,f,z,o; forget bias 1), last hidden state
+      projected + tanh, full hand-written BPTT through the gates —
+      the reference ``LSTMAutoencoder``'s actual encoder family
+      (caspr/models/unified_encoder.py MultiLayerLSTM path,
+      multi_layer_lstm.py:7-63), closing the "swap in torch for a real
+      LSTM" caveat without torch.
 
     Parameters live in ``self.params`` (name -> array) so the Adam state,
     gradient check, and npz checkpointing all address them uniformly.
@@ -76,7 +87,12 @@ class SequenceAutoencoder:
     def __init__(self, seq_vocab: list[int], seq_emb_dims: list[int],
                  n_seq_cont: int, non_seq_vocab: list[int],
                  non_seq_emb_dims: list[int], n_non_seq_cont: int,
-                 seq_len: int, hidden_dim: int = 32, seed: int = 42):
+                 seq_len: int, hidden_dim: int = 32, seed: int = 42,
+                 encoder: str = "mlp"):
+        if encoder not in ("mlp", "lstm"):
+            raise ValueError(f"encoder must be 'mlp' or 'lstm', "
+                             f"got {encoder!r}")
+        self.encoder = encoder
         rng = np.random.default_rng(seed)
         self.seq_vocab = list(seq_vocab)
         self.seq_emb_dims = list(seq_emb_dims)
@@ -101,7 +117,14 @@ class SequenceAutoencoder:
             p[f"emb_s{i}"] = rng.normal(0, 0.1, size=(v, d))
         for j, (v, d) in enumerate(zip(non_seq_vocab, non_seq_emb_dims)):
             p[f"emb_n{j}"] = rng.normal(0, 0.1, size=(v, d))
-        p["W_enc"] = u(seq_len * F, H)
+        if encoder == "lstm":
+            p["We"] = u(F, 4 * H)
+            p["Ue"] = u(H, 4 * H)
+            p["be"] = np.zeros(4 * H)
+            p["be"][H:2 * H] = 1.0        # forget-gate bias 1
+            p["W_enc"] = u(H, H)          # last-hidden projection
+        else:
+            p["W_enc"] = u(seq_len * F, H)
         p["b_enc"] = np.zeros(H)
         if P:
             p["W_prof"] = u(P, H)
@@ -143,6 +166,55 @@ class SequenceAutoencoder:
             np.add.at(g, idx, dE[..., off:off + d].reshape(-1, d))
             off += d
 
+    # -- encoder LSTM (BPTT-capable) ---------------------------------------
+    def _enc_lstm_forward(self, E):
+        """Single-layer LSTM over [N,T,F]; returns (h_T, gate tape)."""
+        p = self.params
+        N, T = E.shape[0], E.shape[1]
+        H = self.hidden_dim
+        I = np.empty((N, T, H)); Fg = np.empty((N, T, H))
+        Z = np.empty((N, T, H)); O = np.empty((N, T, H))
+        C = np.empty((N, T, H)); Hs = np.empty((N, T, H))
+        h = np.zeros((N, H)); c = np.zeros((N, H))
+        for t in range(T):
+            gates = E[:, t, :] @ p["We"] + h @ p["Ue"] + p["be"]
+            i = 1.0 / (1.0 + np.exp(-gates[:, :H]))
+            f = 1.0 / (1.0 + np.exp(-gates[:, H:2 * H]))
+            z = np.tanh(gates[:, 2 * H:3 * H])
+            o = 1.0 / (1.0 + np.exp(-gates[:, 3 * H:]))
+            c = f * c + i * z
+            h = o * np.tanh(c)
+            I[:, t], Fg[:, t], Z[:, t], O[:, t] = i, f, z, o
+            C[:, t], Hs[:, t] = c, h
+        return h, (E, I, Fg, Z, O, C, Hs)
+
+    def _enc_lstm_backward(self, dhT, tape, g, dE):
+        """BPTT through the encoder LSTM; accumulates We/Ue/be grads and
+        the input grad into ``dE``."""
+        p = self.params
+        E, I, Fg, Z, O, C, Hs = tape
+        N, T, H = I.shape
+        dh, dc = dhT, np.zeros((N, H))
+        for t in range(T - 1, -1, -1):
+            i, f, z, o, c = I[:, t], Fg[:, t], Z[:, t], O[:, t], C[:, t]
+            tc = np.tanh(c)
+            do = dh * tc
+            dc = dc + dh * o * (1.0 - tc * tc)
+            di = dc * z
+            dz = dc * i
+            c_prev = C[:, t - 1] if t > 0 else np.zeros((N, H))
+            df = dc * c_prev
+            dg = np.concatenate([di * i * (1 - i), df * f * (1 - f),
+                                 dz * (1 - z * z), do * o * (1 - o)],
+                                axis=1)                      # [N,4H]
+            g["We"] += E[:, t, :].T @ dg
+            if t > 0:
+                g["Ue"] += Hs[:, t - 1].T @ dg
+            g["be"] += dg.sum(axis=0)
+            dE[:, t, :] += dg @ p["We"].T
+            dh = dg @ p["Ue"].T
+            dc = dc * f
+
     # -- forward -----------------------------------------------------------
     def _forward(self, seq_cat, seq_cont, non_seq_cat, non_seq_cont):
         """Full teacher-forced forward pass; returns loss + tape."""
@@ -151,8 +223,13 @@ class SequenceAutoencoder:
         E = np.concatenate(
             [self._embed(seq_cat, "emb_s", self.seq_emb_dims, self.seq_vocab),
              seq_cont.astype(np.float64)], axis=-1)          # [N,T,F]
-        flat = E.reshape(N, T * self.F)
-        pre = flat @ p["W_enc"] + p["b_enc"]
+        enc_tape = flat = None
+        if self.encoder == "lstm":
+            hT, enc_tape = self._enc_lstm_forward(E)
+            pre = hT @ p["W_enc"] + p["b_enc"]
+        else:
+            flat = E.reshape(N, T * self.F)
+            pre = flat @ p["W_enc"] + p["b_enc"]
         prof = None
         if self.P:
             prof = np.concatenate(
@@ -172,7 +249,7 @@ class SequenceAutoencoder:
             d_prev = D[:, t, :]
 
         losses, tape = [], {"E": E, "flat": flat, "h": h, "prof": prof,
-                            "X": X, "D": D}
+                            "X": X, "D": D, "enc_tape": enc_tape}
         if self.n_seq_cont:
             oc_pre = D @ p["W_oc"] + p["b_oc"]
             cont_hat = np.maximum(oc_pre, 0.0)   # relu, lstm_decoder.py:49
@@ -254,9 +331,15 @@ class SequenceAutoencoder:
 
         # encoder backward
         dpre_enc = dh * (1.0 - h ** 2)
-        g["W_enc"] += flat.T @ dpre_enc
         g["b_enc"] += dpre_enc.sum(axis=0)
-        dE += (dpre_enc @ p["W_enc"].T).reshape(N, T, self.F)
+        if self.encoder == "lstm":
+            hT = tp["enc_tape"][6][:, -1]      # Hs[:, T-1]
+            g["W_enc"] += hT.T @ dpre_enc
+            dhT = dpre_enc @ p["W_enc"].T
+            self._enc_lstm_backward(dhT, tp["enc_tape"], g, dE)
+        else:
+            g["W_enc"] += flat.T @ dpre_enc
+            dE += (dpre_enc @ p["W_enc"].T).reshape(N, T, self.F)
         if self.P:
             g["W_prof"] += prof.T @ dpre_enc
             dprof = dpre_enc @ p["W_prof"].T
@@ -276,7 +359,11 @@ class SequenceAutoencoder:
         E = np.concatenate(
             [self._embed(seq_cat, "emb_s", self.seq_emb_dims, self.seq_vocab),
              seq_cont.astype(np.float64)], axis=-1)
-        pre = E.reshape(N, -1) @ p["W_enc"] + p["b_enc"]
+        if self.encoder == "lstm":
+            hT, _ = self._enc_lstm_forward(E)
+            pre = hT @ p["W_enc"] + p["b_enc"]
+        else:
+            pre = E.reshape(N, -1) @ p["W_enc"] + p["b_enc"]
         if self.P:
             prof = np.concatenate(
                 [self._embed(non_seq_cat, "emb_n", self.non_seq_emb_dims,
@@ -338,7 +425,8 @@ def fit_autoencoder(bundle: TensorBundle, hidden_dim: int = 32,
                     warmup_epochs: int = 5, patience: int = 8,
                     min_delta: float = 1e-5, seed: int = 42,
                     val_bundle: TensorBundle | None = None,
-                    checkpoint_path: str | None = None):
+                    checkpoint_path: str | None = None,
+                    encoder: str = "mlp"):
     """Minibatch Adam over the multi-criterion loss; returns (model, history).
 
     Mirrors ``train_model`` (caspr/utils/train.py:133-176): Adam, linear
@@ -357,7 +445,7 @@ def fit_autoencoder(bundle: TensorBundle, hidden_dim: int = 32,
         non_seq_vocab, [embedding_dim(v) for v in non_seq_vocab],
         bundle.non_seq_cont.shape[-1],
         seq_len=bundle.seq_cat.shape[1] or bundle.seq_cont.shape[1],
-        hidden_dim=hidden_dim, seed=seed)
+        hidden_dim=hidden_dim, seed=seed, encoder=encoder)
     opt = Adam(model.params, lr=lr)
     stopper = EarlyStopping(patience=patience, min_delta=min_delta)
     rng = np.random.default_rng(seed)

@@ -311,3 +311,77 @@ class TestDeepLift:
         attr, delta = deeplift(m, b, target_dim=2)
         np.testing.assert_allclose(attr, 0.0, atol=1e-15)
         np.testing.assert_allclose(delta, 0.0, atol=1e-15)
+
+
+class TestLstmEncoderBackprop:
+    """encoder='lstm': full BPTT through the gate recurrence — the
+    reference LSTMAutoencoder's actual encoder family, gradcheck'd."""
+
+    def _model_and_data(self, seed=0):
+        rng = np.random.default_rng(seed)
+        N, T = 4, 3
+        m = SequenceAutoencoder(seq_vocab=[4, 3], seq_emb_dims=[2, 2],
+                                n_seq_cont=2, non_seq_vocab=[3],
+                                non_seq_emb_dims=[2], n_non_seq_cont=2,
+                                seq_len=T, hidden_dim=5, seed=1,
+                                encoder="lstm")
+        data = (rng.integers(0, 3, size=(N, T, 2)),
+                rng.normal(size=(N, T, 2)),
+                rng.integers(0, 3, size=(N, 1)),
+                rng.normal(size=(N, 2)))
+        return m, data
+
+    def test_gradients_match_numerical(self):
+        m, data = self._model_and_data()
+        _, grads = m.loss_and_grads(*data)
+        rng = np.random.default_rng(42)
+        eps = 1e-6
+        for k, W in m.params.items():
+            flat = W.reshape(-1)
+            for i in rng.choice(flat.size, size=min(5, flat.size),
+                                replace=False):
+                keep = flat[i]
+                flat[i] = keep + eps
+                lp, _ = m._forward(*data)
+                flat[i] = keep - eps
+                lm, _ = m._forward(*data)
+                flat[i] = keep
+                num = (lp - lm) / (2 * eps)
+                ana = grads[k].reshape(-1)[i]
+                assert abs(num - ana) < 2e-4 * max(1.0, abs(num), abs(ana)), \
+                    (k, i, num, ana)
+
+    def test_lstm_params_present_and_used(self):
+        m, data = self._model_and_data()
+        assert {"We", "Ue", "be"} <= set(m.params)
+        _, grads = m.loss_and_grads(*data)
+        assert np.abs(grads["We"]).sum() > 0
+        assert np.abs(grads["Ue"]).sum() > 0
+
+    def test_training_decreases_loss(self):
+        from caspr_spark.models.autoencoder import fit_autoencoder
+        rng = np.random.default_rng(7)
+        n, t = 200, 4
+        x = np.empty((n, t))
+        x[:, 0] = rng.uniform(0.05, 0.95, n)
+        for step in range(1, t):
+            x[:, step] = 3.9 * x[:, step - 1] * (1 - x[:, step - 1])
+        bundle = TensorBundle(
+            seq_cat=(x[:, :, None] * 3).astype(np.int64).clip(0, 2),
+            seq_cont=x[:, :, None].astype(np.float32),
+            non_seq_cat=np.zeros((n, 0), np.int64),
+            non_seq_cont=np.zeros((n, 0), np.float32),
+            y=np.zeros((n, 0), np.float32))
+        model, hist = fit_autoencoder(bundle, hidden_dim=8, epochs=12,
+                                      lr=3e-3, batch_size=64, seed=3,
+                                      encoder="lstm")
+        assert min(hist) < hist[0] * 0.9
+        emb = model.encode(bundle.seq_cat, bundle.seq_cont,
+                           bundle.non_seq_cat, bundle.non_seq_cont)
+        assert emb.shape == (n, 8) and emb.var(axis=0).mean() > 0
+
+    def test_encoder_validation(self):
+        import pytest as _pytest
+        with _pytest.raises(ValueError, match="encoder"):
+            SequenceAutoencoder([2], [2], 1, [], [], 0, seq_len=3,
+                                encoder="gru")
