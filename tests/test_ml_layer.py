@@ -827,3 +827,48 @@ class TestTransformerDecoderBlocks:
         o2, _ = dec2(trg, enc_states)
         np.testing.assert_array_equal(o1, o2)
         assert o1.shape == (4, T, 64)
+
+
+class TestTrainedModelScoresDistributed:
+    """End-to-end: a TRAINED autoencoder (real LSTM encoder, numpy
+    BPTT) scores through the Arrow-batched Spark UDF and reproduces its
+    driver-side embeddings exactly — the full train->deploy loop the
+    reference runs with torch (train_model -> spark.score.score),
+    closed here torch-free."""
+
+    def test_train_then_score_udf_matches_local(self, spark):
+        import pandas as pd
+        from caspr_spark.data.tensorize import TensorBundle
+        from caspr_spark.models.autoencoder import fit_autoencoder
+        from caspr_spark.score import score
+
+        rng = np.random.default_rng(9)
+        n, t = 120, 3
+        seq_cat = rng.integers(0, 3, size=(n, t, 1))
+        seq_cont = rng.normal(size=(n, t, 1)).astype(np.float32)
+        bundle = TensorBundle(
+            seq_cat=seq_cat, seq_cont=seq_cont,
+            non_seq_cat=np.zeros((n, 0), np.int64),
+            non_seq_cont=np.zeros((n, 0), np.float32),
+            y=np.zeros((n, 0), np.float32))
+        model, hist = fit_autoencoder(bundle, hidden_dim=6, epochs=4,
+                                      lr=3e-3, batch_size=64, seed=2,
+                                      encoder="lstm")
+        assert hist[-1] <= hist[0]
+
+        # wide layout: column-major over ranks ({rank}_{col})
+        data = {"uid": range(n)}
+        for s in range(t):
+            data[f"{s + 1}_cat"] = seq_cat[:, s, 0]
+            data[f"{s + 1}_v"] = seq_cont[:, s, 0]
+        wide = spark.createDataFrame(pd.DataFrame(data))
+        scored = score(wide, model, seq_len=t, n_seq_cat=1, n_seq_cont=1,
+                       cont_cols=[f"{s}_v" for s in range(1, t + 1)],
+                       cat_cols=[f"{s}_cat" for s in range(1, t + 1)])
+        got = {r.uid: np.asarray(r.embeddings, dtype=np.float32)
+               for r in scored.select("uid", "embeddings").collect()}
+        want = model.encode(seq_cat, seq_cont, bundle.non_seq_cat,
+                            bundle.non_seq_cont).astype(np.float32)
+        for i in range(n):
+            np.testing.assert_allclose(got[i], want[i], rtol=1e-5,
+                                       atol=1e-6)

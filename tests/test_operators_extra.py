@@ -303,3 +303,27 @@ class TestDeterministicSampling:
             stratified_sample_hash(docs, "lang", 1.5, ["doc_id"])
         with pytest.raises(ValueError, match="fraction"):
             stratified_sample_exact(docs, "lang", {"en": -0.1}, ["doc_id"])
+
+
+class TestConfigureForScale:
+    def test_sizing_arithmetic(self, spark):
+        from caspr_spark.session import configure_for_scale
+        before = spark.conf.get("spark.sql.shuffle.partitions")
+        try:
+            par = spark.sparkContext.defaultParallelism
+            # 100 TB at 128 MiB -> ~819k, clamped to the 200k ceiling
+            got = configure_for_scale(spark, 100 * 1024 ** 4)
+            assert got["shuffle_partitions"] == 200_000
+            # tiny input -> floor of 2x parallelism
+            got = configure_for_scale(spark, 10 * 1024 ** 2)
+            assert got["shuffle_partitions"] == 2 * par
+            # mid: 1 TB -> 8192 partitions of 128 MiB
+            got = configure_for_scale(spark, 1024 ** 4)
+            assert got["shuffle_partitions"] == max(8192, 2 * par)
+            assert spark.conf.get("spark.sql.shuffle.partitions") == \
+                str(got["shuffle_partitions"])
+            import pytest as _pytest
+            with _pytest.raises(ValueError, match="input_bytes"):
+                configure_for_scale(spark, -1)
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", before)
