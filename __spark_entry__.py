@@ -2074,6 +2074,28 @@ def q_source_csv_roundtrip(spark, sf_dir):
     return read_table(spark, path, format="csv", schema=ev.schema)
 
 
+def q_histogram_values(spark, sf_dir):
+    """Fixed-bin histogram (profile.py histogram): 20 bins over event
+    values on an explicit [0, 500] range (single aggregation pass,
+    clamped edges, empty bins emitted) — the drift-monitor/calibration
+    raw material."""
+    from caspr_spark.operators.profile import histogram
+    ev = _events(spark, sf_dir)
+    return histogram(ev, "value", bins=20, lo=0.0, hi=500.0)
+
+
+def q_topk_per_group(spark, sf_dir):
+    """Grouped top-k (rank.py topk_per_group): each customer's 3 most
+    recent orders — planned as WindowGroupLimit (the per-group limit
+    runs below the sort, so the exchange moves O(groups·k) rows)."""
+    from caspr_spark.operators.rank import topk_per_group
+    orders = _t(spark, sf_dir, "orders")
+    out = topk_per_group(orders, ["o_custkey"],
+                         [F.col("o_orderdate").desc(),
+                          F.col("o_orderkey").desc()], k=3)
+    return out.select("o_custkey", "o_orderkey", "o_orderdate", "rk")
+
+
 def q_skew_report(spark, sf_dir):
     """Shuffle-skew diagnosis (profile.py diagnose_skew): the 10
     heaviest lineitem order keys with row fraction and imbalance factor
@@ -2123,7 +2145,7 @@ def q_stream_topk(spark, sf_dir):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver contract: the correctness gate certifies the FIRST 50 entries.
 
-    133 of the 156 queries carry full DuckDB oracles — more than one
+    135 of the 158 queries carry full DuckDB oracles — more than one
     50-slot window holds — so certification rotates across rounds
     (COVERAGE.md maps
     which round certified which row; tools/check_correctness.py re-runs the
@@ -2207,7 +2229,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "metrics_roc_auc_binned": q_metrics_roc_auc_binned,
         "explain_linear_ablation": q_explain_linear_ablation,
         "x3_trainset_labeled": q_x3_trainset_labeled,
-        # --- slots 51-59: oracle-bearing, NEW in round 5 (SCD2 history,
+        # --- slots 51-61: oracle-bearing, NEW in round 5 (SCD2 history,
         #     text normalization, last-touch attribution, fixed-point
         #     PageRank, data-quality expectations, time-grid resample,
         #     skew report, training shards, streaming top-k)
@@ -2222,7 +2244,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_report": q_skew_report,
         "shards_roundtrip": q_shards_roundtrip,
         "stream_topk": q_stream_topk,
-        # --- slots 60-109: driver-certified in round 4 (50/50 green) ----
+        "histogram_values": q_histogram_values,
+        "topk_per_group": q_topk_per_group,
+        # --- slots 62-111: driver-certified in round 4 (50/50 green) ----
         "pipeline_events_percutoff": q_pipeline_events_percutoff,
         "pipeline_orders_composite": q_pipeline_orders_composite,
         "stratified_sample_exact": q_stratified_sample_exact,
@@ -3780,6 +3804,26 @@ SELECT key, cnt,
 FROM c ORDER BY cnt DESC, key ASC LIMIT 10""",
         "shards_roundtrip": """
 SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders""",
+        "histogram_values": """
+WITH bins AS (SELECT i::INT AS bin, round(0.0 + i * 25.0, 9) AS lo_edge,
+                     round(CASE WHEN i = 19 THEN 500.0
+                           ELSE 0.0 + (i + 1) * 25.0 END, 9) AS hi_edge
+              FROM range(0, 20) t(i)),
+c AS (SELECT greatest(0, least(19,
+        floor((value::DOUBLE - 0.0) / 25.0)))::INT AS bin,
+        count(*) AS cnt
+      FROM events WHERE value IS NOT NULL GROUP BY 1)
+SELECT bin, lo_edge, hi_edge, coalesce(c.cnt, 0)::BIGINT AS cnt
+FROM bins LEFT JOIN c USING (bin)""",
+        "topk_per_group": """
+WITH r AS (
+  SELECT o_custkey, o_orderkey, o_orderdate,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate DESC, o_orderkey DESC)
+           AS rk
+  FROM orders)
+SELECT o_custkey, o_orderkey, o_orderdate, CAST(rk AS INT) AS rk
+FROM r WHERE rk <= 3""",
         "stream_topk": """
 WITH c AS (
   SELECT date_trunc('day', ts) AS window_start, event_type AS key,

@@ -187,3 +187,52 @@ def diagnose_skew(df: DataFrame, keys: list[str], top_n: int = 10) -> DataFrame:
                      .alias("frac"),
                     F.round(F.col("cnt") / F.lit(float(mean)), 6)
                      .alias("imbalance")))
+
+
+def histogram(df: DataFrame, col: str, bins: int = 20,
+              lo: float | None = None, hi: float | None = None,
+              clamp: bool = True) -> DataFrame:
+    """Fixed-bin histogram of a numeric column — the raw material of
+    the drift monitor (``metrics.drift_psi``), calibration plots, and
+    range sanity checks, as ONE aggregation.
+
+    ``lo``/``hi`` default to the column min/max (one extra agg when
+    omitted — pass them to stay single-pass, e.g. from a previous
+    :func:`profile_table` run). ``clamp`` buckets out-of-range values
+    into the edge bins (drift monitoring wants mass conserved); with
+    ``clamp=False`` they are dropped. Empty bins ARE emitted (a
+    histogram with holes is the whole point), via a driver-side bin
+    table join — ``bins`` rows, never data-sized. Nulls never count.
+
+    Output: (bin, lo_edge, hi_edge, cnt) ordered by bin.
+    """
+    if bins < 1:
+        raise ValueError(f"bins must be >= 1, got {bins}")
+    if lo is None or hi is None:
+        row = df.agg(F.min(F.col(col).cast("double")).alias("lo"),
+                     F.max(F.col(col).cast("double")).alias("hi")).first()
+        lo = lo if lo is not None else row["lo"]
+        hi = hi if hi is not None else row["hi"]
+    if lo is None or hi is None or not hi > lo:
+        raise ValueError(f"need hi > lo, got [{lo}, {hi}] "
+                         "(constant or all-null column?)")
+    width = (hi - lo) / bins
+    x = F.col(col).cast("double")
+    idx = F.floor((x - F.lit(lo)) / F.lit(width)).cast("int")
+    if clamp:
+        idx = F.greatest(F.lit(0), F.least(F.lit(bins - 1), idx))
+        keep = x.isNotNull()
+    else:
+        idx = F.when(x == F.lit(hi), F.lit(bins - 1)).otherwise(idx)
+        keep = x.isNotNull() & (x >= lo) & (x <= hi)
+    counts = (df.filter(keep).select(idx.alias("bin"))
+                .groupBy("bin").agg(F.count(F.lit(1)).alias("cnt")))
+    spark = df.sparkSession
+    edges = spark.createDataFrame(
+        [(b, lo + b * width, hi if b == bins - 1 else lo + (b + 1) * width)
+         for b in range(bins)], "bin int, lo_edge double, hi_edge double")
+    return (edges.join(counts, on="bin", how="left")
+            .select("bin", F.round("lo_edge", 9).alias("lo_edge"),
+                    F.round("hi_edge", 9).alias("hi_edge"),
+                    F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt"))
+            .orderBy("bin"))

@@ -109,3 +109,25 @@ def timestamps_to_intervals(df: DataFrame, tgt_id: list[str] | str,
         interval_col,
         F.datediff(F.col(activity_date), F.lag(F.col(activity_date), 1).over(w)),
     )
+
+
+def topk_per_group(df: DataFrame, keys: list[str], order_by: list,
+                   k: int, rank_col: str = "rk") -> DataFrame:
+    """Top-``k`` rows per group — the grouped-limit primitive (latest k
+    orders per customer, best k candidates per query, ...).
+
+    One ``row_number`` window; Spark ≥3.5 plans it as
+    **WindowGroupLimit**, which pushes the per-group limit below the
+    sort so each map task keeps only k rows per group before the
+    exchange — the shuffle moves O(groups · k), not O(rows). Pass
+    fully-deterministic ``order_by`` (append a unique id) or row
+    membership at rank boundaries is nondeterministic.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if not keys:
+        raise ValueError("topk_per_group needs at least one key column")
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_by]
+    w = Window.partitionBy(*keys).orderBy(*cols)
+    return (df.withColumn(rank_col, F.row_number().over(w))
+              .filter(F.col(rank_col) <= k))

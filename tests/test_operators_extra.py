@@ -327,3 +327,68 @@ class TestConfigureForScale:
                 configure_for_scale(spark, -1)
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", before)
+
+
+class TestHistogram:
+    def test_bins_edges_and_clamp(self, spark):
+        from caspr_spark.operators.profile import histogram
+        df = spark.createDataFrame(
+            [(v,) for v in [-5.0, 0.0, 1.0, 4.9, 5.0, 9.9, 25.0, None]],
+            "v double")
+        out = histogram(df, "v", bins=2, lo=0.0, hi=10.0).collect()
+        assert [(r.bin, r.lo_edge, r.hi_edge) for r in out] == \
+            [(0, 0.0, 5.0), (1, 5.0, 10.0)]
+        # -5 clamps into bin 0, 25 into bin 1; null dropped
+        assert [r.cnt for r in out] == [4, 3]
+
+    def test_no_clamp_drops_out_of_range(self, spark):
+        from caspr_spark.operators.profile import histogram
+        df = spark.createDataFrame(
+            [(v,) for v in [-5.0, 2.0, 10.0, 25.0]], "v double")
+        out = histogram(df, "v", bins=2, lo=0.0, hi=10.0,
+                        clamp=False).collect()
+        # hi boundary value lands in the LAST bin (closed upper edge)
+        assert [r.cnt for r in out] == [1, 1]
+
+    def test_empty_bins_emitted_and_auto_range(self, spark):
+        from caspr_spark.operators.profile import histogram
+        df = spark.createDataFrame([(0.0,), (10.0,)], "v double")
+        out = histogram(df, "v", bins=5).collect()
+        assert len(out) == 5
+        assert sum(r.cnt for r in out) == 2
+        assert out[0].cnt == 1 and out[-1].cnt == 1
+
+    def test_validation(self, spark):
+        from caspr_spark.operators.profile import histogram
+        df = spark.createDataFrame([(1.0,)], "v double")
+        with pytest.raises(ValueError, match="bins"):
+            histogram(df, "v", bins=0)
+        with pytest.raises(ValueError, match="hi > lo"):
+            histogram(df, "v")   # constant column -> no range
+
+
+class TestTopkPerGroup:
+    def test_groups_and_determinism(self, spark):
+        from caspr_spark.operators.rank import topk_per_group
+        df = spark.createDataFrame(
+            [(g, i, i * 10) for g in (1, 2) for i in range(5)],
+            "g long, i long, v long")
+        out = topk_per_group(df, ["g"], [F.col("v").desc(),
+                                         F.col("i").desc()], k=2)
+        got = {(r.g, r.i, r.rk) for r in out.collect()}
+        assert got == {(1, 4, 1), (1, 3, 2), (2, 4, 1), (2, 3, 2)}
+
+    def test_plan_uses_window_group_limit(self, spark):
+        from caspr_spark.operators.rank import topk_per_group
+        df = spark.range(1000).withColumn("g", F.col("id") % 7)
+        out = topk_per_group(df, ["g"], [F.col("id").desc()], k=3)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "WindowGroupLimit" in plan
+
+    def test_validation(self, spark):
+        from caspr_spark.operators.rank import topk_per_group
+        df = spark.createDataFrame([(1, 2)], "g long, v long")
+        with pytest.raises(ValueError, match="k must"):
+            topk_per_group(df, ["g"], ["v"], k=0)
+        with pytest.raises(ValueError, match="key"):
+            topk_per_group(df, [], ["v"], k=1)
