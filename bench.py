@@ -86,6 +86,11 @@ EXTENDED_QUERIES = [
     "expectations_events",
     "resample_daily",
     "simsearch_topk_pq",
+    "skew_report",
+    "shards_roundtrip",
+    "stream_topk",
+    "histogram_values",
+    "topk_per_group",
 ]
 
 

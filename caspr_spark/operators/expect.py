@@ -70,7 +70,10 @@ def _violation_expr(rule: dict):
         return nn, F.sum(F.when(c.isNotNull() & ~c.isin(*values), 1)
                          .otherwise(0))
     if kind == "matches":
-        ok = c.rlike("^(?:" + rule["pattern"] + ")$")
+        # \A/\z anchors, not ^/$: Java's $ matches before a trailing
+        # newline, which would diverge from the oracle's true
+        # full-string regexp_full_match on values ending in \n
+        ok = c.rlike("\\A(?:" + rule["pattern"] + ")\\z")
         return nn, F.sum(F.when(c.isNotNull() & ~ok, 1).otherwise(0))
     raise ValueError(f"unknown rule {kind!r}; expected one of {_RULES}")
 
@@ -96,9 +99,18 @@ def validate_expectations(df: DataFrame, rules: list[dict]) -> DataFrame:
                 "n_checked bigint, n_violations bigint, passed boolean")
 
 
+def _sq(v) -> str:
+    """SQL literal for a value (single quotes doubled)."""
+    if isinstance(v, str):
+        return "'" + v.replace("'", "''") + "'"
+    return str(v)
+
+
 def expectations_sql(table: str, rules: list[dict]) -> str:
     """DuckDB twin of :func:`validate_expectations` — one UNION ALL arm
-    per rule, replaying the same conditional counts."""
+    per rule, replaying the same conditional counts, with the SAME
+    rule validation (an invalid rule raises here, not as a DuckDB
+    parse error) and quote-escaped string literals."""
     arms = []
     for i, rule in enumerate(rules):
         kind = rule["rule"]
@@ -124,25 +136,28 @@ def expectations_sql(table: str, rules: list[dict]) -> str:
             checked = f"count({col})"
             viol = f"count({col}) - count(DISTINCT {col})"
         elif kind == "in_range":
+            if rule.get("min") is None and rule.get("max") is None:
+                raise ValueError("in_range needs min and/or max")
             conds = []
             if rule.get("min") is not None:
-                cond_min = f"{col} < {rule['min']}"
-                conds.append(cond_min)
+                conds.append(f"{col} < {rule['min']}")
             if rule.get("max") is not None:
                 conds.append(f"{col} > {rule['max']}")
             bad = " OR ".join(conds)
             checked = f"count({col})"
             viol = f"count(*) FILTER (WHERE {col} IS NOT NULL AND ({bad}))"
         elif kind == "in_set":
-            vals = ", ".join(f"'{v}'" if isinstance(v, str) else str(v)
-                             for v in rule["values"])
+            if not rule["values"]:
+                raise ValueError("in_set needs a non-empty values list")
+            vals = ", ".join(_sq(v) for v in rule["values"])
             checked = f"count({col})"
             viol = (f"count(*) FILTER (WHERE {col} IS NOT NULL "
                     f"AND {col} NOT IN ({vals}))")
         elif kind == "matches":
             checked = f"count({col})"
             viol = (f"count(*) FILTER (WHERE {col} IS NOT NULL AND NOT "
-                    f"regexp_full_match({col}, '{rule['pattern']}'))")
+                    f"regexp_full_match({col}, "
+                    f"{_sq(rule['pattern'])}))")
         else:
             raise ValueError(f"unknown rule {kind!r}")
         arms.append(

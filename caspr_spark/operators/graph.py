@@ -64,6 +64,11 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
               .unionByName(e.select(F.col("dst").alias("id")))
               .distinct().persist())
     n = nodes.count()
+    if n == 0:
+        e.unpersist()
+        nodes.unpersist()
+        return nodes.select(F.col("id").alias(id_out),
+                            F.lit(0.0).alias(rank_out))
     deg = e.groupBy(F.col("src").alias("id")) \
            .agg(F.count(F.lit(1)).alias("deg"))
     base = (1.0 - damping) / n
@@ -113,7 +118,11 @@ def pagerank_sql(edges_cte: str, damping: float = 0.85,
     """DuckDB twin of :func:`pagerank` (undirected) — ``edges_cte`` is
     any SQL relation with two endpoint columns; iterations unroll into
     chained CTEs (recursive-term aggregation is not portable), each
-    replaying the exact fixed-point arithmetic of the operator."""
+    replaying the exact fixed-point arithmetic of the operator. The
+    (1 - damping) base is emitted as the PRE-COMPUTED Python double
+    (repr round-trips exactly) cast to DOUBLE — DuckDB would otherwise
+    evaluate ``1.0 - 0.85`` in exact DECIMAL arithmetic and diverge
+    from IEEE by one ulp, enough to flip a 9-dp rounding knife edge."""
     fp = float(FP_SCALE)
     sql = f"""
 WITH raw_edges AS ({edges_cte}),
@@ -130,8 +139,9 @@ pr0 AS (SELECT id, 1.0 / (SELECT n FROM nn) AS rank FROM nodes)"""
         sql += f""",
 pr{i} AS (
   SELECT nodes.id,
-         (1.0 - {damping!r}) / (SELECT n FROM nn)
-         + {damping!r} * (COALESCE(s.fp, 0) / {fp!r}) AS rank
+         CAST({(1.0 - damping)!r} AS DOUBLE) / (SELECT n FROM nn)
+         + CAST({damping!r} AS DOUBLE)
+           * (COALESCE(s.fp, 0) / {fp!r}) AS rank
   FROM nodes LEFT JOIN (
     SELECT e.dst AS id,
            SUM(CAST(round(p.rank * {fp!r} / d.deg) AS BIGINT)) AS fp

@@ -27,6 +27,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from caspr_spark.cache import register_cache
+
 
 def profile_table(df: DataFrame, cols: list[str] | None = None,
                   approx_distinct: bool = False,
@@ -175,6 +177,10 @@ def diagnose_skew(df: DataFrame, keys: list[str], top_n: int = 10) -> DataFrame:
     key = F.concat_ws("\x1f", *[F.col(k).cast("string") for k in keys])
     counts = (df.select(key.alias("key"))
                 .groupBy("key").agg(F.count(F.lit(1)).alias("cnt")))
+    # the counts relation feeds BOTH the stats row and the returned
+    # top-n — persist so the raw table shuffles once, not twice
+    # (cache_scope releases it; one-shot callers fall back to LRU)
+    counts = register_cache(counts.persist())
     stats = counts.agg(F.sum("cnt").alias("total"),
                        F.count(F.lit(1)).alias("n_keys")).first()
     total, n_keys = stats["total"] or 0, stats["n_keys"] or 1
@@ -223,8 +229,13 @@ def histogram(df: DataFrame, col: str, bins: int = 20,
         idx = F.greatest(F.lit(0), F.least(F.lit(bins - 1), idx))
         keep = x.isNotNull()
     else:
-        idx = F.when(x == F.lit(hi), F.lit(bins - 1)).otherwise(idx)
         keep = x.isNotNull() & (x >= lo) & (x <= hi)
+        # kept rows are in [lo, hi] by the filter, but float division
+        # can still floor an in-range x to `bins` (x == hi exactly, or
+        # (x-lo)/width rounding up past bins-1 for x just under hi) —
+        # clamp the INDEX for rows the range filter already admitted,
+        # so mass is conserved over the kept set
+        idx = F.greatest(F.lit(0), F.least(F.lit(bins - 1), idx))
     counts = (df.filter(keep).select(idx.alias("bin"))
                 .groupBy("bin").agg(F.count(F.lit(1)).alias("cnt")))
     spark = df.sparkSession

@@ -278,7 +278,9 @@ def resample_entities(df: DataFrame, entity_col: str = "user_id",
     buckets = (df.withColumn("__b", bucket)
                  .groupBy(entity_col, F.col("__b").alias("bucket"))
                  .agg(*aggs))
-    step_expr = F.expr(f"interval {step}")
+    parts = step.split()
+    step_expr = F.expr(f"interval {step}" if len(parts) == 2
+                       else f"interval 1 {step}")
     grid = (buckets.groupBy(entity_col)
             .agg(F.min("bucket").alias("__lo"), F.max("bucket").alias("__hi"))
             .select(entity_col,

@@ -194,20 +194,28 @@ def write_training_shards(df: DataFrame, path: str, n_shards: int,
     Scale shape: one hash exchange into ``n_shards`` write tasks
     (``repartition`` on the shard id), sort within partitions only.
     """
+    from caspr_spark.operators.sampling import _hash_col
     if n_shards < 1:
         raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    # the portable keyed hash is operators.sampling's — ONE definition
+    # of the md5 discipline, not a re-rolled variant
     shard = F.pmod(
-        F.conv(F.substring(F.md5(F.concat_ws(
-            "\x1f", F.lit(str(seed)), F.col(id_col).cast("string"))), 1, 15),
-            16, 10).cast("long"), F.lit(n_shards)).cast("int")
+        F.conv(F.substring(_hash_col([id_col], seed), 1, 15), 16, 10)
+        .cast("long"), F.lit(n_shards)).cast("int")
     out = df.withColumn("__shard", shard)
     sort_cols = list(sort_cols or [id_col])
     (out.repartition(n_shards, F.col("__shard"))
         .sortWithinPartitions("__shard", *sort_cols)
         .write.mode("overwrite").partitionBy("__shard").parquet(path))
+    # manifest stats come from the FILES JUST WRITTEN, not a second
+    # scan of the source plan: a non-bit-stable plan (sample/limit/
+    # rand-derived columns) would otherwise produce a manifest for a
+    # different row set than the export — the exact torn-export
+    # confusion the manifest exists to rule out
+    written = df.sparkSession.read.parquet(path)
     per_shard = {int(r["__shard"]): {"rows": int(r["rows"]),
                                      "id_xor": int(r["id_xor"])}
-                 for r in out.groupBy("__shard").agg(
+                 for r in written.groupBy("__shard").agg(
                      F.count(F.lit(1)).alias("rows"),
                      # order-insensitive checksum: XOR of id hashes
                      F.bit_xor(F.conv(F.substring(F.md5(

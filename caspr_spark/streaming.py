@@ -363,8 +363,9 @@ def streaming_windowed_topk(stream: DataFrame, k: int = 3,
 def topk_of_windows(counts: DataFrame, k: int = 3) -> DataFrame:
     """Batch finisher for :func:`streaming_windowed_topk`'s sink table:
     rank keys per window (cnt desc, key asc — deterministic) and keep
-    the top ``k``."""
-    w = Window.partitionBy("window_start").orderBy(
-        F.col("cnt").desc(), F.col("key").asc())
-    return (counts.withColumn("rk", F.row_number().over(w))
-                  .filter(F.col("rk") <= k))
+    the top ``k`` — the grouped-limit primitive, delegated to
+    ``operators.rank.topk_per_group`` (one implementation to maintain,
+    WindowGroupLimit planning and k validation included)."""
+    from caspr_spark.operators.rank import topk_per_group
+    return topk_per_group(counts, ["window_start"],
+                          [F.col("cnt").desc(), F.col("key").asc()], k)
