@@ -33,6 +33,39 @@ from caspr_spark.cache import register_cache
 FP_SCALE = 1_000_000_000_000  # 1e12 fixed-point contribution scale
 
 
+class _CheckpointHandle:
+    """``cache_scope``-compatible release handle for a ``localCheckpoint``.
+
+    A checkpointed DataFrame has no DataFrame-level unpersist (the
+    CacheManager doesn't know about the backing RDD; it is freed only
+    when the driver GCs the RDD reference) — this wraps the checkpoint's
+    persistent-RDD ids so release is deterministic. Duck-typed to the
+    ``unpersist(blocking=...)`` surface :func:`register_cache` expects.
+    """
+
+    def __init__(self, sc, rdd_ids: set[int]):
+        self._sc = sc
+        self._ids = rdd_ids
+
+    def unpersist(self, blocking: bool = False) -> None:
+        jmap = self._sc._jsc.getPersistentRDDs()
+        for k in jmap.keySet().toArray():
+            if int(k) in self._ids:
+                jmap.get(k).unpersist(blocking)
+
+
+def _checkpoint_leaf(df: DataFrame) -> tuple[DataFrame, "_CheckpointHandle"]:
+    """Eagerly ``localCheckpoint`` ``df`` into a LEAF-plan DataFrame and
+    return it with a deterministic release handle (persistent-RDD ids
+    captured by diffing the context's registry around the eager
+    materialization — single-driver assumption, same as the tests')."""
+    sc = df.sparkSession.sparkContext
+    before = {int(k) for k in sc._jsc.getPersistentRDDs().keySet().toArray()}
+    out = df.localCheckpoint(eager=True)
+    after = {int(k) for k in sc._jsc.getPersistentRDDs().keySet().toArray()}
+    return out, _CheckpointHandle(sc, after - before)
+
+
 def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
              damping: float = 0.85, iterations: int = 10,
              undirected: bool = True, id_out: str = "id",
@@ -58,15 +91,23 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
         e = e.unionByName(e.select(F.col("dst").alias("src"),
                                    F.col("src").alias("dst")))
     e = e.distinct()
-    # repartition by src once; every iteration's join reuses the layout
-    e = e.repartition("src").persist()
+    # repartition by src once; every iteration's join reuses the layout.
+    # localCheckpoint (not persist): a persist caches the DATA but keeps
+    # the full logical plan, so an upstream edge producer (e.g. the
+    # winnowing fingerprint self-join) is re-analyzed inside every
+    # iteration's nested plan and Catalyst analysis cost grows
+    # geometrically with iteration depth (measured: 5.6 s/iteration on a
+    # 24-edge winnow graph vs 0.6 s with a leaf plan). The checkpoint
+    # materializes the edge table once as a LEAF plan; its storage is
+    # ContextCleaner-managed.
+    e, e_handle = _checkpoint_leaf(e.repartition("src"))
     nodes = (e.select(F.col("src").alias("id"))
               .unionByName(e.select(F.col("dst").alias("id")))
               .distinct().persist())
     n = nodes.count()
     if n == 0:
-        e.unpersist()
         nodes.unpersist()
+        e_handle.unpersist()
         return nodes.select(F.col("id").alias(id_out),
                             F.lit(0.0).alias(rank_out))
     deg = e.groupBy(F.col("src").alias("id")) \
@@ -74,6 +115,7 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
     base = (1.0 - damping) / n
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     prev = None
+    mid_handle = None
     for it in range(iterations):
         contrib = (ranks.join(deg, on="id")
                    .join(e, ranks["id"] == e["src"])
@@ -86,29 +128,41 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
                          (F.lit(base) + F.lit(damping)
                           * (F.coalesce(F.col("fp"), F.lit(0))
                              / F.lit(float(FP_SCALE)))).alias("rank")))
-        # persist+count (not localCheckpoint): a checkpoint's backing
-        # RDD has no DataFrame-level release handle, while a persisted
-        # plan unpersists cleanly — so superseded iterations free their
-        # storage NOW and the final one is reclaimable by cache_scope().
-        # Every ~10 iterations a localCheckpoint still truncates the
-        # growing lineage (its storage is ContextCleaner-managed).
+        # persist+count materializes the iteration (node-sized, cheap —
+        # the plans stay small because e/checkpoints are leaf plans) and
+        # lets the superseded iteration free its storage NOW; every ~10
+        # iterations a leaf checkpoint re-truncates the (tiny-plan)
+        # nesting so analysis cost stays flat at any iteration count.
         ranks = ranks.persist()
         ranks.count()
         if prev is not None:
             prev.unpersist()
         prev = ranks
         if (it + 1) % 10 == 0 and it + 1 < iterations:
-            ranks = ranks.localCheckpoint(eager=True)
+            ranks, h = _checkpoint_leaf(ranks)
             prev.unpersist()
             prev = None
-    e.unpersist()
-    nodes.unpersist()
-    # the final persisted iteration backs the returned (lazy) result;
-    # a cache_scope() caller reclaims it on exit, one-shot callers
-    # fall back to LRU eviction like the LSH projections
+            if mid_handle is not None:
+                mid_handle.unpersist()
+            mid_handle = h
+    # Leaf-checkpoint the final iteration so the returned (lazy) result
+    # references ONLY its own materialized data — then every upstream
+    # handle (edge checkpoint, node cache, intermediate persists) can be
+    # released deterministically right here. The final checkpoint itself
+    # goes to the active cache_scope() if any; one-shot callers fall
+    # back to ContextCleaner GC like the LSH projections' LRU. NOTE:
+    # unlike persist-backed results, a checkpoint cannot recompute after
+    # release — materialize INSIDE the scope (which is the cache_scope
+    # contract anyway).
+    final, final_handle = _checkpoint_leaf(ranks)
     if prev is not None:
-        register_cache(prev)
-    return ranks.select(F.col("id").alias(id_out),
+        prev.unpersist()
+    if mid_handle is not None:
+        mid_handle.unpersist()
+    nodes.unpersist()
+    e_handle.unpersist()
+    register_cache(final_handle)
+    return final.select(F.col("id").alias(id_out),
                         F.round(F.col("rank"), 9).alias(rank_out))
 
 
@@ -119,21 +173,23 @@ def pagerank_sql(edges_cte: str, damping: float = 0.85,
     any SQL relation with two endpoint columns; iterations unroll into
     chained CTEs (recursive-term aggregation is not portable), each
     replaying the exact fixed-point arithmetic of the operator. The
+    shared relations are MATERIALIZED so DuckDB evaluates the edge
+    subquery once instead of re-inlining it into every iteration. The
     (1 - damping) base is emitted as the PRE-COMPUTED Python double
     (repr round-trips exactly) cast to DOUBLE — DuckDB would otherwise
     evaluate ``1.0 - 0.85`` in exact DECIMAL arithmetic and diverge
     from IEEE by one ulp, enough to flip a 9-dp rounding knife edge."""
     fp = float(FP_SCALE)
     sql = f"""
-WITH raw_edges AS ({edges_cte}),
-dedges AS (
+WITH raw_edges AS MATERIALIZED ({edges_cte}),
+dedges AS MATERIALIZED (
   SELECT DISTINCT src, dst FROM (
     SELECT {id_a} AS src, {id_b} AS dst FROM raw_edges
     UNION ALL
     SELECT {id_b} AS src, {id_a} AS dst FROM raw_edges)),
-nodes AS (SELECT DISTINCT src AS id FROM dedges),
-deg AS (SELECT src AS id, count(*) AS deg FROM dedges GROUP BY src),
-nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+nodes AS MATERIALIZED (SELECT DISTINCT src AS id FROM dedges),
+deg AS MATERIALIZED (SELECT src AS id, count(*) AS deg FROM dedges GROUP BY src),
+nn AS MATERIALIZED (SELECT count(*)::DOUBLE AS n FROM nodes),
 pr0 AS (SELECT id, 1.0 / (SELECT n FROM nn) AS rank FROM nodes)"""
     for i in range(1, iterations + 1):
         sql += f""",
