@@ -2159,15 +2159,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                    fuzzy_join_parts now passes the hot-block cap
                    explicitly (r4 verdict item 2: cap is the operator
                    default as of this round),
-      slots 26-50  the r2/r3-driver-certified block longest out of the
+      slots 26-36  the oracle queries NEW in round 5 (SCD2, text
+                   normalization, attribution, PageRank, expectations,
+                   resample, skew report, shards, stream top-k,
+                   histogram, grouped top-k) — also getting their FIRST
+                   driver certification; together the window certifies
+                   36 first-timers,
+      slots 37-50  the r2/r3-driver-certified block longest out of the
                    window (pipelines, streaming suite, simsearch,
-                   range/bloom/funnel/rollup, scoring/metrics/explain) —
-                   refreshed so no oracle row's last certification ages
-                   past two rounds,
-      slots 51+    the rows driver-certified in round 4 (CORRECTNESS_r04
-                   50/50 green), then the remaining r1-certified rows,
-                   then rows-only / no-oracle queries (seeded RNG,
-                   iterative) at the very end.
+                   range/bloom/funnel/rollup) — refreshed so no oracle
+                   row's last certification ages past two rounds,
+      slots 51+    the displaced tail of that block, then the rows
+                   driver-certified in round 4 (CORRECTNESS_r04 50/50
+                   green), then the remaining r1-certified rows, then
+                   rows-only / no-oracle queries (seeded RNG, iterative)
+                   at the very end.
     """
     return {
         # --- slots 1-25: the round-4 part-five batch, first driver
@@ -2203,7 +2209,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_anomaly": q_stream_anomaly,
         "calibration_bins": q_calibration_bins,
         "drift_psi": q_drift_psi,
-        # --- slots 26-50: r2/r3-certified block, refreshed this round --
+        # --- slots 26-36: oracle-bearing, NEW in round 5 (SCD2 history,
+        #     text normalization, last-touch attribution, fixed-point
+        #     PageRank, data-quality expectations, time-grid resample,
+        #     skew report, training shards, streaming top-k, fixed-bin
+        #     histogram, grouped top-k) — first driver certification ----
+        "scd2_orders": q_scd2_orders,
+        "text_normalize": q_text_normalize,
+        "attribution_last_touch": q_attribution_last_touch,
+        "pagerank_docs": q_pagerank_docs,
+        "expectations_events": q_expectations_events,
+        "resample_daily": q_resample_daily,
+        "skew_report": q_skew_report,
+        "shards_roundtrip": q_shards_roundtrip,
+        "stream_topk": q_stream_topk,
+        "histogram_values": q_histogram_values,
+        "topk_per_group": q_topk_per_group,
+        # --- slots 37-50: r2/r3-certified block, refreshed this round --
         "simsearch_topk_lsh": q_simsearch_topk_lsh,
         "pipeline_events": q_pipeline_events,
         "pipeline_lineitem": q_pipeline_lineitem,
@@ -2218,6 +2240,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hypertable_rollup": q_hypertable_rollup,
         "funnel_conversion": q_funnel,
         "bloom_semi_join": q_bloom_semi,
+        # --- slots 51-61: r2/r3-certified, rotated just out of the
+        #     window this round (displaced by the round-5 first-timers;
+        #     all re-proven by the local suite at both SFs) -------------
         "asof_join_forward": q_asof_join_forward,
         "segment_dec": q_segment_dec,
         "j2_semi_prune": q_j2_semi_prune,
@@ -2229,23 +2254,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "metrics_roc_auc_binned": q_metrics_roc_auc_binned,
         "explain_linear_ablation": q_explain_linear_ablation,
         "x3_trainset_labeled": q_x3_trainset_labeled,
-        # --- slots 51-61: oracle-bearing, NEW in round 5 (SCD2 history,
-        #     text normalization, last-touch attribution, fixed-point
-        #     PageRank, data-quality expectations, time-grid resample,
-        #     skew report, training shards, streaming top-k)
-        #     — local-certified at both SFs this round, driver rotation
-        #     next ------------------------------------------------------
-        "scd2_orders": q_scd2_orders,
-        "text_normalize": q_text_normalize,
-        "attribution_last_touch": q_attribution_last_touch,
-        "pagerank_docs": q_pagerank_docs,
-        "expectations_events": q_expectations_events,
-        "resample_daily": q_resample_daily,
-        "skew_report": q_skew_report,
-        "shards_roundtrip": q_shards_roundtrip,
-        "stream_topk": q_stream_topk,
-        "histogram_values": q_histogram_values,
-        "topk_per_group": q_topk_per_group,
         # --- slots 62-111: driver-certified in round 4 (50/50 green) ----
         "pipeline_events_percutoff": q_pipeline_events_percutoff,
         "pipeline_orders_composite": q_pipeline_orders_composite,
