@@ -39,6 +39,52 @@ from pyspark.sql import DataFrame
 _scopes = threading.local()
 
 
+class CheckpointHandle:
+    """:func:`cache_scope`-compatible release handle for a ``localCheckpoint``.
+
+    A checkpointed DataFrame has no DataFrame-level unpersist (the
+    CacheManager doesn't know about the backing RDD; it is freed only
+    when the driver GCs the RDD reference) — this wraps the checkpoint's
+    persistent-RDD ids so release is deterministic. Duck-typed to the
+    ``unpersist(blocking=...)`` surface :func:`register_cache` expects.
+    After release the checkpoint CANNOT recompute (lineage is truncated):
+    results built on it must be materialized before the handle fires —
+    which is the :func:`cache_scope` contract anyway.
+    """
+
+    def __init__(self, sc, rdd_ids: set[int]):
+        self._sc = sc
+        self._ids = rdd_ids
+
+    def unpersist(self, blocking: bool = False) -> None:
+        try:
+            jmap = self._sc._jsc.getPersistentRDDs()
+            for k in jmap.keySet().toArray():
+                if int(k) in self._ids:
+                    jmap.get(k).unpersist(blocking)
+        except Exception:  # session already stopped — nothing to free
+            pass
+
+
+def checkpoint_leaf(df: DataFrame) -> tuple[DataFrame, CheckpointHandle]:
+    """Eagerly ``localCheckpoint`` ``df`` into a LEAF-plan DataFrame.
+
+    Returns the leaf DataFrame plus a deterministic release handle (the
+    checkpoint's persistent-RDD ids, captured by diffing the context's
+    registry around the eager materialization — single-driver
+    assumption). The leaf plan is what makes ITERATIVE operators cheap:
+    a ``persist()`` caches data but keeps the full logical plan, so an
+    upstream producer (LSH banding, winnowing self-joins) is re-analyzed
+    — or, unpersisted, re-EXECUTED — inside every iteration's nested
+    plan, with analysis cost growing geometrically in iteration depth.
+    """
+    sc = df.sparkSession.sparkContext
+    before = {int(k) for k in sc._jsc.getPersistentRDDs().keySet().toArray()}
+    out = df.localCheckpoint(eager=True)
+    after = {int(k) for k in sc._jsc.getPersistentRDDs().keySet().toArray()}
+    return out, CheckpointHandle(sc, after - before)
+
+
 def register_cache(df: DataFrame) -> DataFrame:
     """Record a just-``persist()``-ed DataFrame with the active
     :func:`cache_scope`, if any. Returns ``df`` for chaining."""

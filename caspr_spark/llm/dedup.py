@@ -180,12 +180,21 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
     ``max_iter`` rounds did not reach the fixpoint.
     """
     import logging
+
+    from caspr_spark.cache import checkpoint_leaf, register_cache
+
     edges = (pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
              .unionByName(pairs.select(F.col(id_b).alias("src"),
                                        F.col(id_a).alias("dst"))))
+    # Leaf-checkpoint the edge table ONCE: without it every iteration's
+    # join re-executes the full upstream pair producer (LSH banding /
+    # winnowing self-join) — max_iter times — and re-analyzes its plan
+    # inside the growing iteration lineage.
+    edges, e_handle = checkpoint_leaf(edges)
     labels = (edges.select(F.col("src").alias("id"))
               .distinct()
               .withColumn("component", F.col("id")))
+    label_handle = None
     for _ in range(max_iter):
         neighbor_min = (edges.join(labels, on=edges.dst == labels.id)
                         .groupBy("src").agg(F.min("component").alias("nmin")))
@@ -196,12 +205,18 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
                                       F.coalesce(F.col("nmin"),
                                                  F.col("component")))
                                .alias("component")))
-        new_labels = new_labels.localCheckpoint(eager=True)
+        new_labels, new_handle = checkpoint_leaf(new_labels)
         changed = (new_labels.alias("n")
                    .join(labels.alias("o"), on="id")
                    .filter(F.col("n.component") != F.col("o.component"))
                    .count())
         labels = new_labels
+        # the superseded iteration's checkpoint storage is released NOW;
+        # the final one backs the returned result (cache_scope-managed,
+        # ContextCleaner fallback for one-shot callers)
+        if label_handle is not None:
+            label_handle.unpersist()
+        label_handle = new_handle
         if changed == 0:
             break
     else:
@@ -209,8 +224,14 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
                f"({changed} labels still changing); component ids may split "
                "one true component")
         if strict:
+            e_handle.unpersist()
+            if label_handle is not None:
+                label_handle.unpersist()
             raise RuntimeError(msg)
         logging.getLogger(__name__).warning(msg)
+    e_handle.unpersist()
+    if label_handle is not None:
+        register_cache(label_handle)
     return labels
 
 

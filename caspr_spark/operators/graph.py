@@ -28,42 +28,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from caspr_spark.cache import register_cache
+from caspr_spark.cache import checkpoint_leaf, register_cache
 
 FP_SCALE = 1_000_000_000_000  # 1e12 fixed-point contribution scale
-
-
-class _CheckpointHandle:
-    """``cache_scope``-compatible release handle for a ``localCheckpoint``.
-
-    A checkpointed DataFrame has no DataFrame-level unpersist (the
-    CacheManager doesn't know about the backing RDD; it is freed only
-    when the driver GCs the RDD reference) — this wraps the checkpoint's
-    persistent-RDD ids so release is deterministic. Duck-typed to the
-    ``unpersist(blocking=...)`` surface :func:`register_cache` expects.
-    """
-
-    def __init__(self, sc, rdd_ids: set[int]):
-        self._sc = sc
-        self._ids = rdd_ids
-
-    def unpersist(self, blocking: bool = False) -> None:
-        jmap = self._sc._jsc.getPersistentRDDs()
-        for k in jmap.keySet().toArray():
-            if int(k) in self._ids:
-                jmap.get(k).unpersist(blocking)
-
-
-def _checkpoint_leaf(df: DataFrame) -> tuple[DataFrame, "_CheckpointHandle"]:
-    """Eagerly ``localCheckpoint`` ``df`` into a LEAF-plan DataFrame and
-    return it with a deterministic release handle (persistent-RDD ids
-    captured by diffing the context's registry around the eager
-    materialization — single-driver assumption, same as the tests')."""
-    sc = df.sparkSession.sparkContext
-    before = {int(k) for k in sc._jsc.getPersistentRDDs().keySet().toArray()}
-    out = df.localCheckpoint(eager=True)
-    after = {int(k) for k in sc._jsc.getPersistentRDDs().keySet().toArray()}
-    return out, _CheckpointHandle(sc, after - before)
 
 
 def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
@@ -100,7 +67,7 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
     # 24-edge winnow graph vs 0.6 s with a leaf plan). The checkpoint
     # materializes the edge table once as a LEAF plan; its storage is
     # ContextCleaner-managed.
-    e, e_handle = _checkpoint_leaf(e.repartition("src"))
+    e, e_handle = checkpoint_leaf(e.repartition("src"))
     nodes = (e.select(F.col("src").alias("id"))
               .unionByName(e.select(F.col("dst").alias("id")))
               .distinct().persist())
@@ -139,7 +106,7 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
             prev.unpersist()
         prev = ranks
         if (it + 1) % 10 == 0 and it + 1 < iterations:
-            ranks, h = _checkpoint_leaf(ranks)
+            ranks, h = checkpoint_leaf(ranks)
             prev.unpersist()
             prev = None
             if mid_handle is not None:
@@ -154,7 +121,7 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
     # unlike persist-backed results, a checkpoint cannot recompute after
     # release — materialize INSIDE the scope (which is the cache_scope
     # contract anyway).
-    final, final_handle = _checkpoint_leaf(ranks)
+    final, final_handle = checkpoint_leaf(ranks)
     if prev is not None:
         prev.unpersist()
     if mid_handle is not None:
