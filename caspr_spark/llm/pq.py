@@ -50,7 +50,8 @@ def fit_pq(df: DataFrame, vec_col: str = "embedding", dim: int = 64,
     _check(dim, m, k)
     dsub = dim // m
     codebooks = np.empty((m, k, dsub), dtype=np.float64)
-    for j in range(m):
+
+    def _fit_one(j: int) -> np.ndarray:
         sub = df.select(array_to_vector(
             F.slice(F.col(vec_col), j * dsub + 1, dsub)).alias("features"))
         model = KMeans(k=k, seed=seed + j, maxIter=max_iter,
@@ -59,7 +60,17 @@ def fit_pq(df: DataFrame, vec_col: str = "embedding", dim: int = 64,
         # deterministic codebook order (KMeans center ids are
         # init-order artifacts): sort centers lexicographically
         order = np.lexsort(centers.T[::-1])
-        codebooks[j] = centers[order]
+        return centers[order]
+
+    # The m subspace fits are independent — submit them as CONCURRENT
+    # Spark jobs instead of serializing m iterative KMeans runs (each
+    # fit's per-iteration jobs are small, so the scheduler interleaves
+    # them across the executor pool; results are seed-deterministic
+    # per subspace regardless of completion order).
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(max_workers=m) as pool:
+        for j, centers in enumerate(pool.map(_fit_one, range(m))):
+            codebooks[j] = centers
     return codebooks
 
 
