@@ -1450,6 +1450,38 @@ def q_expectations_events(spark, sf_dir):
     return validate_expectations(ev, _EXPECT_RULES)
 
 
+def q_attribution_multitouch(spark, sf_dir):
+    """U-shaped multi-touch attribution (timeseries.py
+    attribute_multitouch): each purchase's unit of credit split 40/40/20
+    across the first/last/middle touches of its journey (the touches
+    since the previous purchase), direct conversions kept at credit 1.0.
+    Journeys come from a running conversion count over ONE entity-keyed
+    window — no conversions-x-touches range self-join; credit rows are
+    an invariant multiset under equal-key ties, so the position model
+    carries an exact DuckDB oracle."""
+    from caspr_spark.operators.timeseries import attribute_multitouch
+    ev = _events(spark, sf_dir)
+    out = attribute_multitouch(ev, conversion_type="purchase",
+                               touch_types=("view", "click"),
+                               model="position", tiebreak=["event_id"])
+    return out.select("event_id", "user_id", "conversion_ts",
+                      "touch_ts", "touch_type", "credit")
+
+
+def q_rolling_features(spark, sf_dir):
+    """Trailing 7-day per-entity rolling features (timeseries.py
+    rolling_features): count/sum/avg/min/max of event value over the
+    RANGE frame ending strictly before each row (leak-safe for
+    training). One entity-keyed sort-shuffle, all five aggregates in a
+    single Window node; sums accumulate in integer cents so distributed
+    order cannot drift the float result."""
+    from caspr_spark.operators.timeseries import rolling_features
+    ev = _events(spark, sf_dir)
+    out = rolling_features(ev, window="7 days")
+    return out.select("event_id", "user_id", "count_7d", "sum_7d",
+                      "avg_7d", "min_7d", "max_7d")
+
+
 def q_resample_daily(spark, sf_dir):
     """Per-entity time-grid resampling with gap fill (timeseries.py
     resample_entities): daily value sums on a gap-free grid between
@@ -2145,7 +2177,7 @@ def q_stream_topk(spark, sf_dir):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver contract: the correctness gate certifies the FIRST 50 entries.
 
-    135 of the 158 queries carry full DuckDB oracles — more than one
+    137 of the 160 queries carry full DuckDB oracles — more than one
     50-slot window holds — so certification rotates across rounds
     (COVERAGE.md maps
     which round certified which row; tools/check_correctness.py re-runs the
@@ -2163,9 +2195,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                    normalization, attribution, PageRank, expectations,
                    resample, skew report, shards, stream top-k,
                    histogram, grouped top-k) — also getting their FIRST
-                   driver certification; together the window certifies
-                   36 first-timers,
-      slots 37-50  the r2/r3-driver-certified block longest out of the
+                   driver certification, plus slots 37-38 the two added
+                   late in the round (multi-touch attribution, rolling
+                   time-window features); together the window certifies
+                   38 first-timers,
+      slots 39-50  the r2/r3-driver-certified block longest out of the
                    window (pipelines, streaming suite, simsearch,
                    range/bloom/funnel/rollup) — refreshed so no oracle
                    row's last certification ages past two rounds,
@@ -2225,7 +2259,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_topk": q_stream_topk,
         "histogram_values": q_histogram_values,
         "topk_per_group": q_topk_per_group,
-        # --- slots 37-50: r2/r3-certified block, refreshed this round --
+        # --- slots 37-38: oracle-bearing, added late in round 5
+        #     (multi-touch attribution, rolling time-window features) ---
+        "attribution_multitouch": q_attribution_multitouch,
+        "rolling_features": q_rolling_features,
+        # --- slots 39-50: r2/r3-certified block, refreshed this round --
         "simsearch_topk_lsh": q_simsearch_topk_lsh,
         "pipeline_events": q_pipeline_events,
         "pipeline_lineitem": q_pipeline_lineitem,
@@ -2240,9 +2278,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hypertable_rollup": q_hypertable_rollup,
         "funnel_conversion": q_funnel,
         "bloom_semi_join": q_bloom_semi,
-        # --- slots 51-61: r2/r3-certified, rotated just out of the
+        # --- slots 51+: r2/r3-certified, rotated just out of the
         #     window this round (displaced by the round-5 first-timers;
-        #     all re-proven by the local suite at both SFs) -------------
+        #     all re-proven by the local suite at both SFs; funnel and
+        #     bloom directly above are the last two displaced) ----------
         "asof_join_forward": q_asof_join_forward,
         "segment_dec": q_segment_dec,
         "j2_semi_prune": q_j2_semi_prune,
@@ -3600,6 +3639,49 @@ WITH w AS (
                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
 SELECT event_id, user_id, touch_ts, touch_type
 FROM w WHERE event_type = 'purchase'""",
+        "attribution_multitouch": """
+WITH ev AS (
+  SELECT event_id, user_id, ts, event_type,
+         SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING)
+         - CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS journey
+  FROM events
+  WHERE event_type IN ('view', 'click', 'purchase')),
+convs AS (
+  SELECT user_id, journey, event_id, ts AS conversion_ts
+  FROM ev WHERE event_type = 'purchase'),
+touches AS (
+  SELECT user_id, journey, ts AS touch_ts, event_type AS touch_type
+  FROM ev WHERE event_type IN ('view', 'click')),
+j AS (
+  SELECT c.user_id, c.journey, c.event_id, c.conversion_ts,
+         t.touch_ts, t.touch_type,
+         row_number() OVER (PARTITION BY c.user_id, c.journey
+                            ORDER BY t.touch_ts, t.touch_type) AS pos,
+         count(t.touch_ts) OVER (PARTITION BY c.user_id, c.journey) AS n
+  FROM convs c LEFT JOIN touches t USING (user_id, journey))
+SELECT event_id, user_id, conversion_ts, touch_ts, touch_type,
+       CASE WHEN touch_ts IS NULL THEN CAST(1.0 AS DOUBLE)
+            ELSE round(CASE WHEN n = 1 THEN CAST(1.0 AS DOUBLE)
+                            WHEN n = 2 THEN CAST(0.5 AS DOUBLE)
+                            WHEN pos = 1 THEN CAST(0.4 AS DOUBLE)
+                            WHEN pos = n THEN CAST(0.4 AS DOUBLE)
+                            ELSE CAST(0.2 AS DOUBLE) / (n - 2) END, 9)
+       END AS credit
+FROM j""",
+        "rolling_features": """
+SELECT event_id, user_id,
+       count(value) OVER w AS count_7d,
+       round(CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w
+                  AS DOUBLE) / 100.0, 2) AS sum_7d,
+       round(CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w
+                  AS DOUBLE) / 100.0 / count(value) OVER w, 6) AS avg_7d,
+       min(value) OVER w AS min_7d,
+       max(value) OVER w AS max_7d
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 604800000000 PRECEDING AND 1 PRECEDING)""",
         "text_repetition": r"""
 WITH w AS (
   SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS word,

@@ -309,3 +309,149 @@ def _norm_width(step: str) -> str:
         return parts[0]
     raise ValueError(f"only unit steps supported ('1 day', '1 hour'), "
                      f"got {step!r}")
+
+
+def attribute_multitouch(df: DataFrame, entity_col: str = "user_id",
+                         ts_col: str = "ts", type_col: str = "event_type",
+                         conversion_type: str = "purchase",
+                         touch_types: tuple[str, ...] = ("view", "click"),
+                         model: str = "linear",
+                         half_life: float = 604800.0,
+                         tiebreak: list[str] | None = None) -> DataFrame:
+    """Multi-touch conversion attribution — split each conversion's unit
+    of credit across EVERY touch in its journey (the stretch of touches
+    since the entity's previous conversion), not just the first/last one
+    that :func:`attribute_conversions` picks.
+
+    Models (credit always sums to 1.0 per conversion):
+
+    - ``"linear"``    — equal split, ``1/n`` per touch.
+    - ``"position"``  — U-shaped: 40% first touch, 40% last touch, the
+      middle 20% split across the interior (1 touch -> 1.0; 2 -> .5/.5).
+    - ``"time_decay"`` — weight ``0.5^(Δseconds/half_life)`` per touch,
+      normalized within the journey (recency-weighted ROI).
+
+    Conversions with no prior touch are DIRECT: one row with null touch
+    columns and credit 1.0, so channel totals still add up to the
+    conversion count.
+
+    Plan shape: journeys come from a running conversion count over ONE
+    (entity, time) window — no conversions-x-touches range self-join —
+    then one keyed join of the conversion rows to their journey's
+    touches on (entity, journey) and one window over the (reduced)
+    joined relation for positions/normalization. Everything shuffles on
+    the entity key; relation sizes are touches+conversions, never the
+    raw event table squared.
+    """
+    if model not in ("linear", "position", "time_decay"):
+        raise ValueError(
+            f"model must be linear/position/time_decay, got {model!r}")
+    if not touch_types:
+        raise ValueError("touch_types must be non-empty")
+    order = [F.col(ts_col).asc()] + [F.col(t).asc()
+                                     for t in (tiebreak or [])]
+    is_conv = (F.col(type_col) == conversion_type).cast("long")
+    w_cum = (Window.partitionBy(entity_col).orderBy(*order)
+             .rowsBetween(Window.unboundedPreceding, 0))
+    ev = (df.filter(F.col(type_col).isin(*touch_types)
+                    | (F.col(type_col) == conversion_type))
+            .withColumn("__cc", F.sum(is_conv).over(w_cum))
+            # a touch's journey = conversions seen so far; the closing
+            # conversion row itself counts one extra -> subtract it
+            .withColumn("__journey", F.col("__cc") - is_conv))
+    convs = (ev.filter(F.col(type_col) == conversion_type)
+               .select(entity_col, "__journey",
+                       F.col(ts_col).alias("__conv_ts"),
+                       *[F.col(c).alias(f"__conv_{c}")
+                         for c in df.columns
+                         if c not in (entity_col, ts_col, type_col)]))
+    touches = (ev.filter(F.col(type_col).isin(*touch_types))
+                 .select(entity_col, "__journey",
+                         F.col(ts_col).alias("touch_ts"),
+                         F.col(type_col).alias("touch_type")))
+    j = convs.join(touches, on=[entity_col, "__journey"], how="left")
+    w_j = (Window.partitionBy(entity_col, "__journey")
+           .orderBy(F.col("touch_ts").asc(), F.col("touch_type").asc()))
+    w_all = Window.partitionBy(entity_col, "__journey")
+    pos = F.row_number().over(w_j)
+    n = F.count("touch_ts").over(w_all)
+    if model == "linear":
+        credit = F.lit(1.0) / n
+    elif model == "position":
+        credit = (F.when(n == 1, F.lit(1.0))
+                   .when(n == 2, F.lit(0.5))
+                   .when(pos == 1, F.lit(0.4))
+                   .when(pos == n, F.lit(0.4))
+                   .otherwise(F.lit(0.2) / (n - F.lit(2))))
+    else:  # time_decay
+        delta = (F.col("__conv_ts").cast("long")
+                 - F.col("touch_ts").cast("long")).cast("double")
+        weight = F.pow(F.lit(0.5), delta / F.lit(float(half_life)))
+        credit = weight / F.sum(weight).over(w_all)
+    out = (j.withColumn(
+               "credit",
+               F.when(F.col("touch_ts").isNull(), F.lit(1.0))
+                .otherwise(F.round(credit, 9)))
+            .withColumnRenamed("__conv_ts", "conversion_ts"))
+    renames = [F.col(entity_col)] + \
+        [F.col(f"__conv_{c}").alias(c) for c in df.columns
+         if c not in (entity_col, ts_col, type_col)] + \
+        [F.col("conversion_ts"), F.col("touch_ts"), F.col("touch_type"),
+         F.col("credit")]
+    return out.select(*renames)
+
+
+def rolling_features(df: DataFrame, entity_col: str = "user_id",
+                     ts_col: str = "ts", value_col: str = "value",
+                     window: str = "7 days",
+                     include_current: bool = False,
+                     suffix: str | None = None) -> DataFrame:
+    """Trailing time-window aggregates per entity, one row per event —
+    the feature-store primitive ("purchases in the last 7 days",
+    "average order value over the trailing 30 days") that the
+    featurizer's last-n-EVENTS pivot cannot express (n rows != a time
+    span when activity rates differ per entity).
+
+    Adds ``count_/sum_/avg_/min_/max_{suffix}`` columns computed over a
+    ``RANGE`` frame of the trailing ``window`` (exclusive of the current
+    row unless ``include_current`` — exclusive is the leak-safe choice
+    for training features: the label row's own value never enters its
+    feature). Empty frames yield count 0 and null sum/avg/min/max.
+
+    Plan shape: ONE (entity)-keyed sort-shuffle; all five aggregates
+    share the same window frame, so Catalyst evaluates them in a single
+    Window node over a single exchange at any scale. Sums accumulate in
+    integer cents so distributed evaluation order cannot drift the
+    float result (the same discipline as the pipelines' label sums).
+    """
+    parts = window.split()
+    if len(parts) != 2:
+        raise ValueError(f"window must look like '7 days', got {window!r}")
+    unit_secs = {"second": 1, "seconds": 1, "minute": 60, "minutes": 60,
+                 "hour": 3600, "hours": 3600, "day": 86400, "days": 86400,
+                 "week": 604800, "weeks": 604800}
+    if parts[1] not in unit_secs:
+        raise ValueError(f"unsupported window unit {parts[1]!r}")
+    # exact MICROSECOND range arithmetic: the events carry sub-second
+    # timestamps, and a seconds-granularity ordering key would need a
+    # floor that Spark (cast truncates) and SQL oracles (epoch() is a
+    # double) disagree on at the knife edge
+    span_us = int(parts[0]) * unit_secs[parts[1]] * 1_000_000
+    sfx = suffix or (parts[0] + parts[1][0])     # '7 days' -> '7d'
+    hi = 0 if include_current else -1
+    w = (Window.partitionBy(entity_col)
+         .orderBy(F.unix_micros(F.col(ts_col)))
+         .rangeBetween(-span_us, hi))
+    cents = F.round(F.col(value_col) * 100).cast("long")
+    sum_cents = F.sum(cents).over(w)
+    cnt = F.count(F.col(value_col)).over(w)
+    # ONE select so CollapseWindow keeps all five aggregates in a single
+    # Window node (chained withColumn left five sequential passes over
+    # the sorted partition)
+    return df.select(
+        "*",
+        cnt.alias(f"count_{sfx}"),
+        F.round(sum_cents / 100.0, 2).alias(f"sum_{sfx}"),
+        F.round(sum_cents / 100.0 / cnt, 6).alias(f"avg_{sfx}"),
+        F.min(F.col(value_col)).over(w).alias(f"min_{sfx}"),
+        F.max(F.col(value_col)).over(w).alias(f"max_{sfx}"))

@@ -318,3 +318,141 @@ class TestResample:
             resample_entities(ev, agg="sum")
         with pytest.raises(ValueError, match="unit steps"):
             resample_entities(ev, value_cols=["value"], step="2 days")
+
+
+class TestMultitouch:
+    def _events(self, spark):
+        rows = [
+            # user 1, journey 0: three touches -> U-shape 0.4/0.2/0.4
+            (1, 1, "view", "2024-01-01 08:00:00"),
+            (2, 1, "click", "2024-01-01 09:00:00"),
+            (3, 1, "view", "2024-01-01 10:00:00"),
+            (4, 1, "purchase", "2024-01-01 12:00:00"),
+            # user 1, journey 1: ONE touch after the first purchase
+            (5, 1, "click", "2024-01-01 13:00:00"),
+            (6, 1, "purchase", "2024-01-01 14:00:00"),
+            # user 2: direct purchase
+            (7, 2, "purchase", "2024-01-01 09:00:00"),
+            # user 3: two touches
+            (8, 3, "view", "2024-01-02 07:00:00"),
+            (9, 3, "click", "2024-01-02 08:00:00"),
+            (10, 3, "purchase", "2024-01-02 09:00:00"),
+            # user 3 trailing touch with no later conversion: no credit
+            (11, 3, "view", "2024-01-02 10:00:00"),
+        ]
+        return spark.createDataFrame(
+            [(i, u, t, ts) for i, u, t, ts in rows],
+            "event_id long, user_id long, event_type string, ts_s string"
+        ).withColumn("ts", F.col("ts_s").cast("timestamp")).drop("ts_s")
+
+    def test_position_model(self, spark):
+        from caspr_spark.operators.timeseries import attribute_multitouch
+        out = attribute_multitouch(self._events(spark), model="position",
+                                   tiebreak=["event_id"]).collect()
+        by_conv = {}
+        for r in out:
+            by_conv.setdefault(r.event_id, []).append(r)
+        # journey 0 of user 1: 0.4 first, 0.2 middle, 0.4 last
+        j0 = sorted(by_conv[4], key=lambda r: r.touch_ts)
+        assert [r.credit for r in j0] == [0.4, 0.2, 0.4]
+        assert [r.touch_type for r in j0] == ["view", "click", "view"]
+        # journey 1: single touch gets 1.0, and it is the post-purchase click
+        assert [(r.touch_type, r.credit) for r in by_conv[6]] == [("click", 1.0)]
+        # direct conversion: null touch, credit 1.0
+        assert by_conv[7][0].touch_type is None
+        assert by_conv[7][0].credit == 1.0
+        # two touches -> 0.5 / 0.5
+        assert sorted(r.credit for r in by_conv[10]) == [0.5, 0.5]
+        # trailing touch (event 11) appears in no journey
+        assert all(r.touch_ts is None or r.touch_ts.hour != 10
+                   for r in by_conv.get(10, []))
+
+    def test_credit_sums_to_one_per_conversion(self, spark):
+        from caspr_spark.operators.timeseries import attribute_multitouch
+        for model in ("linear", "position", "time_decay"):
+            out = attribute_multitouch(self._events(spark), model=model,
+                                       tiebreak=["event_id"]).collect()
+            sums = {}
+            for r in out:
+                sums[r.event_id] = sums.get(r.event_id, 0.0) + r.credit
+            assert set(sums) == {4, 6, 7, 10}
+            for v in sums.values():
+                assert abs(v - 1.0) < 1e-6, (model, sums)
+
+    def test_time_decay_prefers_recent(self, spark):
+        from caspr_spark.operators.timeseries import attribute_multitouch
+        out = attribute_multitouch(self._events(spark), model="time_decay",
+                                   half_life=3600.0,
+                                   tiebreak=["event_id"]).collect()
+        j0 = sorted((r for r in out if r.event_id == 4),
+                    key=lambda r: r.touch_ts)
+        assert j0[0].credit < j0[1].credit < j0[2].credit
+        # exact weights: deltas 4h/3h/2h at 1h half-life -> 2^-4,2^-3,2^-2
+        w = [2.0 ** -4, 2.0 ** -3, 2.0 ** -2]
+        expect = [round(x / sum(w), 9) for x in w]
+        assert [r.credit for r in j0] == pytest.approx(expect, abs=1e-9)
+
+    def test_validation(self, spark):
+        from caspr_spark.operators.timeseries import attribute_multitouch
+        with pytest.raises(ValueError, match="model"):
+            attribute_multitouch(self._events(spark), model="shapley")
+        with pytest.raises(ValueError, match="touch_types"):
+            attribute_multitouch(self._events(spark), touch_types=())
+
+
+class TestRollingFeatures:
+    def _events(self, spark):
+        rows = [
+            (1, 1, 10.0, "2024-01-01 00:00:00"),
+            (2, 1, 20.0, "2024-01-03 00:00:00"),
+            (3, 1, 30.0, "2024-01-09 00:00:00"),   # 1 falls out of 7d here
+            (4, 1, 40.0, "2024-01-09 00:00:00"),   # same ts as 3: excluded
+            (5, 2, 5.5, "2024-01-05 00:00:00"),
+        ]
+        return spark.createDataFrame(
+            [(i, u, v, ts) for i, u, v, ts in rows],
+            "event_id long, user_id long, value double, ts_s string"
+        ).withColumn("ts", F.col("ts_s").cast("timestamp")).drop("ts_s")
+
+    def test_trailing_window_values(self, spark):
+        from caspr_spark.operators.timeseries import rolling_features
+        got = {r.event_id: r for r in
+               rolling_features(self._events(spark)).collect()}
+        # event 1: empty frame
+        assert (got[1].count_7d, got[1].sum_7d, got[1].avg_7d) == (0, None, None)
+        # event 2: sees event 1 only
+        assert (got[2].count_7d, got[2].sum_7d, got[2].min_7d) == (1, 10.0, 10.0)
+        # events 3 and 4 (same ts): event 1 is 8 days old -> out;
+        # event 2 in; the SAME-ts sibling is excluded by the -1 bound
+        for e in (3, 4):
+            assert (got[e].count_7d, got[e].sum_7d, got[e].max_7d) == \
+                (1, 20.0, 20.0), e
+        # other entity unaffected
+        assert got[5].count_7d == 0
+
+    def test_include_current_and_suffix(self, spark):
+        from caspr_spark.operators.timeseries import rolling_features
+        got = {r.event_id: r for r in
+               rolling_features(self._events(spark), window="30 days",
+                                include_current=True, suffix="m").collect()}
+        assert got[1].count_m == 1 and got[1].sum_m == 10.0
+        assert got[4].count_m == 4 and got[4].sum_m == 100.0
+        assert got[4].avg_m == 25.0
+
+    def test_single_window_node_single_exchange(self, spark):
+        import re
+
+        from tests.test_plans import shuffle_count
+
+        from caspr_spark.operators.timeseries import rolling_features
+        plan = plan_of(rolling_features(self._events(spark)))
+        assert shuffle_count(plan) == 1
+        assert len(re.findall(r"^\s*\(\d+\) Window\s*$", plan,
+                              re.M)) == 1
+
+    def test_validation(self, spark):
+        from caspr_spark.operators.timeseries import rolling_features
+        with pytest.raises(ValueError, match="window"):
+            rolling_features(self._events(spark), window="7")
+        with pytest.raises(ValueError, match="unit"):
+            rolling_features(self._events(spark), window="2 fortnights")
