@@ -91,6 +91,8 @@ EXTENDED_QUERIES = [
     "stream_topk",
     "histogram_values",
     "topk_per_group",
+    "attribution_multitouch",
+    "rolling_features",
 ]
 
 
