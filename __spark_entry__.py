@@ -1482,6 +1482,28 @@ def q_rolling_features(spark, sf_dir):
                       "avg_7d", "min_7d", "max_7d")
 
 
+def q_quantile_rollup(spark, sf_dir):
+    """Continuous QUANTILE via a mergeable bottom-k sample layer
+    (timeseries.py quantile_sketch_layer/quantile_rollup): hourly
+    deterministic md5-ranked reservoirs of event values per event type,
+    re-aggregated to daily p50/p90/p99 WITHOUT rescanning raw events.
+    Bottom-k merges EXACTLY (the union's bottom-k lives inside the union
+    of the parts' bottom-ks), so unlike the HLL layer this sketch rollup
+    carries a full DuckDB oracle: the oracle builds the day-level
+    bottom-k directly from raw events and must agree bit-for-bit."""
+    from caspr_spark.operators.timeseries import (quantile_rollup,
+                                                  quantile_sketch_layer)
+    ev = _events(spark, sf_dir)
+    layer = quantile_sketch_layer(ev, value_col="value",
+                                  id_col="event_id",
+                                  keys=["event_type"], width="hour",
+                                  reservoir=64)
+    out = quantile_rollup(layer, width="day", keys=["event_type"],
+                          reservoir=64, probs=(0.5, 0.9, 0.99))
+    return out.select(F.col("bucket_day").cast("date").alias("day"),
+                      "event_type", "n_events", "p50", "p90", "p99")
+
+
 def q_resample_daily(spark, sf_dir):
     """Per-entity time-grid resampling with gap fill (timeseries.py
     resample_entities): daily value sums on a gap-free grid between
@@ -2177,7 +2199,7 @@ def q_stream_topk(spark, sf_dir):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver contract: the correctness gate certifies the FIRST 50 entries.
 
-    137 of the 160 queries carry full DuckDB oracles — more than one
+    138 of the 161 queries carry full DuckDB oracles — more than one
     50-slot window holds — so certification rotates across rounds
     (COVERAGE.md maps
     which round certified which row; tools/check_correctness.py re-runs the
@@ -2198,7 +2220,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                    driver certification, plus slots 37-38 the two added
                    late in the round (multi-touch attribution, rolling
                    time-window features); together the window certifies
-                   38 first-timers,
+                   39 first-timers,
       slots 39-50  the r2/r3-driver-certified block longest out of the
                    window (pipelines, streaming suite, simsearch,
                    range/bloom/funnel/rollup) — refreshed so no oracle
@@ -2263,6 +2285,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #     (multi-touch attribution, rolling time-window features) ---
         "attribution_multitouch": q_attribution_multitouch,
         "rolling_features": q_rolling_features,
+        "quantile_rollup": q_quantile_rollup,
         # --- slots 39-50: r2/r3-certified block, refreshed this round --
         "simsearch_topk_lsh": q_simsearch_topk_lsh,
         "pipeline_events": q_pipeline_events,
@@ -3670,6 +3693,27 @@ SELECT event_id, user_id, conversion_ts, touch_ts, touch_type,
                             ELSE CAST(0.2 AS DOUBLE) / (n - 2) END, 9)
        END AS credit
 FROM j""",
+        "quantile_rollup": """
+WITH ranked AS (
+  SELECT date_trunc('day', ts) AS day, event_type, value,
+         row_number() OVER (PARTITION BY date_trunc('day', ts), event_type
+                            ORDER BY md5(CAST(event_id AS VARCHAR))) AS rn,
+         count(*) OVER (PARTITION BY date_trunc('day', ts), event_type)
+           AS n
+  FROM events),
+agg AS (
+  SELECT day, event_type, max(n) AS n_events,
+         list_sort(list(value)) AS vals
+  FROM ranked WHERE rn <= 64
+  GROUP BY day, event_type)
+SELECT CAST(day AS DATE) AS day, event_type, n_events,
+       vals[CAST(greatest(1, ceil(CAST(0.5 AS DOUBLE) * len(vals)))
+                 AS INT)] AS p50,
+       vals[CAST(greatest(1, ceil(CAST(0.9 AS DOUBLE) * len(vals)))
+                 AS INT)] AS p90,
+       vals[CAST(greatest(1, ceil(CAST(0.99 AS DOUBLE) * len(vals)))
+                 AS INT)] AS p99
+FROM agg""",
         "rolling_features": """
 SELECT event_id, user_id,
        count(value) OVER w AS count_7d,

@@ -93,6 +93,7 @@ EXTENDED_QUERIES = [
     "topk_per_group",
     "attribution_multitouch",
     "rolling_features",
+    "quantile_rollup",
 ]
 
 

@@ -455,3 +455,76 @@ def rolling_features(df: DataFrame, entity_col: str = "user_id",
         F.round(sum_cents / 100.0 / cnt, 6).alias(f"avg_{sfx}"),
         F.min(F.col(value_col)).over(w).alias(f"min_{sfx}"),
         F.max(F.col(value_col)).over(w).alias(f"max_{sfx}"))
+
+
+def quantile_sketch_layer(df: DataFrame, value_col: str = "value",
+                          id_col: str = "event_id", ts_col: str = "ts",
+                          keys: list[str] | None = None,
+                          width: str = "hour",
+                          reservoir: int = 64) -> DataFrame:
+    """Fine layer of a continuous QUANTILE: a deterministic bottom-k
+    value sample per (bucket, keys) — the percentile companion of
+    :func:`distinct_sketch_layer` (quantiles, like distincts, don't
+    re-aggregate from sums; re-scanning raw events for every weekly-p99
+    tile is what the layer pattern avoids).
+
+    The sketch is a KMV-style bottom-k: rank rows by ``md5(id)`` (a
+    uniform pseudo-random but DETERMINISTIC order) and keep the
+    ``reservoir`` smallest ``(hash, value)`` pairs. Two properties make
+    it the right layer sketch:
+
+    - it is a uniform without-replacement sample, so the sample quantile
+      estimates the true quantile with rank error ~sqrt(p(1-p)/R);
+    - bottom-k MERGES EXACTLY: the union's bottom-k is contained in the
+      union of the parts' bottom-ks, so :func:`quantile_rollup` over
+      hourly sketches reproduces bit-for-bit the sketch a direct
+      day-level pass would build (tested, and what makes a raw-events
+      SQL oracle possible).
+
+    Plan shape: one (bucket, keys)-keyed exchange; the partition count
+    and row_number windows and the final aggregation all share it. A
+    hot bucket costs a per-partition sort, never a driver collect.
+    """
+    keys = keys or []
+    bcol = f"bucket_{width}"
+    base = df.select(time_bucket(ts_col, width).alias(bcol), *keys,
+                     F.col(value_col).cast("double").alias("__v"),
+                     F.md5(F.col(id_col).cast("string")).alias("__h"))
+    wp = Window.partitionBy(bcol, *keys)
+    layer = (base
+             .withColumn("__n", F.count(F.lit(1)).over(wp))
+             .withColumn("__rn", F.row_number().over(wp.orderBy("__h")))
+             .filter(F.col("__rn") <= reservoir)
+             .groupBy(bcol, *keys)
+             .agg(F.sort_array(F.collect_list(F.struct("__h", "__v")))
+                   .alias("value_sample"),
+                  F.max("__n").alias("n_events")))
+    return layer
+
+
+def quantile_rollup(layer: DataFrame, width: str = "day",
+                    keys: list[str] | None = None,
+                    bucket_col: str = "bucket_hour",
+                    reservoir: int = 64,
+                    probs: tuple[float, ...] = (0.5, 0.9, 0.99)) -> DataFrame:
+    """Coarse quantile layer re-aggregated FROM the sketch layer: merge
+    the per-fine-bucket bottom-k samples (flatten, re-sort by hash, keep
+    the coarse bottom-k — exact, see :func:`quantile_sketch_layer`),
+    then read type-1 sample quantiles ``s[ceil(p*m)]`` off the sorted
+    values. ``reservoir`` must match the layer's. Exact ``n_events``
+    re-aggregates as a sum like any hypertable count."""
+    keys = keys or []
+    bcol = f"bucket_{width}"
+    merged = (layer.select(time_bucket(bucket_col, width).alias(bcol),
+                           *keys, "value_sample", "n_events")
+              .groupBy(bcol, *keys)
+              .agg(F.slice(F.sort_array(
+                       F.flatten(F.collect_list("value_sample"))),
+                       1, reservoir).alias("__s"),
+                   F.sum("n_events").alias("n_events")))
+    vals = F.array_sort(F.expr("transform(__s, x -> x.__v)"))
+    m = F.size(vals)
+    qcols = [F.element_at(vals, F.greatest(
+                 F.lit(1), F.ceil(F.lit(float(p)) * m)).cast("int"))
+              .alias(f"p{round(p * 100)}") for p in probs]
+    return merged.select(bcol, *keys, F.col("n_events"), *qcols)

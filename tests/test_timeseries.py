@@ -456,3 +456,74 @@ class TestRollingFeatures:
             rolling_features(self._events(spark), window="7")
         with pytest.raises(ValueError, match="unit"):
             rolling_features(self._events(spark), window="2 fortnights")
+
+
+class TestQuantileSketch:
+    def _events(self, spark, n=5000, users=1):
+        import numpy as np
+        rng = np.random.default_rng(7)
+        vals = rng.uniform(0, 100, n)
+        rows = [(i, float(vals[i]),
+                 f"2024-01-0{1 + (i % 3)} {i % 24:02d}:00:01")
+                for i in range(n)]
+        return spark.createDataFrame(
+            [(i, v, ts) for i, v, ts in rows],
+            "event_id long, value double, ts_s string"
+        ).withColumn("ts", F.col("ts_s").cast("timestamp")).drop("ts_s")
+
+    def test_rollup_equals_direct_day_sketch(self, spark):
+        """Bottom-k merge exactness: daily rollup OF the hourly layer
+        == a layer built directly at day width."""
+        from caspr_spark.operators.timeseries import (quantile_rollup,
+                                                      quantile_sketch_layer)
+        ev = self._events(spark)
+        hourly = quantile_sketch_layer(ev, keys=[], width="hour",
+                                       reservoir=32)
+        via_rollup = quantile_rollup(hourly, width="day", keys=[],
+                                     reservoir=32).collect()
+        direct = quantile_rollup(
+            quantile_sketch_layer(ev, keys=[], width="day", reservoir=32),
+            width="day", keys=[], bucket_col="bucket_day",
+            reservoir=32).collect()
+        key = lambda r: r.bucket_day
+        assert sorted([r.asDict() for r in via_rollup], key=lambda d: d["bucket_day"]) == \
+            sorted([r.asDict() for r in direct], key=lambda d: d["bucket_day"])
+
+    def test_exact_when_bucket_fits_reservoir(self, spark):
+        """A bucket with <= R rows keeps EVERY value: sample quantile
+        == exact quantile."""
+        from caspr_spark.operators.timeseries import (quantile_rollup,
+                                                      quantile_sketch_layer)
+        ev = self._events(spark, n=40)      # 3 day-buckets, <=14 rows each
+        out = quantile_rollup(
+            quantile_sketch_layer(ev, keys=[], width="day", reservoir=64),
+            width="day", keys=[], bucket_col="bucket_day",
+            reservoir=64).collect()
+        import numpy as np
+        pdf = ev.toPandas()
+        pdf["day"] = pdf.ts.dt.floor("D")
+        for r in out:
+            vals = np.sort(pdf[pdf.day == r.bucket_day].value.values)
+            m = len(vals)
+            assert r.n_events == m
+            assert r.p50 == vals[max(1, int(np.ceil(0.5 * m))) - 1]
+            assert r.p99 == vals[max(1, int(np.ceil(0.99 * m))) - 1]
+
+    def test_error_bound(self, spark):
+        """Sampled p50 within 4-sigma rank error of the exact median
+        (R=256 over 5000 uniform values -> rank sd ~ sqrt(.25/256))."""
+        from caspr_spark.operators.timeseries import (quantile_rollup,
+                                                      quantile_sketch_layer)
+        ev = self._events(spark, n=5000)
+        out = quantile_rollup(
+            quantile_sketch_layer(ev, keys=[], width="day", reservoir=256),
+            width="day", keys=[], bucket_col="bucket_day",
+            reservoir=256).collect()
+        import numpy as np
+        pdf = ev.toPandas()
+        pdf["day"] = pdf.ts.dt.floor("D")
+        tol = 4 * (0.25 / 256) ** 0.5          # rank-space 4 sigma
+        for r in out:
+            vals = pdf[pdf.day == r.bucket_day].value.values
+            rank = (vals <= r.p50).mean()
+            assert abs(rank - 0.5) < tol, (r.bucket_day, rank)
