@@ -1504,6 +1504,20 @@ def q_quantile_rollup(spark, sf_dir):
                       "event_type", "n_events", "p50", "p90", "p99")
 
 
+def q_normalize_by_group(spark, sf_dir):
+    """Group-wise min-max normalization (scale.py normalize_by_group):
+    event values rescaled WITHIN each event type — fitted state is a
+    stats DataFrame keyed by group (never a driver dict, so 1e9-entity
+    normalization survives), apply is one keyed join + codegen
+    arithmetic. Constant groups keep their original values."""
+    from caspr_spark.operators.scale import normalize_by_group
+    ev = _events(spark, sf_dir)
+    out, _ = normalize_by_group(ev, ["value"], ["event_type"],
+                                scaling="min_max")
+    return out.select("event_id", "event_type",
+                      F.round("value", 9).alias("value_norm"))
+
+
 def q_resample_daily(spark, sf_dir):
     """Per-entity time-grid resampling with gap fill (timeseries.py
     resample_entities): daily value sums on a gap-free grid between
@@ -2199,7 +2213,7 @@ def q_stream_topk(spark, sf_dir):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver contract: the correctness gate certifies the FIRST 50 entries.
 
-    138 of the 161 queries carry full DuckDB oracles — more than one
+    139 of the 162 queries carry full DuckDB oracles — more than one
     50-slot window holds — so certification rotates across rounds
     (COVERAGE.md maps
     which round certified which row; tools/check_correctness.py re-runs the
@@ -2218,10 +2232,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                    resample, skew report, shards, stream top-k,
                    histogram, grouped top-k) — also getting their FIRST
                    driver certification, plus slots 37-38 the two added
-                   late in the round (multi-touch attribution, rolling
-                   time-window features); together the window certifies
-                   39 first-timers,
-      slots 39-50  the r2/r3-driver-certified block longest out of the
+                   late in the round — multi-touch attribution, rolling
+                   time-window features, the mergeable bottom-k
+                   quantile sketch rollup (slot 39), group-wise
+                   normalization (slot 40); together the window
+                   certifies 40 first-timers,
+      slots 41-50  the r2/r3-driver-certified block longest out of the
                    window (pipelines, streaming suite, simsearch,
                    range/bloom/funnel/rollup) — refreshed so no oracle
                    row's last certification ages past two rounds,
@@ -2286,6 +2302,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "attribution_multitouch": q_attribution_multitouch,
         "rolling_features": q_rolling_features,
         "quantile_rollup": q_quantile_rollup,
+        "normalize_by_group": q_normalize_by_group,
         # --- slots 39-50: r2/r3-certified block, refreshed this round --
         "simsearch_topk_lsh": q_simsearch_topk_lsh,
         "pipeline_events": q_pipeline_events,
@@ -3693,6 +3710,14 @@ SELECT event_id, user_id, conversion_ts, touch_ts, touch_type,
                             ELSE CAST(0.2 AS DOUBLE) / (n - 2) END, 9)
        END AS credit
 FROM j""",
+        "normalize_by_group": """
+SELECT event_id, event_type,
+       round(CASE WHEN max(value) OVER g > min(value) OVER g
+                  THEN (value - min(value) OVER g)
+                       / (max(value) OVER g - min(value) OVER g)
+                  ELSE value END, 9) AS value_norm
+FROM events
+WINDOW g AS (PARTITION BY event_type)""",
         "quantile_rollup": """
 WITH ranked AS (
   SELECT date_trunc('day', ts) AS day, event_type, value,

@@ -94,6 +94,7 @@ EXTENDED_QUERIES = [
     "attribution_multitouch",
     "rolling_features",
     "quantile_rollup",
+    "normalize_by_group",
 ]
 
 

@@ -114,3 +114,59 @@ def save_summary(summary: Summary, path: str) -> None:
 def load_summary(path: str) -> Summary:
     with open(path) as f:
         return json.load(f)
+
+
+def fit_group_summary(df: DataFrame, cols: list[str],
+                      group_cols: list[str]) -> DataFrame:
+    """Per-GROUP min/max/mean/stddev for ``cols`` in one distributed agg.
+
+    The group-wise twin of :func:`fit_summary`: fitted state is a
+    DataFrame keyed by ``group_cols`` (a dict would force the key space
+    through the driver — per-entity normalization at 1e9 entities is
+    exactly when that breaks), so apply is a keyed join that AQE
+    broadcasts while the stats relation is small and sort-merges when it
+    is not.
+    """
+    if not cols or not group_cols:
+        raise ValueError("cols and group_cols must be non-empty")
+    aggs = []
+    for c in cols:
+        aggs += [F.min(c).alias(f"__{c}_min"), F.max(c).alias(f"__{c}_max"),
+                 F.avg(c).alias(f"__{c}_mean"),
+                 F.stddev_samp(c).alias(f"__{c}_std")]
+    return df.groupBy(*group_cols).agg(*aggs)
+
+
+def normalize_by_group(df: DataFrame, cols: list[str],
+                       group_cols: list[str],
+                       stats: DataFrame | None = None,
+                       scaling: str = "min_max"):
+    """Group-wise E5: scale ``cols`` within each ``group_cols`` key
+    (per-entity z-scores / min-max — the feature-store normalization the
+    global :func:`normalize_columns` cannot express when entities live
+    on different value scales). Returns ``(df, stats)``; pass a fitted
+    ``stats`` back in for the train/apply leakage discipline.
+
+    Zero-variance groups keep their original values (the reference's
+    per-column rule, applied per group — a constant entity has no scale
+    to remove). Plan: one agg exchange for the fit + one keyed join for
+    apply; the scaling itself is pure column arithmetic in codegen.
+    """
+    _check_scaling(scaling)
+    if stats is None:
+        stats = fit_group_summary(df, cols, group_cols)
+    out = df.join(stats, on=group_cols, how="left")
+    for c in cols:
+        mn, mx = F.col(f"__{c}_min"), F.col(f"__{c}_max")
+        mean, std = F.col(f"__{c}_mean"), F.col(f"__{c}_std")
+        if scaling == "min_max":
+            expr = F.when(mx > mn, (F.col(c) - mn) / (mx - mn)) \
+                    .otherwise(F.col(c))
+        else:
+            expr = F.when(std > 0, (F.col(c) - mean) / std) \
+                    .otherwise(F.col(c))
+        # unseen group (null stats) also falls through to the original
+        out = out.withColumn(c, F.coalesce(expr.cast("double"),
+                                           F.col(c).cast("double")))
+    drop = [f"__{c}_{s}" for c in cols for s in ("min", "max", "mean", "std")]
+    return out.drop(*drop), stats

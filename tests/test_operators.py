@@ -211,3 +211,49 @@ class TestProbes:
         counts = sorted(r[0] for r in
                         events.groupBy("user_id").count().select("count").collect())
         assert counts[0] <= n <= counts[-1]
+
+
+class TestGroupNormalize:
+    def _df(self, spark):
+        return spark.createDataFrame(
+            [(1, "a", 0.0), (2, "a", 5.0), (3, "a", 10.0),
+             (4, "b", 100.0), (5, "b", 300.0),
+             (6, "c", 7.0), (7, "c", 7.0)],        # constant group
+            "id long, g string, x double")
+
+    def test_minmax_within_group(self, spark):
+        from caspr_spark.operators.scale import normalize_by_group
+        out, _ = normalize_by_group(self._df(spark), ["x"], ["g"])
+        got = {r.id: r.x for r in out.collect()}
+        assert got[1] == 0.0 and got[2] == 0.5 and got[3] == 1.0
+        assert got[4] == 0.0 and got[5] == 1.0
+        # constant group passes through untouched
+        assert got[6] == 7.0 and got[7] == 7.0
+
+    def test_zscore_within_group(self, spark):
+        from caspr_spark.operators.scale import normalize_by_group
+        out, _ = normalize_by_group(self._df(spark), ["x"], ["g"],
+                                    scaling="standard")
+        got = {r.id: r.x for r in out.collect()}
+        assert abs(got[2]) < 1e-12            # group mean -> 0
+        assert got[1] == -got[3]              # symmetric
+        assert got[6] == 7.0                  # zero variance untouched
+
+    def test_fit_apply_split_and_unseen_group(self, spark):
+        from caspr_spark.operators.scale import (fit_group_summary,
+                                                 normalize_by_group)
+        train = self._df(spark)
+        stats = fit_group_summary(train, ["x"], ["g"])
+        test = spark.createDataFrame(
+            [(10, "a", 5.0), (11, "zzz", 42.0)], "id long, g string, x double")
+        out, _ = normalize_by_group(test, ["x"], ["g"], stats=stats)
+        got = {r.id: r.x for r in out.collect()}
+        assert got[10] == 0.5            # train-group scale applied
+        assert got[11] == 42.0           # unseen group passes through
+
+    def test_validation(self, spark):
+        from caspr_spark.operators.scale import normalize_by_group
+        with pytest.raises(ValueError):
+            normalize_by_group(self._df(spark), ["x"], ["g"], scaling="nope")
+        with pytest.raises(ValueError, match="non-empty"):
+            normalize_by_group(self._df(spark), [], ["g"])

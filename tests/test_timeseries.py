@@ -527,3 +527,30 @@ class TestQuantileSketch:
             vals = pdf[pdf.day == r.bucket_day].value.values
             rank = (vals <= r.p50).mean()
             assert abs(rank - 0.5) < tol, (r.bucket_day, rank)
+
+
+class TestNewOpPlans:
+    """Plan-regression pins for the round-5 timeseries additions."""
+
+    def _events(self, spark):
+        return spark.createDataFrame(
+            [(1, 1, "view", 1.0, "2024-01-01 00:00:00")],
+            "event_id long, user_id long, event_type string, value double, ts_s string"
+        ).withColumn("ts", F.col("ts_s").cast("timestamp")).drop("ts_s")
+
+    def test_quantile_layer_single_exchange(self, spark):
+        from tests.test_plans import shuffle_count
+
+        from caspr_spark.operators.timeseries import quantile_sketch_layer
+        plan = plan_of(quantile_sketch_layer(self._events(spark),
+                                             keys=["event_type"]))
+        # count window + row_number window + final agg all share the
+        # (bucket, keys) exchange; partial agg adds no shuffle
+        assert shuffle_count(plan) == 1
+
+    def test_multitouch_no_cartesian_no_python(self, spark):
+        from caspr_spark.operators.timeseries import attribute_multitouch
+        plan = plan_of(attribute_multitouch(self._events(spark)))
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoop" not in plan
+        assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
