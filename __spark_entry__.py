@@ -1482,6 +1482,25 @@ def q_rolling_features(spark, sf_dir):
                       "avg_7d", "min_7d", "max_7d")
 
 
+def q_dedup_incremental(spark, sf_dir):
+    """Incremental corpus dedup (llm/dedup.py dedup_against_history):
+    a simulated daily batch (the odd-id docs plus re-crawled copies of
+    every fourth doc under new ids) lands against the even-id history;
+    exact content-hash anti-join drops the re-crawls, history is NEVER
+    self-joined (the incremental saving a continuous 100 TB pipeline
+    depends on)."""
+    from caspr_spark.llm.dedup import dedup_against_history
+    docs = _t(spark, sf_dir, "documents")
+    history = docs.filter(F.col("doc_id") % 2 == 0)
+    recrawl = (docs.filter(F.col("doc_id") % 4 == 0)
+                   .withColumn("doc_id", F.col("doc_id") + 100000))
+    batch = (docs.filter(F.col("doc_id") % 2 == 1)
+                 .select("doc_id", "text")
+                 .unionByName(recrawl.select("doc_id", "text")))
+    kept, _matches = dedup_against_history(batch, history, mode="exact")
+    return kept.select("doc_id")
+
+
 def q_quantile_rollup(spark, sf_dir):
     """Continuous QUANTILE via a mergeable bottom-k sample layer
     (timeseries.py quantile_sketch_layer/quantile_rollup): hourly
@@ -2213,7 +2232,7 @@ def q_stream_topk(spark, sf_dir):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver contract: the correctness gate certifies the FIRST 50 entries.
 
-    139 of the 162 queries carry full DuckDB oracles — more than one
+    140 of the 163 queries carry full DuckDB oracles — more than one
     50-slot window holds — so certification rotates across rounds
     (COVERAGE.md maps
     which round certified which row; tools/check_correctness.py re-runs the
@@ -2235,9 +2254,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                    late in the round — multi-touch attribution, rolling
                    time-window features, the mergeable bottom-k
                    quantile sketch rollup (slot 39), group-wise
-                   normalization (slot 40); together the window
-                   certifies 40 first-timers,
-      slots 41-50  the r2/r3-driver-certified block longest out of the
+                   normalization (slot 40), incremental corpus dedup
+                   (slot 41); together the window certifies 41
+                   first-timers,
+      slots 42-50  the r2/r3-driver-certified block longest out of the
                    window (pipelines, streaming suite, simsearch,
                    range/bloom/funnel/rollup) — refreshed so no oracle
                    row's last certification ages past two rounds,
@@ -2297,12 +2317,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_topk": q_stream_topk,
         "histogram_values": q_histogram_values,
         "topk_per_group": q_topk_per_group,
-        # --- slots 37-38: oracle-bearing, added late in round 5
-        #     (multi-touch attribution, rolling time-window features) ---
+        # --- slots 37-41: oracle-bearing, added late in round 5
+        #     (multi-touch attribution, rolling time-window features,
+        #     mergeable quantile sketch rollup, group-wise
+        #     normalization, incremental batch-vs-history dedup) --------
         "attribution_multitouch": q_attribution_multitouch,
         "rolling_features": q_rolling_features,
         "quantile_rollup": q_quantile_rollup,
         "normalize_by_group": q_normalize_by_group,
+        "dedup_incremental": q_dedup_incremental,
         # --- slots 39-50: r2/r3-certified block, refreshed this round --
         "simsearch_topk_lsh": q_simsearch_topk_lsh,
         "pipeline_events": q_pipeline_events,
@@ -3710,6 +3733,19 @@ SELECT event_id, user_id, conversion_ts, touch_ts, touch_type,
                             ELSE CAST(0.2 AS DOUBLE) / (n - 2) END, 9)
        END AS credit
 FROM j""",
+        "dedup_incremental": """
+WITH batch AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text FROM documents
+  WHERE doc_id % 4 = 0),
+hk AS (
+  SELECT DISTINCT md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))
+    AS k
+  FROM documents WHERE doc_id % 2 = 0)
+SELECT b.doc_id FROM batch b
+WHERE md5(lower(regexp_replace(trim(b.text), '\\s+', ' ', 'g')))
+      NOT IN (SELECT k FROM hk)""",
         "normalize_by_group": """
 SELECT event_id, event_type,
        round(CASE WHEN max(value) OVER g > min(value) OVER g

@@ -95,6 +95,7 @@ EXTENDED_QUERIES = [
     "rolling_features",
     "quantile_rollup",
     "normalize_by_group",
+    "dedup_incremental",
 ]
 
 

@@ -443,3 +443,91 @@ def winnow_pairs(df: DataFrame, id_col: str = "doc_id",
     return (pairs.groupBy("id_a", "id_b")
             .agg(F.count(F.lit(1)).alias("n_shared"))
             .filter(F.col("n_shared") >= min_shared))
+
+
+def dedup_against_history(batch: DataFrame, history: DataFrame,
+                          id_col: str = "doc_id", text_col: str = "text",
+                          mode: str = "exact", normalize: bool = True,
+                          num_hashes: int = 64, bands: int = 16,
+                          shingle_size: int = 3,
+                          threshold: float = 0.8):
+    """INCREMENTAL dedup: drop ``batch`` docs already present in the
+    ``history`` corpus — the continuous-pipeline variant of this module
+    (a daily crawl lands against a 100 TB corpus; re-deduplicating
+    history x history every day is exactly what must NOT happen).
+
+    ``mode='exact'``: normalized content-hash anti-join. History
+    contributes one 16-byte key per doc (dedupe-then-join, so the join
+    input is the distinct key set, not the corpus), batch drops on a
+    left anti join. At scale, persist the history KEY TABLE between
+    runs and append each accepted batch's keys to it — the raw history
+    text is never rescanned.
+
+    ``mode='near'``: MinHash banding on BOTH sides, candidates from the
+    batch-vs-history bucket join ONLY (history never self-joins —
+    that's the incremental saving), exact shingle-Jaccard verification
+    on candidates, drop batch docs with any history match >=
+    ``threshold``. History signatures are likewise persistable.
+
+    Returns ``(kept_batch, matches)`` — ``matches`` is
+    ``(id_col, history_id[, jaccard])`` for audit/lineage.
+    """
+    if mode not in ("exact", "near"):
+        raise ValueError(f"mode must be 'exact' or 'near', got {mode!r}")
+    if mode == "exact":
+        key = (F.md5(F.lower(F.regexp_replace(F.trim(F.col(text_col)),
+                                              r"\s+", " ")))
+               if normalize else F.md5(F.col(text_col)))
+        hkeys = (history.select(key.alias("__k"),
+                                F.col(id_col).alias("history_id"))
+                 .groupBy("__k").agg(F.min("history_id").alias("history_id")))
+        b = batch.select(F.col(id_col), key.alias("__k"))
+        matches = b.join(hkeys, on="__k").select(id_col, "history_id")
+        kept = (batch.withColumn("__k", key)
+                     .join(hkeys.select("__k"), on="__k", how="left_anti")
+                     .drop("__k"))
+        return kept, matches
+
+    if num_hashes % bands:
+        raise ValueError(f"bands ({bands}) must divide num_hashes "
+                         f"({num_hashes})")
+    rows_per_band = num_hashes // bands
+    from caspr_spark.sources import ensure_parallelism
+
+    def _banded(df: DataFrame, out_id: str):
+        sh = ensure_parallelism(df).select(
+            F.col(id_col),
+            _shingles(text_col, shingle_size).alias("__shingles"))
+        sh = register_cache(sh.persist())
+        sigs = _signatures_from_shingles(sh, id_col, num_hashes)
+        band_keys = F.transform(
+            F.sequence(F.lit(0), F.lit(bands - 1)),
+            lambda j: F.xxhash64(
+                F.concat_ws(",", F.transform(
+                    F.slice("minhash", j * rows_per_band + 1, rows_per_band),
+                    lambda x: x.cast("string"))),
+                j))
+        banded = sigs.select(F.col(id_col).alias(out_id),
+                             F.posexplode(band_keys).alias("band",
+                                                           "band_key"))
+        return banded, sh
+
+    bb, bsh = _banded(batch, "__bid")
+    hb, hsh = _banded(history, "history_id")
+    cands = (bb.join(hb, on=["band", "band_key"])
+               .select("__bid", "history_id").distinct())
+    matches = (cands
+               .join(bsh.select(F.col(id_col).alias("__bid"),
+                                F.col("__shingles").alias("__sa")), "__bid")
+               .join(hsh.select(F.col(id_col).alias("history_id"),
+                                F.col("__shingles").alias("__sb")),
+                     "history_id")
+               .withColumn("jaccard",
+                           F.size(F.array_intersect("__sa", "__sb")) /
+                           F.size(F.array_union("__sa", "__sb")))
+               .filter(F.col("jaccard") >= threshold)
+               .select(F.col("__bid").alias(id_col), "history_id",
+                       "jaccard"))
+    losers = matches.select(id_col).distinct()
+    kept = batch.join(losers, on=id_col, how="left_anti")
+    return kept, matches

@@ -466,3 +466,76 @@ class TestRelatedDocuments:
         w = tfidf_weights(df, max_df=10)
         terms = {r["term"] for r in w.select("term").distinct().collect()}
         assert "common" not in terms and "unique3" in terms
+
+
+class TestIncrementalDedup:
+    def _corpora(self, spark):
+        history = spark.createDataFrame([
+            (100, "the quick brown fox jumps over the lazy dog"),
+            (101, "some historical document about spark pipelines"),
+            (102, "another archived page with unique content"),
+        ], "doc_id long, text string")
+        batch = spark.createDataFrame([
+            (1, "The  quick brown fox   jumps over the lazy dog"),  # ws/case re-crawl
+            (2, "a genuinely new document never seen before"),
+            (3, "the quick brown fox jumps over the sleepy dog"),   # near-dup of 100
+            (4, "some historical document about spark pipelines"),  # exact re-crawl
+        ], "doc_id long, text string")
+        return batch, history
+
+    def test_exact_mode(self, spark):
+        from caspr_spark.llm.dedup import dedup_against_history
+        batch, history = self._corpora(spark)
+        kept, matches = dedup_against_history(batch, history, mode="exact")
+        assert {r.doc_id for r in kept.collect()} == {2, 3}
+        got = {(r.doc_id, r.history_id) for r in matches.collect()}
+        assert got == {(1, 100), (4, 101)}
+
+    def test_exact_mode_raw(self, spark):
+        from caspr_spark.llm.dedup import dedup_against_history
+        batch, history = self._corpora(spark)
+        kept, _ = dedup_against_history(batch, history, mode="exact",
+                                        normalize=False)
+        # without normalization the whitespace/case variant survives
+        assert {r.doc_id for r in kept.collect()} == {1, 2, 3}
+
+    def test_near_mode_catches_near_recrawl(self, spark):
+        from caspr_spark.llm.dedup import dedup_against_history
+        batch, history = self._corpora(spark)
+        kept, matches = dedup_against_history(
+            batch, history, mode="near", num_hashes=64, bands=32,
+            threshold=0.5)
+        kept_ids = {r.doc_id for r in kept.collect()}
+        # 1 (ws variant of 100), 3 (one-word edit of 100), 4 (exact) all
+        # match history; only the genuinely new doc survives
+        assert kept_ids == {2}
+        m = {(r.doc_id, r.history_id) for r in matches.collect()}
+        assert (3, 100) in m and (1, 100) in m and (4, 101) in m
+        # jaccard audit column is exact
+        j = {r.doc_id: r.jaccard for r in matches.collect()}
+        assert j[1] == 1.0 and j[4] == 1.0 and 0.5 <= j[3] < 1.0
+
+    def test_near_mode_never_self_joins_history(self, spark):
+        """The candidate join is batch x history only: identical docs
+        INSIDE history must produce no matches."""
+        from caspr_spark.llm.dedup import dedup_against_history
+        history = spark.createDataFrame([
+            (100, "duplicate content inside the history corpus itself"),
+            (101, "duplicate content inside the history corpus itself"),
+        ], "doc_id long, text string")
+        batch = spark.createDataFrame(
+            [(1, "a fresh unrelated batch document")],
+            "doc_id long, text string")
+        kept, matches = dedup_against_history(batch, history, mode="near",
+                                              threshold=0.5)
+        assert matches.count() == 0
+        assert kept.count() == 1
+
+    def test_validation(self, spark):
+        from caspr_spark.llm.dedup import dedup_against_history
+        batch, history = self._corpora(spark)
+        with pytest.raises(ValueError, match="mode"):
+            dedup_against_history(batch, history, mode="fuzzy")
+        with pytest.raises(ValueError, match="bands"):
+            dedup_against_history(batch, history, mode="near",
+                                  num_hashes=64, bands=7)
