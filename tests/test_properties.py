@@ -174,3 +174,92 @@ class TestAsofProperties:
         a = got["val_asof"].fillna(-999).values
         b = want["val_asof"].fillna(-999).values
         assert len(a) == len(b) and (abs(a - b) < 1e-9).all()
+
+
+class TestRoundFiveProperties:
+    """Property sweeps for the round-5 timeseries/dedup additions."""
+
+    @given(events=st.lists(
+        st.tuples(st.integers(0, 2),               # user
+                  st.integers(0, 20),              # day offset
+                  st.sampled_from(["view", "click", "purchase"])),
+        min_size=1, max_size=25))
+    @settings(**SETTINGS)
+    def test_multitouch_credit_conservation(self, spark, events):
+        """For ANY event stream and every model: per-conversion credit
+        sums to exactly 1.0, and no touch after a user's last conversion
+        ever receives credit."""
+        from caspr_spark.operators.timeseries import attribute_multitouch
+        rows = [(i, u, t, f"2024-01-{1 + d:02d} 12:00:00")
+                for i, (u, d, t) in enumerate(events)]
+        df = (spark.createDataFrame(
+                rows, "event_id long, user_id long, event_type string, ts_s string")
+              .withColumn("ts", F.col("ts_s").cast("timestamp"))
+              .drop("ts_s"))
+        n_conv = sum(1 for _, _, t in events if t == "purchase")
+        for model in ("linear", "position", "time_decay"):
+            out = attribute_multitouch(df, model=model,
+                                       tiebreak=["event_id"]).collect()
+            sums: dict[int, float] = {}
+            for r in out:
+                sums[r.event_id] = sums.get(r.event_id, 0.0) + r.credit
+            assert len(sums) == n_conv, model
+            for cid, s in sums.items():
+                assert abs(s - 1.0) < 1e-6, (model, cid, s)
+
+    @given(vals=st.lists(st.floats(-100, 100).map(lambda v: round(v, 2)),
+                         min_size=1, max_size=30),
+           span_days=st.integers(1, 5),
+           include_current=st.booleans())
+    @settings(**SETTINGS)
+    def test_rolling_features_match_pandas(self, spark, vals, span_days,
+                                           include_current):
+        """Trailing-window aggregates agree with a brute-force pandas
+        recomputation for any values/window/inclusivity."""
+        from caspr_spark.operators.timeseries import rolling_features
+        rows = [(i, 0, float(v), f"2024-01-{1 + (i % 20):02d} 06:00:00")
+                for i, v in enumerate(vals)]
+        df = (spark.createDataFrame(
+                rows, "event_id long, user_id long, value double, ts_s string")
+              .withColumn("ts", F.col("ts_s").cast("timestamp"))
+              .drop("ts_s"))
+        got = {r.event_id: r for r in rolling_features(
+            df, window=f"{span_days} days",
+            include_current=include_current, suffix="w").collect()}
+        pdf = df.toPandas()
+        for i, row in pdf.iterrows():
+            lo = row.ts - pd.Timedelta(days=span_days)
+            m = (pdf.ts >= lo) & ((pdf.ts <= row.ts) if include_current
+                                  else (pdf.ts < row.ts))
+            sub = pdf[m]
+            r = got[row.event_id]
+            assert r.count_w == len(sub)
+            if len(sub):
+                cents = (sub.value * 100).round().astype("int64").sum()
+                assert r.sum_w == round(cents / 100.0, 2)
+                assert r.min_w == sub.value.min()
+                assert r.max_w == sub.value.max()
+            else:
+                assert r.sum_w is None and r.min_w is None
+
+    @given(texts=st.lists(st.integers(0, 5), min_size=2, max_size=14))
+    @settings(**SETTINGS)
+    def test_incremental_dedup_partition_invariant(self, spark, texts):
+        """Splitting any corpus into (history, batch) and running the
+        exact mode keeps exactly the batch docs whose normalized text
+        does not occur in history."""
+        from caspr_spark.llm.dedup import dedup_against_history
+        corpus = [f"document body number {t} with shared phrasing"
+                  for t in texts]
+        half = len(corpus) // 2
+        hist = spark.createDataFrame(
+            list(enumerate(corpus[:half])), "doc_id long, text string")
+        batch = spark.createDataFrame(
+            [(100 + i, t) for i, t in enumerate(corpus[half:])],
+            "doc_id long, text string")
+        kept, _ = dedup_against_history(batch, hist, mode="exact")
+        got = {r.doc_id for r in kept.collect()}
+        hist_set = set(corpus[:half])
+        want = {100 + i for i, t in enumerate(corpus[half:])
+                if t not in hist_set}
+        assert got == want
