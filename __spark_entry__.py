@@ -2326,7 +2326,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_rollup": q_quantile_rollup,
         "normalize_by_group": q_normalize_by_group,
         "dedup_incremental": q_dedup_incremental,
-        # --- slots 39-50: r2/r3-certified block, refreshed this round --
+        # --- slots 42-50: r2/r3-certified block, refreshed this round --
         "simsearch_topk_lsh": q_simsearch_topk_lsh,
         "pipeline_events": q_pipeline_events,
         "pipeline_lineitem": q_pipeline_lineitem,
@@ -2336,15 +2336,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_last3_state": q_stream_last3_state,
         "stream_dedup": q_stream_dedup,
         "simsearch_topk": q_simsearch_topk,
+        # --- slots 51-55: tail of that block, displaced past the window
+        #     by the five late round-5 additions (still r2/r3-certified
+        #     and local-oracle green at both SFs) -----------------------
         "stream_static_join": q_stream_static_join,
         "range_join_campaigns": q_range_join,
         "hypertable_rollup": q_hypertable_rollup,
         "funnel_conversion": q_funnel,
         "bloom_semi_join": q_bloom_semi,
-        # --- slots 51+: r2/r3-certified, rotated just out of the
-        #     window this round (displaced by the round-5 first-timers;
-        #     all re-proven by the local suite at both SFs; funnel and
-        #     bloom directly above are the last two displaced) ----------
+        # --- slots 56+: r2/r3-certified, rotated out of the window in
+        #     the first round-5 reshuffle (all re-proven by the local
+        #     suite at both SFs) ----------------------------------------
         "asof_join_forward": q_asof_join_forward,
         "segment_dec": q_segment_dec,
         "j2_semi_prune": q_j2_semi_prune,

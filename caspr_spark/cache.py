@@ -24,8 +24,12 @@ Operators report their persisted handles through :func:`register_cache`,
 which is a no-op when no scope is active — one-shot callers keep the
 exact LRU behavior they had. Scopes nest; each handle is released by the
 innermost scope active when it was created. The contract is that results
-are MATERIALIZED inside the scope: a DataFrame that escapes un-collected
-recomputes its (correct) lineage without the cache.
+are MATERIALIZED inside the scope. For persist-backed results an escaped
+un-collected DataFrame still recomputes its (correct) lineage without
+the cache; for CHECKPOINT-backed results (the iterative operators —
+PageRank, connected components — register :class:`CheckpointHandle`
+releases) there is no lineage to recompute: an escaped result collected
+after scope exit raises, by design — materialize inside the scope.
 """
 
 from __future__ import annotations
@@ -69,20 +73,28 @@ class CheckpointHandle:
 def checkpoint_leaf(df: DataFrame) -> tuple[DataFrame, CheckpointHandle]:
     """Eagerly ``localCheckpoint`` ``df`` into a LEAF-plan DataFrame.
 
-    Returns the leaf DataFrame plus a deterministic release handle (the
-    checkpoint's persistent-RDD ids, captured by diffing the context's
-    registry around the eager materialization — single-driver
-    assumption). The leaf plan is what makes ITERATIVE operators cheap:
-    a ``persist()`` caches data but keeps the full logical plan, so an
+    Returns the leaf DataFrame plus a deterministic release handle. The
+    checkpoint's persistent-RDD id is read DIRECTLY off the returned
+    plan (a ``LogicalRDD`` wrapping the checkpointed RDD) — never by
+    diffing the context-global registry, which under concurrent
+    checkpoints/persists would cross-capture another thread's ids and
+    release someone else's live blocks. If the plan shape ever stops
+    exposing the RDD (Spark version drift), the handle degrades to a
+    no-op and the checkpoint falls back to ContextCleaner GC release.
+
+    The leaf plan is what makes ITERATIVE operators cheap: a
+    ``persist()`` caches data but keeps the full logical plan, so an
     upstream producer (LSH banding, winnowing self-joins) is re-analyzed
     — or, unpersisted, re-EXECUTED — inside every iteration's nested
     plan, with analysis cost growing geometrically in iteration depth.
     """
     sc = df.sparkSession.sparkContext
-    before = {int(k) for k in sc._jsc.getPersistentRDDs().keySet().toArray()}
     out = df.localCheckpoint(eager=True)
-    after = {int(k) for k in sc._jsc.getPersistentRDDs().keySet().toArray()}
-    return out, CheckpointHandle(sc, after - before)
+    try:
+        rdd_ids = {int(out._jdf.queryExecution().analyzed().rdd().id())}
+    except Exception:
+        rdd_ids = set()
+    return out, CheckpointHandle(sc, rdd_ids)
 
 
 def register_cache(df: DataFrame) -> DataFrame:

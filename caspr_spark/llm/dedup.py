@@ -22,12 +22,22 @@ from pyspark.sql import functions as F
 from caspr_spark.cache import register_cache
 
 
+def _content_key(text_col: str, normalize: bool):
+    """The exact-dedup content identity: md5 of (optionally whitespace-
+    collapsed, lowercased) text. ONE definition shared by
+    :func:`exact_dedup` and :func:`dedup_against_history` — if the
+    normalization ever changes (e.g. unicode NFC), corpus-internal and
+    batch-vs-history dedup must change together or incremental results
+    silently diverge from full-corpus results."""
+    base = (F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
+            if normalize else F.col(text_col))
+    return F.md5(base)
+
+
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                 normalize: bool = True) -> DataFrame:
     """Exact dedup: keep the smallest ``id_col`` per (normalized) text hash."""
-    key = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " ")) \
-        if normalize else F.col(text_col)
-    keep = (df.groupBy(F.md5(key).alias("__k"))
+    keep = (df.groupBy(_content_key(text_col, normalize).alias("__k"))
               .agg(F.min(id_col).alias(id_col))
               .drop("__k"))
     return df.join(keep, on=id_col, how="left_semi")
@@ -183,6 +193,8 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
 
     from caspr_spark.cache import checkpoint_leaf, register_cache
 
+    if max_iter < 1:
+        raise ValueError(f"max_iter must be >= 1, got {max_iter}")
     edges = (pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
              .unionByName(pairs.select(F.col(id_b).alias("src"),
                                        F.col(id_a).alias("dst"))))
@@ -475,9 +487,7 @@ def dedup_against_history(batch: DataFrame, history: DataFrame,
     if mode not in ("exact", "near"):
         raise ValueError(f"mode must be 'exact' or 'near', got {mode!r}")
     if mode == "exact":
-        key = (F.md5(F.lower(F.regexp_replace(F.trim(F.col(text_col)),
-                                              r"\s+", " ")))
-               if normalize else F.md5(F.col(text_col)))
+        key = _content_key(text_col, normalize)
         hkeys = (history.select(key.alias("__k"),
                                 F.col(id_col).alias("history_id"))
                  .groupBy("__k").agg(F.min("history_id").alias("history_id")))

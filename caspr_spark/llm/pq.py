@@ -68,7 +68,7 @@ def fit_pq(df: DataFrame, vec_col: str = "embedding", dim: int = 64,
     # them across the executor pool; results are seed-deterministic
     # per subspace regardless of completion order).
     from concurrent.futures import ThreadPoolExecutor
-    with ThreadPoolExecutor(max_workers=m) as pool:
+    with ThreadPoolExecutor(max_workers=min(m, 8)) as pool:
         for j, centers in enumerate(pool.map(_fit_one, range(m))):
             codebooks[j] = centers
     return codebooks

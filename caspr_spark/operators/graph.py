@@ -75,8 +75,12 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
     if n == 0:
         nodes.unpersist()
         e_handle.unpersist()
-        return nodes.select(F.col("id").alias(id_out),
-                            F.lit(0.0).alias(rank_out))
+        # a FRESH empty relation, not a projection of the just-released
+        # checkpoint (whose truncated lineage cannot recompute)
+        spark = edges.sparkSession
+        return spark.createDataFrame(
+            [], schema=nodes.select(F.col("id").alias(id_out)).schema) \
+            .withColumn(rank_out, F.lit(0.0))
     deg = e.groupBy(F.col("src").alias("id")) \
            .agg(F.count(F.lit(1)).alias("deg"))
     base = (1.0 - damping) / n

@@ -348,6 +348,11 @@ def attribute_multitouch(df: DataFrame, entity_col: str = "user_id",
             f"model must be linear/position/time_decay, got {model!r}")
     if not touch_types:
         raise ValueError("touch_types must be non-empty")
+    if conversion_type in touch_types:
+        raise ValueError(
+            f"conversion_type {conversion_type!r} must not appear in "
+            "touch_types — a conversion would otherwise join its own "
+            "journey as a zero-delta touch and steal credit")
     order = [F.col(ts_col).asc()] + [F.col(t).asc()
                                      for t in (tiebreak or [])]
     is_conv = (F.col(type_col) == conversion_type).cast("long")
@@ -432,6 +437,10 @@ def rolling_features(df: DataFrame, entity_col: str = "user_id",
                  "week": 604800, "weeks": 604800}
     if parts[1] not in unit_secs:
         raise ValueError(f"unsupported window unit {parts[1]!r}")
+    if not parts[0].isdigit() or int(parts[0]) < 1:
+        raise ValueError(f"window span must be a positive integer, got "
+                         f"{window!r} (a zero/negative span would build "
+                         "an inverted or FORWARD-looking frame)")
     # exact MICROSECOND range arithmetic: the events carry sub-second
     # timestamps, and a seconds-granularity ordering key would need a
     # floor that Spark (cast truncates) and SQL oracles (epoch() is a

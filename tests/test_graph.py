@@ -96,3 +96,30 @@ class TestPagerank:
         # superseded per-iteration checkpoints are unpersisted eagerly;
         # only the final one (the result's data) may remain
         assert len(ids() - before) <= 1
+
+
+class TestPagerankEdgeCases:
+    def test_empty_edge_table_collects(self, spark):
+        """The n==0 early return must NOT reference the released edge
+        checkpoint (regression: CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND)."""
+        empty = spark.createDataFrame([], "src long, dst long")
+        out = pagerank(empty, iterations=3)
+        assert out.collect() == []
+        assert out.columns == ["id", "rank"]
+
+    def test_checkpoint_leaf_captures_only_own_rdd(self, spark):
+        from caspr_spark.cache import checkpoint_leaf
+
+        def ids():
+            jmap = spark.sparkContext._jsc.getPersistentRDDs()
+            return {int(k) for k in jmap.keySet().toArray()}
+        other = spark.range(50).persist()
+        other.count()                      # unrelated live cache
+        before = ids()
+        leaf, handle = checkpoint_leaf(spark.range(10).selectExpr("id"))
+        created = ids() - before
+        assert len(created) == 1           # exactly the checkpoint RDD
+        assert handle._ids == created      # captured directly, no diff
+        handle.unpersist()
+        assert ids() == before             # other's cache untouched
+        other.unpersist()

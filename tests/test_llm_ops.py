@@ -539,3 +539,25 @@ class TestIncrementalDedup:
         with pytest.raises(ValueError, match="bands"):
             dedup_against_history(batch, history, mode="near",
                                   num_hashes=64, bands=7)
+
+
+class TestComponentValidation:
+    def test_max_iter_zero_raises(self, spark):
+        from caspr_spark.llm.dedup import connected_components
+        pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+        with pytest.raises(ValueError, match="max_iter"):
+            connected_components(pairs, max_iter=0)
+
+    def test_exact_dedup_and_incremental_share_one_key(self, spark):
+        """Whitespace/case variants that exact_dedup collapses must be
+        the SAME variants dedup_against_history collapses."""
+        from caspr_spark.llm.dedup import (dedup_against_history,
+                                           exact_dedup)
+        a = "Some   Document  Text"
+        b = "some document text"
+        df = spark.createDataFrame([(1, a), (2, b)], "doc_id long, text string")
+        assert exact_dedup(df).count() == 1
+        hist = spark.createDataFrame([(10, a)], "doc_id long, text string")
+        batch = spark.createDataFrame([(20, b)], "doc_id long, text string")
+        kept, _ = dedup_against_history(batch, hist, mode="exact")
+        assert kept.count() == 0

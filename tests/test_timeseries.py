@@ -554,3 +554,25 @@ class TestNewOpPlans:
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoop" not in plan
         assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+class TestReviewFixValidation:
+    def test_multitouch_overlapping_types_raises(self, spark):
+        from caspr_spark.operators.timeseries import attribute_multitouch
+        df = spark.createDataFrame(
+            [(1, 1, "purchase", "2024-01-01 00:00:00")],
+            "event_id long, user_id long, event_type string, ts_s string"
+        ).withColumn("ts", F.col("ts_s").cast("timestamp")).drop("ts_s")
+        with pytest.raises(ValueError, match="touch_types"):
+            attribute_multitouch(df, conversion_type="purchase",
+                                 touch_types=("view", "purchase"))
+
+    def test_rolling_rejects_nonpositive_span(self, spark):
+        from caspr_spark.operators.timeseries import rolling_features
+        df = spark.createDataFrame(
+            [(1, 1, 1.0, "2024-01-01 00:00:00")],
+            "event_id long, user_id long, value double, ts_s string"
+        ).withColumn("ts", F.col("ts_s").cast("timestamp")).drop("ts_s")
+        for bad in ("0 days", "-3 days", "7.5 days"):
+            with pytest.raises(ValueError, match="positive integer"):
+                rolling_features(df, window=bad)
