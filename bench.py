@@ -175,9 +175,10 @@ def main() -> None:
         df.count()
         extended[name] = round(time.time() - t0, 3)
 
+    total = round(sum(timings.values()), 3)
     print(json.dumps({
         "metric": "caspr_spark headline queries wall-clock",
-        "value": round(sum(timings.values()), 3),
+        "value": total,
         "unit": "sec",
         "queries": timings,
         "value_warm": round(sum(warm.values()), 3),
@@ -186,6 +187,10 @@ def main() -> None:
         "queries_extended": extended,
         "calibration": {"spark_shuffle_sec": calib_spark,
                         "numpy_gemm_sec": calib_numpy},
+        # host-lottery-free comparison number: cold total divided by the
+        # code-independent synthetic-shuffle calibration (observed to
+        # drift 0.7-1.25 s across the VMs/rounds at identical code)
+        "value_per_shuffle_unit": round(total / calib_spark, 1),
         "notes": "cold = first run per query in a shared warmed session; "
                  "warm = immediate second run (steady-state plan cost a "
                  "long-lived cluster sees). At sf0.1 the LSH suite's data "
