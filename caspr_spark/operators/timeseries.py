@@ -490,25 +490,38 @@ def quantile_sketch_layer(df: DataFrame, value_col: str = "value",
       day-level pass would build (tested, and what makes a raw-events
       SQL oracle possible).
 
-    Plan shape: one (bucket, keys)-keyed exchange; the partition count
-    and row_number windows and the final aggregation all share it. A
-    hot bucket costs a per-partition sort, never a driver collect.
+    Plan shape — skew-hardened: a naive window over (bucket, keys)
+    funnels EVERY row of a bucket through one task's sort, and the
+    bucket key space is tiny (hours × types) while buckets can hold
+    billions of rows at 100 TB. Instead the bottom-k runs TWO-PHASE:
+    rows first shuffle by (bucket, keys, salt) — ``salt_parts``-way —
+    and each salted slice keeps its own bottom-k; the global bottom-k
+    is then the bottom-k of the ``salt_parts·R`` survivors (exact, same
+    merge property as the rollup). The exact row count comes from a
+    hash aggregation (map-side combined, skew-free), never a
+    whole-partition window frame.
     """
     keys = keys or []
     bcol = f"bucket_{width}"
     base = df.select(time_bucket(ts_col, width).alias(bcol), *keys,
                      F.col(value_col).cast("double").alias("__v"),
                      F.md5(F.col(id_col).cast("string")).alias("__h"))
-    wp = Window.partitionBy(bcol, *keys)
-    layer = (base
-             .withColumn("__n", F.count(F.lit(1)).over(wp))
-             .withColumn("__rn", F.row_number().over(wp.orderBy("__h")))
-             .filter(F.col("__rn") <= reservoir)
-             .groupBy(bcol, *keys)
-             .agg(F.sort_array(F.collect_list(F.struct("__h", "__v")))
-                   .alias("value_sample"),
-                  F.max("__n").alias("n_events")))
-    return layer
+    salt_parts = 64
+    counts = base.groupBy(bcol, *keys).agg(F.count(F.lit(1))
+                                           .alias("n_events"))
+    w1 = (Window.partitionBy(bcol, *keys, "__salt").orderBy("__h"))
+    cand = (base.withColumn("__salt",
+                            F.pmod(F.xxhash64("__h"), F.lit(salt_parts)))
+                .withColumn("__rn", F.row_number().over(w1))
+                .filter(F.col("__rn") <= reservoir)
+                .drop("__rn", "__salt"))
+    w2 = Window.partitionBy(bcol, *keys).orderBy("__h")
+    layer = (cand.withColumn("__rn", F.row_number().over(w2))
+                 .filter(F.col("__rn") <= reservoir)
+                 .groupBy(bcol, *keys)
+                 .agg(F.sort_array(F.collect_list(F.struct("__h", "__v")))
+                       .alias("value_sample")))
+    return layer.join(counts, on=[bcol, *keys])
 
 
 def quantile_rollup(layer: DataFrame, width: str = "day",
