@@ -1482,6 +1482,17 @@ def q_rolling_features(spark, sf_dir):
                       "avg_7d", "min_7d", "max_7d")
 
 
+def q_transition_matrix(spark, sf_dir):
+    """First-order Markov transition matrix over per-user event
+    sequences (timeseries.py transition_matrix): consecutive
+    (from_type, to_type) counts + row-normalized probabilities — one
+    entity-keyed lead window, map-side-combined pair counts, and the
+    normalization window runs over the |types|2-row aggregate."""
+    from caspr_spark.operators.timeseries import transition_matrix
+    ev = _events(spark, sf_dir)
+    return transition_matrix(ev, tiebreak=["event_id"])
+
+
 def q_dedup_incremental(spark, sf_dir):
     """Incremental corpus dedup (llm/dedup.py dedup_against_history):
     a simulated daily batch (the odd-id docs plus re-crawled copies of
@@ -2232,7 +2243,7 @@ def q_stream_topk(spark, sf_dir):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver contract: the correctness gate certifies the FIRST 50 entries.
 
-    140 of the 163 queries carry full DuckDB oracles — more than one
+    141 of the 164 queries carry full DuckDB oracles — more than one
     50-slot window holds — so certification rotates across rounds
     (COVERAGE.md maps
     which round certified which row; tools/check_correctness.py re-runs the
@@ -2255,9 +2266,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                    time-window features, the mergeable bottom-k
                    quantile sketch rollup (slot 39), group-wise
                    normalization (slot 40), incremental corpus dedup
-                   (slot 41); together the window certifies 41
+                   (slot 41), the event-type transition matrix
+                   (slot 42); together the window certifies 42
                    first-timers,
-      slots 42-50  the r2/r3-driver-certified block longest out of the
+      slots 43-50  the r2/r3-driver-certified block longest out of the
                    window (pipelines, streaming suite, simsearch,
                    range/bloom/funnel/rollup) — refreshed so no oracle
                    row's last certification ages past two rounds,
@@ -2317,16 +2329,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_topk": q_stream_topk,
         "histogram_values": q_histogram_values,
         "topk_per_group": q_topk_per_group,
-        # --- slots 37-41: oracle-bearing, added late in round 5
+        # --- slots 37-42: oracle-bearing, added late in round 5
         #     (multi-touch attribution, rolling time-window features,
         #     mergeable quantile sketch rollup, group-wise
-        #     normalization, incremental batch-vs-history dedup) --------
+        #     normalization, incremental batch-vs-history dedup,
+        #     event-type transition matrix) ----------------------------
         "attribution_multitouch": q_attribution_multitouch,
         "rolling_features": q_rolling_features,
         "quantile_rollup": q_quantile_rollup,
         "normalize_by_group": q_normalize_by_group,
         "dedup_incremental": q_dedup_incremental,
-        # --- slots 42-50: r2/r3-certified block, refreshed this round --
+        "transition_matrix": q_transition_matrix,
+        # --- slots 43-50: r2/r3-certified block, refreshed this round --
         "simsearch_topk_lsh": q_simsearch_topk_lsh,
         "pipeline_events": q_pipeline_events,
         "pipeline_lineitem": q_pipeline_lineitem,
@@ -2336,8 +2350,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_last3_state": q_stream_last3_state,
         "stream_dedup": q_stream_dedup,
         "simsearch_topk": q_simsearch_topk,
-        # --- slots 51-55: tail of that block, displaced past the window
-        #     by the five late round-5 additions (still r2/r3-certified
+        # --- slots 51-56: tail of that block, displaced past the window
+        #     by the six late round-5 additions (still r2/r3-certified
         #     and local-oracle green at both SFs) -----------------------
         "stream_static_join": q_stream_static_join,
         "range_join_campaigns": q_range_join,
@@ -3735,6 +3749,20 @@ SELECT event_id, user_id, conversion_ts, touch_ts, touch_type,
                             ELSE CAST(0.2 AS DOUBLE) / (n - 2) END, 9)
        END AS credit
 FROM j""",
+        "transition_matrix": """
+WITH t AS (
+  SELECT event_type AS from_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS to_type
+  FROM events),
+c AS (
+  SELECT from_type, to_type, count(*) AS n
+  FROM t WHERE to_type IS NOT NULL GROUP BY 1, 2)
+SELECT from_type, to_type, n,
+       round(CAST(n AS DOUBLE)
+             / CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE), 9)
+         AS p
+FROM c""",
         "dedup_incremental": """
 WITH batch AS (
   SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1

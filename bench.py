@@ -96,6 +96,7 @@ EXTENDED_QUERIES = [
     "quantile_rollup",
     "normalize_by_group",
     "dedup_incremental",
+    "transition_matrix",
 ]
 
 

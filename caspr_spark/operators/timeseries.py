@@ -550,3 +550,32 @@ def quantile_rollup(layer: DataFrame, width: str = "day",
                  F.lit(1), F.ceil(F.lit(float(p)) * m)).cast("int"))
               .alias(f"p{round(p * 100)}") for p in probs]
     return merged.select(bcol, *keys, F.col("n_events"), *qcols)
+
+
+def transition_matrix(df: DataFrame, entity_col: str = "user_id",
+                      ts_col: str = "ts", type_col: str = "event_type",
+                      tiebreak: list[str] | None = None) -> DataFrame:
+    """First-order Markov transition matrix over per-entity event
+    sequences: for each ordered (from_type, to_type) pair, the count of
+    consecutive occurrences and the row-normalized transition
+    probability — the behavioral sanity check run before training any
+    sequence model on an event log (is 'purchase -> error' really 30%?),
+    and the generator of negative-sampling distributions.
+
+    Plan shape: ONE entity-keyed sort-shuffle for the ``lead`` window;
+    the (from, to) aggregation map-side combines, and the row
+    normalization is a window over the aggregated |types|² relation —
+    a few hundred rows no matter how many events went in.
+    """
+    order = [F.col(ts_col).asc()] + [F.col(t).asc()
+                                     for t in (tiebreak or [])]
+    w = Window.partitionBy(entity_col).orderBy(*order)
+    counts = (df.withColumn("__next", F.lead(type_col).over(w))
+                .filter(F.col("__next").isNotNull())
+                .groupBy(F.col(type_col).alias("from_type"),
+                         F.col("__next").alias("to_type"))
+                .agg(F.count(F.lit(1)).alias("n")))
+    w_from = Window.partitionBy("from_type")
+    return counts.select(
+        "from_type", "to_type", "n",
+        F.round(F.col("n") / F.sum("n").over(w_from), 9).alias("p"))

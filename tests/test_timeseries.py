@@ -579,3 +579,36 @@ class TestReviewFixValidation:
         for bad in ("0 days", "-3 days", "7.5 days"):
             with pytest.raises(ValueError, match="positive integer"):
                 rolling_features(df, window=bad)
+
+
+class TestTransitionMatrix:
+    def test_counts_and_probabilities(self, spark):
+        from caspr_spark.operators.timeseries import transition_matrix
+        rows = [
+            (1, 1, "a", "2024-01-01 00:00:00"),
+            (2, 1, "b", "2024-01-01 01:00:00"),
+            (3, 1, "a", "2024-01-01 02:00:00"),
+            (4, 1, "c", "2024-01-01 03:00:00"),
+            (5, 2, "a", "2024-01-01 00:00:00"),
+            (6, 2, "b", "2024-01-01 01:00:00"),
+            (7, 3, "z", "2024-01-01 00:00:00"),   # singleton: no pairs
+        ]
+        df = (spark.createDataFrame(
+                rows, "event_id long, user_id long, event_type string, ts_s string")
+              .withColumn("ts", F.col("ts_s").cast("timestamp"))
+              .drop("ts_s"))
+        out = {(r.from_type, r.to_type): (r.n, r.p)
+               for r in transition_matrix(df, tiebreak=["event_id"]).collect()}
+        # a->b twice (u1, u2), a->c once; b->a once
+        assert out[("a", "b")] == (2, round(2 / 3, 9))
+        assert out[("a", "c")] == (1, round(1 / 3, 9))
+        assert out[("b", "a")] == (1, 1.0)
+        # transitions never cross entities; singleton contributes nothing
+        assert ("b", "z") not in out and ("z", "a") not in out
+        assert ("c", "a") not in out       # u1 ends at c
+        # rows normalize to 1 per from_type
+        sums = {}
+        for (f, _), (_, p) in out.items():
+            sums[f] = sums.get(f, 0.0) + p
+        for s in sums.values():
+            assert abs(s - 1.0) < 1e-9
