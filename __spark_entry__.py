@@ -3772,10 +3772,14 @@ WITH batch AS (
 hk AS (
   SELECT DISTINCT md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))
     AS k
-  FROM documents WHERE doc_id % 2 = 0)
+  FROM documents WHERE doc_id % 2 = 0 AND text IS NOT NULL)
+-- NOT EXISTS, not NOT IN: a null-text batch row's key is NULL, and the
+-- operator's left_anti KEEPS it (NULL never matches); NOT IN would
+-- return NULL and silently drop it
 SELECT b.doc_id FROM batch b
-WHERE md5(lower(regexp_replace(trim(b.text), '\\s+', ' ', 'g')))
-      NOT IN (SELECT k FROM hk)""",
+WHERE NOT EXISTS (
+  SELECT 1 FROM hk
+  WHERE hk.k = md5(lower(regexp_replace(trim(b.text), '\\s+', ' ', 'g'))))""",
         "normalize_by_group": """
 SELECT event_id, event_type,
        round(CASE WHEN max(value) OVER g > min(value) OVER g

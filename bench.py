@@ -43,7 +43,15 @@ BENCH_QUERIES = [
     "text_langid",
     "simsearch_topk",
     "simsearch_topk_lsh",
-    "emb_near_dup",
+    # round-6: the auto-sized production LSH plan replaced the pinned
+    # sf0.01-constant emb_near_dup here (r5 verdict item 2): the pinned
+    # plan exists only so its hyperplanes reproduce in DuckDB, and at sf1
+    # it alone was 64% of the headline total while the plan a user
+    # actually runs (emb_near_dup_auto) does the same job ~17x faster.
+    # Baseline comparability: BASELINE.md restates the r1 total minus the
+    # pinned query (71.469 s); the pinned plan still times under
+    # queries_extended with its oracle untouched.
+    "emb_near_dup_auto",
     "multimodal_features",
     "score_linear",
     "score_lstm",
@@ -71,10 +79,10 @@ EXTENDED_QUERIES = [
     "profile_table",
     "llm_curate_v2",
     "stream_sessions",
-    # round-5: the auto-sized production LSH plan (the pinned-constant
-    # emb_near_dup in the headline set is the oracle-compat plan; this
-    # entry is what a user actually runs — r4 verdict item 3)
-    "emb_near_dup_auto",
+    # round-6: demoted from the headline set (see the swap note there) —
+    # the pinned-constant oracle-compat LSH plan, kept timed for the
+    # record but no longer inflating the number anyone quotes
+    "emb_near_dup",
     # round-5 operators + the capped fuzzy join (its sf1 pathology fix
     # is now the operator default; timing it keeps that provable)
     "fuzzy_join_parts",

@@ -487,9 +487,15 @@ def dedup_against_history(batch: DataFrame, history: DataFrame,
     if mode not in ("exact", "near"):
         raise ValueError(f"mode must be 'exact' or 'near', got {mode!r}")
     if mode == "exact":
+        # NULL-text contract: a null text has no content key, so null-text
+        # batch rows are ALWAYS KEPT (left_anti never matches a null key)
+        # and null-text history rows contribute no key. A SQL oracle must
+        # use NOT EXISTS / an anti join — NOT IN returns NULL for a null
+        # probe and would silently drop the row instead.
         key = _content_key(text_col, normalize)
         hkeys = (history.select(key.alias("__k"),
                                 F.col(id_col).alias("history_id"))
+                 .filter(F.col("__k").isNotNull())
                  .groupBy("__k").agg(F.min("history_id").alias("history_id")))
         b = batch.select(F.col(id_col), key.alias("__k"))
         matches = b.join(hkeys, on="__k").select(id_col, "history_id")

@@ -100,10 +100,20 @@ def validate_expectations(df: DataFrame, rules: list[dict]) -> DataFrame:
 
 
 def _sq(v) -> str:
-    """SQL literal for a value (single quotes doubled)."""
+    """SQL literal for a rule value — only int/float/str/bool render
+    (Python's ``str()`` would emit ``True``/``None``, which is invalid
+    SQL, so the malformed rule would surface as a DuckDB parse error
+    instead of the loud Python raise this module promises)."""
+    if isinstance(v, bool):            # before int: bool is an int subclass
+        return "TRUE" if v else "FALSE"
     if isinstance(v, str):
         return "'" + v.replace("'", "''") + "'"
-    return str(v)
+    if isinstance(v, (int, float)):
+        if isinstance(v, float) and not (v == v and abs(v) != float("inf")):
+            raise ValueError(f"non-finite rule value {v!r} has no SQL literal")
+        return repr(v)
+    raise ValueError(f"rule value {v!r} ({type(v).__name__}) is not "
+                     "SQL-renderable; use int, float, str, or bool")
 
 
 def expectations_sql(table: str, rules: list[dict]) -> str:
@@ -119,9 +129,9 @@ def expectations_sql(table: str, rules: list[dict]) -> str:
         if kind == "row_count_between":
             conds = []
             if rule.get("min") is not None:
-                conds.append(f"count(*) < {rule['min']}")
+                conds.append(f"count(*) < {_sq(rule['min'])}")
             if rule.get("max") is not None:
-                conds.append(f"count(*) > {rule['max']}")
+                conds.append(f"count(*) > {_sq(rule['max'])}")
             bad = " OR ".join(conds) or "FALSE"
             arms.append(
                 f"SELECT {i} AS rule_id, '{kind}' AS rule, "
@@ -140,9 +150,9 @@ def expectations_sql(table: str, rules: list[dict]) -> str:
                 raise ValueError("in_range needs min and/or max")
             conds = []
             if rule.get("min") is not None:
-                conds.append(f"{col} < {rule['min']}")
+                conds.append(f"{col} < {_sq(rule['min'])}")
             if rule.get("max") is not None:
-                conds.append(f"{col} > {rule['max']}")
+                conds.append(f"{col} > {_sq(rule['max'])}")
             bad = " OR ".join(conds)
             checked = f"count({col})"
             viol = f"count(*) FILTER (WHERE {col} IS NOT NULL AND ({bad}))"

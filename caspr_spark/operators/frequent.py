@@ -62,21 +62,21 @@ def heavy_hitters(df: DataFrame, col: str, threshold_frac: float,
         # (Agarwal et al.): exact per-batch value_counts, pointwise add,
         # then subtract the (width+1)-th largest count from all and drop
         # non-positives. Same guarantee as element-wise MG (errors add to
-        # ≤ n_p/width), but each Arrow batch is one pandas op, not a
-        # per-row Python loop.
+        # ≤ n_p/width); the whole batch merge+shrink is three pandas
+        # Series ops — no per-item Python loop, and the state stays
+        # bounded at ``width`` entries between batches.
         import pandas as pd
-        counters: dict = {}
+        counters = pd.Series(dtype="float64")
         n_part = 0
         for pdf in batches:
             n_part += len(pdf)
-            for v, c in pdf["v"].value_counts().items():
-                counters[v] = counters.get(v, 0) + int(c)
+            counters = counters.add(pdf["v"].value_counts(), fill_value=0)
             if len(counters) > w:
-                m = sorted(counters.values(), reverse=True)[w]
-                counters = {k: c - m for k, c in counters.items() if c > m}
+                m = counters.nlargest(w + 1).iloc[-1]
+                counters = counters[counters > m] - m
         # candidate rows + one null-keyed row carrying the partition size,
         # so candidates AND the global N come out of the same single pass
-        yield pd.DataFrame({"v": list(counters.keys()) + [None],
+        yield pd.DataFrame({"v": list(counters.index) + [None],
                             "n": [0] * len(counters) + [n_part]})
 
     vtype = dict(vals.dtypes)["v"]

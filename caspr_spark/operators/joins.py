@@ -311,6 +311,14 @@ def fuzzy_join(left: DataFrame, right: DataFrame, left_col: str,
     (SCALING_r04.md), so the cap is ON BY DEFAULT (1e6 pairs per block);
     pass ``max_block_pairs=None`` to opt out when full recall inside hot
     blocks matters more than bounded work.
+
+    .. versionchanged:: round 5
+        ``max_block_pairs`` default changed from ``None`` (unbounded) to
+        ``1_000_000``. **This is a recall change**: callers who relied on
+        the old default now silently lose every match inside a block
+        whose fan-out exceeds the cap (a runtime warning names how many
+        blocks were dropped). Pass ``max_block_pairs=None`` explicitly to
+        restore the old exhaustive-within-block behavior.
     """
     if max_distance < 0:
         raise ValueError(f"max_distance must be >= 0, got {max_distance}")

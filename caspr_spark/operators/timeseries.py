@@ -410,7 +410,8 @@ def rolling_features(df: DataFrame, entity_col: str = "user_id",
                      ts_col: str = "ts", value_col: str = "value",
                      window: str = "7 days",
                      include_current: bool = False,
-                     suffix: str | None = None) -> DataFrame:
+                     suffix: str | None = None,
+                     fixed_point_scale: int | None = 100) -> DataFrame:
     """Trailing time-window aggregates per entity, one row per event —
     the feature-store primitive ("purchases in the last 7 days",
     "average order value over the trailing 30 days") that the
@@ -426,8 +427,20 @@ def rolling_features(df: DataFrame, entity_col: str = "user_id",
     Plan shape: ONE (entity)-keyed sort-shuffle; all five aggregates
     share the same window frame, so Catalyst evaluates them in a single
     Window node over a single exchange at any scale. Sums accumulate in
-    integer cents so distributed evaluation order cannot drift the
-    float result (the same discipline as the pipelines' label sums).
+    fixed-point integers so distributed evaluation order cannot drift
+    the float result (the same discipline as the pipelines' label sums).
+
+    ``fixed_point_scale`` (default 100 = integer cents) controls the
+    quantization: values are rounded to ``1/scale`` before summing, so
+    inputs with more decimal places than the scale covers LOSE that
+    precision in sum/avg (min/max are never quantized). Raise the scale
+    for finer data, or pass ``None`` for plain double accumulation
+    (exact input values, but the float sum order is then
+    partition-dependent — don't hash-compare it across engines). A
+    map-side ``assert_true`` guard raises loudly when any single
+    ``|value|·scale`` eats into the 2^62 accumulator headroom budgeted
+    for million-row frames, instead of letting Spark wrap the long
+    silently (same guard discipline as the tf-idf fixed-point path).
     """
     parts = window.split()
     if len(parts) != 2:
@@ -451,17 +464,39 @@ def rolling_features(df: DataFrame, entity_col: str = "user_id",
     w = (Window.partitionBy(entity_col)
          .orderBy(F.unix_micros(F.col(ts_col)))
          .rangeBetween(-span_us, hi))
-    cents = F.round(F.col(value_col) * 100).cast("long")
-    sum_cents = F.sum(cents).over(w)
     cnt = F.count(F.col(value_col)).over(w)
+    if fixed_point_scale is None:
+        total = F.sum(F.col(value_col)).over(w)
+    else:
+        if fixed_point_scale < 1:
+            raise ValueError(f"fixed_point_scale must be >= 1 or None, "
+                             f"got {fixed_point_scale}")
+        scale = float(fixed_point_scale)
+        fx = F.round(F.col(value_col) * scale).cast("long")
+        # loud per-row overflow guard: assert_true yields NULL when the
+        # condition holds (adding 0 after coalesce), raises otherwise —
+        # stays inside codegen, no extra pass over the data
+        headroom = (1 << 62) // 1_000_000
+        fx = fx + F.coalesce(
+            F.assert_true(
+                F.abs(fx) <= F.lit(headroom),
+                F.concat(F.lit("rolling_features: |value|*"
+                               f"{fixed_point_scale} exceeds the fixed-"
+                               "point accumulator headroom (2^62 budgeted "
+                               "over 1e6-row frames); lower "
+                               "fixed_point_scale or pass None for double "
+                               "accumulation. value="),
+                         F.col(value_col).cast("string"))).cast("long"),
+            F.lit(0))
+        total = F.sum(fx).over(w) / scale
     # ONE select so CollapseWindow keeps all five aggregates in a single
     # Window node (chained withColumn left five sequential passes over
     # the sorted partition)
     return df.select(
         "*",
         cnt.alias(f"count_{sfx}"),
-        F.round(sum_cents / 100.0, 2).alias(f"sum_{sfx}"),
-        F.round(sum_cents / 100.0 / cnt, 6).alias(f"avg_{sfx}"),
+        F.round(total, 2).alias(f"sum_{sfx}"),
+        F.round(total / cnt, 6).alias(f"avg_{sfx}"),
         F.min(F.col(value_col)).over(w).alias(f"min_{sfx}"),
         F.max(F.col(value_col)).over(w).alias(f"max_{sfx}"))
 

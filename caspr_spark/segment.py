@@ -211,9 +211,15 @@ def plot_tsne(df: DataFrame, feature_cols: list[str] | None = None,
             "underlying coordinates") from exc
     coords, labels = tsne_layout(df, feature_cols, vec_col, label_col,
                                  sample_n, seed)
+    # plt.cm.get_cmap was deprecated in matplotlib 3.7 and removed in
+    # 3.9; the colormaps registry is available from 3.5 on
+    import matplotlib
+    try:
+        cmap = matplotlib.colormaps["jet"].resampled(256)
+    except AttributeError:  # pragma: no cover - matplotlib < 3.5
+        cmap = plt.get_cmap("jet", 256)
     plt.figure(figsize=(12, 8))
-    plt.scatter(coords[:, 0], coords[:, 1], c=labels,
-                cmap=plt.cm.get_cmap("jet", 256))
+    plt.scatter(coords[:, 0], coords[:, 1], c=labels, cmap=cmap)
     plt.colorbar(ticks=range(256))
     plt.clim(-0.5, 9.5)
     if save_fig:
