@@ -457,12 +457,14 @@ def winnow_pairs(df: DataFrame, id_col: str = "doc_id",
             .filter(F.col("n_shared") >= min_shared))
 
 
-def dedup_against_history(batch: DataFrame, history: DataFrame,
+def dedup_against_history(batch: DataFrame, history: DataFrame | None,
                           id_col: str = "doc_id", text_col: str = "text",
                           mode: str = "exact", normalize: bool = True,
                           num_hashes: int = 64, bands: int = 16,
                           shingle_size: int = 3,
-                          threshold: float = 0.8):
+                          threshold: float = 0.8,
+                          history_keys: DataFrame | None = None,
+                          history_signatures: DataFrame | None = None):
     """INCREMENTAL dedup: drop ``batch`` docs already present in the
     ``history`` corpus — the continuous-pipeline variant of this module
     (a daily crawl lands against a 100 TB corpus; re-deduplicating
@@ -471,21 +473,43 @@ def dedup_against_history(batch: DataFrame, history: DataFrame,
     ``mode='exact'``: normalized content-hash anti-join. History
     contributes one 16-byte key per doc (dedupe-then-join, so the join
     input is the distinct key set, not the corpus), batch drops on a
-    left anti join. At scale, persist the history KEY TABLE between
-    runs and append each accepted batch's keys to it — the raw history
-    text is never rescanned.
+    left anti join. At scale, pass ``history_keys`` — the persisted key
+    table from :func:`build_history_keys` /
+    :func:`load_history_keys` — instead of ``history``, and the raw
+    history text is NEVER rescanned; after accepting a batch, fold its
+    keys in with :func:`append_history_keys` and save.
 
     ``mode='near'``: MinHash banding on BOTH sides, candidates from the
     batch-vs-history bucket join ONLY (history never self-joins —
     that's the incremental saving), exact shingle-Jaccard verification
     on candidates, drop batch docs with any history match >=
-    ``threshold``. History signatures are likewise persistable.
+    ``threshold``. Pass ``history_signatures`` (from
+    :func:`build_history_signatures`) to skip re-shingling history:
+    band keys are recomputed map-side from the stored ``minhash``
+    column and verification reads the stored ``shingles``. The stored
+    signature length must equal ``num_hashes`` and the shingle size
+    must match what the table was built with — band keys and Jaccard
+    values silently differ otherwise (same contract as any persisted
+    sketch).
 
+    Exactly one of ``history`` / the mode's state table must be given.
     Returns ``(kept_batch, matches)`` — ``matches`` is
     ``(id_col, history_id[, jaccard])`` for audit/lineage.
     """
     if mode not in ("exact", "near"):
         raise ValueError(f"mode must be 'exact' or 'near', got {mode!r}")
+    if mode == "exact" and history_signatures is not None:
+        raise ValueError("history_signatures is the near-mode state; "
+                         "exact mode takes history_keys")
+    if mode == "near" and history_keys is not None:
+        raise ValueError("history_keys is the exact-mode state; "
+                         "near mode takes history_signatures")
+    state = history_keys if mode == "exact" else history_signatures
+    if (history is None) == (state is None):
+        which = "history_keys" if mode == "exact" else "history_signatures"
+        raise ValueError(f"pass exactly one of history or {which} "
+                         f"(got history={'set' if history is not None else None}, "
+                         f"{which}={'set' if state is not None else None})")
     if mode == "exact":
         # NULL-text contract: a null text has no content key, so null-text
         # batch rows are ALWAYS KEPT (left_anti never matches a null key)
@@ -493,10 +517,15 @@ def dedup_against_history(batch: DataFrame, history: DataFrame,
         # use NOT EXISTS / an anti join — NOT IN returns NULL for a null
         # probe and would silently drop the row instead.
         key = _content_key(text_col, normalize)
-        hkeys = (history.select(key.alias("__k"),
-                                F.col(id_col).alias("history_id"))
-                 .filter(F.col("__k").isNotNull())
-                 .groupBy("__k").agg(F.min("history_id").alias("history_id")))
+        if history_keys is not None:
+            hkeys = history_keys.select(F.col("content_key").alias("__k"),
+                                        "history_id")
+        else:
+            hkeys = (history.select(key.alias("__k"),
+                                    F.col(id_col).alias("history_id"))
+                     .filter(F.col("__k").isNotNull())
+                     .groupBy("__k").agg(F.min("history_id")
+                                         .alias("history_id")))
         b = batch.select(F.col(id_col), key.alias("__k"))
         matches = b.join(hkeys, on="__k").select(id_col, "history_id")
         kept = (batch.withColumn("__k", key)
@@ -510,32 +539,41 @@ def dedup_against_history(batch: DataFrame, history: DataFrame,
     rows_per_band = num_hashes // bands
     from caspr_spark.sources import ensure_parallelism
 
+    band_keys = F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda j: F.xxhash64(
+            F.concat_ws(",", F.transform(
+                F.slice("minhash", j * rows_per_band + 1, rows_per_band),
+                lambda x: x.cast("string"))),
+            j))
+
     def _banded(df: DataFrame, out_id: str):
         sh = ensure_parallelism(df).select(
-            F.col(id_col),
+            F.col(id_col).alias(out_id),
             _shingles(text_col, shingle_size).alias("__shingles"))
         sh = register_cache(sh.persist())
-        sigs = _signatures_from_shingles(sh, id_col, num_hashes)
-        band_keys = F.transform(
-            F.sequence(F.lit(0), F.lit(bands - 1)),
-            lambda j: F.xxhash64(
-                F.concat_ws(",", F.transform(
-                    F.slice("minhash", j * rows_per_band + 1, rows_per_band),
-                    lambda x: x.cast("string"))),
-                j))
-        banded = sigs.select(F.col(id_col).alias(out_id),
+        sigs = _signatures_from_shingles(sh, out_id, num_hashes)
+        banded = sigs.select(out_id,
                              F.posexplode(band_keys).alias("band",
                                                            "band_key"))
         return banded, sh
 
     bb, bsh = _banded(batch, "__bid")
-    hb, hsh = _banded(history, "history_id")
+    if history_signatures is not None:
+        # banding from the persisted minhash column is map-side (no
+        # shingling, no text scan); shingles come from the same table
+        hb = history_signatures.select(
+            "history_id", F.posexplode(band_keys).alias("band", "band_key"))
+        hsh = history_signatures.select(
+            "history_id", F.col("shingles").alias("__shingles"))
+    else:
+        hb, hsh = _banded(history, "history_id")
     cands = (bb.join(hb, on=["band", "band_key"])
                .select("__bid", "history_id").distinct())
     matches = (cands
-               .join(bsh.select(F.col(id_col).alias("__bid"),
+               .join(bsh.select(F.col("__bid"),
                                 F.col("__shingles").alias("__sa")), "__bid")
-               .join(hsh.select(F.col(id_col).alias("history_id"),
+               .join(hsh.select(F.col("history_id"),
                                 F.col("__shingles").alias("__sb")),
                      "history_id")
                .withColumn("jaccard",
@@ -547,3 +585,87 @@ def dedup_against_history(batch: DataFrame, history: DataFrame,
     losers = matches.select(id_col).distinct()
     kept = batch.join(losers, on=id_col, how="left_anti")
     return kept, matches
+
+
+# --------------------------------------------------------------------------
+# Persist-and-resume state for incremental dedup (the daily-crawl loop)
+# --------------------------------------------------------------------------
+
+def build_history_keys(history: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text",
+                       normalize: bool = True) -> DataFrame:
+    """The persistable EXACT-mode state: ``(content_key, history_id)``,
+    one 16-byte key per distinct normalized text (smallest id wins —
+    the same election as :func:`exact_dedup`), null-text rows dropped.
+    Uses the shared :func:`_content_key` definition, so incremental
+    results stay identical to full-corpus ``exact_dedup`` results."""
+    key = _content_key(text_col, normalize)
+    return (history.select(key.alias("content_key"),
+                           F.col(id_col).alias("history_id"))
+            .filter(F.col("content_key").isNotNull())
+            .groupBy("content_key")
+            .agg(F.min("history_id").alias("history_id")))
+
+
+def append_history_keys(keys: DataFrame, accepted: DataFrame,
+                        id_col: str = "doc_id", text_col: str = "text",
+                        normalize: bool = True) -> DataFrame:
+    """Fold an ACCEPTED batch's keys into the existing key table —
+    first-seen wins (a key already in ``keys`` keeps its original
+    ``history_id``; only genuinely new keys enter, carrying the batch
+    doc id). The daily loop is::
+
+        keys = load_history_keys(spark, path)
+        kept, _ = dedup_against_history(batch, None, history_keys=keys)
+        save_history_keys(append_history_keys(keys, kept), next_path)
+
+    Write to a NEW path (or a dated partition) and swap atomically —
+    overwriting the parquet a lazy plan is still reading truncates it.
+    """
+    new = build_history_keys(accepted, id_col, text_col, normalize)
+    fresh = new.join(keys.select("content_key"), on="content_key",
+                     how="left_anti")
+    return keys.unionByName(fresh)
+
+
+def build_history_signatures(history: DataFrame, id_col: str = "doc_id",
+                             text_col: str = "text", num_hashes: int = 64,
+                             shingle_size: int = 3) -> DataFrame:
+    """The persistable NEAR-mode state:
+    ``(history_id, shingles array<string>, minhash array<bigint>)``.
+
+    Re-banding from the stored ``minhash`` is map-side, so a saved
+    table lets every future batch dedup against history without ever
+    re-shingling it. ``num_hashes``/``shingle_size`` are baked into the
+    stored values — reload with the same settings. Shingle arrays are
+    roughly text-sized; at corpus scale the table is comparable to the
+    corpus itself but is written ONCE and only the candidate-pair rows
+    are ever joined back.
+    """
+    from caspr_spark.sources import ensure_parallelism
+
+    sh = register_cache(
+        ensure_parallelism(history).select(
+            F.col(id_col).alias("history_id"),
+            _shingles(text_col, shingle_size).alias("__shingles"))
+        .persist())
+    sigs = _signatures_from_shingles(sh, "history_id", num_hashes)
+    return (sh.select("history_id", F.col("__shingles").alias("shingles"))
+            .join(sigs, on="history_id"))
+
+
+def save_history_keys(state: DataFrame, path: str,
+                      mode: str = "overwrite") -> None:
+    """Write an incremental-dedup state table (key or signature) to
+    parquet. One file-format choice, stated: parquet keeps the
+    ``array<bigint>``/``array<string>`` columns typed and splittable,
+    so a 1e9-key table reloads partition-parallel."""
+    state.write.mode(mode).parquet(path)
+
+
+def load_history_keys(spark, path: str) -> DataFrame:
+    """Reload a state table written by :func:`save_history_keys`.
+    Returns the DataFrame as stored; feed it to
+    ``dedup_against_history(..., history_keys=...)`` (exact) or
+    ``(..., history_signatures=...)`` (near)."""
+    return spark.read.parquet(path)

@@ -540,6 +540,94 @@ class TestIncrementalDedup:
             dedup_against_history(batch, history, mode="near",
                                   num_hashes=64, bands=7)
 
+    def test_state_validation(self, spark):
+        from caspr_spark.llm.dedup import (build_history_keys,
+                                           build_history_signatures,
+                                           dedup_against_history)
+        batch, history = self._corpora(spark)
+        keys = build_history_keys(history)
+        sigs = build_history_signatures(history)
+        with pytest.raises(ValueError, match="exactly one"):
+            dedup_against_history(batch, history, mode="exact",
+                                  history_keys=keys)
+        with pytest.raises(ValueError, match="exactly one"):
+            dedup_against_history(batch, None, mode="exact")
+        with pytest.raises(ValueError, match="near-mode state"):
+            dedup_against_history(batch, None, mode="exact",
+                                  history_signatures=sigs)
+        with pytest.raises(ValueError, match="exact-mode state"):
+            dedup_against_history(batch, None, mode="near",
+                                  history_keys=keys)
+
+    def test_keys_roundtrip_batch_n_plus_1(self, spark, tmp_path):
+        """The daily-crawl loop is runnable: batch N+1 dedups against
+        SAVED keys only — the history DataFrame is never passed, so a
+        history rescan is structurally impossible — and the incremental
+        result equals the from-scratch recompute."""
+        from caspr_spark.llm.dedup import (append_history_keys,
+                                           build_history_keys,
+                                           dedup_against_history,
+                                           load_history_keys,
+                                           save_history_keys)
+        batch1, history = self._corpora(spark)
+        p0 = str(tmp_path / "keys_day0")
+        save_history_keys(build_history_keys(history), p0)
+
+        keys0 = load_history_keys(spark, p0)
+        kept1, m1 = dedup_against_history(batch1, None, mode="exact",
+                                          history_keys=keys0)
+        assert {r.doc_id for r in kept1.collect()} == {2, 3}
+        assert {(r.doc_id, r.history_id) for r in m1.collect()} == \
+            {(1, 100), (4, 101)}
+
+        p1 = str(tmp_path / "keys_day1")
+        save_history_keys(append_history_keys(keys0, kept1), p1)
+        keys1 = load_history_keys(spark, p1)
+        # 5 distinct history keys now: 3 original + accepted docs 2 and 3
+        assert keys1.count() == 5
+
+        batch2 = spark.createDataFrame([
+            (10, "another archived page with unique content"),   # dup of 102
+            (11, "a genuinely new document never seen before"),  # dup of day-1 accepted 2
+            (12, "day two brings entirely fresh material"),      # new
+        ], "doc_id long, text string")
+        kept2, m2 = dedup_against_history(batch2, None, mode="exact",
+                                          history_keys=keys1)
+        assert {r.doc_id for r in kept2.collect()} == {12}
+        got = {(r.doc_id, r.history_id) for r in m2.collect()}
+        assert got == {(10, 102), (11, 2)}   # first-seen id preserved
+
+        # incremental == from-scratch: full corpus so far vs batch2
+        full = history.unionByName(kept1.select("doc_id", "text"))
+        kept_full, _ = dedup_against_history(batch2, full, mode="exact")
+        assert sorted(r.doc_id for r in kept2.collect()) == \
+            sorted(r.doc_id for r in kept_full.collect())
+
+    def test_signatures_roundtrip_near_mode(self, spark, tmp_path):
+        """Near mode from a SAVED signature table (no re-shingling of
+        history) matches the raw-history run pair for pair."""
+        from caspr_spark.llm.dedup import (build_history_signatures,
+                                           dedup_against_history,
+                                           load_history_keys,
+                                           save_history_keys)
+        batch, history = self._corpora(spark)
+        p = str(tmp_path / "sigs")
+        save_history_keys(build_history_signatures(history), p)
+        sigs = load_history_keys(spark, p)
+        kept_s, m_s = dedup_against_history(
+            batch, None, mode="near", num_hashes=64, bands=32,
+            threshold=0.5, history_signatures=sigs)
+        kept_h, m_h = dedup_against_history(
+            batch, history, mode="near", num_hashes=64, bands=32,
+            threshold=0.5)
+        assert {r.doc_id for r in kept_s.collect()} == \
+            {r.doc_id for r in kept_h.collect()} == {2}
+        pairs_s = {(r.doc_id, r.history_id, round(r.jaccard, 9))
+                   for r in m_s.collect()}
+        pairs_h = {(r.doc_id, r.history_id, round(r.jaccard, 9))
+                   for r in m_h.collect()}
+        assert pairs_s == pairs_h
+
 
 class TestComponentValidation:
     def test_max_iter_zero_raises(self, spark):
