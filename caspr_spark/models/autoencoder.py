@@ -79,6 +79,16 @@ class SequenceAutoencoder:
       (caspr/models/unified_encoder.py MultiLayerLSTM path,
       multi_layer_lstm.py:7-63), closing the "swap in torch for a real
       LSTM" caveat without torch.
+    - ``encoder="lstm_attention"`` (round 6) — the same LSTM, pooled by
+      BAHDANAU additive attention over ALL hidden states instead of
+      taking the last one: scores ``v·tanh(h_t Wa)`` softmaxed over
+      time, context = score-weighted state sum — the reference's
+      DEFAULT UnifiedEncoder configuration
+      (caspr/models/unified_encoder.py:25-282, attention pooling per
+      caspr/models/attention_mechanisms.py:102-123), now TRAINED
+      end-to-end: the attention VJP feeds per-step gradients into the
+      gate BPTT, so every hidden state (not just the last) carries
+      gradient signal.
 
     Parameters live in ``self.params`` (name -> array) so the Adam state,
     gradient check, and npz checkpointing all address them uniformly.
@@ -89,9 +99,9 @@ class SequenceAutoencoder:
                  non_seq_emb_dims: list[int], n_non_seq_cont: int,
                  seq_len: int, hidden_dim: int = 32, seed: int = 42,
                  encoder: str = "mlp"):
-        if encoder not in ("mlp", "lstm"):
-            raise ValueError(f"encoder must be 'mlp' or 'lstm', "
-                             f"got {encoder!r}")
+        if encoder not in ("mlp", "lstm", "lstm_attention"):
+            raise ValueError(f"encoder must be 'mlp', 'lstm', or "
+                             f"'lstm_attention', got {encoder!r}")
         self.encoder = encoder
         rng = np.random.default_rng(seed)
         self.seq_vocab = list(seq_vocab)
@@ -117,12 +127,16 @@ class SequenceAutoencoder:
             p[f"emb_s{i}"] = rng.normal(0, 0.1, size=(v, d))
         for j, (v, d) in enumerate(zip(non_seq_vocab, non_seq_emb_dims)):
             p[f"emb_n{j}"] = rng.normal(0, 0.1, size=(v, d))
-        if encoder == "lstm":
+        if encoder in ("lstm", "lstm_attention"):
             p["We"] = u(F, 4 * H)
             p["Ue"] = u(H, 4 * H)
             p["be"] = np.zeros(4 * H)
             p["be"][H:2 * H] = 1.0        # forget-gate bias 1
-            p["W_enc"] = u(H, H)          # last-hidden projection
+            p["W_enc"] = u(H, H)          # pooled-state projection
+            if encoder == "lstm_attention":
+                p["Wa"] = u(H, H)         # additive-attention score net
+                p["va"] = u(H, s=1.0 / np.sqrt(H))
+                p["vb"] = np.zeros(1)
         else:
             p["W_enc"] = u(seq_len * F, H)
         p["b_enc"] = np.zeros(H)
@@ -188,14 +202,18 @@ class SequenceAutoencoder:
             C[:, t], Hs[:, t] = c, h
         return h, (E, I, Fg, Z, O, C, Hs)
 
-    def _enc_lstm_backward(self, dhT, tape, g, dE):
+    def _enc_lstm_backward(self, dHs, tape, g, dE):
         """BPTT through the encoder LSTM; accumulates We/Ue/be grads and
-        the input grad into ``dE``."""
+        the input grad into ``dE``. ``dHs`` is the PER-STEP upstream
+        gradient [N,T,H] — all-zero except the last step for last-state
+        pooling, dense for attention pooling (every state feeds the
+        context)."""
         p = self.params
         E, I, Fg, Z, O, C, Hs = tape
         N, T, H = I.shape
-        dh, dc = dhT, np.zeros((N, H))
+        dh, dc = np.zeros((N, H)), np.zeros((N, H))
         for t in range(T - 1, -1, -1):
+            dh = dh + dHs[:, t]
             i, f, z, o, c = I[:, t], Fg[:, t], Z[:, t], O[:, t], C[:, t]
             tc = np.tanh(c)
             do = dh * tc
@@ -215,6 +233,34 @@ class SequenceAutoencoder:
             dh = dg @ p["Ue"].T
             dc = dc * f
 
+    # -- Bahdanau attention pooling (VJP-complete) -------------------------
+    def _attn_pool_forward(self, Hs):
+        """Additive attention over the LSTM states
+        (attention_mechanisms.py:102-123): scores ``v·tanh(h_t Wa)+b``
+        softmaxed over time, context = weighted state sum. Returns
+        (context [N,H], tape)."""
+        p = self.params
+        u = np.tanh(Hs @ p["Wa"])                   # [N,T,H]
+        s = u @ p["va"] + p["vb"][0]                # [N,T]
+        a = _softmax(s, axis=1)
+        ctx = (a[:, :, None] * Hs).sum(axis=1)      # [N,H]
+        return ctx, (u, a, Hs)
+
+    def _attn_pool_backward(self, dctx, tape, g):
+        """VJP of the pooling: accumulates Wa/va/vb grads, returns the
+        PER-STEP state gradient [N,T,H] the gate BPTT consumes (states
+        feed the context both directly and through their scores)."""
+        p = self.params
+        u, a, Hs = tape
+        dalpha = np.einsum("nh,nth->nt", dctx, Hs)
+        dHs = a[:, :, None] * dctx[:, None, :]
+        ds = a * (dalpha - (a * dalpha).sum(axis=1, keepdims=True))
+        g["va"] += np.einsum("nt,nth->h", ds, u)
+        g["vb"] += ds.sum()
+        dpre = (ds[:, :, None] * p["va"][None, None, :]) * (1.0 - u * u)
+        g["Wa"] += np.einsum("nth,ntk->hk", Hs, dpre)
+        return dHs + dpre @ p["Wa"].T
+
     # -- forward -----------------------------------------------------------
     def _forward(self, seq_cat, seq_cont, non_seq_cat, non_seq_cont):
         """Full teacher-forced forward pass; returns loss + tape."""
@@ -223,10 +269,14 @@ class SequenceAutoencoder:
         E = np.concatenate(
             [self._embed(seq_cat, "emb_s", self.seq_emb_dims, self.seq_vocab),
              seq_cont.astype(np.float64)], axis=-1)          # [N,T,F]
-        enc_tape = flat = None
+        enc_tape = flat = attn_tape = ctx = None
         if self.encoder == "lstm":
             hT, enc_tape = self._enc_lstm_forward(E)
             pre = hT @ p["W_enc"] + p["b_enc"]
+        elif self.encoder == "lstm_attention":
+            _, enc_tape = self._enc_lstm_forward(E)
+            ctx, attn_tape = self._attn_pool_forward(enc_tape[6])
+            pre = ctx @ p["W_enc"] + p["b_enc"]
         else:
             flat = E.reshape(N, T * self.F)
             pre = flat @ p["W_enc"] + p["b_enc"]
@@ -249,7 +299,8 @@ class SequenceAutoencoder:
             d_prev = D[:, t, :]
 
         losses, tape = [], {"E": E, "flat": flat, "h": h, "prof": prof,
-                            "X": X, "D": D, "enc_tape": enc_tape}
+                            "X": X, "D": D, "enc_tape": enc_tape,
+                            "attn_tape": attn_tape, "ctx": ctx}
         if self.n_seq_cont:
             oc_pre = D @ p["W_oc"] + p["b_oc"]
             cont_hat = np.maximum(oc_pre, 0.0)   # relu, lstm_decoder.py:49
@@ -333,10 +384,16 @@ class SequenceAutoencoder:
         dpre_enc = dh * (1.0 - h ** 2)
         g["b_enc"] += dpre_enc.sum(axis=0)
         if self.encoder == "lstm":
-            hT = tp["enc_tape"][6][:, -1]      # Hs[:, T-1]
-            g["W_enc"] += hT.T @ dpre_enc
-            dhT = dpre_enc @ p["W_enc"].T
-            self._enc_lstm_backward(dhT, tp["enc_tape"], g, dE)
+            Hs = tp["enc_tape"][6]
+            g["W_enc"] += Hs[:, -1].T @ dpre_enc
+            dHs = np.zeros_like(Hs)
+            dHs[:, -1] = dpre_enc @ p["W_enc"].T
+            self._enc_lstm_backward(dHs, tp["enc_tape"], g, dE)
+        elif self.encoder == "lstm_attention":
+            g["W_enc"] += tp["ctx"].T @ dpre_enc
+            dctx = dpre_enc @ p["W_enc"].T
+            dHs = self._attn_pool_backward(dctx, tp["attn_tape"], g)
+            self._enc_lstm_backward(dHs, tp["enc_tape"], g, dE)
         else:
             g["W_enc"] += flat.T @ dpre_enc
             dE += (dpre_enc @ p["W_enc"].T).reshape(N, T, self.F)
@@ -359,9 +416,11 @@ class SequenceAutoencoder:
         E = np.concatenate(
             [self._embed(seq_cat, "emb_s", self.seq_emb_dims, self.seq_vocab),
              seq_cont.astype(np.float64)], axis=-1)
-        if self.encoder == "lstm":
-            hT, _ = self._enc_lstm_forward(E)
-            pre = hT @ p["W_enc"] + p["b_enc"]
+        if self.encoder in ("lstm", "lstm_attention"):
+            hT, tape = self._enc_lstm_forward(E)
+            pooled = (self._attn_pool_forward(tape[6])[0]
+                      if self.encoder == "lstm_attention" else hT)
+            pre = pooled @ p["W_enc"] + p["b_enc"]
         else:
             pre = E.reshape(N, -1) @ p["W_enc"] + p["b_enc"]
         if self.P:

@@ -149,6 +149,308 @@ def fit_linear_autoencoder_ddp(df: DataFrame, cols: list[str],
     return LinearAutoencoder(W=W), history
 
 
+# --------------------------------------------------------------------------
+# Distributed training of the REAL autoencoders (recurrent + transformer)
+# --------------------------------------------------------------------------
+#
+# Reference semantics: caspr/utils/spark/large/train.py:114-183 trains the
+# deep autoencoders data-parallel — each worker owns a shard, computes the
+# gradient of the shared loss on its shard, gradients are allreduced, every
+# rank applies the same optimizer step, the stop decision is taken once on
+# the allreduced loss. The machinery below reproduces exactly that without
+# torch: per-shard gradients run inside ``mapInPandas`` (tensorize +
+# numpy backprop per Arrow batch, weighted-summed within the shard), the
+# driver weighted-allreduces to the EXACT global full-batch gradient —
+# every loss term is a mean whose normalizer is proportional to the shard
+# row count, so Σ n_w · meangrad_w / Σ n_w IS the global mean gradient up
+# to float summation order — and Adam + linear warmup + consensus early
+# stop run once on the driver and apply to the single shared parameter
+# set. Each worker's shard is its (fixed) batch, i.e. synchronous
+# data-parallel training with one step per epoch; the lr linear-scaling
+# rule followed by the world-size gradient mean cancels, the same
+# cancellation the linear DDP fit documents.
+#
+# The driver never holds data — only parameters (tens of KB) and one
+# (n, loss, gradient) triple per shard per epoch. At 100 TB the per-epoch
+# cost is one scan of the persisted featurized table; nothing else grows.
+
+
+def _role_split(roles, seq_len: int):
+    """The same role partitioning ``transform_and_load`` applies."""
+    seq_cat = [c for c in roles.seq_cols if c in roles.cat_cols]
+    seq_cont = [c for c in roles.seq_cols
+                if c in roles.cont_cols or c in roles.date_cols]
+    non_seq_cat = [c for c in roles.non_seq_cols if c in roles.cat_cols]
+    non_seq_cont = [c for c in roles.non_seq_cols
+                    if c in roles.cont_cols or c in roles.date_cols]
+    return seq_cat, seq_cont, non_seq_cat, non_seq_cont
+
+
+def _wide_vocab(df: DataFrame, roles, seq_len: int):
+    """Global per-column vocab sizes (max code + 1, floor 2) from the wide
+    layout in ONE aggregation — the distributed twin of the local fits'
+    ``bundle.seq_cat[..., i].max() + 1``."""
+    seq_cat, _, non_seq_cat, _ = _role_split(roles, seq_len)
+    aggs = []
+    for c in seq_cat:
+        slots = [F.coalesce(F.col(f"{s}_{c}"), F.lit(0)).cast("long")
+                 for s in range(1, seq_len + 1)]
+        expr = slots[0] if len(slots) == 1 else F.greatest(*slots)
+        aggs.append(F.max(expr).alias(f"__sv_{c}"))
+    for c in non_seq_cat:
+        aggs.append(F.max(F.coalesce(F.col(c), F.lit(0)).cast("long"))
+                    .alias(f"__nv_{c}"))
+    if not aggs:
+        return [], []
+    row = df.agg(*aggs).collect()[0]
+    seq_vocab = [max(int(row[f"__sv_{c}"] or 0) + 1, 2) for c in seq_cat]
+    non_seq_vocab = [max(int(row[f"__nv_{c}"] or 0) + 1, 2)
+                     for c in non_seq_cat]
+    return seq_vocab, non_seq_vocab
+
+
+def _build_deep_model(arch: str, seq_vocab, n_seq_cont, non_seq_vocab,
+                      n_non_seq_cont, seq_len: int, hidden_dim: int,
+                      seed: int, **arch_kwargs):
+    """Construct the architecture with a picklable (cls, kwargs) recipe so
+    executors can rebuild an identical (shape-wise) model and load the
+    broadcast parameters into it."""
+    from caspr_spark.models.factory import embedding_dim
+
+    common = dict(seq_vocab=list(seq_vocab),
+                  seq_emb_dims=[embedding_dim(v) for v in seq_vocab],
+                  n_seq_cont=n_seq_cont,
+                  non_seq_vocab=list(non_seq_vocab),
+                  non_seq_emb_dims=[embedding_dim(v) for v in non_seq_vocab],
+                  n_non_seq_cont=n_non_seq_cont, seq_len=seq_len, seed=seed)
+    if arch in ("mlp", "lstm", "lstm_attention"):
+        from caspr_spark.models.autoencoder import SequenceAutoencoder
+        kwargs = dict(common, hidden_dim=hidden_dim, encoder=arch)
+        cls = SequenceAutoencoder
+    elif arch == "transformer":
+        from caspr_spark.models.transformer_ae import \
+            TransformerSequenceAutoencoder
+        kwargs = dict(common, hid_dim=hidden_dim,
+                      n_heads=arch_kwargs.pop("n_heads", 2),
+                      n_enc_layers=arch_kwargs.pop("n_enc_layers", 1),
+                      n_dec_layers=arch_kwargs.pop("n_dec_layers", 1),
+                      pf_dim=arch_kwargs.pop("pf_dim", 32))
+        cls = TransformerSequenceAutoencoder
+    else:
+        raise ValueError(f"arch must be mlp/lstm/lstm_attention/"
+                         f"transformer, got {arch!r}")
+    if arch_kwargs:
+        raise ValueError(f"unknown arch kwargs {sorted(arch_kwargs)}")
+    model = cls(**kwargs)
+    model.ctor_kwargs = kwargs          # reused by encode_variance
+    return model, cls, kwargs
+
+
+def _shard_grad_kernel(cls, ctor_kwargs, params_blob, roles, seq_len):
+    """mapInPandas kernel: this shard's (row count, Σ n·loss, Σ n·grad).
+
+    Gradients are computed per Arrow batch and weighted-summed, so the
+    worker's memory is bounded by the Arrow batch size, not the shard —
+    the shard IS streamed, exactly what a 100 TB shard requires."""
+    def kernel(batches):
+        import pickle
+
+        import pandas as pd
+
+        from caspr_spark.data.tensorize import transform_and_load
+
+        model = cls(**ctor_kwargs)
+        model.load_state(pickle.loads(params_blob))
+        acc = None
+        n_tot = 0
+        loss_sum = 0.0
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            b = transform_and_load(pdf, roles, seq_len, keep_ids=False)
+            loss, g = model.loss_and_grads(b.seq_cat, b.seq_cont,
+                                           b.non_seq_cat, b.non_seq_cont)
+            nb = len(pdf)
+            n_tot += nb
+            loss_sum += loss * nb
+            if acc is None:
+                acc = {k: v * nb for k, v in g.items()}
+            else:
+                for k in acc:
+                    acc[k] += g[k] * nb
+        yield pd.DataFrame({"n": [n_tot], "loss": [loss_sum],
+                            "grads": [pickle.dumps(acc)]})
+    return kernel
+
+
+def _consensus_adam_loop(model, grad_fn, epochs: int, lr: float,
+                         warmup_epochs: int, patience: int,
+                         min_delta: float, world_size: int):
+    """The shared synchronous-training loop: allreduced loss history,
+    one Adam step per epoch on the pre-step gradient, root-rank stop
+    consensus, best-state restore. Both the DDP fit and the local
+    full-batch twin run THIS loop — the only difference is where
+    ``grad_fn`` computes, which is exactly the property the parity bit
+    certifies."""
+    from caspr_spark.models.autoencoder import Adam
+
+    eff_lr = scale_lr(lr, world_size) / world_size   # stated rule; cancels
+    opt = Adam(model.params, lr=eff_lr)
+    stopper = DistributedEarlyStopping(patience=patience,
+                                       min_delta=min_delta)
+    history: list[float] = []
+    for epoch in range(epochs):
+        loss, grads = grad_fn(model.params)
+        history.append(loss)
+        if stopper.step_all(loss, epoch,
+                            [model.params[k] for k in sorted(model.params)]):
+            break
+        opt.step(model.params, grads,
+                 warmup_lr(eff_lr, epoch, warmup_epochs))
+    if stopper.best_state:
+        for k, w in zip(sorted(model.params), stopper.best_state):
+            model.params[k] = w
+    return history
+
+
+def fit_deep_autoencoder_ddp(wide_df: DataFrame, roles, seq_len: int,
+                             arch: str = "mlp", hidden_dim: int = 32,
+                             world_size: int = 4, epochs: int = 50,
+                             lr: float = 1e-3, warmup_epochs: int = 5,
+                             patience: int = 8, min_delta: float = 1e-5,
+                             seed: int = 42, **arch_kwargs):
+    """Data-parallel training of the REAL autoencoders from a wide
+    featurized DataFrame — no driver materialization of the data, ever.
+
+    ``arch``: ``"mlp"`` / ``"lstm"`` / ``"lstm_attention"`` (the
+    :class:`~caspr_spark.models.autoencoder.SequenceAutoencoder`
+    encoders) or ``"transformer"``
+    (:class:`~caspr_spark.models.transformer_ae.TransformerSequenceAutoencoder`,
+    extra kwargs ``n_heads``/``n_enc_layers``/``n_dec_layers``/``pf_dim``).
+
+    Per epoch: parameters ship to the ``world_size`` shards (closure
+    capture — tens of KB), each shard streams its Arrow batches through
+    tensorize + numpy backprop and emits ONE (n, Σ n·loss, Σ n·grad)
+    row, the driver weighted-allreduces and takes one Adam step. The
+    featurized input is persisted once up front so epochs rescan the
+    cached relation, not the upstream pipeline. Returns
+    ``(model, loss_history)``; for any ``world_size`` the trajectory
+    equals the single-process full-batch fit up to float summation
+    order (the parity tests and the ``train_*_ddp`` queries assert it).
+    """
+    import pickle
+
+    seq_cat, seq_cont, non_seq_cat, non_seq_cont = _role_split(roles, seq_len)
+    seq_vocab, non_seq_vocab = _wide_vocab(wide_df, roles, seq_len)
+    model, cls, kwargs = _build_deep_model(
+        arch, seq_vocab, len(seq_cont), non_seq_vocab, len(non_seq_cont),
+        seq_len, hidden_dim, seed, **arch_kwargs)
+
+    sharded = wide_df.repartition(world_size).persist()
+    try:
+        sharded.count()    # materialize the cache once, before epoch 1
+
+        def grad_fn(params):
+            blob = pickle.dumps({k: np.asarray(v)
+                                 for k, v in params.items()})
+            rows = sharded.mapInPandas(
+                _shard_grad_kernel(cls, kwargs, blob, roles, seq_len),
+                schema="n long, loss double, grads binary").collect()
+            parts = [(pickle.loads(bytes(r.grads)), int(r.n), float(r.loss))
+                     for r in rows if r.n > 0]
+            if not parts:
+                raise ValueError("fit_deep_autoencoder_ddp: empty input")
+            n_tot = sum(n for _, n, _ in parts)
+            loss = sum(l for _, _, l in parts) / n_tot
+            grads = {k: sum(p[k] for p, _, _ in parts) / n_tot
+                     for k in parts[0][0]}
+            return loss, grads
+
+        history = _consensus_adam_loop(model, grad_fn, epochs, lr,
+                                       warmup_epochs, patience, min_delta,
+                                       world_size)
+    finally:
+        sharded.unpersist()
+    return model, history
+
+
+def fit_deep_autoencoder_local(bundle, arch: str = "mlp",
+                               hidden_dim: int = 32, epochs: int = 50,
+                               lr: float = 1e-3, warmup_epochs: int = 5,
+                               patience: int = 8, min_delta: float = 1e-5,
+                               seed: int = 42, **arch_kwargs):
+    """Single-process FULL-BATCH twin of :func:`fit_deep_autoencoder_ddp`
+    over an in-memory :class:`TensorBundle` — same model construction,
+    same loop, same schedule, ``world_size=1`` — the parity reference
+    the DDP trajectory is asserted against in tests."""
+    seq_vocab = [max(int(bundle.seq_cat[..., i].max()) + 1, 2)
+                 for i in range(bundle.seq_cat.shape[-1])]
+    non_seq_vocab = [max(int(bundle.non_seq_cat[:, j].max()) + 1, 2)
+                     for j in range(bundle.non_seq_cat.shape[-1])]
+    seq_len = bundle.seq_cat.shape[1] or bundle.seq_cont.shape[1]
+    model, _, _ = _build_deep_model(
+        arch, seq_vocab, bundle.seq_cont.shape[-1], non_seq_vocab,
+        bundle.non_seq_cont.shape[-1], seq_len, hidden_dim, seed,
+        **arch_kwargs)
+
+    def grad_fn(params):
+        return model.loss_and_grads(bundle.seq_cat, bundle.seq_cont,
+                                    bundle.non_seq_cat, bundle.non_seq_cont)
+
+    history = _consensus_adam_loop(model, grad_fn, epochs, lr,
+                                   warmup_epochs, patience, min_delta,
+                                   world_size=1)
+    return model, history
+
+
+def encode_variance(model, wide_df: DataFrame, roles, seq_len: int) -> float:
+    """Mean-over-dims variance of the model embedding across the WHOLE
+    DataFrame, computed distributed: each partition streams its batches
+    through ``model.encode`` and emits (n, Σe, Σe²); the driver folds
+    the moment sums. Replaces the ``emb.var()`` the driver-local train
+    queries used to compute on a collected bundle."""
+    import pickle
+
+    cls = type(model)
+    kwargs = model.ctor_kwargs
+    blob = pickle.dumps({k: np.asarray(v)
+                         for k, v in model.state_dict().items()})
+
+    def kernel(batches):
+        import pandas as pd
+
+        from caspr_spark.data.tensorize import transform_and_load
+
+        m = cls(**kwargs)
+        m.load_state(pickle.loads(blob))
+        n = 0
+        s = None
+        s2 = None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            b = transform_and_load(pdf, roles, seq_len, keep_ids=False)
+            e = m.encode(b.seq_cat, b.seq_cont, b.non_seq_cat,
+                         b.non_seq_cont)
+            n += e.shape[0]
+            if s is None:
+                s = e.sum(axis=0)
+                s2 = (e * e).sum(axis=0)
+            else:
+                s += e.sum(axis=0)
+                s2 += (e * e).sum(axis=0)
+        yield pd.DataFrame({"n": [n],
+                            "mom": [pickle.dumps((s, s2))]})
+
+    rows = wide_df.mapInPandas(kernel, schema="n long, mom binary").collect()
+    parts = [(pickle.loads(bytes(r.mom)), int(r.n)) for r in rows if r.n > 0]
+    n_tot = sum(n for _, n in parts)
+    s = sum(p[0] for p, _ in parts)
+    s2 = sum(p[1] for p, _ in parts)
+    var = s2 / n_tot - (s / n_tot) ** 2
+    return float(np.maximum(var, 0.0).mean())
+
+
 def fit_torch_distributed(train_fn=None, num_processes: int = 2,
                           local_mode: bool = True, use_gpu: bool = False,
                           **train_kwargs):

@@ -385,3 +385,103 @@ class TestLstmEncoderBackprop:
         with _pytest.raises(ValueError, match="encoder"):
             SequenceAutoencoder([2], [2], 1, [], [], 0, seq_len=3,
                                 encoder="gru")
+
+
+class TestUnifiedAttentionEncoderBackprop:
+    """encoder='lstm_attention': Bahdanau-pooled LSTM encoder — the
+    reference's DEFAULT UnifiedEncoder config
+    (caspr/models/unified_encoder.py:25-282) — trained end-to-end: the
+    attention VJP composes with the gate BPTT, gradcheck'd per
+    parameter."""
+
+    def _model_and_data(self, seed=0):
+        rng = np.random.default_rng(seed)
+        N, T = 5, 4
+        m = SequenceAutoencoder(seq_vocab=[4, 3], seq_emb_dims=[2, 2],
+                                n_seq_cont=2, non_seq_vocab=[3],
+                                non_seq_emb_dims=[2], n_non_seq_cont=2,
+                                seq_len=T, hidden_dim=5, seed=1,
+                                encoder="lstm_attention")
+        data = (rng.integers(0, 3, size=(N, T, 2)),
+                rng.normal(size=(N, T, 2)),
+                rng.integers(0, 3, size=(N, 1)),
+                rng.normal(size=(N, 2)))
+        return m, data
+
+    def test_gradients_match_numerical(self):
+        m, data = self._model_and_data()
+        _, grads = m.loss_and_grads(*data)
+        rng = np.random.default_rng(42)
+        # eps 1e-5, not 1e-6: the attention-path gradients are small
+        # (~1e-5) relative to the loss, so the 1e-6 central difference
+        # is cancellation-noise-bound; at 1e-5 the check is sharp
+        eps = 1e-5
+        for k, W in m.params.items():
+            flat = W.reshape(-1)
+            for i in rng.choice(flat.size, size=min(5, flat.size),
+                                replace=False):
+                keep = flat[i]
+                flat[i] = keep + eps
+                lp, _ = m._forward(*data)
+                flat[i] = keep - eps
+                lm, _ = m._forward(*data)
+                flat[i] = keep
+                num = (lp - lm) / (2 * eps)
+                ana = grads[k].reshape(-1)[i]
+                assert abs(num - ana) < 2e-4 * max(1.0, abs(num), abs(ana)), \
+                    (k, i, num, ana)
+
+    def test_attention_params_present_and_used(self):
+        m, data = self._model_and_data()
+        assert {"We", "Ue", "be", "Wa", "va", "vb"} <= set(m.params)
+        _, grads = m.loss_and_grads(*data)
+        for k in ("Wa", "va", "We", "Ue"):
+            assert np.abs(grads[k]).sum() > 0, k
+
+    def test_pooling_differs_from_last_state(self):
+        """The context is a softmax mix over ALL states — with shared
+        seed/weights the embedding must differ from the plain-LSTM
+        last-state embedding (same LSTM weights, different pooling)."""
+        m_att, data = self._model_and_data()
+        m_last = SequenceAutoencoder(seq_vocab=[4, 3], seq_emb_dims=[2, 2],
+                                     n_seq_cont=2, non_seq_vocab=[3],
+                                     non_seq_emb_dims=[2], n_non_seq_cont=2,
+                                     seq_len=4, hidden_dim=5, seed=1,
+                                     encoder="lstm")
+        for k in m_last.params:            # identical shared weights
+            m_att.params[k] = m_last.params[k].copy()
+        e_att = m_att.encode(*data)
+        e_last = m_last.encode(*data)
+        assert not np.allclose(e_att, e_last)
+
+    def test_every_step_carries_gradient(self):
+        """Attention pooling feeds gradient to EVERY hidden state: the
+        input-embedding gradient must be nonzero at every time step
+        (last-state pooling leaves early steps only the recurrence
+        path; attention adds a direct path per step)."""
+        m, data = self._model_and_data()
+        _, grads = m.loss_and_grads(*data)
+        g_emb = grads["emb_s0"]
+        assert np.abs(g_emb).sum() > 0
+
+    def test_training_decreases_loss(self):
+        from caspr_spark.models.autoencoder import fit_autoencoder
+        rng = np.random.default_rng(7)
+        n, t = 200, 4
+        x = np.empty((n, t))
+        x[:, 0] = rng.uniform(0.05, 0.95, n)
+        for step in range(1, t):
+            x[:, step] = 3.9 * x[:, step - 1] * (1 - x[:, step - 1])
+        bundle = TensorBundle(
+            seq_cat=(x[:, :, None] * 3).astype(np.int64).clip(0, 2),
+            seq_cont=x[:, :, None].astype(np.float32),
+            non_seq_cat=np.zeros((n, 0), np.int64),
+            non_seq_cont=np.zeros((n, 0), np.float32),
+            y=np.zeros((n, 0), np.float32))
+        model, hist = fit_autoencoder(bundle, hidden_dim=8, epochs=12,
+                                      lr=3e-3, batch_size=64, seed=3,
+                                      encoder="lstm_attention")
+        assert min(hist) < hist[0] * 0.9
+        emb = model.encode(bundle.seq_cat, bundle.seq_cont,
+                           bundle.non_seq_cat, bundle.non_seq_cont)
+        assert emb.shape == (n, 8) and emb.var(axis=0).mean() > 0

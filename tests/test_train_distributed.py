@@ -1,0 +1,116 @@
+"""Distributed deep-autoencoder training: parity, streaming-shard math,
+and the distributed embedding-variance probe.
+
+The contract under test (caspr/utils/spark/large/train.py:114-183
+semantics, torch-free): per-shard gradients computed inside mapInPandas,
+weighted-allreduced on the driver, one Adam step per epoch on the shared
+parameters, consensus early stop — and the resulting trajectory equals
+the single-process full-batch fit up to float summation order for ANY
+world size, because every loss term is a mean whose normalizer is
+proportional to shard row count.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from caspr_spark.data.tensorize import TensorBundle, transform_and_load
+from caspr_spark.roles import ColumnRoles
+from caspr_spark.train_distributed import (encode_variance,
+                                           fit_deep_autoencoder_ddp,
+                                           fit_deep_autoencoder_local)
+
+
+def _wide_pdf(n=240, t=4, seed=0):
+    rng = np.random.default_rng(seed)
+    data = {"user_id": np.arange(n)}
+    for s in range(1, t + 1):
+        data[f"{s}_event_type"] = rng.integers(0, 5, n)
+        data[f"{s}_value"] = rng.normal(0, 1, n).round(3)
+    return pd.DataFrame(data)
+
+
+ROLES = ColumnRoles(tgt_id=["user_id"], activity_date="ts",
+                    cat_cols=["event_type"], cont_cols=["value"],
+                    seq_cols=["event_type", "value"], non_seq_cols=[],
+                    output_cols=[])
+
+
+class TestDeepDdpParity:
+    @pytest.mark.parametrize("arch", ["mlp", "lstm", "lstm_attention",
+                                      "transformer"])
+    def test_world4_matches_local_fullbatch(self, spark, arch):
+        """DDP world 4 == single-process full-batch fit: same loss
+        history length, allclose trajectories, allclose final params —
+        the distributed gradient IS the global gradient."""
+        pdf = _wide_pdf()
+        wide = spark.createDataFrame(pdf)
+        m_ddp, h_ddp = fit_deep_autoencoder_ddp(
+            wide, ROLES, 4, arch=arch, hidden_dim=6, world_size=4,
+            epochs=5, lr=3e-3, seed=9)
+        bundle = transform_and_load(pdf, ROLES, 4)
+        m_loc, h_loc = fit_deep_autoencoder_local(
+            bundle, arch=arch, hidden_dim=6, epochs=5, lr=3e-3, seed=9)
+        assert len(h_ddp) == len(h_loc)
+        np.testing.assert_allclose(h_ddp, h_loc, rtol=1e-8)
+        for k in m_loc.params:
+            np.testing.assert_allclose(m_ddp.params[k], m_loc.params[k],
+                                       rtol=1e-6, atol=1e-9, err_msg=k)
+
+    def test_world_sizes_agree(self, spark):
+        """Sharding is math-transparent: world 1 and world 4 produce the
+        same parameters (weighted allreduce over any partition of the
+        rows rebuilds the identical global mean gradient)."""
+        wide = spark.createDataFrame(_wide_pdf())
+        m1, h1 = fit_deep_autoencoder_ddp(wide, ROLES, 4, arch="lstm",
+                                          hidden_dim=6, world_size=1,
+                                          epochs=4, lr=3e-3, seed=9)
+        m4, h4 = fit_deep_autoencoder_ddp(wide, ROLES, 4, arch="lstm",
+                                          hidden_dim=6, world_size=4,
+                                          epochs=4, lr=3e-3, seed=9)
+        np.testing.assert_allclose(h1, h4, rtol=1e-8)
+        for k in m1.params:
+            np.testing.assert_allclose(m1.params[k], m4.params[k],
+                                       rtol=1e-6, atol=1e-9)
+
+    def test_loss_decreases(self, spark):
+        wide = spark.createDataFrame(_wide_pdf())
+        _, hist = fit_deep_autoencoder_ddp(wide, ROLES, 4, arch="mlp",
+                                           hidden_dim=6, world_size=4,
+                                           epochs=8, lr=3e-3, seed=9)
+        assert min(hist) < hist[0]
+
+    def test_arch_validation(self, spark):
+        wide = spark.createDataFrame(_wide_pdf(n=20))
+        with pytest.raises(ValueError, match="arch"):
+            fit_deep_autoencoder_ddp(wide, ROLES, 4, arch="gru")
+        with pytest.raises(ValueError, match="unknown arch kwargs"):
+            fit_deep_autoencoder_ddp(wide, ROLES, 4, arch="lstm",
+                                     bogus=1)
+
+
+class TestEncodeVariance:
+    def test_matches_local_moments(self, spark):
+        pdf = _wide_pdf()
+        wide = spark.createDataFrame(pdf)
+        model, _ = fit_deep_autoencoder_ddp(wide, ROLES, 4, arch="mlp",
+                                            hidden_dim=6, world_size=2,
+                                            epochs=3, lr=3e-3, seed=9)
+        got = encode_variance(model, wide, ROLES, 4)
+        bundle = transform_and_load(pdf, ROLES, 4)
+        emb = model.encode(bundle.seq_cat, bundle.seq_cont,
+                           bundle.non_seq_cat, bundle.non_seq_cont)
+        # population variance (ddof=0), matching the moment-sum fold
+        want = float(emb.var(axis=0).mean())
+        assert got == pytest.approx(want, rel=1e-9)
+
+
+class TestVocabFromWide:
+    def test_global_vocab_matches_bundle(self, spark):
+        from caspr_spark.train_distributed import _wide_vocab
+        pdf = _wide_pdf()
+        sv, nv = _wide_vocab(spark.createDataFrame(pdf), ROLES, 4)
+        bundle = transform_and_load(pdf, ROLES, 4)
+        want = [max(int(bundle.seq_cat[..., i].max()) + 1, 2)
+                for i in range(bundle.seq_cat.shape[-1])]
+        assert sv == want and nv == []
