@@ -188,14 +188,30 @@ def dec_loss_and_grad(Z: np.ndarray, centers: np.ndarray,
 
 def fit_dec(Z: np.ndarray, k: int, alpha: float = 1.0, epochs: int = 100,
             lr: float = 0.5, seed: int = 42, tol: float = 1e-3,
-            target_refresh: int = 1) -> tuple[np.ndarray, list[float]]:
+            target_refresh: int = 1,
+            init_centers: np.ndarray | None = None
+            ) -> tuple[np.ndarray, list[float]]:
     """KMeans init + gradient refinement of centroids under the KL
     objective (encoder frozen — the closed-form half of the reference's
-    joint optimization; the AE embedding is trained separately by
-    ``caspr_spark.models.autoencoder``). Stops when the assignment-change
-    fraction drops below ``tol`` (the reference's delta-label criterion).
-    """
-    centers, labels = kmeans_np(Z, k, seed=seed)
+    joint optimization; :func:`fit_dec_joint` adds the encoder half).
+    Stops when the assignment-change fraction drops below ``tol`` (the
+    reference's delta-label criterion). ``init_centers`` skips the
+    KMeans init (used by the distributed/joint parity paths so both
+    sides refine from the same start).
+
+    .. versionchanged:: round 6
+        The delta-label check now compares CONSECUTIVE EPOCHS'
+        assignments and is skipped at epoch 0. The previous formulation
+        compared epoch-0 labels against the init labels, which are the
+        SAME labels (argmax q equals argmin distance under identical
+        centers), so the loop always stopped after one epoch and the
+        "refinement" never refined. Rows-only query outputs change
+        accordingly — they now reflect real KL descent."""
+    if init_centers is None:
+        centers, labels = kmeans_np(Z, k, seed=seed)
+    else:
+        centers = np.asarray(init_centers, dtype=np.float64)
+        labels = _soft_np(Z, centers, alpha).argmax(axis=1)
     centers = centers.astype(np.float64)
     prev = labels
     history: list[float] = []
@@ -205,11 +221,221 @@ def fit_dec(Z: np.ndarray, k: int, alpha: float = 1.0, epochs: int = 100,
             p = None                       # refresh target from current q
         loss, grad, q, p = dec_loss_and_grad(Z, centers, alpha, p=p)
         history.append(loss)
-        centers = centers - lr * grad
         lab = q.argmax(axis=1)
-        if (lab != prev).mean() < tol:
+        if epoch > 0 and (lab != prev).mean() < tol:
+            break                          # converged: keep these centers
+        prev = lab
+        centers = centers - lr * grad
+    return centers, history
+
+
+def dec_loss_and_grads_joint(Z: np.ndarray, centers: np.ndarray,
+                             alpha: float = 1.0,
+                             p: np.ndarray | None = None):
+    """:func:`dec_loss_and_grad` extended with the EMBEDDING gradient —
+    the piece joint optimization backpropagates into the encoder
+    (caspr/models/dec.py:10-119 wraps the AE so autograd produces this;
+    here it is the closed form, gradcheck'd):
+
+        dL/dz_i = ((alpha+1)/alpha) Σ_j (1+||z_i-mu_j||²/alpha)^{-1}
+                  (p_ij - q_ij)(z_i - mu_j) / N
+
+    Returns ``(loss, grad_centers, grad_z, q, p)``; note
+    ``grad_z_i = -Σ_j`` of the per-(i,j) center contributions, i.e. the
+    row-sum mirror of the centroid gradient."""
+    n = len(Z)
+    diff = Z[:, None, :] - centers[None, :, :]          # [N,k,d]
+    nsq = (diff ** 2).sum(axis=2)
+    inv = 1.0 / (1.0 + nsq / alpha)
+    q = _soft_np(Z, centers, alpha)
+    if p is None:
+        p = _target_np(q)
+    loss = float((p * np.log(p / q)).sum() / n)
+    coef = ((alpha + 1.0) / alpha) * inv * (p - q) / n  # [N,k]
+    grad_c = -(coef[:, :, None] * diff).sum(axis=0)     # [k,d]
+    grad_z = (coef[:, :, None] * diff).sum(axis=1)      # [N,d]
+    return loss, grad_c, grad_z, q, p
+
+
+def fit_dec_joint(model, bundle, k: int, alpha: float = 1.0,
+                  epochs: int = 40, lr_centers: float = 0.5,
+                  lr_encoder: float = 1e-3, seed: int = 42,
+                  tol: float = 1e-3, target_refresh: int = 1,
+                  init_centers: np.ndarray | None = None):
+    """JOINT deep embedded clustering: the KL objective optimized over
+    BOTH the centroids and the encoder parameters — the reference's
+    actual DEC (caspr/models/dec.py:10-119 backprops the KL loss into
+    the wrapped autoencoder; here the closed-form embedding gradient
+    chains through ``SequenceAutoencoder.encode_and_grads``'s VJP).
+    Centroids take plain GD steps (the closed-form half), the encoder
+    takes Adam steps on the chained gradient; the target distribution
+    refreshes every ``target_refresh`` epochs and the delta-label
+    criterion stops the loop, both exactly as :func:`fit_dec`.
+
+    Driver-side over an in-memory bundle by design — DEC's joint phase
+    is a fine-tune over a BOUNDED sample (the query documents the
+    bound); the frozen-centroid half has the distributed twin
+    :func:`fit_dec_distributed`.
+
+    Returns ``(model, centers, history)``.
+    """
+    from caspr_spark.models.autoencoder import Adam
+
+    args = (bundle.seq_cat, bundle.seq_cont, bundle.non_seq_cat,
+            bundle.non_seq_cont)
+    Z = model.encode(*args)
+    if init_centers is None:
+        centers, prev = kmeans_np(Z, k, seed=seed)
+        centers = centers.astype(np.float64)
+    else:
+        centers = np.asarray(init_centers, dtype=np.float64)
+        prev = _soft_np(Z, centers, alpha).argmax(axis=1)
+    opt = Adam(model.params, lr=lr_encoder)
+    history: list[float] = []
+    p = None
+    for epoch in range(epochs):
+        Z = model.encode(*args)
+        if epoch % max(target_refresh, 1) == 0:
+            p = None
+        loss, grad_c, grad_z, q, p = dec_loss_and_grads_joint(
+            Z, centers, alpha, p=p)
+        history.append(loss)
+        lab = q.argmax(axis=1)
+        if epoch > 0 and (lab != prev).mean() < tol:
             break
         prev = lab
+        _, g_enc = model.encode_and_grads(*args, dh=grad_z)
+        opt.step(model.params, g_enc, lr_encoder)
+        centers = centers - lr_centers * grad_c
+    return model, centers, history
+
+
+# --------------------------------------------------------------------------
+# Distributed centroid fit (no driver-side data materialization)
+# --------------------------------------------------------------------------
+
+def fit_dec_distributed(df: DataFrame, vec_col: str = "embedding",
+                        k: int = 10, alpha: float = 1.0, epochs: int = 100,
+                        lr: float = 0.5, seed: int = 42, tol: float = 1e-3,
+                        target_refresh: int = 1, id_col: str = "vec_id",
+                        init_sample: int = 10000,
+                        init_centers: np.ndarray | None = None):
+    """Distributed twin of :func:`fit_dec`: the DEC centroid gradient is
+    a row-sum, so each epoch is TWO small aggregations over the
+    embedding DataFrame (the same communication shape as the linear
+    AE's Gram pass — k doubles, then k·(d+1) doubles per partition):
+
+    1. cluster frequencies ``f_j = Σ_i q_ij`` (q is map-side given the
+       broadcast centers);
+    2. the loss, the ``[k,d]`` centroid gradient partial sums, and the
+       delta-label count vs the previous epoch's centers — labels under
+       BOTH center sets are recomputed map-side in the same pass, so no
+       per-row label state is ever stored or joined.
+
+    Both passes stream partitions through a vectorized numpy kernel
+    inside ``mapInPandas`` and emit one pickled partial per partition;
+    the driver folds them and takes the GD step — it holds ``k·d``
+    doubles, never rows. KMeans init runs on a BOUNDED deterministic
+    sample (``init_sample`` rows, md5-ordered by ``id_col`` — the same
+    stated-bound discipline as ``tsne_sample_frame``), or skip it by
+    passing ``init_centers``. For the same init the trajectory equals
+    :func:`fit_dec` on the collected matrix up to float summation order
+    (parity-tested).
+
+    ``target_refresh`` caveat: between refreshes this holds the
+    FREQUENCY vector ``f_j`` fixed while q tracks the current centers
+    (holding the full ``p`` matrix fixed would require N×k per-row
+    state — exactly the materialization this function exists to
+    avoid). At ``target_refresh=1`` — the default and the
+    parity-tested configuration — the distinction vanishes and the
+    semantics equal :func:`fit_dec` exactly.
+
+    Returns ``(centers, history)``.
+    """
+    import pickle
+
+    if init_centers is not None:
+        centers = np.asarray(init_centers, dtype=np.float64)
+    else:
+        sample = (df.select(id_col, vec_col)
+                  .orderBy(F.md5(F.col(id_col).cast("string")))
+                  .limit(init_sample).toPandas())
+        Zs = np.stack(sample[vec_col].to_numpy()).astype(np.float64)
+        centers, _ = kmeans_np(Zs, k, seed=seed)
+        centers = centers.astype(np.float64)
+
+    vecs = df.select(vec_col).persist()
+    try:
+        vecs.count()
+
+        def _freq_pass(C):
+            blob = pickle.dumps(C)
+
+            def kernel(batches):
+                import pandas as pd
+                C_ = pickle.loads(blob)
+                f = np.zeros(len(C_))
+                for pdf in batches:
+                    if not len(pdf):
+                        continue
+                    Z = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+                    f += _soft_np(Z, C_, alpha).sum(axis=0)
+                yield pd.DataFrame({"part": [pickle.dumps(f)]})
+            rows = vecs.mapInPandas(kernel, schema="part binary").collect()
+            return sum(pickle.loads(bytes(r.part)) for r in rows)
+
+        def _grad_pass(C, C_prev, f):
+            blob = pickle.dumps((C, C_prev, f))
+
+            def kernel(batches):
+                import pandas as pd
+                C_, Cp_, f_ = pickle.loads(blob)
+                kk, d = C_.shape
+                g = np.zeros((kk, d))
+                loss_sum = 0.0
+                changed = 0
+                n = 0
+                for pdf in batches:
+                    if not len(pdf):
+                        continue
+                    Z = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+                    diff = Z[:, None, :] - C_[None, :, :]
+                    nsq = (diff ** 2).sum(axis=2)
+                    inv = 1.0 / (1.0 + nsq / alpha)
+                    q = _soft_np(Z, C_, alpha)
+                    w = q * q / f_
+                    p = w / w.sum(axis=1, keepdims=True)
+                    loss_sum += float((p * np.log(p / q)).sum())
+                    coef = ((alpha + 1.0) / alpha) * inv * (p - q)
+                    g += -(coef[:, :, None] * diff).sum(axis=0)
+                    lab = q.argmax(axis=1)
+                    prev_lab = _soft_np(Z, Cp_, alpha).argmax(axis=1)
+                    changed += int((lab != prev_lab).sum())
+                    n += len(Z)
+                yield pd.DataFrame(
+                    {"part": [pickle.dumps((g, loss_sum, changed, n))]})
+            rows = vecs.mapInPandas(kernel, schema="part binary").collect()
+            parts = [pickle.loads(bytes(r.part)) for r in rows]
+            g = sum(p_[0] for p_ in parts)
+            loss_sum = sum(p_[1] for p_ in parts)
+            changed = sum(p_[2] for p_ in parts)
+            n = sum(p_[3] for p_ in parts)
+            return g / n, loss_sum / n, changed / n
+
+        history: list[float] = []
+        prev_centers = centers
+        p_f = None
+        for epoch in range(epochs):
+            if epoch % max(target_refresh, 1) == 0:
+                p_f = _freq_pass(centers)
+            grad, loss, changed_frac = _grad_pass(centers, prev_centers, p_f)
+            history.append(loss)
+            if epoch > 0 and changed_frac < tol:
+                break                       # converged: keep these centers
+            prev_centers = centers
+            centers = centers - lr * grad
+    finally:
+        vecs.unpersist()
     return centers, history
 
 

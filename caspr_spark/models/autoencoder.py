@@ -381,6 +381,17 @@ class SequenceAutoencoder:
                 dh += dpre @ p["Wd"].T     # d_{-1} = h
 
         # encoder backward
+        self._encoder_backward(tp, dh, g, dE, seq_cat, non_seq_cat)
+        return loss, g
+
+    def _encoder_backward(self, tp, dh, g, dE, seq_cat, non_seq_cat):
+        """Backprop an upstream embedding gradient ``dh`` [N,H] through
+        the encoder (whichever variant), accumulating into ``g``.
+        ``dE`` carries any pre-existing input-embedding gradient (the
+        decoder's teacher-forcing path in full training; zeros when the
+        encoder is driven standalone, e.g. by joint DEC)."""
+        p = self.params
+        h, flat, prof = tp["h"], tp["flat"], tp["prof"]
         dpre_enc = dh * (1.0 - h ** 2)
         g["b_enc"] += dpre_enc.sum(axis=0)
         if self.encoder == "lstm":
@@ -395,8 +406,9 @@ class SequenceAutoencoder:
             dHs = self._attn_pool_backward(dctx, tp["attn_tape"], g)
             self._enc_lstm_backward(dHs, tp["enc_tape"], g, dE)
         else:
+            N = dE.shape[0]
             g["W_enc"] += flat.T @ dpre_enc
-            dE += (dpre_enc @ p["W_enc"].T).reshape(N, T, self.F)
+            dE += (dpre_enc @ p["W_enc"].T).reshape(N, self.seq_len, self.F)
         if self.P:
             g["W_prof"] += prof.T @ dpre_enc
             dprof = dpre_enc @ p["W_prof"].T
@@ -406,7 +418,22 @@ class SequenceAutoencoder:
         if n_emb:
             self._embed_grad(seq_cat, dE[..., :n_emb], "emb_s",
                              self.seq_emb_dims, self.seq_vocab, g)
-        return loss, g
+
+    def encode_and_grads(self, seq_cat, seq_cont, non_seq_cat, non_seq_cont,
+                         dh):
+        """Encoder-only VJP: forward-encode, then backprop the upstream
+        embedding gradient ``dh`` [N,H] into every encoder parameter
+        (embeddings, LSTM gates, attention pool, projections) — what
+        joint DEC (``caspr_spark.dec.fit_dec_joint``) chains the KL
+        embedding gradient through, mirroring the reference's autograd
+        through the wrapped AE (caspr/models/dec.py:10-119). Decoder
+        parameters receive zero gradient. Returns ``(h, grads)``."""
+        _, tp = self._forward(seq_cat, seq_cont, non_seq_cat, non_seq_cont)
+        g = {k: np.zeros_like(v) for k, v in self.params.items()}
+        dE = np.zeros_like(tp["E"])
+        self._encoder_backward(tp, np.asarray(dh, dtype=np.float64), g, dE,
+                               seq_cat, non_seq_cat)
+        return tp["h"], g
 
     # -- scoring surface ----------------------------------------------------
     def encode(self, seq_cat, seq_cont, non_seq_cat, non_seq_cont):
