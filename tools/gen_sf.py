@@ -4,14 +4,29 @@ The driver's testdata tops out at sf0.1; the scale-stress evidence run
 (VERDICT r3, next-round item 6) needs sf1. This produces it by
 replicating every table K times with per-replica key offsets — each
 entity/order/document key space grows K-fold (so group counts, join
-cardinalities and shuffle widths scale like real data), while
-non-key attributes are exact copies (deterministic, no RNG, no
-distribution drift). Fixed dimension tables (region, nation) are copied
-once. Output parquet is written by DuckDB with naive timestamps —
-the same physical form the driver's generator emits, so the
-inferTimestampNTZ guard path is exercised identically.
+cardinalities and shuffle widths scale like real data). Fixed dimension
+tables (region, nation) are copied once. Output parquet is written by
+DuckDB with naive timestamps — the same physical form the driver's
+generator emits, so the inferTimestampNTZ guard path is exercised
+identically.
+
+Two modes (r5 verdict item 6):
+
+- ``--mode fresh`` (default): replica 0 is the untouched source; the
+  other replicas get FRESH content — document text has ~20% of tokens
+  deterministically replaced with replica-tagged tokens (hash-indexed,
+  no RNG), and embeddings get a ±0.15/dim hash-derived jitter. Result:
+  cross-replica shingle-Jaccard ~0.47 (< the 0.8 near-dup threshold)
+  and cross-replica cosine ~0.82 (< the 0.9 embedding threshold), so
+  dedup/near-dup/curation operators see a corpus whose clone density
+  matches the source instead of the 10x-dense dup cliques pure cloning
+  manufactures — the artifact that muddied the r4/r5 sf1 scaling story
+  for ``llm_curate``/``emb_near_dup``.
+- ``--mode clone``: the original exact-copy behavior, kept for
+  comparisons against the earlier rounds' sweeps.
 
 Usage: python tools/gen_sf.py [--src DIR] [--dst DIR] [--k 10]
+       [--mode fresh|clone]
 """
 
 from __future__ import annotations
@@ -41,7 +56,32 @@ OFFSETS: dict[str, dict[str, tuple[str, str]]] = {
 COPY_ONLY = ["region", "nation"]
 
 
-def generate(src: str, dst: str, k: int) -> None:
+# mode='fresh' content rewrites, per (table, column). Replica 0 keeps the
+# source value; replicas >0 get deterministic hash-derived fresh content.
+FRESH_EXPRS: dict[tuple[str, str], str] = {
+    # ~1 in 5 tokens replaced with a replica-tagged token (the replacement
+    # hash includes r.i, so replicas don't share replacements either):
+    # cross-replica Jaccard ≈ 0.64/1.36 ≈ 0.47
+    ("documents", "text"): (
+        "CASE WHEN r.i = 0 THEN t.text ELSE array_to_string("
+        "list_transform(string_split(t.text, ' '), (w, p) -> "
+        "CASE WHEN hash(t.doc_id, r.i, p) % 5 = 0 "
+        "THEN 'w' || (hash(w, r.i) % 99991)::VARCHAR ELSE w END), ' ') END"
+    ),
+    # ±0.15/dim uniform-ish jitter (noise norm ≈ 0.69 on unit vectors →
+    # cross-replica cosine ≈ 0.82, below the 0.9 near-dup threshold)
+    ("embeddings", "embedding"): (
+        "CASE WHEN r.i = 0 THEN t.embedding ELSE "
+        "list_transform(t.embedding, (x, d) -> "
+        "(x + ((hash(t.vec_id, r.i, d) % 2001)::BIGINT - 1000) * 1.5e-4)"
+        "::FLOAT) END"
+    ),
+}
+
+
+def generate(src: str, dst: str, k: int, mode: str = "fresh") -> None:
+    if mode not in ("fresh", "clone"):
+        raise ValueError(f"mode must be 'fresh' or 'clone', got {mode!r}")
     os.makedirs(dst, exist_ok=True)
     con = duckdb.connect()
     spans: dict[tuple[str, str], int] = {}
@@ -58,14 +98,20 @@ def generate(src: str, dst: str, k: int) -> None:
     for table, cols in OFFSETS.items():
         schema = [r[0] for r in con.sql(
             f"DESCRIBE SELECT * FROM '{src}/{table}.parquet'").fetchall()]
-        select = ", ".join(
-            f"t.{c} + r.i * {spans[cols[c]]} AS {c}" if c in cols else f"t.{c}"
-            for c in schema)
+
+        def col_expr(c: str) -> str:
+            if c in cols:
+                return f"t.{c} + r.i * {spans[cols[c]]} AS {c}"
+            if mode == "fresh" and (table, c) in FRESH_EXPRS:
+                return f"{FRESH_EXPRS[(table, c)]} AS {c}"
+            return f"t.{c}"
+
+        select = ", ".join(col_expr(c) for c in schema)
         con.sql(f"COPY (SELECT {select} FROM '{src}/{table}.parquet' t "
                 f"CROSS JOIN range({k}) r(i)) TO '{dst}/{table}.parquet' "
                 f"(FORMAT PARQUET)")
         n = con.sql(f"SELECT count(*) FROM '{dst}/{table}.parquet'").fetchone()[0]
-        print(f"{table}: {n:,} rows (x{k})")
+        print(f"{table}: {n:,} rows (x{k}, mode={mode})")
 
 
 if __name__ == "__main__":
@@ -73,5 +119,6 @@ if __name__ == "__main__":
     ap.add_argument("--src", default="/root/testdata/sf0.1")
     ap.add_argument("--dst", default="/root/repo/testdata_sf1")
     ap.add_argument("--k", type=int, default=10)
+    ap.add_argument("--mode", default="fresh", choices=["fresh", "clone"])
     args = ap.parse_args()
-    generate(args.src, args.dst, args.k)
+    generate(args.src, args.dst, args.k, args.mode)
