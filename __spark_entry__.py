@@ -2348,6 +2348,44 @@ def q_stream_topk(spark, sf_dir):
         "rk")
 
 
+def q_stream_dedup_history(spark, sf_dir):
+    """STREAMING incremental corpus dedup (streaming.py
+    streaming_dedup_against_history — round 6): the live-crawl form of
+    dedup_incremental. A document stream anti-joins the persisted
+    history KEY TABLE per micro-batch (no streaming state) and
+    collapses within-stream re-crawls via
+    dropDuplicatesWithinWatermark (watermark-bounded state). The kept
+    CONTENT-KEY set is deterministic regardless of arrival order —
+    distinct batch keys minus history keys — so unlike the other
+    stateful streams this one carries a FULL oracle."""
+    import tempfile
+
+    from caspr_spark.llm.dedup import build_history_keys
+    from caspr_spark.streaming import (run_to_memory,
+                                       streaming_dedup_against_history)
+    _utc(spark)
+    docs = _t(spark, sf_dir, "documents")
+    history = docs.filter(F.col("doc_id") % 2 == 0)
+    keys = build_history_keys(history)
+    batch = (docs.filter(F.col("doc_id") % 2 == 1).select("doc_id", "text")
+             .unionByName(docs.filter(F.col("doc_id") % 4 == 0)
+                          .withColumn("doc_id", F.col("doc_id") + 100000)
+                          .select("doc_id", "text"))
+             .withColumn("ts", F.timestamp_seconds(
+                 F.lit(1704067200) + F.col("doc_id") % 3600)))
+    tmp = tempfile.mkdtemp(prefix="stream_hist_")
+    batch.write.mode("overwrite").parquet(tmp)
+    stream = spark.readStream.schema(batch.schema).parquet(tmp)
+    kept = streaming_dedup_against_history(stream, keys,
+                                           watermark="365 days")
+    tbl = run_to_memory(kept, "q_stream_dedup_history", "append")
+    return (tbl.filter(F.col("text").isNotNull())
+            .select(F.md5(F.lower(F.regexp_replace(
+                F.trim(F.col("text")), r"\s+", " ")))
+                .alias("content_key"))
+            .distinct())
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver contract: the correctness gate certifies the FIRST 50 entries.
 
@@ -2435,6 +2473,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_report": q_skew_report,
         "shards_roundtrip": q_shards_roundtrip,
         "stream_topk": q_stream_topk,
+        "stream_dedup_history": q_stream_dedup_history,
         "histogram_values": q_histogram_values,
         "topk_per_group": q_topk_per_group,
         # --- slots 37-42: oracle-bearing, added late in round 5
@@ -3890,6 +3929,25 @@ hk AS (
 -- return NULL and silently drop it
 SELECT b.doc_id FROM batch b
 WHERE NOT EXISTS (
+  SELECT 1 FROM hk
+  WHERE hk.k = md5(lower(regexp_replace(trim(b.text), '\\s+', ' ', 'g'))))""",
+        # the streaming twin keeps ONE row per surviving content key —
+        # the kept KEY SET is arrival-order independent: distinct batch
+        # keys minus history keys
+        "stream_dedup_history": """
+WITH batch AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text FROM documents
+  WHERE doc_id % 4 = 0),
+hk AS (
+  SELECT DISTINCT md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))
+    AS k
+  FROM documents WHERE doc_id % 2 = 0 AND text IS NOT NULL)
+SELECT DISTINCT md5(lower(regexp_replace(trim(b.text), '\\s+', ' ', 'g')))
+  AS content_key
+FROM batch b
+WHERE b.text IS NOT NULL AND NOT EXISTS (
   SELECT 1 FROM hk
   WHERE hk.k = md5(lower(regexp_replace(trim(b.text), '\\s+', ' ', 'g'))))""",
         "normalize_by_group": """

@@ -317,6 +317,51 @@ def streaming_dedup(stream: DataFrame, id_cols: list[str], ts_col: str = "ts",
             .dropDuplicatesWithinWatermark(id_cols))
 
 
+def streaming_dedup_against_history(stream: DataFrame,
+                                    history_keys: DataFrame,
+                                    text_col: str = "text",
+                                    id_col: str = "doc_id",
+                                    ts_col: str = "ts",
+                                    watermark: str = "1 day",
+                                    normalize: bool = True) -> DataFrame:
+    """STREAMING incremental corpus dedup: the continuous form of
+    ``llm.dedup.dedup_against_history`` — a document stream (the live
+    crawl) drops (a) docs whose content key exists in the persisted
+    history key table and (b) within-stream re-crawls inside the
+    watermark horizon.
+
+    Two stages, both state-bounded:
+
+    1. stream-static LEFT ANTI join against ``history_keys`` (the
+       parquet table ``llm.dedup.build_history_keys`` /
+       ``save_history_keys`` maintain) — planned per micro-batch as a
+       broadcast/hash anti join, no streaming state at all;
+    2. ``dropDuplicatesWithinWatermark`` on the content key — dedup
+       state per key is evicted once the watermark passes it.
+
+    NULL-text contract matches the batch operator: a null text has no
+    content key, so such rows are always kept — the anti join never
+    matches a null key, and stage 2 keys null-text rows by
+    ``id_col`` (otherwise every null-text row would collapse onto the
+    single NULL key).
+
+    Between crawl days, fold the accepted output into the key table
+    with ``append_history_keys`` and save — the stream restart then
+    dedups against the grown history without ever rescanning it.
+    """
+    from caspr_spark.llm.dedup import _content_key
+
+    key = _content_key(text_col, normalize)
+    keyed = stream.withColumn(
+        "__k", F.coalesce(key, F.concat(F.lit("__null__"),
+                                        F.col(id_col).cast("string"))))
+    hk = history_keys.select(F.col("content_key").alias("__k"))
+    kept = keyed.join(hk, on="__k", how="left_anti")
+    return (kept.withWatermark(ts_col, watermark)
+            .dropDuplicatesWithinWatermark(["__k"])
+            .drop("__k"))
+
+
 def run_to_memory(streaming_df: DataFrame, name: str,
                   output_mode: str = "complete",
                   timeout_sec: int = 120) -> DataFrame:

@@ -353,3 +353,54 @@ class TestStreamingTopk:
         stream = stream_events(spark, f"{SF_DIR}/events.parquet")
         with pytest.raises(ValueError, match="k must"):
             streaming_windowed_topk(stream, k=0)
+
+
+class TestStreamingDedupAgainstHistory:
+    def _inputs(self, spark, tmp_path, parts=1):
+        docs = [(100, "the quick brown fox jumps over the lazy dog"),
+                (101, "some archived page with unique content")]
+        history = spark.createDataFrame(docs, "doc_id long, text string")
+        batch = spark.createDataFrame([
+            (1, "The  quick brown fox   jumps over the lazy dog"),  # hist dup
+            (2, "a genuinely new document"),
+            (3, "a genuinely new document"),       # within-stream re-crawl
+            (4, "another fresh one"),
+            (5, None),                             # null text: always kept
+            (6, None),
+        ], "doc_id long, text string").withColumn(
+            "ts", F.timestamp_seconds(1704067200 + F.col("doc_id")))
+        path = str(tmp_path / "batchin")
+        batch.repartition(parts).write.mode("overwrite").parquet(path)
+        stream = spark.readStream.schema(batch.schema).parquet(path)
+        return history, stream
+
+    def _run(self, spark, tmp_path, parts, name):
+        from caspr_spark.llm.dedup import build_history_keys
+        from caspr_spark.streaming import (run_to_memory,
+                                           streaming_dedup_against_history)
+        history, stream = self._inputs(spark, tmp_path, parts)
+        kept = streaming_dedup_against_history(
+            stream, build_history_keys(history), watermark="365 days")
+        return run_to_memory(kept, name, "append").toPandas()
+
+    def test_history_and_stream_dups_drop_nulls_kept(self, spark, tmp_path):
+        got = self._run(spark, tmp_path, 1, "t_sdh1")
+        # doc 1 matches history; docs 2/3 collapse to one; nulls both kept
+        ids = sorted(got["doc_id"])
+        assert 1 not in ids and 4 in ids and 5 in ids and 6 in ids
+        assert sum(1 for i in ids if i in (2, 3)) == 1
+        assert len(ids) == 4
+
+    def test_kept_key_set_is_batch_boundary_independent(self, spark,
+                                                        tmp_path):
+        """The surviving CONTENT-KEY set must not depend on micro-batch
+        boundaries (which row of a dup pair survives may — the key set
+        is the contract, exactly what the oracle checks)."""
+        a = self._run(spark, tmp_path / "a", 1, "t_sdh_a")
+        b = self._run(spark, tmp_path / "b", 4, "t_sdh_b")
+
+        def keyset(pdf):
+            return set(pdf["text"].fillna("__null" +
+                                          pdf["doc_id"].astype(str)))
+        assert keyset(a) == keyset(b)
+        assert len(a) == len(b)
