@@ -1100,34 +1100,29 @@ def q_explain_grad_attribution(spark, sf_dir):
     summing, across-time aggregation. Completeness residual reported per
     feature set (no SQL oracle — iterative training upstream; rows-only,
     fully seeded)."""
-    import numpy as np
-    from caspr_spark.data import transform_and_load
-    from caspr_spark.models.attribution import (
-        feature_names, gradient_x_input, integrated_gradients)
-    from caspr_spark.models.autoencoder import fit_autoencoder
-    from caspr_spark.roles import ColumnRoles
+    from caspr_spark.models.attribution import \
+        attribution_summary_distributed
+    from caspr_spark.train_distributed import fit_deep_autoencoder_ddp
 
-    wide = q_pipeline_events(spark, sf_dir).fillna(0.0)
-    roles = ColumnRoles(tgt_id=["user_id"], activity_date="ts",
-                        cat_cols=["event_type"], cont_cols=["value", "ts"],
-                        seq_cols=["event_type", "value", "ts"],
-                        non_seq_cols=[], output_cols=[])
-    bundle = transform_and_load(wide.toPandas(), roles, seq_len=SEQ_N)
-    model, _ = fit_autoencoder(bundle, hidden_dim=8, epochs=5, lr=3e-3,
-                               batch_size=256, seed=7)
-    from caspr_spark.models.attribution import deeplift
-    gxi = gradient_x_input(model, bundle, target_dim=0)
-    ig, delta = integrated_gradients(model, bundle, target_dim=0, steps=32)
-    dl, dl_delta = deeplift(model, bundle, target_dim=0)
-    names = feature_names(model, bundle)
-    resid = float(np.abs(ig.sum(axis=1) - delta).max())
+    roles = _train_roles()
+    wide = q_pipeline_events(spark, sf_dir).fillna(0.0).persist()
+    try:
+        # DDP pretrain + one distributed attribution pass: neither the
+        # training nor the explanation ever materializes the table
+        # (round 6 — previously both ran on a full driver collect)
+        model, _ = fit_deep_autoencoder_ddp(
+            wide, roles, SEQ_N, arch="mlp", hidden_dim=8, world_size=4,
+            epochs=5, lr=3e-3, seed=7)
+        names, gxi, ig, dl, ig_resid, dl_resid, _n = \
+            attribution_summary_distributed(model, wide, roles, SEQ_N,
+                                            target_dim=0, steps=32)
+    finally:
+        wide.unpersist()
     # DeepLift's Rescale completeness is exact (machine precision), the
     # strongest self-check of the three attribution methods
-    dl_resid = float(np.abs(dl.sum(axis=1) - dl_delta).max())
-    rows = [(names[j], float(round(np.abs(gxi[:, j]).mean(), 5)),
-             float(round(np.abs(ig[:, j]).mean(), 5)),
-             float(round(np.abs(dl[:, j]).mean(), 5)),
-             float(round(resid, 6)), float(round(dl_resid, 9)))
+    rows = [(names[j], float(round(gxi[j], 5)), float(round(ig[j], 5)),
+             float(round(dl[j], 5)), float(round(ig_resid, 6)),
+             float(round(dl_resid, 9)))
             for j in range(len(names))]
     return spark.createDataFrame(
         rows, "feature string, mean_abs_gxi double, mean_abs_ig double, "

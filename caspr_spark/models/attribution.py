@@ -219,3 +219,89 @@ def integrated_gradients(model, bundle: TensorBundle, target_dim: int = 0,
                            None if prof is None else np.zeros_like(prof)
                            )[:, target_dim]
     return attr, h_x - h_0
+
+
+def attribution_summary_distributed(model, wide_df, roles, seq_len: int,
+                                    target_dim: int = 0, steps: int = 32):
+    """Per-feature attribution summary over the WHOLE DataFrame, computed
+    DISTRIBUTED: attribution is row-independent, so each partition
+    streams its Arrow batches through tensorize + the three numpy
+    attribution kernels (gradient×input, integrated gradients,
+    DeepLift-Rescale) and emits one moment row — Σ|attr| per feature
+    per method, the max completeness residuals, and the row count. The
+    driver folds partials into means/maxes; it never holds rows — the
+    same communication shape as the DDP training epoch
+    (``caspr_spark.train_distributed``).
+
+    ``model`` must carry ``ctor_kwargs`` (models fitted by
+    ``fit_deep_autoencoder_ddp`` do) so executors can rebuild it.
+    Returns ``(names, mean_gxi, mean_ig, mean_dl, max_ig_resid,
+    max_dl_resid, n)`` with arrays aligned to ``names``.
+    """
+    import pickle
+
+    cls = type(model)
+    kwargs = model.ctor_kwargs
+    blob = pickle.dumps({k: np.asarray(v)
+                         for k, v in model.state_dict().items()})
+
+    def kernel(batches):
+        import pandas as pd
+
+        from caspr_spark.data.tensorize import transform_and_load
+
+        m = cls(**kwargs)
+        m.load_state(pickle.loads(blob))
+        acc = None
+        n = 0
+        ig_resid = 0.0
+        dl_resid = 0.0
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            b = transform_and_load(pdf, roles, seq_len, keep_ids=False)
+            gxi = gradient_x_input(m, b, target_dim)
+            ig, delta = integrated_gradients(m, b, target_dim, steps=steps)
+            dl, dl_delta = deeplift(m, b, target_dim)
+            part = (np.abs(gxi).sum(axis=0), np.abs(ig).sum(axis=0),
+                    np.abs(dl).sum(axis=0))
+            acc = part if acc is None else tuple(a + p for a, p
+                                                 in zip(acc, part))
+            n += len(pdf)
+            ig_resid = max(ig_resid,
+                           float(np.abs(ig.sum(axis=1) - delta).max()))
+            dl_resid = max(dl_resid,
+                           float(np.abs(dl.sum(axis=1) - dl_delta).max()))
+        yield pd.DataFrame({"n": [n],
+                            "part": [pickle.dumps((acc, ig_resid,
+                                                   dl_resid))]})
+
+    rows = wide_df.mapInPandas(kernel, schema="n long, part binary").collect()
+    parts = [(pickle.loads(bytes(r.part)), int(r.n))
+             for r in rows if r.n > 0]
+    if not parts:
+        raise ValueError("attribution_summary_distributed: empty input")
+    n_tot = sum(n for _, n in parts)
+    sums = [sum(p[0][i] for p, _ in parts) for i in range(3)]
+    max_ig = max(p[1] for p, _ in parts)
+    max_dl = max(p[2] for p, _ in parts)
+
+    # names need only the model config + column roles, not data: build
+    # them from a zero-row bundle carrying the role-ordered column lists
+    seq_cat = [c for c in roles.seq_cols if c in roles.cat_cols]
+    seq_cont = [c for c in roles.seq_cols
+                if c in roles.cont_cols or c in roles.date_cols]
+    non_seq_cat = [c for c in roles.non_seq_cols if c in roles.cat_cols]
+    non_seq_cont = [c for c in roles.non_seq_cols
+                    if c in roles.cont_cols or c in roles.date_cols]
+    shell = TensorBundle(
+        seq_cat=np.zeros((0, seq_len, len(seq_cat)), np.int64),
+        seq_cont=np.zeros((0, seq_len, len(seq_cont)), np.float32),
+        non_seq_cat=np.zeros((0, len(non_seq_cat)), np.int64),
+        non_seq_cont=np.zeros((0, len(non_seq_cont)), np.float32),
+        y=np.zeros((0, 0), np.float32),
+        seq_cols=seq_cat + seq_cont,
+        non_seq_cols=non_seq_cat + non_seq_cont)
+    names = feature_names(model, shell)
+    return (names, sums[0] / n_tot, sums[1] / n_tot, sums[2] / n_tot,
+            max_ig, max_dl, n_tot)

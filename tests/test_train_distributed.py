@@ -114,3 +114,30 @@ class TestVocabFromWide:
         want = [max(int(bundle.seq_cat[..., i].max()) + 1, 2)
                 for i in range(bundle.seq_cat.shape[-1])]
         assert sv == want and nv == []
+
+
+class TestDistributedAttribution:
+    def test_summary_matches_local_kernels(self, spark):
+        from caspr_spark.models.attribution import (
+            attribution_summary_distributed, deeplift, feature_names,
+            gradient_x_input, integrated_gradients)
+        pdf = _wide_pdf()
+        wide = spark.createDataFrame(pdf)
+        model, _ = fit_deep_autoencoder_ddp(wide, ROLES, 4, arch="mlp",
+                                            hidden_dim=6, world_size=2,
+                                            epochs=3, lr=3e-3, seed=9)
+        names, gxi, ig, dl, ig_res, dl_res, n = \
+            attribution_summary_distributed(model, wide, ROLES, 4, steps=16)
+        bundle = transform_and_load(pdf, ROLES, 4)
+        assert n == len(bundle)
+        assert names == feature_names(model, bundle)
+        l_gxi = np.abs(gradient_x_input(model, bundle, 0)).mean(axis=0)
+        l_ig, l_delta = integrated_gradients(model, bundle, 0, steps=16)
+        l_dl, l_dld = deeplift(model, bundle, 0)
+        np.testing.assert_allclose(gxi, l_gxi, rtol=1e-9)
+        np.testing.assert_allclose(ig, np.abs(l_ig).mean(axis=0), rtol=1e-9)
+        np.testing.assert_allclose(dl, np.abs(l_dl).mean(axis=0), rtol=1e-9)
+        assert ig_res == pytest.approx(
+            float(np.abs(l_ig.sum(axis=1) - l_delta).max()), rel=1e-6)
+        assert dl_res == pytest.approx(
+            float(np.abs(l_dl.sum(axis=1) - l_dld).max()), rel=1e-6, abs=1e-12)
