@@ -2381,46 +2381,60 @@ def q_stream_dedup_history(spark, sf_dir):
             .distinct())
 
 
+# Round-6 driver window (slots 1-50). Every one of the 142 oracle
+# queries has now been driver-certified at least once (COVERAGE.md
+# ledger), so the window is chosen by CERTIFICATION RECENCY, computed
+# mechanically from the CORRECTNESS_r0*.json records:
+#   slot 1       stream_dedup_history — the one never-certified oracle
+#                (new this round: streaming incremental corpus dedup),
+#   slots 2-42   every oracle query whose LAST driver certification is
+#                round 3 (the stalest block: simsearch/streaming core,
+#                range/bloom/funnel, metrics, text suite, multimodal,
+#                the w/f/e/p operator rows) — refreshed this round on
+#                the round-6 code paths (rolling_features' fixed-point
+#                refactor, the dedup NULL-key filter, heavy_hitters'
+#                vectorized sketch all sit on these paths),
+#   slots 43-50  eight round-4-certified rows of substance re-led: both
+#                pipeline variants (per-cutoff, composite key), asof
+#                join, curation v1, the PINNED emb_near_dup (proving
+#                its oracle is untouched by the bench demotion),
+#                stream-stream join, rollup, sessionization.
+_R6_WINDOW = [
+    "stream_dedup_history",
+    # -- last certified in round 3 (41 rows) --
+    "simsearch_topk", "stream_static_join", "range_join_campaigns",
+    "hypertable_rollup", "funnel_conversion", "bloom_semi_join",
+    "asof_join_forward", "segment_dec", "j2_semi_prune", "p7_array_pack",
+    "s1_parquet_roundtrip", "score_linear", "metrics_confusion",
+    "metrics_roc_auc", "metrics_roc_auc_binned", "explain_linear_ablation",
+    "x3_trainset_labeled", "dedup_exact", "dedup_components",
+    "dedup_ngram_jaccard", "text_token_counts", "text_quality",
+    "text_langid", "text_fingerprint", "multimodal_binary_meta",
+    "multimodal_features", "multimodal_frames", "w1_rank", "w2_intervals",
+    "f1_history_window", "f2_last_n", "f4_profile_dedup",
+    "f5_outlier_removal", "e1_encode_capped", "e5_normalize_minmax",
+    "e8_date_fill_pivoted", "e9_fill_nans_pivoted", "e10_quantile_bucket",
+    "p1_left_pad", "p3_pivot_last5", "x3_sliding_union",
+    # -- round-4 re-leads (8 rows) --
+    "pipeline_events_percutoff", "pipeline_orders_composite", "asof_join",
+    "llm_curate", "emb_near_dup", "stream_stream_join", "a12_rollup",
+    "w5_sessionize",
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver contract: the correctness gate certifies the FIRST 50 entries.
 
-    141 of the 164 queries carry full DuckDB oracles — more than one
+    142 of the 169 queries carry full DuckDB oracles — more than one
     50-slot window holds — so certification rotates across rounds
-    (COVERAGE.md maps
-    which round certified which row; tools/check_correctness.py re-runs the
-    FULL oracle suite locally each round -> CORRECTNESS_local_r{N}.json).
-    Round-5 ordering discipline (per the round-4 verdict's top item):
-      slots 1-25   the round-4 "part five" batch — corpus cleaning /
-                   curation / data-engineering / monitoring
-                   (clean_* ... drift_psi) — local-oracle green at both
-                   SFs in round 4 but NEVER driver-certified; leading
-                   with them closes that gap (r4 verdict item 1).
-                   fuzzy_join_parts now passes the hot-block cap
-                   explicitly (r4 verdict item 2: cap is the operator
-                   default as of this round),
-      slots 26-36  the oracle queries NEW in round 5 (SCD2, text
-                   normalization, attribution, PageRank, expectations,
-                   resample, skew report, shards, stream top-k,
-                   histogram, grouped top-k) — also getting their FIRST
-                   driver certification, plus slots 37-38 the two added
-                   late in the round — multi-touch attribution, rolling
-                   time-window features, the mergeable bottom-k
-                   quantile sketch rollup (slot 39), group-wise
-                   normalization (slot 40), incremental corpus dedup
-                   (slot 41), the event-type transition matrix
-                   (slot 42); together the window certifies 42
-                   first-timers,
-      slots 43-50  the r2/r3-driver-certified block longest out of the
-                   window (pipelines, streaming suite, simsearch,
-                   range/bloom/funnel/rollup) — refreshed so no oracle
-                   row's last certification ages past two rounds,
-      slots 51+    the displaced tail of that block, then the rows
-                   driver-certified in round 4 (CORRECTNESS_r04 50/50
-                   green), then the remaining r1-certified rows, then
-                   rows-only / no-oracle queries (seeded RNG, iterative)
-                   at the very end.
+    (COVERAGE.md maps which round certified which row;
+    tools/check_correctness.py re-runs the FULL oracle suite locally
+    each round -> CORRECTNESS_local_r{N}.json). The round-6 window is
+    ``_R6_WINDOW`` above — recency-rotated so no oracle row's last
+    driver certification ages more than a couple of rounds; everything
+    else keeps the round-5 relative order behind it.
     """
-    return {
+    base = {
         # --- slots 1-25: the round-4 part-five batch, first driver
         #     certification (corpus cleaning, quality classifier,
         #     token-budget selection, upsert compaction + CDC diff,
@@ -2619,6 +2633,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_tokenize": q_bpe_tokenize,
         "simsearch_topk_pq": q_simsearch_topk_pq,
     }
+    ordered = {n: base[n] for n in _R6_WINDOW}
+    ordered.update((n, f) for n, f in base.items() if n not in ordered)
+    return ordered
 
 
 # --------------------------------------------------------------------------
