@@ -1976,6 +1976,21 @@ def q_quality_hashed_bow(spark, sf_dir):
                     F.round("quality", 6).alias("quality"))
 
 
+def q_quality_train_classifier(spark, sf_dir):
+    """TRAINED quality classifier (filtering.py
+    train_quality_classifier — round 6): distributed full-batch
+    logistic regression over the same md5-bucketed features the scorer
+    consumes, labels = (lang = 'en'). Every distributed sum is a
+    fixed-point BIGINT, so this ITERATIVE optimization carries an EXACT
+    unrolled-CTE oracle (the PageRank discipline applied to model
+    training). Returns the full weight table, bias at bucket -1."""
+    from caspr_spark.llm.filtering import train_quality_classifier
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "__label", (F.col("lang") == "en").cast("double"))
+    return train_quality_classifier(docs, "__label", iterations=3,
+                                    lr=20.0)
+
+
 def q_token_budget_select(spark, sf_dir):
     """Greedy token-budget selection (sampling.py select_to_token_budget
     over global_running_sum): best-documents-first until 20k cumulative
@@ -2385,8 +2400,11 @@ def q_stream_dedup_history(spark, sf_dir):
 # queries has now been driver-certified at least once (COVERAGE.md
 # ledger), so the window is chosen by CERTIFICATION RECENCY, computed
 # mechanically from the CORRECTNESS_r0*.json records:
-#   slot 1       stream_dedup_history — the one never-certified oracle
-#                (new this round: streaming incremental corpus dedup),
+#   slots 1-2    the never-certified oracles new this round:
+#                stream_dedup_history (streaming incremental corpus
+#                dedup) and quality_train_classifier (distributed
+#                fixed-point logistic-regression training with an
+#                exact unrolled-CTE oracle),
 #   slots 2-42   every oracle query whose LAST driver certification is
 #                round 3 (the stalest block: simsearch/streaming core,
 #                range/bloom/funnel, metrics, text suite, multimodal,
@@ -2401,6 +2419,7 @@ def q_stream_dedup_history(spark, sf_dir):
 #                stream-stream join, rollup, sessionization.
 _R6_WINDOW = [
     "stream_dedup_history",
+    "quality_train_classifier",
     # -- last certified in round 3 (41 rows) --
     "simsearch_topk", "stream_static_join", "range_join_campaigns",
     "hypertable_rollup", "funnel_conversion", "bloom_semi_join",
@@ -2417,7 +2436,7 @@ _R6_WINDOW = [
     "p1_left_pad", "p3_pivot_last5", "x3_sliding_union",
     # -- round-4 re-leads (8 rows) --
     "pipeline_events_percutoff", "pipeline_orders_composite", "asof_join",
-    "llm_curate", "emb_near_dup", "stream_stream_join", "a12_rollup",
+    "llm_curate", "emb_near_dup", "stream_stream_join",
     "w5_sessionize",
 ]
 
@@ -2446,6 +2465,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clean_paragraph_dedup": q_clean_paragraph_dedup,
         "clean_boilerplate": q_clean_boilerplate,
         "quality_hashed_bow": q_quality_hashed_bow,
+        "quality_train_classifier": q_quality_train_classifier,
         "token_budget_select": q_token_budget_select,
         "merge_upsert_orders": q_merge_upsert,
         "hybrid_search_rrf": q_hybrid_search_rrf,
@@ -3168,6 +3188,58 @@ def _hashed_bow_sql(src: str = "documents", text: str = "text") -> str:
 
 _UNITS_SQL = _units_sql()
 _HASHED_BOW_SQL = _hashed_bow_sql()
+
+
+def _quality_train_sql(iterations: int = 3, lr: float = 20.0,
+                       n_buckets: int = 1024) -> str:
+    """Unrolled-iteration oracle of filtering.train_quality_classifier:
+    one CTE pair (residuals, weights) per GD epoch, every distributed
+    sum a BIGINT so the unrolling is bit-exact — the same fixed-point
+    discipline as pagerank_sql. MATERIALIZED token/doc relations so
+    DuckDB doesn't re-inline them per epoch."""
+    toks = r"string_split_regex(trim(lower(text)), '\s+')"
+    sig = ("round(1/(1+exp(-( (SELECT bias_fx FROM {pb})/1000000000.0 "
+           "+ s.s_fx/1000000000.0/d.n_tok ))), 6)")
+    sql = rf"""
+WITH t AS MATERIALIZED (
+  SELECT doc_id,
+         (('0x'||substr(md5(tok),1,8))::ubigint % {n_buckets})::int
+           AS bucket,
+         count(*)::bigint AS cnt
+  FROM (SELECT doc_id, unnest({toks}) AS tok FROM documents)
+  GROUP BY doc_id, bucket),
+d AS MATERIALIZED (
+  SELECT doc_id, len({toks})::bigint AS n_tok,
+         CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+  FROM documents),
+nd AS (SELECT count(*)::bigint AS n FROM documents),
+w0 AS (SELECT r.range::int AS bucket, 0::bigint AS wq FROM range({n_buckets}) r),
+b0 AS (SELECT 0::bigint AS bias_fx)"""
+    pw, pb = "w0", "b0"
+    for i in range(1, iterations + 1):
+        p = sig.format(pb=pb)
+        sql += f""",
+s{i} AS (SELECT t.doc_id, sum(t.cnt * w.wq)::bigint AS s_fx
+  FROM t JOIN {pw} w USING (bucket) GROUP BY t.doc_id),
+r{i} AS (SELECT d.doc_id,
+  round(({p} - d.y)/d.n_tok*1000000000.0)::bigint AS rq,
+  round(({p} - d.y)*1000000000.0)::bigint AS rb
+  FROM d JOIN s{i} s USING (doc_id)),
+g{i} AS (SELECT t.bucket, sum(t.cnt * r.rq)::bigint AS g_fx
+  FROM t JOIN r{i} r USING (doc_id) GROUP BY t.bucket),
+w{i} AS (SELECT w.bucket,
+  (w.wq - round({lr} * coalesce(g.g_fx, 0) / (SELECT n FROM nd))::bigint)
+    ::bigint AS wq
+  FROM {pw} w LEFT JOIN g{i} g USING (bucket)),
+b{i} AS (SELECT ((SELECT bias_fx FROM {pb})
+  - round({lr} * (SELECT sum(rb) FROM r{i}) / (SELECT n FROM nd))::bigint)
+    ::bigint AS bias_fx)"""
+        pw, pb = f"w{i}", f"b{i}"
+    sql += f"""
+SELECT -1 AS bucket, (SELECT bias_fx FROM {pb}) AS weight_fx
+UNION ALL
+SELECT bucket, wq AS weight_fx FROM {pw}"""
+    return sql
 
 
 def _profile_sql(table: str, cols: list[str],
@@ -4352,6 +4424,8 @@ GROUP BY d.doc_id""",
 SELECT doc_id, n_tokens,
        round(1/(1+exp(-(wsum/n_tokens))), 6) AS quality
 FROM ({_HASHED_BOW_SQL})""",
+        "quality_train_classifier": _quality_train_sql(iterations=3,
+                                                       lr=20.0),
         "token_budget_select": f"""
 WITH s AS (
  SELECT doc_id, n_tokens,

@@ -220,3 +220,108 @@ def decontaminate(train: DataFrame, benchmark: DataFrame,
                     .join(bench, on="gram_hash", how="left_semi")
                     .select(id_col).distinct())
     return train.join(contaminated, on=id_col, how="left_anti")
+
+
+# --------------------------------------------------------------------------
+# trainable quality classifier (distributed full-batch logistic regression)
+# --------------------------------------------------------------------------
+
+
+def _round_half_away(x: float) -> int:
+    """round-half-away-from-zero — what Spark's ``round()`` and DuckDB's
+    ``round()`` both do (Python's builtin ``round`` is banker's and would
+    silently diverge the driver-side weight updates from the oracle)."""
+    import math
+    return int(math.floor(abs(x) + 0.5)) * (1 if x >= 0 else -1)
+
+
+def train_quality_classifier(df: DataFrame, label_col: str,
+                             id_col: str = "doc_id",
+                             text_col: str = "text",
+                             n_buckets: int = 1024, iterations: int = 3,
+                             lr: float = 20.0,
+                             fx: int = 10**9) -> DataFrame:
+    """TRAIN the hashed-BoW quality classifier distributed — full-batch
+    logistic regression over the md5-bucketed mean-count features that
+    :func:`quality_score_hashed_bow` consumes, so the learned vector
+    plugs straight into the scorer (``weights=[wq/fx ...]``,
+    ``bias=bias_fx/fx``).
+
+    Per epoch (synchronous full-batch GD):
+
+    1. per-doc logit — ``Σ cnt·wq[bucket]`` over the persisted
+       (doc, bucket, cnt) relation with the weights as a broadcast
+       array literal (ONE keyed aggregation, no weight join);
+    2. residuals — sigmoid rounded to 6dp, quantized to ``fx``
+       fixed-point BIGINTs;
+    3. bucket gradients — ``Σ cnt·rq`` grouped by bucket (ONE keyed
+       join + aggregation; ≤ ``n_buckets`` rows reach the driver);
+    4. the driver applies the update in integer fixed point.
+
+    Every distributed sum is over BIGINTs, so the result is EXACTLY
+    partition-order independent and an unrolled SQL oracle reproduces
+    the weights bit-for-bit — the same discipline as the PageRank
+    fixed-point oracle. (The one transcendental, ``exp``, is evaluated
+    per scalar and rounded to 6dp before quantization; a last-ulp libm
+    divergence landing exactly on a rounding boundary is the only
+    theoretical mismatch, ~1e-10 per evaluation.)
+
+    Returns ``(bucket int, weight_fx bigint)`` with the bias at
+    ``bucket = -1`` — ``n_buckets + 1`` rows, hash-comparable.
+
+    100 TB shape: the token explode + (doc,bucket) count runs once and
+    persists; each epoch re-scans that compact relation (vocabulary-
+    bounded per doc), never the text. The driver holds the
+    ``n_buckets`` weight vector only.
+    """
+    words = _words(F.col(text_col))
+    base = df.select(F.col(id_col).alias("__id"),
+                     F.col(label_col).cast("double").alias("__y"),
+                     words.alias("__w"))
+    d = base.select("__id", "__y", F.size("__w").cast("long")
+                    .alias("__n")).persist()
+    nb = F.lit(n_buckets)
+    t = (base.select("__id", F.explode("__w").alias("__t"))
+         .select("__id",
+                 (F.conv(F.substring(F.md5("__t"), 1, 8), 16, 10)
+                  .cast("long") % nb).cast("int").alias("bucket"))
+         .groupBy("__id", "bucket")
+         .agg(F.count(F.lit(1)).alias("cnt")).persist())
+    try:
+        n_docs = d.count()
+        if n_docs == 0:
+            raise ValueError("train_quality_classifier: empty input")
+        wq = [0] * n_buckets
+        bias_fx = 0
+        fxf = float(fx)
+        for _ in range(iterations):
+            arr = F.array(*[F.lit(int(v)) for v in wq])
+            s = t.groupBy("__id").agg(
+                F.sum(F.col("cnt")
+                      * F.element_at(arr, F.col("bucket") + 1))
+                .alias("s_fx"))
+            z = (F.lit(bias_fx / fx)
+                 + F.col("s_fx") / F.lit(fxf) / F.col("__n"))
+            pq = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
+            r = (d.join(s, "__id")
+                 .select("__id",
+                         F.round((pq - F.col("__y")) / F.col("__n") * fxf)
+                         .cast("long").alias("rq"),
+                         F.round((pq - F.col("__y")) * fxf)
+                         .cast("long").alias("rb"))).persist()
+            gb = r.agg(F.sum("rb")).first()[0]
+            g = (t.join(r, "__id").groupBy("bucket")
+                 .agg(F.sum(F.col("cnt") * F.col("rq")).alias("g_fx"))
+                 .collect())
+            r.unpersist()
+            for row in g:
+                b = int(row["bucket"])
+                wq[b] -= _round_half_away(lr * int(row["g_fx"]) / n_docs)
+            bias_fx -= _round_half_away(lr * int(gb) / n_docs)
+    finally:
+        d.unpersist()
+        t.unpersist()
+    rows = [(-1, int(bias_fx))] + [(b, int(wq[b]))
+                                   for b in range(n_buckets)]
+    return df.sparkSession.createDataFrame(rows,
+                                           "bucket int, weight_fx long")

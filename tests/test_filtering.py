@@ -127,3 +127,87 @@ class TestBM25:
         df = _docs(spark, [(1, "cat dog")])
         plan = bm25_topk(df, ["cat"], k=5)._jdf.queryExecution().executedPlan().toString()
         assert "TakeOrderedAndProject" in plan
+
+
+class TestTrainQualityClassifier:
+    def _labeled(self, spark):
+        rows = [(i, "alpha beta gamma shared words", 1.0) for i in range(12)]
+        rows += [(100 + i, "delta epsilon zeta shared words", 0.0)
+                 for i in range(10)]
+        return spark.createDataFrame(rows,
+                                     "doc_id long, text string, y double")
+
+    @staticmethod
+    def _train_numpy(rows, n_buckets=1024, iterations=3, lr=20.0,
+                     fx=10**9):
+        """In-memory twin of the distributed trainer — same md5
+        bucketing, 6dp sigmoid, fixed-point residuals, half-away
+        rounding — asserts the distributed integer sums are EXACT."""
+        import hashlib
+        import math
+
+        import numpy as np
+
+        def rhalf(x):
+            return int(math.floor(abs(x) + 0.5)) * (1 if x >= 0 else -1)
+
+        docs = []
+        for did, text, y in rows:
+            toks = text.strip().lower().split()
+            cnt = {}
+            for tok in toks:
+                b = int(hashlib.md5(tok.encode()).hexdigest()[:8],
+                        16) % n_buckets
+                cnt[b] = cnt.get(b, 0) + 1
+            docs.append((cnt, len(toks), y))
+        n = len(docs)
+        wq = np.zeros(n_buckets, dtype=np.int64)
+        bias_fx = 0
+        for _ in range(iterations):
+            g = np.zeros(n_buckets, dtype=np.int64)
+            gb = 0
+            for cnt, ntok, y in docs:
+                s_fx = sum(c * int(wq[b]) for b, c in cnt.items())
+                z = bias_fx / fx + s_fx / fx / ntok
+                p = round(1.0 / (1.0 + np.exp(-z)), 6)
+                rq = rhalf((p - y) / ntok * fx)
+                gb += rhalf((p - y) * fx)
+                for b, c in cnt.items():
+                    g[b] += c * rq
+            for b in range(n_buckets):
+                wq[b] -= rhalf(lr * int(g[b]) / n)
+            bias_fx -= rhalf(lr * gb / n)
+        return wq, bias_fx
+
+    def test_exact_match_with_numpy_twin(self, spark):
+        from caspr_spark.llm.filtering import train_quality_classifier
+        df = self._labeled(spark)
+        got = {r.bucket: r.weight_fx
+               for r in train_quality_classifier(df, "y").collect()}
+        rows = [(r.doc_id, r.text, r.y) for r in df.collect()]
+        wq, bias_fx = self._train_numpy(rows)
+        assert got[-1] == bias_fx
+        for b in range(1024):
+            assert got[b] == int(wq[b]), b
+
+    def test_learned_weights_separate_classes(self, spark):
+        from caspr_spark.llm.filtering import (quality_score_hashed_bow,
+                                               train_quality_classifier)
+        df = self._labeled(spark)
+        w = {r.bucket: r.weight_fx
+             for r in train_quality_classifier(df, "y", iterations=6,
+                                               lr=50.0).collect()}
+        weights = [w.get(b, 0) / 1e9 for b in range(1024)]
+        scored = quality_score_hashed_bow(df, weights=weights,
+                                          bias=w[-1] / 1e9) \
+            .join(df.select("doc_id", "y"), "doc_id")
+        rows = scored.select("y", "quality").collect()
+        pos = [r.quality for r in rows if r.y == 1.0]
+        neg = [r.quality for r in rows if r.y == 0.0]
+        assert min(pos) > max(neg)   # perfectly separable toy corpus
+
+    def test_empty_input_raises(self, spark):
+        from caspr_spark.llm.filtering import train_quality_classifier
+        df = spark.createDataFrame([], "doc_id long, text string, y double")
+        with pytest.raises(ValueError, match="empty"):
+            train_quality_classifier(df, "y")
