@@ -1678,6 +1678,36 @@ def q_pagerank_docs(spark, sf_dir):
                     iterations=5)
 
 
+def q_triangle_docs(spark, sf_dir):
+    """Triangle counts over the winnowing similarity graph (graph.py
+    triangle_count — round 6): local-clustering structure of the
+    near-dup graph (dense triangle neighborhoods = template families).
+    Smallest-vertex wedge enumeration + closure semi-join — each
+    triangle found exactly once, two equi-joins and a hash agg, fully
+    SQL-oracle-expressible."""
+    from caspr_spark.llm.dedup import winnow_pairs
+    from caspr_spark.operators.graph import triangle_count
+    docs = _t(spark, sf_dir, "documents")
+    pairs = winnow_pairs(docs, k=4, window=5, min_shared=2, max_df=1000)
+    per_node, total = triangle_count(pairs, src="id_a", dst="id_b")
+    return per_node.withColumn("total_triangles",
+                               F.lit(int(total)).cast("long"))
+
+
+def q_lpa_docs(spark, sf_dir):
+    """Label-propagation communities over the winnowing similarity
+    graph (graph.py label_propagation — round 6): synchronous rounds,
+    most-frequent neighbor label with smallest-label tie-break —
+    integer counts + total tie order make this ITERATIVE algorithm
+    exactly reproducible, so it carries an unrolled-CTE oracle like
+    PageRank."""
+    from caspr_spark.llm.dedup import winnow_pairs
+    from caspr_spark.operators.graph import label_propagation
+    docs = _t(spark, sf_dir, "documents")
+    pairs = winnow_pairs(docs, k=4, window=5, min_shared=2, max_df=1000)
+    return label_propagation(pairs, src="id_a", dst="id_b", iterations=4)
+
+
 def q_related_docs(spark, sf_dir):
     """TF-IDF more-like-this retrieval (search.py related_documents):
     top-3 related docs per doc by sparse-vector cosine. Pairs form
@@ -2400,11 +2430,14 @@ def q_stream_dedup_history(spark, sf_dir):
 # queries has now been driver-certified at least once (COVERAGE.md
 # ledger), so the window is chosen by CERTIFICATION RECENCY, computed
 # mechanically from the CORRECTNESS_r0*.json records:
-#   slots 1-2    the never-certified oracles new this round:
+#   slots 1-4    the never-certified oracles new this round:
 #                stream_dedup_history (streaming incremental corpus
-#                dedup) and quality_train_classifier (distributed
+#                dedup), quality_train_classifier (distributed
 #                fixed-point logistic-regression training with an
-#                exact unrolled-CTE oracle),
+#                exact unrolled-CTE oracle), triangle_docs (exact
+#                wedge-closure triangle counts), lpa_docs
+#                (deterministic synchronous label-propagation
+#                communities, unrolled-CTE oracle),
 #   slots 2-42   every oracle query whose LAST driver certification is
 #                round 3 (the stalest block: simsearch/streaming core,
 #                range/bloom/funnel, metrics, text suite, multimodal,
@@ -2420,6 +2453,8 @@ def q_stream_dedup_history(spark, sf_dir):
 _R6_WINDOW = [
     "stream_dedup_history",
     "quality_train_classifier",
+    "triangle_docs",
+    "lpa_docs",
     # -- last certified in round 3 (41 rows) --
     "simsearch_topk", "stream_static_join", "range_join_campaigns",
     "hypertable_rollup", "funnel_conversion", "bloom_semi_join",
@@ -2436,8 +2471,7 @@ _R6_WINDOW = [
     "p1_left_pad", "p3_pivot_last5", "x3_sliding_union",
     # -- round-4 re-leads (8 rows) --
     "pipeline_events_percutoff", "pipeline_orders_composite", "asof_join",
-    "llm_curate", "emb_near_dup", "stream_stream_join",
-    "w5_sessionize",
+    "llm_curate", "emb_near_dup",
 ]
 
 
@@ -2497,6 +2531,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_normalize": q_text_normalize,
         "attribution_last_touch": q_attribution_last_touch,
         "pagerank_docs": q_pagerank_docs,
+        "triangle_docs": q_triangle_docs,
+        "lpa_docs": q_lpa_docs,
         "expectations_events": q_expectations_events,
         "resample_daily": q_resample_daily,
         "skew_report": q_skew_report,
@@ -3351,6 +3387,26 @@ WHERE a.doc_id < b.doc_id
 GROUP BY 1, 2
 HAVING count(*) >= 2"""
 
+
+
+def _triangle_sql_entry() -> str:
+    """Oracle twin of q_triangle_docs: the winnowing pair graph as the
+    edge CTE through graph.triangle_count_sql, plus the global count
+    (each triangle appears at its three vertices, so sum/3)."""
+    from caspr_spark.operators.graph import triangle_count_sql
+    inner = triangle_count_sql(
+        "SELECT id_a AS src, id_b AS dst FROM (" + _WINNOW_PAIRS_SQL + ")")
+    return (f"SELECT id, triangles, (sum(triangles) OVER () / 3)::bigint "
+            f"AS total_triangles FROM ({inner})")
+
+
+def _lpa_sql_entry() -> str:
+    """Oracle twin of q_lpa_docs: 4 unrolled synchronous LPA rounds over
+    the winnowing pair graph."""
+    from caspr_spark.operators.graph import label_propagation_sql
+    return label_propagation_sql(
+        "SELECT id_a AS src, id_b AS dst FROM (" + _WINNOW_PAIRS_SQL + ")",
+        iterations=4)
 
 
 def _pagerank_sql_entry() -> str:
@@ -4274,6 +4330,8 @@ SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
 FROM c""",
         "winnow_pairs": _WINNOW_PAIRS_SQL,
         "pagerank_docs": _pagerank_sql_entry(),
+        "triangle_docs": _triangle_sql_entry(),
+        "lpa_docs": _lpa_sql_entry(),
         "expectations_events": _expectations_sql_entry(),
         "skew_report": """
 WITH c AS (SELECT l_orderkey::varchar AS key, count(*) AS cnt

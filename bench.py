@@ -105,6 +105,15 @@ EXTENDED_QUERIES = [
     "normalize_by_group",
     "dedup_incremental",
     "transition_matrix",
+    # round-6 operators: streaming incremental dedup, oracle-exact
+    # LR training, wedge-closure triangles, LPA communities, the
+    # distributed deep-AE fit + DEC (rows-only upstream, timed here)
+    "stream_dedup_history",
+    "quality_train_classifier",
+    "triangle_docs",
+    "lpa_docs",
+    "train_ae_ddp",
+    "segment_dec_fit",
 ]
 
 

@@ -178,3 +178,190 @@ pr{i} AS (
     GROUP BY e.dst) s ON nodes.id = s.id)"""
     sql += f"\nSELECT id, round(rank, 9) AS rank FROM pr{iterations}"
     return sql
+
+
+def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst",
+                   max_degree: int | None = None):
+    """Per-node and global triangle counts over an undirected pair table
+    — the local-clustering probe for the similarity graphs the dedup
+    stack produces (dense triangle neighborhoods = template/boilerplate
+    families; triangle-free hubs = spam link stars).
+
+    The standard distributed formulation: canonicalize each edge to
+    ``(lo, hi)`` with ``lo < hi`` (dropping self-loops and duplicate
+    orientations), join the edge list with itself on the shared LOW
+    endpoint to enumerate wedges ``lo -> (hi1 < hi2)``, then semi-join
+    the wedge's closing pair against the edge table. Every triangle
+    ``a < b < c`` is found exactly once (as the wedge at its smallest
+    vertex joined to edge ``(b, c)``), so no division by 3/6 is needed
+    and the count is EXACT — the whole thing is two equi-joins and a
+    hash aggregation, SQL-oracle-expressible.
+
+    ``max_degree`` drops vertices whose degree exceeds the cap BEFORE
+    wedge generation — a hot vertex of degree d fans out d·(d-1)/2
+    wedges, the same quadratic hot-key hazard as ``winnow_pairs``'
+    ``max_df``; the cap states the recall tradeoff instead of hiding
+    the blowup (triangles through dropped hubs are not counted).
+
+    Returns ``(per_node, total)``: ``per_node`` = (id, triangles) for
+    every vertex of the (capped) graph including zero rows; ``total`` =
+    global triangle count (int).
+    """
+    from caspr_spark.sources import ensure_parallelism
+
+    e = (ensure_parallelism(edges)
+         .select(F.least(F.col(src), F.col(dst)).alias("lo"),
+                 F.greatest(F.col(src), F.col(dst)).alias("hi"))
+         .filter(F.col("lo") < F.col("hi"))
+         .distinct())
+    if max_degree is not None:
+        if max_degree < 2:
+            raise ValueError(f"max_degree must be >= 2, got {max_degree}")
+        deg = (e.select(F.col("lo").alias("id"))
+               .unionAll(e.select(F.col("hi").alias("id")))
+               .groupBy("id").agg(F.count(F.lit(1)).alias("__d"))
+               .filter(F.col("__d") <= max_degree).select("id"))
+        e = (e.join(deg.withColumnRenamed("id", "lo"), "lo", "left_semi")
+              .join(deg.withColumnRenamed("id", "hi"), "hi", "left_semi"))
+    e = register_cache(e.persist())   # wedge join + closure probe + nodes
+
+    wedges = (e.alias("e1").join(e.alias("e2"), on="lo")
+              .filter(F.col("e1.hi") < F.col("e2.hi"))
+              .select(F.col("lo").alias("a"),
+                      F.col("e1.hi").alias("b"),
+                      F.col("e2.hi").alias("c")))
+    tri = wedges.join(
+        e.select(F.col("lo").alias("b"), F.col("hi").alias("c")),
+        on=["b", "c"], how="left_semi")
+    tri = register_cache(tri.persist())
+
+    nodes = (e.select(F.col("lo").alias("id"))
+             .unionAll(e.select(F.col("hi").alias("id"))).distinct())
+    per_vertex = (tri.select(F.col("a").alias("id"))
+                  .unionAll(tri.select(F.col("b").alias("id")))
+                  .unionAll(tri.select(F.col("c").alias("id")))
+                  .groupBy("id").agg(F.count(F.lit(1)).alias("triangles")))
+    per_node = (nodes.join(per_vertex, on="id", how="left")
+                .select("id", F.coalesce("triangles", F.lit(0))
+                        .cast("long").alias("triangles")))
+    total = tri.count()
+    return per_node, int(total)
+
+
+def triangle_count_sql(edges_cte: str, max_degree: int | None = None) -> str:
+    """DuckDB oracle twin of :func:`triangle_count`'s per-node output:
+    ``edges_cte`` must yield (src, dst) pairs; same canonicalization,
+    optional degree cap, smallest-vertex wedge enumeration."""
+    cap = ""
+    if max_degree is not None:
+        cap = f"""
+, deg AS (SELECT id FROM (
+    SELECT lo AS id FROM e0 UNION ALL SELECT hi FROM e0)
+  GROUP BY id HAVING count(*) <= {max_degree})
+, e AS (SELECT lo, hi FROM e0
+        WHERE lo IN (SELECT id FROM deg) AND hi IN (SELECT id FROM deg))"""
+    else:
+        cap = ", e AS (SELECT lo, hi FROM e0)"
+    return f"""
+WITH raw AS ({edges_cte}),
+e0 AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS lo, greatest(src, dst) AS hi
+  FROM raw WHERE least(src, dst) < greatest(src, dst)){cap}
+, tri AS MATERIALIZED (
+  SELECT w.a, w.b, w.c
+  FROM (SELECT e1.lo AS a, e1.hi AS b, e2.hi AS c
+        FROM e e1 JOIN e e2 ON e1.lo = e2.lo AND e1.hi < e2.hi) w
+  WHERE EXISTS (SELECT 1 FROM e WHERE e.lo = w.b AND e.hi = w.c)),
+nodes AS (SELECT DISTINCT id FROM (
+  SELECT lo AS id FROM e UNION ALL SELECT hi FROM e))
+SELECT n.id, coalesce(t.triangles, 0)::bigint AS triangles
+FROM nodes n LEFT JOIN (
+  SELECT id, count(*)::bigint AS triangles FROM (
+    SELECT a AS id FROM tri UNION ALL SELECT b FROM tri
+    UNION ALL SELECT c FROM tri)
+  GROUP BY id) t USING (id)"""
+
+
+def label_propagation(edges: DataFrame, src: str = "src", dst: str = "dst",
+                      iterations: int = 5,
+                      id_out: str = "id",
+                      label_out: str = "label") -> DataFrame:
+    """Synchronous label-propagation communities over an undirected pair
+    table — the lightweight community detector for the similarity
+    graphs the dedup stack produces (connected components finds the
+    reachability clusters; LPA splits dense components into cohesive
+    template families).
+
+    Determinism contract (what makes the unrolled SQL oracle possible
+    for this ITERATIVE algorithm): labels init to the node id; each
+    synchronous round every node adopts the MOST FREQUENT label among
+    its neighbors, ties broken by the SMALLEST label. Frequencies are
+    integer counts and the tie-break is total, so every engine replays
+    the identical label sequence — no RNG, no float.
+
+    Scale shape per round: one equi-join of the node-sized label
+    relation to the edge table + one (node, label) hash aggregation +
+    one deterministic top-1 window per node. Edges partition by the
+    message destination once; each round's labels are
+    ``localCheckpoint``-ed so lineage stays O(1) over rounds (the
+    PageRank discipline). Synchronous LPA can 2-cycle on bipartite
+    structures — iterations are bounded, not converged, and the round
+    count is part of the result's identity.
+    """
+    from pyspark.sql import Window
+
+    from caspr_spark.sources import ensure_parallelism
+
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1, got {iterations}")
+    base = (ensure_parallelism(edges)
+            .select(F.col(src).alias("a"), F.col(dst).alias("b"))
+            .filter(F.col("a") != F.col("b")))
+    # both orientations: each node hears every neighbor
+    e = base.unionAll(base.select(F.col("b").alias("a"),
+                                  F.col("a").alias("b"))).distinct()
+    e, e_handle = checkpoint_leaf(e.repartition("b"))
+    register_cache(e_handle)
+    labels = e.select(F.col("a").alias("v")).distinct() \
+        .withColumn("lab", F.col("v"))
+    w = Window.partitionBy("v").orderBy(F.col("__n").desc(),
+                                        F.col("lab").asc())
+    for _ in range(iterations):
+        msgs = e.join(labels.withColumnRenamed("v", "b"), on="b") \
+            .select(F.col("a").alias("v"), "lab")
+        counts = msgs.groupBy("v", "lab").agg(F.count(F.lit(1)).alias("__n"))
+        labels = (counts.withColumn("__rn", F.row_number().over(w))
+                  .filter(F.col("__rn") == 1).select("v", "lab"))
+        labels, h = checkpoint_leaf(labels)
+        register_cache(h)
+    return labels.select(F.col("v").alias(id_out),
+                         F.col("lab").alias(label_out))
+
+
+def label_propagation_sql(edges_cte: str, iterations: int = 5) -> str:
+    """Unrolled-iteration oracle of :func:`label_propagation`:
+    ``edges_cte`` yields (src, dst); one (messages → top-1) CTE pair
+    per synchronous round, integer counts + smallest-label tie-break."""
+    sql = f"""
+WITH raw AS ({edges_cte}),
+e AS MATERIALIZED (
+  SELECT DISTINCT a, b FROM (
+    SELECT src AS a, dst AS b FROM raw WHERE src <> dst
+    UNION ALL
+    SELECT dst AS a, src AS b FROM raw WHERE src <> dst)),
+l0 AS (SELECT DISTINCT a AS v, a AS lab FROM e)"""
+    prev = "l0"
+    for i in range(1, iterations + 1):
+        sql += f""",
+l{i} AS (
+  SELECT v, lab FROM (
+    SELECT e.a AS v, l.lab, count(*) AS n,
+           row_number() OVER (PARTITION BY e.a
+                              ORDER BY count(*) DESC, l.lab ASC) AS rn
+    FROM e JOIN {prev} l ON e.b = l.v
+    GROUP BY e.a, l.lab)
+  WHERE rn = 1)"""
+        prev = f"l{i}"
+    sql += f"""
+SELECT v AS id, lab AS label FROM {prev}"""
+    return sql

@@ -123,3 +123,74 @@ class TestPagerankEdgeCases:
         handle.unpersist()
         assert ids() == before             # other's cache untouched
         other.unpersist()
+
+
+class TestTriangleCount:
+    def _edges(self, spark, rows):
+        return spark.createDataFrame(rows, "src long, dst long")
+
+    def test_hand_computed(self, spark):
+        from caspr_spark.operators.graph import triangle_count
+        # K4 on {1,2,3,4} (4 triangles) + pendant 5 (0 triangles)
+        k4 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+        per_node, total = triangle_count(self._edges(spark, k4 + [(4, 5)]))
+        got = {r.id: r.triangles for r in per_node.collect()}
+        # each K4 vertex sits in C(3,2)=3 triangles
+        assert got == {1: 3, 2: 3, 3: 3, 4: 3, 5: 0}
+        assert total == 4
+
+    def test_orientation_and_duplicates_collapse(self, spark):
+        from caspr_spark.operators.graph import triangle_count
+        tri = [(1, 2), (2, 1), (2, 3), (3, 1), (1, 3), (1, 1)]
+        per_node, total = triangle_count(self._edges(spark, tri))
+        assert total == 1
+        assert {r.triangles for r in per_node.collect()} == {1}
+
+    def test_degree_cap_drops_hub_triangles(self, spark):
+        from caspr_spark.operators.graph import triangle_count
+        # star hub 0 connected to 1..5, plus a triangle 1-2 edge
+        edges = [(0, i) for i in range(1, 6)] + [(1, 2)]
+        _, total_uncapped = triangle_count(self._edges(spark, edges))
+        per_node, total = triangle_count(self._edges(spark, edges),
+                                         max_degree=3)
+        assert total_uncapped == 1          # 0-1-2
+        assert total == 0                   # hub dropped, stated recall
+        assert 0 not in {r.id for r in per_node.collect()}
+
+    def test_validation(self, spark):
+        from caspr_spark.operators.graph import triangle_count
+        with pytest.raises(ValueError, match="max_degree"):
+            triangle_count(self._edges(spark, [(1, 2)]), max_degree=1)
+
+
+class TestLabelPropagation:
+    def test_two_cliques_with_bridge(self, spark):
+        from caspr_spark.operators.graph import label_propagation
+        c1 = [(a, b) for a in (1, 2, 3) for b in (1, 2, 3) if a < b]
+        c2 = [(a, b) for a in (10, 11, 12) for b in (10, 11, 12) if a < b]
+        edges = spark.createDataFrame(c1 + c2 + [(3, 10)],
+                                      "src long, dst long")
+        out = label_propagation(edges, iterations=4)
+        lab = {r.id: r.label for r in out.collect()}
+        # each clique converges to its smallest member's label
+        assert lab[1] == lab[2] == lab[3] == 1
+        assert lab[10] == lab[11] == lab[12]
+
+    def test_deterministic_across_runs(self, spark):
+        from caspr_spark.operators.graph import label_propagation
+        import random
+        rnd = random.Random(7)
+        edges = spark.createDataFrame(
+            [(rnd.randrange(30), rnd.randrange(30)) for _ in range(80)],
+            "src long, dst long")
+        a = {(r.id, r.label)
+             for r in label_propagation(edges, iterations=3).collect()}
+        b = {(r.id, r.label)
+             for r in label_propagation(edges, iterations=3).collect()}
+        assert a == b
+
+    def test_validation(self, spark):
+        from caspr_spark.operators.graph import label_propagation
+        edges = spark.createDataFrame([(1, 2)], "src long, dst long")
+        with pytest.raises(ValueError, match="iterations"):
+            label_propagation(edges, iterations=0)
