@@ -209,6 +209,136 @@ def lstm_encoder_graph(model, seq_len: int) -> GraphProgram:
     return g
 
 
+def sequence_ae_encoder_graph(model) -> GraphProgram:
+    """Encoder graph for a TRAINED
+    :class:`~caspr_spark.models.autoencoder.SequenceAutoencoder` — all
+    three encoder variants:
+
+    - ``mlp``: embedding Gathers → flatten Reshape → ``W_enc`` + tanh;
+    - ``lstm``: the unrolled gate recurrence (We/Ue/be, gate order
+      i,f,z,o) with the zero initial state folded away algebraically,
+      last hidden state → ``W_enc`` + tanh;
+    - ``lstm_attention``: same recurrence keeping EVERY step's state;
+      Bahdanau pooling as standard ops — per-step score
+      ``tanh(h_t·Wa)·va + vb``, Softmax over time, context via one
+      batched ``[N,1,T]×[N,T,H]`` MatMul — then ``W_enc`` + tanh.
+
+    Profile columns (when present) ride through their own Gathers and
+    ``W_prof`` into the pre-tanh sum, exactly like the numpy forward.
+    Standard opset ops only (Gather/MatMul/Softmax/Tanh/…), zero
+    custom ops; batch axis dynamic, ``seq_len`` baked by the unroll.
+    """
+    g = GraphProgram()
+    p = model.params
+    T, H = model.seq_len, model.hidden_dim
+    n_cat = len(model.seq_vocab)
+    n_cont = model.n_seq_cont
+
+    if n_cat:
+        g.inputs["seq_cat"] = (np.int64, ("batch", T, n_cat))
+    if n_cont:
+        g.inputs["seq_cont"] = (np.float32, ("batch", T, n_cont))
+    parts = []
+    for i in range(n_cat):
+        g.const(f"emb_s{i}", np.asarray(p[f"emb_s{i}"], dtype=np.float32))
+        idx = g.emit("Slice", ["seq_cat"],
+                     {"starts": [i], "ends": [i + 1], "axes": [2]})
+        idx = g.emit("Squeeze", [idx], {"axes": [2]})
+        parts.append(g.emit("Gather", [f"emb_s{i}", idx], {"axis": 0}))
+    if n_cont:
+        parts.append("seq_cont")
+    x = parts[0] if len(parts) == 1 else g.emit(
+        "Concat", parts, {"axis": -1})                      # [N,T,F]
+
+    g.const("W_enc", np.asarray(p["W_enc"], dtype=np.float32))
+    g.const("b_enc", np.asarray(p["b_enc"], dtype=np.float32))
+    if model.encoder == "mlp":
+        g.const("__shape_flat",
+                np.asarray([0, T * model.F], dtype=np.int64))
+        flat = g.emit("Reshape", [x, "__shape_flat"])
+        pre = g.emit("Add", [g.emit("MatMul", [flat, "W_enc"]), "b_enc"])
+    else:
+        g.const("We", np.asarray(p["We"], dtype=np.float32))
+        g.const("Ue", np.asarray(p["Ue"], dtype=np.float32))
+        g.const("be", np.asarray(p["be"], dtype=np.float32))
+        h = c = None
+        hs = []
+        for t in range(T):
+            xt = g.emit("Slice", [x], {"starts": [t], "ends": [t + 1],
+                                       "axes": [1]})
+            xt = g.emit("Squeeze", [xt], {"axes": [1]})      # [N,F]
+            gates = g.emit("Add", [g.emit("MatMul", [xt, "We"]), "be"])
+            if h is not None:
+                gates = g.emit("Add", [gates,
+                                       g.emit("MatMul", [h, "Ue"])])
+            i_g = g.emit("Sigmoid", [g.emit(
+                "Slice", [gates], {"starts": [0], "ends": [H],
+                                   "axes": [1]})])
+            f_g = g.emit("Sigmoid", [g.emit(
+                "Slice", [gates], {"starts": [H], "ends": [2 * H],
+                                   "axes": [1]})])
+            z_g = g.emit("Tanh", [g.emit(
+                "Slice", [gates], {"starts": [2 * H], "ends": [3 * H],
+                                   "axes": [1]})])
+            o_g = g.emit("Sigmoid", [g.emit(
+                "Slice", [gates], {"starts": [3 * H], "ends": [4 * H],
+                                   "axes": [1]})])
+            iz = g.emit("Mul", [i_g, z_g])
+            c = iz if c is None else g.emit(
+                "Add", [g.emit("Mul", [f_g, c]), iz])
+            h = g.emit("Mul", [o_g, g.emit("Tanh", [c])])
+            hs.append(h)
+        if model.encoder == "lstm":
+            pooled = h
+        else:                                   # lstm_attention
+            g.const("Wa", np.asarray(p["Wa"], dtype=np.float32))
+            g.const("va", np.asarray(p["va"], dtype=np.float32)
+                    .reshape(H, 1))
+            g.const("vb", np.asarray(p["vb"], dtype=np.float32))
+            scores = []
+            stacked = []
+            for ht in hs:
+                u = g.emit("Tanh", [g.emit("MatMul", [ht, "Wa"])])
+                scores.append(g.emit(
+                    "Add", [g.emit("MatMul", [u, "va"]), "vb"]))  # [N,1]
+                stacked.append(g.emit("Unsqueeze", [ht], {"axes": [1]}))
+            s = g.emit("Concat", scores, {"axis": -1})       # [N,T]
+            alpha = g.emit("Softmax", [s], {"axis": -1})
+            alpha = g.emit("Unsqueeze", [alpha], {"axes": [1]})  # [N,1,T]
+            Hs = g.emit("Concat", stacked, {"axis": 1})      # [N,T,H]
+            ctx = g.emit("MatMul", [alpha, Hs])              # [N,1,H]
+            pooled = g.emit("Squeeze", [ctx], {"axes": [1]})
+        pre = g.emit("Add", [g.emit("MatMul", [pooled, "W_enc"]),
+                             "b_enc"])
+
+    if model.P:
+        n_pcat = len(model.non_seq_vocab)
+        n_pcont = model.n_non_seq_cont
+        if n_pcat:
+            g.inputs["non_seq_cat"] = (np.int64, ("batch", n_pcat))
+        if n_pcont:
+            g.inputs["non_seq_cont"] = (np.float32, ("batch", n_pcont))
+        pparts = []
+        for j in range(n_pcat):
+            g.const(f"emb_n{j}",
+                    np.asarray(p[f"emb_n{j}"], dtype=np.float32))
+            idx = g.emit("Slice", ["non_seq_cat"],
+                         {"starts": [j], "ends": [j + 1], "axes": [1]})
+            idx = g.emit("Squeeze", [idx], {"axes": [1]})
+            pparts.append(g.emit("Gather", [f"emb_n{j}", idx],
+                                 {"axis": 0}))
+        if n_pcont:
+            pparts.append("non_seq_cont")
+        prof = pparts[0] if len(pparts) == 1 else g.emit(
+            "Concat", pparts, {"axis": -1})
+        g.const("W_prof", np.asarray(p["W_prof"], dtype=np.float32))
+        pre = g.emit("Add", [pre, g.emit("MatMul", [prof, "W_prof"])])
+    g.emit("Tanh", [pre], out="embedding")
+    g.outputs = ["embedding"]
+    g.out_dim = H
+    return g
+
+
 def transformer_encoder_graph(model, seq_len: int) -> GraphProgram:
     """Graph for a fitted
     :class:`~caspr_spark.models.numpy_layers.TransformerEncoder` —
@@ -427,14 +557,26 @@ def export_transformer_encoder_onnx(model, path: str, seq_len: int) -> None:
     _emit_onnx(prog, path, "caspr_transformer_encoder", prog.out_dim)
 
 
+def export_sequence_ae_encoder_onnx(model, path: str) -> None:
+    """Serialize a TRAINED ``SequenceAutoencoder``'s encoder (mlp /
+    lstm / lstm_attention) to ``path`` (gated on onnx) — standard ops
+    only, including the Bahdanau attention pooling."""
+    prog = sequence_ae_encoder_graph(model)
+    _emit_onnx(prog, path, f"caspr_seq_ae_{model.encoder}_encoder",
+               model.hidden_dim)
+
+
 def export_onnx(model, model_path: str, seq_len: int | None = None) -> None:
     """Reference-shaped entry point (caspr/utils/onnx.py:104).
 
-    Dispatches on the fitted model type: the linear autoencoder and the
-    LSTM encoder have graph builders (``seq_len`` required for the
-    latter's unroll); the transformer encoder raises (see module
-    docstring).
+    Dispatches on the fitted model type: the linear autoencoder, the
+    LSTM/transformer scoring encoders (``seq_len`` required for the
+    unroll), and trained ``SequenceAutoencoder`` encoders (all three
+    variants; seq_len comes from the model).
     """
+    if hasattr(model, "encoder") and hasattr(model, "params"):
+        export_sequence_ae_encoder_onnx(model, model_path)
+        return
     if hasattr(model, "layers") and hasattr(model, "W_in"):
         if seq_len is None:
             raise ValueError("export_onnx(TransformerEncoder) needs "

@@ -872,3 +872,84 @@ class TestTrainedModelScoresDistributed:
         for i in range(n):
             np.testing.assert_allclose(got[i], want[i], rtol=1e-5,
                                        atol=1e-6)
+
+
+class TestSequenceAeOnnxGraph:
+    """ONNX-shaped graphs for TRAINED SequenceAutoencoder encoders —
+    all three variants, including the Bahdanau attention pooling."""
+
+    def _model_and_feeds(self, encoder, with_profile=True, seed=4):
+        from caspr_spark.models.autoencoder import SequenceAutoencoder
+        rng = np.random.default_rng(seed)
+        N, T = 7, 4
+        m = SequenceAutoencoder(
+            [5, 3], [3, 2], 2,
+            [4] if with_profile else [], [2] if with_profile else [],
+            1 if with_profile else 0,
+            seq_len=T, hidden_dim=6, seed=2, encoder=encoder)
+        data = dict(
+            seq_cat=rng.integers(0, 3, (N, T, 2)).astype(np.int64),
+            seq_cont=rng.normal(size=(N, T, 2)).astype(np.float32),
+            non_seq_cat=rng.integers(0, 4, (N, 1)).astype(np.int64),
+            non_seq_cont=rng.normal(size=(N, 1)).astype(np.float32))
+        return m, data
+
+    @pytest.mark.parametrize("encoder", ["mlp", "lstm", "lstm_attention"])
+    @pytest.mark.parametrize("with_profile", [True, False])
+    def test_graph_matches_model_encode(self, encoder, with_profile):
+        from caspr_spark.models.onnx_io import (run_graph_numpy,
+                                                sequence_ae_encoder_graph)
+        m, data = self._model_and_feeds(encoder, with_profile)
+        want = m.encode(data["seq_cat"], data["seq_cont"],
+                        data["non_seq_cat"], data["non_seq_cont"])
+        prog = sequence_ae_encoder_graph(m)
+        got = run_graph_numpy(prog, {k: data[k] for k in prog.inputs})[0]
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+    def test_attention_graph_uses_standard_ops_only(self):
+        from caspr_spark.models.onnx_io import sequence_ae_encoder_graph
+        m, _ = self._model_and_feeds("lstm_attention")
+        prog = sequence_ae_encoder_graph(m)
+        allowed = {"MatMul", "Add", "Mul", "Sigmoid", "Tanh", "Relu",
+                   "Concat", "Gather", "Slice", "Squeeze", "Unsqueeze",
+                   "Softmax", "Reshape", "Identity"}
+        assert {op for op, *_ in prog.nodes} <= allowed
+
+    def test_export_dispatch_and_emit_gated(self, tmp_path):
+        from caspr_spark.models.onnx_io import export_onnx
+        m, _ = self._model_and_feeds("lstm_attention")
+        path = str(tmp_path / "ae.onnx")
+        try:
+            import onnx  # noqa: F401
+        except ImportError:
+            with pytest.raises(ImportError, match="onnx"):
+                export_onnx(m, path)
+            return
+        export_onnx(m, path)   # pragma: no cover - onnx present
+        assert os.path.exists(path)
+
+    def test_trained_attention_model_exports(self):
+        """The graph builder works on a model AFTER training, not just
+        at init — the round-trip the checkpoint sink implies."""
+        from caspr_spark.data.tensorize import TensorBundle
+        from caspr_spark.models.autoencoder import fit_autoencoder
+        from caspr_spark.models.onnx_io import (run_graph_numpy,
+                                                sequence_ae_encoder_graph)
+        rng = np.random.default_rng(7)
+        n, t = 120, 4
+        x = rng.uniform(0.05, 0.95, (n, t))
+        bundle = TensorBundle(
+            seq_cat=(x[:, :, None] * 3).astype(np.int64).clip(0, 2),
+            seq_cont=x[:, :, None].astype(np.float32),
+            non_seq_cat=np.zeros((n, 0), np.int64),
+            non_seq_cont=np.zeros((n, 0), np.float32),
+            y=np.zeros((n, 0), np.float32))
+        model, _ = fit_autoencoder(bundle, hidden_dim=6, epochs=3,
+                                   lr=3e-3, batch_size=64, seed=3,
+                                   encoder="lstm_attention")
+        want = model.encode(bundle.seq_cat, bundle.seq_cont,
+                            bundle.non_seq_cat, bundle.non_seq_cont)
+        prog = sequence_ae_encoder_graph(model)
+        got = run_graph_numpy(prog, {"seq_cat": bundle.seq_cat,
+                                     "seq_cont": bundle.seq_cont})[0]
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
