@@ -1918,6 +1918,33 @@ def q_range_join(spark, sf_dir):
                  F.round(F.sum("value"), 4).alias("sum_value")))
 
 
+def q_interval_overlap(spark, sf_dir):
+    """Interval × interval overlap join (joins.py interval_overlap_join
+    — round 6): per-user activity spans (min..max event ts) against the
+    25 campaign windows; overlap = half-open intersection. The bucketed
+    equi-join + first-shared-bucket dedup replaces the theta join the
+    oracle runs directly."""
+    from caspr_spark.operators import interval_overlap_join
+    ev = _events(spark, sf_dir)
+    spans = ev.groupBy("user_id").agg(F.min("ts").alias("span_start"),
+                                      F.max("ts").alias("span_end"))
+    camp = (spark.range(25)
+            .select(F.col("id").cast("int").alias("campaign_id"),
+                    F.expr("timestampadd(HOUR, 24 * id, "
+                           "timestamp'2024-01-01 00:00:00')")
+                    .alias("start_ts"))
+            .withColumn("end_ts", F.expr("timestampadd(HOUR, 36, start_ts)")))
+    joined = interval_overlap_join(spans, camp,
+                                   left_start="span_start",
+                                   left_end="span_end",
+                                   right_start="start_ts",
+                                   right_end="end_ts",
+                                   bucket_hours=12, broadcast_right=True)
+    return (joined.groupBy("campaign_id")
+            .agg(F.count(F.lit(1)).alias("n_users"),
+                 F.min("user_id").alias("first_user")))
+
+
 def q_hypertable_rollup(spark, sf_dir):
     """Continuous-aggregate rollup (timeseries.py): hourly layer once,
     daily layer re-aggregated from the hourly table — the raw events are
@@ -2470,8 +2497,9 @@ _R6_WINDOW = [
     "e8_date_fill_pivoted", "e9_fill_nans_pivoted", "e10_quantile_bucket",
     "p1_left_pad", "p3_pivot_last5", "x3_sliding_union",
     # -- round-4 re-leads (8 rows) --
+    "interval_overlap",
     "pipeline_events_percutoff", "pipeline_orders_composite", "asof_join",
-    "llm_curate", "emb_near_dup",
+    "emb_near_dup",
 ]
 
 
@@ -2567,6 +2595,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #     and local-oracle green at both SFs) -----------------------
         "stream_static_join": q_stream_static_join,
         "range_join_campaigns": q_range_join,
+        "interval_overlap": q_interval_overlap,
         "hypertable_rollup": q_hypertable_rollup,
         "funnel_conversion": q_funnel,
         "bloom_semi_join": q_bloom_semi,
@@ -3448,6 +3477,20 @@ WITH camp AS (
 SELECT campaign_id, CAST(count(*) AS BIGINT) AS n_events,
        round(sum(e.value), 4) AS sum_value
 FROM camp JOIN events e ON e.ts >= camp.start_ts AND e.ts < camp.end_ts
+GROUP BY campaign_id""",
+        "interval_overlap": """
+WITH spans AS (
+  SELECT user_id, min(ts) AS span_start, max(ts) AS span_end
+  FROM events GROUP BY user_id),
+camp AS (
+  SELECT CAST(i AS INTEGER) AS campaign_id,
+         TIMESTAMP '2024-01-01 00:00:00' + to_hours(24 * i) AS start_ts,
+         TIMESTAMP '2024-01-01 00:00:00' + to_hours(24 * i + 36) AS end_ts
+  FROM range(0, 25) t(i))
+SELECT campaign_id, CAST(count(*) AS BIGINT) AS n_users,
+       min(user_id) AS first_user
+FROM spans s JOIN camp c
+  ON s.span_start < c.end_ts AND c.start_ts < s.span_end
 GROUP BY campaign_id""",
         "bloom_semi_join": """
 SELECT event_id, user_id, event_type FROM events

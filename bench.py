@@ -114,6 +114,7 @@ EXTENDED_QUERIES = [
     "lpa_docs",
     "train_ae_ddp",
     "segment_dec_fit",
+    "interval_overlap",
 ]
 
 

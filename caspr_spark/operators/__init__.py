@@ -23,7 +23,8 @@ from caspr_spark.operators.probes import (
 )
 from caspr_spark.operators.labels import build_multi_hot_labels, join_labels
 from caspr_spark.operators.joins import (
-    asof_join, bloom_semi_join, range_join, salted_join,
+    asof_join, bloom_semi_join, interval_overlap_join, range_join,
+    salted_join,
 )
 from caspr_spark.operators.timeseries import (
     continuous_rollup, funnel, hourly_aggregate, time_bucket,
@@ -55,7 +56,8 @@ __all__ = [
     "get_sequence_length", "get_lookback_period", "get_sliding_window_dates",
     "column_cardinalities", "distinct_values_sorted",
     "build_multi_hot_labels", "join_labels",
-    "asof_join", "bloom_semi_join", "range_join", "salted_join",
+    "asof_join", "bloom_semi_join", "interval_overlap_join",
+    "range_join", "salted_join",
     "time_bucket", "hourly_aggregate", "continuous_rollup", "funnel",
     "fuzzy_join", "merge_upsert", "diff_snapshots", "heavy_hitters",
     "zorder_value", "zorder_repartition",

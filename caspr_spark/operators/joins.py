@@ -133,6 +133,73 @@ def range_join(left: DataFrame, right: DataFrame,
     return joined.drop("__bucket")
 
 
+def interval_overlap_join(left: DataFrame, right: DataFrame,
+                          left_start: str, left_end: str,
+                          right_start: str, right_end: str,
+                          bucket_hours: int = 24,
+                          broadcast_right: bool | None = None,
+                          max_span_buckets: int = 10_000) -> DataFrame:
+    """Interval × interval OVERLAP join: pair every left interval with
+    every right interval it overlaps (half-open:
+    ``l_start < r_end AND r_start < l_end``) — the reservation/outage/
+    campaign-coverage primitive ``range_join`` (point-in-interval)
+    cannot express — again without the quadratic theta join.
+
+    Scale shape: BOTH sides explode to the ``bucket_hours`` time
+    buckets they cover, the join is a hash equi-join on the bucket, and
+    the exact overlap predicate post-filters. Overlapping pairs share
+    one or more buckets; to avoid a global ``distinct`` de-dup pass,
+    a pair is emitted ONLY in the FIRST bucket both intervals inhabit
+    (``bucket == greatest(first_l_bucket, first_r_bucket)``) — an
+    exact, shuffle-free dedup because that bucket provably exists for
+    every overlapping pair and is unique.
+
+    An interval spanning more than ``max_span_buckets`` buckets raises
+    loudly in-plan (``assert_true``) instead of silently exploding a
+    year-long interval into thousands of rows — widen ``bucket_hours``
+    or split such intervals upstream. Column names must not collide
+    across the two sides (rename first, as with ``fuzzy_join``).
+
+    ``broadcast_right``: True hints broadcast on the exploded right
+    side; None/False leave the strategy to AQE.
+    """
+    if bucket_hours < 1:
+        raise ValueError(f"bucket_hours must be >= 1, got {bucket_hours}")
+    overlap = set(left.columns) & set(right.columns)
+    if overlap:
+        raise ValueError(
+            f"column name collision across sides: {sorted(overlap)}; "
+            "rename one side before joining")
+    bus = F.lit(bucket_hours * 3600 * 1_000_000).cast("long")
+
+    def buckets(start, end):
+        b0 = F.floor(F.unix_micros(F.col(start)) / bus).cast("long")
+        b1 = F.floor(F.unix_micros(F.col(end)) / bus).cast("long")
+        guard = F.coalesce(
+            F.assert_true(
+                b1 - b0 < F.lit(max_span_buckets),
+                F.concat(F.lit(f"interval_overlap_join: interval spans "
+                               f">= {max_span_buckets} buckets of "
+                               f"{bucket_hours}h; widen bucket_hours or "
+                               "split the interval. start="),
+                         F.col(start).cast("string"))).cast("long"),
+            F.lit(0))
+        return F.explode(F.sequence(b0 + guard, b1)).alias("__bucket")
+
+    lb = left.select("*", buckets(left_start, left_end))
+    rb = right.select("*", buckets(right_start, right_end))
+    if broadcast_right:
+        rb = F.broadcast(rb)
+    first_shared = F.greatest(
+        F.floor(F.unix_micros(F.col(left_start)) / bus).cast("long"),
+        F.floor(F.unix_micros(F.col(right_start)) / bus).cast("long"))
+    return (lb.join(rb, on="__bucket", how="inner")
+            .filter((F.col(left_start) < F.col(right_end))
+                    & (F.col(right_start) < F.col(left_end))
+                    & (F.col("__bucket") == first_shared))
+            .drop("__bucket"))
+
+
 # integer widening ladder for bloom key-type reconciliation; any other
 # numeric pair falls back to double (matching Spark's join-side implicit
 # cast), and non-numeric mismatches raise.

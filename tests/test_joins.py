@@ -306,3 +306,101 @@ class TestBloomSemiJoin:
             assert got == want
         finally:
             joins_mod._BLOOM_MAX_BITS = orig
+
+
+class TestIntervalOverlapJoin:
+    def _mk(self, spark, rows, cols):
+        return spark.createDataFrame(rows, cols)
+
+    def test_hand_computed_overlaps(self, spark):
+        from caspr_spark.operators import interval_overlap_join
+        L = self._mk(spark, [
+            (1, "2024-01-01 00:00:00", "2024-01-03 00:00:00"),
+            (2, "2024-01-05 12:00:00", "2024-01-06 00:00:00"),
+            (3, "2024-01-10 00:00:00", "2024-01-11 00:00:00"),
+        ], "lid long, a string, b string").select(
+            "lid", F.to_timestamp("a").alias("ls"),
+            F.to_timestamp("b").alias("le"))
+        R = self._mk(spark, [
+            (10, "2024-01-02 00:00:00", "2024-01-06 00:00:00"),
+            (20, "2024-01-06 00:00:00", "2024-01-07 00:00:00"),
+        ], "rid long, a string, b string").select(
+            "rid", F.to_timestamp("a").alias("rs"),
+            F.to_timestamp("b").alias("re"))
+        out = interval_overlap_join(L, R, "ls", "le", "rs", "re",
+                                    bucket_hours=24)
+        got = {(r.lid, r.rid) for r in out.collect()}
+        # 1 overlaps 10; 2 overlaps 10 (ends exactly at 10's end -> half
+        # open, le=06:00? no: 2 ends 01-06 00:00 == start of 20 -> NOT 20);
+        # 3 overlaps nothing
+        assert got == {(1, 10), (2, 10)}
+
+    def test_no_duplicate_pairs_across_shared_buckets(self, spark):
+        """A pair sharing many buckets must appear exactly once (the
+        first-shared-bucket rule replaces a global distinct)."""
+        from caspr_spark.operators import interval_overlap_join
+        L = spark.createDataFrame(
+            [(1, "2024-01-01 00:00:00", "2024-01-20 00:00:00")],
+            "lid long, a string, b string").select(
+            "lid", F.to_timestamp("a").alias("ls"),
+            F.to_timestamp("b").alias("le"))
+        R = spark.createDataFrame(
+            [(9, "2024-01-02 00:00:00", "2024-01-18 00:00:00")],
+            "rid long, a string, b string").select(
+            "rid", F.to_timestamp("a").alias("rs"),
+            F.to_timestamp("b").alias("re"))
+        out = interval_overlap_join(L, R, "ls", "le", "rs", "re",
+                                    bucket_hours=6)
+        assert out.count() == 1
+
+    def test_matches_theta_join_on_random_intervals(self, spark):
+        import random
+        from caspr_spark.operators import interval_overlap_join
+        rnd = random.Random(3)
+        base = 1704067200
+
+        def mk(n, pfx):
+            rows = []
+            for i in range(n):
+                s = base + rnd.randrange(0, 30 * 86400)
+                rows.append((i, s, s + rnd.randrange(3600, 5 * 86400)))
+            return spark.createDataFrame(
+                rows, f"{pfx}id long, s long, e long").select(
+                f"{pfx}id", F.timestamp_seconds("s").alias(f"{pfx}s"),
+                F.timestamp_seconds("e").alias(f"{pfx}e"))
+        L, R = mk(40, "l"), mk(40, "r")
+        got = {(r.lid, r.rid) for r in interval_overlap_join(
+            L, R, "ls", "le", "rs", "re", bucket_hours=48).collect()}
+        want = {(r.lid, r.rid) for r in L.crossJoin(R).filter(
+            (F.col("ls") < F.col("re")) & (F.col("rs") < F.col("le")))
+            .collect()}
+        assert got == want
+
+    def test_validation(self, spark):
+        from caspr_spark.operators import interval_overlap_join
+        df = spark.createDataFrame([(1,)], "x long")
+        with pytest.raises(ValueError, match="collision"):
+            interval_overlap_join(df, df, "x", "x", "x", "x")
+        with pytest.raises(ValueError, match="bucket_hours"):
+            interval_overlap_join(df, df.withColumnRenamed("x", "y"),
+                                  "x", "x", "y", "y", bucket_hours=0)
+
+    def test_span_guard_raises(self, spark):
+        from caspr_spark.operators import interval_overlap_join
+        from py4j.protocol import Py4JJavaError
+        from pyspark.errors.exceptions.captured import SparkRuntimeException
+        L = spark.createDataFrame(
+            [(1, "2020-01-01 00:00:00", "2024-01-01 00:00:00")],
+            "lid long, a string, b string").select(
+            "lid", F.to_timestamp("a").alias("ls"),
+            F.to_timestamp("b").alias("le"))
+        R = spark.createDataFrame(
+            [(9, "2020-01-02 00:00:00", "2020-01-03 00:00:00")],
+            "rid long, a string, b string").select(
+            "rid", F.to_timestamp("a").alias("rs"),
+            F.to_timestamp("b").alias("re"))
+        with pytest.raises((Py4JJavaError, SparkRuntimeException, Exception),
+                           match="spans"):
+            interval_overlap_join(L, R, "ls", "le", "rs", "re",
+                                  bucket_hours=1,
+                                  max_span_buckets=100).collect()
