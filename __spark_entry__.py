@@ -1918,6 +1918,19 @@ def q_range_join(spark, sf_dir):
                  F.round(F.sum("value"), 4).alias("sum_value")))
 
 
+def q_ewma_events(spark, sf_dir):
+    """Per-entity EWMA smoothing (timeseries.py ewma_smooth — round 6):
+    truncated exponentially-weighted average over the trailing 8 events
+    as a fixed lag chain in ONE window node; weight literals + a fixed
+    summation order make it bit-reproducible, so it carries a full
+    oracle."""
+    from caspr_spark.operators.timeseries import ewma_smooth
+    ev = _events(spark, sf_dir)
+    out = ewma_smooth(ev, "user_id", "ts", "value", alpha=0.5, lags=8,
+                      tiebreak=["event_id"])
+    return out.select("event_id", "ewma")
+
+
 def q_interval_overlap(spark, sf_dir):
     """Interval × interval overlap join (joins.py interval_overlap_join
     — round 6): per-user activity spans (min..max event ts) against the
@@ -2498,7 +2511,8 @@ _R6_WINDOW = [
     "p1_left_pad", "p3_pivot_last5", "x3_sliding_union",
     # -- round-4 re-leads (8 rows) --
     "interval_overlap",
-    "pipeline_events_percutoff", "pipeline_orders_composite", "asof_join",
+    "ewma_events",
+    "pipeline_events_percutoff", "pipeline_orders_composite",
     "emb_near_dup",
 ]
 
@@ -2596,6 +2610,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_static_join": q_stream_static_join,
         "range_join_campaigns": q_range_join,
         "interval_overlap": q_interval_overlap,
+        "ewma_events": q_ewma_events,
         "hypertable_rollup": q_hypertable_rollup,
         "funnel_conversion": q_funnel,
         "bloom_semi_join": q_bloom_semi,
@@ -3427,6 +3442,23 @@ def _triangle_sql_entry() -> str:
         "SELECT id_a AS src, id_b AS dst FROM (" + _WINNOW_PAIRS_SQL + ")")
     return (f"SELECT id, triangles, (sum(triangles) OVER () / 3)::bigint "
             f"AS total_triangles FROM ({inner})")
+
+
+def _ewma_sql_entry(alpha: float = 0.5, lags: int = 8, dp: int = 9) -> str:
+    """Oracle twin of q_ewma_events: the SAME weight literals and the
+    SAME left-associative + chain, so the float arithmetic replays
+    identically."""
+    weights = [(1.0 - alpha) ** j for j in range(lags + 1)]
+    terms, have = [], []
+    for j, wj in enumerate(weights):
+        x = "value" if j == 0 else f"lag(value, {j}) OVER w"
+        terms.append(f"coalesce({x} * {wj!r}, 0.0)")
+        have.append(f"CASE WHEN {x} IS NOT NULL THEN {wj!r} ELSE 0.0 END")
+    return f"""
+SELECT event_id, round(({' + '.join(terms)}) / ({' + '.join(have)}), {dp})
+  AS ewma
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"""
 
 
 def _lpa_sql_entry() -> str:
@@ -4375,6 +4407,7 @@ FROM c""",
         "pagerank_docs": _pagerank_sql_entry(),
         "triangle_docs": _triangle_sql_entry(),
         "lpa_docs": _lpa_sql_entry(),
+        "ewma_events": _ewma_sql_entry(),
         "expectations_events": _expectations_sql_entry(),
         "skew_report": """
 WITH c AS (SELECT l_orderkey::varchar AS key, count(*) AS cnt

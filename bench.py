@@ -115,6 +115,7 @@ EXTENDED_QUERIES = [
     "train_ae_ddp",
     "segment_dec_fit",
     "interval_overlap",
+    "ewma_events",
 ]
 
 

@@ -501,6 +501,51 @@ def rolling_features(df: DataFrame, entity_col: str = "user_id",
         F.max(F.col(value_col)).over(w).alias(f"max_{sfx}"))
 
 
+def ewma_smooth(df: DataFrame, entity_col: str = "user_id",
+                ts_col: str = "ts", value_col: str = "value",
+                alpha: float = 0.5, lags: int = 8,
+                tiebreak: list[str] | None = None,
+                out_col: str = "ewma", round_dp: int = 9) -> DataFrame:
+    """Per-entity exponentially-weighted moving average — the classic
+    smoothing feature ("decayed recent activity level") the trailing
+    flat-window :func:`rolling_features` cannot express.
+
+    Bounded-lag formulation (pandas ``ewm(adjust=True)`` semantics,
+    truncated at ``lags``): for weights ``w_j = (1-alpha)^j``,
+
+        ewma_t = Σ_{j=0..K} w_j · x_{t-j} / Σ_{j : row exists} w_j
+
+    built as a FIXED chain of ``lag(value, j)`` expressions over one
+    entity-ordered window — K+1 lags all share the frame, so Catalyst
+    evaluates a single Window node over a single keyed exchange, and
+    the truncation bound makes the operator's state per row O(K)
+    instead of the unbounded recursive EWMA (which no engine-portable
+    window can express).
+
+    Determinism contract: the weights are Python-float literals baked
+    into the plan, the sum is the literal left-to-right ``+`` chain,
+    and ties in ``ts_col`` are broken by ``tiebreak`` — an oracle that
+    writes the SAME chain reproduces the result bit-for-bit (rounded
+    at ``round_dp``), any ``alpha``.
+    """
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    if lags < 0:
+        raise ValueError(f"lags must be >= 0, got {lags}")
+    order = [F.col(ts_col)] + [F.col(c) for c in (tiebreak or [])]
+    w = Window.partitionBy(entity_col).orderBy(*order)
+    weights = [(1.0 - alpha) ** j for j in range(lags + 1)]
+    num = None
+    den = None
+    for j, wj in enumerate(weights):
+        xj = F.col(value_col) if j == 0 else F.lag(value_col, j).over(w)
+        term = F.coalesce(xj * F.lit(wj), F.lit(0.0))
+        have = F.when(xj.isNotNull(), F.lit(wj)).otherwise(F.lit(0.0))
+        num = term if num is None else num + term
+        den = have if den is None else den + have
+    return df.withColumn(out_col, F.round(num / den, round_dp))
+
+
 def quantile_sketch_layer(df: DataFrame, value_col: str = "value",
                           id_col: str = "event_id", ts_col: str = "ts",
                           keys: list[str] | None = None,

@@ -612,3 +612,51 @@ class TestTransitionMatrix:
             sums[f] = sums.get(f, 0.0) + p
         for s in sums.values():
             assert abs(s - 1.0) < 1e-9
+
+
+class TestEwmaSmooth:
+    def _events(self, spark):
+        rows = [(i, 1, float(i)) for i in range(6)]
+        return spark.createDataFrame(rows, "event_id long, user_id long, "
+                                     "value double").withColumn(
+            "ts", F.timestamp_seconds(1704067200 + F.col("event_id")))
+
+    def test_matches_pandas_ewm_adjust(self, spark):
+        """With lags >= n-1 the truncated chain equals pandas
+        ewm(adjust=True) exactly (same weights, same normalization)."""
+        import pandas as pd
+        from caspr_spark.operators.timeseries import ewma_smooth
+        ev = self._events(spark)
+        out = (ewma_smooth(ev, "user_id", "ts", "value", alpha=0.3,
+                           lags=10, tiebreak=["event_id"])
+               .orderBy("event_id").toPandas())
+        want = (pd.Series([float(i) for i in range(6)])
+                .ewm(alpha=0.3, adjust=True).mean())
+        assert abs(out["ewma"].to_numpy() - want.to_numpy()).max() < 1e-8
+
+    def test_truncation_window(self, spark):
+        """lags=0 degenerates to the value itself."""
+        from caspr_spark.operators.timeseries import ewma_smooth
+        ev = self._events(spark)
+        out = ewma_smooth(ev, "user_id", "ts", "value", alpha=0.4,
+                          lags=0, tiebreak=["event_id"])
+        got = {r.event_id: r.ewma for r in out.collect()}
+        assert got == {i: float(i) for i in range(6)}
+
+    def test_single_window_node(self, spark):
+        from caspr_spark.operators.timeseries import ewma_smooth
+        ev = self._events(spark)
+        plan = ewma_smooth(ev, "user_id", "ts", "value", lags=8,
+                           tiebreak=["event_id"]) \
+            ._jdf.queryExecution().executedPlan().toString()
+        import re
+        assert len(re.findall(r"\bWindow\b", plan)) == 1
+        assert len(re.findall(r"\bExchange\b", plan)) == 1
+
+    def test_validation(self, spark):
+        from caspr_spark.operators.timeseries import ewma_smooth
+        ev = self._events(spark)
+        with pytest.raises(ValueError, match="alpha"):
+            ewma_smooth(ev, alpha=0.0)
+        with pytest.raises(ValueError, match="lags"):
+            ewma_smooth(ev, lags=-1)
