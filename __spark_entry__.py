@@ -1918,6 +1918,31 @@ def q_range_join(spark, sf_dir):
                  F.round(F.sum("value"), 4).alias("sum_value")))
 
 
+def q_cohort_retention(spark, sf_dir):
+    """Weekly cohort-retention matrix (retention.py cohort_retention —
+    round 6): entities grouped by first-activity ISO week, fraction
+    active each later week. Two keyed aggregations + one distinct —
+    full oracle."""
+    from caspr_spark.operators.retention import cohort_retention
+    ev = _events(spark, sf_dir)
+    return cohort_retention(ev, "user_id", "ts", period="week")
+
+
+def q_rfm_scores(spark, sf_dir):
+    """RFM quintile segmentation (retention.py rfm_scores — round 6):
+    per-user recency/frequency/monetary with SQL ntile(5) semantics,
+    computed WITHOUT a single-task global window — the entity relation
+    ranks through the three-phase distributed prefix scan and the
+    closed-form ntile bucket rule. Monetary sums ride integer cents;
+    the anchor is pinned so the row is reproducible. Full oracle (the
+    oracle uses the actual ntile window — same result, tie-broken by
+    user id)."""
+    from caspr_spark.operators.retention import rfm_scores
+    ev = _events(spark, sf_dir)
+    return rfm_scores(ev, "user_id", "ts", "value",
+                      asof="2024-02-01 00:00:00", n_bins=5)
+
+
 def q_ewma_events(spark, sf_dir):
     """Per-entity EWMA smoothing (timeseries.py ewma_smooth — round 6):
     truncated exponentially-weighted average over the trailing 8 events
@@ -2485,11 +2510,10 @@ def q_stream_dedup_history(spark, sf_dir):
 #                the round-6 code paths (rolling_features' fixed-point
 #                refactor, the dedup NULL-key filter, heavy_hitters'
 #                vectorized sketch all sit on these paths),
-#   slots 43-50  eight round-4-certified rows of substance re-led: both
-#                pipeline variants (per-cutoff, composite key), asof
-#                join, curation v1, the PINNED emb_near_dup (proving
-#                its oracle is untouched by the bench demotion),
-#                stream-stream join, rollup, sessionization.
+#   slots 43-50  the remaining round-6 oracles (interval_overlap,
+#                ewma_events, cohort_retention, rfm_scores) and the
+#                PINNED emb_near_dup re-led (proving its oracle is
+#                untouched by the bench demotion).
 _R6_WINDOW = [
     "stream_dedup_history",
     "quality_train_classifier",
@@ -2512,7 +2536,8 @@ _R6_WINDOW = [
     # -- round-4 re-leads (8 rows) --
     "interval_overlap",
     "ewma_events",
-    "pipeline_events_percutoff", "pipeline_orders_composite",
+    "cohort_retention",
+    "rfm_scores",
     "emb_near_dup",
 ]
 
@@ -2611,6 +2636,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join_campaigns": q_range_join,
         "interval_overlap": q_interval_overlap,
         "ewma_events": q_ewma_events,
+        "cohort_retention": q_cohort_retention,
+        "rfm_scores": q_rfm_scores,
         "hypertable_rollup": q_hypertable_rollup,
         "funnel_conversion": q_funnel,
         "bloom_semi_join": q_bloom_semi,
@@ -4408,6 +4435,40 @@ FROM c""",
         "triangle_docs": _triangle_sql_entry(),
         "lpa_docs": _lpa_sql_entry(),
         "ewma_events": _ewma_sql_entry(),
+        "cohort_retention": """
+WITH p AS (
+  SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk FROM events),
+first AS (SELECT user_id, min(wk) AS cohort FROM p GROUP BY user_id),
+active AS (SELECT DISTINCT user_id, wk FROM p),
+sizes AS (SELECT cohort, count(*)::bigint AS n_cohort FROM first
+          GROUP BY cohort)
+SELECT f.cohort, CAST((a.wk - f.cohort) / 7 AS INTEGER) AS period_offset,
+       count(*)::bigint AS n_active, s.n_cohort,
+       round(count(*)::double / s.n_cohort, 6) AS retention
+FROM active a JOIN first f USING (user_id)
+JOIN sizes s ON s.cohort = f.cohort
+GROUP BY f.cohort, period_offset, s.n_cohort""",
+        "rfm_scores": """
+WITH per AS (
+  SELECT user_id, max(ts) AS last_ts, count(*)::bigint AS frequency,
+         sum(round(value * 100)::bigint) AS cents
+  FROM events GROUP BY user_id),
+r AS (
+  SELECT user_id,
+         datediff('day', CAST(last_ts AS DATE),
+                  DATE '2024-02-01') AS recency_days,
+         frequency, cents,
+         ntile(5) OVER (ORDER BY datediff('day', CAST(last_ts AS DATE),
+                                          DATE '2024-02-01') DESC,
+                        user_id) AS r_score,
+         ntile(5) OVER (ORDER BY frequency ASC, user_id) AS f_score,
+         ntile(5) OVER (ORDER BY cents ASC, user_id) AS m_score
+  FROM per)
+SELECT user_id, recency_days, frequency,
+       round(cents / 100.0, 2) AS monetary,
+       r_score, f_score, m_score,
+       r_score::varchar || f_score::varchar || m_score::varchar AS rfm
+FROM r""",
         "expectations_events": _expectations_sql_entry(),
         "skew_report": """
 WITH c AS (SELECT l_orderkey::varchar AS key, count(*) AS cnt

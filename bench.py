@@ -116,6 +116,8 @@ EXTENDED_QUERIES = [
     "segment_dec_fit",
     "interval_overlap",
     "ewma_events",
+    "cohort_retention",
+    "rfm_scores",
 ]
 
 
