@@ -2385,6 +2385,36 @@ def q_source_csv_roundtrip(spark, sf_dir):
     return read_table(spark, path, format="csv", schema=ev.schema)
 
 
+def q_source_jsonl_roundtrip(spark, sf_dir):
+    """JSON-lines interchange sink/source (sources.py
+    write_table/read_table, format='json' — round 6): events written
+    as JSONL, read back with an explicit schema — values must survive
+    the text round-trip bit-exactly (doubles via shortest-round-trip
+    rendering)."""
+    from caspr_spark.sources import read_table, write_table
+    ev = _events(spark, sf_dir).select("event_id", "user_id",
+                                       "event_type", "value")
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        ".tmp", "handover_events_jsonl")
+    write_table(ev, path, format="json")
+    return read_table(spark, path, format="json", schema=ev.schema)
+
+
+def q_sorted_neighborhood(spark, sf_dir):
+    """Sorted-neighborhood record linkage (joins.py
+    sorted_neighborhood_pairs — round 6): part names within 2 global
+    sort positions, verified at levenshtein <= 3 — the blocking scheme
+    that catches first-character typos prefix blocking misses. The
+    global position comes from the distributed prefix scan, never a
+    single-task sort; candidates are window·N, no hot-block quadratic.
+    Full oracle (row_number window in DuckDB)."""
+    from caspr_spark.operators.joins import sorted_neighborhood_pairs
+    part = _t(spark, sf_dir, "part")
+    return sorted_neighborhood_pairs(
+        part.select("p_partkey", "p_name"), "p_name",
+        id_col="p_partkey", window=2, max_distance=3)
+
+
 def q_histogram_values(spark, sf_dir):
     """Fixed-bin histogram (profile.py histogram): 20 bins over event
     values on an explicit [0, 500] range (single aggregation pass,
@@ -2530,14 +2560,16 @@ _R6_WINDOW = [
     "text_langid", "text_fingerprint", "multimodal_binary_meta",
     "multimodal_features", "multimodal_frames", "w1_rank", "w2_intervals",
     "f1_history_window", "f2_last_n", "f4_profile_dedup",
-    "f5_outlier_removal", "e1_encode_capped", "e5_normalize_minmax",
+    "e1_encode_capped", "e5_normalize_minmax",
     "e8_date_fill_pivoted", "e9_fill_nans_pivoted", "e10_quantile_bucket",
-    "p1_left_pad", "p3_pivot_last5", "x3_sliding_union",
+    "p3_pivot_last5", "x3_sliding_union",
     # -- round-4 re-leads (8 rows) --
     "interval_overlap",
     "ewma_events",
     "cohort_retention",
     "rfm_scores",
+    "sorted_neighborhood",
+    "source_jsonl_roundtrip",
     "emb_near_dup",
 ]
 
@@ -2578,6 +2610,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": q_weighted_sample,
         "cv_folds": q_cv_folds,
         "source_csv_roundtrip": q_source_csv_roundtrip,
+        "source_jsonl_roundtrip": q_source_jsonl_roundtrip,
+        "sorted_neighborhood": q_sorted_neighborhood,
         "llm_curate_v2": q_llm_curate_v2,
         "diff_snapshots": q_diff_snapshots,
         "profile_table": q_profile_table,
@@ -4892,6 +4926,17 @@ SELECT (('0x'||substr(md5('42|'||o_orderkey), 1, 8))::ubigint % 5)::int
 FROM orders GROUP BY 1""",
         "source_csv_roundtrip": """
 SELECT event_id, user_id, event_type, value FROM events""",
+        "source_jsonl_roundtrip": """
+SELECT event_id, user_id, event_type, value FROM events""",
+        "sorted_neighborhood": """
+WITH r AS (
+  SELECT p_partkey AS id, lower(p_name) AS k,
+         row_number() OVER (ORDER BY lower(p_name), p_partkey) AS rk
+  FROM part)
+SELECT a.id AS id_a, b.id AS id_b,
+       levenshtein(a.k, b.k)::INTEGER AS edit_distance
+FROM r a JOIN r b ON b.rk BETWEEN a.rk + 1 AND a.rk + 2
+WHERE levenshtein(a.k, b.k) <= 3""",
         "heavy_hitters": r"""
 WITH t AS (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
            FROM documents)

@@ -118,6 +118,7 @@ EXTENDED_QUERIES = [
     "ewma_events",
     "cohort_retention",
     "rfm_scores",
+    "sorted_neighborhood",
 ]
 
 

@@ -24,7 +24,7 @@ from caspr_spark.operators.probes import (
 from caspr_spark.operators.labels import build_multi_hot_labels, join_labels
 from caspr_spark.operators.joins import (
     asof_join, bloom_semi_join, interval_overlap_join, range_join,
-    salted_join,
+    salted_join, sorted_neighborhood_pairs,
 )
 from caspr_spark.operators.timeseries import (
     continuous_rollup, funnel, hourly_aggregate, time_bucket,
@@ -57,7 +57,7 @@ __all__ = [
     "column_cardinalities", "distinct_values_sorted",
     "build_multi_hot_labels", "join_labels",
     "asof_join", "bloom_semi_join", "interval_overlap_join",
-    "range_join", "salted_join",
+    "range_join", "salted_join", "sorted_neighborhood_pairs",
     "time_bucket", "hourly_aggregate", "continuous_rollup", "funnel",
     "fuzzy_join", "merge_upsert", "diff_snapshots", "heavy_hitters",
     "zorder_value", "zorder_repartition",

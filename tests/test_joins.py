@@ -404,3 +404,58 @@ class TestIntervalOverlapJoin:
             interval_overlap_join(L, R, "ls", "le", "rs", "re",
                                   bucket_hours=1,
                                   max_span_buckets=100).collect()
+
+
+class TestSortedNeighborhood:
+    def _df(self, spark, names):
+        return spark.createDataFrame(list(enumerate(names)),
+                                     "id long, name string")
+
+    def test_catches_first_char_typo_prefix_blocking_misses(self, spark):
+        from caspr_spark.operators.joins import (fuzzy_join,
+                                                 sorted_neighborhood_pairs)
+        names = ["walter", "valter", "zzz unrelated", "aaa other"]
+        df = self._df(spark, names)
+        snp = sorted_neighborhood_pairs(df, "name", id_col="id",
+                                        window=2, max_distance=1)
+        got = {(r.id_a, r.id_b) for r in snp.collect()}
+        assert (1, 0) in got or (0, 1) in got   # valter ~ walter adjacent
+        # prefix blocking misses it: first char differs
+        fj = fuzzy_join(df.select(F.col("id").alias("lid"),
+                                  F.col("name").alias("lname")),
+                        df.select("id", "name"), "lname", "name",
+                        max_distance=1, block_len=3)
+        pairs = {(r.lid, r.id) for r in fj.collect() if r.lid != r.id}
+        assert not any(p in pairs for p in [(0, 1), (1, 0)])
+
+    def test_window_bound_is_the_stated_recall_limit(self, spark):
+        from caspr_spark.operators.joins import sorted_neighborhood_pairs
+        # sort order: abc1 < abc2 < abc3; window 1 pairs only adjacents
+        df = self._df(spark, ["abc1", "abc2", "abc3"])
+        got = {(r.id_a, r.id_b)
+               for r in sorted_neighborhood_pairs(
+                   df, "name", id_col="id", window=1,
+                   max_distance=2).collect()}
+        assert got == {(0, 1), (1, 2)}          # (0,2) beyond the window
+
+    def test_candidate_count_is_window_times_n(self, spark):
+        from caspr_spark.operators.joins import sorted_neighborhood_pairs
+        df = self._df(spark, [f"name{i:03d}" for i in range(50)])
+        out = sorted_neighborhood_pairs(df, "name", id_col="id", window=3)
+        # no threshold: every in-range neighbor pair appears exactly once
+        assert out.count() == 3 * 50 - (1 + 2 + 3)
+
+    def test_deterministic_across_runs(self, spark):
+        from caspr_spark.operators.joins import sorted_neighborhood_pairs
+        df = self._df(spark, [f"n{i % 7}x{i}" for i in range(40)])
+        a = {tuple(r) for r in sorted_neighborhood_pairs(
+            df, "name", id_col="id", window=2).collect()}
+        b = {tuple(r) for r in sorted_neighborhood_pairs(
+            df, "name", id_col="id", window=2).collect()}
+        assert a == b
+
+    def test_validation(self, spark):
+        from caspr_spark.operators.joins import sorted_neighborhood_pairs
+        df = self._df(spark, ["a"])
+        with pytest.raises(ValueError, match="window"):
+            sorted_neighborhood_pairs(df, "name", id_col="id", window=0)
