@@ -853,8 +853,12 @@ def q_segment_dec_fit(spark, sf_dir):
     from caspr_spark.dec import (_linear_sum_assignment, fit_dec_distributed,
                                  hard_assignment, soft_assignment)
     emb = _t(spark, sf_dir, "embeddings")
+    # epochs bound the worst case: on well-clustered data the delta-label
+    # criterion stops after ~2 epochs; on the fresh-entity sf1 stress
+    # data (jittered, less separable) the loop otherwise runs the full
+    # schedule at ~2 small aggregation jobs per epoch
     centers, hist = fit_dec_distributed(emb, "embedding", k=10, seed=11,
-                                        lr=0.5, epochs=40)
+                                        lr=0.5, epochs=20)
     assigned = hard_assignment(
         soft_assignment(emb, "embedding", centers), 10)
     conf = assigned.groupBy("cluster", "label").count().collect()
