@@ -1947,6 +1947,27 @@ def q_rfm_scores(spark, sf_dir):
                       asof="2024-02-01 00:00:00", n_bins=5)
 
 
+def q_cm_frequency_rollup(spark, sf_dir):
+    """Count-Min frequency sketch with EXACT-merge rollup (timeseries.py
+    cm_sketch_layer/cm_rollup/cm_estimate — round 6): hourly depth-4 ×
+    256-cell sketches of event-type frequencies, rolled to daily by
+    cell-wise integer addition (exact — the day sketch equals the one
+    built from raw), point estimates as the min over a key's cells.
+    md5-derived cells make the whole sketch family deterministic, so
+    unlike classic randomized CM this carries a FULL oracle (which
+    builds the day cells directly from raw — certifying the merge)."""
+    from caspr_spark.operators.timeseries import (cm_estimate, cm_rollup,
+                                                  cm_sketch_layer)
+    ev = _events(spark, sf_dir)
+    layer = cm_sketch_layer(ev, "event_type", width="hour", depth=4, w=256)
+    day = cm_rollup(layer, "day", bucket_col="bucket_hour")
+    probes = ev.select("event_type").distinct()
+    est = cm_estimate(day, probes, "event_type", depth=4, w=256,
+                      bucket_col="bucket_day")
+    return est.select(F.col("bucket").cast("date").alias("day"),
+                      "event_type", "est_cnt")
+
+
 def q_ewma_events(spark, sf_dir):
     """Per-entity EWMA smoothing (timeseries.py ewma_smooth — round 6):
     truncated exponentially-weighted average over the trailing 8 events
@@ -2565,7 +2586,7 @@ _R6_WINDOW = [
     "multimodal_features", "multimodal_frames", "w1_rank", "w2_intervals",
     "f1_history_window", "f2_last_n", "f4_profile_dedup",
     "e1_encode_capped", "e5_normalize_minmax",
-    "e8_date_fill_pivoted", "e9_fill_nans_pivoted", "e10_quantile_bucket",
+    "e8_date_fill_pivoted", "e9_fill_nans_pivoted",
     "p3_pivot_last5", "x3_sliding_union",
     # -- round-4 re-leads (8 rows) --
     "interval_overlap",
@@ -2573,6 +2594,7 @@ _R6_WINDOW = [
     "cohort_retention",
     "rfm_scores",
     "sorted_neighborhood",
+    "cm_frequency_rollup",
     "source_jsonl_roundtrip",
     "emb_near_dup",
 ]
@@ -2674,6 +2696,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join_campaigns": q_range_join,
         "interval_overlap": q_interval_overlap,
         "ewma_events": q_ewma_events,
+        "cm_frequency_rollup": q_cm_frequency_rollup,
         "cohort_retention": q_cohort_retention,
         "rfm_scores": q_rfm_scores,
         "hypertable_rollup": q_hypertable_rollup,
@@ -4473,6 +4496,24 @@ FROM c""",
         "triangle_docs": _triangle_sql_entry(),
         "lpa_docs": _lpa_sql_entry(),
         "ewma_events": _ewma_sql_entry(),
+        "cm_frequency_rollup": """
+WITH ds AS (SELECT unnest([0, 1, 2, 3]) AS d),
+cells AS (
+  SELECT date_trunc('day', ts) AS bucket, ds.d,
+         ('0x'||substr(md5(event_type || ':' || ds.d::VARCHAR), 1, 8))
+           ::ubigint % 256 AS cell,
+         count(*)::bigint AS cnt
+  FROM events CROSS JOIN ds
+  GROUP BY 1, 2, 3),
+probe AS (
+  SELECT DISTINCT event_type, ds.d,
+         ('0x'||substr(md5(event_type || ':' || ds.d::VARCHAR), 1, 8))
+           ::ubigint % 256 AS cell
+  FROM events CROSS JOIN ds)
+SELECT CAST(c.bucket AS DATE) AS day, p.event_type,
+       min(c.cnt)::bigint AS est_cnt
+FROM probe p JOIN cells c ON c.d = p.d AND c.cell = p.cell
+GROUP BY 1, 2""",
         "cohort_retention": """
 WITH p AS (
   SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk FROM events),

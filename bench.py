@@ -119,6 +119,7 @@ EXTENDED_QUERIES = [
     "cohort_retention",
     "rfm_scores",
     "sorted_neighborhood",
+    "cm_frequency_rollup",
 ]
 
 

@@ -659,3 +659,76 @@ def transition_matrix(df: DataFrame, entity_col: str = "user_id",
     return counts.select(
         "from_type", "to_type", "n",
         F.round(F.col("n") / F.sum("n").over(w_from), 9).alias("p"))
+
+
+# --------------------------------------------------------------------------
+# Count-Min frequency sketch layer (mergeable, deterministic, oracle-exact)
+# --------------------------------------------------------------------------
+
+
+def _cm_cell(key_col: str, d: int, w: int):
+    """Row d's cell for a key: md5-derived (NOT xxhash64) so every
+    engine reproduces the table bit-for-bit — the same portability
+    choice as the hashed-BoW bucketing."""
+    return (F.conv(F.substring(
+        F.md5(F.concat_ws(":", F.col(key_col).cast("string"),
+                          F.lit(str(d)))), 1, 8), 16, 10)
+        .cast("long") % w)
+
+
+def cm_sketch_layer(df: DataFrame, key_col: str, ts_col: str = "ts",
+                    width: str = "hour", depth: int = 4,
+                    w: int = 256) -> DataFrame:
+    """Per-time-bucket COUNT-MIN sketch: frequency estimation joining
+    the mergeable-sketch family (HLL distinct, bottom-k quantiles,
+    Misra-Gries heavy hitters). Each row hashes into ``depth`` cells of
+    ``w`` columns; the layer is the (bucket, d, cell) count table —
+    ``depth·w`` longs per time bucket regardless of key cardinality,
+    the whole point at 1e9-key scale.
+
+    DETERMINISTIC by construction (md5-derived cells, integer counts),
+    so unlike classic randomized CM the layer, its rollups, and its
+    point estimates all carry EXACT SQL oracles. Estimates carry the
+    standard CM guarantee: ``est >= true``, over-counting only on cell
+    collisions (bounded by depth independent trials).
+
+    Returns ``(bucket_<width>, d, cell, cnt)``.
+    """
+    if depth < 1 or w < 2:
+        raise ValueError(f"need depth >= 1 and w >= 2, got {depth}, {w}")
+    bucket = F.date_trunc(width, F.col(ts_col)).alias(f"bucket_{width}")
+    cells = F.array(*[_cm_cell(key_col, d, w) for d in range(depth)])
+    return (df.select(bucket, F.posexplode(cells).alias("d", "cell"))
+            .groupBy(f"bucket_{width}", "d", "cell")
+            .agg(F.count(F.lit(1)).alias("cnt")))
+
+
+def cm_rollup(layer: DataFrame, width: str = "day",
+              bucket_col: str = "bucket_hour") -> DataFrame:
+    """Coarse CM layer from the fine layer WITHOUT rescanning raw rows:
+    Count-Min merges cell-wise by addition (counts are integers, so the
+    merge is EXACT — the day sketch equals the sketch built from raw).
+    Returns ``(bucket_<width>, d, cell, cnt)``."""
+    bucket = F.date_trunc(width, F.col(bucket_col)).alias(f"bucket_{width}")
+    return (layer.select(bucket, "d", "cell", "cnt")
+            .groupBy(f"bucket_{width}", "d", "cell")
+            .agg(F.sum("cnt").alias("cnt")))
+
+
+def cm_estimate(sketch: DataFrame, probes: DataFrame, key_col: str,
+                depth: int = 4, w: int = 256,
+                bucket_col: str = "bucket_day") -> DataFrame:
+    """Point-frequency estimates per (bucket, probe key): the MIN over
+    the key's ``depth`` cells. The probe side (a handful of keys the
+    monitor watches) explodes to its cells and equi-joins the sketch —
+    the sketch itself never reshuffles. Missing cells count 0 (the key
+    never appeared that bucket). Returns
+    ``(bucket, <key_col>, est_cnt)``."""
+    cells = F.array(*[_cm_cell(key_col, d, w) for d in range(depth)])
+    probe_cells = probes.select(
+        F.col(key_col), F.posexplode(cells).alias("d", "cell"))
+    joined = (sketch.join(F.broadcast(probe_cells), on=["d", "cell"])
+              .groupBy(bucket_col, key_col)
+              .agg(F.min("cnt").alias("est_cnt")))
+    return joined.select(F.col(bucket_col).alias("bucket"), key_col,
+                         F.col("est_cnt").cast("long").alias("est_cnt"))

@@ -660,3 +660,59 @@ class TestEwmaSmooth:
             ewma_smooth(ev, alpha=0.0)
         with pytest.raises(ValueError, match="lags"):
             ewma_smooth(ev, lags=-1)
+
+
+class TestCountMinSketch:
+    def _events(self, spark, n=400):
+        rows = [(i, ["a", "b", "c", "hot"][i % 4] if i % 4 else "hot",
+                 1704067200 + (i % 48) * 3600) for i in range(n)]
+        return spark.createDataFrame(rows, "event_id long, k string, "
+                                     "sec long").select(
+            "event_id", "k", F.timestamp_seconds("sec").alias("ts"))
+
+    def test_estimate_upper_bounds_truth_and_is_exact_when_sparse(self, spark):
+        from caspr_spark.operators.timeseries import (cm_estimate,
+                                                      cm_rollup,
+                                                      cm_sketch_layer)
+        ev = self._events(spark)
+        layer = cm_sketch_layer(ev, "k", width="hour", depth=4, w=256)
+        day = cm_rollup(layer, "day", bucket_col="bucket_hour")
+        probes = ev.select("k").distinct()
+        est = cm_estimate(day, probes, "k", depth=4, w=256,
+                          bucket_col="bucket_day")
+        got = {(str(r.bucket), r.k): r.est_cnt for r in est.collect()}
+        true = {(str(r.bucket), r.k): r.cnt for r in
+                ev.groupBy(F.date_trunc("day", "ts").alias("bucket"), "k")
+                  .agg(F.count(F.lit(1)).alias("cnt")).collect()}
+        assert set(got) == set(true)
+        for key, t in true.items():
+            assert got[key] >= t            # CM guarantee
+        # 4 keys in 256 cells x 4 rows: no collision -> exact
+        assert got == true
+
+    def test_rollup_merge_equals_direct_sketch(self, spark):
+        """Cell-wise integer addition is an EXACT merge: the day rollup
+        of the hour layer equals the sketch built at day width."""
+        from caspr_spark.operators.timeseries import (cm_rollup,
+                                                      cm_sketch_layer)
+        ev = self._events(spark)
+        rolled = cm_rollup(cm_sketch_layer(ev, "k", width="hour"),
+                           "day", bucket_col="bucket_hour")
+        direct = cm_sketch_layer(ev, "k", width="day")
+        a = {(str(r[0]), r.d, r.cell): r.cnt for r in rolled.collect()}
+        b = {(str(r[0]), r.d, r.cell): r.cnt for r in direct.collect()}
+        assert a == b
+
+    def test_layer_size_independent_of_cardinality(self, spark):
+        from caspr_spark.operators.timeseries import cm_sketch_layer
+        rows = [(i, f"key{i}", 1704067200) for i in range(5000)]
+        ev = spark.createDataFrame(rows, "event_id long, k string, sec long") \
+            .select("event_id", "k", F.timestamp_seconds("sec").alias("ts"))
+        layer = cm_sketch_layer(ev, "k", width="hour", depth=4, w=64)
+        assert layer.count() <= 4 * 64     # bounded by depth*w, not keys
+
+    def test_validation(self, spark):
+        from caspr_spark.operators.timeseries import cm_sketch_layer
+        ev = self._events(spark, n=4)
+        with pytest.raises(ValueError, match="depth"):
+            cm_sketch_layer(ev, "k", depth=0)
