@@ -4509,11 +4509,21 @@ probe AS (
   SELECT DISTINCT event_type, ds.d,
          ('0x'||substr(md5(event_type || ':' || ds.d::VARCHAR), 1, 8))
            ::ubigint % 256 AS cell
-  FROM events CROSS JOIN ds)
-SELECT CAST(c.bucket AS DATE) AS day, p.event_type,
-       min(c.cnt)::bigint AS est_cnt
-FROM probe p JOIN cells c ON c.d = p.d AND c.cell = p.cell
-GROUP BY 1, 2""",
+  FROM events CROSS JOIN ds),
+hits AS (
+  SELECT c.bucket, p.event_type,
+         min(c.cnt) AS min_present, count(*) AS n_present
+  FROM probe p JOIN cells c ON c.d = p.d AND c.cell = p.cell
+  GROUP BY 1, 2),
+grid AS (
+  SELECT b.bucket, k.event_type
+  FROM (SELECT DISTINCT bucket FROM cells) b
+  CROSS JOIN (SELECT DISTINCT event_type FROM probe) k)
+SELECT CAST(g.bucket AS DATE) AS day, g.event_type,
+       (CASE WHEN h.n_present = 4 THEN h.min_present
+             ELSE 0 END)::bigint AS est_cnt
+FROM grid g
+LEFT JOIN hits h ON h.bucket = g.bucket AND h.event_type = g.event_type""",
         "cohort_retention": """
 WITH p AS (
   SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk FROM events),

@@ -719,16 +719,34 @@ def cm_estimate(sketch: DataFrame, probes: DataFrame, key_col: str,
                 depth: int = 4, w: int = 256,
                 bucket_col: str = "bucket_day") -> DataFrame:
     """Point-frequency estimates per (bucket, probe key): the MIN over
-    the key's ``depth`` cells. The probe side (a handful of keys the
-    monitor watches) explodes to its cells and equi-joins the sketch —
-    the sketch itself never reshuffles. Missing cells count 0 (the key
-    never appeared that bucket). Returns
-    ``(bucket, <key_col>, est_cnt)``."""
+    the key's ``depth`` cells, where a cell ABSENT from the sketch
+    counts 0 (the key hashed to a cell no row of that bucket touched,
+    so its true count is 0 and the min is exactly 0). Every
+    (bucket, probe) pair is emitted — a key that never appeared in a
+    bucket reports ``est_cnt = 0`` instead of vanishing or picking up a
+    collision-only estimate.
+
+    Plan shape: the probe side (a handful of watched keys) explodes to
+    its cells and equi-joins the sketch — the sketch itself never
+    reshuffles. Absent cells are then recovered WITHOUT outer-joining
+    the big sketch: the inner join also counts how many of the key's
+    ``depth`` cells were present, and any pair with fewer than
+    ``depth`` hits is floored to 0 via a left join from the tiny
+    (distinct buckets × probe keys) grid.
+
+    Returns ``(bucket, <key_col>, est_cnt)``."""
     cells = F.array(*[_cm_cell(key_col, d, w) for d in range(depth)])
-    probe_cells = probes.select(
+    probe_keys = probes.select(key_col).distinct()
+    probe_cells = probe_keys.select(
         F.col(key_col), F.posexplode(cells).alias("d", "cell"))
-    joined = (sketch.join(F.broadcast(probe_cells), on=["d", "cell"])
-              .groupBy(bucket_col, key_col)
-              .agg(F.min("cnt").alias("est_cnt")))
-    return joined.select(F.col(bucket_col).alias("bucket"), key_col,
-                         F.col("est_cnt").cast("long").alias("est_cnt"))
+    hits = (sketch.join(F.broadcast(probe_cells), on=["d", "cell"])
+            .groupBy(bucket_col, key_col)
+            .agg(F.min("cnt").alias("__min_present"),
+                 F.count(F.lit(1)).alias("__n_present")))
+    grid = (sketch.select(bucket_col).distinct()
+            .crossJoin(F.broadcast(probe_keys)))
+    est = F.when(F.col("__n_present") == depth,
+                 F.col("__min_present")).otherwise(F.lit(0))
+    return (grid.join(hits, on=[bucket_col, key_col], how="left")
+            .select(F.col(bucket_col).alias("bucket"), key_col,
+                    est.cast("long").alias("est_cnt")))

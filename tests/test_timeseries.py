@@ -690,6 +690,38 @@ class TestCountMinSketch:
         # 4 keys in 256 cells x 4 rows: no collision -> exact
         assert got == true
 
+    def test_absent_probe_key_reports_zero_every_bucket(self, spark):
+        """A probe key the corpus never saw must report est_cnt = 0 in
+        EVERY bucket (any absent cell floors the min to 0) — not vanish
+        from the output or pick up a collision-only estimate."""
+        from caspr_spark.operators.timeseries import (cm_estimate,
+                                                      cm_sketch_layer)
+        ev = self._events(spark)
+        day = cm_sketch_layer(ev, "k", width="day", depth=4, w=256)
+        probes = spark.createDataFrame([("never-seen",)], "k string")
+        est = cm_estimate(day, probes, "k", depth=4, w=256,
+                          bucket_col="bucket_day")
+        rows = est.collect()
+        n_days = ev.select(F.date_trunc("day", "ts")).distinct().count()
+        assert len(rows) == n_days
+        assert all(r.est_cnt == 0 for r in rows)
+
+    def test_partially_present_cells_floor_to_zero(self, spark):
+        """With w=2 a dense corpus fills both cells of every row, so a
+        never-seen probe key's cells all collide — the depth counter
+        (not cell absence) must still floor a key absent from a bucket
+        only when a cell is genuinely missing; here all cells are hit,
+        so the estimate is a (valid) collision upper bound >= 0."""
+        from caspr_spark.operators.timeseries import (cm_estimate,
+                                                      cm_sketch_layer)
+        ev = self._events(spark)
+        day = cm_sketch_layer(ev, "k", width="day", depth=4, w=2)
+        probes = spark.createDataFrame([("never-seen",)], "k string")
+        est = cm_estimate(day, probes, "k", depth=4, w=2,
+                          bucket_col="bucket_day")
+        for r in est.collect():
+            assert r.est_cnt >= 0          # upper bound on a true 0
+
     def test_rollup_merge_equals_direct_sketch(self, spark):
         """Cell-wise integer addition is an EXACT merge: the day rollup
         of the hour layer equals the sketch built at day width."""
