@@ -206,7 +206,14 @@ def fit_dec(Z: np.ndarray, k: int, alpha: float = 1.0, epochs: int = 100,
         SAME labels (argmax q equals argmin distance under identical
         centers), so the loop always stopped after one epoch and the
         "refinement" never refined. Rows-only query outputs change
-        accordingly — they now reflect real KL descent."""
+        accordingly — they now reflect real KL descent.
+
+    .. versionchanged:: round 7
+        BOTH exit paths now return centers paired with ``history[-1]``:
+        the GD step is skipped on the final budgeted epoch, so epoch
+        exhaustion no longer applies one extra unrecorded update (the
+        break path never did). ``epochs=N`` therefore means N loss
+        evaluations and N-1 steps."""
     if init_centers is None:
         centers, labels = kmeans_np(Z, k, seed=seed)
     else:
@@ -225,6 +232,8 @@ def fit_dec(Z: np.ndarray, k: int, alpha: float = 1.0, epochs: int = 100,
         if epoch > 0 and (lab != prev).mean() < tol:
             break                          # converged: keep these centers
         prev = lab
+        if epoch == epochs - 1:
+            break       # budget exhausted: centers still match history[-1]
         centers = centers - lr * grad
     return centers, history
 
@@ -304,6 +313,8 @@ def fit_dec_joint(model, bundle, k: int, alpha: float = 1.0,
         if epoch > 0 and (lab != prev).mean() < tol:
             break
         prev = lab
+        if epoch == epochs - 1:
+            break       # budget exhausted: state still matches history[-1]
         _, g_enc = model.encode_and_grads(*args, dh=grad_z)
         opt.step(model.params, g_enc, lr_encoder)
         centers = centers - lr_centers * grad_c
@@ -433,6 +444,8 @@ def fit_dec_distributed(df: DataFrame, vec_col: str = "embedding",
             if epoch > 0 and changed_frac < tol:
                 break                       # converged: keep these centers
             prev_centers = centers
+            if epoch == epochs - 1:
+                break   # budget exhausted: centers still match history[-1]
             centers = centers - lr * grad
     finally:
         vecs.unpersist()
