@@ -1080,6 +1080,60 @@ def q_train_unified_ae(spark, sf_dir):
                            epochs=10)
 
 
+def _train_sgd_row(spark, sf_dir, arch, scans, batch_size, **kw):
+    """Shared body of the minibatch-SGD queries: full-batch GD
+    (fit_deep_autoencoder_ddp) and local-SGD
+    (train_distributed.fit_deep_autoencoder_sgd — per-shard streamed
+    minibatch Adam steps + weighted parameter averaging, the reference's
+    BATCH_SIZE=32768 stochastic path of caspr/utils/spark/large/
+    train.py:35,152-183) trained for the SAME number of table scans,
+    then both scored on the identical full-data loss via the
+    distributed evaluate_loss pass. SGD must reach the lower loss —
+    the convergence-per-IO property that closes the last semantic gap
+    vs the reference's scale path (r7 verdict item 1)."""
+    from caspr_spark.train_distributed import (evaluate_loss,
+                                               fit_deep_autoencoder_ddp,
+                                               fit_deep_autoencoder_sgd)
+    wide = q_pipeline_events(spark, sf_dir).fillna(0.0).persist()
+    try:
+        roles = _train_roles()
+        m_fb, _ = fit_deep_autoencoder_ddp(
+            wide, roles, SEQ_N, arch=arch, hidden_dim=8, world_size=4,
+            epochs=scans, lr=3e-3, seed=7, **kw)
+        m_sgd, hist = fit_deep_autoencoder_sgd(
+            wide, roles, SEQ_N, arch=arch, hidden_dim=8, world_size=4,
+            epochs=scans, batch_size=batch_size, lr=3e-3, seed=7, **kw)
+        l_fb = evaluate_loss(m_fb, wide, roles, SEQ_N)
+        l_sgd = evaluate_loss(m_sgd, wide, roles, SEQ_N)
+    finally:
+        wide.unpersist()
+    return spark.createDataFrame(
+        [(scans, batch_size, float(round(l_fb, 4)), float(round(l_sgd, 4)),
+          bool(l_sgd < l_fb), bool(hist[-1] < hist[0]))],
+        "table_scans int, batch_size int, fullbatch_loss double, "
+        "sgd_loss double, sgd_beats_fullbatch boolean, "
+        "stream_loss_decreased boolean")
+
+
+def q_train_ae_sgd(spark, sf_dir):
+    """Minibatch/local-SGD training of the MLP autoencoder vs full-batch
+    GD at equal table scans (r7 verdict item 1 — the reference's
+    stochastic BATCH_SIZE path). Rows-only (iterative optimization;
+    deterministic: hash-sharded + md5-ordered minibatch sequence);
+    world-1-parity, determinism, and beats-full-batch property tests in
+    test_train_distributed.py."""
+    return _train_sgd_row(spark, sf_dir, arch="mlp", scans=6,
+                          batch_size=128)
+
+
+def q_train_lstm_ae_sgd(spark, sf_dir):
+    """Minibatch/local-SGD vs full-batch at equal scans for the
+    RECURRENT (LSTM-encoder) autoencoder — same contract as
+    q_train_ae_sgd. Rows-only (iterative optimization)."""
+    return _train_sgd_row(spark, sf_dir, arch="lstm", scans=4,
+                          batch_size=128)
+
+
 def q_train_ae_ddp(spark, sf_dir):
     """DDP parity row for the RECURRENT autoencoder (encoder='lstm'):
     world-4 sharded-gradient training vs the world-1 single-process
@@ -2812,6 +2866,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_unified_ae": q_train_unified_ae,
         "train_ae_ddp": q_train_ae_ddp,
         "train_transformer_ae_ddp": q_train_transformer_ae_ddp,
+        "train_ae_sgd": q_train_ae_sgd,
+        "train_lstm_ae_sgd": q_train_lstm_ae_sgd,
         "explain_grad_attribution": q_explain_grad_attribution,
         "simsearch_topk_ivf": q_simsearch_topk_ivf,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,

@@ -374,6 +374,240 @@ def fit_deep_autoencoder_ddp(wide_df: DataFrame, roles, seq_len: int,
     return model, history
 
 
+def _shard_sgd_kernel(cls, ctor_kwargs, params_blob, roles, seq_len,
+                      batch_size: int, lr: float):
+    """mapInPandas kernel for ONE local-SGD round over this shard.
+
+    The shard's Arrow batches are re-chunked into minibatches of exactly
+    ``batch_size`` rows (the last chunk may be short) and each minibatch
+    takes one LOCAL Adam step — many optimizer steps per table scan, the
+    reference's BATCH_SIZE=32768 stochastic path
+    (caspr/utils/spark/large/train.py:35,152-183; caspr/utils/
+    train.py:30-130 iterates batches). Memory stays bounded by
+    ``max(batch_size, arrow batch)`` rows; the optimizer state is
+    shard-local and lives only for the round. Emits ONE row:
+    ``(n, Σ n_b · loss_b`` over pre-step minibatch losses``, params)``.
+    """
+    def kernel(batches):
+        import pickle
+
+        import pandas as pd
+
+        from caspr_spark.data.tensorize import transform_and_load
+        from caspr_spark.models.autoencoder import Adam
+
+        model = cls(**ctor_kwargs)
+        model.load_state(pickle.loads(params_blob))
+        opt = Adam(model.params, lr=lr)
+        n_tot = 0
+        loss_sum = 0.0
+        buf: list = []
+        buf_n = 0
+
+        def step(pdf):
+            nonlocal n_tot, loss_sum
+            b = transform_and_load(pdf, roles, seq_len, keep_ids=False)
+            loss, g = model.loss_and_grads(b.seq_cat, b.seq_cont,
+                                           b.non_seq_cat, b.non_seq_cont)
+            opt.step(model.params, g, lr)
+            n_tot += len(pdf)
+            loss_sum += loss * len(pdf)
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            buf.append(pdf)
+            buf_n += len(pdf)
+            while buf_n >= batch_size:
+                chunk = pd.concat(buf, ignore_index=True)
+                step(chunk.iloc[:batch_size])
+                rest = chunk.iloc[batch_size:]
+                buf = [rest] if len(rest) else []
+                buf_n = len(rest)
+        if buf_n:
+            step(pd.concat(buf, ignore_index=True))
+        blob = (pickle.dumps({k: np.asarray(v)
+                              for k, v in model.params.items()})
+                if n_tot else b"")
+        yield pd.DataFrame({"n": [n_tot], "loss": [loss_sum],
+                            "params": [blob]})
+    return kernel
+
+
+def fit_deep_autoencoder_sgd(wide_df: DataFrame, roles, seq_len: int,
+                             arch: str = "mlp", hidden_dim: int = 32,
+                             world_size: int = 4, epochs: int = 10,
+                             batch_size: int = 512, lr: float = 1e-3,
+                             warmup_epochs: int = 0, patience: int = 8,
+                             min_delta: float = 1e-5, seed: int = 42,
+                             **arch_kwargs):
+    """MINIBATCH/stochastic mode of :func:`fit_deep_autoencoder_ddp` —
+    local SGD with periodic weighted parameter averaging.
+
+    The reference's scale path takes MANY optimizer steps per epoch by
+    iterating Petastorm batches of 32768 rows per worker
+    (caspr/utils/spark/large/train.py:35,152-183). Full-batch GD
+    (:func:`fit_deep_autoencoder_ddp`) is the exactness/parity anchor but
+    pays one step per table scan; this mode restores the reference's
+    convergence-per-IO: per epoch (= one scan of the persisted wide
+    relation) every shard streams its Arrow batches through minibatches
+    of ``batch_size`` rows, taking one LOCAL Adam step per minibatch,
+    and the driver weighted-averages the shard parameters —
+    ``θ ← Σ n_w θ_w / Σ n_w`` — the classic local-SGD / periodic-
+    averaging contract (the allreduce-per-step form would need one
+    driver round-trip per minibatch, which is exactly the latency a
+    100 TB scan cannot afford).
+
+    Determinism: shards are hash-assigned on the entity id and each
+    shard is sorted by ``md5(id)``, so the minibatch sequence — hence
+    the result — is a pure function of (data, seed, world_size,
+    batch_size), independent of task scheduling. Changing
+    ``world_size`` changes the batch partition (local SGD is not
+    shard-count-invariant, unlike the full-batch mode — the property
+    tests pin determinism, the world-1 == sequential-minibatch parity,
+    and better-loss-than-full-batch at equal scans instead).
+
+    The per-epoch loss history records the STREAMING training loss
+    (each minibatch evaluated before its step, weighted by rows);
+    consensus early stop runs on it. Returns ``(model, history)``.
+    """
+    import pickle
+
+    if batch_size < 1:
+        raise ValueError(f"batch_size must be >= 1, got {batch_size}")
+    seq_cat, seq_cont, non_seq_cat, non_seq_cont = _role_split(roles, seq_len)
+    seq_vocab, non_seq_vocab = _wide_vocab(wide_df, roles, seq_len)
+    model, cls, kwargs = _build_deep_model(
+        arch, seq_vocab, len(seq_cont), non_seq_vocab, len(non_seq_cont),
+        seq_len, hidden_dim, seed, **arch_kwargs)
+
+    ids = [F.col(c).cast("string") for c in roles.tgt_id]
+    shard_key = F.pmod(F.xxhash64(*ids), F.lit(world_size))
+    order_key = F.md5(F.concat_ws("|", *ids))
+    sharded = (wide_df
+               .repartition(world_size, shard_key)
+               .sortWithinPartitions(order_key)
+               .persist())
+    try:
+        sharded.count()    # materialize once; epochs rescan the cache
+
+        stopper = DistributedEarlyStopping(patience=patience,
+                                           min_delta=min_delta)
+        history: list[float] = []
+        for epoch in range(epochs):
+            blob = pickle.dumps({k: np.asarray(v)
+                                 for k, v in model.params.items()})
+            eff_lr = warmup_lr(lr, epoch, warmup_epochs)
+            rows = sharded.mapInPandas(
+                _shard_sgd_kernel(cls, kwargs, blob, roles, seq_len,
+                                  batch_size, eff_lr),
+                schema="n long, loss double, params binary").collect()
+            parts = [(pickle.loads(bytes(r.params)), int(r.n), float(r.loss))
+                     for r in rows if r.n > 0]
+            if not parts:
+                raise ValueError("fit_deep_autoencoder_sgd: empty input")
+            n_tot = sum(n for _, n, _ in parts)
+            loss = sum(l for _, _, l in parts) / n_tot
+            for k in model.params:
+                model.params[k] = sum(p[k] * n for p, n, _ in parts) / n_tot
+            history.append(loss)
+            if stopper.step_all(loss, epoch,
+                                [model.params[k]
+                                 for k in sorted(model.params)]):
+                break
+    finally:
+        sharded.unpersist()
+    if stopper.best_state:
+        for k, w in zip(sorted(model.params), stopper.best_state):
+            model.params[k] = w
+    return model, history
+
+
+def fit_deep_autoencoder_sgd_local(bundle, arch: str = "mlp",
+                                   hidden_dim: int = 32, epochs: int = 10,
+                                   batch_size: int = 512, lr: float = 1e-3,
+                                   warmup_epochs: int = 0, patience: int = 8,
+                                   min_delta: float = 1e-5, seed: int = 42,
+                                   **arch_kwargs):
+    """Sequential-minibatch twin of :func:`fit_deep_autoencoder_sgd`
+    over an in-memory bundle, rows taken IN THE GIVEN ORDER — exactly
+    what the distributed fit computes at ``world_size=1`` when the
+    bundle holds the shard's rows in its sorted order (the parity
+    tests feed it that order). The local Adam resets each epoch, like
+    the shard-local optimizer whose state lives only for the round."""
+    from caspr_spark.models.autoencoder import Adam
+
+    seq_vocab = [max(int(bundle.seq_cat[..., i].max()) + 1, 2)
+                 for i in range(bundle.seq_cat.shape[-1])]
+    non_seq_vocab = [max(int(bundle.non_seq_cat[:, j].max()) + 1, 2)
+                     for j in range(bundle.non_seq_cat.shape[-1])]
+    seq_len = bundle.seq_cat.shape[1] or bundle.seq_cont.shape[1]
+    model, _, _ = _build_deep_model(
+        arch, seq_vocab, bundle.seq_cont.shape[-1], non_seq_vocab,
+        bundle.non_seq_cont.shape[-1], seq_len, hidden_dim, seed,
+        **arch_kwargs)
+    n = bundle.seq_cat.shape[0]
+    stopper = DistributedEarlyStopping(patience=patience,
+                                       min_delta=min_delta)
+    history: list[float] = []
+    for epoch in range(epochs):
+        opt = Adam(model.params, lr=lr)
+        eff_lr = warmup_lr(lr, epoch, warmup_epochs)
+        loss_sum = 0.0
+        for start in range(0, n, batch_size):
+            sl = slice(start, min(start + batch_size, n))
+            loss, g = model.loss_and_grads(
+                bundle.seq_cat[sl], bundle.seq_cont[sl],
+                bundle.non_seq_cat[sl], bundle.non_seq_cont[sl])
+            opt.step(model.params, g, eff_lr)
+            loss_sum += loss * (sl.stop - sl.start)
+        history.append(loss_sum / n)
+        if stopper.step_all(history[-1], epoch,
+                            [model.params[k] for k in sorted(model.params)]):
+            break
+    if stopper.best_state:
+        for k, w in zip(sorted(model.params), stopper.best_state):
+            model.params[k] = w
+    return model, history
+
+
+def evaluate_loss(model, wide_df: DataFrame, roles, seq_len: int) -> float:
+    """Full-data mean loss of ``model`` computed DISTRIBUTED — one
+    mapInPandas pass emitting (n, Σ n·loss) per partition; the driver
+    folds. The shared yardstick the SGD-vs-full-batch queries use so
+    both training modes are scored on the identical objective."""
+    import pickle
+
+    cls = type(model)
+    kwargs = model.ctor_kwargs
+    blob = pickle.dumps({k: np.asarray(v)
+                         for k, v in model.state_dict().items()})
+
+    def kernel(batches):
+        import pandas as pd
+
+        from caspr_spark.data.tensorize import transform_and_load
+
+        m = cls(**kwargs)
+        m.load_state(pickle.loads(blob))
+        n = 0
+        s = 0.0
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            b = transform_and_load(pdf, roles, seq_len, keep_ids=False)
+            loss = m.loss(b)          # forward only — no backward pass
+            n += len(pdf)
+            s += loss * len(pdf)
+        yield pd.DataFrame({"n": [n], "loss": [s]})
+
+    rows = wide_df.mapInPandas(kernel, schema="n long, loss double").collect()
+    n_tot = sum(int(r.n) for r in rows)
+    if not n_tot:
+        raise ValueError("evaluate_loss: empty input")
+    return float(sum(float(r.loss) for r in rows) / n_tot)
+
+
 def fit_deep_autoencoder_local(bundle, arch: str = "mlp",
                                hidden_dim: int = 32, epochs: int = 50,
                                lr: float = 1e-3, warmup_epochs: int = 5,

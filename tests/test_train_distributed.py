@@ -141,3 +141,102 @@ class TestDistributedAttribution:
             float(np.abs(l_ig.sum(axis=1) - l_delta).max()), rel=1e-6)
         assert dl_res == pytest.approx(
             float(np.abs(l_dl.sum(axis=1) - l_dld).max()), rel=1e-6, abs=1e-12)
+
+
+class TestSgdMode:
+    """Minibatch/local-SGD mode (fit_deep_autoencoder_sgd): the
+    reference's BATCH_SIZE=32768 stochastic path (caspr/utils/spark/
+    large/train.py:35,152-183) re-expressed as per-shard streamed
+    minibatch Adam steps + weighted parameter averaging per scan."""
+
+    def _sorted_pdf(self, pdf):
+        """Rows in the order a single shard streams them: sorted by
+        md5(cast(user_id as string)) — Spark's sortWithinPartitions key."""
+        import hashlib
+        h = [hashlib.md5(str(int(u)).encode()).hexdigest()
+             for u in pdf["user_id"]]
+        return pdf.assign(__h=h).sort_values("__h").drop(columns="__h") \
+                  .reset_index(drop=True)
+
+    def test_deterministic(self, spark):
+        from caspr_spark.train_distributed import fit_deep_autoencoder_sgd
+        wide = spark.createDataFrame(_wide_pdf())
+        m_a, h_a = fit_deep_autoencoder_sgd(
+            wide, ROLES, 4, arch="mlp", hidden_dim=6, world_size=3,
+            epochs=3, batch_size=32, lr=3e-3, seed=9)
+        m_b, h_b = fit_deep_autoencoder_sgd(
+            wide, ROLES, 4, arch="mlp", hidden_dim=6, world_size=3,
+            epochs=3, batch_size=32, lr=3e-3, seed=9)
+        assert h_a == h_b
+        for k in m_a.params:
+            np.testing.assert_array_equal(m_a.params[k], m_b.params[k])
+
+    def test_world1_matches_sequential_minibatch(self, spark):
+        """world_size=1 IS sequential minibatch SGD over the md5-sorted
+        rows: the distributed fit must equal the in-memory twin fed the
+        same order, batch for batch."""
+        from caspr_spark.train_distributed import (
+            fit_deep_autoencoder_sgd, fit_deep_autoencoder_sgd_local)
+        pdf = _wide_pdf()
+        wide = spark.createDataFrame(pdf)
+        m_d, h_d = fit_deep_autoencoder_sgd(
+            wide, ROLES, 4, arch="mlp", hidden_dim=6, world_size=1,
+            epochs=3, batch_size=64, lr=3e-3, seed=9)
+        bundle = transform_and_load(self._sorted_pdf(pdf), ROLES, 4)
+        m_l, h_l = fit_deep_autoencoder_sgd_local(
+            bundle, arch="mlp", hidden_dim=6, epochs=3, batch_size=64,
+            lr=3e-3, seed=9)
+        assert len(h_d) == len(h_l)
+        np.testing.assert_allclose(h_d, h_l, rtol=1e-9)
+        for k in m_l.params:
+            np.testing.assert_allclose(m_d.params[k], m_l.params[k],
+                                       rtol=1e-8, atol=1e-11, err_msg=k)
+
+    def test_beats_fullbatch_at_equal_scans(self, spark):
+        """At the SAME number of table scans (epochs), many small steps
+        per scan reach a lower full-data loss than one step per scan —
+        the convergence-per-IO property the mode exists for."""
+        from caspr_spark.train_distributed import (
+            evaluate_loss, fit_deep_autoencoder_sgd)
+        wide = spark.createDataFrame(_wide_pdf())
+        scans = 4
+        m_fb, _ = fit_deep_autoencoder_ddp(
+            wide, ROLES, 4, arch="mlp", hidden_dim=6, world_size=2,
+            epochs=scans, lr=3e-3, seed=9)
+        m_sgd, _ = fit_deep_autoencoder_sgd(
+            wide, ROLES, 4, arch="mlp", hidden_dim=6, world_size=2,
+            epochs=scans, batch_size=16, lr=3e-3, seed=9)
+        l_fb = evaluate_loss(m_fb, wide, ROLES, 4)
+        l_sgd = evaluate_loss(m_sgd, wide, ROLES, 4)
+        assert l_sgd < l_fb
+
+    def test_world_counts_both_converge(self, spark):
+        """Local SGD is not shard-count invariant (the batch partition
+        changes), but every world size must still descend: final
+        streaming loss below the first epoch's for 2 and 4 shards."""
+        from caspr_spark.train_distributed import fit_deep_autoencoder_sgd
+        wide = spark.createDataFrame(_wide_pdf())
+        for ws in (2, 4):
+            _, hist = fit_deep_autoencoder_sgd(
+                wide, ROLES, 4, arch="mlp", hidden_dim=6, world_size=ws,
+                epochs=4, batch_size=32, lr=3e-3, seed=9)
+            assert hist[-1] < hist[0], ws
+
+    def test_batch_size_validation(self, spark):
+        from caspr_spark.train_distributed import fit_deep_autoencoder_sgd
+        wide = spark.createDataFrame(_wide_pdf(n=20))
+        with pytest.raises(ValueError, match="batch_size"):
+            fit_deep_autoencoder_sgd(wide, ROLES, 4, batch_size=0)
+
+
+class TestEvaluateLoss:
+    def test_matches_local_forward(self, spark):
+        from caspr_spark.train_distributed import evaluate_loss
+        pdf = _wide_pdf(n=120)
+        wide = spark.createDataFrame(pdf)
+        model, _ = fit_deep_autoencoder_ddp(wide, ROLES, 4, arch="mlp",
+                                            hidden_dim=6, world_size=2,
+                                            epochs=2, lr=3e-3, seed=9)
+        got = evaluate_loss(model, wide, ROLES, 4)
+        bundle = transform_and_load(pdf, ROLES, 4)
+        assert got == pytest.approx(model.loss(bundle), rel=1e-9)
