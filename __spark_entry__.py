@@ -876,22 +876,26 @@ def q_segment_dec_fit(spark, sf_dir):
 
 
 def q_segment_dec_joint(spark, sf_dir):
-    """JOINT deep embedded clustering (dec.py fit_dec_joint — r5 verdict
-    item 5): the KL objective backpropagated into the (numpy) encoder
-    through SequenceAutoencoder.encode_and_grads' VJP while centroids
-    take GD steps, per caspr/models/dec.py:10-119. Pretraining is the
-    DISTRIBUTED fit; the joint fine-tune runs driver-side over a
-    BOUNDED md5-ordered 1024-row sample (stated bound — the same
-    discipline as tsne_sample_frame). The row compares the frozen-
-    encoder refinement against the joint one from the SAME init and
-    FIXED target: joint must reach lower KL. (No SQL oracle —
-    iterative optimization; rows-only, fully seeded; VJP gradcheck in
-    test_dec.py.)"""
+    """JOINT deep embedded clustering AT DATA SCALE (dec.py
+    fit_dec_joint_distributed — r7 verdict item 2): the KL objective
+    backpropagated into the (numpy) encoder through
+    SequenceAutoencoder.encode_and_grads' VJP while centroids take GD
+    steps, per caspr/models/dec.py:10-119 — and the gradient now flows
+    through EVERY row of the table (per-partition mapInPandas
+    partials, weighted driver fold), not a driver sample. Only the
+    KMeans INIT touches a bounded md5-ordered 1024-row sample (the
+    stated-bound discipline of fit_dec_distributed); each row's
+    pinned target is recomputed map-side from the anchored refresh
+    state, so the fixed-target comparison is exact. The row compares
+    frozen-encoder refinement (lr_encoder=0 inside the SAME
+    machinery) against the joint one from the SAME init and FIXED
+    target: joint must reach lower KL. (No SQL oracle — iterative
+    optimization; rows-only, fully seeded; VJP gradcheck + in-memory
+    parity tests in test_dec.py.)"""
     import copy
 
     from caspr_spark.data import transform_and_load
-    from caspr_spark.dec import dec_loss_and_grad, fit_dec, fit_dec_joint, \
-        kmeans_np
+    from caspr_spark.dec import fit_dec_joint_distributed, kmeans_np
     from caspr_spark.train_distributed import fit_deep_autoencoder_ddp
 
     roles = _train_roles()
@@ -900,29 +904,30 @@ def q_segment_dec_joint(spark, sf_dir):
         model, _ = fit_deep_autoencoder_ddp(
             wide, roles, SEQ_N, arch="mlp", hidden_dim=8, world_size=4,
             epochs=8, lr=3e-3, seed=7)
+        # one shared init so both refinements start identically
         sample = (wide.orderBy(F.md5(F.col("user_id").cast("string")))
                   .limit(1024).toPandas())
+        bundle = transform_and_load(sample, roles, seq_len=SEQ_N)
+        Z0 = model.encode(bundle.seq_cat, bundle.seq_cont,
+                          bundle.non_seq_cat, bundle.non_seq_cont)
+        c0, _ = kmeans_np(Z0, DEC_K, seed=11)
+        mf = copy.deepcopy(model)
+        _, _, hf = fit_dec_joint_distributed(
+            mf, wide, roles, SEQ_N, DEC_K, lr_centers=0.1,
+            lr_encoder=0.0, epochs=15, init_centers=c0, tol=0.0,
+            target_refresh=10**6)
+        mj = copy.deepcopy(model)
+        mj, cj, hj = fit_dec_joint_distributed(
+            mj, wide, roles, SEQ_N, DEC_K, lr_centers=0.1,
+            lr_encoder=3e-3, epochs=15, init_centers=c0, tol=0.0,
+            target_refresh=10**6)
     finally:
         wide.unpersist()
-    bundle = transform_and_load(sample, roles, seq_len=SEQ_N)
-    args = (bundle.seq_cat, bundle.seq_cont, bundle.non_seq_cat,
-            bundle.non_seq_cont)
-    Z0 = model.encode(*args)
-    c0, _ = kmeans_np(Z0, DEC_K, seed=11)
-    # fixed target (refresh interval > epochs): both runs optimize the
-    # SAME objective from the SAME init, so the comparison is clean
-    cf, hf = fit_dec(Z0, DEC_K, lr=0.1, epochs=25, init_centers=c0,
-                     tol=0.0, target_refresh=10**6)
-    mj = copy.deepcopy(model)
-    mj, cj, hj = fit_dec_joint(mj, bundle, DEC_K, lr_centers=0.1,
-                               lr_encoder=3e-3, epochs=25,
-                               init_centers=c0, tol=0.0,
-                               target_refresh=10**6)
     frozen_kl = float(hf[-1])
     joint_kl = float(hj[-1])
     return spark.createDataFrame(
-        [(len(hj), float(round(hf[0], 6)), float(round(frozen_kl, 6)),
-          float(round(joint_kl, 6)), bool(joint_kl < frozen_kl))],
+        [(len(hj), float(round(hf[0], 8)), float(round(frozen_kl, 8)),
+          float(round(joint_kl, 8)), bool(joint_kl < frozen_kl))],
         "epochs int, initial_kl double, frozen_kl double, "
         "joint_kl double, joint_beats_frozen boolean")
 

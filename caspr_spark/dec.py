@@ -213,7 +213,10 @@ def fit_dec(Z: np.ndarray, k: int, alpha: float = 1.0, epochs: int = 100,
         the GD step is skipped on the final budgeted epoch, so epoch
         exhaustion no longer applies one extra unrecorded update (the
         break path never did). ``epochs=N`` therefore means N loss
-        evaluations and N-1 steps."""
+        evaluations and N-1 steps — ``epochs=1`` (and any
+        ``epochs < 2``) returns the init centers unrefined; ask for at
+        least 2 epochs to take a gradient step. The same convention
+        applies to every fit in this module."""
     if init_centers is None:
         centers, labels = kmeans_np(Z, k, seed=seed)
     else:
@@ -281,10 +284,14 @@ def fit_dec_joint(model, bundle, k: int, alpha: float = 1.0,
     refreshes every ``target_refresh`` epochs and the delta-label
     criterion stops the loop, both exactly as :func:`fit_dec`.
 
-    Driver-side over an in-memory bundle by design — DEC's joint phase
-    is a fine-tune over a BOUNDED sample (the query documents the
-    bound); the frozen-centroid half has the distributed twin
-    :func:`fit_dec_distributed`.
+    Driver-side over an in-memory bundle; the full-table twin is
+    :func:`fit_dec_joint_distributed` (the query runs that one), and
+    the frozen-centroid half has :func:`fit_dec_distributed`.
+
+    ``epochs`` follows the same N−1-steps convention as
+    :func:`fit_dec`: N loss evaluations, N−1 optimizer steps — the
+    final budgeted epoch only records its loss, so ``epochs=1``
+    returns the init state unrefined.
 
     Returns ``(model, centers, history)``.
     """
@@ -318,6 +325,211 @@ def fit_dec_joint(model, bundle, k: int, alpha: float = 1.0,
         _, g_enc = model.encode_and_grads(*args, dh=grad_z)
         opt.step(model.params, g_enc, lr_encoder)
         centers = centers - lr_centers * grad_c
+    return model, centers, history
+
+
+def fit_dec_joint_distributed(model, wide_df: DataFrame, roles,
+                              seq_len: int, k: int, alpha: float = 1.0,
+                              epochs: int = 40, lr_centers: float = 0.5,
+                              lr_encoder: float = 1e-3, seed: int = 42,
+                              tol: float = 0.0, target_refresh: int = 1,
+                              init_centers: np.ndarray | None = None,
+                              init_sample: int = 1024):
+    """JOINT deep embedded clustering over the WHOLE DataFrame — the
+    distributed composition of :func:`fit_dec_joint`'s two gradient
+    halves (r7 verdict item 2): per epoch every partition streams its
+    Arrow batches through tensorize → ``model.encode`` → the
+    closed-form per-row KL gradients, chains the embedding gradient
+    into the encoder via ``SequenceAutoencoder.encode_and_grads``'s
+    VJP, and emits ONE pickled partial ``(n, Σ loss, Σ grad_centers,
+    Σ n·grad_θ)``; the driver weighted-folds the partials into the
+    exact global gradients — every term is a sum over rows, so the
+    fold reproduces :func:`fit_dec_joint` on the collected matrix up
+    to float summation order (parity-tested) — then takes one Adam
+    step on the encoder and one GD step on the centroids. No driver
+    materialization of rows, ever: the driver holds the parameter
+    dict and ``k·d`` doubles.
+
+    ``model`` must carry ``ctor_kwargs`` (set by the
+    ``fit_deep_autoencoder_*`` constructors) so executors can rebuild
+    the architecture and load the broadcast parameters.
+
+    Target handling is EXACT for any ``target_refresh`` — stronger
+    than :func:`fit_dec_distributed`'s fixed-frequency caveat: the
+    full N×k target matrix a refresh epoch pins is never stored;
+    instead the kernel carries the ANCHOR state (parameters,
+    centers, frequencies) of the last refresh epoch and recomputes
+    each row's ``p_i`` map-side from it — ``p_i`` is a pure function
+    of the row's anchored embedding, so one extra encode per batch
+    (skipped at refresh epochs, where anchor == current) replaces
+    the per-row state entirely, and the semantics equal
+    :func:`fit_dec_joint` for every refresh interval.
+
+    The delta-label stop needs labels under the PREVIOUS epoch's
+    (params, centers) — one more encode per batch — so it is computed
+    only when ``tol > 0``; the default ``tol=0.0`` runs the full
+    epoch budget (``epochs`` loss evaluations, ``epochs - 1`` steps,
+    the same N−1 convention as :func:`fit_dec`).
+
+    KMeans init runs on a BOUNDED md5-ordered ``init_sample`` of rows
+    encoded driver-side (the stated-bound discipline of
+    :func:`fit_dec_distributed`), or pass ``init_centers``.
+    Returns ``(model, centers, history)``.
+    """
+    import pickle
+
+    from pyspark.sql import functions as SF
+
+    from caspr_spark.models.autoencoder import Adam
+
+    cls = type(model)
+    ctor_kwargs = model.ctor_kwargs
+    ids = [SF.col(c).cast("string") for c in roles.tgt_id]
+
+    def _params_blob():
+        return pickle.dumps({kk: np.asarray(v)
+                             for kk, v in model.params.items()})
+
+    if init_centers is not None:
+        centers = np.asarray(init_centers, dtype=np.float64)
+    else:
+        from caspr_spark.data.tensorize import transform_and_load
+        sample = (wide_df.orderBy(SF.md5(SF.concat_ws("|", *ids)))
+                  .limit(init_sample).toPandas())
+        b = transform_and_load(sample, roles, seq_len, keep_ids=False)
+        Z0 = model.encode(b.seq_cat, b.seq_cont, b.non_seq_cat,
+                          b.non_seq_cont)
+        centers, _ = kmeans_np(Z0, k, seed=seed)
+        centers = centers.astype(np.float64)
+
+    wide = wide_df.persist()
+    try:
+        wide.count()
+
+        def _freq_pass(C):
+            blob = pickle.dumps((_params_blob(), C))
+
+            def kernel(batches):
+                import pandas as pd
+
+                from caspr_spark.data.tensorize import transform_and_load
+                pb, C_ = pickle.loads(blob)
+                m = cls(**ctor_kwargs)
+                m.load_state(pickle.loads(pb))
+                f = np.zeros(len(C_))
+                for pdf in batches:
+                    if not len(pdf):
+                        continue
+                    bb = transform_and_load(pdf, roles, seq_len,
+                                            keep_ids=False)
+                    Z = m.encode(bb.seq_cat, bb.seq_cont, bb.non_seq_cat,
+                                 bb.non_seq_cont)
+                    f += _soft_np(Z, C_, alpha).sum(axis=0)
+                yield pd.DataFrame({"part": [pickle.dumps(f)]})
+            rows = wide.mapInPandas(kernel, schema="part binary").collect()
+            return sum(pickle.loads(bytes(r.part)) for r in rows)
+
+        def _joint_pass(C, anchor, fresh, prev):
+            blob = pickle.dumps((_params_blob(), C, anchor, fresh, prev))
+
+            def kernel(batches):
+                import pandas as pd
+
+                from caspr_spark.data.tensorize import transform_and_load
+                pb, C_, (pa, Ca, fa), fresh_, prev_ = pickle.loads(blob)
+                m = cls(**ctor_kwargs)
+                m.load_state(pickle.loads(pb))
+                ma = None
+                if not fresh_:          # anchor state differs from current
+                    ma = cls(**ctor_kwargs)
+                    ma.load_state(pickle.loads(pa))
+                mp = None
+                if prev_ is not None:
+                    mp = cls(**ctor_kwargs)
+                    mp.load_state(pickle.loads(prev_[0]))
+                kk, d = C_.shape
+                g_c = np.zeros((kk, d))
+                g_enc = None
+                loss_sum = 0.0
+                changed = 0
+                n = 0
+                for pdf in batches:
+                    if not len(pdf):
+                        continue
+                    bb = transform_and_load(pdf, roles, seq_len,
+                                            keep_ids=False)
+                    args = (bb.seq_cat, bb.seq_cont, bb.non_seq_cat,
+                            bb.non_seq_cont)
+                    Z = m.encode(*args)
+                    diff = Z[:, None, :] - C_[None, :, :]
+                    nsq = (diff ** 2).sum(axis=2)
+                    inv = 1.0 / (1.0 + nsq / alpha)
+                    q = _soft_np(Z, C_, alpha)
+                    # the row's PINNED target: q under the anchor state
+                    # (the last refresh epoch), normalized by the anchor
+                    # frequencies — identical to the p-matrix row
+                    # fit_dec_joint froze at that epoch
+                    qa = q if fresh_ else _soft_np(ma.encode(*args), Ca,
+                                                   alpha)
+                    w = qa * qa / fa
+                    p = w / w.sum(axis=1, keepdims=True)
+                    loss_sum += float((p * np.log(p / q)).sum())
+                    # UNNORMALIZED per-row coefficients — the driver
+                    # divides the folded sums by the global N, which is
+                    # unknown shard-side
+                    coef = ((alpha + 1.0) / alpha) * inv * (p - q)
+                    g_c += -(coef[:, :, None] * diff).sum(axis=0)
+                    dZ = (coef[:, :, None] * diff).sum(axis=1)
+                    _, gb = m.encode_and_grads(*args, dh=dZ)
+                    if g_enc is None:
+                        g_enc = gb
+                    else:
+                        for kk2 in g_enc:
+                            g_enc[kk2] += gb[kk2]
+                    if mp is not None:
+                        Zp = mp.encode(*args)
+                        lab = q.argmax(axis=1)
+                        labp = _soft_np(Zp, prev_[1], alpha).argmax(axis=1)
+                        changed += int((lab != labp).sum())
+                    n += len(Z)
+                yield pd.DataFrame({"part": [pickle.dumps(
+                    (n, loss_sum, g_c, g_enc, changed))]})
+            rows = wide.mapInPandas(kernel, schema="part binary").collect()
+            parts = [p_ for p_ in
+                     (pickle.loads(bytes(r.part)) for r in rows)
+                     if p_[0] > 0]
+            if not parts:
+                raise ValueError("fit_dec_joint_distributed: empty input")
+            n = sum(p_[0] for p_ in parts)
+            loss = sum(p_[1] for p_ in parts) / n
+            g_c = sum(p_[2] for p_ in parts) / n
+            g_enc = {kk: sum(p_[3][kk] for p_ in parts) / n
+                     for kk in parts[0][3]}
+            changed = sum(p_[4] for p_ in parts) / n
+            return loss, g_c, g_enc, changed
+
+        opt = Adam(model.params, lr=lr_encoder)
+        history: list[float] = []
+        anchor = None
+        anchor_epoch = -1
+        prev = None
+        for epoch in range(epochs):
+            if epoch % max(target_refresh, 1) == 0:
+                anchor = (_params_blob(), centers, _freq_pass(centers))
+                anchor_epoch = epoch
+            loss, g_c, g_enc, changed = _joint_pass(
+                centers, anchor, anchor_epoch == epoch, prev)
+            history.append(loss)
+            if tol > 0 and epoch > 0 and changed < tol:
+                break
+            if tol > 0:
+                prev = (_params_blob(), centers)
+            if epoch == epochs - 1:
+                break   # budget exhausted: state still matches history[-1]
+            opt.step(model.params, g_enc, lr_encoder)
+            centers = centers - lr_centers * g_c
+    finally:
+        wide.unpersist()
     return model, centers, history
 
 
@@ -360,6 +572,9 @@ def fit_dec_distributed(df: DataFrame, vec_col: str = "embedding",
     avoid). At ``target_refresh=1`` — the default and the
     parity-tested configuration — the distinction vanishes and the
     semantics equal :func:`fit_dec` exactly.
+
+    ``epochs`` follows :func:`fit_dec`'s N−1-steps convention — N loss
+    evaluations, N−1 GD steps; ``epochs=1`` evaluates but never steps.
 
     Returns ``(centers, history)``.
     """

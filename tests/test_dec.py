@@ -296,3 +296,123 @@ class TestJointDec:
                                  target_refresh=10**6)
         assert hf[-1] < hf[0]          # frozen half descends
         assert hj[-1] < hf[-1]         # joint reaches strictly lower KL
+
+
+class TestJointDecDistributed:
+    """fit_dec_joint_distributed: the KL gradient flows through EVERY
+    row via per-partition encode_and_grads partials — parity with the
+    in-memory joint fit, no driver-side data materialization."""
+
+    def _wide_and_model(self, spark, n=180):
+        import pandas as pd
+
+        from caspr_spark.roles import ColumnRoles
+        from caspr_spark.train_distributed import fit_deep_autoencoder_ddp
+        rng = np.random.default_rng(0)
+        data = {"user_id": np.arange(n)}
+        group = np.arange(n) % 3        # real cluster structure, so the
+        for s in range(1, 5):           # KL objective has blobs to find
+            data[f"{s}_event_type"] = group + rng.integers(0, 2, n)
+            data[f"{s}_value"] = (1.5 * group
+                                  + rng.normal(0, 0.2, n)).round(3)
+        pdf = pd.DataFrame(data)
+        roles = ColumnRoles(tgt_id=["user_id"], activity_date="ts",
+                            cat_cols=["event_type"], cont_cols=["value"],
+                            seq_cols=["event_type", "value"],
+                            non_seq_cols=[], output_cols=[])
+        wide = spark.createDataFrame(pdf)
+        model, _ = fit_deep_autoencoder_ddp(
+            wide, roles, 4, arch="mlp", hidden_dim=6, world_size=2,
+            epochs=3, lr=3e-3, seed=9)
+        return pdf, wide, roles, model
+
+    def test_parity_with_inmemory_joint_fit(self, spark):
+        import copy
+
+        from caspr_spark.data.tensorize import transform_and_load
+        from caspr_spark.dec import (fit_dec_joint,
+                                     fit_dec_joint_distributed, kmeans_np)
+        pdf, wide, roles, model = self._wide_and_model(spark)
+        bundle = transform_and_load(pdf, roles, 4, keep_ids=False)
+        Z0 = model.encode(bundle.seq_cat, bundle.seq_cont,
+                          bundle.non_seq_cat, bundle.non_seq_cont)
+        c0, _ = kmeans_np(Z0, 3, seed=11)
+        mj = copy.deepcopy(model)
+        mj, cj, hj = fit_dec_joint(mj, bundle, 3, lr_centers=0.3,
+                                   lr_encoder=3e-3, epochs=5,
+                                   init_centers=c0, tol=0.0,
+                                   target_refresh=1)
+        md = copy.deepcopy(model)
+        md, cd, hd = fit_dec_joint_distributed(
+            md, wide, roles, 4, 3, lr_centers=0.3, lr_encoder=3e-3,
+            epochs=5, init_centers=c0, tol=0.0, target_refresh=1)
+        assert len(hd) == len(hj)
+        np.testing.assert_allclose(hd, hj, rtol=1e-8)
+        np.testing.assert_allclose(cd, cj, rtol=1e-7, atol=1e-10)
+        for k in mj.params:
+            np.testing.assert_allclose(md.params[k], mj.params[k],
+                                       rtol=1e-6, atol=1e-9, err_msg=k)
+
+    def test_parity_holds_across_refresh_intervals(self, spark):
+        """target_refresh > 1: the anchored map-side recomputation of
+        each row's pinned target must reproduce fit_dec_joint's frozen
+        full-p matrix exactly — no fixed-frequency approximation."""
+        import copy
+
+        from caspr_spark.data.tensorize import transform_and_load
+        from caspr_spark.dec import (fit_dec_joint,
+                                     fit_dec_joint_distributed, kmeans_np)
+        pdf, wide, roles, model = self._wide_and_model(spark, n=120)
+        bundle = transform_and_load(pdf, roles, 4, keep_ids=False)
+        Z0 = model.encode(bundle.seq_cat, bundle.seq_cont,
+                          bundle.non_seq_cat, bundle.non_seq_cont)
+        c0, _ = kmeans_np(Z0, 3, seed=11)
+        mj = copy.deepcopy(model)
+        mj, cj, hj = fit_dec_joint(mj, bundle, 3, lr_centers=0.1,
+                                   lr_encoder=3e-3, epochs=7,
+                                   init_centers=c0, tol=0.0,
+                                   target_refresh=3)
+        md = copy.deepcopy(model)
+        md, cd, hd = fit_dec_joint_distributed(
+            md, wide, roles, 4, 3, lr_centers=0.1, lr_encoder=3e-3,
+            epochs=7, init_centers=c0, tol=0.0, target_refresh=3)
+        np.testing.assert_allclose(hd, hj, rtol=1e-8)
+        np.testing.assert_allclose(cd, cj, rtol=1e-7, atol=1e-10)
+        for k in mj.params:
+            np.testing.assert_allclose(md.params[k], mj.params[k],
+                                       rtol=1e-6, atol=1e-9, err_msg=k)
+
+    def test_joint_beats_frozen_full_data(self, spark):
+        """Same init, same fixed target (refresh > epochs), whole table:
+        backpropagating into the encoder must reach strictly lower KL
+        than centroid-only descent (lr_encoder=0 freezes the encoder
+        inside the SAME machinery, so the comparison is clean)."""
+        import copy
+
+        from caspr_spark.dec import fit_dec_joint_distributed
+        _, wide, roles, model = self._wide_and_model(spark)
+        mf = copy.deepcopy(model)
+        _, _, hf = fit_dec_joint_distributed(
+            mf, wide, roles, 4, 3, lr_centers=0.1, lr_encoder=0.0,
+            epochs=12, seed=11, tol=0.0, target_refresh=10**6)
+        mj = copy.deepcopy(model)
+        _, _, hj = fit_dec_joint_distributed(
+            mj, wide, roles, 4, 3, lr_centers=0.1, lr_encoder=3e-3,
+            epochs=12, seed=11, tol=0.0, target_refresh=10**6)
+        assert hf[0] == hj[0]          # identical start (same seeded init)
+        assert hf[-1] < hf[0]          # frozen half descends
+        assert hj[-1] < hf[-1]         # joint reaches strictly lower KL
+        for k in model.params:         # lr 0 really froze the encoder
+            np.testing.assert_array_equal(mf.params[k], model.params[k])
+
+    def test_delta_label_stop_distributed(self, spark):
+        """tol > 0 computes the cross-epoch label-change fraction (one
+        extra encode under the previous state) and stops early once it
+        falls below tol."""
+        from caspr_spark.dec import fit_dec_joint_distributed
+        _, wide, roles, model = self._wide_and_model(spark, n=100)
+        _, _, hist = fit_dec_joint_distributed(
+            model, wide, roles, 4, 3, lr_centers=1e-6, lr_encoder=1e-9,
+            epochs=10, seed=11, tol=1.0, target_refresh=1)
+        # vanishing steps -> labels never change -> stop at epoch 2
+        assert len(hist) == 2
