@@ -151,3 +151,26 @@ class TestPlanSnapshots:
         assert got == self.SNAPSHOTS[name], (
             f"plan drift in {name}: {got} != pinned {self.SNAPSHOTS[name]} "
             "— if intentional, regenerate via tools/gen_plan_snapshots.py")
+
+
+class TestRocAucPlan:
+    def test_no_single_task_global_window(self, embeddings):
+        """Exact ROC-AUC must never plan an unpartitioned window (the
+        one-task global sort the r7 verdict flagged): every Window node
+        in the plan has to carry a partition key (the prefix scan's
+        __pid), and ranks are never materialized per input row."""
+        from pyspark.sql import functions as F
+
+        from caspr_spark.metrics import roc_auc
+        d = embeddings.select(
+            (F.col("label") >= 5).cast("int").alias("y"),
+            F.round(F.col("embedding")[0].cast("double"), 6).alias("s"))
+        plan = plan_of(roc_auc(d, "y", "s"))
+        specs = re.findall(
+            r"Arguments: \[[^\]]*windowspecdefinition\(([^)]*)\)", plan)
+        assert specs, plan             # the prefix scan IS window-based
+        for spec in specs:
+            # an unpartitioned global window starts its spec with the
+            # order column directly; the partitioned form leads with the
+            # partition key(s) before the sort spec
+            assert "__pid" in spec, plan
