@@ -239,8 +239,8 @@ def train_quality_classifier(df: DataFrame, label_col: str,
                              id_col: str = "doc_id",
                              text_col: str = "text",
                              n_buckets: int = 1024, iterations: int = 3,
-                             lr: float = 20.0,
-                             fx: int = 10**9) -> DataFrame:
+                             lr: float = 20.0, fx: int = 10**9,
+                             broadcast_weights_from: int = 4096) -> DataFrame:
     """TRAIN the hashed-BoW quality classifier distributed — full-batch
     logistic regression over the md5-bucketed mean-count features that
     :func:`quality_score_hashed_bow` consumes, so the learned vector
@@ -273,6 +273,15 @@ def train_quality_classifier(df: DataFrame, label_col: str,
     persists; each epoch re-scans that compact relation (vocabulary-
     bounded per doc), never the text. The driver holds the
     ``n_buckets`` weight vector only.
+
+    Plan-size guard (r7 verdict item 5): the per-epoch weight lookup
+    embeds the vector as an ``n_buckets``-literal array — free at the
+    default 1024, but plan analysis is O(n_buckets × iterations), so
+    above ``broadcast_weights_from`` buckets the lookup switches to a
+    broadcast-joined ``(bucket, __wq)`` relation built per epoch: the
+    same integers reach the same rows (tests pin both paths to
+    identical weights), while the logical plan stays bounded at any
+    vocabulary size.
     """
     words = _words(F.col(text_col))
     base = df.select(F.col(id_col).alias("__id"),
@@ -294,12 +303,26 @@ def train_quality_classifier(df: DataFrame, label_col: str,
         wq = [0] * n_buckets
         bias_fx = 0
         fxf = float(fx)
+        spark = df.sparkSession
+        use_join = n_buckets >= broadcast_weights_from
         for _ in range(iterations):
-            arr = F.array(*[F.lit(int(v)) for v in wq])
-            s = t.groupBy("__id").agg(
-                F.sum(F.col("cnt")
-                      * F.element_at(arr, F.col("bucket") + 1))
-                .alias("s_fx"))
+            if use_join:
+                import numpy as np
+                import pandas as pd
+
+                wdf = spark.createDataFrame(pd.DataFrame(
+                    {"bucket": np.arange(n_buckets, dtype=np.int32),
+                     "__wq": np.asarray(wq, dtype=np.int64)}))
+                s = (t.join(F.broadcast(wdf), "bucket")
+                     .groupBy("__id")
+                     .agg(F.sum(F.col("cnt") * F.col("__wq"))
+                          .alias("s_fx")))
+            else:
+                arr = F.array(*[F.lit(int(v)) for v in wq])
+                s = t.groupBy("__id").agg(
+                    F.sum(F.col("cnt")
+                          * F.element_at(arr, F.col("bucket") + 1))
+                    .alias("s_fx"))
             z = (F.lit(bias_fx / fx)
                  + F.col("s_fx") / F.lit(fxf) / F.col("__n"))
             pq = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)

@@ -211,3 +211,42 @@ class TestTrainQualityClassifier:
         df = spark.createDataFrame([], "doc_id long, text string, y double")
         with pytest.raises(ValueError, match="empty"):
             train_quality_classifier(df, "y")
+
+
+class TestClassifierPlanGuard:
+    """broadcast_weights_from: above the threshold the per-epoch weight
+    lookup joins a broadcast (bucket, weight) relation instead of
+    embedding an n_buckets-literal array — identical integers, bounded
+    logical plan at any vocabulary size (r7 verdict item 5)."""
+
+    def _labeled(self, spark):
+        rows = [(i, ("good clean prose " * 5) if i % 2 else
+                 ("spam spam buy now " * 5), float(i % 2))
+                for i in range(40)]
+        return spark.createDataFrame(rows, "doc_id long, text string, y double")
+
+    def test_join_path_matches_literal_path_exactly(self, spark):
+        from caspr_spark.llm.filtering import train_quality_classifier
+        df = self._labeled(spark)
+        lit = {(r.bucket): r.weight_fx for r in
+               train_quality_classifier(df, "y", n_buckets=256,
+                                        iterations=3).collect()}
+        join = {(r.bucket): r.weight_fx for r in
+                train_quality_classifier(df, "y", n_buckets=256,
+                                         iterations=3,
+                                         broadcast_weights_from=1)
+                .collect()}
+        assert lit == join     # every fixed-point integer identical
+
+    def test_large_vocab_plan_stays_bounded(self, spark):
+        """At 50k buckets the literal array would put 50k * iterations
+        expressions into the plan; the join path must both run and keep
+        the logit stage's plan independent of n_buckets."""
+        from caspr_spark.llm.filtering import train_quality_classifier
+        df = self._labeled(spark)
+        out = train_quality_classifier(df, "y", n_buckets=50_000,
+                                       iterations=1)
+        rows = out.collect()
+        assert len(rows) == 50_001                  # bias + every bucket
+        nonzero = [r for r in rows if r.weight_fx != 0 and r.bucket >= 0]
+        assert nonzero                              # it actually trained
