@@ -791,11 +791,45 @@ def q_metrics_roc_auc_binned(spark, sf_dir):
 
 def q_e10_quantile_approx(spark, sf_dir):
     """E10 scale path: Greenwald-Khanna cutpoints + map-side bucket
-    assignment (no SQL oracle — sketch-specific cutpoints; rows-only)."""
+    assignment — now with a BOUNDED ORACLE (r6 verdict item 6). The
+    cutpoint VALUES are sketch-specific, so the row set is the GK
+    rank-error CERTIFICATE instead: for every interior quantile i/q the
+    exact rank interval of the returned cutpoint (count <, count <=,
+    one aggregation) must intersect [i·n/q ± ε·n] — the published GK
+    guarantee — checked in pure integer arithmetic (scaled by q), plus
+    an honest scores-in-range check of the bucket assignment itself.
+    The oracle recomputes n and the targets and pins the booleans TRUE:
+    a sketch violating its own bound hash-mismatches."""
+    import math
+
     from caspr_spark.segment import quantile_scores_approx
     cust = _t(spark, sf_dir, "customer")
-    out = quantile_scores_approx(cust, ["c_acctbal"], q=10)
-    return out.select("c_custkey", "c_acctbal_score")
+    q, eps = 10, 0.0001
+    probs = [i / q for i in range(1, q)]
+    cuts = cust.stat.approxQuantile("c_acctbal", probs, eps)
+    col = F.col("c_acctbal").cast("double")
+    scored = quantile_scores_approx(cust, ["c_acctbal"], q=q,
+                                    relative_error=eps)
+    sc = F.col("c_acctbal_score")
+    aggs = [F.count(F.lit(1)).alias("n"),
+            F.min(sc).alias("s_min"), F.max(sc).alias("s_max")]
+    for i, cut in enumerate(cuts, start=1):
+        aggs.append(F.sum((col < F.lit(float(cut))).cast("long"))
+                    .alias(f"lo{i}"))
+        aggs.append(F.sum((col <= F.lit(float(cut))).cast("long"))
+                    .alias(f"hi{i}"))
+    row = scored.agg(*aggs).first()
+    n = int(row["n"])
+    scores_ok = bool(1 <= int(row["s_min"]) and int(row["s_max"]) <= q)
+    slack = math.ceil(eps * n) + 1        # GK eps*n, +1 for tie convention
+    out = []
+    for i in range(1, q):
+        lo, hi = int(row[f"lo{i}"]), int(row[f"hi{i}"])
+        ok = (hi * q >= i * n - slack * q) and (lo * q <= i * n + slack * q)
+        out.append((i, n, i * n, bool(ok), scores_ok))
+    return spark.createDataFrame(
+        out, "q_idx int, n_rows long, target_rank_x_q long, "
+             "within_bound boolean, scores_in_range boolean")
 
 
 def q_segment_kmeans(spark, sf_dir):
@@ -1786,16 +1820,32 @@ def q_related_docs(spark, sf_dir):
 def q_sketch_distinct_rollup(spark, sf_dir):
     """Continuous COUNT DISTINCT via HLL sketch layer (timeseries.py
     distinct_sketch_layer/rollup): hourly per-event-type sketches of
-    distinct users, re-aggregated to daily WITHOUT rescanning raw events.
-    Rows-only: the datasketches binary has no DuckDB twin; tests pin
-    exactness at low cardinality and the 4-sigma error bound at 200k."""
+    distinct users, re-aggregated to daily WITHOUT rescanning raw
+    events. BOUNDED ORACLE (r6 verdict item 6): the sketch estimate
+    itself is engine-specific, so the row carries the EXACT distinct
+    count (which DuckDB recomputes) plus ``within_bound`` — the
+    estimate honestly checked against the HLL 5-sigma envelope
+    (rse = 1.04/sqrt(2^lgk) ≈ 1.63% at lgk=12, floor slack 1 for the
+    sparse-exact regime) — and the oracle pins TRUE: a drifting sketch
+    hash-mismatches instead of hiding behind rows-only. Tests
+    additionally pin low-cardinality exactness and the 4-sigma bound
+    at 200k."""
     from caspr_spark.operators.timeseries import (distinct_rollup,
                                                   distinct_sketch_layer)
     ev = _t(spark, sf_dir, "events")
     layer = distinct_sketch_layer(ev, "user_id", keys=["event_type"])
     out = distinct_rollup(layer, "day", keys=["event_type"])
-    return out.select(F.col("bucket_day").cast("date").alias("day"),
-                      "event_type", "n_distinct", "n_events")
+    exact = (ev.groupBy(F.date_trunc("day", "ts").alias("bucket_day"),
+                        "event_type")
+             .agg(F.countDistinct("user_id").alias("n_exact")))
+    rse = 1.04 / (2 ** 12) ** 0.5
+    bound = F.greatest(F.lit(5.0) * F.lit(rse) * F.col("n_exact"),
+                       F.lit(1.0))
+    return (out.join(exact, ["bucket_day", "event_type"])
+            .select(F.col("bucket_day").cast("date").alias("day"),
+                    "event_type", "n_exact", "n_events",
+                    (F.abs(F.col("n_distinct") - F.col("n_exact"))
+                     <= bound).alias("within_bound")))
 
 
 def q_multimodal_binary_meta(spark, sf_dir):
@@ -3774,6 +3824,27 @@ FROM events CROSS JOIN (SELECT max(ts) AS p FROM events) pred""",
 SELECT c_custkey,
   CAST(ntile(10) OVER (ORDER BY c_acctbal ASC, c_custkey ASC) AS INT) AS acctbal_decile
 FROM customer""",
+        # bounded oracle: the GK cutpoint VALUES are sketch-specific, so
+        # the certified surface is the rank-error certificate — n, the
+        # scaled rank targets, and the Spark-side bound booleans the
+        # oracle pins TRUE (an estimate violating the published GK
+        # guarantee hash-mismatches instead of hiding behind rows-only)
+        "e10_quantile_approx": """
+SELECT CAST(i AS INT) AS q_idx,
+       (SELECT count(*) FROM customer) AS n_rows,
+       CAST(i * (SELECT count(*) FROM customer) AS BIGINT)
+         AS target_rank_x_q,
+       TRUE AS within_bound, TRUE AS scores_in_range
+FROM generate_series(1, 9) AS t(i)""",
+        # bounded oracle, same pattern: DuckDB recomputes the EXACT
+        # per-(day, event_type) distinct counts; the HLL estimate is
+        # engine-specific, so it certifies as the within-5-sigma boolean
+        "sketch_distinct_rollup": """
+SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
+       CAST(count(*) AS BIGINT) AS n_events,
+       TRUE AS within_bound
+FROM events GROUP BY 1, 2""",
         "json_extract": """
 SELECT event_id,
        CAST(json_extract_string(props, '$.k') AS INT) AS k_path,

@@ -742,10 +742,15 @@ def cm_estimate(sketch: DataFrame, probes: DataFrame, key_col: str,
     hits = (sketch.join(F.broadcast(probe_cells), on=["d", "cell"])
             .groupBy(bucket_col, key_col)
             .agg(F.min("cnt").alias("__min_present"),
-                 F.count(F.lit(1)).alias("__n_present")))
+                 F.countDistinct("d").alias("__n_present")))
     grid = (sketch.select(bucket_col).distinct()
             .crossJoin(F.broadcast(probe_keys)))
-    est = F.when(F.col("__n_present") == depth,
+    # countDistinct(d) (not count(*)) + >= so a non-aggregated or
+    # unioned sketch with duplicate (bucket, d, cell) rows degrades to
+    # the plain min estimate instead of silently flooring valid
+    # estimates to 0 (duplicates would otherwise make the present-cell
+    # tally overshoot depth)
+    est = F.when(F.col("__n_present") >= depth,
                  F.col("__min_present")).otherwise(F.lit(0))
     return (grid.join(hits, on=[bucket_col, key_col], how="left")
             .select(F.col(bucket_col).alias("bucket"), key_col,

@@ -690,6 +690,26 @@ class TestCountMinSketch:
         # 4 keys in 256 cells x 4 rows: no collision -> exact
         assert got == true
 
+    def test_duplicate_sketch_rows_degrade_to_plain_min(self, spark):
+        """A non-aggregated / self-unioned sketch carries duplicate
+        (bucket, d, cell) rows; the present-cell tally counts DISTINCT
+        hash rows and floors only when >= depth, so estimates for seen
+        keys survive unchanged instead of being silently zeroed."""
+        from caspr_spark.operators.timeseries import (cm_estimate,
+                                                      cm_sketch_layer)
+        ev = self._events(spark)
+        day = cm_sketch_layer(ev, "k", width="day", depth=4, w=256)
+        probes = ev.select("k").distinct().limit(3)
+        clean = {(str(r["bucket"]), r["k"]): r["est_cnt"]
+                 for r in cm_estimate(day, probes, "k", depth=4, w=256,
+                                      bucket_col="bucket_day").collect()}
+        dup = {(str(r["bucket"]), r["k"]): r["est_cnt"]
+               for r in cm_estimate(day.union(day), probes, "k", depth=4,
+                                    w=256, bucket_col="bucket_day")
+               .collect()}
+        assert clean == dup
+        assert any(v > 0 for v in clean.values())
+
     def test_absent_probe_key_reports_zero_every_bucket(self, spark):
         """A probe key the corpus never saw must report est_cnt = 0 in
         EVERY bucket (any absent cell floors the min to 0) — not vanish
@@ -708,19 +728,34 @@ class TestCountMinSketch:
 
     def test_partially_present_cells_floor_to_zero(self, spark):
         """With w=2 a dense corpus fills both cells of every row, so a
-        never-seen probe key's cells all collide — the depth counter
-        (not cell absence) must still floor a key absent from a bucket
-        only when a cell is genuinely missing; here all cells are hit,
-        so the estimate is a (valid) collision upper bound >= 0."""
-        from caspr_spark.operators.timeseries import (cm_estimate,
+        never-seen probe key's cells ALL collide — the depth counter
+        must see every cell present and report the plain min-over-cells
+        collision bound, NOT the absent-cell floor of 0. The expected
+        value is recomputed directly from the sketch cells, so a
+        regression in the depth-counter logic (flooring valid estimates
+        to 0, or min-ing over a partial cell set) fails the equality."""
+        from caspr_spark.operators.timeseries import (_cm_cell,
+                                                      cm_estimate,
                                                       cm_sketch_layer)
         ev = self._events(spark)
         day = cm_sketch_layer(ev, "k", width="day", depth=4, w=2)
         probes = spark.createDataFrame([("never-seen",)], "k string")
         est = cm_estimate(day, probes, "k", depth=4, w=2,
                           bucket_col="bucket_day")
-        for r in est.collect():
-            assert r.est_cnt >= 0          # upper bound on a true 0
+        # the probe key's cell per hash row, straight from the cell rule
+        crow = probes.select(*[_cm_cell("k", d, 2).alias(f"c{d}")
+                               for d in range(4)]).first()
+        cells = {d: crow[f"c{d}"] for d in range(4)}
+        sk = {(str(r["bucket_day"]), r["d"], r["cell"]): r["cnt"]
+              for r in day.collect()}
+        got = {str(r["bucket"]): r["est_cnt"] for r in est.collect()}
+        assert got                         # every bucket reports a row
+        for b in got:
+            want = min(sk.get((b, d, cells[d]), 0) for d in range(4))
+            # dense w=2 corpus: all 4 cells hit -> strictly positive
+            # collision bound, which the estimate must equal exactly
+            assert want > 0
+            assert got[b] == want, b
 
     def test_rollup_merge_equals_direct_sketch(self, spark):
         """Cell-wise integer addition is an EXACT merge: the day rollup
