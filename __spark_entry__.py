@@ -2655,71 +2655,93 @@ def q_stream_dedup_history(spark, sf_dir):
             .distinct())
 
 
-# Round-6 driver window (slots 1-50). Every one of the 142 oracle
-# queries has now been driver-certified at least once (COVERAGE.md
-# ledger), so the window is chosen by CERTIFICATION RECENCY, computed
-# mechanically from the CORRECTNESS_r0*.json records:
-#   slots 1-4    the never-certified oracles new this round:
-#                stream_dedup_history (streaming incremental corpus
-#                dedup), quality_train_classifier (distributed
-#                fixed-point logistic-regression training with an
-#                exact unrolled-CTE oracle), triangle_docs (exact
-#                wedge-closure triangle counts), lpa_docs
-#                (deterministic synchronous label-propagation
-#                communities, unrolled-CTE oracle),
-#   slots 2-42   every oracle query whose LAST driver certification is
-#                round 3 (the stalest block: simsearch/streaming core,
-#                range/bloom/funnel, metrics, text suite, multimodal,
-#                the w/f/e/p operator rows) — refreshed this round on
-#                the round-6 code paths (rolling_features' fixed-point
-#                refactor, the dedup NULL-key filter, heavy_hitters'
-#                vectorized sketch all sit on these paths),
-#   slots 43-50  the remaining round-6 oracles (interval_overlap,
-#                ewma_events, cohort_retention, rfm_scores) and the
-#                PINNED emb_near_dup re-led (proving its oracle is
-#                untouched by the bench demotion).
-_R6_WINDOW = [
-    "stream_dedup_history",
-    "quality_train_classifier",
-    "triangle_docs",
-    "lpa_docs",
-    # -- last certified in round 3 (41 rows) --
-    "simsearch_topk", "stream_static_join", "range_join_campaigns",
-    "hypertable_rollup", "funnel_conversion", "bloom_semi_join",
-    "asof_join_forward", "segment_dec", "j2_semi_prune", "p7_array_pack",
-    "s1_parquet_roundtrip", "score_linear", "metrics_confusion",
-    "metrics_roc_auc", "metrics_roc_auc_binned", "explain_linear_ablation",
-    "x3_trainset_labeled", "dedup_exact", "dedup_components",
-    "dedup_ngram_jaccard", "text_token_counts", "text_quality",
-    "text_langid", "text_fingerprint", "multimodal_binary_meta",
-    "multimodal_features", "multimodal_frames", "w1_rank", "w2_intervals",
-    "f1_history_window", "f2_last_n", "f4_profile_dedup",
-    "e1_encode_capped", "e5_normalize_minmax",
-    "e8_date_fill_pivoted", "e9_fill_nans_pivoted",
-    "p3_pivot_last5", "x3_sliding_union",
-    # -- round-4 re-leads (8 rows) --
-    "interval_overlap",
-    "ewma_events",
-    "cohort_retention",
-    "rfm_scores",
-    "sorted_neighborhood",
-    "cm_frequency_rollup",
-    "source_jsonl_roundtrip",
-    "emb_near_dup",
+# Round-8 driver window (slots 1-50), chosen by CERTIFICATION RECENCY,
+# computed mechanically from the CORRECTNESS_r0*.json records (oldest
+# last-certified first; ties alphabetical):
+#   slots 1-2    the two sketch queries PROMOTED from rows-only to
+#                bounded oracles this round (e10_quantile_approx's GK
+#                rank-error certificate, sketch_distinct_rollup's
+#                exact-count + 5-sigma HLL envelope) - first driver
+#                certification,
+#   slots 3-5    the three oracles last certified in round 3
+#                (e10_quantile_bucket, f5_outlier_removal,
+#                p1_left_pad),
+#   slots 6-50   the round-4-certified block, oldest in the ledger:
+#                the a1-a13 aggregation rows, asof/set-ops/json/window
+#                extensions, fit/apply splits, text-filtering + search
+#                suite, training-mixture rows, both per-cutoff
+#                pipelines and the deterministic samplers. Four r4
+#                rows (w6_rolling_window, w7_lead_dense_rank,
+#                winnow_pairs, x6_set_ops) did not fit and lead the
+#                r9 rotation; everything r5-r7-certified follows
+#                behind the window unchanged.
+_R8_WINDOW = [
+    "e10_quantile_approx",
+    "sketch_distinct_rollup",
+    "e10_quantile_bucket",
+    "f5_outlier_removal",
+    "p1_left_pad",
+    "a10_segment_profile",
+    "a11_nunique_lineitem",
+    "a12_rollup",
+    "a13_cube",
+    "a1_cardinality",
+    "a2_topk_cat_freq",
+    "a3_summary_stats",
+    "a4_max_date",
+    "a5_events_per_entity",
+    "a6_seq_len_percentile",
+    "a7_lookback_period",
+    "a8_collect_distinct",
+    "a9_label_multihot",
+    "asof_join",
+    "bm25_search",
+    "cluster_balanced",
+    "decontaminate",
+    "doc_chunks",
+    "downsample_cap",
+    "e1_fit_apply_split",
+    "e2_encode_collect",
+    "e3_decode_roundtrip",
+    "e5_fit_apply_split",
+    "e5_normalize_standard",
+    "e6_denormalize_roundtrip",
+    "e7_date_interval",
+    "f6_null_drop",
+    "json_extract",
+    "llm_curate",
+    "llm_curate_report",
+    "lm_perplexity",
+    "mixture_sample",
+    "p3_pivot_lineitem",
+    "p6_petastorm_rename",
+    "pii_redact",
+    "pipeline_events_percutoff",
+    "pipeline_orders_composite",
+    "related_docs",
+    "seq_pack_nextfit",
+    "seq_pack_offset",
+    "stratified_sample_exact",
+    "stratified_sample_hash",
+    "stream_stream_join",
+    "text_repetition",
+    "w5_sessionize",
 ]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver contract: the correctness gate certifies the FIRST 50 entries.
 
-    142 of the 169 queries carry full DuckDB oracles — more than one
-    50-slot window holds — so certification rotates across rounds
-    (COVERAGE.md maps which round certified which row;
-    tools/check_correctness.py re-runs the FULL oracle suite locally
-    each round -> CORRECTNESS_local_r{N}.json). The round-6 window is
-    ``_R6_WINDOW`` above — recency-rotated so no oracle row's last
-    driver certification ages more than a couple of rounds; everything
-    else keeps the round-5 relative order behind it.
+    154 of the 181 queries carry DuckDB oracles (152 full + the two
+    bounded sketch certificates) — more than one 50-slot window holds —
+    so certification rotates across rounds (COVERAGE.md maps which
+    round certified which row; tools/check_correctness.py re-runs the
+    FULL oracle suite locally each round ->
+    CORRECTNESS_local_r{N}.json). The round-8 window is ``_R8_WINDOW``
+    above, computed MECHANICALLY by certification recency (oldest
+    last-driver-certified rows first) so no oracle row's driver
+    certification silently ages; everything else keeps its prior
+    relative order behind the window.
     """
     base = {
         # --- slots 1-25: the round-4 part-five batch, first driver
@@ -2932,7 +2954,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_tokenize": q_bpe_tokenize,
         "simsearch_topk_pq": q_simsearch_topk_pq,
     }
-    ordered = {n: base[n] for n in _R6_WINDOW}
+    ordered = {n: base[n] for n in _R8_WINDOW}
     ordered.update((n, f) for n, f in base.items() if n not in ordered)
     return ordered
 
