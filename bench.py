@@ -193,11 +193,20 @@ def main() -> None:
         warm[name] = round(time.time() - t0, 3)
 
     extended: dict[str, float] = {}
+    extended_warm: dict[str, float] = {}
     for name in EXTENDED_QUERIES:
         t0 = time.time()
         df = qs[name](spark, sf_dir)
         df.count()
         extended[name] = round(time.time() - t0, 3)
+        # warm second run (round 8): the r7 record's cold-only extended
+        # numbers swung up to 4.5x on single cold runs in a shared
+        # session — the warm twin separates plan-compile/JIT noise from
+        # real regressions without touching the headline totals
+        t0 = time.time()
+        df = qs[name](spark, sf_dir)
+        df.count()
+        extended_warm[name] = round(time.time() - t0, 3)
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({
@@ -209,6 +218,7 @@ def main() -> None:
         "queries_warm": warm,
         "sf": float(sf),
         "queries_extended": extended,
+        "queries_extended_warm": extended_warm,
         "calibration": {"spark_shuffle_sec": calib_spark,
                         "numpy_gemm_sec": calib_numpy},
         # host-lottery-free comparison number: cold total divided by the
