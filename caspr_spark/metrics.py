@@ -6,7 +6,8 @@ aggregations — no sklearn, no collect of predictions:
 
 - confusion counts + precision/recall/F1/accuracy: one agg;
 - ROC-AUC: the Mann-Whitney rank statistic with average ranks for ties
-  (exactly what sklearn computes), via one window + one agg;
+  (exactly what sklearn computes), via distinct-score grouping +
+  per-range-partition partial sums + a #partitions-row driver fold;
 - top-k hits: TakeOrdered on the score.
 """
 
@@ -56,36 +57,61 @@ def roc_auc(df: DataFrame, label_col: str, score_col: str) -> DataFrame:
 
     with ``cumN`` the inclusive running negative count in score order —
     exactly sklearn's average-rank AUC (a positive beats every
-    lower-scored negative and half-ties with equal-scored ones). The
-    running count comes from the three-phase distributed prefix scan
-    (:func:`~caspr_spark.operators.sampling.global_running_sum` — range
-    partition, #partitions-row driver offset fold, parallel
-    intra-partition windows), so the only shuffles are one keyed
-    aggregation on the score and the range exchange over the (already
-    aggregated, distinct-score-sized) relation. Every sum is integer
-    until the final division (DECIMAL(38,0) accumulation — exact to
-    ~1e38, far past any P·N a real corpus reaches), so the result is
-    partition-order independent and bit-stable.
+    lower-scored negative and half-ties with equal-scored ones).
+
+    Because only the final SCALAR is needed, the prefix never has to be
+    joined back per row: partition the grouped relation by score range,
+    compute per partition (in parallel, windows keyed on the partition
+    id) the LOCAL contribution ``A_i = Σ p_s (2·cumN_within − n_s)``
+    plus its (P_i, N_i) totals, and fold the ≤ #partitions partial rows
+    on the driver — the cross-partition negative offset enters as
+    ``2·offset_i·P_i``, exact integer arithmetic end to end
+    (DECIMAL(38,0) partials, Python bigints in the fold). One keyed
+    aggregation + one range exchange, no persist, no rejoin, and every
+    window in the plan is partition-keyed.
 
     .. versionchanged:: round 8
         Replaced the unpartitioned ``row_number`` window (an honest but
         single-task sort — the r7 verdict's perf-weak item 3) with the
-        grouped prefix-scan form; same value, now scale-safe. The
-        histogram twin :func:`roc_auc_binned` remains the constant-size
-        alternative when even a distinct-score shuffle is unwanted.
+        grouped per-partition-partials form; same value, now scale-safe.
+        The histogram twin :func:`roc_auc_binned` remains the
+        constant-size alternative when even a distinct-score shuffle is
+        unwanted. Returns an eager one-row DataFrame (the fold collects
+        #partitions rows).
     """
-    from caspr_spark.operators.sampling import global_running_sum
+    per = _roc_auc_partials(df, label_col, score_col).collect()
+    A = offset = P = N = 0
+    for r in sorted(per, key=lambda r: r["__pid"]):
+        A += int(r["__a"] or 0) + 2 * offset * int(r["__pt"] or 0)
+        offset += int(r["__nt"] or 0)
+        P += int(r["__pt"] or 0)
+        N += int(r["__nt"] or 0)
+    auc = (A / (2.0 * P * N)) if P and N else None
+    return df.sparkSession.createDataFrame([(auc,)], "auc double")
 
+
+def _roc_auc_partials(df: DataFrame, label_col: str,
+                      score_col: str) -> DataFrame:
+    """The lazy distributed half of :func:`roc_auc`: one row per range
+    partition with the local rank-sum contribution and class totals.
+    Split out so the plan-regression test can pin its shape (every
+    window keyed on ``__pid`` — no single-task global sort)."""
     lab = F.col(label_col).cast("int")
     g = (df.select(lab.alias("__y"), F.col(score_col).alias("__s"))
            .groupBy("__s")
            .agg(F.sum("__y").cast("long").alias("__p"),
                 F.sum(1 - F.col("__y")).cast("long").alias("__n")))
-    r = global_running_sum(g, "__n", [F.col("__s").asc()], out_col="__cn")
-    num = F.sum((F.col("__p") * (2 * F.col("__cn") - F.col("__n")))
-                .cast("decimal(38,0)"))
-    den = 2 * F.sum("__p").cast("double") * F.sum("__n").cast("double")
-    return r.agg((num.cast("double") / den).alias("auc"))
+    d = (g.repartitionByRange(F.col("__s").asc())
+          .withColumn("__pid", F.spark_partition_id()))
+    w = (Window.partitionBy("__pid").orderBy("__s")
+               .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cnw = F.sum("__n").over(w)
+    return (d.select("__pid", "__p", "__n", cnw.alias("__cnw"))
+             .groupBy("__pid")
+             .agg(F.sum((F.col("__p") * (2 * F.col("__cnw") - F.col("__n")))
+                        .cast("decimal(38,0)")).alias("__a"),
+                  F.sum("__p").alias("__pt"),
+                  F.sum("__n").alias("__nt")))
 
 
 def roc_auc_binned(df: DataFrame, label_col: str, score_col: str,

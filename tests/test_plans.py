@@ -161,11 +161,11 @@ class TestRocAucPlan:
         __pid), and ranks are never materialized per input row."""
         from pyspark.sql import functions as F
 
-        from caspr_spark.metrics import roc_auc
+        from caspr_spark.metrics import _roc_auc_partials
         d = embeddings.select(
             (F.col("label") >= 5).cast("int").alias("y"),
             F.round(F.col("embedding")[0].cast("double"), 6).alias("s"))
-        plan = plan_of(roc_auc(d, "y", "s"))
+        plan = plan_of(_roc_auc_partials(d, "y", "s"))
         specs = re.findall(
             r"Arguments: \[[^\]]*windowspecdefinition\(([^)]*)\)", plan)
         assert specs, plan             # the prefix scan IS window-based
