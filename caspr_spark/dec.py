@@ -565,13 +565,14 @@ def fit_dec_distributed(df: DataFrame, vec_col: str = "embedding",
     :func:`fit_dec` on the collected matrix up to float summation order
     (parity-tested).
 
-    ``target_refresh`` caveat: between refreshes this holds the
-    FREQUENCY vector ``f_j`` fixed while q tracks the current centers
-    (holding the full ``p`` matrix fixed would require N×k per-row
-    state — exactly the materialization this function exists to
-    avoid). At ``target_refresh=1`` — the default and the
-    parity-tested configuration — the distinction vanishes and the
-    semantics equal :func:`fit_dec` exactly.
+    ``target_refresh`` is EXACT for any interval (round 8 — previously
+    only the frequency vector was held fixed between refreshes): the
+    embeddings are immutable here, so each row's PINNED target
+    ``p_i`` is a pure function of the ANCHOR (centers, frequencies)
+    captured at the last refresh epoch and is recomputed map-side —
+    one extra ``q`` evaluation per batch, skipped at refresh epochs —
+    never stored. The semantics equal :func:`fit_dec` exactly at
+    every refresh interval (parity-tested at 1 and 5).
 
     ``epochs`` follows :func:`fit_dec`'s N−1-steps convention — N loss
     evaluations, N−1 GD steps; ``epochs=1`` evaluates but never steps.
@@ -610,12 +611,12 @@ def fit_dec_distributed(df: DataFrame, vec_col: str = "embedding",
             rows = vecs.mapInPandas(kernel, schema="part binary").collect()
             return sum(pickle.loads(bytes(r.part)) for r in rows)
 
-        def _grad_pass(C, C_prev, f):
-            blob = pickle.dumps((C, C_prev, f))
+        def _grad_pass(C, C_prev, anchor, fresh):
+            blob = pickle.dumps((C, C_prev, anchor, fresh))
 
             def kernel(batches):
                 import pandas as pd
-                C_, Cp_, f_ = pickle.loads(blob)
+                C_, Cp_, (Ca_, fa_), fresh_ = pickle.loads(blob)
                 kk, d = C_.shape
                 g = np.zeros((kk, d))
                 loss_sum = 0.0
@@ -629,7 +630,12 @@ def fit_dec_distributed(df: DataFrame, vec_col: str = "embedding",
                     nsq = (diff ** 2).sum(axis=2)
                     inv = 1.0 / (1.0 + nsq / alpha)
                     q = _soft_np(Z, C_, alpha)
-                    w = q * q / f_
+                    # the row's PINNED target: q under the anchor centers
+                    # (identical to the full-p matrix fit_dec froze at
+                    # the refresh epoch — Z is immutable here, so the
+                    # anchored recomputation is exact)
+                    qa = q if fresh_ else _soft_np(Z, Ca_, alpha)
+                    w = qa * qa / fa_
                     p = w / w.sum(axis=1, keepdims=True)
                     loss_sum += float((p * np.log(p / q)).sum())
                     coef = ((alpha + 1.0) / alpha) * inv * (p - q)
@@ -650,11 +656,14 @@ def fit_dec_distributed(df: DataFrame, vec_col: str = "embedding",
 
         history: list[float] = []
         prev_centers = centers
-        p_f = None
+        anchor = None
+        anchor_epoch = -1
         for epoch in range(epochs):
             if epoch % max(target_refresh, 1) == 0:
-                p_f = _freq_pass(centers)
-            grad, loss, changed_frac = _grad_pass(centers, prev_centers, p_f)
+                anchor = (centers, _freq_pass(centers))
+                anchor_epoch = epoch
+            grad, loss, changed_frac = _grad_pass(
+                centers, prev_centers, anchor, anchor_epoch == epoch)
             history.append(loss)
             if epoch > 0 and changed_frac < tol:
                 break                       # converged: keep these centers

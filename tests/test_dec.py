@@ -181,14 +181,39 @@ class TestDistributedFit:
         np.testing.assert_allclose(hd, hl, rtol=1e-9)
         np.testing.assert_allclose(cd, cl, rtol=1e-8, atol=1e-12)
 
+    def test_parity_holds_across_refresh_intervals(self, spark):
+        """target_refresh > 1 (round 8): the anchored map-side target
+        recomputation must reproduce fit_dec's frozen full-p matrix
+        exactly — the old fixed-frequency approximation diverged here."""
+        from caspr_spark.dec import fit_dec, fit_dec_distributed, kmeans_np
+        df, Z = self._df_and_Z(spark)
+        c0, _ = kmeans_np(Z, 3, seed=11)
+        cd, hd = fit_dec_distributed(df, "embedding", k=3, lr=0.3,
+                                     epochs=11, init_centers=c0,
+                                     tol=0.0, target_refresh=5)
+        cl, hl = fit_dec(Z, 3, lr=0.3, epochs=11, init_centers=c0,
+                         tol=0.0, target_refresh=5)
+        assert len(hd) == len(hl)
+        np.testing.assert_allclose(hd, hl, rtol=1e-9)
+        np.testing.assert_allclose(cd, cl, rtol=1e-8, atol=1e-12)
+
+    def test_fixed_target_descends_distributed(self, spark):
+        """With the anchored exact target (refresh > epochs) the
+        distributed centroid fit now optimizes the SAME frozen
+        objective as the in-memory fit, so the recorded KL must
+        descend — previously only assertable in memory."""
+        from caspr_spark.dec import fit_dec_distributed, kmeans_np
+        df, Z = self._df_and_Z(spark)
+        c0, _ = kmeans_np(Z, 3, seed=11)
+        _, h = fit_dec_distributed(df, "embedding", k=3, lr=0.3,
+                                   epochs=10, init_centers=c0,
+                                   tol=0.0, target_refresh=10**6)
+        assert h[-1] < h[0]
+
     def test_sampled_init_runs_full_schedule(self, spark):
         """The bounded-sample KMeans init path end-to-end: tol=0 keeps
         the loop running the full schedule, centers keep the right
-        shape, history stays finite. (Descent under a truly FIXED
-        target is asserted on the numpy fit — the distributed twin
-        freezes only the frequency vector between refreshes, as its
-        docstring states, so the fixed-target objective is only
-        available in memory.)"""
+        shape, history stays finite."""
         from caspr_spark.dec import fit_dec_distributed
         df, _ = self._df_and_Z(spark)
         c, h = fit_dec_distributed(df, "embedding", k=3, lr=0.1, epochs=8,
