@@ -65,10 +65,15 @@ def roc_auc(df: DataFrame, label_col: str, score_col: str) -> DataFrame:
     id) the LOCAL contribution ``A_i = Σ p_s (2·cumN_within − n_s)``
     plus its (P_i, N_i) totals, and fold the ≤ #partitions partial rows
     on the driver — the cross-partition negative offset enters as
-    ``2·offset_i·P_i``, exact integer arithmetic end to end
-    (DECIMAL(38,0) partials, Python bigints in the fold). One keyed
+    ``2·offset_i·P_i``, exact integer arithmetic end to end (the
+    per-score product and its sum run in DECIMAL(38,0) — operands are
+    cast BEFORE the multiply, since ``p_s × 2·cumN`` exceeds 2⁶³ long
+    before 38 digits — and the fold uses Python bigints). One keyed
     aggregation + one range exchange, no persist, no rejoin, and every
-    window in the plan is partition-keyed.
+    window in the plan is partition-keyed; the range exchange is pinned
+    to ``min(defaultParallelism · 4, 4096)`` partitions so the driver
+    fold stays bounded even under a cluster-sized
+    ``spark.sql.shuffle.partitions``.
 
     .. versionchanged:: round 8
         Replaced the unpartitioned ``row_number`` window (an honest but
@@ -101,15 +106,24 @@ def _roc_auc_partials(df: DataFrame, label_col: str,
            .groupBy("__s")
            .agg(F.sum("__y").cast("long").alias("__p"),
                 F.sum(1 - F.col("__y")).cast("long").alias("__n")))
-    d = (g.repartitionByRange(F.col("__s").asc())
+    # explicit partition count: repartitionByRange without one inherits
+    # spark.sql.shuffle.partitions, which on a big cluster can be 10⁵ —
+    # and the driver fold collects one row per partition
+    sc = df.sparkSession.sparkContext
+    n_parts = max(1, min(sc.defaultParallelism * 4, 4096))
+    d = (g.repartitionByRange(n_parts, F.col("__s").asc())
           .withColumn("__pid", F.spark_partition_id()))
     w = (Window.partitionBy("__pid").orderBy("__s")
                .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     cnw = F.sum("__n").over(w)
+    # cast operands to decimal BEFORE the product: p_s · 2·cumN can pass
+    # 2⁶³ with billions of rows and heavily tied scores, and the long
+    # multiply would wrap silently under non-ANSI Spark
+    term = (F.col("__p").cast("decimal(38,0)")
+            * (F.col("__cnw").cast("decimal(38,0)") * 2 - F.col("__n")))
     return (d.select("__pid", "__p", "__n", cnw.alias("__cnw"))
              .groupBy("__pid")
-             .agg(F.sum((F.col("__p") * (2 * F.col("__cnw") - F.col("__n")))
-                        .cast("decimal(38,0)")).alias("__a"),
+             .agg(F.sum(term.cast("decimal(38,0)")).alias("__a"),
                   F.sum("__p").alias("__pt"),
                   F.sum("__n").alias("__nt")))
 

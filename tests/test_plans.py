@@ -174,3 +174,30 @@ class TestRocAucPlan:
             # order column directly; the partitioned form leads with the
             # partition key(s) before the sort spec
             assert "__pid" in spec, plan
+
+    def test_decimal_product_and_bounded_exchange(self, embeddings, spark):
+        """Two scale guards on the exact-AUC partials plan: (a) the
+        per-score rank-sum product must run in DECIMAL — operands cast
+        BEFORE the multiply, since p_s · 2·cumN wraps int64 at a few
+        billion heavily-tied rows under non-ANSI Spark; (b) the range
+        exchange must carry an EXPLICIT bounded partition count (the
+        driver folds one row per partition), never inheriting
+        spark.sql.shuffle.partitions."""
+        from pyspark.sql import functions as F
+
+        from caspr_spark.metrics import _roc_auc_partials
+        d = embeddings.select(
+            (F.col("label") >= 5).cast("int").alias("y"),
+            F.round(F.col("embedding")[0].cast("double"), 6).alias("s"))
+        part = _roc_auc_partials(d, "y", "s")
+        plan = plan_of(part)
+        # the product's operands are decimal casts of __p / __cnw
+        assert re.search(r"cast\(__p#\d+L? as decimal\(38,0\)\)", plan), plan
+        assert re.search(r"cast\(__cnw#\d+L? as decimal\(38,0\)\)",
+                         plan), plan
+        m = re.search(r"rangepartitioning\([^)]*\bASC NULLS FIRST, (\d+)\)",
+                      plan)
+        assert m, plan
+        expected = max(1, min(
+            spark.sparkContext.defaultParallelism * 4, 4096))
+        assert int(m.group(1)) == expected, plan
