@@ -401,8 +401,6 @@ def _shard_sgd_kernel(cls, ctor_kwargs, params_blob, roles, seq_len,
         opt = Adam(model.params, lr=lr)
         n_tot = 0
         loss_sum = 0.0
-        buf: list = []
-        buf_n = 0
 
         def step(pdf):
             nonlocal n_tot, loss_sum
@@ -413,19 +411,23 @@ def _shard_sgd_kernel(cls, ctor_kwargs, params_blob, roles, seq_len,
             n_tot += len(pdf)
             loss_sum += loss * len(pdf)
 
+        # one concat per incoming Arrow batch, then a cursor over
+        # sequential batch_size windows — re-concatenating the residual
+        # on every pop would copy O(B²/batch_size) rows per Arrow batch
+        carry = None
         for pdf in batches:
             if not len(pdf):
                 continue
-            buf.append(pdf)
-            buf_n += len(pdf)
-            while buf_n >= batch_size:
-                chunk = pd.concat(buf, ignore_index=True)
-                step(chunk.iloc[:batch_size])
-                rest = chunk.iloc[batch_size:]
-                buf = [rest] if len(rest) else []
-                buf_n = len(rest)
-        if buf_n:
-            step(pd.concat(buf, ignore_index=True))
+            chunk = (pdf if carry is None
+                     else pd.concat([carry, pdf], ignore_index=True))
+            pos = 0
+            while len(chunk) - pos >= batch_size:
+                step(chunk.iloc[pos:pos + batch_size]
+                     .reset_index(drop=True))
+                pos += batch_size
+            carry = chunk.iloc[pos:] if pos < len(chunk) else None
+        if carry is not None and len(carry):
+            step(carry.reset_index(drop=True))
         blob = (pickle.dumps({k: np.asarray(v)
                               for k, v in model.params.items()})
                 if n_tot else b"")
