@@ -734,22 +734,30 @@ def cm_estimate(sketch: DataFrame, probes: DataFrame, key_col: str,
     ``depth`` hits is floored to 0 via a left join from the tiny
     (distinct buckets × probe keys) grid.
 
+    A sketch that is a UNION of partial layers (the incremental path:
+    per-source or per-file layers concatenated without a rollup) is
+    handled EXACTLY: cell counts are summed per (bucket, key, hash row)
+    BEFORE the min over hash rows — CM merges by cell-wise addition, so
+    the estimate equals the one from the rolled-up sketch. Min-ing the
+    raw rows instead would take the smallest partial layer's count and
+    UNDERESTIMATE, breaking the CM overcount-only guarantee.
+
     Returns ``(bucket, <key_col>, est_cnt)``."""
     cells = F.array(*[_cm_cell(key_col, d, w) for d in range(depth)])
     probe_keys = probes.select(key_col).distinct()
     probe_cells = probe_keys.select(
         F.col(key_col), F.posexplode(cells).alias("d", "cell"))
     hits = (sketch.join(F.broadcast(probe_cells), on=["d", "cell"])
+            .groupBy(bucket_col, key_col, "d")
+            .agg(F.sum("cnt").alias("__cnt"))     # exact merge of layers
             .groupBy(bucket_col, key_col)
-            .agg(F.min("cnt").alias("__min_present"),
-                 F.countDistinct("d").alias("__n_present")))
+            .agg(F.min("__cnt").alias("__min_present"),
+                 F.count(F.lit(1)).alias("__n_present")))
     grid = (sketch.select(bucket_col).distinct()
             .crossJoin(F.broadcast(probe_keys)))
-    # countDistinct(d) (not count(*)) + >= so a non-aggregated or
-    # unioned sketch with duplicate (bucket, d, cell) rows degrades to
-    # the plain min estimate instead of silently flooring valid
-    # estimates to 0 (duplicates would otherwise make the present-cell
-    # tally overshoot depth)
+    # after the per-d merge each hash row appears once, so the present-
+    # cell tally is exact: fewer than depth rows means some cell of the
+    # key was never touched in that bucket -> true count is 0
     est = F.when(F.col("__n_present") >= depth,
                  F.col("__min_present")).otherwise(F.lit(0))
     return (grid.join(hits, on=[bucket_col, key_col], how="left")

@@ -690,11 +690,37 @@ class TestCountMinSketch:
         # 4 keys in 256 cells x 4 rows: no collision -> exact
         assert got == true
 
-    def test_duplicate_sketch_rows_degrade_to_plain_min(self, spark):
-        """A non-aggregated / self-unioned sketch carries duplicate
-        (bucket, d, cell) rows; the present-cell tally counts DISTINCT
-        hash rows and floors only when >= depth, so estimates for seen
-        keys survive unchanged instead of being silently zeroed."""
+    def test_union_of_partial_layers_merges_exactly(self, spark):
+        """A sketch that is a UNION of partial layers (per-source layers
+        concatenated without a rollup) must estimate EXACTLY like the
+        rolled-up sketch: cells are summed per hash row before the min —
+        min over raw partial rows would take the smallest layer's count
+        and underestimate, breaking the overcount-only guarantee."""
+        from caspr_spark.operators.timeseries import (cm_estimate,
+                                                      cm_sketch_layer)
+        ev = self._events(spark)
+        half_a = ev.filter(F.col("event_id") % 2 == 0)
+        half_b = ev.filter(F.col("event_id") % 2 == 1)
+        full = cm_sketch_layer(ev, "k", width="day", depth=4, w=256)
+        parts = cm_sketch_layer(half_a, "k", width="day", depth=4,
+                                w=256).union(
+            cm_sketch_layer(half_b, "k", width="day", depth=4, w=256))
+        probes = ev.select("k").distinct().limit(3)
+        merged = {(str(r["bucket"]), r["k"]): r["est_cnt"]
+                  for r in cm_estimate(full, probes, "k", depth=4, w=256,
+                                       bucket_col="bucket_day").collect()}
+        unioned = {(str(r["bucket"]), r["k"]): r["est_cnt"]
+                   for r in cm_estimate(parts, probes, "k", depth=4,
+                                        w=256, bucket_col="bucket_day")
+                   .collect()}
+        assert merged == unioned
+        assert any(v > 0 for v in merged.values())
+
+    def test_self_union_double_counts_but_never_undercounts(self, spark):
+        """union(day, day) literally feeds every row twice, so the merged
+        estimate is exactly 2x — overcount-only holds; the old behavior
+        (min over duplicate rows) would have quietly returned the
+        single-layer value for genuinely distinct partial layers."""
         from caspr_spark.operators.timeseries import (cm_estimate,
                                                       cm_sketch_layer)
         ev = self._events(spark)
@@ -707,7 +733,7 @@ class TestCountMinSketch:
                for r in cm_estimate(day.union(day), probes, "k", depth=4,
                                     w=256, bucket_col="bucket_day")
                .collect()}
-        assert clean == dup
+        assert dup == {kk: 2 * v for kk, v in clean.items()}
         assert any(v > 0 for v in clean.values())
 
     def test_absent_probe_key_reports_zero_every_bucket(self, spark):
