@@ -328,13 +328,24 @@ def fit_dec_joint(model, bundle, k: int, alpha: float = 1.0,
     return model, centers, history
 
 
+def _shard_by_ids(df: DataFrame, ids, world_size: int) -> DataFrame:
+    """Hash-shard a relation on the entity id into exactly
+    ``world_size`` partitions — the fixed world every per-shard-partial
+    trainer folds over (one model-sized blob per SHARD on the driver,
+    never one per input partition)."""
+    from pyspark.sql import functions as SF
+    key = SF.pmod(SF.xxhash64(*ids), SF.lit(world_size))
+    return df.repartition(world_size, key)
+
+
 def fit_dec_joint_distributed(model, wide_df: DataFrame, roles,
                               seq_len: int, k: int, alpha: float = 1.0,
                               epochs: int = 40, lr_centers: float = 0.5,
                               lr_encoder: float = 1e-3, seed: int = 42,
                               tol: float = 0.0, target_refresh: int = 1,
                               init_centers: np.ndarray | None = None,
-                              init_sample: int = 1024):
+                              init_sample: int = 1024,
+                              world_size: int = 4):
     """JOINT deep embedded clustering over the WHOLE DataFrame — the
     distributed composition of :func:`fit_dec_joint`'s two gradient
     halves (r7 verdict item 2): per epoch every partition streams its
@@ -349,6 +360,18 @@ def fit_dec_joint_distributed(model, wide_df: DataFrame, roles,
     step on the encoder and one GD step on the centroids. No driver
     materialization of rows, ever: the driver holds the parameter
     dict and ``k·d`` doubles.
+
+    Each partial carries a FULL encoder-gradient dict, so the input is
+    repartitioned once (hash on the entity id, the same sharding as
+    :func:`~caspr_spark.train_distributed.fit_deep_autoencoder_sgd`)
+    to ``world_size`` shards before the epoch loop — driver ingest per
+    epoch is O(world_size × |θ|), independent of how many partitions
+    the 100 TB upstream relation arrives in (a raw-partition fold
+    would collect 10⁵-10⁶ model-sized blobs). The reference's Horovod
+    path allreduces across a fixed world the same way
+    (caspr/utils/spark/large/train.py:137-147). The sharded copy is
+    persisted and unpersisted internally; a caller-persisted
+    ``wide_df`` is left untouched (it feeds the one repartition scan).
 
     ``model`` must carry ``ctor_kwargs`` (set by the
     ``fit_deep_autoencoder_*`` constructors) so executors can rebuild
@@ -382,6 +405,8 @@ def fit_dec_joint_distributed(model, wide_df: DataFrame, roles,
 
     from caspr_spark.models.autoencoder import Adam
 
+    if world_size < 1:
+        raise ValueError(f"world_size must be >= 1, got {world_size}")
     cls = type(model)
     ctor_kwargs = model.ctor_kwargs
     ids = [SF.col(c).cast("string") for c in roles.tgt_id]
@@ -390,21 +415,23 @@ def fit_dec_joint_distributed(model, wide_df: DataFrame, roles,
         return pickle.dumps({kk: np.asarray(v)
                              for kk, v in model.params.items()})
 
-    if init_centers is not None:
-        centers = np.asarray(init_centers, dtype=np.float64)
-    else:
-        from caspr_spark.data.tensorize import transform_and_load
-        sample = (wide_df.orderBy(SF.md5(SF.concat_ws("|", *ids)))
-                  .limit(init_sample).toPandas())
-        b = transform_and_load(sample, roles, seq_len, keep_ids=False)
-        Z0 = model.encode(b.seq_cat, b.seq_cont, b.non_seq_cat,
-                          b.non_seq_cont)
-        centers, _ = kmeans_np(Z0, k, seed=seed)
-        centers = centers.astype(np.float64)
-
-    wide = wide_df.persist()
+    # one gradient partial per SHARD, not per input partition: hash-
+    # sharded on the entity id so the driver fold is O(world_size x |θ|)
+    wide = _shard_by_ids(wide_df, ids, world_size).persist()
     try:
         wide.count()
+
+        if init_centers is not None:
+            centers = np.asarray(init_centers, dtype=np.float64)
+        else:
+            from caspr_spark.data.tensorize import transform_and_load
+            sample = (wide.orderBy(SF.md5(SF.concat_ws("|", *ids)))
+                      .limit(init_sample).toPandas())
+            b = transform_and_load(sample, roles, seq_len, keep_ids=False)
+            Z0 = model.encode(b.seq_cat, b.seq_cont, b.non_seq_cat,
+                              b.non_seq_cont)
+            centers, _ = kmeans_np(Z0, k, seed=seed)
+            centers = centers.astype(np.float64)
 
         def _freq_pass(C):
             blob = pickle.dumps((_params_blob(), C))

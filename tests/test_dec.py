@@ -430,6 +430,48 @@ class TestJointDecDistributed:
         for k in model.params:         # lr 0 really froze the encoder
             np.testing.assert_array_equal(mf.params[k], model.params[k])
 
+    def test_fold_bounded_by_world_size(self, spark):
+        """The joint fit's gradient partials are MODEL-SIZED blobs, one
+        per partition of the relation it scans — so that relation must
+        be hash-sharded to exactly world_size partitions regardless of
+        how many partitions the input arrives in (the 100 TB input has
+        10⁵-10⁶ of them; the driver fold must stay O(world_size x |θ|)),
+        and the fit must still descend when input partitions >> world."""
+        from pyspark.sql import functions as SF
+
+        from caspr_spark.dec import _shard_by_ids, fit_dec_joint_distributed
+        pdf, wide, roles, model = self._wide_and_model(spark, n=100)
+        many = wide.repartition(16)
+        ids = [SF.col(c).cast("string") for c in roles.tgt_id]
+        assert _shard_by_ids(many, ids, 3).rdd.getNumPartitions() == 3
+        assert _shard_by_ids(many, ids, 1).rdd.getNumPartitions() == 1
+        _, _, hist = fit_dec_joint_distributed(
+            model, many, roles, 4, 3, lr_centers=0.1, lr_encoder=3e-3,
+            epochs=6, seed=11, tol=0.0, target_refresh=10**6,
+            world_size=2)
+        assert len(hist) == 6
+        assert hist[-1] < hist[0]
+        with pytest.raises(ValueError, match="world_size"):
+            fit_dec_joint_distributed(model, many, roles, 4, 3,
+                                      world_size=0)
+
+    def test_caller_persisted_input_stays_cached(self, spark):
+        """fit_dec_joint_distributed persists its OWN sharded copy; a
+        caller-persisted input must still be cached afterwards (the r8
+        advice: the old in-place persist/unpersist evicted the caller's
+        cache between back-to-back calls)."""
+        from caspr_spark.dec import fit_dec_joint_distributed
+        _, wide, roles, model = self._wide_and_model(spark, n=100)
+        cached = wide.persist()
+        try:
+            cached.count()
+            fit_dec_joint_distributed(
+                model, cached, roles, 4, 3, lr_centers=0.3,
+                lr_encoder=3e-3, epochs=2, seed=11, world_size=2)
+            assert cached.is_cached
+        finally:
+            cached.unpersist()
+
     def test_delta_label_stop_distributed(self, spark):
         """tol > 0 computes the cross-epoch label-change fraction (one
         extra encode under the previous state) and stops early once it
