@@ -966,6 +966,64 @@ def q_segment_dec_joint(spark, sf_dir):
         "joint_kl double, joint_beats_frozen boolean")
 
 
+def q_segment_dec_chain(spark, sf_dir):
+    """The FULL reference chain end-to-end — featurize pipeline ->
+    minibatch local-SGD autoencoder pretraining
+    (train_distributed.fit_deep_autoencoder_sgd, the reference's
+    BATCH_SIZE stochastic path) -> joint DEC fine-tune WARM-STARTED
+    from the trained encoder (dec.fit_dec_joint_distributed; the
+    reference fine-tunes DEC from the trained AE,
+    caspr/utils/segmentation/dec_utils.py:9-44) -> distributed cluster
+    scoring of every row (score.score pandas-UDF encode +
+    soft/hard_assignment map-side exprs). The r8-verdict item 2 query:
+    each stage consumes the previous stage's actual output, driver
+    holds parameters only, and the gradient fold is bounded to
+    world_size blobs per epoch. Asserts end-to-end: the AE's streaming
+    loss decreased, the DEC KL decreased from its warm-started value,
+    and every pipeline row receives a cluster. (No SQL oracle —
+    iterative optimization; rows-only, fully seeded; the stage
+    contracts carry their own parity/property tests.)"""
+    from caspr_spark.dec import (fit_dec_joint_distributed,
+                                 hard_assignment, soft_assignment)
+    from caspr_spark.score import score
+    from caspr_spark.train_distributed import fit_deep_autoencoder_sgd
+
+    roles = _train_roles()
+    wide = q_pipeline_events(spark, sf_dir).fillna(0.0).persist()
+    try:
+        model, h_ae = fit_deep_autoencoder_sgd(
+            wide, roles, SEQ_N, arch="mlp", hidden_dim=8, world_size=4,
+            epochs=6, batch_size=128, lr=3e-3, seed=7)
+        model, centers, h_dec = fit_dec_joint_distributed(
+            model, wide, roles, SEQ_N, DEC_K, lr_centers=0.1,
+            lr_encoder=3e-3, epochs=10, seed=11, tol=0.0,
+            target_refresh=10**6, world_size=4)
+        cont_cols = [f"{s}_value" for s in range(1, SEQ_N + 1)] + \
+                    [f"{s}_ts" for s in range(1, SEQ_N + 1)]
+        cat_cols = [f"{s}_event_type" for s in range(1, SEQ_N + 1)]
+        scored = score(wide, model, seq_len=SEQ_N, n_seq_cat=1,
+                       n_seq_cont=2, cont_cols=cont_cols,
+                       cat_cols=cat_cols)
+        assigned = hard_assignment(
+            soft_assignment(scored, "embeddings", centers), DEC_K)
+        sizes = (assigned.groupBy("cluster")
+                 .agg(F.count(F.lit(1)).alias("n")).collect())
+        n_rows = wide.count()
+    finally:
+        wide.unpersist()
+    n_scored = sum(r["n"] for r in sizes)
+    return spark.createDataFrame(
+        [(len(h_ae), float(round(h_ae[0], 6)), float(round(h_ae[-1], 6)),
+          bool(h_ae[-1] < h_ae[0]), len(h_dec),
+          float(round(h_dec[0], 8)), float(round(h_dec[-1], 8)),
+          bool(h_dec[-1] < h_dec[0]), int(n_scored),
+          bool(n_scored == n_rows), int(len(sizes)))],
+        "ae_epochs int, ae_initial_loss double, ae_final_loss double, "
+        "ae_loss_decreased boolean, dec_epochs int, dec_initial_kl double, "
+        "dec_final_kl double, dec_kl_decreased boolean, n_scored int, "
+        "all_rows_scored boolean, clusters_used int")
+
+
 def q_train_linear_ae(spark, sf_dir):
     """Distributed linear-AE fit: one Gram pass + driver GD (no SQL oracle
     — iterative optimization; rows-only check)."""
@@ -2935,6 +2993,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "segment_kmeans": q_segment_kmeans,
         "segment_dec_fit": q_segment_dec_fit,
         "segment_dec_joint": q_segment_dec_joint,
+        "segment_dec_chain": q_segment_dec_chain,
         "train_linear_ae": q_train_linear_ae,
         "train_linear_ae_ddp": q_train_linear_ae_ddp,
         "train_ae": q_train_ae,
