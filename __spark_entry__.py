@@ -2733,69 +2733,69 @@ def q_stream_dedup_history(spark, sf_dir):
 #                winnow_pairs, x6_set_ops) did not fit and lead the
 #                r9 rotation; everything r5-r7-certified follows
 #                behind the window unchanged.
-_R8_WINDOW = [
-    "e10_quantile_approx",
-    "sketch_distinct_rollup",
-    "e10_quantile_bucket",
-    "f5_outlier_removal",
-    "p1_left_pad",
-    "a10_segment_profile",
-    "a11_nunique_lineitem",
-    "a12_rollup",
-    "a13_cube",
-    "a1_cardinality",
-    "a2_topk_cat_freq",
-    "a3_summary_stats",
-    "a4_max_date",
-    "a5_events_per_entity",
-    "a6_seq_len_percentile",
-    "a7_lookback_period",
-    "a8_collect_distinct",
-    "a9_label_multihot",
-    "asof_join",
-    "bm25_search",
-    "cluster_balanced",
-    "decontaminate",
-    "doc_chunks",
-    "downsample_cap",
-    "e1_fit_apply_split",
-    "e2_encode_collect",
-    "e3_decode_roundtrip",
-    "e5_fit_apply_split",
-    "e5_normalize_standard",
-    "e6_denormalize_roundtrip",
-    "e7_date_interval",
-    "f6_null_drop",
-    "json_extract",
-    "llm_curate",
-    "llm_curate_report",
-    "lm_perplexity",
-    "mixture_sample",
-    "p3_pivot_lineitem",
-    "p6_petastorm_rename",
-    "pii_redact",
-    "pipeline_events_percutoff",
-    "pipeline_orders_composite",
-    "related_docs",
-    "seq_pack_nextfit",
-    "seq_pack_offset",
-    "stratified_sample_exact",
-    "stratified_sample_hash",
-    "stream_stream_join",
-    "text_repetition",
-    "w5_sessionize",
+_R9_WINDOW = [
+    "w6_rolling_window",
+    "w7_lead_dense_rank",
+    "x6_set_ops",
+    "winnow_pairs",
+    "clean_paragraph_dedup",
+    "clean_boilerplate",
+    "quality_hashed_bow",
+    "token_budget_select",
+    "merge_upsert_orders",
+    "hybrid_search_rrf",
+    "dedup_keep_best",
+    "stream_sessions",
+    "heavy_hitters",
+    "fuzzy_join_parts",
+    "zorder_layout",
+    "weighted_sample",
+    "cv_folds",
+    "source_csv_roundtrip",
+    "llm_curate_v2",
+    "diff_snapshots",
+    "profile_table",
+    "semantic_dedup",
+    "quantize_embeddings",
+    "covariance_matrix",
+    "rollup_incremental",
+    "outlier_robust",
+    "stream_anomaly",
+    "calibration_bins",
+    "drift_psi",
+    "scd2_orders",
+    "text_normalize",
+    "attribution_last_touch",
+    "pagerank_docs",
+    "expectations_events",
+    "resample_daily",
+    "skew_report",
+    "shards_roundtrip",
+    "stream_topk",
+    "histogram_values",
+    "topk_per_group",
+    "attribution_multitouch",
+    "rolling_features",
+    "quantile_rollup",
+    "normalize_by_group",
+    "dedup_incremental",
+    "transition_matrix",
+    "simsearch_topk_lsh",
+    "pipeline_events",
+    "pipeline_lineitem",
+    "pipeline_orders_profile",
 ]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver contract: the correctness gate certifies the FIRST 50 entries.
 
-    154 of the 181 queries carry DuckDB oracles (152 full + the two
+    154 of the 182 queries carry DuckDB oracles (152 full + the two
     bounded sketch certificates) — more than one 50-slot window holds —
     so certification rotates across rounds (COVERAGE.md maps which
     round certified which row; tools/check_correctness.py re-runs the
     FULL oracle suite locally each round ->
-    CORRECTNESS_local_r{N}.json). The round-8 window is ``_R8_WINDOW``
+    CORRECTNESS_local_r{N}.json). The round-9 window is ``_R9_WINDOW``
     above, computed MECHANICALLY by certification recency (oldest
     last-driver-certified rows first) so no oracle row's driver
     certification silently ages; everything else keeps its prior
@@ -3013,7 +3013,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_tokenize": q_bpe_tokenize,
         "simsearch_topk_pq": q_simsearch_topk_pq,
     }
-    ordered = {n: base[n] for n in _R8_WINDOW}
+    ordered = {n: base[n] for n in _R9_WINDOW}
     ordered.update((n, f) for n, f in base.items() if n not in ordered)
     return ordered
 

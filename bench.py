@@ -219,6 +219,11 @@ def main() -> None:
         "sf": float(sf),
         "queries_extended": extended,
         "queries_extended_warm": extended_warm,
+        # headline-block totals for the extended set (round 9): the warm
+        # total is the stable regression series — single cold runs in a
+        # shared session swung up to 4.5x in the r7 record
+        "value_extended": round(sum(extended.values()), 3),
+        "value_extended_warm": round(sum(extended_warm.values()), 3),
         "calibration": {"spark_shuffle_sec": calib_spark,
                         "numpy_gemm_sec": calib_numpy},
         # host-lottery-free comparison number: cold total divided by the
