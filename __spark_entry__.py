@@ -303,10 +303,16 @@ def q_e7_date_interval(spark, sf_dir):
 
 
 def q_e10_quantile_bucket(spark, sf_dir):
+    """Exact decile bucketing via the distributed-prefix-scan ntile
+    (round 9: was a raw ``ntile().over(Window.orderBy(...))`` — a
+    single-task global sort of the whole customer table; same values,
+    now range-partitioned at any cardinality)."""
+    from caspr_spark.segment import quantile_scores
     cust = _t(spark, sf_dir, "customer")
-    w = Window.orderBy(F.col("c_acctbal").asc(), F.col("c_custkey").asc())
-    return cust.select("c_custkey",
-                       F.ntile(10).over(w).cast("int").alias("acctbal_decile"))
+    scored = quantile_scores(cust.select("c_custkey", "c_acctbal"),
+                             ["c_acctbal"], q=10, tiebreak=["c_custkey"])
+    return scored.select(
+        "c_custkey", F.col("c_acctbal_score").alias("acctbal_decile"))
 
 
 def q_p3_pivot_last5(spark, sf_dir):

@@ -111,10 +111,11 @@ def perplexity_buckets(scores: DataFrame, n_buckets: int = 3,
     (0 = lowest perplexity = highest quality).
 
     Thin wrapper over the engine's quantile bucketing (E10): exact
-    windowed ranks here (one shuffle over the scores relation — fine to
-    ~1e8 docs); for larger corpora use
-    :func:`caspr_spark.segment.quantile_scores_approx`, the
-    Greenwald-Khanna sketch path, on the same column.
+    ntile semantics via the distributed prefix scan (range-partitioned
+    sorts, no single-task global window — round 9), so it holds at any
+    corpus size; :func:`caspr_spark.segment.quantile_scores_approx`
+    remains the cheaper one-pass Greenwald-Khanna path when
+    value-determined buckets are acceptable.
     """
     from caspr_spark.segment import quantile_scores
     out = quantile_scores(scores, [ppl_col], q=n_buckets,

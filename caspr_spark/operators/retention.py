@@ -69,28 +69,12 @@ def cohort_retention(df: DataFrame, entity_col: str = "user_id",
 
 def _ntile_distributed(df: DataFrame, order_by: list, n_bins: int,
                        n_total: int, out_col: str) -> DataFrame:
-    """SQL ``ntile(n_bins)`` over a GLOBAL unique order — without the
-    single-task global sort ``F.ntile().over(Window.orderBy(...))``
-    plans. The global rank comes from the three-phase distributed
-    prefix scan (``sampling.global_running_sum`` over a constant 1);
-    the bucket is then the CLOSED FORM of the SQL-standard ntile
-    remainder rule (first ``N mod n`` buckets get the extra row), so
-    the result equals the window function bit-for-bit."""
-    from caspr_spark.operators.sampling import global_running_sum
+    """Moved to :func:`caspr_spark.operators.sampling.ntile_distributed`
+    (round 9 — :func:`caspr_spark.segment.quantile_scores` needed it
+    too); kept as a delegate so existing callers/tests stay valid."""
+    from caspr_spark.operators.sampling import ntile_distributed
 
-    ranked = global_running_sum(df.withColumn("__one", F.lit(1)),
-                                "__one", order_by, out_col="__rk")
-    q, rem = divmod(n_total, n_bins)
-    if q == 0:           # fewer rows than bins: ntile(r) = r
-        score = F.col("__rk")
-    else:
-        cutoff = (q + 1) * rem
-        score = F.when(
-            F.col("__rk") <= cutoff,
-            F.floor((F.col("__rk") - 1) / (q + 1)) + 1).otherwise(
-            rem + F.floor((F.col("__rk") - 1 - cutoff) / q) + 1)
-    return ranked.withColumn(out_col, score.cast("int")) \
-                 .drop("__one", "__rk")
+    return ntile_distributed(df, order_by, n_bins, n_total, out_col)
 
 
 def rfm_scores(df: DataFrame, entity_col: str = "user_id",

@@ -151,6 +151,33 @@ def global_running_sum(df: DataFrame, value_col: str, order_by: list,
              .drop("__pid", "__off"))
 
 
+def ntile_distributed(df: DataFrame, order_by: list, n_bins: int,
+                      n_total: int, out_col: str) -> DataFrame:
+    """SQL ``ntile(n_bins)`` over a GLOBAL unique order — without the
+    single-task global sort ``F.ntile().over(Window.orderBy(...))``
+    plans. The global rank comes from the three-phase distributed
+    prefix scan (:func:`global_running_sum` over a constant 1); the
+    bucket is then the CLOSED FORM of the SQL-standard ntile remainder
+    rule (first ``N mod n`` buckets get the extra row), so the result
+    equals the window function bit-for-bit (parity-tested in
+    tests/test_retention.py). ``order_by`` must be a total order —
+    append an id tiebreak. ``n_total`` is the caller-supplied row count
+    (callers usually already hold it from a persist+count)."""
+    ranked = global_running_sum(df.withColumn("__one", F.lit(1)),
+                                "__one", order_by, out_col="__rk")
+    q, rem = divmod(n_total, n_bins)
+    if q == 0:           # fewer rows than bins: ntile(r) = r
+        score = F.col("__rk")
+    else:
+        cutoff = (q + 1) * rem
+        score = F.when(
+            F.col("__rk") <= cutoff,
+            F.floor((F.col("__rk") - 1) / (q + 1)) + 1).otherwise(
+            rem + F.floor((F.col("__rk") - 1 - cutoff) / q) + 1)
+    return ranked.withColumn(out_col, score.cast("int")) \
+                 .drop("__one", "__rk")
+
+
 def select_to_token_budget(df: DataFrame, budget: int, token_col: str,
                            order_by: list,
                            out_col: str = "cum_tokens") -> DataFrame:

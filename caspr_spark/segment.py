@@ -99,17 +99,33 @@ def quantile_scores(df: DataFrame, cols: list[str], q: int = 10,
                     tiebreak: list[str] | None = None) -> DataFrame:
     """E10 qcut-style 1..q scores per column (reverse for R-type cols).
 
-    ``ntile`` over a global order — exact; use ``quantile_scores_approx``
-    as the 100 TB path. NULL values sort first (ascending), so they land
-    in score 1 (or q for reversed columns) — fill or drop nulls first if
-    that's not wanted; the approx path scores them NULL instead.
+    Exact SQL ``ntile`` semantics over a global order — but computed
+    WITHOUT the single-task global sort ``F.ntile().over(
+    Window.orderBy(...))`` plans (the last such window in a hot path
+    after the round-8 ROC-AUC rework): each column's global rank comes
+    from the three-phase distributed prefix scan and the bucket from
+    the closed-form ntile remainder rule
+    (:func:`~caspr_spark.operators.sampling.ntile_distributed`,
+    bit-equal to the window function, parity-tested), so every sort
+    runs range-partitioned in parallel at any row count. The input is
+    pinned once for the row count all columns share and the per-column
+    scan passes. ``quantile_scores_approx`` remains the cheaper
+    one-pass path when value-determined buckets are acceptable. NULL
+    values sort first (ascending), so they land in score 1 (or q for
+    reversed columns — Spark desc places nulls last) — fill or drop
+    nulls first if that's not wanted; the approx path scores them NULL
+    instead. Pass ``tiebreak`` (e.g. the id column) to make the order
+    total and the scores deterministic.
     """
-    from pyspark.sql import Window
+    from caspr_spark.cache import register_cache
+    from caspr_spark.operators.sampling import ntile_distributed
+
+    df = register_cache(df.persist())
+    n_total = df.count()
     for c in cols:
         direction = F.col(c).desc() if c in reverse_cols else F.col(c).asc()
         order = [direction] + [F.col(t).asc() for t in (tiebreak or [])]
-        df = df.withColumn(f"{c}_score",
-                           F.ntile(q).over(Window.orderBy(*order)).cast("int"))
+        df = ntile_distributed(df, order, q, n_total, f"{c}_score")
     return df
 
 

@@ -201,3 +201,31 @@ class TestRocAucPlan:
         expected = max(1, min(
             spark.sparkContext.defaultParallelism * 4, 4096))
         assert int(m.group(1)) == expected, plan
+
+
+class TestQuantileScoresPlan:
+    def test_no_single_task_global_window(self, embeddings):
+        """Exact quantile bucketing (E10) must never plan an
+        unpartitioned ntile window (round 9: it was the last remaining
+        single-task global sort in a hot path — corpus-sized via the
+        CCNet perplexity bucketing): every Window node must carry the
+        prefix scan's __pid partition key, for every scored column and
+        for reversed columns alike."""
+        from pyspark.sql import functions as F
+
+        from caspr_spark.segment import quantile_scores
+        d = embeddings.select(
+            F.col("vec_id"),
+            F.col("embedding")[0].cast("double").alias("a"),
+            F.col("embedding")[1].cast("double").alias("b"))
+        try:
+            out = quantile_scores(d, ["a", "b"], q=4,
+                                  reverse_cols={"b"}, tiebreak=["vec_id"])
+            plan = plan_of(out)
+        finally:
+            d.sparkSession.catalog.clearCache()
+        specs = re.findall(
+            r"Arguments: \[[^\]]*windowspecdefinition\(([^)]*)\)", plan)
+        assert specs, plan          # the prefix scan IS window-based
+        for spec in specs:
+            assert "__pid" in spec, plan
