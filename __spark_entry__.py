@@ -1645,6 +1645,21 @@ def q_mixture_sample(spark, sf_dir):
     return out.select("doc_id", "source", F.round("rate", 9).alias("rate"))
 
 
+def q_dsir_select(spark, sf_dir):
+    """DSIR importance resampling (mixture.py dsir_select, Xie et al.
+    2023): raw corpus = all documents, target = the English slice;
+    hashed uni+bigram bucket log-ratios in 1e9 fixed-point (exact
+    integer per-doc sums), Gumbel-top-k derandomized via the md5
+    uniform. Weight relation ≤256 rows broadcast; the corpus pays one
+    explode + map-side-combined count + TakeOrdered."""
+    from caspr_spark.llm.mixture import dsir_select
+    docs = _t(spark, sf_dir, "documents")
+    target = docs.filter(F.col("lang") == "en")
+    return dsir_select(docs, target, k=100, id_col="doc_id",
+                       text_col="text", n_buckets=256, alpha=1.0,
+                       include_bigrams=True, seed=42)
+
+
 def q_cluster_balanced(spark, sf_dir):
     """Diversity-balanced sampling (mixture.py cluster_balanced_sample):
     at most 8 vectors per deterministic LSH bucket (6 hyperplanes),
@@ -2955,6 +2970,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seq_pack_offset": q_seq_pack_offset,
         "seq_pack_nextfit": q_seq_pack_nextfit,
         "mixture_sample": q_mixture_sample,
+        "dsir_select": q_dsir_select,
         "cluster_balanced": q_cluster_balanced,
         "lm_perplexity": q_lm_perplexity,
         "doc_chunks": q_doc_chunks,
@@ -4653,6 +4669,48 @@ WHERE substr(md5('42|' || CAST(d.doc_id AS VARCHAR)), 1, 8) <
       CASE WHEN r.rate >= 1.0 THEN 'gggggggg'
            ELSE printf('%08x', CAST(floor(r.rate * 4294967296.0) AS BIGINT))
       END""",
+        "dsir_select": r"""
+WITH rw AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+  FROM documents),
+rg AS (
+  SELECT doc_id,
+         unnest(list_concat(t, list_transform(range(1, len(t)),
+                  i -> array_to_string(t[i:i+1], ' ')))) AS g
+  FROM rw),
+tg AS (
+  SELECT rg.g FROM rg JOIN documents d USING (doc_id)
+  WHERE d.lang = 'en'),
+tb AS (
+  SELECT (('0x'||substr(md5(g),1,8))::ubigint % 256)::int AS bucket,
+         count(*)::bigint AS tc
+  FROM tg GROUP BY 1),
+rb AS (
+  SELECT (('0x'||substr(md5(g),1,8))::ubigint % 256)::int AS bucket,
+         count(*)::bigint AS rc
+  FROM rg GROUP BY 1),
+tt AS (SELECT sum(tc)::bigint AS tt FROM tb),
+rt AS (SELECT sum(rc)::bigint AS rt FROM rb),
+w AS (
+  SELECT bucket,
+         CAST(round((ln((coalesce(tc, 0) + 1.0) / (tt + 1.0 * 256))
+                   - ln((coalesce(rc, 0) + 1.0) / (rt + 1.0 * 256)))
+                    * 1000000000) AS BIGINT) AS lrfx
+  FROM rb LEFT JOIN tb USING (bucket) CROSS JOIN tt CROSS JOIN rt),
+db AS (
+  SELECT doc_id,
+         (('0x'||substr(md5(g),1,8))::ubigint % 256)::int AS bucket,
+         count(*)::bigint AS cnt
+  FROM rg GROUP BY 1, 2),
+s AS (
+  SELECT doc_id, sum(cnt * lrfx)::bigint AS wfx
+  FROM db JOIN w USING (bucket) GROUP BY 1)
+SELECT doc_id, round(wfx / 1000000000.0, 6) AS log_w,
+       round(wfx / 1000000000.0
+             - ln(-ln((('0x'||substr(md5('42|' || CAST(doc_id AS VARCHAR)),
+                                     1, 8))::ubigint::DOUBLE + 1.0)
+                      / 4294967297.0)), 6) AS key
+FROM s ORDER BY key DESC, doc_id ASC LIMIT 100""",
         "cluster_balanced": f"""
 WITH b AS (
   SELECT vec_id,

@@ -90,6 +90,131 @@ def mixture_sample(df: DataFrame, domain_col: str, budget: int,
     return out.drop("__rate")
 
 
+_DSIR_FX = 10 ** 9  # fixed-point scale for the per-bucket log-ratios
+
+
+def _gram_buckets(text_col, n_buckets: int, include_bigrams: bool):
+    """Array of md5 feature buckets for a text column: hashed unigrams
+    plus (optionally) hashed word bigrams — DSIR's hashed n-gram
+    featurization. Pure codegen (split/transform/concat, no explode)."""
+    from caspr_spark.llm.filtering import _word_ngrams, _words
+
+    words = _words(text_col)
+    grams = (F.concat(words, _word_ngrams(words, 2))
+             if include_bigrams else words)
+    nb = F.lit(n_buckets)
+    return F.transform(
+        grams,
+        lambda g: (F.conv(F.substring(F.md5(g), 1, 8), 16, 10)
+                    .cast("long") % nb).cast("int"))
+
+
+def dsir_log_ratios(target: DataFrame, raw: DataFrame,
+                    text_col: str = "text", n_buckets: int = 1024,
+                    alpha: float = 1.0,
+                    include_bigrams: bool = True) -> DataFrame:
+    """Per-bucket importance log-ratios ``ln p̂(b) − ln q̂(b)`` between a
+    TARGET corpus (what the selected data should look like) and the RAW
+    corpus, over hashed n-gram buckets — the bag-of-hashed-ngrams
+    importance model of DSIR (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"). Laplace-``alpha``
+    smoothing keeps every bucket finite on both sides.
+
+    Returns ``(bucket, log_ratio_fx)`` — one row per bucket PRESENT IN
+    THE RAW CORPUS (a bucket no raw gram hits can never contribute to a
+    raw doc's score, and restricting to the raw side keeps the bucket
+    join broadcast-able) — with the ratio in ×1e9 fixed-point (BIGINT):
+    per-document scores downstream are then exact integer sums, immune
+    to float accumulation order, the same discipline as the
+    BM25/quality-classifier fixed-point paths.
+
+    Scale shape: each side collapses to ≤ ``n_buckets`` count rows in
+    one map-side-combined aggregation (the target corpus is small by
+    definition; the raw side's explode is the one row-multiplying
+    step); the outer-join of the two count relations is
+    bucket-cardinality work. The result is broadcast-sized by
+    construction.
+    """
+    def bucket_counts(df, cnt_name):
+        b = _gram_buckets(F.col(text_col), n_buckets, include_bigrams)
+        return (df.select(F.explode(b).alias("bucket"))
+                  .groupBy("bucket")
+                  .agg(F.count(F.lit(1)).cast("long").alias(cnt_name)))
+
+    t = bucket_counts(target, "__tc")
+    r = bucket_counts(raw, "__rc")
+    tt = t.agg(F.sum("__tc").alias("__tt"))
+    rt = r.agg(F.sum("__rc").alias("__rt"))
+    # raw-side LEFT join: a bucket no raw gram hits can never contribute
+    # to a raw doc's score, so the full-outer union is unnecessary — and
+    # left joins broadcast (full outer would force a sort-merge)
+    joined = (r.join(F.broadcast(t), on="bucket", how="left")
+               .crossJoin(F.broadcast(tt)).crossJoin(F.broadcast(rt))
+               .na.fill({"__tc": 0}))
+    a = F.lit(float(alpha))
+    denom_t = F.col("__tt") + a * n_buckets
+    denom_r = F.col("__rt") + a * n_buckets
+    lr = (F.log((F.col("__tc") + a) / denom_t)
+          - F.log((F.col("__rc") + a) / denom_r))
+    return joined.select(
+        "bucket",
+        F.round(lr * _DSIR_FX).cast("long").alias("log_ratio_fx"))
+
+
+def dsir_select(raw: DataFrame, target: DataFrame, k: int,
+                id_col: str = "doc_id", text_col: str = "text",
+                n_buckets: int = 1024, alpha: float = 1.0,
+                include_bigrams: bool = True, seed: int = 42) -> DataFrame:
+    """DSIR data selection: keep the ``k`` raw documents importance-
+    resampled toward the target distribution (Xie et al. 2023).
+
+    Per document the log importance weight is the exact fixed-point sum
+    ``Σ_b count_d(b) · log_ratio_fx(b)`` over its hashed n-gram buckets
+    (:func:`dsir_log_ratios`); the without-replacement sample ∝ w is
+    drawn with the Gumbel-top-k trick, derandomized the house way: the
+    per-doc uniform is md5(seed||id)-derived (the
+    ``weighted_sample_topk`` construction), so the selected set is a
+    pure function of (corpora, seed) — reproducible on any cluster,
+    certifiable against a SQL oracle.
+
+    Returns ``(id, log_w, key)`` for the selected docs — ``log_w``
+    exact at 1e-9 resolution (integer fixed-point, rounded to 6 for
+    engine-portable display), ``key = log_w + Gumbel(u)`` rounded to 6
+    (the one float-valued term; ordering uses the rounded key with the
+    id as tie-break so both engines sort identically).
+
+    Scale shape: the weight relation is ≤ ``n_buckets`` rows broadcast;
+    the raw corpus pays one explode → (id, bucket) map-side-combined
+    count, a broadcast equi-join, one id-keyed exact integer sum, and a
+    ``TakeOrdered`` top-k — no corpus-sized sort, no driver
+    materialization beyond k rows.
+    """
+    if k <= 0:
+        raise ValueError(f"k must be > 0, got {k}")
+    ratios = dsir_log_ratios(target, raw, text_col, n_buckets,
+                             alpha, include_bigrams)
+    b = _gram_buckets(F.col(text_col), n_buckets, include_bigrams)
+    doc_buckets = (raw.select(F.col(id_col),
+                              F.explode(b).alias("bucket"))
+                      .groupBy(id_col, "bucket")
+                      .agg(F.count(F.lit(1)).cast("long").alias("__cnt")))
+    scores = (doc_buckets.join(F.broadcast(ratios), on="bucket")
+              .groupBy(id_col)
+              .agg(F.sum(F.col("__cnt") * F.col("log_ratio_fx"))
+                    .cast("long").alias("__w_fx")))
+    u = ((F.conv(F.substring(_hash_col([id_col], seed), 1, _PREFIX), 16, 10)
+           .cast("double") + 1.0) / float((1 << (4 * _PREFIX)) + 1))
+    gumbel = -F.log(-F.log(u))
+    log_w = F.col("__w_fx").cast("double") / _DSIR_FX
+    key = F.round(log_w + gumbel, 6)
+    return (scores
+            .select(id_col,
+                    F.round(log_w, 6).alias("log_w"),
+                    key.alias("key"))
+            .orderBy(F.col("key").desc(), F.col(id_col).asc())
+            .limit(k))
+
+
 def pack_sequences_offset(df: DataFrame, token_col: str, budget: int,
                           group_cols: list[str] | None = None,
                           order_cols: list[str] | None = None,

@@ -126,3 +126,69 @@ class TestClusterBalanced:
     def test_requires_cluster_or_vec(self, documents):
         with pytest.raises(ValueError, match="cluster_col or vec_col"):
             cluster_balanced_sample(documents, cap=3)
+
+
+class TestDsirSelect:
+    """DSIR importance resampling (Xie et al. 2023): hashed n-gram
+    bucket log-ratios in fixed-point, Gumbel-top-k via md5 uniforms."""
+
+    def test_deterministic_and_seed_sensitive(self, documents):
+        from caspr_spark.llm.mixture import dsir_select
+        target = documents.filter(F.col("lang") == "en")
+        a = dsir_select(documents, target, k=50, n_buckets=128, seed=42)
+        b = dsir_select(documents, target, k=50, n_buckets=128, seed=42)
+        ids = lambda d: [r["doc_id"] for r in d.select("doc_id").collect()]
+        assert sorted(ids(a)) == sorted(ids(b))
+        c = dsir_select(documents, target, k=50, n_buckets=128, seed=7)
+        assert sorted(ids(a)) != sorted(ids(c))  # Gumbel noise is seeded
+
+    def test_shifts_toward_target(self, documents):
+        """Selected docs must over-represent the target distribution:
+        with target = English, the English share among the selected k
+        must exceed the raw corpus's English share."""
+        from caspr_spark.llm.mixture import dsir_select
+        target = documents.filter(F.col("lang") == "en")
+        sel = dsir_select(documents, target, k=100, n_buckets=256, seed=42)
+        picked = sel.join(documents.select("doc_id", "lang"), on="doc_id")
+        share = (picked.filter(F.col("lang") == "en").count()
+                 / picked.count())
+        raw_share = (documents.filter(F.col("lang") == "en").count()
+                     / documents.count())
+        assert share > raw_share + 0.15
+
+    def test_log_ratios_bounded_and_finite(self, documents):
+        from caspr_spark.llm.mixture import dsir_log_ratios
+        target = documents.filter(F.col("lang") == "en")
+        lr = dsir_log_ratios(target, documents, n_buckets=64).collect()
+        assert 0 < len(lr) <= 64
+        for r in lr:
+            assert r["log_ratio_fx"] is not None  # smoothing keeps finite
+
+    def test_k_above_corpus_returns_all(self, documents):
+        from caspr_spark.llm.mixture import dsir_select
+        target = documents.filter(F.col("lang") == "en")
+        out = dsir_select(documents, target, k=10_000, n_buckets=64)
+        assert out.count() == documents.count()
+
+    def test_k_validation(self, documents):
+        from caspr_spark.llm.mixture import dsir_select
+        with pytest.raises(ValueError, match="k must be > 0"):
+            dsir_select(documents, documents, k=0)
+
+    def test_plan_broadcast_and_takeordered(self, documents):
+        """Scale contract: the weight join must broadcast (never
+        sort-merge the corpus against the bucket relation) and the
+        top-k must plan TakeOrderedAndProject, not a global sort."""
+        import contextlib
+        import io
+
+        from caspr_spark.llm.mixture import dsir_select
+        target = documents.filter(F.col("lang") == "en")
+        out = dsir_select(documents, target, k=20, n_buckets=128)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            out.explain("formatted")
+        plan = buf.getvalue()
+        assert "TakeOrderedAndProject" in plan, plan
+        assert "SortMergeJoin" not in plan, plan
+        assert "BroadcastHashJoin" in plan, plan
