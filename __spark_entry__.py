@@ -1706,6 +1706,18 @@ def q_winnow_pairs(spark, sf_dir):
     return winnow_pairs(docs, k=4, window=5, min_shared=2, max_df=1000)
 
 
+def q_duplicated_spans(spark, sf_dir):
+    """Substring-granularity duplication census (dedup.py
+    duplicated_spans, Lee et al. 2021): positions whose word 5-gram
+    occurs 2+ times corpus-wide, interval-merged per doc into an exact
+    duplicated-token count, fraction, and longest duplicated run.
+    Gram counts aggregate BEFORE the semi-join; every window is
+    doc-keyed."""
+    from caspr_spark.llm.dedup import duplicated_spans
+    docs = _t(spark, sf_dir, "documents")
+    return duplicated_spans(docs, n=5, min_count=2)
+
+
 _EXPECT_RULES = [
     {"rule": "not_null", "col": "user_id"},
     {"rule": "unique", "col": "event_id"},
@@ -2975,6 +2987,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_perplexity": q_lm_perplexity,
         "doc_chunks": q_doc_chunks,
         "winnow_pairs": q_winnow_pairs,
+        "duplicated_spans": q_duplicated_spans,
         "related_docs": q_related_docs,
         "emb_near_dup": q_emb_near_dup,
         "stream_stream_join": q_stream_stream_join,
@@ -4769,6 +4782,55 @@ SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
          AS chunk_text
 FROM c""",
         "winnow_pairs": _WINNOW_PAIRS_SQL,
+        "duplicated_spans": r"""
+WITH tok AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+  FROM documents),
+base AS (
+  SELECT doc_id, len(t)::bigint AS n_tokens,
+         CASE WHEN len(t) >= 5 THEN (len(t) - 4)::bigint
+              ELSE 0::bigint END AS n_grams
+  FROM tok),
+g AS (
+  SELECT doc_id, s['pos'] AS pos, md5(s['g']) AS h
+  FROM (SELECT doc_id,
+               unnest(list_transform(range(1, len(t) - 3),
+                        i -> {'pos': i - 1,
+                              'g': array_to_string(t[i:i+4], ' ')})) AS s
+        FROM tok WHERE len(t) >= 5)),
+dup AS (SELECT h FROM g GROUP BY h HAVING count(*) >= 2),
+hits AS (SELECT doc_id, pos FROM g JOIN dup USING (h)),
+m AS (
+  SELECT doc_id, pos,
+         max(pos + 4) OVER (PARTITION BY doc_id ORDER BY pos
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+  FROM hits),
+x AS (
+  SELECT doc_id, pos,
+         greatest(0, pos + 4 - greatest(coalesce(pme, pos - 1), pos - 1))
+           AS new_tok,
+         CASE WHEN pme IS NULL OR pos > pme + 1 THEN 1 ELSE 0 END AS is_new
+  FROM m),
+y AS (
+  SELECT doc_id, pos, new_tok,
+         sum(is_new) OVER (PARTITION BY doc_id ORDER BY pos
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM x),
+isl AS (
+  SELECT doc_id, island, max(pos + 4) - min(pos) + 1 AS run_len,
+         sum(new_tok) AS toks, count(*) AS cnt
+  FROM y GROUP BY 1, 2),
+per AS (
+  SELECT doc_id, sum(toks)::bigint AS dup_tokens,
+         max(run_len)::bigint AS max_dup_run,
+         sum(cnt)::bigint AS n_dup_grams
+  FROM isl GROUP BY 1)
+SELECT b.doc_id, b.n_tokens, b.n_grams,
+       coalesce(p.dup_tokens, 0)::bigint AS dup_tokens,
+       coalesce(p.max_dup_run, 0)::bigint AS max_dup_run,
+       coalesce(p.n_dup_grams, 0)::bigint AS n_dup_grams,
+       round(coalesce(p.dup_tokens, 0) / b.n_tokens, 6) AS dup_fraction
+FROM base b LEFT JOIN per p USING (doc_id)""",
         "pagerank_docs": _pagerank_sql_entry(),
         "triangle_docs": _triangle_sql_entry(),
         "lpa_docs": _lpa_sql_entry(),

@@ -425,6 +425,90 @@ def winnow_fingerprints(df: DataFrame, id_col: str = "doc_id",
              .distinct())
 
 
+def duplicated_spans(df: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text", n: int = 8,
+                     min_count: int = 2) -> DataFrame:
+    """Per-document SUBSTRING-duplication statistics — the exact-
+    substring-dedup measurement of Lee et al. 2021 ("Deduplicating
+    Training Data Makes Language Models Better"), at word-``n``-gram
+    resolution: a position is duplicated when its ``n``-gram occurs
+    ``min_count``+ times in the corpus (within-doc repeats count — a
+    doc repeating its own boilerplate is self-duplication, as in the
+    suffix-array formulation).
+
+    Every doc-level dedup here (exact/minhash/simhash) misses partial
+    overlap — two long docs sharing one boilerplate paragraph. This
+    returns, per doc: ``n_tokens``, ``n_grams``, ``n_dup_grams``,
+    ``dup_tokens`` (EXACT union size of the covered token intervals —
+    overlapping [p, p+n-1] spans are interval-merged, not
+    double-counted), ``dup_fraction`` and ``max_dup_run`` (longest
+    merged duplicated token run — the "drop docs with a 50+-token
+    duplicated span" knob). Docs shorter than ``n`` tokens have no
+    grams and report zeros.
+
+    Plan shape: positional grams (codegen sequence/slice, one
+    posexplode), the corpus-wide gram-hash count AGGREGATED BEFORE the
+    join (the relation that moves is (hash, count)-distinct, never
+    text), a shuffle semi-join of 32-byte hashes back to positions,
+    then doc-keyed windows: an interval-merge prefix max for the exact
+    union and the gap-flag prefix sum for runs — every window
+    partitioned by the doc id. At 100 TB the gram-count aggregation is
+    the honest cost (it IS the global duplication census); raise ``n``
+    / ``min_count`` or pre-filter with :func:`winnow_fingerprints`
+    when even that shuffle is unwanted. md5 gram hashes keep the whole
+    statistic engine-portable (full SQL oracle).
+    """
+    from pyspark.sql import Window as W
+
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    base = (df.select(F.col(id_col), toks.alias("__t"))
+              .select(id_col, "__t",
+                      F.size("__t").cast("long").alias("n_tokens"),
+                      F.when(F.size("__t") >= n, F.size("__t") - (n - 1))
+                       .otherwise(F.lit(0)).cast("long").alias("n_grams")))
+    gram_seq = F.transform(
+        F.sequence(F.lit(1), F.col("n_grams").cast("int")),
+        lambda i: F.md5(F.concat_ws(" ", F.slice(F.col("__t"), i, n))))
+    grams = (base.filter(F.col("n_grams") > 0)
+                 .select(id_col, F.posexplode(gram_seq)
+                         .alias("__pos", "__h")))
+    dup = (grams.groupBy("__h").agg(F.count(F.lit(1)).alias("__c"))
+                .filter(F.col("__c") >= min_count).select("__h"))
+    hits = grams.join(dup, on="__h", how="left_semi").select(id_col, "__pos")
+    end = F.col("__pos") + (n - 1)
+    w_prev = (W.partitionBy(id_col).orderBy("__pos")
+               .rowsBetween(W.unboundedPreceding, -1))
+    m = hits.withColumn("__pme", F.max(end).over(w_prev))
+    # exact union of covered intervals: tokens this span adds beyond the
+    # running max end; first span in a doc adds all n
+    floor_ = F.greatest(F.coalesce(F.col("__pme"), F.col("__pos") - 1),
+                        F.col("__pos") - 1)
+    new_tok = F.greatest(F.lit(0), end - floor_)
+    # a new run starts when this span leaves a >=1-token gap after the
+    # running coverage (touching spans merge into one run)
+    is_new = F.when(F.col("__pme").isNull()
+                    | (F.col("__pos") > F.col("__pme") + 1),
+                    F.lit(1)).otherwise(F.lit(0))
+    w_run = (W.partitionBy(id_col).orderBy("__pos")
+              .rowsBetween(W.unboundedPreceding, 0))
+    y = (m.withColumn("__new_tok", new_tok)
+          .withColumn("__island", F.sum(is_new).over(w_run)))
+    isl = y.groupBy(id_col, "__island").agg(
+        (F.max(end) - F.min("__pos") + 1).alias("__run"),
+        F.sum("__new_tok").alias("__toks"),
+        F.count(F.lit(1)).alias("__cnt"))
+    per = isl.groupBy(id_col).agg(
+        F.sum("__toks").cast("long").alias("dup_tokens"),
+        F.max("__run").cast("long").alias("max_dup_run"),
+        F.sum("__cnt").cast("long").alias("n_dup_grams"))
+    return (base.drop("__t").join(per, on=id_col, how="left")
+            .na.fill({"dup_tokens": 0, "max_dup_run": 0, "n_dup_grams": 0})
+            .withColumn("dup_fraction",
+                        F.round(F.col("dup_tokens") / F.col("n_tokens"), 6)))
+
+
 def winnow_pairs(df: DataFrame, id_col: str = "doc_id",
                  text_col: str = "text", k: int = 4, window: int = 5,
                  min_shared: int = 2, max_df: int | None = 1000) -> DataFrame:

@@ -649,3 +649,86 @@ class TestComponentValidation:
         batch = spark.createDataFrame([(20, b)], "doc_id long, text string")
         kept, _ = dedup_against_history(batch, hist, mode="exact")
         assert kept.count() == 0
+
+
+class TestDuplicatedSpans:
+    """Substring-duplication census (dedup.duplicated_spans) — interval
+    union, run merging, and within-doc repetition, each hand-checked."""
+
+    def _run(self, spark, texts, n=5):
+        from caspr_spark.llm.dedup import duplicated_spans
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+        return {r["doc_id"]: r.asDict()
+                for r in duplicated_spans(df, n=n).collect()}
+
+    def test_cross_doc_shared_span(self, spark):
+        out = self._run(spark, ["a b c d e f", "x a b c d e y"])
+        # the shared 5-gram "a b c d e" covers 5 tokens in each doc
+        assert out[0]["dup_tokens"] == 5 and out[0]["max_dup_run"] == 5
+        assert out[0]["n_dup_grams"] == 1
+        assert abs(out[0]["dup_fraction"] - 5 / 6) < 1e-6
+        assert out[1]["dup_tokens"] == 5 and out[1]["n_tokens"] == 7
+
+    def test_identical_twins_fully_covered(self, spark):
+        out = self._run(spark, ["a b c d e f g", "a b c d e f g"])
+        for d in (0, 1):
+            # 3 overlapping dup grams merge to one 7-token interval
+            assert out[d]["n_dup_grams"] == 3
+            assert out[d]["dup_tokens"] == 7       # union, not 3x5
+            assert out[d]["max_dup_run"] == 7
+            assert out[d]["dup_fraction"] == 1.0
+
+    def test_within_doc_repeat_touching_spans_merge(self, spark):
+        # "p q r s t" at pos 0 and 5: intervals [0,4] and [5,9] touch,
+        # so they merge into ONE 10-token run
+        out = self._run(spark, ["p q r s t p q r s t"])
+        assert out[0]["n_dup_grams"] == 2
+        assert out[0]["dup_tokens"] == 10
+        assert out[0]["max_dup_run"] == 10
+
+    def test_gapped_spans_stay_separate_runs(self, spark):
+        # "m n o p q" at pos 0 and 7: gap at positions 5-6 keeps two
+        # 5-token runs; union is 10 of 12 tokens
+        out = self._run(spark, ["m n o p q g1 g2 m n o p q"])
+        assert out[0]["dup_tokens"] == 10
+        assert out[0]["max_dup_run"] == 5
+        assert out[0]["n_dup_grams"] == 2
+        assert abs(out[0]["dup_fraction"] - 10 / 12) < 1e-6
+
+    def test_short_and_unique_docs_zero(self, spark):
+        out = self._run(spark, ["tiny doc", "u1 u2 u3 u4 u5 u6"])
+        for d in (0, 1):
+            assert out[d]["dup_tokens"] == 0
+            assert out[d]["max_dup_run"] == 0
+            assert out[d]["dup_fraction"] == 0.0
+        assert out[0]["n_grams"] == 0     # shorter than n
+        assert out[1]["n_grams"] == 2
+
+    def test_n_validation(self, spark):
+        import pytest as _pt
+        from caspr_spark.llm.dedup import duplicated_spans
+        df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+        with _pt.raises(ValueError, match="n must be >= 1"):
+            duplicated_spans(df, n=0)
+
+    def test_windows_doc_keyed(self, spark):
+        """Scale contract: every window in the plan is doc-partitioned
+        (no global sort), and the gram-count relation aggregates before
+        the semi-join."""
+        import contextlib
+        import io
+        import re as _re
+
+        from caspr_spark.llm.dedup import duplicated_spans
+        df = spark.createDataFrame([(1, "a b c d e")],
+                                   "doc_id long, text string")
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            duplicated_spans(df).explain("formatted")
+        plan = buf.getvalue()
+        specs = _re.findall(
+            r"Arguments: \[[^\]]*windowspecdefinition\(([^)]*)\)", plan)
+        assert specs, plan
+        for spec in specs:
+            assert spec.lstrip().startswith("doc_id"), spec
