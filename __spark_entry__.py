@@ -1718,6 +1718,18 @@ def q_duplicated_spans(spark, sf_dir):
     return duplicated_spans(docs, n=5, min_count=2)
 
 
+def q_trim_duplicated_spans(spark, sf_dir):
+    """Exact substring dedup, destructive half (dedup.py
+    trim_duplicated_spans, Lee et al. 2021): every later occurrence of
+    a corpus-duplicated word 5-gram loses its token span (first
+    occurrence in (doc, pos) order keeps it); removal intervals are
+    union-merged per doc and the text rebuilt from surviving tokens.
+    Only docs with removals pay the token-level rebuild."""
+    from caspr_spark.llm.dedup import trim_duplicated_spans
+    docs = _t(spark, sf_dir, "documents")
+    return trim_duplicated_spans(docs, n=5, min_count=2)
+
+
 _EXPECT_RULES = [
     {"rule": "not_null", "col": "user_id"},
     {"rule": "unique", "col": "event_id"},
@@ -2988,6 +3000,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunks": q_doc_chunks,
         "winnow_pairs": q_winnow_pairs,
         "duplicated_spans": q_duplicated_spans,
+        "trim_duplicated_spans": q_trim_duplicated_spans,
         "related_docs": q_related_docs,
         "emb_near_dup": q_emb_near_dup,
         "stream_stream_join": q_stream_stream_join,
@@ -4831,6 +4844,64 @@ SELECT b.doc_id, b.n_tokens, b.n_grams,
        coalesce(p.n_dup_grams, 0)::bigint AS n_dup_grams,
        round(coalesce(p.dup_tokens, 0) / b.n_tokens, 6) AS dup_fraction
 FROM base b LEFT JOIN per p USING (doc_id)""",
+        "trim_duplicated_spans": r"""
+WITH tok AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+  FROM documents),
+g AS (
+  SELECT doc_id, s['pos'] AS pos, md5(s['g']) AS h,
+         doc_id * 4294967296 + s['pos'] AS key
+  FROM (SELECT doc_id,
+               unnest(list_transform(range(1, len(t) - 3),
+                        i -> {'pos': i - 1,
+                              'g': array_to_string(t[i:i+4], ' ')})) AS s
+        FROM tok WHERE len(t) >= 5)),
+firsts AS (
+  SELECT h, min(key) AS first_key FROM g
+  GROUP BY h HAVING count(*) >= 2),
+rm AS (
+  SELECT doc_id, pos FROM g JOIN firsts USING (h)
+  WHERE key != first_key),
+m AS (
+  SELECT doc_id, pos,
+         max(pos + 4) OVER (PARTITION BY doc_id ORDER BY pos
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+  FROM rm),
+y AS (
+  SELECT doc_id, pos,
+         sum(CASE WHEN pme IS NULL OR pos > pme + 1 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM m),
+isl AS (
+  SELECT doc_id, island, min(pos) AS s, max(pos + 4) AS e
+  FROM y GROUP BY 1, 2),
+removed AS (
+  SELECT doc_id, unnest(range(s, e + 1)) AS tpos FROM isl),
+stats AS (
+  SELECT doc_id, count(*)::bigint AS n_removed FROM removed GROUP BY 1),
+toks AS (
+  SELECT doc_id, w['p'] - 1 AS tpos, w['tok'] AS tok
+  FROM (SELECT doc_id,
+               unnest(list_transform(range(1, len(t) + 1),
+                        i -> {'p': i, 'tok': t[i]})) AS w
+        FROM tok)),
+rebuilt AS (
+  SELECT k.doc_id,
+         coalesce(string_agg(k.tok, ' ' ORDER BY k.tpos), '')
+           AS trimmed_text
+  FROM (SELECT toks.* FROM toks JOIN stats USING (doc_id)
+        WHERE NOT EXISTS (SELECT 1 FROM removed r
+                          WHERE r.doc_id = toks.doc_id
+                            AND r.tpos = toks.tpos)) k
+  GROUP BY 1)
+SELECT b.doc_id, len(b.t)::bigint AS n_tokens,
+       coalesce(st.n_removed, 0)::bigint AS n_removed,
+       CASE WHEN st.doc_id IS NULL THEN array_to_string(b.t, ' ')
+            ELSE coalesce(rb.trimmed_text, '') END AS trimmed_text
+FROM tok b
+LEFT JOIN stats st USING (doc_id)
+LEFT JOIN rebuilt rb USING (doc_id)""",
         "pagerank_docs": _pagerank_sql_entry(),
         "triangle_docs": _triangle_sql_entry(),
         "lpa_docs": _lpa_sql_entry(),

@@ -509,6 +509,116 @@ def duplicated_spans(df: DataFrame, id_col: str = "doc_id",
                         F.round(F.col("dup_tokens") / F.col("n_tokens"), 6)))
 
 
+def trim_duplicated_spans(df: DataFrame, id_col: str = "doc_id",
+                          text_col: str = "text", n: int = 8,
+                          min_count: int = 2,
+                          out_col: str = "trimmed_text") -> DataFrame:
+    """REMOVE duplicated substrings, keeping the corpus-wide first
+    occurrence — the destructive half of Lee et al. 2021's exact
+    substring dedup (:func:`duplicated_spans` is the measuring half).
+
+    A position whose word ``n``-gram occurs ``min_count``+ times is a
+    duplication hit; for each gram hash the FIRST occurrence in
+    ``(id, pos)`` order keeps its span, every later occurrence marks
+    its ``[pos, pos+n-1]`` token interval for removal (the standard
+    token-level approximation: a later hit overlapping a kept span is
+    still removed). Removal intervals are union-merged per doc; the
+    trimmed text is the surviving tokens re-joined by single spaces
+    (whitespace-normalized, as all the text operators here are).
+
+    Returns ``(id, n_tokens, n_removed, out_col)`` for EVERY input doc
+    (untouched docs pass through with ``n_removed = 0``; a fully-
+    duplicated doc trims to the empty string). The first-occurrence
+    arbitration key is ``id·2³² + pos`` — exact while ids fit in 31
+    bits and docs are under 2³² tokens, and portable to the SQL oracle
+    (a struct-min would be too).
+
+    Plan shape: the census side is :func:`duplicated_spans`' (gram
+    counts aggregated before the hash semi-join); first-occurrence
+    keys are one more hash-keyed aggregate joined back broadcast-free;
+    only docs WITH removals pay the token-level rebuild (posexplode +
+    anti-join on removed positions + one doc-keyed ordered re-agg) —
+    at production duplication rates (a few % of docs) the rebuild
+    relation is a small fraction of the corpus, and untouched docs
+    take a left-anti passthrough.
+    """
+    from pyspark.sql import Window as W
+
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    key = F.col(id_col).cast("long") * F.lit(1 << 32) + F.col("__pos")
+
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    base = df.select(F.col(id_col), toks.alias("__t"),
+                     F.size(toks).cast("long").alias("n_tokens"))
+    gram_seq = F.transform(
+        F.sequence(F.lit(1), (F.size("__t") - (n - 1)).cast("int")),
+        lambda i: F.md5(F.concat_ws(" ", F.slice(F.col("__t"), i, n))))
+    grams = (base.filter(F.size("__t") >= n)
+                 .select(id_col, F.posexplode(gram_seq)
+                         .alias("__pos", "__h")))
+    firsts = (grams.groupBy("__h")
+                   .agg(F.count(F.lit(1)).alias("__c"),
+                        F.min(key).alias("__first"))
+                   .filter(F.col("__c") >= min_count)
+                   .select("__h", "__first"))
+    rm = (grams.join(firsts, on="__h")
+               .filter(key != F.col("__first"))
+               .select(id_col, "__pos"))
+
+    # union-merge removal intervals per doc (same prefix-max island
+    # construction as duplicated_spans), then explode to token positions
+    end = F.col("__pos") + (n - 1)
+    w_prev = (W.partitionBy(id_col).orderBy("__pos")
+               .rowsBetween(W.unboundedPreceding, -1))
+    m = rm.withColumn("__pme", F.max(end).over(w_prev))
+    is_new = F.when(F.col("__pme").isNull()
+                    | (F.col("__pos") > F.col("__pme") + 1),
+                    F.lit(1)).otherwise(F.lit(0))
+    w_run = (W.partitionBy(id_col).orderBy("__pos")
+              .rowsBetween(W.unboundedPreceding, 0))
+    isl = (m.withColumn("__island", F.sum(is_new).over(w_run))
+            .groupBy(id_col, "__island")
+            .agg(F.min("__pos").alias("__s"), F.max(end).alias("__e")))
+    removed = isl.select(
+        id_col, F.explode(F.sequence(F.col("__s"), F.col("__e")))
+                 .alias("__tpos"))
+
+    # the passthrough/rebuild joins are SELF-joins (both sides descend
+    # from `base`); renaming the right-side keys keeps the two doc_id
+    # attributes distinct so the analyzer can never collapse them under
+    # plan reordering — the documented escape hatch for the ambiguous-
+    # self-join hazard class
+    touched_ids = removed.select(F.col(id_col).alias("__tid")).distinct()
+    touched = (base.join(touched_ids,
+                         F.col(id_col) == F.col("__tid"), "left_semi"))
+    tokens = touched.select(id_col, F.posexplode("__t")
+                            .alias("__tpos", "__tok"))
+    rm_pos = removed.select(F.col(id_col).alias("__rid"),
+                            F.col("__tpos").alias("__rpos"))
+    kept = tokens.join(
+        rm_pos, (F.col(id_col) == F.col("__rid"))
+                & (F.col("__tpos") == F.col("__rpos")), "left_anti")
+    rebuilt = (kept.groupBy(id_col)
+               .agg(F.concat_ws(" ", F.transform(
+                    F.array_sort(F.collect_list(
+                        F.struct("__tpos", "__tok"))),
+                    lambda s: s["__tok"])).alias(out_col)))
+    stats = removed.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_removed"))
+    trimmed = (touched.select(id_col, "n_tokens")
+               .join(stats, on=id_col)
+               # a fully-removed doc has no kept tokens: empty string
+               .join(rebuilt, on=id_col, how="left")
+               .na.fill({out_col: ""}))
+    untouched = (base.join(touched_ids,
+                           F.col(id_col) == F.col("__tid"), "left_anti")
+                 .select(id_col, "n_tokens",
+                         F.lit(0).cast("long").alias("n_removed"),
+                         F.concat_ws(" ", F.col("__t")).alias(out_col)))
+    return trimmed.unionByName(untouched)
+
+
 def winnow_pairs(df: DataFrame, id_col: str = "doc_id",
                  text_col: str = "text", k: int = 4, window: int = 5,
                  min_shared: int = 2, max_df: int | None = 1000) -> DataFrame:

@@ -732,3 +732,63 @@ class TestDuplicatedSpans:
         assert specs, plan
         for spec in specs:
             assert spec.lstrip().startswith("doc_id"), spec
+
+
+class TestTrimDuplicatedSpans:
+    """Destructive substring dedup (dedup.trim_duplicated_spans):
+    keep-first arbitration, interval-merged removal, rebuild."""
+
+    def _run(self, spark, texts, n=5):
+        from caspr_spark.llm.dedup import trim_duplicated_spans
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+        return {r["doc_id"]: r.asDict()
+                for r in trim_duplicated_spans(df, n=n).collect()}
+
+    def test_first_occurrence_kept_twin_emptied(self, spark):
+        out = self._run(spark, ["a b c d e f g", "a b c d e f g"])
+        assert out[0]["trimmed_text"] == "a b c d e f g"
+        assert out[0]["n_removed"] == 0
+        assert out[1]["trimmed_text"] == ""
+        assert out[1]["n_removed"] == 7
+
+    def test_within_doc_repeat_trims_second(self, spark):
+        out = self._run(spark, ["p q r s t p q r s t"])
+        assert out[0]["trimmed_text"] == "p q r s t"
+        assert out[0]["n_removed"] == 5
+
+    def test_cross_doc_span_removed_from_later_doc(self, spark):
+        # "a b c d e" first occurs in doc 0 (pos 1): doc 1 loses it
+        out = self._run(spark, ["x a b c d e y", "a b c d e f"])
+        assert out[0]["trimmed_text"] == "x a b c d e y"
+        # doc 1: grams "a b c d e" (pos 0, dup) and "b c d e f"
+        # (unique) -> interval [0,4] removed, token "f" survives
+        assert out[1]["trimmed_text"] == "f"
+        assert out[1]["n_removed"] == 5
+
+    def test_untouched_docs_pass_through(self, spark):
+        out = self._run(spark, ["u1 u2 u3 u4 u5 u6", "tiny doc",
+                                "m n o p q", "m n o p q"])
+        assert out[0]["trimmed_text"] == "u1 u2 u3 u4 u5 u6"
+        assert out[1]["trimmed_text"] == "tiny doc"   # shorter than n
+        assert out[0]["n_removed"] == 0 and out[1]["n_removed"] == 0
+        assert out[2]["trimmed_text"] == "m n o p q"
+        assert out[3]["trimmed_text"] == ""
+
+    def test_row_count_preserved(self, spark):
+        texts = ["a b c d e f g"] * 3 + ["z1 z2 z3 z4 z5"] + ["short"]
+        out = self._run(spark, texts)
+        assert len(out) == len(texts)
+
+    def test_measure_then_trim_consistency(self, spark, documents):
+        """The census and the trim must agree: after trimming, a doc's
+        removed-token count never exceeds its measured dup_tokens (the
+        first doc of each duplicate family keeps its spans)."""
+        from caspr_spark.llm.dedup import (duplicated_spans,
+                                           trim_duplicated_spans)
+        meas = {r["doc_id"]: r["dup_tokens"]
+                for r in duplicated_spans(documents, n=5).collect()}
+        trim = trim_duplicated_spans(documents, n=5).collect()
+        assert len(trim) == len(meas)
+        for r in trim:
+            assert r["n_removed"] <= meas[r["doc_id"]]
