@@ -109,10 +109,19 @@ def _gram_buckets(text_col, n_buckets: int, include_bigrams: bool):
                     .cast("long") % nb).cast("int"))
 
 
+def _bucket_counts(df: DataFrame, text_col: str, n_buckets: int,
+                   include_bigrams: bool, cnt_name: str) -> DataFrame:
+    b = _gram_buckets(F.col(text_col), n_buckets, include_bigrams)
+    return (df.select(F.explode(b).alias("bucket"))
+              .groupBy("bucket")
+              .agg(F.count(F.lit(1)).cast("long").alias(cnt_name)))
+
+
 def dsir_log_ratios(target: DataFrame, raw: DataFrame,
                     text_col: str = "text", n_buckets: int = 1024,
                     alpha: float = 1.0,
-                    include_bigrams: bool = True) -> DataFrame:
+                    include_bigrams: bool = True,
+                    raw_bucket_counts: DataFrame | None = None) -> DataFrame:
     """Per-bucket importance log-ratios ``ln p̂(b) − ln q̂(b)`` between a
     TARGET corpus (what the selected data should look like) and the RAW
     corpus, over hashed n-gram buckets — the bag-of-hashed-ngrams
@@ -131,18 +140,18 @@ def dsir_log_ratios(target: DataFrame, raw: DataFrame,
     Scale shape: each side collapses to ≤ ``n_buckets`` count rows in
     one map-side-combined aggregation (the target corpus is small by
     definition; the raw side's explode is the one row-multiplying
-    step); the outer-join of the two count relations is
-    bucket-cardinality work. The result is broadcast-sized by
-    construction.
+    step); the join of the two count relations is bucket-cardinality
+    work. The result is broadcast-sized by construction.
+    ``raw_bucket_counts`` lets a caller that already holds the raw
+    side's (bucket, __rc) relation pass it in — :func:`dsir_select`
+    derives it from its per-doc bucket counts so the raw corpus is
+    exploded and hashed ONCE, not twice.
     """
-    def bucket_counts(df, cnt_name):
-        b = _gram_buckets(F.col(text_col), n_buckets, include_bigrams)
-        return (df.select(F.explode(b).alias("bucket"))
-                  .groupBy("bucket")
-                  .agg(F.count(F.lit(1)).cast("long").alias(cnt_name)))
-
-    t = bucket_counts(target, "__tc")
-    r = bucket_counts(raw, "__rc")
+    t = _bucket_counts(target, text_col, n_buckets, include_bigrams,
+                       "__tc")
+    r = (raw_bucket_counts if raw_bucket_counts is not None
+         else _bucket_counts(raw, text_col, n_buckets, include_bigrams,
+                             "__rc"))
     tt = t.agg(F.sum("__tc").alias("__tt"))
     rt = r.agg(F.sum("__rc").alias("__rt"))
     # raw-side LEFT join: a bucket no raw gram hits can never contribute
@@ -191,6 +200,11 @@ def dsir_select(raw: DataFrame, target: DataFrame, k: int,
     """
     if k <= 0:
         raise ValueError(f"k must be > 0, got {k}")
+    # the raw corpus is deliberately scanned twice (once for the bucket
+    # census, once for the per-doc counts): both passes pipeline freely
+    # and stay map-side-combined. Persisting the (id, bucket, cnt)
+    # relation to share one scan was MEASURED SLOWER at sf1 (70 s vs
+    # 40 s) — the materialization barrier costs more than the re-scan.
     ratios = dsir_log_ratios(target, raw, text_col, n_buckets,
                              alpha, include_bigrams)
     b = _gram_buckets(F.col(text_col), n_buckets, include_bigrams)
