@@ -214,3 +214,84 @@ class TestResampleModel:
             for d in range(min(days), max(days) + 1):
                 want[(u, f"2024-01-0{d}")] = sums.get((u, d), 0.0)
         assert got == want
+
+
+def _dup_spans_model(docs: dict, n: int, min_count: int = 2):
+    """Python reference for duplicated_spans/trim_duplicated_spans:
+    brute-force gram census, interval union, keep-first trimming."""
+    grams = {}     # gram -> list[(doc, pos)] in (doc, pos) order
+    toks = {d: t.strip().lower().split() for d, t in docs.items()}
+    for d in sorted(toks):
+        t = toks[d]
+        for p in range(len(t) - n + 1):
+            grams.setdefault(" ".join(t[p:p + n]), []).append((d, p))
+    dup_hits, rm_hits = {}, {}
+    for occ in grams.values():
+        if len(occ) >= min_count:
+            for d, p in occ:
+                dup_hits.setdefault(d, []).append(p)
+            for d, p in occ[1:]:          # keep-first arbitration
+                rm_hits.setdefault(d, []).append(p)
+
+    def covered(pos_list):
+        return set(i for p in pos_list for i in range(p, p + n))
+
+    def runs(cov):
+        if not cov:
+            return 0
+        best = cur = 1
+        prev = None
+        for i in sorted(cov):
+            cur = cur + 1 if prev is not None and i == prev + 1 else 1
+            best = max(best, cur)
+            prev = i
+        return best
+
+    meas, trim = {}, {}
+    for d, t in toks.items():
+        cov = covered(dup_hits.get(d, []))
+        meas[d] = {"n_tokens": len(t), "dup_tokens": len(cov),
+                   "max_dup_run": runs(cov),
+                   "n_dup_grams": len(dup_hits.get(d, []))}
+        rm = covered(rm_hits.get(d, []))
+        trim[d] = {"n_removed": len(rm),
+                   "trimmed_text": " ".join(
+                       tok for i, tok in enumerate(t) if i not in rm)}
+    return meas, trim
+
+
+class TestDuplicatedSpansModel:
+    @given(docs=st.lists(st.lists(_UNIT, min_size=1, max_size=8),
+                         min_size=1, max_size=6),
+           n=st.integers(2, 3))
+    @settings(**SETTINGS)
+    def test_census_matches_python_model(self, spark, docs, n):
+        from caspr_spark.llm.dedup import duplicated_spans
+        corpus = {i: " ".join(u) for i, u in enumerate(docs)}
+        df = spark.createDataFrame(list(corpus.items()),
+                                   "doc_id long, text string")
+        want, _ = _dup_spans_model(corpus, n)
+        got = {r["doc_id"]: r.asDict()
+               for r in duplicated_spans(df, n=n).collect()}
+        assert set(got) == set(want)
+        for d, w in want.items():
+            for k in ("n_tokens", "dup_tokens", "max_dup_run",
+                      "n_dup_grams"):
+                assert got[d][k] == w[k], (d, k, got[d], w)
+
+    @given(docs=st.lists(st.lists(_UNIT, min_size=1, max_size=8),
+                         min_size=1, max_size=6),
+           n=st.integers(2, 3))
+    @settings(**SETTINGS)
+    def test_trim_matches_python_model(self, spark, docs, n):
+        from caspr_spark.llm.dedup import trim_duplicated_spans
+        corpus = {i: " ".join(u) for i, u in enumerate(docs)}
+        df = spark.createDataFrame(list(corpus.items()),
+                                   "doc_id long, text string")
+        _, want = _dup_spans_model(corpus, n)
+        got = {r["doc_id"]: r.asDict()
+               for r in trim_duplicated_spans(df, n=n).collect()}
+        assert set(got) == set(want)
+        for d, w in want.items():
+            assert got[d]["n_removed"] == w["n_removed"], (d, got[d], w)
+            assert got[d]["trimmed_text"] == w["trimmed_text"], (d, got, w)
