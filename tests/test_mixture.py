@@ -192,3 +192,67 @@ class TestDsirSelect:
         assert "TakeOrderedAndProject" in plan, plan
         assert "SortMergeJoin" not in plan, plan
         assert "BroadcastHashJoin" in plan, plan
+
+
+class TestDsirPythonModel:
+    """End-to-end pure-python replay of dsir_select: same md5 bucket
+    hashing, same Laplace log-ratios in 1e9 fixed-point, same
+    md5-uniform Gumbel keys — the selected set and every log_w must
+    match exactly (the fixed-point design means no float-sum slack)."""
+
+    @staticmethod
+    def _model(raw, target, k, n_buckets, seed=42, alpha=1.0):
+        import hashlib
+        import math
+
+        def grams(text):
+            w = text.strip().lower().split()
+            return w + [" ".join(w[i:i + 2]) for i in range(len(w) - 1)]
+
+        def bucket(g):
+            return int(hashlib.md5(g.encode()).hexdigest()[:8], 16) \
+                % n_buckets
+
+        tc, rc = {}, {}
+        for t in target.values():
+            for g in grams(t):
+                b = bucket(g); tc[b] = tc.get(b, 0) + 1
+        for t in raw.values():
+            for g in grams(t):
+                b = bucket(g); rc[b] = rc.get(b, 0) + 1
+        tt, rt = sum(tc.values()), sum(rc.values())
+
+        def half_away(x):
+            return int(math.floor(abs(x) + 0.5)) * (1 if x >= 0 else -1)
+
+        lrfx = {b: half_away(
+            (math.log((tc.get(b, 0) + alpha) / (tt + alpha * n_buckets))
+             - math.log((c + alpha) / (rt + alpha * n_buckets))) * 1e9)
+            for b, c in rc.items()}
+        rows = []
+        for d, t in raw.items():
+            wfx = sum(lrfx[bucket(g)] for g in grams(t))
+            u = (int(hashlib.md5(f"{seed}|{d}".encode())
+                     .hexdigest()[:8], 16) + 1.0) / 4294967297.0
+            key = round(wfx / 1e9 - math.log(-math.log(u)), 6)
+            rows.append((d, round(wfx / 1e9, 6), key))
+        rows.sort(key=lambda r: (-r[2], r[0]))
+        return rows[:k]
+
+    def test_selected_set_and_weights_match(self, spark, documents):
+        from caspr_spark.llm.mixture import dsir_select
+        raw = {r["doc_id"]: r["text"]
+               for r in documents.select("doc_id", "text").collect()}
+        target = {r["doc_id"]: r["text"]
+                  for r in documents.filter(F.col("lang") == "en")
+                                    .select("doc_id", "text").collect()}
+        want = self._model(raw, target, k=50, n_buckets=128)
+        got = [(r["doc_id"], r["log_w"], r["key"])
+               for r in dsir_select(
+                   documents, documents.filter(F.col("lang") == "en"),
+                   k=50, n_buckets=128).collect()]
+        got.sort(key=lambda r: (-r[2], r[0]))
+        assert [g[0] for g in got] == [w[0] for w in want]
+        for g, w in zip(got, want):
+            assert g[1] == w[1], (g, w)         # exact fixed-point log_w
+            assert abs(g[2] - w[2]) <= 1e-6     # key: one float ln-ln
