@@ -580,9 +580,14 @@ def trim_duplicated_spans(df: DataFrame, id_col: str = "doc_id",
     isl = (m.withColumn("__island", F.sum(is_new).over(w_run))
             .groupBy(id_col, "__island")
             .agg(F.min("__pos").alias("__s"), F.max(end).alias("__e")))
-    removed = isl.select(
+    # removed is consumed THREE times (passthrough ids, stats, the
+    # rebuild anti-join); it is bounded by the removed-token count —
+    # tiny next to the corpus — so pinning it collapses three
+    # re-executions of the whole census chain (explode + count agg +
+    # windows) into one
+    removed = register_cache(isl.select(
         id_col, F.explode(F.sequence(F.col("__s"), F.col("__e")))
-                 .alias("__tpos"))
+                 .alias("__tpos")).persist())
 
     # the passthrough/rebuild joins are SELF-joins (both sides descend
     # from `base`); renaming the right-side keys keeps the two doc_id

@@ -93,6 +93,12 @@ SNAPSHOT_QUERIES = [
     "text_normalize",
     "attribution_last_touch",
     "resample_daily",
+    # round-9 additions: the distributed-ntile exact quantile path and
+    # the new curation operators (substring-dedup pair, DSIR selection)
+    "e10_quantile_bucket",
+    "dsir_select",
+    "duplicated_spans",
+    "trim_duplicated_spans",
 ]
 
 
