@@ -546,6 +546,15 @@ def trim_duplicated_spans(df: DataFrame, id_col: str = "doc_id",
 
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
+    # the arbitration key is integer arithmetic on the id; a string id
+    # would cast("long") to NULL silently and corrupt the keep-first
+    # min — fail loudly instead (hash the id to a surrogate upstream)
+    id_type = df.schema[id_col].dataType.simpleString()
+    if id_type not in ("tinyint", "smallint", "int", "bigint"):
+        raise TypeError(
+            f"trim_duplicated_spans needs an integral {id_col!r} for the "
+            f"(id, pos) arbitration key, got {id_type}; map the id to a "
+            "numeric surrogate first")
     key = F.col(id_col).cast("long") * F.lit(1 << 32) + F.col("__pos")
 
     toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")

@@ -792,3 +792,11 @@ class TestTrimDuplicatedSpans:
         assert len(trim) == len(meas)
         for r in trim:
             assert r["n_removed"] <= meas[r["doc_id"]]
+
+    def test_string_id_rejected(self, spark):
+        from caspr_spark.llm.dedup import trim_duplicated_spans
+        df = spark.createDataFrame([("a", "x y z")],
+                                   "doc_id string, text string")
+        import pytest as _pt
+        with _pt.raises(TypeError, match="integral"):
+            trim_duplicated_spans(df, n=2)
