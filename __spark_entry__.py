@@ -1706,6 +1706,19 @@ def q_winnow_pairs(spark, sf_dir):
     return winnow_pairs(docs, k=4, window=5, min_shared=2, max_df=1000)
 
 
+def q_contamination_fraction(spark, sf_dir):
+    """Soft decontamination (dedup.py contamination_fraction): per
+    training doc (source != src0), the exact token fraction covered by
+    word 4-grams present anywhere in the held-out set (source = src0)
+    — the thresholded alternative to the binary any-gram drop. The
+    benchmark collapses to its distinct gram-hash set, broadcast."""
+    from caspr_spark.llm.dedup import contamination_fraction
+    docs = _t(spark, sf_dir, "documents")
+    train = docs.filter(F.col("source") != "src0")
+    bench = docs.filter(F.col("source") == "src0")
+    return contamination_fraction(train, bench, n=4)
+
+
 def q_duplicated_spans(spark, sf_dir):
     """Substring-granularity duplication census (dedup.py
     duplicated_spans, Lee et al. 2021): positions whose word 5-gram
@@ -3000,6 +3013,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunks": q_doc_chunks,
         "winnow_pairs": q_winnow_pairs,
         "duplicated_spans": q_duplicated_spans,
+        "contamination_fraction": q_contamination_fraction,
         "trim_duplicated_spans": q_trim_duplicated_spans,
         "related_docs": q_related_docs,
         "emb_near_dup": q_emb_near_dup,
@@ -4843,6 +4857,59 @@ SELECT b.doc_id, b.n_tokens, b.n_grams,
        coalesce(p.max_dup_run, 0)::bigint AS max_dup_run,
        coalesce(p.n_dup_grams, 0)::bigint AS n_dup_grams,
        round(coalesce(p.dup_tokens, 0) / b.n_tokens, 6) AS dup_fraction
+FROM base b LEFT JOIN per p USING (doc_id)""",
+        "contamination_fraction": r"""
+WITH tok AS (
+  SELECT doc_id, source,
+         regexp_split_to_array(trim(lower(text)), '\s+') AS t
+  FROM documents),
+base AS (
+  SELECT doc_id, len(t)::bigint AS n_tokens,
+         CASE WHEN len(t) >= 4 THEN (len(t) - 3)::bigint
+              ELSE 0::bigint END AS n_grams
+  FROM tok WHERE source != 'src0'),
+g AS (
+  SELECT doc_id, source, s['pos'] AS pos, md5(s['g']) AS h
+  FROM (SELECT doc_id, source,
+               unnest(list_transform(range(1, len(t) - 2),
+                        i -> {'pos': i - 1,
+                              'g': array_to_string(t[i:i+3], ' ')})) AS s
+        FROM tok WHERE len(t) >= 4)),
+bench AS (SELECT DISTINCT h FROM g WHERE source = 'src0'),
+hits AS (
+  SELECT doc_id, pos FROM g
+  WHERE source != 'src0' AND h IN (SELECT h FROM bench)),
+m AS (
+  SELECT doc_id, pos,
+         max(pos + 3) OVER (PARTITION BY doc_id ORDER BY pos
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+  FROM hits),
+x AS (
+  SELECT doc_id, pos,
+         greatest(0, pos + 3 - greatest(coalesce(pme, pos - 1), pos - 1))
+           AS new_tok,
+         CASE WHEN pme IS NULL OR pos > pme + 1 THEN 1 ELSE 0 END AS is_new
+  FROM m),
+y AS (
+  SELECT doc_id, pos, new_tok,
+         sum(is_new) OVER (PARTITION BY doc_id ORDER BY pos
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM x),
+isl AS (
+  SELECT doc_id, island, max(pos + 3) - min(pos) + 1 AS run_len,
+         sum(new_tok) AS toks, count(*) AS cnt
+  FROM y GROUP BY 1, 2),
+per AS (
+  SELECT doc_id, sum(toks)::bigint AS contam_tokens,
+         max(run_len)::bigint AS max_contam_run,
+         sum(cnt)::bigint AS contam_grams
+  FROM isl GROUP BY 1)
+SELECT b.doc_id, b.n_tokens, b.n_grams,
+       coalesce(p.contam_tokens, 0)::bigint AS contam_tokens,
+       coalesce(p.max_contam_run, 0)::bigint AS max_contam_run,
+       coalesce(p.contam_grams, 0)::bigint AS contam_grams,
+       round(coalesce(p.contam_tokens, 0) / b.n_tokens, 6)
+         AS contam_fraction
 FROM base b LEFT JOIN per p USING (doc_id)""",
         "trim_duplicated_spans": r"""
 WITH tok AS (

@@ -458,10 +458,25 @@ def duplicated_spans(df: DataFrame, id_col: str = "doc_id",
     when even that shuffle is unwanted. md5 gram hashes keep the whole
     statistic engine-portable (full SQL oracle).
     """
-    from pyspark.sql import Window as W
-
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
+    base, grams = _positional_grams(df, id_col, text_col, n)
+    dup = (grams.groupBy("__h").agg(F.count(F.lit(1)).alias("__c"))
+                .filter(F.col("__c") >= min_count).select("__h"))
+    hits = grams.join(dup, on="__h", how="left_semi").select(id_col, "__pos")
+    per = _covered_stats(hits, id_col, n,
+                         "dup_tokens", "max_dup_run", "n_dup_grams")
+    return (base.drop("__t").join(per, on=id_col, how="left")
+            .na.fill({"dup_tokens": 0, "max_dup_run": 0, "n_dup_grams": 0})
+            .withColumn("dup_fraction",
+                        F.round(F.col("dup_tokens") / F.col("n_tokens"), 6)))
+
+
+def _positional_grams(df: DataFrame, id_col: str, text_col: str, n: int):
+    """``(base, grams)`` for the span operators: ``base`` carries the
+    token array plus counts, ``grams`` one (id, pos, md5) row per word
+    ``n``-gram position (construction is codegen; the posexplode is the
+    one row-multiplying step)."""
     toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
     base = (df.select(F.col(id_col), toks.alias("__t"))
               .select(id_col, "__t",
@@ -474,9 +489,18 @@ def duplicated_spans(df: DataFrame, id_col: str = "doc_id",
     grams = (base.filter(F.col("n_grams") > 0)
                  .select(id_col, F.posexplode(gram_seq)
                          .alias("__pos", "__h")))
-    dup = (grams.groupBy("__h").agg(F.count(F.lit(1)).alias("__c"))
-                .filter(F.col("__c") >= min_count).select("__h"))
-    hits = grams.join(dup, on="__h", how="left_semi").select(id_col, "__pos")
+    return base, grams
+
+
+def _covered_stats(hits: DataFrame, id_col: str, n: int,
+                   tokens_col: str, run_col: str,
+                   count_col: str) -> DataFrame:
+    """Per-doc interval-union statistics over (id, __pos) hit rows,
+    each covering ``[pos, pos+n-1]``: exact covered-token count
+    (overlaps merged, not double-counted), longest merged run, and hit
+    count. Every window is doc-keyed."""
+    from pyspark.sql import Window as W
+
     end = F.col("__pos") + (n - 1)
     w_prev = (W.partitionBy(id_col).orderBy("__pos")
                .rowsBetween(W.unboundedPreceding, -1))
@@ -499,14 +523,47 @@ def duplicated_spans(df: DataFrame, id_col: str = "doc_id",
         (F.max(end) - F.min("__pos") + 1).alias("__run"),
         F.sum("__new_tok").alias("__toks"),
         F.count(F.lit(1)).alias("__cnt"))
-    per = isl.groupBy(id_col).agg(
-        F.sum("__toks").cast("long").alias("dup_tokens"),
-        F.max("__run").cast("long").alias("max_dup_run"),
-        F.sum("__cnt").cast("long").alias("n_dup_grams"))
+    return isl.groupBy(id_col).agg(
+        F.sum("__toks").cast("long").alias(tokens_col),
+        F.max("__run").cast("long").alias(run_col),
+        F.sum("__cnt").cast("long").alias(count_col))
+
+
+def contamination_fraction(train: DataFrame, benchmark: DataFrame,
+                           id_col: str = "doc_id",
+                           text_col: str = "text",
+                           n: int = 8) -> DataFrame:
+    """Per-document benchmark contamination as a token FRACTION — the
+    soft companion to :func:`decontaminate`'s binary any-shared-n-gram
+    drop (the PaLM-style thresholded variant: drop or down-weight docs
+    above a contamination fraction instead of on a single match).
+
+    A train position is contaminated when its word ``n``-gram appears
+    anywhere in the benchmark; covered ``[pos, pos+n-1]`` intervals are
+    union-merged per doc (same exact machinery as
+    :func:`duplicated_spans`). Returns per train doc: ``n_tokens``,
+    ``n_grams``, ``contam_grams``, ``contam_tokens``,
+    ``contam_fraction``, ``max_contam_run``.
+
+    Scale shape: the benchmark collapses to its DISTINCT gram-hash set
+    (eval-sized, broadcast); the train corpus pays one positional
+    explode and a map-side semi-join of 32-byte hashes, then doc-keyed
+    windows — nothing corpus-sized shuffles except the per-doc
+    interval merge, which is keyed on the doc id.
+    """
+    base, grams = _positional_grams(train, id_col, text_col, n)
+    _, bgrams = _positional_grams(benchmark, id_col, text_col, n)
+    bench = F.broadcast(bgrams.select("__h").distinct())
+    hits = grams.join(bench, on="__h", how="left_semi") \
+                .select(id_col, "__pos")
+    per = _covered_stats(hits, id_col, n,
+                         "contam_tokens", "max_contam_run", "contam_grams")
     return (base.drop("__t").join(per, on=id_col, how="left")
-            .na.fill({"dup_tokens": 0, "max_dup_run": 0, "n_dup_grams": 0})
-            .withColumn("dup_fraction",
-                        F.round(F.col("dup_tokens") / F.col("n_tokens"), 6)))
+            .na.fill({"contam_tokens": 0, "max_contam_run": 0,
+                      "contam_grams": 0})
+            .withColumn("contam_fraction",
+                        F.round(F.col("contam_tokens")
+                                / F.col("n_tokens"), 6)))
 
 
 def trim_duplicated_spans(df: DataFrame, id_col: str = "doc_id",
@@ -557,15 +614,7 @@ def trim_duplicated_spans(df: DataFrame, id_col: str = "doc_id",
             "numeric surrogate first")
     key = F.col(id_col).cast("long") * F.lit(1 << 32) + F.col("__pos")
 
-    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
-    base = df.select(F.col(id_col), toks.alias("__t"),
-                     F.size(toks).cast("long").alias("n_tokens"))
-    gram_seq = F.transform(
-        F.sequence(F.lit(1), (F.size("__t") - (n - 1)).cast("int")),
-        lambda i: F.md5(F.concat_ws(" ", F.slice(F.col("__t"), i, n))))
-    grams = (base.filter(F.size("__t") >= n)
-                 .select(id_col, F.posexplode(gram_seq)
-                         .alias("__pos", "__h")))
+    base, grams = _positional_grams(df, id_col, text_col, n)
     firsts = (grams.groupBy("__h")
                    .agg(F.count(F.lit(1)).alias("__c"),
                         F.min(key).alias("__first"))

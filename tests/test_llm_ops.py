@@ -800,3 +800,49 @@ class TestTrimDuplicatedSpans:
         import pytest as _pt
         with _pt.raises(TypeError, match="integral"):
             trim_duplicated_spans(df, n=2)
+
+
+class TestContaminationFraction:
+    """Soft decontamination (dedup.contamination_fraction)."""
+
+    def _run(self, spark, train, bench, n=3):
+        from caspr_spark.llm.dedup import contamination_fraction
+        tdf = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(train)], "doc_id long, text string")
+        bdf = spark.createDataFrame(
+            [(100 + i, t) for i, t in enumerate(bench)],
+            "doc_id long, text string")
+        return {r["doc_id"]: r.asDict()
+                for r in contamination_fraction(tdf, bdf, n=n).collect()}
+
+    def test_fraction_and_runs(self, spark):
+        out = self._run(spark, ["a b c d e", "z1 z2 z3 z4"], ["x a b c y"])
+        # train doc 0 shares the 3-gram "a b c": covers tokens 0-2 of 5
+        assert out[0]["contam_tokens"] == 3
+        assert abs(out[0]["contam_fraction"] - 0.6) < 1e-6
+        assert out[0]["max_contam_run"] == 3
+        assert out[1]["contam_tokens"] == 0
+        assert out[1]["contam_fraction"] == 0.0
+
+    def test_full_containment(self, spark):
+        out = self._run(spark, ["q r s t"], ["p q r s t u"])
+        assert out[0]["contam_fraction"] == 1.0
+
+    def test_every_train_doc_returned(self, spark):
+        out = self._run(spark, ["a b", "c d e f"], ["g h i"])
+        assert set(out) == {0, 1}
+        assert all(v["contam_tokens"] == 0 for v in out.values())
+
+    def test_agrees_with_binary_decontaminate(self, spark, documents):
+        """Exactly the docs decontaminate() drops must show a non-zero
+        contamination fraction (same n, same gram definition)."""
+        from caspr_spark.llm.dedup import contamination_fraction
+        from caspr_spark.llm.filtering import decontaminate
+        train = documents.filter(F.col("source") != "src0")
+        bench = documents.filter(F.col("source") == "src0")
+        kept = {r["doc_id"] for r in
+                decontaminate(train, bench, n=4).select("doc_id").collect()}
+        frac = {r["doc_id"]: r["contam_fraction"]
+                for r in contamination_fraction(train, bench, n=4).collect()}
+        for d, f in frac.items():
+            assert (f == 0.0) == (d in kept), (d, f)

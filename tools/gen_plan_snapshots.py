@@ -99,6 +99,7 @@ SNAPSHOT_QUERIES = [
     "dsir_select",
     "duplicated_spans",
     "trim_duplicated_spans",
+    "contamination_fraction",
 ]
 
 
