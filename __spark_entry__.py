@@ -2848,7 +2848,7 @@ _R9_WINDOW = [
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver contract: the correctness gate certifies the FIRST 50 entries.
 
-    154 of the 182 queries carry DuckDB oracles (152 full + the two
+    158 of the 186 queries carry DuckDB oracles (156 full + the two
     bounded sketch certificates) — more than one 50-slot window holds —
     so certification rotates across rounds (COVERAGE.md maps which
     round certified which row; tools/check_correctness.py re-runs the
@@ -4916,19 +4916,19 @@ WITH tok AS (
   SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
   FROM documents),
 g AS (
-  SELECT doc_id, s['pos'] AS pos, md5(s['g']) AS h,
-         doc_id * 4294967296 + s['pos'] AS key
+  SELECT doc_id, s['pos'] AS pos, md5(s['g']) AS h
   FROM (SELECT doc_id,
                unnest(list_transform(range(1, len(t) - 3),
                         i -> {'pos': i - 1,
                               'g': array_to_string(t[i:i+4], ' ')})) AS s
         FROM tok WHERE len(t) >= 5)),
-firsts AS (
-  SELECT h, min(key) AS first_key FROM g
-  GROUP BY h HAVING count(*) >= 2),
+marked AS (
+  SELECT doc_id, pos,
+         row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn,
+         count(*) OVER (PARTITION BY h) AS c
+  FROM g),
 rm AS (
-  SELECT doc_id, pos FROM g JOIN firsts USING (h)
-  WHERE key != first_key),
+  SELECT doc_id, pos FROM marked WHERE c >= 2 AND rn > 1),
 m AS (
   SELECT doc_id, pos,
          max(pos + 4) OVER (PARTITION BY doc_id ORDER BY pos

@@ -334,8 +334,12 @@ def _shard_by_ids(df: DataFrame, ids, world_size: int) -> DataFrame:
     trainer folds over (one model-sized blob per SHARD on the driver,
     never one per input partition)."""
     from pyspark.sql import functions as SF
-    key = SF.pmod(SF.xxhash64(*ids), SF.lit(world_size))
-    return df.repartition(world_size, key)
+    # repartition on the RAW 64-bit hash: pre-modding to 0..world-1 and
+    # letting repartition Murmur3 that tiny key domain again collapses
+    # shards (measured: world=2 landed every row in ONE partition,
+    # world=8 filled only 4) — the single mod inside repartition over
+    # the full hash domain fills every partition
+    return df.repartition(world_size, SF.xxhash64(*ids))
 
 
 def fit_dec_joint_distributed(model, wide_df: DataFrame, roles,

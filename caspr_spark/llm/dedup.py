@@ -475,57 +475,63 @@ def duplicated_spans(df: DataFrame, id_col: str = "doc_id",
 def _positional_grams(df: DataFrame, id_col: str, text_col: str, n: int):
     """``(base, grams)`` for the span operators: ``base`` carries the
     token array plus counts, ``grams`` one (id, pos, md5) row per word
-    ``n``-gram position (construction is codegen; the posexplode is the
-    one row-multiplying step)."""
-    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
-    base = (df.select(F.col(id_col), toks.alias("__t"))
+    ``n``-gram position (the gram definition is
+    ``filtering._word_ngrams`` — the one the decontamination operators
+    hash too, so the span family and the binary decontaminate agree by
+    construction; the posexplode is the one row-multiplying step)."""
+    from caspr_spark.llm.filtering import _word_ngrams, _words
+
+    words = _words(F.col(text_col))
+    base = (df.select(F.col(id_col), words.alias("__t"))
               .select(id_col, "__t",
                       F.size("__t").cast("long").alias("n_tokens"),
                       F.when(F.size("__t") >= n, F.size("__t") - (n - 1))
                        .otherwise(F.lit(0)).cast("long").alias("n_grams")))
-    gram_seq = F.transform(
-        F.sequence(F.lit(1), F.col("n_grams").cast("int")),
-        lambda i: F.md5(F.concat_ws(" ", F.slice(F.col("__t"), i, n))))
+    gram_seq = F.transform(_word_ngrams(F.col("__t"), n), F.md5)
     grams = (base.filter(F.col("n_grams") > 0)
                  .select(id_col, F.posexplode(gram_seq)
                          .alias("__pos", "__h")))
     return base, grams
 
 
-def _covered_stats(hits: DataFrame, id_col: str, n: int,
-                   tokens_col: str, run_col: str,
-                   count_col: str) -> DataFrame:
-    """Per-doc interval-union statistics over (id, __pos) hit rows,
-    each covering ``[pos, pos+n-1]``: exact covered-token count
-    (overlaps merged, not double-counted), longest merged run, and hit
-    count. Every window is doc-keyed."""
+def _merge_islands(hits: DataFrame, id_col: str, n: int) -> DataFrame:
+    """Union-merge (id, __pos) hit rows, each covering
+    ``[pos, pos+n-1]``, into disjoint intervals: one row per
+    ``(id, __island)`` with bounds ``__s``/``__e`` and the hit count
+    ``__cnt``. Touching intervals merge (a run of covered tokens is
+    maximal-consecutive). Every window is doc-keyed — the single shared
+    implementation behind the census, the contamination fraction, and
+    the destructive trim."""
     from pyspark.sql import Window as W
 
     end = F.col("__pos") + (n - 1)
     w_prev = (W.partitionBy(id_col).orderBy("__pos")
                .rowsBetween(W.unboundedPreceding, -1))
     m = hits.withColumn("__pme", F.max(end).over(w_prev))
-    # exact union of covered intervals: tokens this span adds beyond the
-    # running max end; first span in a doc adds all n
-    floor_ = F.greatest(F.coalesce(F.col("__pme"), F.col("__pos") - 1),
-                        F.col("__pos") - 1)
-    new_tok = F.greatest(F.lit(0), end - floor_)
-    # a new run starts when this span leaves a >=1-token gap after the
-    # running coverage (touching spans merge into one run)
+    # a new island starts when this span leaves a >=1-token gap after
+    # the running coverage (touching spans merge)
     is_new = F.when(F.col("__pme").isNull()
                     | (F.col("__pos") > F.col("__pme") + 1),
                     F.lit(1)).otherwise(F.lit(0))
     w_run = (W.partitionBy(id_col).orderBy("__pos")
               .rowsBetween(W.unboundedPreceding, 0))
-    y = (m.withColumn("__new_tok", new_tok)
-          .withColumn("__island", F.sum(is_new).over(w_run)))
-    isl = y.groupBy(id_col, "__island").agg(
-        (F.max(end) - F.min("__pos") + 1).alias("__run"),
-        F.sum("__new_tok").alias("__toks"),
-        F.count(F.lit(1)).alias("__cnt"))
+    return (m.withColumn("__island", F.sum(is_new).over(w_run))
+             .groupBy(id_col, "__island")
+             .agg(F.min("__pos").alias("__s"), F.max(end).alias("__e"),
+                  F.count(F.lit(1)).alias("__cnt")))
+
+
+def _covered_stats(hits: DataFrame, id_col: str, n: int,
+                   tokens_col: str, run_col: str,
+                   count_col: str) -> DataFrame:
+    """Per-doc interval-union statistics over (id, __pos) hit rows:
+    exact covered-token count (disjoint island lengths sum — overlaps
+    merged, never double-counted), longest merged run, and hit count."""
+    isl = _merge_islands(hits, id_col, n)
+    length = F.col("__e") - F.col("__s") + 1
     return isl.groupBy(id_col).agg(
-        F.sum("__toks").cast("long").alias(tokens_col),
-        F.max("__run").cast("long").alias(run_col),
+        F.sum(length).cast("long").alias(tokens_col),
+        F.max(length).cast("long").alias(run_col),
         F.sum("__cnt").cast("long").alias(count_col))
 
 
@@ -585,10 +591,11 @@ def trim_duplicated_spans(df: DataFrame, id_col: str = "doc_id",
 
     Returns ``(id, n_tokens, n_removed, out_col)`` for EVERY input doc
     (untouched docs pass through with ``n_removed = 0``; a fully-
-    duplicated doc trims to the empty string). The first-occurrence
-    arbitration key is ``id·2³² + pos`` — exact while ids fit in 31
-    bits and docs are under 2³² tokens, and portable to the SQL oracle
-    (a struct-min would be too).
+    duplicated doc trims to the empty string). First-occurrence
+    arbitration is a ``row_number`` over the ``(id, pos)`` order within
+    each gram hash — exact for any orderable id type (integer key
+    arithmetic like ``id·2³²+pos`` would overflow for 64-bit ids) and
+    portable to the SQL oracle.
 
     Plan shape: the census side is :func:`duplicated_spans`' (gram
     counts aggregated before the hash semi-join); first-occurrence
@@ -603,41 +610,22 @@ def trim_duplicated_spans(df: DataFrame, id_col: str = "doc_id",
 
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
-    # the arbitration key is integer arithmetic on the id; a string id
-    # would cast("long") to NULL silently and corrupt the keep-first
-    # min — fail loudly instead (hash the id to a surrogate upstream)
-    id_type = df.schema[id_col].dataType.simpleString()
-    if id_type not in ("tinyint", "smallint", "int", "bigint"):
-        raise TypeError(
-            f"trim_duplicated_spans needs an integral {id_col!r} for the "
-            f"(id, pos) arbitration key, got {id_type}; map the id to a "
-            "numeric surrogate first")
-    key = F.col(id_col).cast("long") * F.lit(1 << 32) + F.col("__pos")
-
     base, grams = _positional_grams(df, id_col, text_col, n)
-    firsts = (grams.groupBy("__h")
-                   .agg(F.count(F.lit(1)).alias("__c"),
-                        F.min(key).alias("__first"))
-                   .filter(F.col("__c") >= min_count)
-                   .select("__h", "__first"))
-    rm = (grams.join(firsts, on="__h")
-               .filter(key != F.col("__first"))
-               .select(id_col, "__pos"))
+    # keep-first arbitration via a hash-keyed window, NOT integer key
+    # arithmetic (id·2³²+pos wraps long for ids >= 2³¹ and would
+    # silently crown the wrong occurrence "first"); row_number over the
+    # (id, pos) order is exact for any orderable id type
+    w_first = W.partitionBy("__h").orderBy(F.col(id_col).asc(),
+                                           F.col("__pos").asc())
+    rm = (grams
+          .withColumn("__rn", F.row_number().over(w_first))
+          .withColumn("__c", F.count(F.lit(1))
+                      .over(W.partitionBy("__h")))
+          .filter((F.col("__c") >= min_count) & (F.col("__rn") > 1))
+          .select(id_col, "__pos"))
 
-    # union-merge removal intervals per doc (same prefix-max island
-    # construction as duplicated_spans), then explode to token positions
-    end = F.col("__pos") + (n - 1)
-    w_prev = (W.partitionBy(id_col).orderBy("__pos")
-               .rowsBetween(W.unboundedPreceding, -1))
-    m = rm.withColumn("__pme", F.max(end).over(w_prev))
-    is_new = F.when(F.col("__pme").isNull()
-                    | (F.col("__pos") > F.col("__pme") + 1),
-                    F.lit(1)).otherwise(F.lit(0))
-    w_run = (W.partitionBy(id_col).orderBy("__pos")
-              .rowsBetween(W.unboundedPreceding, 0))
-    isl = (m.withColumn("__island", F.sum(is_new).over(w_run))
-            .groupBy(id_col, "__island")
-            .agg(F.min("__pos").alias("__s"), F.max(end).alias("__e")))
+    # union-merge removal intervals per doc, then explode to positions
+    isl = _merge_islands(rm, id_col, n)
     # removed is consumed THREE times (passthrough ids, stats, the
     # rebuild anti-join); it is bounded by the removed-token count —
     # tiny next to the corpus — so pinning it collapses three

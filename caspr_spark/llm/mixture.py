@@ -143,9 +143,10 @@ def dsir_log_ratios(target: DataFrame, raw: DataFrame,
     step); the join of the two count relations is bucket-cardinality
     work. The result is broadcast-sized by construction.
     ``raw_bucket_counts`` lets a caller that already holds the raw
-    side's (bucket, __rc) relation pass it in — :func:`dsir_select`
-    derives it from its per-doc bucket counts so the raw corpus is
-    exploded and hashed ONCE, not twice.
+    side's (bucket, __rc) census pass it in and skip the raw scan.
+    Note :func:`dsir_select` deliberately does NOT use it: sharing one
+    scan through a persisted per-doc relation was measured slower than
+    two pipelined map-side passes (see its inline comment).
     """
     t = _bucket_counts(target, text_col, n_buckets, include_bigrams,
                        "__tc")

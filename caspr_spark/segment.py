@@ -120,7 +120,11 @@ def quantile_scores(df: DataFrame, cols: list[str], q: int = 10,
     from caspr_spark.cache import register_cache
     from caspr_spark.operators.sampling import ntile_distributed
 
-    df = register_cache(df.persist())
+    # persist a DERIVED copy, never the caller's own handle — pinning
+    # the input in place would let a cache_scope exit evict a relation
+    # the caller still holds persisted (the same hazard the joint-DEC
+    # fit fixed in round 9)
+    df = register_cache(df.select(*df.columns).persist())
     n_total = df.count()
     for c in cols:
         direction = F.col(c).desc() if c in reverse_cols else F.col(c).asc()

@@ -484,10 +484,13 @@ def fit_deep_autoencoder_sgd(wide_df: DataFrame, roles, seq_len: int,
         seq_len, hidden_dim, seed, **arch_kwargs)
 
     ids = [F.col(c).cast("string") for c in roles.tgt_id]
-    shard_key = F.pmod(F.xxhash64(*ids), F.lit(world_size))
+    # repartition on the RAW 64-bit hash: pre-modding to 0..world-1 and
+    # letting repartition Murmur3 the tiny key domain again collapses
+    # shards (world=2 put every row in one partition) — the single mod
+    # inside repartition over the full hash fills every shard
     order_key = F.md5(F.concat_ws("|", *ids))
     sharded = (wide_df
-               .repartition(world_size, shard_key)
+               .repartition(world_size, F.xxhash64(*ids))
                .sortWithinPartitions(order_key)
                .persist())
     try:

@@ -483,3 +483,25 @@ class TestJointDecDistributed:
             epochs=10, seed=11, tol=1.0, target_refresh=1)
         # vanishing steps -> labels never change -> stop at epoch 2
         assert len(hist) == 2
+
+
+class TestShardBalance:
+    def test_all_shards_populated(self, spark):
+        """Regression: pre-modding the hash to 0..world-1 and letting
+        repartition Murmur3 that tiny domain again COLLAPSED shards
+        (world=2 put every row in one partition, world=8 filled 4) —
+        the whole point of the world_size bound is world_size-way
+        compute, so every partition must actually receive rows."""
+        from pyspark.sql import functions as SF
+
+        from caspr_spark.dec import _shard_by_ids
+        df = spark.range(2000).select(
+            SF.col("id").cast("string").alias("uid"))
+        for w in (2, 4, 8):
+            d = (_shard_by_ids(df, [SF.col("uid")], w)
+                 .withColumn("p", SF.spark_partition_id()))
+            counts = {r["p"]: r["c"] for r in
+                      d.groupBy("p").agg(SF.count("*").alias("c"))
+                       .collect()}
+            assert len(counts) == w, counts          # every shard used
+            assert min(counts.values()) > 0

@@ -793,13 +793,26 @@ class TestTrimDuplicatedSpans:
         for r in trim:
             assert r["n_removed"] <= meas[r["doc_id"]]
 
-    def test_string_id_rejected(self, spark):
+    def test_string_ids_and_large_ids_work(self, spark):
+        """The window-based keep-first arbitration must be exact for
+        any orderable id type — including 64-bit ids where integer key
+        arithmetic (id*2^32+pos) would overflow and crown the wrong
+        occurrence first, and string ids (lexicographic order)."""
         from caspr_spark.llm.dedup import trim_duplicated_spans
-        df = spark.createDataFrame([("a", "x y z")],
-                                   "doc_id string, text string")
-        import pytest as _pt
-        with _pt.raises(TypeError, match="integral"):
-            trim_duplicated_spans(df, n=2)
+        big = 3_000_000_000  # > 2^31: the old arithmetic key wrapped
+        df = spark.createDataFrame(
+            [(1, "a b c d e"), (big, "a b c d e")],
+            "doc_id long, text string")
+        out = {r["doc_id"]: r["trimmed_text"]
+               for r in trim_duplicated_spans(df, n=5).collect()}
+        assert out[1] == "a b c d e"      # smaller id keeps its span
+        assert out[big] == ""
+        sdf = spark.createDataFrame(
+            [("aa", "p q r s t"), ("zz", "p q r s t")],
+            "doc_id string, text string")
+        got = {r["doc_id"]: r["trimmed_text"]
+               for r in trim_duplicated_spans(sdf, n=5).collect()}
+        assert got["aa"] == "p q r s t" and got["zz"] == ""
 
 
 class TestContaminationFraction:
