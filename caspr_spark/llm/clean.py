@@ -16,10 +16,13 @@ Plan shapes (both scale-safe at 100 TB):
 
 - Splitting is codegen (`split` + `posexplode`); the unit relation is
   (id, pos, unit) — the only row-multiplying step.
-- Paragraph dedup's winner election is ONE hash exchange keyed on the
-  128-bit unit hash (`row_number` over (hash) ordered by (id, pos) —
-  first occurrence wins deterministically), then one regroup on id to
-  reassemble. No joins, nothing quadratic.
+- Paragraph dedup's winner election is ONE map-side-combinable
+  aggregate keyed on the 128-bit unit hash — `min(struct(id, pos,
+  unit))`, lexicographic on (id, pos), so the first occurrence wins
+  deterministically and a ubiquitous boilerplate paragraph collapses
+  to one row per input partition BEFORE the exchange — then one
+  regroup on id to reassemble. No joins, no windows, nothing
+  quadratic.
 - Boilerplate's frequent-unit set is ``count(distinct id) >= min_docs``
   — a keyed agg with map-side partial aggregation — applied as an anti
   join with no forced broadcast (the set grows with the corpus; AQE
@@ -28,7 +31,7 @@ Plan shapes (both scale-safe at 100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
@@ -81,15 +84,21 @@ def paragraph_dedup(df: DataFrame, id_col: str = "doc_id",
     nothing new), matching C4's behavior of dropping emptied pages.
 
     One exchange on the unit hash (winner election), one on id
-    (reassembly). The hash partitioning spreads identical paragraphs to
-    one reducer each — at 100 TB the heaviest key holds ONE winner row
-    per distinct paragraph, so no skew mitigation is needed beyond AQE.
+    (reassembly). The election is ``min(struct(id, pos, unit))`` per
+    unit hash — struct ordering is lexicographic on (id, pos), exactly
+    the old orderBy — as a map-side-combinable AGGREGATE, not a
+    ``row_number`` window: windows cannot partial-aggregate, so a
+    cookie-notice paragraph occurring 10⁸ times corpus-wide would
+    funnel all 10⁸ rows into one window task, while the aggregate
+    collapses them to one row per input partition before the exchange.
+    The winner's unit text rides inside the min struct (all rows under
+    one md5 share the unit anyway), so no join-back is needed.
     """
     units = split_units(df, id_col, text_col, sep, min_chars)
-    w = (Window.partitionBy(F.md5(F.col("unit")))
-               .orderBy(F.col(id_col), F.col("pos")))
-    first = (units.withColumn("__rn", F.row_number().over(w))
-                  .filter(F.col("__rn") == 1).drop("__rn"))
+    first = (units.groupBy(F.md5(F.col("unit")).alias("__h"))
+                  .agg(F.min(F.struct(F.col(id_col), F.col("pos"),
+                                      F.col("unit"))).alias("__w"))
+                  .select("__w.*"))
     return _reassemble(first, id_col, sep, out_col)
 
 

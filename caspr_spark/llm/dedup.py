@@ -592,36 +592,44 @@ def trim_duplicated_spans(df: DataFrame, id_col: str = "doc_id",
     Returns ``(id, n_tokens, n_removed, out_col)`` for EVERY input doc
     (untouched docs pass through with ``n_removed = 0``; a fully-
     duplicated doc trims to the empty string). First-occurrence
-    arbitration is a ``row_number`` over the ``(id, pos)`` order within
-    each gram hash — exact for any orderable id type (integer key
-    arithmetic like ``id·2³²+pos`` would overflow for 64-bit ids) and
-    portable to the SQL oracle.
+    arbitration is ``min(struct(id, pos))`` per gram hash — struct
+    comparison is lexicographic on ``(id, pos)``, so it is exact for
+    any orderable id type (integer key arithmetic like ``id·2³²+pos``
+    would overflow for 64-bit ids) and portable to the SQL oracle
+    (``min(row(id, pos))`` / ``arg_min``).
 
-    Plan shape: the census side is :func:`duplicated_spans`' (gram
-    counts aggregated before the hash semi-join); first-occurrence
-    keys are one more hash-keyed aggregate joined back broadcast-free;
-    only docs WITH removals pay the token-level rebuild (posexplode +
-    anti-join on removed positions + one doc-keyed ordered re-agg) —
-    at production duplication rates (a few % of docs) the rebuild
-    relation is a small fraction of the corpus, and untouched docs
-    take a left-anti passthrough.
+    Plan shape: ONE hash-keyed aggregate does both the census count
+    and the first-occurrence election — ``groupBy(hash).agg(count,
+    min(struct(id, pos)))`` — joined back to the gram positions
+    broadcast-free. The aggregate partial-aggregates map-side (a
+    boilerplate gram occurring 10⁸ times collapses to one row per
+    input partition before the exchange) and the join-back can be
+    AQE-skew-split, unlike the ``row_number``-window form this
+    replaced, which funneled every occurrence of a hot gram into a
+    single window task. Only docs WITH removals pay the token-level
+    rebuild (posexplode + anti-join on removed positions + one
+    doc-keyed ordered re-agg) — at production duplication rates (a few
+    % of docs) the rebuild relation is a small fraction of the corpus,
+    and untouched docs take a left-anti passthrough.
     """
-    from pyspark.sql import Window as W
-
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
     base, grams = _positional_grams(df, id_col, text_col, n)
-    # keep-first arbitration via a hash-keyed window, NOT integer key
-    # arithmetic (id·2³²+pos wraps long for ids >= 2³¹ and would
-    # silently crown the wrong occurrence "first"); row_number over the
-    # (id, pos) order is exact for any orderable id type
-    w_first = W.partitionBy("__h").orderBy(F.col(id_col).asc(),
-                                           F.col("__pos").asc())
-    rm = (grams
-          .withColumn("__rn", F.row_number().over(w_first))
-          .withColumn("__c", F.count(F.lit(1))
-                      .over(W.partitionBy("__h")))
-          .filter((F.col("__c") >= min_count) & (F.col("__rn") > 1))
+    # keep-first election as a map-side-combinable aggregate, NOT a
+    # row_number window over partitionBy(__h): windows cannot partial-
+    # aggregate, so one hyper-frequent gram would put ALL its
+    # occurrences in one task; min(struct) combines to one row per
+    # partition per hash before anything shuffles. Field aliases on
+    # both struct sides must match — struct equality in Spark compares
+    # the full StructType, names included.
+    occ = F.struct(F.col(id_col).alias("__fi"), F.col("__pos").alias("__fp"))
+    dup_first = (grams.groupBy("__h")
+                 .agg(F.count(F.lit(1)).alias("__c"),
+                      F.min(occ).alias("__first"))
+                 .filter(F.col("__c") >= min_count)
+                 .select("__h", "__first"))
+    rm = (grams.join(dup_first, on="__h")
+          .filter(occ != F.col("__first"))
           .select(id_col, "__pos"))
 
     # union-merge removal intervals per doc, then explode to positions

@@ -229,3 +229,73 @@ class TestQuantileScoresPlan:
         assert specs, plan          # the prefix scan IS window-based
         for spec in specs:
             assert "__pid" in spec, plan
+
+
+class TestKeepFirstElectionPlans:
+    """Round-10 skew fix: first-occurrence elections over CONTENT hashes
+    must be map-side-combinable aggregates, never row_number/count
+    windows partitioned by the hash — windows cannot partial-aggregate,
+    so one hyper-frequent boilerplate gram/paragraph would funnel every
+    occurrence into a single task at 100 TB."""
+
+    @staticmethod
+    def window_partition_specs(plan: str) -> list[str]:
+        """The partition-spec argument of every Window node."""
+        return re.findall(
+            r"Arguments: \[[^\]]*windowspecdefinition\(([^)]*?),"
+            r" specifiedwindowframe", plan)
+
+    def test_paragraph_dedup_no_window_at_all(self, documents):
+        from caspr_spark.llm.clean import paragraph_dedup
+        plan = plan_of(paragraph_dedup(documents))
+        assert "Window" not in plan, plan       # pure groupBy elections
+        assert "HashAggregate" in plan          # ...with partial agg
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
+
+    def test_trim_spans_windows_doc_keyed_only(self, documents):
+        """trim_duplicated_spans keeps its interval-merge windows, but
+        every one must be keyed on the doc id — zero Window nodes keyed
+        on the gram hash __h."""
+        from caspr_spark.llm.dedup import trim_duplicated_spans
+        plan = plan_of(trim_duplicated_spans(documents, n=5))
+        try:
+            specs = self.window_partition_specs(plan)
+            assert specs, plan                  # interval merges remain
+            for spec in specs:
+                assert "__h" not in spec, spec
+                assert "doc_id" in spec, spec
+        finally:
+            documents.sparkSession.catalog.clearCache()
+
+    def test_trim_spans_skewed_hot_gram_correct(self, spark):
+        """A single 5-gram repeated across 2000 docs (the hot-key shape
+        the aggregate election exists for): first occurrence keeps its
+        text, every other doc loses the span, uniques untouched."""
+        from caspr_spark.llm.dedup import trim_duplicated_spans
+        hot = "the quick brown fox jumps"
+        rows = [(i, f"{hot} u{i}a u{i}b") for i in range(2000)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        try:
+            out = {r["doc_id"]: r for r in
+                   trim_duplicated_spans(df, n=5).collect()}
+        finally:
+            spark.catalog.clearCache()
+        assert len(out) == 2000
+        assert out[0]["trimmed_text"] == f"{hot} u0a u0b"
+        assert out[0]["n_removed"] == 0
+        for i in (1, 777, 1999):
+            assert out[i]["trimmed_text"] == f"u{i}a u{i}b"
+            assert out[i]["n_removed"] == 5
+
+    def test_paragraph_dedup_skewed_hot_unit_correct(self, spark):
+        """One boilerplate paragraph shared by 2000 docs: doc 0 keeps
+        it, everyone else keeps only their unique paragraph."""
+        from caspr_spark.llm.clean import paragraph_dedup
+        rows = [(i, f"COOKIE NOTICE|unique {i}") for i in range(2000)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r["doc_id"]: r["text_dedup"]
+               for r in paragraph_dedup(df, sep="|").collect()}
+        assert out[0] == "COOKIE NOTICE|unique 0"
+        for i in (1, 999, 1999):
+            assert out[i] == f"unique {i}"
