@@ -177,36 +177,48 @@ def main() -> None:
         a = np.tanh(a @ a.T / 1024)
     calib_numpy = round(time.time() - t0, 3)
 
+    from caspr_spark.cache import cache_scope
+
     qs = entrymod.queries()
     timings: dict[str, float] = {}
     warm: dict[str, float] = {}
+    # cache_scope per query PAIR (round-10 ADVICE fix): operator-persisted
+    # intermediates (quantile_scores, global_running_sum, LSH, tf-idf)
+    # release when the pair finishes instead of pinning for the whole
+    # session; scoping the pair (not each run) keeps the warm run's
+    # CacheManager plan-matching reuse of the cold run's relations, so the
+    # warm series stays comparable with earlier rounds
     for name in BENCH_QUERIES:
-        t0 = time.time()
-        df = qs[name](spark, sf_dir)
-        df.count()
-        timings[name] = round(time.time() - t0, 3)
-        # warm second run: session/codegen/python-worker warm-up amortized —
-        # the steady-state per-query cost a long-lived cluster would see
-        t0 = time.time()
-        df = qs[name](spark, sf_dir)
-        df.count()
-        warm[name] = round(time.time() - t0, 3)
+        with cache_scope():
+            t0 = time.time()
+            df = qs[name](spark, sf_dir)
+            df.count()
+            timings[name] = round(time.time() - t0, 3)
+            # warm second run: session/codegen/python-worker warm-up
+            # amortized — the steady-state per-query cost a long-lived
+            # cluster would see
+            t0 = time.time()
+            df = qs[name](spark, sf_dir)
+            df.count()
+            warm[name] = round(time.time() - t0, 3)
 
     extended: dict[str, float] = {}
     extended_warm: dict[str, float] = {}
     for name in EXTENDED_QUERIES:
-        t0 = time.time()
-        df = qs[name](spark, sf_dir)
-        df.count()
-        extended[name] = round(time.time() - t0, 3)
-        # warm second run (round 8): the r7 record's cold-only extended
-        # numbers swung up to 4.5x on single cold runs in a shared
-        # session — the warm twin separates plan-compile/JIT noise from
-        # real regressions without touching the headline totals
-        t0 = time.time()
-        df = qs[name](spark, sf_dir)
-        df.count()
-        extended_warm[name] = round(time.time() - t0, 3)
+        with cache_scope():
+            t0 = time.time()
+            df = qs[name](spark, sf_dir)
+            df.count()
+            extended[name] = round(time.time() - t0, 3)
+            # warm second run (round 8): the r7 record's cold-only
+            # extended numbers swung up to 4.5x on single cold runs in a
+            # shared session — the warm twin separates plan-compile/JIT
+            # noise from real regressions without touching the headline
+            # totals
+            t0 = time.time()
+            df = qs[name](spark, sf_dir)
+            df.count()
+            extended_warm[name] = round(time.time() - t0, 3)
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({

@@ -22,6 +22,33 @@ from pyspark.sql import functions as F
 from caspr_spark.cache import register_cache
 
 
+# Above this many distinct gram hashes the decontamination operators stop
+# FORCING a broadcast of the benchmark side and let AQE pick the join
+# strategy instead. 4M 32-hex-char md5 hashes serialize to roughly 300 MB
+# as a broadcast relation — comfortably inside any production driver but
+# close to where an unconditional F.broadcast() turns a mis-sized
+# "benchmark" (or swapped argument order) into a driver OOM instead of a
+# plan switch. Same discipline as clean.remove_boilerplate, which never
+# hints its frequent-unit set.
+BROADCAST_GRAM_LIMIT = 4_000_000
+
+
+def _maybe_broadcast_gram_set(gram_set: DataFrame,
+                              limit: int | None) -> DataFrame:
+    """Broadcast-hint a distinct gram-hash relation only while it is
+    provably eval-sized: one cheap count on the aggregated set (persisted
+    so the count and the join read the same materialization), hint under
+    ``limit``, otherwise return it unhinted and let AQE decide at
+    runtime. ``limit=None`` preserves the unconditional hint for callers
+    that know their benchmark."""
+    if limit is None:
+        return F.broadcast(gram_set)
+    gram_set = register_cache(gram_set.persist())
+    if gram_set.count() <= limit:
+        return F.broadcast(gram_set)
+    return gram_set
+
+
 def _content_key(text_col: str, normalize: bool):
     """The exact-dedup content identity: md5 of (optionally whitespace-
     collapsed, lowercased) text. ONE definition shared by
@@ -538,7 +565,9 @@ def _covered_stats(hits: DataFrame, id_col: str, n: int,
 def contamination_fraction(train: DataFrame, benchmark: DataFrame,
                            id_col: str = "doc_id",
                            text_col: str = "text",
-                           n: int = 8) -> DataFrame:
+                           n: int = 8,
+                           broadcast_limit: int | None =
+                           BROADCAST_GRAM_LIMIT) -> DataFrame:
     """Per-document benchmark contamination as a token FRACTION — the
     soft companion to :func:`decontaminate`'s binary any-shared-n-gram
     drop (the PaLM-style thresholded variant: drop or down-weight docs
@@ -555,11 +584,16 @@ def contamination_fraction(train: DataFrame, benchmark: DataFrame,
     (eval-sized, broadcast); the train corpus pays one positional
     explode and a map-side semi-join of 32-byte hashes, then doc-keyed
     windows — nothing corpus-sized shuffles except the per-doc
-    interval merge, which is keyed on the doc id.
+    interval merge, which is keyed on the doc id. The broadcast hint is
+    size-guarded (``broadcast_limit`` distinct grams, default
+    :data:`BROADCAST_GRAM_LIMIT`): a benchmark that is not actually
+    eval-sized degrades to an AQE-planned shuffle semi-join instead of
+    a driver OOM.
     """
     base, grams = _positional_grams(train, id_col, text_col, n)
     _, bgrams = _positional_grams(benchmark, id_col, text_col, n)
-    bench = F.broadcast(bgrams.select("__h").distinct())
+    bench = _maybe_broadcast_gram_set(bgrams.select("__h").distinct(),
+                                      broadcast_limit)
     hits = grams.join(bench, on="__h", how="left_semi") \
                 .select(id_col, "__pos")
     per = _covered_stats(hits, id_col, n,

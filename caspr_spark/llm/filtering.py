@@ -201,7 +201,8 @@ def ngram_hashes(df: DataFrame, id_col: str = "doc_id",
 
 def decontaminate(train: DataFrame, benchmark: DataFrame,
                   id_col: str = "doc_id", text_col: str = "text",
-                  n: int = 8, broadcast_benchmark: bool = True) -> DataFrame:
+                  n: int = 8, broadcast_benchmark: bool = True,
+                  broadcast_limit: int | None = None) -> DataFrame:
     """Drop training docs sharing ANY word ``n``-gram with the benchmark.
 
     The GPT-3-appendix decontamination rule. Plan: hash both sides'
@@ -211,11 +212,21 @@ def decontaminate(train: DataFrame, benchmark: DataFrame,
     hash set is broadcast (``broadcast_benchmark``), making the whole
     contamination scan a map-only pass over the training corpus: the only
     real shuffles are the two distincts on ids/hashes, both bounded by
-    benchmark size + contaminated-doc count, never the corpus."""
+    benchmark size + contaminated-doc count, never the corpus.
+
+    ``broadcast_limit`` imports :func:`~caspr_spark.llm.dedup`'s size
+    guard: when set (``dedup.BROADCAST_GRAM_LIMIT`` is the recommended
+    value), the hint applies only while the benchmark's distinct gram
+    count stays under it — a mis-sized "benchmark" degrades to an
+    AQE-planned shuffle semi-join instead of a driver OOM. The default
+    ``None`` keeps the historical unconditional hint (the count costs
+    one extra benchmark-side job, so callers opt in)."""
+    from caspr_spark.llm.dedup import _maybe_broadcast_gram_set
+
     bench = ngram_hashes(benchmark, id_col, text_col, n) \
         .select("gram_hash").distinct()
     if broadcast_benchmark:
-        bench = F.broadcast(bench)
+        bench = _maybe_broadcast_gram_set(bench, broadcast_limit)
     contaminated = (ngram_hashes(train, id_col, text_col, n)
                     .join(bench, on="gram_hash", how="left_semi")
                     .select(id_col).distinct())

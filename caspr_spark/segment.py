@@ -116,6 +116,16 @@ def quantile_scores(df: DataFrame, cols: list[str], q: int = 10,
     nulls first if that's not wanted; the approx path scores them NULL
     instead. Pass ``tiebreak`` (e.g. the id column) to make the order
     total and the scores deterministic.
+
+    Cache lifetime: this pins the input copy plus one scan frame per
+    scored column (each ``ntile_distributed`` call persists between its
+    totals and scan passes — unpersisting earlier would let the range
+    partitioner re-sample and break pass coherence). Loop-shaped or
+    multi-query callers should materialize inside a
+    :func:`caspr_spark.cache.cache_scope`, which releases all k+1
+    relations on exit; one-shot callers fall back to LRU eviction (the
+    drivers in ``bench.py`` / ``tools/check_correctness.py`` scope every
+    query for exactly this reason).
     """
     from caspr_spark.cache import register_cache
     from caspr_spark.operators.sampling import ntile_distributed

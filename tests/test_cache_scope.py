@@ -92,3 +92,37 @@ class TestCacheScope:
             related_documents(docs, k=2).collect()
             assert handles
         assert _cached_rdd_ids(spark) == before
+
+
+class TestQuantileScoresScope:
+    def test_quantile_scores_no_leak(self, spark):
+        """quantile_scores pins k+1 relations (input copy + one scan
+        frame per scored column); a cache_scope releases all of them on
+        exit (round-10 ADVICE fix — bench.py / check_correctness.py
+        scope every query so sweeps don't pin hundreds of relations)."""
+        from caspr_spark.segment import quantile_scores
+        rows = [(i, float(i % 13), float((i * 7) % 11)) for i in range(200)]
+        df = spark.createDataFrame(rows, "id long, a double, b double")
+        before = _cached_rdd_ids(spark)
+        with cache_scope() as handles:
+            out = quantile_scores(df, ["a", "b"], q=4, tiebreak=["id"])
+            assert out.count() == 200
+            assert len(handles) == 3      # input copy + 2 scan frames
+        assert _cached_rdd_ids(spark) == before
+
+    def test_decontaminate_guard_no_leak(self, spark):
+        """The broadcast size guard's persisted gram set releases with
+        the scope too."""
+        from caspr_spark.llm.filtering import decontaminate
+        train = spark.createDataFrame(
+            [(1, "alpha beta gamma delta"), (2, "unrelated text here ok")],
+            "doc_id long, text string")
+        bench = spark.createDataFrame(
+            [(10, "x alpha beta gamma delta y")], "doc_id long, text string")
+        before = _cached_rdd_ids(spark)
+        with cache_scope() as handles:
+            kept = decontaminate(train, bench, n=4,
+                                 broadcast_limit=10_000).collect()
+            assert handles
+        assert [r.doc_id for r in kept] == [2]
+        assert _cached_rdd_ids(spark) == before

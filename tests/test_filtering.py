@@ -250,3 +250,69 @@ class TestClassifierPlanGuard:
         assert len(rows) == 50_001                  # bias + every bucket
         nonzero = [r for r in rows if r.weight_fx != 0 and r.bucket >= 0]
         assert nonzero                              # it actually trained
+
+
+class TestBroadcastGuard:
+    """Round-10: the decontamination operators' benchmark broadcast is
+    size-guarded — an over-limit 'benchmark' degrades to an AQE-planned
+    join instead of a forced broadcast (and, at real scale, a driver
+    OOM). Results must be identical on both sides of the threshold."""
+
+    def test_helper_hints_under_limit_only(self, spark):
+        import io, contextlib
+        from pyspark.sql import functions as F
+        from caspr_spark.llm.dedup import _maybe_broadcast_gram_set
+        gs = spark.range(100).select(
+            F.md5(F.col("id").cast("string")).alias("__h"))
+        try:
+            def joined_plan(limit):
+                right = _maybe_broadcast_gram_set(gs, limit)
+                big = spark.range(1000).select(
+                    F.md5((F.col("id") % 50).cast("string")).alias("__h"))
+                buf = io.StringIO()
+                with contextlib.redirect_stdout(buf):
+                    big.join(right, on="__h", how="left_semi") \
+                       .explain("formatted")
+                return buf.getvalue()
+
+            assert "BroadcastExchange" in joined_plan(limit=1000)
+            assert "BroadcastExchange" in joined_plan(limit=None)
+            # over the limit: no FORCED broadcast hint; pin by disabling
+            # auto-broadcast so the assertion is strategy-deterministic
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            try:
+                assert "BroadcastExchange" not in joined_plan(limit=10)
+            finally:
+                spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        finally:
+            spark.catalog.clearCache()
+
+    def test_decontaminate_same_result_over_limit(self, spark):
+        train = _docs(spark, [(1, "alpha beta gamma delta"),
+                              (2, "totally unrelated content here")])
+        bench = _docs(spark, [(10, "x alpha beta gamma delta y")])
+        try:
+            kept = decontaminate(train, bench, n=4,
+                                 broadcast_limit=0).select("doc_id").collect()
+        finally:
+            spark.catalog.clearCache()
+        assert [r.doc_id for r in kept] == [2]
+
+    def test_contamination_fraction_same_result_over_limit(self, spark):
+        from caspr_spark.llm.dedup import contamination_fraction
+        train = _docs(spark, [(1, "a b c d e f g h i j"),
+                              (2, "clean text with no overlap at all ok")])
+        bench = _docs(spark, [(10, "a b c d e f g h")])
+        try:
+            forced = {r.doc_id: r.contam_fraction
+                      for r in contamination_fraction(
+                          train, bench, n=8,
+                          broadcast_limit=None).collect()}
+            guarded = {r.doc_id: r.contam_fraction
+                       for r in contamination_fraction(
+                           train, bench, n=8,
+                           broadcast_limit=0).collect()}
+        finally:
+            spark.catalog.clearCache()
+        assert forced == guarded
+        assert forced[1] > 0 and forced[2] == 0.0

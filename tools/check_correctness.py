@@ -53,6 +53,7 @@ def value_hash(df: pd.DataFrame) -> str:
 def main(names: list[str]) -> int:
     import __spark_entry__ as entrymod
     from caspr_spark import get_spark
+    from caspr_spark.cache import cache_scope
 
     json_path = None
     if "--json" in names:
@@ -75,7 +76,13 @@ def main(names: list[str]) -> int:
     for name in targets:
         t0 = time.time()
         try:
-            sdf = qs[name](spark, SF_DIR).toPandas()
+            # cache_scope: operators that persist intermediates
+            # (quantile_scores, global_running_sum, LSH, tf-idf) release
+            # them when the query's materialization completes — without
+            # it a full 186-query sweep pins hundreds of stale relations
+            # for the whole session (round-10 ADVICE fix)
+            with cache_scope():
+                sdf = qs[name](spark, SF_DIR).toPandas()
         except Exception as e:
             print(f"FAIL  {name}: spark error: {e}")
             records[name] = {"status": "fail", "err": f"spark error: {e}"}
