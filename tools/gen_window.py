@@ -1,0 +1,97 @@
+"""Compute the driver-certification window mechanically.
+
+The correctness gate certifies the FIRST 50 ``queries()`` entries each
+round; more oracle rows exist than one window holds, so the window must
+rotate. Since round 8 the rotation rule is mechanical — this tool is
+the executable form (the r8/r9 windows were derived by hand from the
+same rule):
+
+1. For every ORACLE-BEARING query, find the last round whose driver
+   ``CORRECTNESS_r0*.json`` certified it (rows+schema+hash all true);
+   never-certified rows sort as round 0.
+2. Sort ascending by that round; ties keep their current relative
+   order in ``queries()`` (which itself preserves the prior round's
+   relative order behind the window, so group-internal order is stable
+   across rounds).
+3. The first 50 are the next window.
+
+Usage::
+
+    python tools/gen_window.py          # print the window as a python list
+    python tools/gen_window.py --check  # exit 1 if the in-code window drifts
+
+Rows-only queries never enter the window (their weaker rows-only check
+gains nothing from rotation; the oracle rows are what age).
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+WINDOW_SIZE = 50
+
+
+def certified(rec: dict) -> bool:
+    if rec.get("err"):
+        return False
+    checks = [rec.get("rows_match"), rec.get("schema_match"),
+              rec.get("hash_match")]
+    present = [c for c in checks if c is not None]
+    return bool(present) and all(present)
+
+
+def compute_window() -> list[str]:
+    import __spark_entry__ as entrymod
+
+    rounds: dict[int, dict] = {}
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r0*.json"))):
+        m = re.match(r"CORRECTNESS_r0*(\d+)\.json$", os.path.basename(path))
+        if m:
+            with open(path) as fh:
+                rounds[int(m.group(1))] = json.load(fh)
+
+    names = list(entrymod.queries())
+    oracles = set(entrymod.oracle_sql())
+    last_cert = {}
+    for name in names:
+        if name not in oracles:
+            continue
+        certs = [r for r in rounds
+                 if name in rounds[r] and certified(rounds[r][name])]
+        last_cert[name] = max(certs) if certs else 0
+    ranked = sorted(last_cert,
+                    key=lambda n: (last_cert[n], names.index(n)))
+    return ranked[:WINDOW_SIZE]
+
+
+def main() -> int:
+    import __spark_entry__ as entrymod
+
+    window = compute_window()
+    in_code = list(entrymod.queries())[:WINDOW_SIZE]
+    if "--check" in sys.argv:
+        if window != in_code:
+            drift = [(i, a, b) for i, (a, b)
+                     in enumerate(zip(window, in_code)) if a != b]
+            print(f"WINDOW DRIFT ({len(drift)} slots):")
+            for i, a, b in drift[:10]:
+                print(f"  slot {i + 1}: computed {a!r} != in-code {b!r}")
+            return 1
+        print(f"window OK: {WINDOW_SIZE} slots match the mechanical rule")
+        return 0
+    print("_WINDOW = [")
+    for n in window:
+        print(f'    "{n}",')
+    print("]")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
