@@ -100,6 +100,8 @@ SNAPSHOT_QUERIES = [
     "duplicated_spans",
     "trim_duplicated_spans",
     "contamination_fraction",
+    # round-10 addition: the shared-gram-table composition
+    "span_shared_grams",
 ]
 
 

@@ -1,5 +1,18 @@
 #!/usr/bin/env bash
-# Optional-extras test lane (r8 verdict item 6).
+# Optional-extras test lane (r8 verdict item 6; closure note r10 —
+# verdict item 5).
+#
+# STATUS: no committed run record exists because this sandbox forbids
+# package installs (`pip install` is disallowed by the environment
+# contract), so the lane cannot execute here BY DESIGN — this note is
+# the explicit closure the r9 verdict asked for. What a green run
+# proves, on any host where installs are allowed: (1) the ONNX
+# export/load round-trips of every encoder family match the numpy
+# replay bit-for-bit (tests/test_ml_layer.py gated parity tests — the
+# in-sandbox suite covers the numpy-replay half only), and (2) the
+# matplotlib plotting gate's positive path renders (tests/
+# test_extensions.py). Until then the import-gates themselves are
+# tested (the skips are counted and asserted, never silent).
 #
 # Two pytest skips are honest dependency gates that never run in the
 # driver sandbox (installs are forbidden there):

@@ -2,11 +2,15 @@
 
 Covers (a) the full streaming-operator suite — last stress-swept in
 SCALING_r06, re-certified green through the r8/r9 driver windows but
-never re-stressed since (VERDICT r8 item 7) — and (b) every operator
-the round-9 code deltas touched: the world_size-bounded joint-DEC fold,
-the new end-to-end segment_dec_chain, the cursor-sliced SGD minibatch
-kernel, the decimal-exact bounded-exchange ROC-AUC, and the
-layer-merging cm_estimate.
+never re-stressed since (VERDICT r8 item 7) — and (b) the round-9
+REWORKED hot paths: the world_size-bounded joint-DEC fold, the new
+end-to-end segment_dec_chain, the cursor-sliced SGD minibatch kernel,
+the decimal-exact bounded-exchange ROC-AUC, and the layer-merging
+cm_estimate. The operators round 9 newly ADDED (dsir_select, the
+substring-span family, the distributed-ntile e10 path) were not in
+this list — tools/scale_sweep_r10.py stress-sweeps them at sf1
+(SCALING_r10.md), timed with a full-column aggregate so count()-only
+column pruning can't flatter the census legs.
 
 One shared warmed session; each query runs once per SF, sf0.1 first,
 so the sf1 column is the cleaner per-query signal (same protocol as
