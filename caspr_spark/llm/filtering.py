@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from caspr_spark.llm.dedup import BROADCAST_GRAM_LIMIT
+
 # --------------------------------------------------------------------------
 # repetition signals (Gopher-style)
 # --------------------------------------------------------------------------
@@ -212,7 +214,8 @@ def ngram_hashes(df: DataFrame, id_col: str = "doc_id",
 def decontaminate(train: DataFrame, benchmark: DataFrame,
                   id_col: str = "doc_id", text_col: str = "text",
                   n: int = 8, broadcast_benchmark: bool = True,
-                  broadcast_limit: int | None = None) -> DataFrame:
+                  broadcast_limit: int | None = BROADCAST_GRAM_LIMIT
+                  ) -> DataFrame:
     """Drop training docs sharing ANY word ``n``-gram with the benchmark.
 
     The GPT-3-appendix decontamination rule. Plan: hash both sides'
@@ -224,13 +227,14 @@ def decontaminate(train: DataFrame, benchmark: DataFrame,
     real shuffles are the two distincts on ids/hashes, both bounded by
     benchmark size + contaminated-doc count, never the corpus.
 
-    ``broadcast_limit`` imports :func:`~caspr_spark.llm.dedup`'s size
-    guard: when set (``dedup.BROADCAST_GRAM_LIMIT`` is the recommended
-    value), the hint applies only while the benchmark's distinct gram
-    count stays under it — a mis-sized "benchmark" degrades to an
-    AQE-planned shuffle semi-join instead of a driver OOM. The default
-    ``None`` keeps the historical unconditional hint (the count costs
-    one extra benchmark-side job, so callers opt in)."""
+    ``broadcast_limit`` applies :mod:`~caspr_spark.llm.dedup`'s size
+    guard (default :data:`~caspr_spark.llm.dedup.BROADCAST_GRAM_LIMIT`):
+    the hint applies only while the benchmark's distinct gram count
+    stays under it — a mis-sized "benchmark" (or swapped argument
+    order) degrades to an AQE-planned shuffle semi-join instead of a
+    driver OOM. The count costs one eval-sized job on the persisted
+    gram set; pass ``None`` to restore the unconditional hint when the
+    benchmark is known-small and the extra job matters."""
     from caspr_spark.llm.dedup import _maybe_broadcast_gram_set
 
     bench = ngram_hashes(benchmark, id_col, text_col, n) \
