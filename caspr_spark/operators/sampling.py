@@ -18,9 +18,13 @@ Two shapes, two scales:
   shuffle, no state, pushes through whole-stage codegen; the fraction is
   approximate (binomial around f·n). THE 100 TB path.
 - :func:`stratified_sample_exact` — rank rows per stratum by the same
-  hash and keep exactly ``ceil(f · n)``. One window shuffle on the
-  stratum key; exact counts. For bounded strata (labels, languages) —
-  a single giant stratum should use the hash path or salt first.
+  hash and keep exactly ``ceil(f · n)``. Exact counts; since round 10
+  the per-stratum rank rides the distributed prefix scan (global rank
+  over (stratum, hash) minus the stratum's start, sizes from a
+  map-side-combinable aggregate) instead of a ``row_number`` window
+  partitioned by the stratum — strata are FEW and HOT by nature (one
+  language can be half a web corpus), exactly the key shape windows
+  serialize into one task.
 """
 
 from __future__ import annotations
@@ -75,17 +79,49 @@ def stratified_sample_hash(df: DataFrame, stratum_col: str,
     return df.filter(thresh.isNotNull() & (h < thresh))
 
 
+def _stratum_ranked(df: DataFrame, stratum_col: str, h) -> DataFrame:
+    """``df`` plus ``__rk`` (1-based rank within the stratum by ``h``
+    ascending) and ``__n`` (stratum size) — WITHOUT a window partitioned
+    by the stratum.
+
+    Strata are few and hot by nature (languages, sources, labels — one
+    stratum can be half the corpus), and a ``row_number().over(
+    partitionBy(stratum))`` funnels every row of the hot stratum into
+    ONE task's sort. Instead: global rank over the total order
+    ``(stratum, h)`` via the three-phase prefix scan (every sort
+    range-partitioned, :func:`global_running_sum`), then
+    ``rank_in_stratum = global_rank − stratum_start + 1`` with the
+    start/size coming from one map-side-combinable aggregate, joined
+    back broadcast (#strata rows — bounded by the categorical-stratum
+    contract). Null strata group together (null-safe join), matching
+    the window semantics this replaces. Same keep-set as the window
+    form for any unique ``h``; same ambiguity under duplicate hashes.
+    Cost trade: one extra persisted range exchange + a #strata
+    broadcast — the fixed overhead that buys an unbounded-scale plan
+    (the metrics_roc_auc precedent)."""
+    ranked = global_running_sum(
+        df.withColumn("__one", F.lit(1)).withColumn("__h", h),
+        "__one", [F.col(stratum_col).asc(), F.col("__h").asc()],
+        out_col="__grk").drop("__one", "__h")
+    stat = (ranked.groupBy(stratum_col)
+            .agg(F.min("__grk").alias("__start"),
+                 F.count(F.lit(1)).alias("__n"))
+            .withColumnRenamed(stratum_col, "__s"))
+    return (ranked.join(F.broadcast(stat),
+                        F.col(stratum_col).eqNullSafe(F.col("__s")))
+            .withColumn("__rk", F.col("__grk") - F.col("__start") + 1)
+            .drop("__s", "__grk", "__start"))
+
+
 def stratified_sample_exact(df: DataFrame, stratum_col: str,
                             fractions: dict | float, id_cols: list[str],
                             seed: int = 42) -> DataFrame:
     """Exact-count deterministic stratified sample (``ceil(f · n)`` rows
-    per stratum, lowest-hash-first). One window shuffle on the stratum.
+    per stratum, lowest-hash-first). Per-stratum rank and size via the
+    skew-proof prefix scan (:func:`_stratum_ranked`) — no stratum-keyed
+    window, so a hot stratum never serializes into one task.
     """
-    h = _hash_col(id_cols, seed)
-    w = Window.partitionBy(stratum_col).orderBy(h.asc())
-    ranked = df.withColumn("__rk", F.row_number().over(w)) \
-               .withColumn("__n", F.count(F.lit(1)).over(
-                   Window.partitionBy(stratum_col)))
+    ranked = _stratum_ranked(df, stratum_col, _hash_col(id_cols, seed))
     if isinstance(fractions, dict):
         quota = F.lit(None).cast("long")
         for value, frac in sorted(fractions.items(), key=lambda kv: str(kv[0])):
@@ -197,12 +233,15 @@ def downsample_to_cap(df: DataFrame, stratum_col: str, cap: int,
                       id_cols: list[str], seed: int = 42) -> DataFrame:
     """Keep at most ``cap`` rows per stratum (lowest-hash-first) — the
     usual 'no language may exceed N documents' curation rule. Same
-    deterministic ordering as the exact sampler."""
+    deterministic ordering as the exact sampler, and the same
+    skew-proof prefix-scan rank (:func:`_stratum_ranked`): the operator
+    exists BECAUSE one stratum dominates the corpus, which is exactly
+    the key a stratum-partitioned window would serialize into one
+    task."""
     if cap < 0:
         raise ValueError(f"cap must be >= 0, got {cap}")
-    w = Window.partitionBy(stratum_col).orderBy(_hash_col(id_cols, seed).asc())
-    return df.withColumn("__rk", F.row_number().over(w)) \
-             .filter(F.col("__rk") <= cap).drop("__rk")
+    ranked = _stratum_ranked(df, stratum_col, _hash_col(id_cols, seed))
+    return ranked.filter(F.col("__rk") <= cap).drop("__rk", "__n")
 
 
 def weighted_sample_topk(df: DataFrame, k: int, weight_col: str,

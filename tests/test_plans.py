@@ -299,3 +299,94 @@ class TestKeepFirstElectionPlans:
         assert out[0] == "COOKIE NOTICE|unique 0"
         for i in (1, 999, 1999):
             assert out[i] == f"unique {i}"
+
+
+class TestStratumSamplerPlans:
+    """Round-10: per-stratum rank in the exact sampler / cap
+    downsampler rides the distributed prefix scan — zero Window nodes
+    keyed on the stratum column (strata are few and hot: one language
+    can be half the corpus, and a stratum-partitioned row_number
+    serializes it into one task). Only __pid-keyed scan windows may
+    remain."""
+
+    @staticmethod
+    def _partition_keys(plan):
+        """Partition columns of every Window node: the
+        windowspecdefinition args BEFORE the first sort-direction
+        marker (order keys carry ASC/DESC, partition keys don't)."""
+        out = []
+        for spec in TestKeepFirstElectionPlans.window_partition_specs(plan):
+            parts = []
+            for piece in spec.split(", "):
+                if " ASC" in piece or " DESC" in piece:
+                    break
+                parts.append(piece)
+            out.append(", ".join(parts))
+        return out
+
+    def test_downsample_windows_pid_keyed_only(self, documents):
+        from caspr_spark.operators.sampling import downsample_to_cap
+        try:
+            plan = plan_of(downsample_to_cap(
+                documents, "source", 10, ["doc_id"]))
+            keys = self._partition_keys(plan)
+            assert keys, plan
+            for k in keys:
+                assert "source" not in k, k
+                assert "__pid" in k, k
+        finally:
+            documents.sparkSession.catalog.clearCache()
+
+    def test_exact_sampler_windows_pid_keyed_only(self, documents):
+        from caspr_spark.operators.sampling import stratified_sample_exact
+        try:
+            plan = plan_of(stratified_sample_exact(
+                documents, "source", 0.3, ["doc_id"]))
+            keys = self._partition_keys(plan)
+            assert keys, plan
+            for k in keys:
+                assert "source" not in k, k
+                assert "__pid" in k, k
+        finally:
+            documents.sparkSession.catalog.clearCache()
+
+    def test_hot_stratum_correct(self, spark):
+        """One stratum holding 99% of rows — the shape the operator
+        exists for. Exact quotas and caps must hold per stratum."""
+        from pyspark.sql import functions as F
+        from caspr_spark.operators.sampling import (downsample_to_cap,
+                                                    stratified_sample_exact)
+        df = spark.range(50_000).select(
+            F.col("id").alias("doc_id"),
+            F.when(F.col("id") < 49_500, F.lit("en"))
+             .otherwise(F.lit("fr")).alias("lang"))
+        try:
+            capped = downsample_to_cap(df, "lang", 100, ["doc_id"])
+            by = {r["lang"]: r["n"] for r in
+                  capped.groupBy("lang").agg(F.count("*").alias("n"))
+                  .collect()}
+            assert by == {"en": 100, "fr": 100}
+            ex = stratified_sample_exact(df, "lang", 0.1, ["doc_id"])
+            by = {r["lang"]: r["n"] for r in
+                  ex.groupBy("lang").agg(F.count("*").alias("n"))
+                  .collect()}
+            assert by == {"en": 4950, "fr": 50}
+        finally:
+            spark.catalog.clearCache()
+
+    def test_null_stratum_kept(self, spark):
+        """Null strata group together (null-safe join), matching the
+        window semantics the prefix-scan rank replaced."""
+        from pyspark.sql import functions as F
+        from caspr_spark.operators.sampling import downsample_to_cap
+        df = spark.createDataFrame(
+            [(i, None if i % 2 else "en") for i in range(40)],
+            "doc_id long, lang string")
+        try:
+            out = downsample_to_cap(df, "lang", 5, ["doc_id"])
+            by = {r["lang"]: r["n"] for r in
+                  out.groupBy("lang").agg(F.count("*").alias("n"))
+                  .collect()}
+            assert by == {"en": 5, None: 5}
+        finally:
+            spark.catalog.clearCache()

@@ -100,8 +100,11 @@ SNAPSHOT_QUERIES = [
     "duplicated_spans",
     "trim_duplicated_spans",
     "contamination_fraction",
-    # round-10 addition: the shared-gram-table composition
+    # round-10 additions: the shared-gram-table composition and the
+    # prefix-scan stratum samplers (skew fix — no stratum-keyed window)
     "span_shared_grams",
+    "stratified_sample_exact",
+    "downsample_cap",
 ]
 
 
