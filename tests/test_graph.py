@@ -83,8 +83,13 @@ class TestPagerank:
         with cache_scope():
             pagerank(df, iterations=2).collect()
         # edge/node persists are released by the operator itself; the
-        # final lineage-anchoring checkpoint by the scope
-        assert ids() == before
+        # final lineage-anchoring checkpoint by the scope. Assert no NEW
+        # id survives rather than exact set equality: `before` can
+        # contain relations earlier suite tests left to ContextCleaner,
+        # which may release them asynchronously WHILE this test runs —
+        # a shrinking baseline is not a leak (observed flake in the
+        # full-suite run, passes in isolation).
+        assert ids() - before == set()
 
     def test_at_most_final_checkpoint_survives(self, spark):
         def ids():
