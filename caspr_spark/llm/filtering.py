@@ -357,15 +357,26 @@ def train_quality_classifier(df: DataFrame, label_col: str,
                          .cast("long").alias("rq"),
                          F.round((pq - F.col("__y")) * fxf)
                          .cast("long").alias("rb"))).persist()
-            gb = r.agg(F.sum("rb")).first()[0]
-            g = (t.join(r, "__id").groupBy("bucket")
-                 .agg(F.sum(F.col("cnt") * F.col("rq")).alias("g_fx"))
+            # bias + bucket gradients in ONE job: the bias gradient rides
+            # as the sentinel bucket -1 (one unit-contribution row per
+            # doc unioned under the bucket rows), so each epoch runs one
+            # aggregation over the persisted residuals instead of a
+            # separate Σrb first() plus the per-bucket collect(). Same
+            # BIGINT sums reach the driver — weights bit-identical.
+            g = (t.join(r, "__id")
+                 .select("bucket", (F.col("cnt") * F.col("rq")).alias("__c"))
+                 .unionByName(r.select(F.lit(-1).alias("bucket"),
+                                       F.col("rb").alias("__c")))
+                 .groupBy("bucket").agg(F.sum("__c").alias("g_fx"))
                  .collect())
             r.unpersist()
             for row in g:
                 b = int(row["bucket"])
-                wq[b] -= _round_half_away(lr * int(row["g_fx"]) / n_docs)
-            bias_fx -= _round_half_away(lr * int(gb) / n_docs)
+                if b == -1:
+                    bias_fx -= _round_half_away(lr * int(row["g_fx"])
+                                                / n_docs)
+                else:
+                    wq[b] -= _round_half_away(lr * int(row["g_fx"]) / n_docs)
     finally:
         d.unpersist()
         t.unpersist()
