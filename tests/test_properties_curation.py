@@ -260,6 +260,56 @@ def _dup_spans_model(docs: dict, n: int, min_count: int = 2):
     return meas, trim
 
 
+class TestGramTableEquivalence:
+    """The shared featurization (dedup.gram_table) must be
+    indistinguishable from the direct text path for EVERY consumer, on
+    arbitrary corpora — including docs shorter than the gram width
+    (empty __hs arrays) and hot duplicate grams."""
+
+    @given(docs=st.lists(st.lists(_UNIT, min_size=1, max_size=8),
+                         min_size=1, max_size=6),
+           n=st.integers(2, 3))
+    @settings(**SETTINGS)
+    def test_span_ops_equal_direct_path(self, spark, docs, n):
+        from caspr_spark.llm.dedup import (duplicated_spans, gram_table,
+                                           trim_duplicated_spans)
+        df = spark.createDataFrame(
+            [(i, " ".join(u)) for i, u in enumerate(docs)],
+            "doc_id long, text string")
+        gt = gram_table(df, n=n)
+        for op in (duplicated_spans, trim_duplicated_spans):
+            direct = sorted(map(tuple, op(df, n=n).collect()))
+            via_gt = sorted(map(tuple, op(gt, n=n).collect()))
+            assert direct == via_gt, op.__name__
+
+    @given(train=st.lists(st.lists(_UNIT, min_size=1, max_size=8),
+                          min_size=1, max_size=4),
+           bench=st.lists(st.lists(_UNIT, min_size=1, max_size=6),
+                          min_size=1, max_size=3),
+           n=st.integers(2, 3))
+    @settings(**SETTINGS)
+    def test_decontaminate_equal_direct_path(self, spark, train, bench, n):
+        from caspr_spark.llm.dedup import contamination_fraction, gram_table
+        from caspr_spark.llm.filtering import decontaminate
+        tdf = spark.createDataFrame(
+            [(i, " ".join(u)) for i, u in enumerate(train)],
+            "doc_id long, text string")
+        bdf = spark.createDataFrame(
+            [(i, " ".join(u)) for i, u in enumerate(bench)],
+            "doc_id long, text string")
+        tgt, bgt = gram_table(tdf, n=n), gram_table(bdf, n=n)
+        kept_direct = sorted(
+            r.doc_id for r in decontaminate(tdf, bdf, n=n).collect())
+        kept_gt = sorted(
+            r.doc_id for r in decontaminate(tgt, bgt, n=n).collect())
+        assert kept_direct == kept_gt
+        frac_direct = sorted(map(tuple,
+                             contamination_fraction(tdf, bdf, n=n).collect()))
+        frac_gt = sorted(map(tuple,
+                         contamination_fraction(tgt, bgt, n=n).collect()))
+        assert frac_direct == frac_gt
+
+
 class TestDuplicatedSpansModel:
     @given(docs=st.lists(st.lists(_UNIT, min_size=1, max_size=8),
                          min_size=1, max_size=6),
