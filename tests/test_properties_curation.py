@@ -260,6 +260,61 @@ def _dup_spans_model(docs: dict, n: int, min_count: int = 2):
     return meas, trim
 
 
+class TestStratifiedSamplerModel:
+    """The round-10 prefix-scan rank path must reproduce the stated
+    contract exactly: per stratum keep the ``ceil(f·n)`` (or ``cap``)
+    rows with the LOWEST ``md5(seed|id)`` — brute-forced in python via
+    hashlib, since the ordering hash is engine-portable md5, under
+    arbitrary strata skew (one hot stratum) and input partitioning."""
+
+    @given(rows=st.lists(st.tuples(st.integers(0, 40),          # id
+                                   st.sampled_from(["en", "en", "en", "fr"])),
+                         min_size=1, max_size=30,
+                         unique_by=lambda t: t[0]),
+           frac=st.sampled_from([0.0, 0.3, 0.5, 1.0]),
+           seed=st.integers(0, 3))
+    @settings(**SETTINGS)
+    def test_exact_sampler_matches_bruteforce(self, spark, rows, frac, seed):
+        import hashlib
+        import math
+        from caspr_spark.operators.sampling import stratified_sample_exact
+        df = spark.createDataFrame(rows, "id long, s string").repartition(5)
+        got = sorted(r.id for r in stratified_sample_exact(
+            df, "s", frac, ["id"], seed=seed).collect())
+        want = []
+        by_s = {}
+        for i, s in rows:
+            by_s.setdefault(s, []).append(i)
+        for s, ids in by_s.items():
+            ids.sort(key=lambda i: hashlib.md5(
+                f"{seed}|{i}".encode()).hexdigest())
+            want += ids[:math.ceil(frac * len(ids))]
+        assert got == sorted(want)
+
+    @given(rows=st.lists(st.tuples(st.integers(0, 40),
+                                   st.sampled_from(["en", "en", "en", "fr"])),
+                         min_size=1, max_size=30,
+                         unique_by=lambda t: t[0]),
+           cap=st.integers(0, 8),
+           seed=st.integers(0, 3))
+    @settings(**SETTINGS)
+    def test_cap_downsampler_matches_bruteforce(self, spark, rows, cap, seed):
+        import hashlib
+        from caspr_spark.operators.sampling import downsample_to_cap
+        df = spark.createDataFrame(rows, "id long, s string").repartition(5)
+        got = sorted(r.id for r in downsample_to_cap(
+            df, "s", cap, ["id"], seed=seed).collect())
+        want = []
+        by_s = {}
+        for i, s in rows:
+            by_s.setdefault(s, []).append(i)
+        for s, ids in by_s.items():
+            ids.sort(key=lambda i: hashlib.md5(
+                f"{seed}|{i}".encode()).hexdigest())
+            want += ids[:cap]
+        assert got == sorted(want)
+
+
 class TestGramTableEquivalence:
     """The shared featurization (dedup.gram_table) must be
     indistinguishable from the direct text path for EVERY consumer, on
