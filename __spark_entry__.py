@@ -1765,6 +1765,25 @@ def q_span_shared_grams(spark, sf_dir):
     return census.join(trimmed, on="doc_id")
 
 
+def q_span_census_incremental(spark, sf_dir):
+    """Incremental substring census (dedup.py build_gram_census +
+    duplicated_spans_incremental — the span twin of
+    dedup_against_history): the even-id docs are the persisted history,
+    folded once into a (gram_hash, cnt) state table; the odd-id batch
+    then gets its per-doc duplication statistics against history+batch
+    totals WITHOUT rescanning history text. The oracle is the
+    invariant: a full-corpus duplicated_spans census over history ∪
+    batch, restricted to the batch's rows — the incremental path must
+    reproduce it exactly."""
+    from caspr_spark.llm.dedup import (build_gram_census,
+                                       duplicated_spans_incremental)
+    docs = _t(spark, sf_dir, "documents")
+    history = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+    census = build_gram_census(history, n=4)
+    return duplicated_spans_incremental(batch, census, n=4, min_count=2)
+
+
 _EXPECT_RULES = [
     {"rule": "not_null", "col": "user_id"},
     {"rule": "unique", "col": "event_id"},
@@ -2796,27 +2815,28 @@ def q_stream_dedup_history(spark, sf_dir):
 # Round-10 window, mechanically oldest-last-driver-certified-first
 # (verified by tools/gen_window.py against the CORRECTNESS_r0*.json
 # records):
-#   slots 1-5    the four never-driver-certified oracle rows
+#   slots 1-6    the four never-driver-certified oracle rows
 #                (dsir_select, duplicated_spans, contamination_fraction,
 #                trim_duplicated_spans — added round 9, "—" in the
-#                ledger) plus the new round-10 composition
-#                span_shared_grams,
-#   slots 6-9    the displaced r5 block (pipeline_events_array,
+#                ledger) plus the two new round-10 rows
+#                (span_shared_grams, span_census_incremental),
+#   slots 7-10   the displaced r5 block (pipeline_events_array,
 #                stream_windowed_stats, stream_last3_state,
 #                stream_dedup — last certified round 5),
-#   slots 10-50  the oldest 41 of the 50 rows last certified in round
-#                7, in their prior relative order. The nine r7 rows
+#   slots 11-50  the oldest 40 of the 50 rows last certified in round
+#                7, in their prior relative order. The ten r7 rows
 #                that did not fit (f1_history_window, f2_last_n,
 #                f4_profile_dedup, e1_encode_capped,
 #                e5_normalize_minmax, e8_date_fill_pivoted,
 #                e9_fill_nans_pivoted, p3_pivot_last5,
-#                x3_sliding_union) lead the r11 rotation.
+#                x3_sliding_union, w2_intervals) lead the r11 rotation.
 _R10_WINDOW = [
     "dsir_select",
     "duplicated_spans",
     "contamination_fraction",
     "trim_duplicated_spans",
     "span_shared_grams",
+    "span_census_incremental",
     "pipeline_events_array",
     "stream_windowed_stats",
     "stream_last3_state",
@@ -2861,6 +2881,9 @@ _R10_WINDOW = [
     "multimodal_features",
     "multimodal_frames",
     "w1_rank",
+    # slot 51 — displaced when span_census_incremental entered the
+    # window; pinned here so it keeps its relative order at the head
+    # of the r11 rotation (ties in gen_window.py keep queries() order)
     "w2_intervals",
 ]
 
@@ -2868,7 +2891,7 @@ _R10_WINDOW = [
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver contract: the correctness gate certifies the FIRST 50 entries.
 
-    159 of the 187 queries carry DuckDB oracles (157 full + the two
+    160 of the 188 queries carry DuckDB oracles (158 full + the two
     bounded sketch certificates) — more than one 50-slot window holds —
     so certification rotates across rounds (COVERAGE.md maps which
     round certified which row; tools/check_correctness.py re-runs the
@@ -3037,6 +3060,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_fraction": q_contamination_fraction,
         "trim_duplicated_spans": q_trim_duplicated_spans,
         "span_shared_grams": q_span_shared_grams,
+        "span_census_incremental": q_span_census_incremental,
         "related_docs": q_related_docs,
         "emb_near_dup": q_emb_near_dup,
         "stream_stream_join": q_stream_stream_join,
@@ -4932,6 +4956,59 @@ SELECT b.doc_id, b.n_tokens, b.n_grams,
        coalesce(p.contam_grams, 0)::bigint AS contam_grams,
        round(coalesce(p.contam_tokens, 0) / b.n_tokens, 6)
          AS contam_fraction
+FROM base b LEFT JOIN per p USING (doc_id)""",
+        # the incremental-census invariant: a FULL-corpus census over
+        # history ∪ batch (= all documents), restricted to the odd-id
+        # batch — n=4 grams, min_count=2
+        "span_census_incremental": r"""
+WITH tok AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+  FROM documents),
+base AS (
+  SELECT doc_id, len(t)::bigint AS n_tokens,
+         CASE WHEN len(t) >= 4 THEN (len(t) - 3)::bigint
+              ELSE 0::bigint END AS n_grams
+  FROM tok WHERE doc_id % 2 = 1),
+g AS (
+  SELECT doc_id, s['pos'] AS pos, md5(s['g']) AS h
+  FROM (SELECT doc_id,
+               unnest(list_transform(range(1, len(t) - 2),
+                        i -> {'pos': i - 1,
+                              'g': array_to_string(t[i:i+3], ' ')})) AS s
+        FROM tok WHERE len(t) >= 4)),
+dup AS (SELECT h FROM g GROUP BY h HAVING count(*) >= 2),
+hits AS (SELECT doc_id, pos FROM g JOIN dup USING (h)
+         WHERE doc_id % 2 = 1),
+m AS (
+  SELECT doc_id, pos,
+         max(pos + 3) OVER (PARTITION BY doc_id ORDER BY pos
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+  FROM hits),
+x AS (
+  SELECT doc_id, pos,
+         greatest(0, pos + 3 - greatest(coalesce(pme, pos - 1), pos - 1))
+           AS new_tok,
+         CASE WHEN pme IS NULL OR pos > pme + 1 THEN 1 ELSE 0 END AS is_new
+  FROM m),
+y AS (
+  SELECT doc_id, pos, new_tok,
+         sum(is_new) OVER (PARTITION BY doc_id ORDER BY pos
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM x),
+isl AS (
+  SELECT doc_id, island, max(pos + 3) - min(pos) + 1 AS run_len,
+         sum(new_tok) AS toks, count(*) AS cnt
+  FROM y GROUP BY 1, 2),
+per AS (
+  SELECT doc_id, sum(toks)::bigint AS dup_tokens,
+         max(run_len)::bigint AS max_dup_run,
+         sum(cnt)::bigint AS n_dup_grams
+  FROM isl GROUP BY 1)
+SELECT b.doc_id, b.n_tokens, b.n_grams,
+       coalesce(p.dup_tokens, 0)::bigint AS dup_tokens,
+       coalesce(p.max_dup_run, 0)::bigint AS max_dup_run,
+       coalesce(p.n_dup_grams, 0)::bigint AS n_dup_grams,
+       round(coalesce(p.dup_tokens, 0) / b.n_tokens, 6) AS dup_fraction
 FROM base b LEFT JOIN per p USING (doc_id)""",
         "trim_duplicated_spans": r"""
 WITH tok AS (

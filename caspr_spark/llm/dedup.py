@@ -502,6 +502,87 @@ def duplicated_spans(df: DataFrame, id_col: str = "doc_id",
                         F.round(F.col("dup_tokens") / F.col("n_tokens"), 6)))
 
 
+def build_gram_census(history: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text", n: int = 8) -> DataFrame:
+    """The persistable SUBSTRING-census state for the daily-crawl loop:
+    ``(gram_hash, cnt, gram_n)`` — corpus-wide word-``n``-gram
+    occurrence counts, one row per distinct gram hash. The span twin of
+    :func:`build_history_keys`: re-running :func:`duplicated_spans`
+    over 100 TB of history for every new ingest batch re-pays the
+    global census scan; this table IS that census, written once and
+    folded forward batch-by-batch (:func:`append_gram_census`).
+    Hash-only (32-hex md5 + a count), so the state is gram-cardinality
+    but text-free — orders of magnitude smaller than the corpus.
+    Persist with :func:`save_history_keys` / reload with
+    :func:`load_history_keys` (generic parquet state I/O). ``gram_n``
+    rides as data so a census built at one width can never silently
+    feed an operator expecting another (same in-plan guard as
+    :func:`gram_table`). ``history`` may itself be a
+    :func:`gram_table`."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    _, grams = _positional_grams(history, id_col, text_col, n)
+    return (grams.groupBy(F.col("__h").alias("gram_hash"))
+                 .agg(F.count(F.lit(1)).alias("cnt"))
+                 .withColumn("gram_n", F.lit(n).cast("int")))
+
+
+def append_gram_census(census: DataFrame, batch: DataFrame,
+                       id_col: str = "doc_id", text_col: str = "text",
+                       n: int = 8) -> DataFrame:
+    """Fold an ingested batch's gram counts into the census — a pure
+    sum per hash, so the fold is associative and commutative: any batch
+    order (or a tree of partial censuses) reaches the same state as one
+    full-corpus :func:`build_gram_census`. Write the result to a NEW
+    path and swap atomically (same caveat as
+    :func:`append_history_keys`)."""
+    new = build_gram_census(batch, id_col, text_col, n)
+    return (_check_gram_n(census, n).unionByName(new)
+            .groupBy("gram_hash").agg(F.sum("cnt").alias("cnt"))
+            .withColumn("gram_n", F.lit(n).cast("int")))
+
+
+def duplicated_spans_incremental(batch: DataFrame, census: DataFrame,
+                                 id_col: str = "doc_id",
+                                 text_col: str = "text", n: int = 8,
+                                 min_count: int = 2) -> DataFrame:
+    """:func:`duplicated_spans` for ONE ingest batch against a
+    persisted history census — without rescanning history. A batch
+    position is duplicated when its gram's TOTAL count (history census
+    + this batch's own occurrences) reaches ``min_count``, so the
+    result is row-identical to running the full-corpus census over
+    ``history ∪ batch`` and keeping the batch's rows (the invariant the
+    oracle and property tests pin). Same output schema as
+    :func:`duplicated_spans`.
+
+    Plan shape: the batch pays its own positional explode and gram
+    aggregation (batch-sized); the census joins in as ``(hash, cnt)``
+    rows on the 32-byte hash — history text never moves, and the join
+    output is pruned to the batch's distinct grams before the
+    position-level semi-join. The census width is verified in-plan
+    (``gram_n``). ``batch`` may be a precomputed :func:`gram_table`.
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1, got {min_count}")
+    base, grams = _positional_grams(batch, id_col, text_col, n)
+    hist = _check_gram_n(census, n).select(
+        F.col("gram_hash").alias("__h"), F.col("cnt").alias("__hc"))
+    dup = (grams.groupBy("__h").agg(F.count(F.lit(1)).alias("__bc"))
+                .join(hist, on="__h", how="left")
+                .filter(F.col("__bc") + F.coalesce(F.col("__hc"), F.lit(0))
+                        >= min_count)
+                .select("__h"))
+    hits = grams.join(dup, on="__h", how="left_semi").select(id_col, "__pos")
+    per = _covered_stats(hits, id_col, n,
+                         "dup_tokens", "max_dup_run", "n_dup_grams")
+    return (base.drop("__t").join(per, on=id_col, how="left")
+            .na.fill({"dup_tokens": 0, "max_dup_run": 0, "n_dup_grams": 0})
+            .withColumn("dup_fraction",
+                        F.round(F.col("dup_tokens") / F.col("n_tokens"), 6)))
+
+
 def gram_table(df: DataFrame, id_col: str = "doc_id",
                text_col: str = "text", n: int = 8) -> DataFrame:
     """SHARED positional-gram featurization for the span family — one

@@ -938,3 +938,109 @@ class TestGramTable:
              gram_table(self._docs(spark), n=5).collect()}
         assert r[4]["n_grams"] == 0 and r[4]["__hs"] == []
         assert r[1]["n_grams"] == 6 and len(r[1]["__hs"]) == 6
+
+
+class TestIncrementalSpanCensus:
+    """Incremental substring census (round 10): build_gram_census /
+    append_gram_census / duplicated_spans_incremental. The contract is
+    the invariant: batch stats against (history census + batch) totals
+    equal the full-corpus duplicated_spans over history ∪ batch,
+    restricted to the batch — history text is never rescanned."""
+
+    @staticmethod
+    def _split(spark):
+        hist = spark.createDataFrame(
+            [(0, "a b c d e f g"), (2, "x y z a b c d"), (4, "p q r s")],
+            "doc_id long, text string")
+        batch = spark.createDataFrame(
+            [(1, "a b c d q q r"),       # duplicated vs history
+             (3, "x y z a b c d"),       # exact twin of doc 2
+             (5, "m m n n o o"),         # unique to the batch
+             (7, "tiny")],               # < n tokens
+            "doc_id long, text string")
+        return hist, batch
+
+    def test_matches_full_corpus_restricted(self, spark):
+        from caspr_spark.llm.dedup import (build_gram_census,
+                                           duplicated_spans,
+                                           duplicated_spans_incremental)
+        hist, batch = self._split(spark)
+        census = build_gram_census(hist, n=3)
+        inc = sorted(map(tuple, duplicated_spans_incremental(
+            batch, census, n=3, min_count=2).collect()))
+        full = sorted(map(tuple, duplicated_spans(
+            hist.unionByName(batch), n=3, min_count=2)
+            .join(batch.select("doc_id"), "doc_id", "left_semi").collect()))
+        assert inc == full
+
+    def test_within_batch_duplication_counts(self, spark):
+        """A gram occurring min_count times inside the batch alone is
+        duplicated even with an empty-overlap history (the batch's own
+        occurrences enter the total, as in the full-corpus census)."""
+        from caspr_spark.llm.dedup import (build_gram_census,
+                                           duplicated_spans_incremental)
+        hist, batch = self._split(spark)
+        census = build_gram_census(hist.limit(0), n=3)
+        out = {r["doc_id"]: r["n_dup_grams"] for r in
+               duplicated_spans_incremental(batch, census, n=3,
+                                            min_count=2).collect()}
+        # docs 1 and 3 share "a b c" and "b c d" WITHIN the batch —
+        # cross-batch duplication counts with no history at all
+        assert out[1] == 2 and out[3] == 2
+        assert out[5] == 0          # "m m n", "m n n", ... all unique
+        assert out[7] == 0          # sub-width doc: no grams
+
+    def test_append_fold_equals_direct_build(self, spark):
+        from caspr_spark.llm.dedup import (append_gram_census,
+                                           build_gram_census)
+        hist, batch = self._split(spark)
+        folded = sorted(map(tuple, append_gram_census(
+            build_gram_census(hist, n=3), batch, n=3).collect()))
+        direct = sorted(map(tuple, build_gram_census(
+            hist.unionByName(batch), n=3).collect()))
+        assert folded == direct
+
+    def test_state_parquet_roundtrip(self, spark, tmp_path):
+        from caspr_spark.llm.dedup import (build_gram_census,
+                                           duplicated_spans_incremental,
+                                           load_history_keys,
+                                           save_history_keys)
+        hist, batch = self._split(spark)
+        path = str(tmp_path / "census")
+        save_history_keys(build_gram_census(hist, n=3), path)
+        reloaded = load_history_keys(spark, path)
+        a = sorted(map(tuple, duplicated_spans_incremental(
+            batch, reloaded, n=3).collect()))
+        b = sorted(map(tuple, duplicated_spans_incremental(
+            batch, build_gram_census(hist, n=3), n=3).collect()))
+        assert a == b
+
+    def test_census_width_guard_raises(self, spark):
+        from caspr_spark.llm.dedup import (build_gram_census,
+                                           duplicated_spans_incremental)
+        hist, batch = self._split(spark)
+        census = build_gram_census(hist, n=3)
+        with pytest.raises(Exception, match="operator expects n=4"):
+            duplicated_spans_incremental(batch, census, n=4).collect()
+
+    def test_gram_table_batch_input(self, spark):
+        from caspr_spark.llm.dedup import (build_gram_census,
+                                           duplicated_spans_incremental,
+                                           gram_table)
+        hist, batch = self._split(spark)
+        census = build_gram_census(hist, n=3)
+        direct = sorted(map(tuple, duplicated_spans_incremental(
+            batch, census, n=3).collect()))
+        via_gt = sorted(map(tuple, duplicated_spans_incremental(
+            gram_table(batch, n=3), census, n=3).collect()))
+        assert direct == via_gt
+
+    def test_validation(self, spark):
+        from caspr_spark.llm.dedup import (build_gram_census,
+                                           duplicated_spans_incremental)
+        hist, batch = self._split(spark)
+        with pytest.raises(ValueError, match="n must be"):
+            build_gram_census(hist, n=0)
+        with pytest.raises(ValueError, match="min_count"):
+            duplicated_spans_incremental(
+                batch, build_gram_census(hist, n=3), n=3, min_count=0)

@@ -365,6 +365,40 @@ class TestGramTableEquivalence:
         assert frac_direct == frac_gt
 
 
+class TestIncrementalCensusInvariant:
+    """duplicated_spans_incremental(batch, census(history)) must equal
+    the full-corpus census over history ∪ batch restricted to the batch
+    docs, for arbitrary random corpora and splits — including empty
+    history, within-batch-only duplication, and sub-width docs."""
+
+    @given(docs=st.lists(st.lists(_UNIT, min_size=1, max_size=8),
+                         min_size=1, max_size=7),
+           n_hist=st.integers(0, 3),
+           n=st.integers(2, 3))
+    @settings(**SETTINGS)
+    def test_matches_full_corpus(self, spark, docs, n_hist, n):
+        from caspr_spark.llm.dedup import (build_gram_census,
+                                           duplicated_spans,
+                                           duplicated_spans_incremental)
+        rows = [(i, " ".join(u)) for i, u in enumerate(docs)]
+        n_hist = min(n_hist, len(rows) - 1)    # batch: non-empty tail,
+        hist_rows = rows[:n_hist]              # ids disjoint from history
+        hist = spark.createDataFrame(hist_rows or [(99, "")],
+                                     "doc_id long, text string")
+        if not hist_rows:
+            hist = hist.limit(0)
+        batch = spark.createDataFrame(rows[n_hist:],
+                                      "doc_id long, text string")
+        census = build_gram_census(hist, n=n)
+        inc = sorted(map(tuple, duplicated_spans_incremental(
+            batch, census, n=n, min_count=2).collect()))
+        full = sorted(map(tuple, duplicated_spans(
+            hist.unionByName(batch), n=n, min_count=2)
+            .join(batch.select("doc_id"), "doc_id", "left_semi")
+            .collect()))
+        assert inc == full
+
+
 class TestDuplicatedSpansModel:
     @given(docs=st.lists(st.lists(_UNIT, min_size=1, max_size=8),
                          min_size=1, max_size=6),

@@ -103,6 +103,7 @@ SNAPSHOT_QUERIES = [
     # round-10 additions: the shared-gram-table composition and the
     # prefix-scan stratum samplers (skew fix — no stratum-keyed window)
     "span_shared_grams",
+    "span_census_incremental",
     "stratified_sample_exact",
     "downsample_cap",
 ]

@@ -48,6 +48,7 @@ ROUND10 = [
     "duplicated_spans",
     "contamination_fraction",
     "span_shared_grams",
+    "span_census_incremental",
     "dsir_select",
     "e10_quantile_bucket",
     "decontaminate",
