@@ -1784,6 +1784,26 @@ def q_span_census_incremental(spark, sf_dir):
     return duplicated_spans_incremental(batch, census, n=4, min_count=2)
 
 
+def q_span_trim_incremental(spark, sf_dir):
+    """Incremental DESTRUCTIVE substring dedup (dedup.py
+    trim_duplicated_spans_incremental): the even-id history is folded
+    once into a first-occurrence-tracking census (track_first=True);
+    the odd-id batch is then trimmed against history+batch totals with
+    the same min(struct(id, pos)) keep-first arbitration as the
+    full-corpus operator — history text is never rescanned, and
+    already-shipped history docs are never retroactively trimmed. The
+    oracle is the invariant: the full-corpus trim over history ∪
+    batch, restricted to the batch's rows."""
+    from caspr_spark.llm.dedup import (build_gram_census,
+                                       trim_duplicated_spans_incremental)
+    docs = _t(spark, sf_dir, "documents")
+    history = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+    census = build_gram_census(history, n=4, track_first=True)
+    return trim_duplicated_spans_incremental(batch, census, n=4,
+                                             min_count=2)
+
+
 _EXPECT_RULES = [
     {"rule": "not_null", "col": "user_id"},
     {"rule": "unique", "col": "event_id"},
@@ -2815,21 +2835,23 @@ def q_stream_dedup_history(spark, sf_dir):
 # Round-10 window, mechanically oldest-last-driver-certified-first
 # (verified by tools/gen_window.py against the CORRECTNESS_r0*.json
 # records):
-#   slots 1-6    the four never-driver-certified oracle rows
+#   slots 1-7    the four never-driver-certified oracle rows
 #                (dsir_select, duplicated_spans, contamination_fraction,
 #                trim_duplicated_spans — added round 9, "—" in the
-#                ledger) plus the two new round-10 rows
-#                (span_shared_grams, span_census_incremental),
-#   slots 7-10   the displaced r5 block (pipeline_events_array,
+#                ledger) plus the three new round-10 rows
+#                (span_shared_grams, span_census_incremental,
+#                span_trim_incremental),
+#   slots 8-11   the displaced r5 block (pipeline_events_array,
 #                stream_windowed_stats, stream_last3_state,
 #                stream_dedup — last certified round 5),
-#   slots 11-50  the oldest 40 of the 50 rows last certified in round
-#                7, in their prior relative order. The ten r7 rows
+#   slots 12-50  the oldest 39 of the 50 rows last certified in round
+#                7, in their prior relative order. The eleven r7 rows
 #                that did not fit (f1_history_window, f2_last_n,
 #                f4_profile_dedup, e1_encode_capped,
 #                e5_normalize_minmax, e8_date_fill_pivoted,
 #                e9_fill_nans_pivoted, p3_pivot_last5,
-#                x3_sliding_union, w2_intervals) lead the r11 rotation.
+#                x3_sliding_union, w1_rank, w2_intervals) lead the r11
+#                rotation.
 _R10_WINDOW = [
     "dsir_select",
     "duplicated_spans",
@@ -2837,6 +2859,7 @@ _R10_WINDOW = [
     "trim_duplicated_spans",
     "span_shared_grams",
     "span_census_incremental",
+    "span_trim_incremental",
     "pipeline_events_array",
     "stream_windowed_stats",
     "stream_last3_state",
@@ -2880,10 +2903,11 @@ _R10_WINDOW = [
     "multimodal_binary_meta",
     "multimodal_features",
     "multimodal_frames",
+    # slots 51-52 — displaced when span_census_incremental and
+    # span_trim_incremental entered the window; pinned here so they
+    # keep their relative order at the head of the r11 rotation (ties
+    # in gen_window.py keep queries() order)
     "w1_rank",
-    # slot 51 — displaced when span_census_incremental entered the
-    # window; pinned here so it keeps its relative order at the head
-    # of the r11 rotation (ties in gen_window.py keep queries() order)
     "w2_intervals",
 ]
 
@@ -2891,7 +2915,7 @@ _R10_WINDOW = [
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver contract: the correctness gate certifies the FIRST 50 entries.
 
-    160 of the 188 queries carry DuckDB oracles (158 full + the two
+    161 of the 189 queries carry DuckDB oracles (159 full + the two
     bounded sketch certificates) — more than one 50-slot window holds —
     so certification rotates across rounds (COVERAGE.md maps which
     round certified which row; tools/check_correctness.py re-runs the
@@ -3061,6 +3085,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trim_duplicated_spans": q_trim_duplicated_spans,
         "span_shared_grams": q_span_shared_grams,
         "span_census_incremental": q_span_census_incremental,
+        "span_trim_incremental": q_span_trim_incremental,
         "related_docs": q_related_docs,
         "emb_near_dup": q_emb_near_dup,
         "stream_stream_join": q_stream_stream_join,
@@ -5010,6 +5035,69 @@ SELECT b.doc_id, b.n_tokens, b.n_grams,
        coalesce(p.n_dup_grams, 0)::bigint AS n_dup_grams,
        round(coalesce(p.dup_tokens, 0) / b.n_tokens, 6) AS dup_fraction
 FROM base b LEFT JOIN per p USING (doc_id)""",
+        # incremental destructive trim invariant: full-corpus keep-first
+        # trim over history ∪ batch (= all documents), restricted to the
+        # odd-id batch — n=4 grams, min_count=2
+        "span_trim_incremental": r"""
+WITH tok AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+  FROM documents),
+g AS (
+  SELECT doc_id, s['pos'] AS pos, md5(s['g']) AS h
+  FROM (SELECT doc_id,
+               unnest(list_transform(range(1, len(t) - 2),
+                        i -> {'pos': i - 1,
+                              'g': array_to_string(t[i:i+3], ' ')})) AS s
+        FROM tok WHERE len(t) >= 4)),
+marked AS (
+  SELECT doc_id, pos,
+         row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn,
+         count(*) OVER (PARTITION BY h) AS c
+  FROM g),
+rm AS (
+  SELECT doc_id, pos FROM marked
+  WHERE c >= 2 AND rn > 1 AND doc_id % 2 = 1),
+m AS (
+  SELECT doc_id, pos,
+         max(pos + 3) OVER (PARTITION BY doc_id ORDER BY pos
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+  FROM rm),
+y AS (
+  SELECT doc_id, pos,
+         sum(CASE WHEN pme IS NULL OR pos > pme + 1 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM m),
+isl AS (
+  SELECT doc_id, island, min(pos) AS s, max(pos + 3) AS e
+  FROM y GROUP BY 1, 2),
+removed AS (
+  SELECT doc_id, unnest(range(s, e + 1)) AS tpos FROM isl),
+stats AS (
+  SELECT doc_id, count(*)::bigint AS n_removed FROM removed GROUP BY 1),
+toks AS (
+  SELECT doc_id, w['p'] - 1 AS tpos, w['tok'] AS tok
+  FROM (SELECT doc_id,
+               unnest(list_transform(range(1, len(t) + 1),
+                        i -> {'p': i, 'tok': t[i]})) AS w
+        FROM tok WHERE doc_id % 2 = 1)),
+rebuilt AS (
+  SELECT k.doc_id,
+         coalesce(string_agg(k.tok, ' ' ORDER BY k.tpos), '')
+           AS trimmed_text
+  FROM (SELECT toks.* FROM toks JOIN stats USING (doc_id)
+        WHERE NOT EXISTS (SELECT 1 FROM removed r
+                          WHERE r.doc_id = toks.doc_id
+                            AND r.tpos = toks.tpos)) k
+  GROUP BY 1)
+SELECT b.doc_id, len(b.t)::bigint AS n_tokens,
+       coalesce(st.n_removed, 0)::bigint AS n_removed,
+       CASE WHEN st.doc_id IS NULL THEN array_to_string(b.t, ' ')
+            ELSE coalesce(rb.trimmed_text, '') END AS trimmed_text
+FROM tok b
+LEFT JOIN stats st USING (doc_id)
+LEFT JOIN rebuilt rb USING (doc_id)
+WHERE b.doc_id % 2 = 1""",
         "trim_duplicated_spans": r"""
 WITH tok AS (
   SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t

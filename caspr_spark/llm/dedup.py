@@ -503,7 +503,8 @@ def duplicated_spans(df: DataFrame, id_col: str = "doc_id",
 
 
 def build_gram_census(history: DataFrame, id_col: str = "doc_id",
-                      text_col: str = "text", n: int = 8) -> DataFrame:
+                      text_col: str = "text", n: int = 8,
+                      track_first: bool = False) -> DataFrame:
     """The persistable SUBSTRING-census state for the daily-crawl loop:
     ``(gram_hash, cnt, gram_n)`` — corpus-wide word-``n``-gram
     occurrence counts, one row per distinct gram hash. The span twin of
@@ -518,13 +519,27 @@ def build_gram_census(history: DataFrame, id_col: str = "doc_id",
     rides as data so a census built at one width can never silently
     feed an operator expecting another (same in-plan guard as
     :func:`gram_table`). ``history`` may itself be a
-    :func:`gram_table`."""
+    :func:`gram_table`.
+
+    ``track_first=True`` additionally records each gram's first
+    occurrence — ``(first_id, first_pos)``, the ``min(struct(id,
+    pos))`` election :func:`trim_duplicated_spans` uses — which
+    :func:`trim_duplicated_spans_incremental` needs for keep-first
+    arbitration across history+batch. The census query stats are
+    unchanged; the two extra columns are per-distinct-gram, so the
+    state stays hash-cardinality."""
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
     _, grams = _positional_grams(history, id_col, text_col, n)
-    return (grams.groupBy(F.col("__h").alias("gram_hash"))
-                 .agg(F.count(F.lit(1)).alias("cnt"))
-                 .withColumn("gram_n", F.lit(n).cast("int")))
+    aggs = [F.count(F.lit(1)).alias("cnt")]
+    if track_first:
+        aggs.append(F.min(F.struct(
+            F.col(id_col).alias("first_id"),
+            F.col("__pos").alias("first_pos"))).alias("__f"))
+    out = grams.groupBy(F.col("__h").alias("gram_hash")).agg(*aggs)
+    if track_first:
+        out = out.select("gram_hash", "cnt", "__f.*")
+    return out.withColumn("gram_n", F.lit(n).cast("int"))
 
 
 def append_gram_census(census: DataFrame, batch: DataFrame,
@@ -535,11 +550,22 @@ def append_gram_census(census: DataFrame, batch: DataFrame,
     order (or a tree of partial censuses) reaches the same state as one
     full-corpus :func:`build_gram_census`. Write the result to a NEW
     path and swap atomically (same caveat as
-    :func:`append_history_keys`)."""
-    new = build_gram_census(batch, id_col, text_col, n)
-    return (_check_gram_n(census, n).unionByName(new)
-            .groupBy("gram_hash").agg(F.sum("cnt").alias("cnt"))
-            .withColumn("gram_n", F.lit(n).cast("int")))
+    :func:`append_history_keys`). A first-occurrence-tracking census
+    (``track_first=True`` at build) folds its ``(first_id, first_pos)``
+    the same way — ``min(struct)`` is associative too — and the batch
+    side is built tracking to match."""
+    track_first = "first_id" in census.columns
+    new = build_gram_census(batch, id_col, text_col, n,
+                            track_first=track_first)
+    u = _check_gram_n(census, n).unionByName(new)
+    aggs = [F.sum("cnt").alias("cnt")]
+    if track_first:
+        aggs.append(F.min(F.struct(
+            F.col("first_id"), F.col("first_pos"))).alias("__f"))
+    out = u.groupBy("gram_hash").agg(*aggs)
+    if track_first:
+        out = out.select("gram_hash", "cnt", "__f.*")
+    return out.withColumn("gram_n", F.lit(n).cast("int"))
 
 
 def duplicated_spans_incremental(batch: DataFrame, census: DataFrame,
@@ -581,6 +607,68 @@ def duplicated_spans_incremental(batch: DataFrame, census: DataFrame,
             .na.fill({"dup_tokens": 0, "max_dup_run": 0, "n_dup_grams": 0})
             .withColumn("dup_fraction",
                         F.round(F.col("dup_tokens") / F.col("n_tokens"), 6)))
+
+
+def trim_duplicated_spans_incremental(batch: DataFrame, census: DataFrame,
+                                      id_col: str = "doc_id",
+                                      text_col: str = "text", n: int = 8,
+                                      min_count: int = 2,
+                                      out_col: str = "trimmed_text"
+                                      ) -> DataFrame:
+    """:func:`trim_duplicated_spans` for ONE ingest batch against a
+    persisted first-occurrence-tracking census (``build_gram_census(...,
+    track_first=True)``) — the destructive half of the incremental
+    substring dedup, without rescanning history text.
+
+    A batch position is removed when its gram's TOTAL count (history +
+    batch) reaches ``min_count`` AND the position is not the gram's
+    corpus-wide first occurrence — the first being the ``min`` of the
+    census's recorded ``(first_id, first_pos)`` and the batch's own
+    earliest occurrence, the same ``min(struct(id, pos))`` arbitration
+    as the full-corpus operator. For the batch's rows the output is
+    row-identical to running :func:`trim_duplicated_spans` over
+    ``history ∪ batch`` and keeping the batch (the oracle invariant;
+    holds for ANY id interleaving because only batch rows are emitted).
+    The one semantic difference from a full re-run is inherent to
+    incrementality: already-shipped HISTORY docs are never retroactively
+    trimmed when a batch doc with a smaller id becomes a gram's first
+    occurrence. Same output schema as :func:`trim_duplicated_spans`;
+    ``batch`` may be a :func:`gram_table`. The census's ``first_id``
+    must be comparable with the batch's ``id_col`` type.
+
+    Plan shape: batch-sized explode + ONE hash-keyed aggregate (count +
+    min-struct, map-side-combinable), the census joined in as hash rows
+    (history text never moves), then the shared touched-docs-only
+    rebuild tail."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1, got {min_count}")
+    if "first_id" not in census.columns:
+        raise ValueError(
+            "trim_duplicated_spans_incremental needs a first-occurrence-"
+            "tracking census — build it with build_gram_census(..., "
+            "track_first=True)")
+    base, grams = _positional_grams(batch, id_col, text_col, n)
+    occ = F.struct(F.col(id_col).alias("__fi"), F.col("__pos").alias("__fp"))
+    batch_agg = grams.groupBy("__h").agg(
+        F.count(F.lit(1)).alias("__bc"), F.min(occ).alias("__bfirst"))
+    hist = _check_gram_n(census, n).select(
+        F.col("gram_hash").alias("__h"), F.col("cnt").alias("__hc"),
+        F.struct(F.col("first_id").alias("__fi"),
+                 F.col("first_pos").alias("__fp")).alias("__hfirst"))
+    # least() skips nulls, so a gram absent from history elects the
+    # batch's own earliest occurrence; struct order is lexicographic on
+    # (id, pos) with matching field names on every side
+    dup_first = (batch_agg.join(hist, on="__h", how="left")
+                 .filter(F.col("__bc") + F.coalesce(F.col("__hc"), F.lit(0))
+                         >= min_count)
+                 .select("__h", F.least(F.col("__bfirst"),
+                                        F.col("__hfirst")).alias("__first")))
+    rm = (grams.join(dup_first, on="__h")
+          .filter(occ != F.col("__first"))
+          .select(id_col, "__pos"))
+    return _trim_rebuild(base, rm, id_col, n, out_col)
 
 
 def gram_table(df: DataFrame, id_col: str = "doc_id",
@@ -831,7 +919,14 @@ def trim_duplicated_spans(df: DataFrame, id_col: str = "doc_id",
     rm = (grams.join(dup_first, on="__h")
           .filter(occ != F.col("__first"))
           .select(id_col, "__pos"))
+    return _trim_rebuild(base, rm, id_col, n, out_col)
 
+
+def _trim_rebuild(base: DataFrame, rm: DataFrame, id_col: str, n: int,
+                  out_col: str) -> DataFrame:
+    """Shared tail of the trim operators: union-merge the removal hit
+    positions ``rm`` (id, __pos) into token intervals, rebuild only the
+    touched docs, pass untouched docs through with ``n_removed = 0``."""
     # union-merge removal intervals per doc, then explode to positions
     isl = _merge_islands(rm, id_col, n)
     # removed is consumed THREE times (passthrough ids, stats, the

@@ -1044,3 +1044,93 @@ class TestIncrementalSpanCensus:
         with pytest.raises(ValueError, match="min_count"):
             duplicated_spans_incremental(
                 batch, build_gram_census(hist, n=3), n=3, min_count=0)
+
+
+class TestIncrementalSpanTrim:
+    """Incremental destructive trim (round 10): the batch's trimmed
+    output must equal the full-corpus trim over history ∪ batch
+    restricted to the batch — for ANY id interleaving (only batch rows
+    are emitted, so the arbitration decisions visible in the output
+    are identical even when a batch doc outranks a history doc)."""
+
+    @staticmethod
+    def _split(spark):
+        hist = spark.createDataFrame(
+            [(0, "a b c d e f g"), (2, "x y z a b c d"), (4, "p q r s")],
+            "doc_id long, text string")
+        batch = spark.createDataFrame(
+            [(1, "a b c d q q r"),       # later occurrence vs history
+             (3, "x y z a b c d"),       # exact twin of history doc 2
+             (5, "m m n n o o"),         # unique
+             (7, "tiny")],               # < n tokens
+            "doc_id long, text string")
+        return hist, batch
+
+    def test_matches_full_corpus_restricted(self, spark):
+        from caspr_spark.llm.dedup import (build_gram_census,
+                                           trim_duplicated_spans,
+                                           trim_duplicated_spans_incremental)
+        hist, batch = self._split(spark)
+        census = build_gram_census(hist, n=3, track_first=True)
+        inc = sorted(map(tuple, trim_duplicated_spans_incremental(
+            batch, census, n=3, min_count=2).collect()))
+        full = sorted(map(tuple, trim_duplicated_spans(
+            hist.unionByName(batch), n=3, min_count=2)
+            .join(batch.select("doc_id"), "doc_id", "left_semi").collect()))
+        assert inc == full
+        got = {r[0]: r for r in inc}
+        assert got[3][3] == ""           # full twin of history: emptied
+        assert got[5][2] == 0            # unique doc untouched
+
+    def test_batch_first_keeps_batch_occurrence(self, spark):
+        """A batch doc with a SMALLER id than the history doc sharing
+        its gram is the corpus-wide first — the batch occurrence keeps
+        its span (and history is simply not re-emitted)."""
+        from caspr_spark.llm.dedup import (build_gram_census,
+                                           trim_duplicated_spans_incremental)
+        hist = spark.createDataFrame([(10, "a b c d")],
+                                     "doc_id long, text string")
+        batch = spark.createDataFrame([(1, "a b c z"), (2, "a b c w")],
+                                      "doc_id long, text string")
+        census = build_gram_census(hist, n=3, track_first=True)
+        out = {r["doc_id"]: r for r in trim_duplicated_spans_incremental(
+            batch, census, n=3, min_count=2).collect()}
+        # "a b c" total count = 3; first over the union is batch doc 1
+        assert out[1]["n_removed"] == 0
+        assert out[1]["trimmed_text"] == "a b c z"
+        assert out[2]["n_removed"] == 3 and out[2]["trimmed_text"] == "w"
+
+    def test_tracked_fold_equals_direct_build(self, spark):
+        from caspr_spark.llm.dedup import (append_gram_census,
+                                           build_gram_census)
+        hist, batch = self._split(spark)
+        folded = sorted(map(tuple, append_gram_census(
+            build_gram_census(hist, n=3, track_first=True),
+            batch, n=3).collect()))
+        direct = sorted(map(tuple, build_gram_census(
+            hist.unionByName(batch), n=3, track_first=True).collect()))
+        assert folded == direct
+
+    def test_untracked_census_raises(self, spark):
+        from caspr_spark.llm.dedup import (build_gram_census,
+                                           trim_duplicated_spans_incremental)
+        hist, batch = self._split(spark)
+        with pytest.raises(ValueError, match="track_first"):
+            trim_duplicated_spans_incremental(
+                batch, build_gram_census(hist, n=3), n=3)
+
+    def test_state_parquet_roundtrip(self, spark, tmp_path):
+        from caspr_spark.llm.dedup import (build_gram_census,
+                                           load_history_keys,
+                                           save_history_keys,
+                                           trim_duplicated_spans_incremental)
+        hist, batch = self._split(spark)
+        path = str(tmp_path / "census_first")
+        save_history_keys(build_gram_census(hist, n=3, track_first=True),
+                          path)
+        a = sorted(map(tuple, trim_duplicated_spans_incremental(
+            batch, load_history_keys(spark, path), n=3).collect()))
+        b = sorted(map(tuple, trim_duplicated_spans_incremental(
+            batch, build_gram_census(hist, n=3, track_first=True),
+            n=3).collect()))
+        assert a == b

@@ -398,6 +398,33 @@ class TestIncrementalCensusInvariant:
             .collect()))
         assert inc == full
 
+    @given(docs=st.lists(st.lists(_UNIT, min_size=1, max_size=8),
+                         min_size=1, max_size=7),
+           n_hist=st.integers(0, 3),
+           n=st.integers(2, 3))
+    @settings(**SETTINGS)
+    def test_trim_matches_full_corpus(self, spark, docs, n_hist, n):
+        from caspr_spark.llm.dedup import (build_gram_census,
+                                           trim_duplicated_spans,
+                                           trim_duplicated_spans_incremental)
+        rows = [(i, " ".join(u)) for i, u in enumerate(docs)]
+        n_hist = min(n_hist, len(rows) - 1)
+        hist_rows = rows[:n_hist]
+        hist = spark.createDataFrame(hist_rows or [(99, "")],
+                                     "doc_id long, text string")
+        if not hist_rows:
+            hist = hist.limit(0)
+        batch = spark.createDataFrame(rows[n_hist:],
+                                      "doc_id long, text string")
+        census = build_gram_census(hist, n=n, track_first=True)
+        inc = sorted(map(tuple, trim_duplicated_spans_incremental(
+            batch, census, n=n, min_count=2).collect()))
+        full = sorted(map(tuple, trim_duplicated_spans(
+            hist.unionByName(batch), n=n, min_count=2)
+            .join(batch.select("doc_id"), "doc_id", "left_semi")
+            .collect()))
+        assert inc == full
+
 
 class TestDuplicatedSpansModel:
     @given(docs=st.lists(st.lists(_UNIT, min_size=1, max_size=8),

@@ -104,6 +104,7 @@ SNAPSHOT_QUERIES = [
     # prefix-scan stratum samplers (skew fix — no stratum-keyed window)
     "span_shared_grams",
     "span_census_incremental",
+    "span_trim_incremental",
     "stratified_sample_exact",
     "downsample_cap",
 ]

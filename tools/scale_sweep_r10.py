@@ -49,6 +49,7 @@ ROUND10 = [
     "contamination_fraction",
     "span_shared_grams",
     "span_census_incremental",
+    "span_trim_incremental",
     "dsir_select",
     "e10_quantile_bucket",
     "decontaminate",
