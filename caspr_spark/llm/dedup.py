@@ -493,6 +493,15 @@ def duplicated_spans(df: DataFrame, id_col: str = "doc_id",
     base, grams = _positional_grams(df, id_col, text_col, n)
     dup = (grams.groupBy("__h").agg(F.count(F.lit(1)).alias("__c"))
                 .filter(F.col("__c") >= min_count).select("__h"))
+    return _census_stats(base, grams, dup, id_col, n)
+
+
+def _census_stats(base, grams, dup, id_col: str, n: int) -> DataFrame:
+    """Shared tail of the census operators: restrict the positional
+    grams to the duplicated hash set, interval-union per doc, and emit
+    the per-doc statistics row (zeros for untouched docs) — ONE
+    definition so the incremental operator can never silently diverge
+    from the full-corpus one it is pinned row-identical with."""
     hits = grams.join(dup, on="__h", how="left_semi").select(id_col, "__pos")
     per = _covered_stats(hits, id_col, n,
                          "dup_tokens", "max_dup_run", "n_dup_grams")
@@ -600,13 +609,7 @@ def duplicated_spans_incremental(batch: DataFrame, census: DataFrame,
                 .filter(F.col("__bc") + F.coalesce(F.col("__hc"), F.lit(0))
                         >= min_count)
                 .select("__h"))
-    hits = grams.join(dup, on="__h", how="left_semi").select(id_col, "__pos")
-    per = _covered_stats(hits, id_col, n,
-                         "dup_tokens", "max_dup_run", "n_dup_grams")
-    return (base.drop("__t").join(per, on=id_col, how="left")
-            .na.fill({"dup_tokens": 0, "max_dup_run": 0, "n_dup_grams": 0})
-            .withColumn("dup_fraction",
-                        F.round(F.col("dup_tokens") / F.col("n_tokens"), 6)))
+    return _census_stats(base, grams, dup, id_col, n)
 
 
 def trim_duplicated_spans_incremental(batch: DataFrame, census: DataFrame,
