@@ -486,7 +486,11 @@ def duplicated_spans(df: DataFrame, id_col: str = "doc_id",
     statistic engine-portable (full SQL oracle). ``df`` may be a
     precomputed :func:`gram_table` (pipelines running several span
     operators amortize the tokenize+md5 scan that way) — results are
-    bit-identical.
+    bit-identical. NULL-text rows pass through deterministically with
+    NULL ``n_tokens``/``dup_fraction`` and zero counts (the trim twin
+    emits an empty ``trimmed_text``); drop or fill them first if the
+    downstream consumer can't take NULLs — unlike :func:`exact_dedup`,
+    nothing is silently removed here.
     """
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")

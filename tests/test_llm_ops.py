@@ -1134,3 +1134,27 @@ class TestIncrementalSpanTrim:
             batch, build_gram_census(hist, n=3, track_first=True),
             n=3).collect()))
         assert a == b
+
+
+class TestSpanFamilyNullText:
+    def test_null_text_passthrough_pinned(self, spark):
+        """NULL-text rows pass through every span operator with NULL
+        n_tokens and zero stats — never dropped, never a crash (unlike
+        exact_dedup, which filters NULL keys explicitly)."""
+        from caspr_spark.llm.dedup import (build_gram_census,
+                                           duplicated_spans,
+                                           duplicated_spans_incremental,
+                                           trim_duplicated_spans)
+        docs = spark.createDataFrame(
+            [(1, "a b c d"), (2, None), (3, "a b c d")],
+            "doc_id long, text string")
+        c = {r["doc_id"]: r for r in duplicated_spans(docs, n=3).collect()}
+        assert c[2]["n_tokens"] is None and c[2]["n_dup_grams"] == 0
+        assert c[2]["dup_fraction"] is None
+        t = {r["doc_id"]: r for r in
+             trim_duplicated_spans(docs, n=3).collect()}
+        assert t[2]["n_removed"] == 0 and t[2]["trimmed_text"] == ""
+        census = build_gram_census(docs.filter("doc_id = 1"), n=3)
+        i = {r["doc_id"]: r for r in duplicated_spans_incremental(
+            docs.filter("doc_id > 1"), census, n=3).collect()}
+        assert i[2]["n_tokens"] is None and i[3]["n_dup_grams"] == 2
