@@ -53,6 +53,9 @@ ROUND10 = [
     "dsir_select",
     "e10_quantile_bucket",
     "decontaminate",
+    # late round-10 addition: the LR trainer's per-epoch bias+bucket
+    # gradient merge (one aggregation job per epoch instead of two)
+    "quality_train_classifier",
 ]
 
 
