@@ -1608,8 +1608,9 @@ def q_bm25_search(spark, sf_dir):
 def q_seq_pack_offset(spark, sf_dir):
     """Offset-based sequence packing (mixture.py pack_sequences_offset):
     documents laid on a per-language token tape, seq_id = which
-    512-token training sequence the document STARTS in. One window
-    cumsum per language — a single hash exchange at any scale."""
+    512-token training sequence the document STARTS in. The cumsum
+    rides the distributed prefix scan (__pid-keyed windows only) — a
+    hot language tape never serializes into one task."""
     from caspr_spark.llm.mixture import pack_sequences_offset
     from caspr_spark.llm.text import add_token_counts
     docs = _t(spark, sf_dir, "documents")

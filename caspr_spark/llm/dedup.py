@@ -296,23 +296,44 @@ def dedup_keep_best(df: DataFrame, pairs: DataFrame, quality_col: str,
     ten copies you want the longest / highest-quality copy, not the one
     crawled first. This variant elects the member with the highest
     ``quality_col`` (doc-id tie-break) per component and drops the rest;
-    rows in no component always survive.
+    rows in no component always survive. ``quality_col`` must be
+    numeric (the desc order is encoded by negation); null qualities
+    lose to any non-null one (the ``DESC NULLS LAST`` default); NaN
+    qualities are unsupported (negation keeps NaN largest, inverting
+    the window rule this replaced — don't score with NaN).
 
     Plan: components are computed over the pairs graph only (near-dup
-    docs, a fraction of the corpus); the election is one window over
-    that component-sized relation; survivors apply as a single anti
-    join. The component relation is NOT broadcast-hinted — at web scale
-    dup clusters can cover half the corpus, so AQE decides.
+    docs, a fraction of the corpus); the winner election is a
+    map-side-combinable ``groupBy(component).agg(min(struct(nulls-last
+    flag, -quality, id)))`` — NOT a ``row_number`` window partitioned
+    by the component: a ``__rn > 1`` loser filter is a lower-bound
+    rank, ineligible for Spark's WindowGroupLimit map-side partial, so
+    one mega-cluster (a template page in 10⁸ copies) would funnel
+    every member into a single window task, while the aggregate
+    collapses each component to one row per input partition before the
+    exchange. Losers come from joining the winners back on the
+    component (AQE-skew-splittable, unlike a window) and survivors
+    apply as a single anti join. Neither the component relation nor
+    the winners carry a broadcast hint — at web scale dup clusters can
+    cover half the corpus, so AQE decides.
     """
     comp = connected_components(pairs).select(
         F.col("id").alias("__cid"), "component")
     scored = (df.select(F.col(id_col), F.col(quality_col))
                 .join(comp, on=F.col(id_col) == F.col("__cid"))
                 .drop("__cid"))
-    w = Window.partitionBy("component").orderBy(F.col(quality_col).desc(),
-                                                F.col(id_col).asc())
-    losers = (scored.withColumn("__rn", F.row_number().over(w))
-                    .filter(F.col("__rn") > 1).select(id_col))
+    # (quality DESC NULLS LAST, id ASC) encoded as an ascending struct:
+    # nulls-last flag first, negated quality second, id tiebreak third
+    key = F.struct(F.col(quality_col).isNull().cast("int").alias("__kn"),
+                   (-F.col(quality_col)).alias("__kq"),
+                   F.col(id_col).alias("__ki"))
+    winners = (scored.groupBy("component")
+                     .agg(F.min(key).alias("__w"))
+                     .select(F.col("component").alias("__wc"),
+                             F.col("__w.__ki").alias("__wid")))
+    losers = (scored.join(winners, on=F.col("component") == F.col("__wc"))
+                    .filter(F.col(id_col) != F.col("__wid"))
+                    .select(id_col))
     return df.join(losers, on=id_col, how="left_anti")
 
 

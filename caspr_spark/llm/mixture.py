@@ -10,16 +10,18 @@ cluster dominates. Everything here is deterministic and engine-portable
 oracle — same discipline as operators/sampling.py.
 
 All paths are scale-shaped: mixture rates are computed by a tiny
-per-domain aggregate broadcast back (never a driver collect), packing is
-one window per shard, and the diversity cap rides the LSH bucket id.
+per-domain aggregate broadcast back (never a driver collect), offset
+packing rides the distributed prefix scan (next-fit walks shards in
+parallel), and the diversity cap rides the LSH bucket id.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from caspr_spark.operators.sampling import _hash_col, downsample_to_cap
+from caspr_spark.operators.sampling import (_hash_col, downsample_to_cap,
+                                            global_running_sum)
 
 _PREFIX = 8  # md5 hex prefix compared against the rate threshold
 
@@ -245,19 +247,54 @@ def pack_sequences_offset(df: DataFrame, token_col: str, budget: int,
     truncation, where the trainer clips the tail. For strict no-overflow
     bins use :func:`pack_sequences_nextfit`.
 
-    One window (cumulative sum) per group — a single hash exchange on the
-    group key at any scale; no iterative or driver-side step.
+    The per-group cumulative sum rides the three-phase distributed
+    prefix scan (:func:`~caspr_spark.operators.sampling.
+    global_running_sum`) over the total order ``(group_cols,
+    order_cols)`` — NOT an ordered window per group: groups are few and
+    hot by nature (English is ~half a web corpus; ungrouped, the window
+    was a GLOBAL single-task sort), exactly the key shape ordered
+    windows serialize into one task. The within-group exclusive prefix
+    is the global exclusive prefix minus the group's start offset,
+    which comes from one map-side-combinable ``min`` aggregate
+    (#groups rows, broadcast back) — every sort in the plan is
+    range-partitioned and every window is keyed on the scan's
+    ``__pid``, so the plan stays balanced at any scale and any skew.
+    Token counts must be non-negative (they're counts; the group-start
+    ``min`` relies on the prefix being monotone). Like every
+    prefix-scan consumer, the scan persists its range-partitioned
+    frame — materialize the result inside the surrounding
+    ``cache_scope`` (see cache.py).
     """
     group_cols = group_cols or []
     order_cols = order_cols or [id_col]
-    if any(c in df.columns for c in (seq_col, offset_col)):
-        raise ValueError(f"{seq_col}/{offset_col} already present")
-    w = (Window.partitionBy(*group_cols).orderBy(*order_cols)
-         if group_cols else Window.partitionBy().orderBy(*order_cols))
-    prev_cum = F.sum(token_col).over(w) - F.col(token_col)
-    return (df.withColumn(seq_col, F.floor(prev_cum / F.lit(int(budget))))
-              .withColumn(offset_col,
-                          (prev_cum % F.lit(int(budget))).cast("long")))
+    if any(c in df.columns for c in (seq_col, offset_col, "__gprev")):
+        raise ValueError(f"{seq_col}/{offset_col}/__gprev already present")
+    order = ([F.col(g).asc() for g in group_cols]
+             + [F.col(c).asc() for c in order_cols])
+    run = global_running_sum(df, token_col, order, out_col="__grun")
+    # exclusive prefix on the global tape; null tokens propagate null
+    # (the window form's sum-minus-self did the same)
+    g_prev = (run.withColumn("__gprev", F.col("__grun") - F.col(token_col))
+                 .drop("__grun"))
+    if group_cols:
+        # tokens >= 0 make the exclusive prefix monotone along the tape,
+        # so min(__gprev) per group == the group's start offset
+        start = (g_prev.groupBy(*group_cols)
+                 .agg(F.min("__gprev").alias("__gstart"))
+                 .select(*[F.col(g).alias(f"__g_{g}") for g in group_cols],
+                         "__gstart"))
+        cond = None
+        for g in group_cols:
+            eq = F.col(g).eqNullSafe(F.col(f"__g_{g}"))
+            cond = eq if cond is None else cond & eq
+        g_prev = (g_prev.join(F.broadcast(start), on=cond)
+                  .withColumn("__gprev", F.col("__gprev") - F.col("__gstart"))
+                  .drop("__gstart", *[f"__g_{g}" for g in group_cols]))
+    prev_cum = F.col("__gprev")
+    return (g_prev.withColumn(seq_col, F.floor(prev_cum / F.lit(int(budget))))
+                  .withColumn(offset_col,
+                              (prev_cum % F.lit(int(budget))).cast("long"))
+                  .drop("__gprev"))
 
 
 def pack_sequences_nextfit(df: DataFrame, token_col: str, budget: int,

@@ -390,3 +390,129 @@ class TestStratumSamplerPlans:
             assert by == {"en": 5, None: 5}
         finally:
             spark.catalog.clearCache()
+
+
+class TestSkewElectionPlansR11:
+    """Round-11 skew fixes: the two remaining hot-key funnels.
+
+    ``dedup_keep_best``'s per-component winner was a ``row_number``
+    window whose ``__rn > 1`` loser filter is NOT WindowGroupLimit-
+    eligible — one mega-cluster (template page × 10⁸ copies) serialized
+    into a single window task. ``pack_sequences_offset``'s token-tape
+    cumsum was an ordered window per group (GLOBAL and single-task when
+    ungrouped; one task per language when grouped — English is ~half a
+    web corpus). Both now ride map-side-combinable aggregates / the
+    __pid-keyed distributed prefix scan."""
+
+    def test_keep_best_plan_window_free(self, spark):
+        """The post-components election + anti-join plan must contain
+        zero Window nodes (the election is a groupBy aggregate) and no
+        Python eval."""
+        from caspr_spark.llm.dedup import dedup_keep_best
+        docs = spark.createDataFrame(
+            [(i, i * 10) for i in range(8)], "doc_id long, q long")
+        pairs = spark.createDataFrame(
+            [(0, 1), (1, 2), (4, 5)], "id_a long, id_b long")
+        try:
+            plan = plan_of(dedup_keep_best(docs, pairs, quality_col="q"))
+            assert "Window" not in plan, plan
+            # min(struct) plans as SortAggregate (structs aren't hash-
+            # aggregable buffer types) — what matters for skew is the
+            # PARTIAL half before the exchange, which both forms have
+            assert re.search(r"(Sort|Hash)Aggregate", plan), plan
+            assert "BatchEvalPython" not in plan
+            assert "ArrowEvalPython" not in plan
+        finally:
+            spark.catalog.clearCache()
+
+    def test_keep_best_hot_cluster_correct(self, spark):
+        """One component spanning 10⁵ docs (star graph on doc 0) — the
+        mega-cluster shape the aggregate election exists for. Winner =
+        highest quality (doc-id tiebreak); singletons untouched."""
+        from pyspark.sql import functions as F
+        from caspr_spark.llm.dedup import dedup_keep_best
+        n = 100_000
+        docs = spark.range(n + 10).select(
+            F.col("id").alias("doc_id"),
+            # doc 77 carries the unique max quality inside the cluster
+            F.when(F.col("id") == 77, F.lit(10_000_000))
+             .otherwise(F.col("id") % 1000).alias("q"))
+        pairs = spark.range(1, n).select(
+            F.lit(0).cast("long").alias("id_a"), F.col("id").alias("id_b"))
+        try:
+            kept = sorted(r["doc_id"] for r in
+                          dedup_keep_best(docs, pairs, "q").collect())
+            # cluster {0..n-1} -> only doc 77 survives; n..n+9 untouched
+            assert kept == [77] + list(range(n, n + 10))
+        finally:
+            spark.catalog.clearCache()
+
+    def test_keep_best_null_quality_loses(self, spark):
+        """DESC NULLS LAST: a null quality loses to any non-null one."""
+        from caspr_spark.llm.dedup import dedup_keep_best
+        docs = spark.createDataFrame(
+            [(1, None), (2, 1), (3, None)], "doc_id long, q long")
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3)], "id_a long, id_b long")
+        try:
+            kept = [r["doc_id"] for r in
+                    dedup_keep_best(docs, pairs, "q").collect()]
+            assert kept == [2]
+        finally:
+            spark.catalog.clearCache()
+
+    def test_pack_offset_windows_pid_keyed_only_grouped(self, documents):
+        from caspr_spark.llm.text import add_token_counts
+        from caspr_spark.llm.mixture import pack_sequences_offset
+        try:
+            plan = plan_of(pack_sequences_offset(
+                add_token_counts(documents), "n_tokens_ws", 512,
+                group_cols=["lang"]))
+            keys = TestStratumSamplerPlans._partition_keys(plan)
+            assert keys, plan
+            for k in keys:
+                assert "lang" not in k, k
+                assert "__pid" in k, k
+        finally:
+            documents.sparkSession.catalog.clearCache()
+
+    def test_pack_offset_windows_pid_keyed_only_ungrouped(self, documents):
+        """The ungrouped default was a GLOBAL single-task ordered
+        window; now every window is keyed on the scan partition id."""
+        from caspr_spark.llm.text import add_token_counts
+        from caspr_spark.llm.mixture import pack_sequences_offset
+        try:
+            plan = plan_of(pack_sequences_offset(
+                add_token_counts(documents), "n_tokens_ws", 256))
+            keys = TestStratumSamplerPlans._partition_keys(plan)
+            assert keys, plan
+            for k in keys:
+                assert "__pid" in k, k
+        finally:
+            documents.sparkSession.catalog.clearCache()
+
+    def test_pack_offset_hot_group_correct(self, spark):
+        """One group holding 99% of the corpus (the English tape).
+        Unit tokens make the expected layout closed-form: row k of a
+        group (0-based, id order) starts at offset k%B in seq k//B."""
+        from pyspark.sql import functions as F
+        from caspr_spark.llm.mixture import pack_sequences_offset
+        df = spark.range(50_000).select(
+            F.col("id").alias("doc_id"),
+            F.when(F.col("id") < 49_500, F.lit("en"))
+             .otherwise(F.lit("fr")).alias("lang"),
+            F.lit(1).cast("long").alias("tok"))
+        try:
+            out = pack_sequences_offset(df, "tok", 100,
+                                        group_cols=["lang"],
+                                        order_cols=["doc_id"])
+            bad = out.filter(
+                (F.col("lang") == "en")
+                & ((F.col("seq_id") != F.floor(F.col("doc_id") / 100))
+                   | (F.col("seq_offset") != F.col("doc_id") % 100))).count()
+            assert bad == 0
+            # fr tape restarts at zero: doc 49_500 is its row 0
+            fr0 = out.filter(F.col("doc_id") == 49_500).collect()[0]
+            assert (fr0["seq_id"], fr0["seq_offset"]) == (0, 0)
+        finally:
+            spark.catalog.clearCache()
