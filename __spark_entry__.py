@@ -2833,83 +2833,72 @@ def q_stream_dedup_history(spark, sf_dir):
             .distinct())
 
 
-# Round-10 window, mechanically oldest-last-driver-certified-first
-# (verified by tools/gen_window.py against the CORRECTNESS_r0*.json
-# records):
-#   slots 1-7    the four never-driver-certified oracle rows
-#                (dsir_select, duplicated_spans, contamination_fraction,
-#                trim_duplicated_spans — added round 9, "—" in the
-#                ledger) plus the three new round-10 rows
-#                (span_shared_grams, span_census_incremental,
-#                span_trim_incremental),
-#   slots 8-11   the displaced r5 block (pipeline_events_array,
-#                stream_windowed_stats, stream_last3_state,
-#                stream_dedup — last certified round 5),
+# Round-11 window, mechanically oldest-last-driver-certified-first
+# (verified by tools/gen_window.py against the CORRECTNESS_r*.json
+# records — note the round-10 glob fix: "r0*.json" never matched
+# CORRECTNESS_r10.json, so the tool now globs "r*.json"):
+#   slots 1-11   the eleven rows displaced from the round-10 window
+#                (last driver-certified round 7): w1_rank and
+#                w2_intervals were pinned at the r10 list tail, the
+#                other nine follow in their prior relative order,
 #   slots 12-50  the oldest 39 of the 50 rows last certified in round
-#                7, in their prior relative order. The eleven r7 rows
-#                that did not fit (f1_history_window, f2_last_n,
-#                f4_profile_dedup, e1_encode_capped,
-#                e5_normalize_minmax, e8_date_fill_pivoted,
-#                e9_fill_nans_pivoted, p3_pivot_last5,
-#                x3_sliding_union, w1_rank, w2_intervals) lead the r11
-#                rotation.
-_R10_WINDOW = [
-    "dsir_select",
-    "duplicated_spans",
-    "contamination_fraction",
-    "trim_duplicated_spans",
-    "span_shared_grams",
-    "span_census_incremental",
-    "span_trim_incremental",
-    "pipeline_events_array",
-    "stream_windowed_stats",
-    "stream_last3_state",
-    "stream_dedup",
-    "quality_train_classifier",
-    "source_jsonl_roundtrip",
-    "sorted_neighborhood",
-    "triangle_docs",
-    "lpa_docs",
-    "stream_dedup_history",
-    "simsearch_topk",
-    "stream_static_join",
-    "range_join_campaigns",
-    "interval_overlap",
-    "ewma_events",
-    "cm_frequency_rollup",
-    "cohort_retention",
-    "rfm_scores",
-    "hypertable_rollup",
-    "funnel_conversion",
-    "bloom_semi_join",
-    "asof_join_forward",
-    "segment_dec",
-    "j2_semi_prune",
-    "p7_array_pack",
-    "s1_parquet_roundtrip",
-    "score_linear",
-    "metrics_confusion",
-    "metrics_roc_auc",
-    "metrics_roc_auc_binned",
-    "explain_linear_ablation",
-    "x3_trainset_labeled",
-    "emb_near_dup",
-    "dedup_exact",
-    "dedup_components",
-    "dedup_ngram_jaccard",
-    "text_token_counts",
-    "text_quality",
-    "text_langid",
-    "text_fingerprint",
-    "multimodal_binary_meta",
-    "multimodal_features",
-    "multimodal_frames",
-    # slots 51-52 — displaced when span_census_incremental and
-    # span_trim_incremental entered the window; pinned here so they
-    # keep their relative order at the head of the r11 rotation (ties
-    # in gen_window.py keep queries() order)
+#                8, in their prior relative order. The eleven r8 rows
+#                that did not fit (mixture_sample, cluster_balanced,
+#                lm_perplexity, doc_chunks, related_docs,
+#                stream_stream_join, f5_outlier_removal,
+#                e10_quantile_bucket, p1_left_pad, e10_quantile_approx,
+#                sketch_distinct_rollup) lead the r12 rotation.
+_R11_WINDOW = [
     "w1_rank",
     "w2_intervals",
+    "f1_history_window",
+    "f2_last_n",
+    "f4_profile_dedup",
+    "e1_encode_capped",
+    "e5_normalize_minmax",
+    "e8_date_fill_pivoted",
+    "e9_fill_nans_pivoted",
+    "p3_pivot_last5",
+    "x3_sliding_union",
+    "pipeline_events_percutoff",
+    "pipeline_orders_composite",
+    "stratified_sample_exact",
+    "stratified_sample_hash",
+    "downsample_cap",
+    "a1_cardinality",
+    "a2_topk_cat_freq",
+    "a3_summary_stats",
+    "a4_max_date",
+    "a5_events_per_entity",
+    "a6_seq_len_percentile",
+    "a7_lookback_period",
+    "a8_collect_distinct",
+    "a9_label_multihot",
+    "a10_segment_profile",
+    "a11_nunique_lineitem",
+    "a12_rollup",
+    "a13_cube",
+    "w5_sessionize",
+    "asof_join",
+    "json_extract",
+    "p3_pivot_lineitem",
+    "p6_petastorm_rename",
+    "e1_fit_apply_split",
+    "e5_fit_apply_split",
+    "e5_normalize_standard",
+    "llm_curate",
+    "llm_curate_report",
+    "e2_encode_collect",
+    "e3_decode_roundtrip",
+    "f6_null_drop",
+    "e6_denormalize_roundtrip",
+    "e7_date_interval",
+    "text_repetition",
+    "pii_redact",
+    "decontaminate",
+    "bm25_search",
+    "seq_pack_offset",
+    "seq_pack_nextfit",
 ]
 
 
@@ -2921,8 +2910,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     so certification rotates across rounds (COVERAGE.md maps which
     round certified which row; tools/check_correctness.py re-runs the
     FULL oracle suite locally each round ->
-    CORRECTNESS_local_r{N}.json). The round-10 window is
-    ``_R10_WINDOW`` above, computed MECHANICALLY by certification
+    CORRECTNESS_local_r{N}.json). The round-11 window is
+    ``_R11_WINDOW`` above, computed MECHANICALLY by certification
     recency (oldest last-driver-certified rows first — emitted by
     tools/gen_window.py from the driver's own records) so no oracle
     row's driver certification silently ages; everything else keeps
@@ -3147,7 +3136,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_tokenize": q_bpe_tokenize,
         "simsearch_topk_pq": q_simsearch_topk_pq,
     }
-    ordered = {n: base[n] for n in _R10_WINDOW}
+    ordered = {n: base[n] for n in _R11_WINDOW}
     ordered.update((n, f) for n, f in base.items() if n not in ordered)
     return ordered
 

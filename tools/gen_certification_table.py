@@ -33,7 +33,8 @@ def main() -> None:
     import __spark_entry__ as entrymod
 
     rounds: dict[int, dict] = {}
-    for path in sorted(glob.glob("CORRECTNESS_r0*.json")):
+    # NOT "r0*.json": a literal-'0' glob never matches r10+ files
+    for path in sorted(glob.glob("CORRECTNESS_r*.json")):
         m = re.match(r"CORRECTNESS_r0*(\d+)\.json$", os.path.basename(path))
         if m:
             with open(path) as fh:

@@ -51,7 +51,9 @@ def compute_window() -> list[str]:
 
     rounds: dict[int, dict] = {}
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r0*.json"))):
+    # NOT "r0*.json": a literal-'0' glob never matches r10+ (it silently
+    # froze the rotation at the round-9 records); the regex filters
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
         m = re.match(r"CORRECTNESS_r0*(\d+)\.json$", os.path.basename(path))
         if m:
             with open(path) as fh:
