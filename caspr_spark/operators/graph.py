@@ -282,6 +282,23 @@ FROM nodes n LEFT JOIN (
   GROUP BY id) t USING (id)"""
 
 
+def _elect_labels(counts: DataFrame) -> DataFrame:
+    """Per-vertex label election over ``(v, lab, __n)`` message counts:
+    the label with the highest count, smallest-label tie-break.
+
+    A map-side-combinable ``groupBy(v).agg(min(struct(-count, lab)))``
+    — never a ``row_number`` window partitioned by the vertex: a hub
+    vertex's counts collapse to one row per input partition before the
+    exchange, where a window would funnel them into one task. ``__n``
+    is a count (non-null, positive), so negation encodes the desc
+    order exactly; the struct's lexicographic order IS
+    ``(count DESC, lab ASC)``. Plan-pinned window-free in
+    tests/test_plans.py."""
+    key = F.struct((-F.col("__n")).alias("__kn"), F.col("lab").alias("__kl"))
+    return (counts.groupBy("v").agg(F.min(key).alias("__w"))
+                  .select("v", F.col("__w.__kl").alias("lab")))
+
+
 def label_propagation(edges: DataFrame, src: str = "src", dst: str = "dst",
                       iterations: int = 5,
                       id_out: str = "id",
@@ -301,15 +318,19 @@ def label_propagation(edges: DataFrame, src: str = "src", dst: str = "dst",
 
     Scale shape per round: one equi-join of the node-sized label
     relation to the edge table + one (node, label) hash aggregation +
-    one deterministic top-1 window per node. Edges partition by the
-    message destination once; each round's labels are
+    one deterministic top-1 election per node — a map-side-combinable
+    ``min(struct(-count, label))`` aggregate (:func:`_elect_labels`),
+    not a ``row_number`` window: a web-scale hub vertex hears one
+    message per neighbor, and the aggregate collapses its (node,
+    label) counts to one row per input partition before the exchange
+    (the round-10/11 election discipline; same result as the
+    ``count desc, label asc`` window rule it replaced). Edges
+    partition by the message destination once; each round's labels are
     ``localCheckpoint``-ed so lineage stays O(1) over rounds (the
     PageRank discipline). Synchronous LPA can 2-cycle on bipartite
     structures — iterations are bounded, not converged, and the round
     count is part of the result's identity.
     """
-    from pyspark.sql import Window
-
     from caspr_spark.sources import ensure_parallelism
 
     if iterations < 1:
@@ -324,14 +345,11 @@ def label_propagation(edges: DataFrame, src: str = "src", dst: str = "dst",
     register_cache(e_handle)
     labels = e.select(F.col("a").alias("v")).distinct() \
         .withColumn("lab", F.col("v"))
-    w = Window.partitionBy("v").orderBy(F.col("__n").desc(),
-                                        F.col("lab").asc())
     for _ in range(iterations):
         msgs = e.join(labels.withColumnRenamed("v", "b"), on="b") \
             .select(F.col("a").alias("v"), "lab")
         counts = msgs.groupBy("v", "lab").agg(F.count(F.lit(1)).alias("__n"))
-        labels = (counts.withColumn("__rn", F.row_number().over(w))
-                  .filter(F.col("__rn") == 1).select("v", "lab"))
+        labels = _elect_labels(counts)
         labels, h = checkpoint_leaf(labels)
         register_cache(h)
     return labels.select(F.col("v").alias(id_out),

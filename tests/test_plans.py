@@ -516,3 +516,51 @@ class TestSkewElectionPlansR11:
             assert (fr0["seq_id"], fr0["seq_offset"]) == (0, 0)
         finally:
             spark.catalog.clearCache()
+
+
+class TestRankOneElectionPins:
+    """Round-11 item 4: the two remaining rank==1 windows. LPA's label
+    election is converted to a min-struct aggregate (its iteration
+    lives behind a localCheckpoint, so the FINAL plan can't pin it —
+    the helper is pinned directly); profile_table's modal top-1 IS
+    WindowGroupLimit-eligible and the map-side partial is pinned
+    in-plan."""
+
+    def test_lpa_election_window_free(self, spark):
+        from caspr_spark.operators.graph import _elect_labels
+        counts = spark.createDataFrame(
+            [(1, 10, 3), (1, 11, 3), (2, 10, 1)], "v long, lab long, __n long")
+        plan = plan_of(_elect_labels(counts))
+        assert "Window" not in plan, plan
+        assert re.search(r"(Sort|Hash)Aggregate", plan), plan
+
+    def test_lpa_hot_vertex_correct(self, spark):
+        """A 50k-degree hub (the shape the aggregate election guards):
+        one LPA round must give every spoke the hub's label and the hub
+        the majority spoke label, deterministically."""
+        from pyspark.sql import functions as F
+        from caspr_spark.operators.graph import label_propagation
+        edges = spark.range(1, 50_001).select(
+            F.lit(0).cast("long").alias("src"), F.col("id").alias("dst"))
+        try:
+            out = {r["id"]: r["label"] for r in
+                   label_propagation(edges, iterations=1).collect()}
+            # spokes hear only the hub's initial label 0; the hub hears
+            # 50k distinct labels once each -> smallest (1) wins the tie
+            assert out[0] == 1
+            assert all(out[i] == 0 for i in (1, 25_000, 50_000))
+        finally:
+            spark.catalog.clearCache()
+
+    def test_profile_modal_window_group_limit_pinned(self, spark):
+        """profile_table keeps its rank==1 modal window — eligible for
+        the WindowGroupLimit map-side partial, which bounds a
+        high-cardinality column's per-key rows before the exchange.
+        Pin that the partial actually appears in-plan (both the partial
+        and final nodes), so a Spark upgrade or refactor that silently
+        drops it fails here."""
+        from caspr_spark.operators.profile import profile_table
+        df = spark.createDataFrame([(1, "a"), (2, "b")], "x long, y string")
+        plan = plan_of(profile_table(df))
+        assert plan.count("WindowGroupLimit") >= 2, plan
+        assert "Partial" in plan[plan.index("WindowGroupLimit"):], plan
