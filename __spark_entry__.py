@@ -1661,6 +1661,29 @@ def q_dsir_select(spark, sf_dir):
                        include_bigrams=True, seed=42)
 
 
+def q_dsir_shared_grams(spark, sf_dir):
+    """DSIR fed from the SHARED gram featurization (mixture.py
+    dsir_select raw_grams_uni/raw_grams_bi + dedup.py gram_table —
+    round 11): the raw corpus's uni/bi-gram md5s come from persisted
+    n=1/n=2 gram tables instead of re-tokenizing text, so a curation
+    pipeline running DSIR next to decontamination and the span census
+    pays the tokenize+hash scan once. A DSIR bucket is md5-prefix mod
+    n_buckets and the tables store exactly those md5s — the selected
+    set must equal the raw-text path bit-for-bit (the oracle is
+    dsir_select's own)."""
+    from caspr_spark.cache import register_cache
+    from caspr_spark.llm.dedup import gram_table
+    from caspr_spark.llm.mixture import dsir_select
+    docs = _t(spark, sf_dir, "documents")
+    target = docs.filter(F.col("lang") == "en")
+    uni = register_cache(gram_table(docs, n=1).persist())
+    bi = register_cache(gram_table(docs, n=2).persist())
+    return dsir_select(docs, target, k=100, id_col="doc_id",
+                       text_col="text", n_buckets=256, alpha=1.0,
+                       include_bigrams=True, seed=42,
+                       raw_grams_uni=uni, raw_grams_bi=bi)
+
+
 def q_cluster_balanced(spark, sf_dir):
     """Diversity-balanced sampling (mixture.py cluster_balanced_sample):
     at most 8 vectors per deterministic LSH bucket (6 hyperplanes),
@@ -2833,22 +2856,55 @@ def q_stream_dedup_history(spark, sf_dir):
             .distinct())
 
 
+def q_stream_gram_census(spark, sf_dir):
+    """STREAMING substring-census fold (streaming.py
+    streaming_gram_census — round 11): the continuous form of
+    build_gram_census/append_gram_census. Documents arrive as a
+    multi-file stream with maxFilesPerTrigger=2, forcing the census to
+    be folded across several micro-batches of streaming-aggregation
+    state; because the fold is a pure per-hash sum (associative +
+    commutative), the drained state must equal a one-shot full-corpus
+    census ROW-FOR-ROW regardless of batch boundaries or arrival order
+    — the stream_dedup_history oracle discipline. Oracle: the
+    full-corpus word-4-gram census in SQL."""
+    import tempfile
+
+    from caspr_spark.streaming import run_to_memory, streaming_gram_census
+    _utc(spark)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    tmp = tempfile.mkdtemp(prefix="stream_census_")
+    docs.repartition(8).write.mode("overwrite").parquet(tmp)
+    stream = (spark.readStream.schema(docs.schema)
+              .option("maxFilesPerTrigger", 2).parquet(tmp))
+    census = streaming_gram_census(stream, n=4)
+    tbl = run_to_memory(census, "q_stream_gram_census", "complete")
+    return tbl.select("gram_hash", "cnt",
+                      F.col("gram_n").cast("int").alias("gram_n"))
+
+
 # Round-11 window, mechanically oldest-last-driver-certified-first
 # (verified by tools/gen_window.py against the CORRECTNESS_r*.json
 # records — note the round-10 glob fix: "r0*.json" never matched
 # CORRECTNESS_r10.json, so the tool now globs "r*.json"):
-#   slots 1-11   the eleven rows displaced from the round-10 window
+#   slots 1-2    the two NEW round-11 oracle rows (stream_gram_census,
+#                dsir_shared_grams — never driver-certified, so they
+#                sort first),
+#   slots 3-13   the eleven rows displaced from the round-10 window
 #                (last driver-certified round 7): w1_rank and
 #                w2_intervals were pinned at the r10 list tail, the
 #                other nine follow in their prior relative order,
-#   slots 12-50  the oldest 39 of the 50 rows last certified in round
-#                8, in their prior relative order. The eleven r8 rows
-#                that did not fit (mixture_sample, cluster_balanced,
-#                lm_perplexity, doc_chunks, related_docs,
-#                stream_stream_join, f5_outlier_removal,
-#                e10_quantile_bucket, p1_left_pad, e10_quantile_approx,
-#                sketch_distinct_rollup) lead the r12 rotation.
+#   slots 14-50  the oldest 37 of the 50 rows last certified in round
+#                8, in their prior relative order. The displaced
+#                seq_pack_offset/seq_pack_nextfit (pinned at this
+#                list's tail) plus the eleven r8 rows that did not fit
+#                (mixture_sample, cluster_balanced, lm_perplexity,
+#                doc_chunks, related_docs, stream_stream_join,
+#                f5_outlier_removal, e10_quantile_bucket, p1_left_pad,
+#                e10_quantile_approx, sketch_distinct_rollup) lead the
+#                r12 rotation.
 _R11_WINDOW = [
+    "stream_gram_census",
+    "dsir_shared_grams",
     "w1_rank",
     "w2_intervals",
     "f1_history_window",
@@ -2897,6 +2953,9 @@ _R11_WINDOW = [
     "pii_redact",
     "decontaminate",
     "bm25_search",
+    # slots 51-52 — displaced when stream_gram_census and
+    # dsir_shared_grams entered the window; pinned here so they lead
+    # the r12 rotation's round-8 tie group (ties keep queries() order)
     "seq_pack_offset",
     "seq_pack_nextfit",
 ]
@@ -2905,7 +2964,7 @@ _R11_WINDOW = [
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver contract: the correctness gate certifies the FIRST 50 entries.
 
-    161 of the 189 queries carry DuckDB oracles (159 full + the two
+    163 of the 191 queries carry DuckDB oracles (161 full + the two
     bounded sketch certificates) — more than one 50-slot window holds —
     so certification rotates across rounds (COVERAGE.md maps which
     round certified which row; tools/check_correctness.py re-runs the
@@ -3135,6 +3194,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_near_dup_auto": q_emb_near_dup_auto,
         "bpe_tokenize": q_bpe_tokenize,
         "simsearch_topk_pq": q_simsearch_topk_pq,
+        "stream_gram_census": q_stream_gram_census,
+        "dsir_shared_grams": q_dsir_shared_grams,
     }
     ordered = {n: base[n] for n in _R11_WINDOW}
     ordered.update((n, f) for n, f in base.items() if n not in ordered)
@@ -5707,6 +5768,21 @@ WHERE doc_id NOT IN (SELECT doc_id FROM ranked WHERE rn > 1)""",
     # oracles — compositional equality IS the thing being certified
     # (hashes must equal the independent duplicated_spans /
     # trim_duplicated_spans runs).
+    # the gram-table-fed DSIR must select the identical set with the
+    # identical weights as the raw-text path — its oracle IS dsir_select's
+    o["dsir_shared_grams"] = o["dsir_select"]
+    # streaming census fold invariant: the drained streaming-aggregation
+    # state equals the one-shot full-corpus word-4-gram census
+    o["stream_gram_census"] = r"""
+WITH tok AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+  FROM documents),
+g AS (
+  SELECT md5(array_to_string(t[i:i+3], ' ')) AS h
+  FROM tok, unnest(range(1, len(t) - 2)) AS r(i)
+  WHERE len(t) >= 4)
+SELECT h AS gram_hash, count(*)::bigint AS cnt, 4 AS gram_n
+FROM g GROUP BY h"""
     o["span_shared_grams"] = f"""
 WITH __census AS ({o['duplicated_spans']}),
 __trim AS ({o['trim_duplicated_spans']})

@@ -173,10 +173,43 @@ def dsir_log_ratios(target: DataFrame, raw: DataFrame,
         F.round(lr * _DSIR_FX).cast("long").alias("log_ratio_fx"))
 
 
+def _doc_bucket_arrays(uni: DataFrame, bi: DataFrame | None, id_col: str,
+                       n_buckets: int, include_bigrams: bool) -> DataFrame:
+    """Per-doc DSIR bucket arrays ``(id, __b: array<int>)`` derived from
+    persisted :func:`~caspr_spark.llm.dedup.gram_table` featurizations
+    (``n=1``, plus ``n=2`` when ``include_bigrams``) instead of
+    re-tokenizing raw text. A DSIR bucket is a pure function of the
+    gram's md5 (first 8 hex nibbles mod ``n_buckets``) and the gram
+    table stores exactly those md5s, so the bucket multiset per doc —
+    and every downstream count, ratio, and score — is bit-identical to
+    the raw-text path (:func:`_gram_buckets`); the tables' widths are
+    verified in-plan (``_check_gram_n``). One doc-keyed equi-join
+    stitches the two widths (doc-cardinality rows, array payloads —
+    no gram-cardinality shuffle)."""
+    from caspr_spark.llm.dedup import _check_gram_n
+
+    u = _check_gram_n(uni, 1).select(F.col(id_col),
+                                     F.col("__hs").alias("__hu"))
+    if include_bigrams:
+        b2 = _check_gram_n(bi, 2).select(F.col(id_col),
+                                         F.col("__hs").alias("__hb"))
+        joined = u.join(b2, on=id_col)
+        hs = F.concat(F.col("__hu"), F.col("__hb"))
+    else:
+        joined, hs = u, F.col("__hu")
+    nb = F.lit(n_buckets)
+    bucket = F.transform(
+        hs, lambda h: (F.conv(F.substring(h, 1, 8), 16, 10)
+                        .cast("long") % nb).cast("int"))
+    return joined.select(F.col(id_col), bucket.alias("__b"))
+
+
 def dsir_select(raw: DataFrame, target: DataFrame, k: int,
                 id_col: str = "doc_id", text_col: str = "text",
                 n_buckets: int = 1024, alpha: float = 1.0,
-                include_bigrams: bool = True, seed: int = 42) -> DataFrame:
+                include_bigrams: bool = True, seed: int = 42,
+                raw_grams_uni: DataFrame | None = None,
+                raw_grams_bi: DataFrame | None = None) -> DataFrame:
     """DSIR data selection: keep the ``k`` raw documents importance-
     resampled toward the target distribution (Xie et al. 2023).
 
@@ -200,19 +233,47 @@ def dsir_select(raw: DataFrame, target: DataFrame, k: int,
     count, a broadcast equi-join, one id-keyed exact integer sum, and a
     ``TakeOrdered`` top-k — no corpus-sized sort, no driver
     materialization beyond k rows.
+
+    ``raw_grams_uni`` / ``raw_grams_bi`` feed the raw side from
+    persisted :func:`~caspr_spark.llm.dedup.gram_table` featurizations
+    (built at ``n=1`` and ``n=2``) instead of re-tokenizing
+    ``raw[text_col]`` — the round-11 amortization: a curation pipeline
+    running DSIR next to decontamination and the span census pays the
+    tokenize+hash scan once. Results are bit-identical to the raw-text
+    path (:func:`_doc_bucket_arrays`), and both raw passes (bucket
+    census + per-doc counts) then read the tables, not the text.
     """
     if k <= 0:
         raise ValueError(f"k must be > 0, got {k}")
+    if raw_grams_uni is None and raw_grams_bi is not None:
+        raise ValueError("raw_grams_bi given without raw_grams_uni")
     # the raw corpus is deliberately scanned twice (once for the bucket
     # census, once for the per-doc counts): both passes pipeline freely
     # and stay map-side-combined. Persisting the (id, bucket, cnt)
     # relation to share one scan was MEASURED SLOWER at sf1 (70 s vs
     # 40 s) — the materialization barrier costs more than the re-scan.
-    ratios = dsir_log_ratios(target, raw, text_col, n_buckets,
-                             alpha, include_bigrams)
-    b = _gram_buckets(F.col(text_col), n_buckets, include_bigrams)
-    doc_buckets = (raw.select(F.col(id_col),
-                              F.explode(b).alias("bucket"))
+    # (The gram-table path keeps the same two-pass shape; it removes the
+    # tokenize+md5 COMPUTE, not the second pass.)
+    if raw_grams_uni is not None:
+        if include_bigrams and raw_grams_bi is None:
+            raise ValueError("include_bigrams=True needs raw_grams_bi "
+                             "(a gram_table built with n=2)")
+        per_doc = _doc_bucket_arrays(raw_grams_uni, raw_grams_bi, id_col,
+                                     n_buckets, include_bigrams)
+        raw_counts = (per_doc.select(F.explode("__b").alias("bucket"))
+                      .groupBy("bucket")
+                      .agg(F.count(F.lit(1)).cast("long").alias("__rc")))
+        ratios = dsir_log_ratios(target, raw, text_col, n_buckets, alpha,
+                                 include_bigrams,
+                                 raw_bucket_counts=raw_counts)
+        exploded = per_doc.select(F.col(id_col),
+                                  F.explode("__b").alias("bucket"))
+    else:
+        ratios = dsir_log_ratios(target, raw, text_col, n_buckets,
+                                 alpha, include_bigrams)
+        b = _gram_buckets(F.col(text_col), n_buckets, include_bigrams)
+        exploded = raw.select(F.col(id_col), F.explode(b).alias("bucket"))
+    doc_buckets = (exploded
                       .groupBy(id_col, "bucket")
                       .agg(F.count(F.lit(1)).cast("long").alias("__cnt")))
     scores = (doc_buckets.join(F.broadcast(ratios), on="bucket")

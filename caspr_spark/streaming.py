@@ -362,6 +362,45 @@ def streaming_dedup_against_history(stream: DataFrame,
             .drop("__k"))
 
 
+def streaming_gram_census(stream: DataFrame, id_col: str = "doc_id",
+                          text_col: str = "text", n: int = 8) -> DataFrame:
+    """STREAMING substring-census fold: the continuous form of
+    ``llm.dedup.build_gram_census`` / ``append_gram_census`` — a
+    document stream's word-``n``-gram occurrence counts maintained as
+    streaming aggregation state, one ``(gram_hash, cnt, gram_n)`` row
+    per distinct gram.
+
+    The batch fold is a pure per-hash sum, associative and commutative
+    by construction (dedup.py:584 docstring) — which is exactly the
+    contract a Structured Streaming aggregation needs: each micro-batch
+    explodes its own documents' positional grams (``_positional_grams``
+    — the SAME gram definition as every span operator, so the streamed
+    census feeds ``duplicated_spans_incremental`` /
+    ``trim_duplicated_spans_incremental`` unchanged) and the built-in
+    ``groupBy(hash).count`` folds them into state. The drained state is
+    therefore row-identical to a one-shot full-corpus
+    ``build_gram_census`` REGARDLESS of how documents split into
+    micro-batches or in what order they arrive — the
+    ``stream_dedup_history`` oracle discipline, pinned by the
+    batch-boundary-independence test and the full-corpus oracle.
+
+    No watermark, deliberately: a census is a monotone ALL-TIME
+    aggregate (history grams must keep counting), so state grows with
+    gram cardinality — the same hash-only, text-free footprint as the
+    persisted batch census, orders of magnitude smaller than the
+    corpus. Run it in ``update`` mode with a stateful sink (or
+    ``foreachBatch`` + ``append_gram_census`` onto the parquet state
+    table) in production; ``complete`` + memory sink in tests."""
+    from caspr_spark.llm.dedup import _positional_grams
+
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    _, grams = _positional_grams(stream, id_col, text_col, n)
+    return (grams.groupBy(F.col("__h").alias("gram_hash"))
+                 .agg(F.count(F.lit(1)).alias("cnt"))
+                 .withColumn("gram_n", F.lit(n).cast("int")))
+
+
 def run_to_memory(streaming_df: DataFrame, name: str,
                   output_mode: str = "complete",
                   timeout_sec: int = 120) -> DataFrame:

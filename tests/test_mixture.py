@@ -256,3 +256,55 @@ class TestDsirPythonModel:
         for g, w in zip(got, want):
             assert g[1] == w[1], (g, w)         # exact fixed-point log_w
             assert abs(g[2] - w[2]) <= 1e-6     # key: one float ln-ln
+
+
+class TestDsirSharedGrams:
+    """Round-11: dsir_select fed from persisted n=1/n=2 gram tables
+    must reproduce the raw-text path bit-for-bit (a DSIR bucket is a
+    pure function of the gram md5 the tables store)."""
+
+    def test_gram_table_path_identical(self, documents):
+        from caspr_spark.llm.dedup import gram_table
+        from caspr_spark.llm.mixture import dsir_select
+        target = documents.filter(F.col("lang") == "en")
+        kw = dict(k=25, id_col="doc_id", text_col="text", n_buckets=64,
+                  alpha=1.0, include_bigrams=True, seed=7)
+        want = [tuple(r) for r in
+                dsir_select(documents, target, **kw).collect()]
+        got = [tuple(r) for r in
+               dsir_select(documents, target, **kw,
+                           raw_grams_uni=gram_table(documents, n=1),
+                           raw_grams_bi=gram_table(documents, n=2))
+               .collect()]
+        assert got == want
+
+    def test_unigram_only_path_identical(self, documents):
+        from caspr_spark.llm.dedup import gram_table
+        from caspr_spark.llm.mixture import dsir_select
+        target = documents.filter(F.col("lang") == "en")
+        kw = dict(k=25, n_buckets=64, include_bigrams=False, seed=7)
+        want = [tuple(r) for r in
+                dsir_select(documents, target, **kw).collect()]
+        got = [tuple(r) for r in
+               dsir_select(documents, target, **kw,
+                           raw_grams_uni=gram_table(documents, n=1))
+               .collect()]
+        assert got == want
+
+    def test_width_and_arg_guards(self, documents):
+        import pytest
+        from caspr_spark.llm.dedup import gram_table
+        from caspr_spark.llm.mixture import dsir_select
+        target = documents.limit(5)
+        with pytest.raises(ValueError, match="raw_grams_bi"):
+            dsir_select(documents, target, k=5,
+                        raw_grams_uni=gram_table(documents, n=1))
+        with pytest.raises(ValueError, match="raw_grams_uni"):
+            dsir_select(documents, target, k=5,
+                        raw_grams_bi=gram_table(documents, n=2))
+        # wrong-width table fails loudly at execution (in-plan guard)
+        wrong = dsir_select(documents, target, k=5,
+                            raw_grams_uni=gram_table(documents, n=2),
+                            raw_grams_bi=gram_table(documents, n=2))
+        with pytest.raises(Exception, match="gram_table built with n=2"):
+            wrong.collect()

@@ -404,3 +404,53 @@ class TestStreamingDedupAgainstHistory:
                                           pdf["doc_id"].astype(str)))
         assert keyset(a) == keyset(b)
         assert len(a) == len(b)
+
+
+class TestStreamingGramCensus:
+    """Round-11: the streaming span census — the associative census
+    fold surfaced as a built-in streaming aggregation."""
+
+    def _drain(self, spark, docs, path, files_per_trigger, name):
+        from caspr_spark.streaming import (run_to_memory,
+                                           streaming_gram_census)
+        docs.repartition(6).write.mode("overwrite").parquet(str(path))
+        stream = (spark.readStream.schema(docs.schema)
+                  .option("maxFilesPerTrigger", files_per_trigger)
+                  .parquet(str(path)))
+        tbl = run_to_memory(streaming_gram_census(stream, n=3),
+                            name, "complete")
+        return {r["gram_hash"]: (r["cnt"], r["gram_n"])
+                for r in tbl.collect()}
+
+    def _docs(self, spark):
+        rows = [(i, f"w{i % 4} w{(i + 1) % 4} w{(i + 2) % 4} tail{i}")
+                for i in range(120)]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_matches_batch_census(self, spark, tmp_path):
+        """Drained streaming state == one-shot build_gram_census."""
+        from caspr_spark.llm.dedup import build_gram_census
+        docs = self._docs(spark)
+        got = self._drain(spark, docs, tmp_path / "s", 1, "t_sgc_batch")
+        want = {r["gram_hash"]: (r["cnt"], r["gram_n"])
+                for r in build_gram_census(docs, n=3).collect()}
+        assert got == want
+
+    def test_batch_boundary_independence(self, spark, tmp_path):
+        """1-file and 6-file triggers must reach the identical census —
+        the associative-fold contract."""
+        docs = self._docs(spark)
+        a = self._drain(spark, docs, tmp_path / "a", 1, "t_sgc_a")
+        b = self._drain(spark, docs, tmp_path / "b", 6, "t_sgc_b")
+        assert a == b
+
+    def test_width_and_null_text(self, spark, tmp_path):
+        """gram_n rides as data; null/short texts contribute nothing
+        (the span family's NULL passthrough contract)."""
+        docs = spark.createDataFrame(
+            [(1, "a b c d"), (2, None), (3, "x y")],
+            "doc_id long, text string")
+        got = self._drain(spark, docs, tmp_path / "n", 1, "t_sgc_null")
+        assert all(gn == 3 for _, gn in got.values())
+        assert len(got) == 2  # 'a b c' and 'b c d' only
+        assert all(c == 1 for c, _ in got.values())
