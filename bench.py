@@ -120,6 +120,17 @@ EXTENDED_QUERIES = [
     "rfm_scores",
     "sorted_neighborhood",
     "cm_frequency_rollup",
+    # round-11 (r10 verdict item 7): the round-10 span-family additions
+    # enter the extended lane — the shared-gram composition and the two
+    # incremental census/trim operators (headline stays frozen for
+    # baseline comparability; first recorded round-over-round delta is
+    # vs their SCALING_r10.md timings)
+    "span_shared_grams",
+    "span_census_incremental",
+    "span_trim_incremental",
+    # round-11 additions, timed from birth
+    "stream_gram_census",
+    "dsir_shared_grams",
 ]
 
 

@@ -24,12 +24,27 @@ Operators report their persisted handles through :func:`register_cache`,
 which is a no-op when no scope is active — one-shot callers keep the
 exact LRU behavior they had. Scopes nest; each handle is released by the
 innermost scope active when it was created. The contract is that results
-are MATERIALIZED inside the scope. For persist-backed results an escaped
-un-collected DataFrame still recomputes its (correct) lineage without
-the cache; for CHECKPOINT-backed results (the iterative operators —
-PageRank, connected components — register :class:`CheckpointHandle`
-releases) there is no lineage to recompute: an escaped result collected
-after scope exit raises, by design — materialize inside the scope.
+are MATERIALIZED inside the scope. For MOST persist-backed results an
+escaped un-collected DataFrame still recomputes its (correct) lineage
+without the cache; for CHECKPOINT-backed results (the iterative
+operators — PageRank, connected components — register
+:class:`CheckpointHandle` releases) there is no lineage to recompute: an
+escaped result collected after scope exit raises, by design —
+materialize inside the scope.
+
+**Exception to the recompute-correctly rule**: results carrying
+DRIVER-COLLECTED values derived from a persisted frame —
+``global_running_sum``'s per-partition offsets and everything built on
+it (``stratified_sample_exact``, ``downsample_to_cap``,
+``ntile_distributed``/RFM, ``pack_sequences_offset``,
+``sorted_neighborhood``, exact ROC-AUC) — are NOT safe to escape: if the
+scope releases the range-partitioned frame before materialization,
+recomputation re-samples the range boundaries while the baked-in offsets
+describe the old ones, yielding silently wrong rows, not an error. Those
+results MUST be materialized inside the scope (their docstrings repeat
+this); there is deliberately no checkpoint fallback — the loud-fail
+variant would put a lineage-truncating checkpoint on the hot path every
+call to guard a contract violation.
 """
 
 from __future__ import annotations

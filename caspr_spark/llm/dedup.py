@@ -677,6 +677,18 @@ def trim_duplicated_spans_incremental(batch: DataFrame, census: DataFrame,
             "trim_duplicated_spans_incremental needs a first-occurrence-"
             "tracking census — build it with build_gram_census(..., "
             "track_first=True)")
+    # the least(struct) arbitration compares the census's first_id
+    # against the batch's id column; a type mismatch would otherwise
+    # surface only at execution (or as a silent implicit cast) — fail
+    # up front with the actual types (round-11 ADVICE fix)
+    c_t = census.schema["first_id"].dataType
+    b_t = batch.schema[id_col].dataType
+    if c_t != b_t:
+        raise ValueError(
+            f"census first_id type {c_t.simpleString()} does not match "
+            f"batch {id_col!r} type {b_t.simpleString()} — the keep-first "
+            "least(struct) arbitration needs identical id types; rebuild "
+            "the census from the same id domain (or cast the batch id).")
     base, grams = _positional_grams(batch, id_col, text_col, n)
     occ = F.struct(F.col(id_col).alias("__fi"), F.col("__pos").alias("__fp"))
     batch_agg = grams.groupBy("__h").agg(
@@ -767,6 +779,28 @@ def _check_gram_n(table: DataFrame, n: int) -> DataFrame:
         F.lit(True)))
 
 
+_GRAM_TABLE_COLS = ("__t", "n_tokens", "n_grams", "__hs", "gram_n")
+
+
+def _is_gram_table(df: DataFrame, id_col: str) -> bool:
+    """True iff ``df`` is a :func:`gram_table` featurization. Detection
+    keys on the reserved ``__hs`` column, but a PARTIAL match — a user
+    corpus that coincidentally carries ``__hs`` without the rest of the
+    gram_table schema — raises instead of being silently consumed as
+    featurized (round-11 ADVICE fix)."""
+    if "__hs" not in df.columns:
+        return False
+    missing = [c for c in (id_col, *_GRAM_TABLE_COLS)
+               if c not in df.columns]
+    if missing:
+        raise ValueError(
+            "input carries the reserved gram_table column '__hs' but is "
+            f"missing {missing} — not a gram_table(id_col={id_col!r}). "
+            "Rename the column, or pass the full gram_table "
+            "featurization.")
+    return True
+
+
 def _positional_grams(df: DataFrame, id_col: str, text_col: str, n: int):
     """``(base, grams)`` for the span operators: ``base`` carries the
     token array plus counts, ``grams`` one (id, pos, md5) row per word
@@ -776,10 +810,11 @@ def _positional_grams(df: DataFrame, id_col: str, text_col: str, n: int):
     construction; the posexplode is the one row-multiplying step).
 
     When ``df`` is already a :func:`gram_table` (detected by its
-    reserved ``__hs`` column), the tokenize+md5 scan is skipped and
+    reserved ``__hs`` column, full schema validated —
+    :func:`_is_gram_table`), the tokenize+md5 scan is skipped and
     both relations derive from the table; the table's ``gram_n`` is
     checked against ``n`` inside the plan."""
-    if "__hs" in df.columns:
+    if _is_gram_table(df, id_col):
         checked = _check_gram_n(df, n)
         base = checked.select(id_col, "__t", "n_tokens", "n_grams")
         grams = (checked.filter(F.col("n_grams") > 0)
@@ -868,8 +903,14 @@ def contamination_fraction(train: DataFrame, benchmark: DataFrame,
     size-guarded (``broadcast_limit`` distinct grams, default
     :data:`BROADCAST_GRAM_LIMIT`): a benchmark that is not actually
     eval-sized degrades to an AQE-planned shuffle semi-join instead of
-    a driver OOM. Either side may be a precomputed :func:`gram_table`
-    (bit-identical results).
+    a driver OOM. **Side effect**: the active guard makes CALLING this
+    function eager — the benchmark gram set is persisted and counted
+    immediately (one eval-sized job before any action on the result)
+    and stays cached until a surrounding
+    :func:`~caspr_spark.cache.cache_scope` exits; construct inside one,
+    or pass ``broadcast_limit=None`` for the side-effect-free
+    unconditional hint. Either side may be a precomputed
+    :func:`gram_table` (bit-identical results).
     """
     base, grams = _positional_grams(train, id_col, text_col, n)
     _, bgrams = _positional_grams(benchmark, id_col, text_col, n)

@@ -202,8 +202,8 @@ def ngram_hashes(df: DataFrame, id_col: str = "doc_id",
     column — the same md5-of-space-joined-gram definition by
     construction): the tokenize+hash scan is skipped and the table's
     ``gram_n`` is verified against ``n`` inside the plan."""
-    if "__hs" in df.columns:
-        from caspr_spark.llm.dedup import _check_gram_n
+    from caspr_spark.llm.dedup import _check_gram_n, _is_gram_table
+    if _is_gram_table(df, id_col):
         return (_check_gram_n(df, n)
                 .select(F.col(id_col), F.explode("__hs").alias("gram_hash")))
     grams = _word_ngrams(_words(F.col(text_col)), n)
@@ -232,9 +232,18 @@ def decontaminate(train: DataFrame, benchmark: DataFrame,
     the hint applies only while the benchmark's distinct gram count
     stays under it — a mis-sized "benchmark" (or swapped argument
     order) degrades to an AQE-planned shuffle semi-join instead of a
-    driver OOM. The count costs one eval-sized job on the persisted
-    gram set; pass ``None`` to restore the unconditional hint when the
-    benchmark is known-small and the extra job matters."""
+    driver OOM.
+
+    **Side effect**: with the guard active (the default), CALLING this
+    function is eager — it persists the benchmark gram set and runs
+    the one eval-sized count job immediately, before any action on the
+    returned DataFrame, and the persisted set stays cached until a
+    surrounding :func:`~caspr_spark.cache.cache_scope` exits (or the
+    LRU/ContextCleaner reclaims it) even if the result is never
+    materialized. Construct inside a ``cache_scope`` (as the bench and
+    correctness drivers do), or pass ``broadcast_limit=None`` to
+    restore the side-effect-free unconditional hint when the benchmark
+    is known-small."""
     from caspr_spark.llm.dedup import _maybe_broadcast_gram_set
 
     bench = ngram_hashes(benchmark, id_col, text_col, n) \

@@ -120,6 +120,10 @@ def stratified_sample_exact(df: DataFrame, stratum_col: str,
     per stratum, lowest-hash-first). Per-stratum rank and size via the
     skew-proof prefix scan (:func:`_stratum_ranked`) — no stratum-keyed
     window, so a hot stratum never serializes into one task.
+
+    Prefix-scan consumer: materialize the result inside the
+    surrounding ``cache_scope`` (see :func:`global_running_sum`'s
+    stale-offset note — an escaped result can silently re-sample).
     """
     ranked = _stratum_ranked(df, stratum_col, _hash_col(id_cols, seed))
     if isinstance(fractions, dict):
@@ -160,6 +164,13 @@ def global_running_sum(df: DataFrame, value_col: str, order_by: list,
     pinning the data is what makes the two passes coherent) — callers
     streaming 100 TB through this should expect one disk-backed
     materialization, the same cost Spark's own ``zipWithIndex`` pays.
+    **Materialize the result while that persist is alive** (inside the
+    surrounding :func:`~caspr_spark.cache.cache_scope`, or before LRU
+    eviction): the per-partition offsets are DRIVER-COLLECTED against
+    the pinned range boundaries, so if the frame is released first,
+    recomputation re-samples the boundaries under the stale offsets and
+    the result is silently wrong — the one exception to cache.py's
+    escaped-results-recompute-correctly rule (documented there).
     ``order_by`` takes column names or Column sort expressions
     (``F.col("q").desc()``). Null ``value_col`` rows add 0.
     """
@@ -237,7 +248,9 @@ def downsample_to_cap(df: DataFrame, stratum_col: str, cap: int,
     skew-proof prefix-scan rank (:func:`_stratum_ranked`): the operator
     exists BECAUSE one stratum dominates the corpus, which is exactly
     the key a stratum-partitioned window would serialize into one
-    task."""
+    task. Prefix-scan consumer: materialize the result inside the
+    surrounding ``cache_scope`` (see :func:`global_running_sum`'s
+    stale-offset note)."""
     if cap < 0:
         raise ValueError(f"cap must be >= 0, got {cap}")
     ranked = _stratum_ranked(df, stratum_col, _hash_col(id_cols, seed))

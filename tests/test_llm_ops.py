@@ -1158,3 +1158,48 @@ class TestSpanFamilyNullText:
         i = {r["doc_id"]: r for r in duplicated_spans_incremental(
             docs.filter("doc_id > 1"), census, n=3).collect()}
         assert i[2]["n_tokens"] is None and i[3]["n_dup_grams"] == 2
+
+
+class TestAdviceGuardsR11:
+    """Round-11 ADVICE fixes: partial gram_table schemas raise instead
+    of silently consuming a coincidental __hs column; an id-type
+    mismatch between a first-occurrence census and a batch fails up
+    front with the types named."""
+
+    def test_partial_hs_column_raises(self, spark):
+        import pytest
+        from caspr_spark.llm.dedup import duplicated_spans
+        trap = spark.createDataFrame(
+            [(1, "a b c", "x")], "doc_id long, text string, __hs string")
+        with pytest.raises(ValueError, match="missing.*not a gram_table"):
+            duplicated_spans(trap, n=2)
+
+    def test_partial_hs_raises_in_ngram_hashes(self, spark):
+        import pytest
+        from caspr_spark.llm.filtering import ngram_hashes
+        trap = spark.createDataFrame(
+            [(1, "a b c", "x")], "doc_id long, text string, __hs string")
+        with pytest.raises(ValueError, match="not a gram_table"):
+            ngram_hashes(trap, "doc_id", "text", 2)
+
+    def test_full_gram_table_still_detected(self, spark):
+        from caspr_spark.llm.dedup import duplicated_spans, gram_table
+        docs = spark.createDataFrame(
+            [(1, "a b c a b c"), (2, "a b c d")], "doc_id long, text string")
+        direct = {tuple(r) for r in duplicated_spans(docs, n=3).collect()}
+        via = {tuple(r) for r in
+               duplicated_spans(gram_table(docs, n=3), n=3).collect()}
+        assert via == direct
+
+    def test_census_id_type_mismatch_raises_up_front(self, spark):
+        import pytest
+        from caspr_spark.llm.dedup import (build_gram_census,
+                                           trim_duplicated_spans_incremental)
+        hist = spark.createDataFrame(
+            [("a", "x y z w")], "doc_id string, text string")
+        census = build_gram_census(hist, n=3, track_first=True)
+        batch = spark.createDataFrame(
+            [(2, "x y z w")], "doc_id long, text string")
+        with pytest.raises(ValueError,
+                           match="first_id type string.*bigint"):
+            trim_duplicated_spans_incremental(batch, census, n=3)
