@@ -2185,6 +2185,25 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+def q_dedup_minhash_portable(spark, sf_dir):
+    """MinHash LSH near-dup pairs with the PORTABLE hash family
+    (dedup.py minhash_lsh_dedup hash_family='portable' — round 11):
+    base shingle hashes are the top 60 bits of md5 / md5('1|'||s) mod
+    the Mersenne prime, band keys the raw slot-concat strings — every
+    stage (signatures, banding, candidates, exact-Jaccard verification,
+    threshold) reproducible OUTSIDE Spark, so the full LSH pipeline
+    gets a real DuckDB oracle instead of the xxhash64 family's
+    rows-only check. 16 hashes x 8 bands keeps the generated 16-slot
+    oracle compact; candidate recall differs from the 64x16 default by
+    construction (different S-curve), which is fine — the certificate
+    is hash-EXACTNESS of this parameterization, not recall parity."""
+    docs = _t(spark, sf_dir, "documents")
+    _, pairs = minhash_lsh_dedup(docs, "doc_id", "text", num_hashes=16,
+                                 bands=8, shingle_size=3, threshold=0.2,
+                                 hash_family="portable")
+    return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
 def q_dedup_components(spark, sf_dir):
     """Connected components over the near-dup pair graph — iterative
     min-label propagation, oracle-checked against DuckDB's recursive CTE
@@ -2886,25 +2905,26 @@ def q_stream_gram_census(spark, sf_dir):
 # (verified by tools/gen_window.py against the CORRECTNESS_r*.json
 # records — note the round-10 glob fix: "r0*.json" never matched
 # CORRECTNESS_r10.json, so the tool now globs "r*.json"):
-#   slots 1-2    the two NEW round-11 oracle rows (stream_gram_census,
-#                dsir_shared_grams — never driver-certified, so they
-#                sort first),
-#   slots 3-13   the eleven rows displaced from the round-10 window
+#   slots 1-3    the three NEW round-11 oracle rows (stream_gram_census,
+#                dsir_shared_grams, dedup_minhash_portable — never
+#                driver-certified, so they sort first),
+#   slots 4-14   the eleven rows displaced from the round-10 window
 #                (last driver-certified round 7): w1_rank and
 #                w2_intervals were pinned at the r10 list tail, the
 #                other nine follow in their prior relative order,
-#   slots 14-50  the oldest 37 of the 50 rows last certified in round
+#   slots 15-50  the oldest 36 of the 50 rows last certified in round
 #                8, in their prior relative order. The displaced
-#                seq_pack_offset/seq_pack_nextfit (pinned at this
-#                list's tail) plus the eleven r8 rows that did not fit
-#                (mixture_sample, cluster_balanced, lm_perplexity,
-#                doc_chunks, related_docs, stream_stream_join,
-#                f5_outlier_removal, e10_quantile_bucket, p1_left_pad,
-#                e10_quantile_approx, sketch_distinct_rollup) lead the
-#                r12 rotation.
+#                bm25_search/seq_pack_offset/seq_pack_nextfit (pinned
+#                at this list's tail) plus the eleven r8 rows that did
+#                not fit (mixture_sample, cluster_balanced,
+#                lm_perplexity, doc_chunks, related_docs,
+#                stream_stream_join, f5_outlier_removal,
+#                e10_quantile_bucket, p1_left_pad, e10_quantile_approx,
+#                sketch_distinct_rollup) lead the r12 rotation.
 _R11_WINDOW = [
     "stream_gram_census",
     "dsir_shared_grams",
+    "dedup_minhash_portable",
     "w1_rank",
     "w2_intervals",
     "f1_history_window",
@@ -2952,10 +2972,11 @@ _R11_WINDOW = [
     "text_repetition",
     "pii_redact",
     "decontaminate",
+    # slots 51-53 — displaced when stream_gram_census,
+    # dsir_shared_grams and dedup_minhash_portable entered the window;
+    # pinned here so they lead the r12 rotation's round-8 tie group
+    # (ties keep queries() order)
     "bm25_search",
-    # slots 51-52 — displaced when stream_gram_census and
-    # dsir_shared_grams entered the window; pinned here so they lead
-    # the r12 rotation's round-8 tie group (ties keep queries() order)
     "seq_pack_offset",
     "seq_pack_nextfit",
 ]
@@ -2964,7 +2985,7 @@ _R11_WINDOW = [
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver contract: the correctness gate certifies the FIRST 50 entries.
 
-    163 of the 191 queries carry DuckDB oracles (161 full + the two
+    164 of the 192 queries carry DuckDB oracles (162 full + the two
     bounded sketch certificates) — more than one 50-slot window holds —
     so certification rotates across rounds (COVERAGE.md maps which
     round certified which row; tools/check_correctness.py re-runs the
@@ -3196,6 +3217,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simsearch_topk_pq": q_simsearch_topk_pq,
         "stream_gram_census": q_stream_gram_census,
         "dsir_shared_grams": q_dsir_shared_grams,
+        "dedup_minhash_portable": q_dedup_minhash_portable,
     }
     ordered = {n: base[n] for n in _R11_WINDOW}
     ordered.update((n, f) for n, f in base.items() if n not in ordered)
@@ -3705,6 +3727,58 @@ SELECT id_a, id_b, round(jaccard, 6) AS jaccard FROM (
       AS jaccard
   FROM cand c JOIN sh sa ON c.id_a = sa.doc_id JOIN sh sb ON c.id_b = sb.doc_id)
 WHERE jaccard >= 0.2"""
+
+def _minhash_portable_sql(num_hashes: int = 16, bands: int = 8,
+                          threshold: float = 0.2) -> str:
+    """Exact SQL twin of q_dedup_minhash_portable: same md5-60-bit
+    Carter-Wegman base hashes mod the Mersenne prime, same min-slot
+    signatures (one generated min expression per slot), same raw
+    slot-concat band keys, same exact-Jaccard verification and
+    threshold as the Spark plan — every candidate and every survivor
+    is re-derived independently."""
+    p = 2147483647
+    rpb = num_hashes // bands
+    mins = ",\n         ".join(
+        f"min((h1 + {i}*h2) % {p}) AS m{i}" for i in range(num_hashes))
+    band_rows = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, {j} AS band, "
+        + " || ',' || ".join(f"m{j * rpb + i}::VARCHAR" for i in range(rpb))
+        + " AS key FROM sig"
+        for j in range(bands))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+  FROM documents),
+sh AS (
+  SELECT doc_id, list_distinct(
+    CASE WHEN len(t) >= 3
+         THEN list_transform(range(1, len(t) - 1),
+                             i -> array_to_string(t[i:i+2], ' '))
+         ELSE [array_to_string(t, ' ')] END) AS s
+  FROM toks),
+hs AS (
+  SELECT doc_id,
+         ('0x'||substr(md5(g),1,15))::ubigint % {p} AS h1,
+         ('0x'||substr(md5('1|'||g),1,15))::ubigint % {p} AS h2
+  FROM (SELECT doc_id, unnest(s) AS g FROM sh)),
+sig AS (
+  SELECT doc_id,
+         {mins}
+  FROM hs GROUP BY doc_id),
+bk AS (
+{band_rows}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bk a JOIN bk b USING (band, key)
+  WHERE a.doc_id < b.doc_id)
+SELECT id_a, id_b, round(jaccard, 6) AS jaccard FROM (
+  SELECT c.id_a, c.id_b,
+    len(list_filter(sa.s, x -> list_contains(sb.s, x)))::DOUBLE
+      / (len(sa.s) + len(sb.s) - len(list_filter(sa.s, x -> list_contains(sb.s, x))))
+      AS jaccard
+  FROM cand c JOIN sh sa ON c.id_a = sa.doc_id JOIN sh sb ON c.id_b = sb.doc_id)
+WHERE jaccard >= {threshold}"""
+
 
 def _units_sql(src: str = "documents", text: str = "text") -> str:
     """Unit explosion for the corpus-cleaning oracles: literal ' the '
@@ -5389,6 +5463,7 @@ SELECT query_id, vec_id, cosine, CAST(rk AS INT) AS rank FROM (
   FROM s) WHERE rk <= 5""",
         "segment_dec": _dec_sql(),
         "dedup_ngram_jaccard": _NGRAM_PAIRS_SQL,
+        "dedup_minhash_portable": _minhash_portable_sql(),
         "dedup_components": f"""
 WITH RECURSIVE pairs AS ({_NGRAM_PAIRS_SQL}),
 edges AS (SELECT id_a AS src, id_b AS dst FROM pairs

@@ -131,6 +131,7 @@ EXTENDED_QUERIES = [
     # round-11 additions, timed from birth
     "stream_gram_census",
     "dsir_shared_grams",
+    "dedup_minhash_portable",
 ]
 
 

@@ -83,15 +83,44 @@ def _shingles(text_col: str, k: int):
 _MERSENNE31 = 2147483647
 
 
+def _base_hash_pair(col, hash_family: str):
+    """The Carter-Wegman base hashes ``(h1, h2)`` for one shingle.
+
+    ``fast`` (default): ``xxhash64(s)`` / ``xxhash64(s, 1)`` — the
+    cheapest 64-bit hash Spark evaluates JVM-side, but with no DuckDB
+    twin, so results are rows-only-checkable. ``portable``: the top 60
+    bits of ``md5(s)`` / ``md5('1|' || s)`` — ~2-3x the hash cost, but
+    byte-reproducible in ANY engine with md5 (DuckDB twin:
+    ``('0x'||substr(md5(s),1,15))::ubigint % p``), which makes the
+    whole LSH pipeline — candidates, verified pairs, survivors —
+    exactly auditable outside Spark. Both reduce mod the Mersenne
+    prime before the slot arithmetic (see the mod-p note below).
+    """
+    p = F.lit(_MERSENNE31)
+    if hash_family == "fast":
+        return (F.pmod(F.xxhash64(col), p),
+                F.pmod(F.xxhash64(col, F.lit(1)), p))
+    if hash_family == "portable":
+        def md5_60(c):
+            return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+        return (F.pmod(md5_60(col), p),
+                F.pmod(md5_60(F.concat(F.lit("1|"), col)), p))
+    raise ValueError(f"hash_family must be 'fast' or 'portable', "
+                     f"got {hash_family!r}")
+
+
 def minhash_signatures(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
                        num_hashes: int = 64, shingle_size: int = 3,
-                       sig_col: str = "minhash") -> DataFrame:
+                       sig_col: str = "minhash",
+                       hash_family: str = "fast") -> DataFrame:
     """MinHash signatures as ``(id_col, sig_col: array<bigint>)``.
 
     Carter-Wegman family: each shingle is hashed exactly twice
-    (``h1 = xxhash64(s) mod p``, ``h2 = xxhash64(s, 1) mod p``) and the
-    ``num_hashes`` permutations are ``h1 + i*h2`` — so signature slot ``i``
-    is ``min(h1 + i*h2)`` over the doc's shingles.
+    (``h1``/``h2`` per ``hash_family`` — see :func:`_base_hash_pair`;
+    the default is xxhash64-based, ``portable`` is md5-based and
+    engine-reproducible) and the ``num_hashes`` permutations are
+    ``h1 + i*h2`` — so signature slot ``i`` is ``min(h1 + i*h2)`` over
+    the doc's shingles.
 
     Shape notes for scale: explode -> 2 hashes/shingle -> one hash
     aggregate with ``num_hashes`` partial-min expressions. The alternative
@@ -103,20 +132,23 @@ def minhash_signatures(df: DataFrame, id_col: str = "doc_id", text_col: str = "t
     (doc, input partition).
     """
     sh = df.select(F.col(id_col), _shingles(text_col, shingle_size).alias("__shingles"))
-    return _signatures_from_shingles(sh, id_col, num_hashes, sig_col)
+    return _signatures_from_shingles(sh, id_col, num_hashes, sig_col,
+                                     hash_family)
 
 
 def _signatures_from_shingles(sh: DataFrame, id_col: str, num_hashes: int,
-                              sig_col: str = "minhash") -> DataFrame:
+                              sig_col: str = "minhash",
+                              hash_family: str = "fast") -> DataFrame:
     """Signatures from a prepared ``(id, __shingles array)`` DataFrame."""
     p = F.lit(_MERSENNE31)
+    h1, h2 = _base_hash_pair(F.col("__s"), hash_family)
     hashed = sh.select(
         F.col(id_col),
         F.explode("__shingles").alias("__s")
     ).select(
         id_col,
-        F.pmod(F.xxhash64("__s"), p).alias("__h1"),
-        F.pmod(F.xxhash64("__s", F.lit(1)), p).alias("__h2"))
+        h1.alias("__h1"),
+        h2.alias("__h2"))
     # the mod-p reduction per slot is essential: without it the orderings
     # of h1 + i*h2 for large i all collapse to the h2 ordering and the
     # "permutations" stop being min-wise independent (banding S-curve
@@ -130,7 +162,8 @@ def _signatures_from_shingles(sh: DataFrame, id_col: str, num_hashes: int,
 
 def minhash_lsh_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
                       num_hashes: int = 64, bands: int = 16, shingle_size: int = 3,
-                      threshold: float = 0.8, verify: bool = True):
+                      threshold: float = 0.8, verify: bool = True,
+                      hash_family: str = "fast"):
     """Near-dup detection: shingle -> MinHash -> LSH banding -> bucket join.
 
     Returns ``(dedup_df, pairs_df)``: ``pairs_df`` holds candidate pairs
@@ -138,6 +171,20 @@ def minhash_lsh_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "te
     ``dedup_df`` drops every doc that near-matches a lower-id doc (greedy
     survivor rule — at 100 TB the connected-component pass is an iterative
     follow-up job over the tiny pairs table).
+
+    ``hash_family='portable'`` switches the base shingle hashes to the
+    md5 pair (:func:`_base_hash_pair`) AND the band keys from xxhash64
+    to the raw slot-concatenation string — collision-free and
+    reproducible in any engine with md5, so the entire candidate set
+    (not just the verified survivors) is exactly auditable in e.g.
+    DuckDB against the same corpus. Cost: md5 is ~2-3x xxhash64 PER
+    HASH and string band keys are ~5x the bytes of a hashed long
+    through the banding shuffle, but the pipeline is shingle- and
+    verify-bound end-to-end, so the measured premium is +35% at sf0.1
+    shrinking to +4% at sf1 (SCALING_r11.md addendum) — pay it when
+    dedup DECISIONS must be re-derivable outside Spark (compliance
+    audits, cross-engine pipeline parity); the default stays the
+    cheap family.
     """
     from caspr_spark.sources import ensure_parallelism
 
@@ -156,17 +203,22 @@ def minhash_lsh_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "te
         F.col(id_col), _shingles(text_col, shingle_size).alias("__shingles"))
     if verify:
         sh_base = register_cache(sh_base.persist())
-    sigs = _signatures_from_shingles(sh_base, id_col, num_hashes)
+    sigs = _signatures_from_shingles(sh_base, id_col, num_hashes,
+                                     hash_family=hash_family)
 
     # `minhash` is an aggregate output (a materialized attribute), so the
     # band-key slices below just index an in-memory array — no re-hashing.
+    # fast: hash the slot concat down to 8 bytes; portable: keep the raw
+    # concat string (collision-free, engine-reproducible — posexplode's
+    # band index disambiguates across bands on both paths).
+    def _band_key(j):
+        concat = F.concat_ws(",", F.transform(
+            F.slice("minhash", j * rows_per_band + 1, rows_per_band),
+            lambda x: x.cast("string")))
+        return F.xxhash64(concat, j) if hash_family == "fast" else concat
+
     band_keys = F.transform(
-        F.sequence(F.lit(0), F.lit(bands - 1)),
-        lambda j: F.xxhash64(
-            F.concat_ws(",", F.transform(
-                F.slice("minhash", j * rows_per_band + 1, rows_per_band),
-                lambda x: x.cast("string"))),
-            j))
+        F.sequence(F.lit(0), F.lit(bands - 1)), _band_key)
     banded = sigs.select(
         id_col, F.posexplode(band_keys).alias("band", "band_key"))
 

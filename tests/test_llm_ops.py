@@ -91,6 +91,52 @@ class TestMinHash:
                                  _py_shingles(texts[r["id_b"]]))
             assert r["jaccard"] == pytest.approx(expect)
 
+    def test_portable_signatures_match_hashlib(self, dup_docs):
+        """The portable family's whole point is engine-reproducibility:
+        recompute slot minima with pure-python hashlib.md5 (a third
+        engine, independent of both Spark and the DuckDB oracle) and
+        require equality."""
+        import hashlib
+        p = 2147483647
+
+        def md5_60(s):
+            return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+        texts = {r["doc_id"]: r["text"]
+                 for r in dup_docs.select("doc_id", "text").collect()}
+        sigs = {r["doc_id"]: r["minhash"]
+                for r in minhash_signatures(
+                    dup_docs, num_hashes=8,
+                    hash_family="portable").collect()}
+        for doc_id, text in texts.items():
+            hs = [(md5_60(s) % p, md5_60("1|" + s) % p)
+                  for s in _py_shingles(text)]
+            expect = [min((h1 + i * h2) % p for h1, h2 in hs)
+                      for i in range(8)]
+            assert sigs[doc_id] == expect, doc_id
+
+    def test_portable_lsh_verified_pairs(self, dup_docs):
+        """Exact-Jaccard verification is family-independent: any pair
+        the portable banding surfaces must carry the same jaccard the
+        python oracle computes, and exact dups must always collide
+        (identical signatures regardless of family)."""
+        texts = {r["doc_id"]: r["text"]
+                 for r in dup_docs.select("doc_id", "text").collect()}
+        dedup, pairs = minhash_lsh_dedup(dup_docs, num_hashes=16, bands=8,
+                                         threshold=0.4,
+                                         hash_family="portable")
+        got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs.collect()}
+        assert (1, 2) in got and got[(1, 2)] == 1.0
+        for (a, b), j in got.items():
+            assert j == pytest.approx(_py_jaccard(
+                _py_shingles(texts[a]), _py_shingles(texts[b])))
+        kept = {r["doc_id"] for r in dedup.select("doc_id").collect()}
+        assert 1 in kept and 2 not in kept
+
+    def test_unknown_hash_family_raises(self, dup_docs):
+        with pytest.raises(ValueError, match="hash_family"):
+            minhash_signatures(dup_docs, hash_family="sha512")
+
 
 class TestSimHash:
     def test_identical_hash_for_dups(self, dup_docs):

@@ -79,6 +79,16 @@ class TestDedupPlans:
         assert "BatchEvalPython" not in plan
         assert "ArrowEvalPython" not in plan
 
+    def test_minhash_portable_no_python(self, documents):
+        """The md5 family must keep the same JVM-side explode->agg
+        shape — conv/substring/md5 are all codegen built-ins."""
+        from caspr_spark.llm.dedup import minhash_signatures
+        plan = plan_of(minhash_signatures(documents,
+                                          hash_family="portable"))
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
+        assert "xxhash64" not in plan  # genuinely engine-portable
+
     def test_similarity_broadcast_queries(self, embeddings):
         from pyspark.sql import functions as F
         from caspr_spark.llm.similarity import cosine_topk
