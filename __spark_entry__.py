@@ -2222,6 +2222,19 @@ def q_dedup_simhash(spark, sf_dir):
     return simhash(docs).select("doc_id", "simhash")
 
 
+def q_dedup_simhash_portable(spark, sf_dir):
+    """SimHash fingerprints with the PORTABLE hash family (dedup.py
+    simhash hash_family='portable' — round 11): per-token hashes are
+    the top 60 bits of md5, so every one of the 60 per-bit vote sums —
+    and hence every fingerprint — is byte-reproducible outside Spark.
+    The generated DuckDB twin recomputes all 60 vote sums and
+    reassembles the fingerprint; the fast family's xxhash64 table
+    stays rows-only by nature."""
+    docs = _t(spark, sf_dir, "documents")
+    return simhash(docs, bits=60,
+                   hash_family="portable").select("doc_id", "simhash")
+
+
 def q_dedup_ngram_jaccard(spark, sf_dir):
     from caspr_spark.llm.dedup import ngram_jaccard_pairs
     docs = _t(spark, sf_dir, "documents")
@@ -2905,26 +2918,28 @@ def q_stream_gram_census(spark, sf_dir):
 # (verified by tools/gen_window.py against the CORRECTNESS_r*.json
 # records — note the round-10 glob fix: "r0*.json" never matched
 # CORRECTNESS_r10.json, so the tool now globs "r*.json"):
-#   slots 1-3    the three NEW round-11 oracle rows (stream_gram_census,
-#                dsir_shared_grams, dedup_minhash_portable — never
-#                driver-certified, so they sort first),
-#   slots 4-14   the eleven rows displaced from the round-10 window
+#   slots 1-4    the four NEW round-11 oracle rows (stream_gram_census,
+#                dsir_shared_grams, dedup_minhash_portable,
+#                dedup_simhash_portable — never driver-certified, so
+#                they sort first),
+#   slots 5-15   the eleven rows displaced from the round-10 window
 #                (last driver-certified round 7): w1_rank and
 #                w2_intervals were pinned at the r10 list tail, the
 #                other nine follow in their prior relative order,
-#   slots 15-50  the oldest 36 of the 50 rows last certified in round
+#   slots 16-50  the oldest 35 of the 50 rows last certified in round
 #                8, in their prior relative order. The displaced
-#                bm25_search/seq_pack_offset/seq_pack_nextfit (pinned
-#                at this list's tail) plus the eleven r8 rows that did
-#                not fit (mixture_sample, cluster_balanced,
-#                lm_perplexity, doc_chunks, related_docs,
-#                stream_stream_join, f5_outlier_removal,
+#                decontaminate/bm25_search/seq_pack_offset/
+#                seq_pack_nextfit (pinned at this list's tail) plus
+#                the eleven r8 rows that did not fit (mixture_sample,
+#                cluster_balanced, lm_perplexity, doc_chunks,
+#                related_docs, stream_stream_join, f5_outlier_removal,
 #                e10_quantile_bucket, p1_left_pad, e10_quantile_approx,
 #                sketch_distinct_rollup) lead the r12 rotation.
 _R11_WINDOW = [
     "stream_gram_census",
     "dsir_shared_grams",
     "dedup_minhash_portable",
+    "dedup_simhash_portable",
     "w1_rank",
     "w2_intervals",
     "f1_history_window",
@@ -2971,11 +2986,10 @@ _R11_WINDOW = [
     "e7_date_interval",
     "text_repetition",
     "pii_redact",
+    # slots 51-54 — displaced when the four round-11 rows entered the
+    # window; pinned here so they lead the r12 rotation's round-8 tie
+    # group (ties keep queries() order)
     "decontaminate",
-    # slots 51-53 — displaced when stream_gram_census,
-    # dsir_shared_grams and dedup_minhash_portable entered the window;
-    # pinned here so they lead the r12 rotation's round-8 tie group
-    # (ties keep queries() order)
     "bm25_search",
     "seq_pack_offset",
     "seq_pack_nextfit",
@@ -2985,7 +2999,7 @@ _R11_WINDOW = [
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver contract: the correctness gate certifies the FIRST 50 entries.
 
-    164 of the 192 queries carry DuckDB oracles (162 full + the two
+    165 of the 193 queries carry DuckDB oracles (163 full + the two
     bounded sketch certificates) — more than one 50-slot window holds —
     so certification rotates across rounds (COVERAGE.md maps which
     round certified which row; tools/check_correctness.py re-runs the
@@ -3218,6 +3232,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_gram_census": q_stream_gram_census,
         "dsir_shared_grams": q_dsir_shared_grams,
         "dedup_minhash_portable": q_dedup_minhash_portable,
+        "dedup_simhash_portable": q_dedup_simhash_portable,
     }
     ordered = {n: base[n] for n in _R11_WINDOW}
     ordered.update((n, f) for n, f in base.items() if n not in ordered)
@@ -3778,6 +3793,31 @@ SELECT id_a, id_b, round(jaccard, 6) AS jaccard FROM (
       AS jaccard
   FROM cand c JOIN sh sa ON c.id_a = sa.doc_id JOIN sh sb ON c.id_b = sb.doc_id)
 WHERE jaccard >= {threshold}"""
+
+
+def _simhash_portable_sql(bits: int = 60) -> str:
+    """Exact SQL twin of q_dedup_simhash_portable: same md5-60-bit
+    token hashes, same +1/-1 per-bit vote sums (one generated sum per
+    bit), same positive-vote fingerprint assembly."""
+    votes = ",\n         ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(bits))
+    fp = "\n       + ".join(
+        f"CASE WHEN v{b} > 0 THEN {1 << b} ELSE 0 END" for b in range(bits))
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS t
+  FROM documents),
+h AS (
+  SELECT doc_id, ('0x'||substr(md5(t),1,15))::ubigint AS h FROM toks),
+v AS (
+  SELECT doc_id,
+         {votes}
+  FROM h GROUP BY doc_id)
+SELECT doc_id,
+       ({fp})::BIGINT AS simhash
+FROM v"""
 
 
 def _units_sql(src: str = "documents", text: str = "text") -> str:
@@ -5464,6 +5504,7 @@ SELECT query_id, vec_id, cosine, CAST(rk AS INT) AS rank FROM (
         "segment_dec": _dec_sql(),
         "dedup_ngram_jaccard": _NGRAM_PAIRS_SQL,
         "dedup_minhash_portable": _minhash_portable_sql(),
+        "dedup_simhash_portable": _simhash_portable_sql(),
         "dedup_components": f"""
 WITH RECURSIVE pairs AS ({_NGRAM_PAIRS_SQL}),
 edges AS (SELECT id_a AS src, id_b AS dst FROM pairs

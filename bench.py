@@ -132,6 +132,7 @@ EXTENDED_QUERIES = [
     "stream_gram_census",
     "dsir_shared_grams",
     "dedup_minhash_portable",
+    "dedup_simhash_portable",
 ]
 
 

@@ -101,12 +101,17 @@ def _base_hash_pair(col, hash_family: str):
         return (F.pmod(F.xxhash64(col), p),
                 F.pmod(F.xxhash64(col, F.lit(1)), p))
     if hash_family == "portable":
-        def md5_60(c):
-            return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
-        return (F.pmod(md5_60(col), p),
-                F.pmod(md5_60(F.concat(F.lit("1|"), col)), p))
+        return (F.pmod(_md5_60(col), p),
+                F.pmod(_md5_60(F.concat(F.lit("1|"), col)), p))
     raise ValueError(f"hash_family must be 'fast' or 'portable', "
                      f"got {hash_family!r}")
+
+
+def _md5_60(col):
+    """Top 60 bits of md5 as a non-negative bigint — the engine-portable
+    base hash (DuckDB twin: ``('0x'||substr(md5(s),1,15))::ubigint``).
+    conv/substring/md5 are all JVM codegen built-ins."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
 def minhash_signatures(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
@@ -180,11 +185,11 @@ def minhash_lsh_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "te
     DuckDB against the same corpus. Cost: md5 is ~2-3x xxhash64 PER
     HASH and string band keys are ~5x the bytes of a hashed long
     through the banding shuffle, but the pipeline is shingle- and
-    verify-bound end-to-end, so the measured premium is +35% at sf0.1
-    shrinking to +4% at sf1 (SCALING_r11.md addendum) — pay it when
-    dedup DECISIONS must be re-derivable outside Spark (compliance
-    audits, cross-engine pipeline parity); the default stays the
-    cheap family.
+    verify-bound end-to-end, so the measured premium is single-digit
+    (+7-9%, SCALING_r11.md addendum) — pay it when dedup DECISIONS
+    must be re-derivable outside Spark (compliance audits,
+    cross-engine pipeline parity); the default stays the cheap
+    family.
     """
     from caspr_spark.sources import ensure_parallelism
 
@@ -390,7 +395,8 @@ def dedup_keep_best(df: DataFrame, pairs: DataFrame, quality_col: str,
 
 
 def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
-            out_col: str = "simhash", bits: int = 63) -> DataFrame:
+            out_col: str = "simhash", bits: int = 63,
+            hash_family: str = "fast") -> DataFrame:
     """SimHash fingerprints as ``(id_col, out_col: bigint)`` (<= 63 bits).
 
     Per token hash, each bit votes +1/-1; the fingerprint sets bits with a
@@ -399,13 +405,28 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     Same explode -> agg shape as ``minhash_signatures``: each token is
     hashed once and the 63 per-bit vote sums are partial aggregates —
     never a per-bit re-scan of the token array.
+
+    ``hash_family='portable'`` hashes tokens with :func:`_md5_60`
+    instead of xxhash64 — only 60 usable bits (``bits`` must be <= 60)
+    but every fingerprint is byte-reproducible in any engine with md5,
+    so the whole SimHash table gets a real DuckDB oracle (the fast
+    family is rows-only-checkable). Same vote/threshold semantics,
+    same plan shape.
     """
     from caspr_spark.sources import ensure_parallelism
 
+    if hash_family not in ("fast", "portable"):
+        raise ValueError(f"hash_family must be 'fast' or 'portable', "
+                         f"got {hash_family!r}")
+    if hash_family == "portable" and bits > 60:
+        raise ValueError(f"portable simhash carries 60 hash bits, "
+                         f"got bits={bits}")
     toks = ensure_parallelism(df).select(
         F.col(id_col),
         F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("__t"))
-    hashed = toks.select(id_col, F.xxhash64("__t").alias("__h"))
+    tok_hash = (F.xxhash64("__t") if hash_family == "fast"
+                else _md5_60(F.col("__t")))
+    hashed = toks.select(id_col, tok_hash.alias("__h"))
     votes = [F.sum(F.when(F.shiftright(F.col("__h"), b).bitwiseAND(F.lit(1)) == 1,
                           1).otherwise(-1)).alias(f"__v{b}")
              for b in range(bits)]

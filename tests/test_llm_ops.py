@@ -164,6 +164,31 @@ class TestSimHash:
                 expect |= 1 << b
         assert fp == expect
 
+    def test_portable_matches_hashlib(self, dup_docs):
+        """Portable-family fingerprints recomputed with pure-python
+        hashlib.md5 — a third engine, independent of both Spark and
+        the DuckDB oracle."""
+        import hashlib
+        texts = {r["doc_id"]: r["text"]
+                 for r in dup_docs.select("doc_id", "text").collect()}
+        fps = {r["doc_id"]: r["simhash"]
+               for r in simhash(dup_docs, bits=60,
+                                hash_family="portable").collect()}
+        for doc_id, text in texts.items():
+            hs = [int(hashlib.md5(t.encode()).hexdigest()[:15], 16)
+                  for t in text.lower().split()]
+            expect = 0
+            for b in range(60):
+                if sum(1 if (h >> b) & 1 else -1 for h in hs) > 0:
+                    expect |= 1 << b
+            assert fps[doc_id] == expect, doc_id
+
+    def test_portable_bit_and_family_validation(self, dup_docs):
+        with pytest.raises(ValueError, match="60 hash bits"):
+            simhash(dup_docs, bits=63, hash_family="portable")
+        with pytest.raises(ValueError, match="hash_family"):
+            simhash(dup_docs, hash_family="blake3")
+
 
 class TestSimilarity:
     def test_topk_matches_numpy(self, embeddings):

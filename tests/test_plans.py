@@ -89,6 +89,14 @@ class TestDedupPlans:
         assert "ArrowEvalPython" not in plan
         assert "xxhash64" not in plan  # genuinely engine-portable
 
+    def test_simhash_portable_no_python(self, documents):
+        from caspr_spark.llm.dedup import simhash
+        plan = plan_of(simhash(documents, bits=60,
+                               hash_family="portable"))
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
+        assert "xxhash64" not in plan
+
     def test_similarity_broadcast_queries(self, embeddings):
         from pyspark.sql import functions as F
         from caspr_spark.llm.similarity import cosine_topk
