@@ -2140,6 +2140,65 @@ def q_simsearch_topk_pq(spark, sf_dir):
     return pq_search(enc, q, cb, top_k=10)
 
 
+def _pq_fixed_cb(m: int = 8, k: int = 4, dsub: int = 8):
+    """Deterministic codebook + query literals for the PQ certificate
+    (the segment_dec centroid-literal pattern): values on a fixed
+    integer lattice scaled into the embedding range, identical in the
+    Spark query and the generated SQL twin. Certifies pq_encode +
+    pq_search EXACTLY given fitted state; fit_pq itself stays
+    rows-only (iterative KMeans)."""
+    import numpy as np
+    cb = np.empty((m, k, dsub))
+    for j in range(m):
+        for r in range(k):
+            for d in range(dsub):
+                cb[j, r, d] = (((j * 5 + r * 3 + d * 7) % 13) - 6) / 12.0
+    q = np.array([(((d * 11) % 13) - 6) / 12.0 for d in range(m * dsub)])
+    return cb, q
+
+
+def q_simsearch_pq_fixed(spark, sf_dir):
+    """PQ encode + ADC search against FIXED codebook literals (round
+    11): with the fitted state pinned (the rows-only half is only the
+    KMeans fit), the whole quantize-then-search pipeline — per-subspace
+    argmin encode, the driver-side [m,k] distance table, the summed
+    byte-indexed lookups, the (distance, id) top-k — is deterministic
+    arithmetic, so it gets a full DuckDB oracle. The SQL twin embeds
+    the same codebook/query/table literals and mirrors numpy argmin's
+    first-min-wins tie rule; the ADC sum is byte-exact (same float64
+    addition order on identical table literals)."""
+    from caspr_spark.llm.pq import pq_encode, pq_search
+    cb, q = _pq_fixed_cb()
+    emb = _t(spark, sf_dir, "embeddings")
+    codes = pq_encode(emb, cb, vec_col="embedding")
+    return pq_search(codes, q, cb, top_k=25)
+
+
+def _ivf_fixed_centroids(n_cells: int = 8, dim: int = 64):
+    """Deterministic coarse-quantizer literals for the IVF certificate
+    (same lattice family as _pq_fixed_cb)."""
+    return [[(((i * 5 + d * 3) % 13) - 6) / 12.0 for d in range(dim)]
+            for i in range(n_cells)]
+
+
+def q_simsearch_ivf_fixed(spark, sf_dir):
+    """IVF probe search against FIXED centroid literals (round 11 —
+    similarity.py cosine_topk_ivf centroids=...): with the coarse
+    quantizer pinned, cell assignment (left-assoc euclidean² fold,
+    first-min-wins), the per-query 3-of-8 probe ranking, and the exact
+    cosine re-rank are all deterministic arithmetic with a full DuckDB
+    twin — one shared distance CTE serves both the corpus assignment
+    and the probe ranking, since the queries ARE corpus vectors. Only
+    the KMeans fit half (simsearch_topk_ivf) remains rows-only."""
+    from caspr_spark.llm.similarity import cosine_topk_ivf
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    out = cosine_topk_ivf(emb, queries, k=5, n_probe=3,
+                          centroids=_ivf_fixed_centroids())
+    return out.select("query_id", "vec_id", "cosine",
+                      F.col("rank").cast("int").alias("rank"))
+
+
 def q_simsearch_topk_ivf(spark, sf_dir):
     """IVF ANN: KMeans coarse cells + n_probe search (no SQL oracle —
     iterative clustering; rows-only check)."""
@@ -2918,28 +2977,32 @@ def q_stream_gram_census(spark, sf_dir):
 # (verified by tools/gen_window.py against the CORRECTNESS_r*.json
 # records — note the round-10 glob fix: "r0*.json" never matched
 # CORRECTNESS_r10.json, so the tool now globs "r*.json"):
-#   slots 1-4    the four NEW round-11 oracle rows (stream_gram_census,
+#   slots 1-6    the six NEW round-11 oracle rows (stream_gram_census,
 #                dsir_shared_grams, dedup_minhash_portable,
-#                dedup_simhash_portable — never driver-certified, so
-#                they sort first),
-#   slots 5-15   the eleven rows displaced from the round-10 window
+#                dedup_simhash_portable, simsearch_pq_fixed,
+#                simsearch_ivf_fixed — never driver-certified, so they
+#                sort first),
+#   slots 7-17   the eleven rows displaced from the round-10 window
 #                (last driver-certified round 7): w1_rank and
 #                w2_intervals were pinned at the r10 list tail, the
 #                other nine follow in their prior relative order,
-#   slots 16-50  the oldest 35 of the 50 rows last certified in round
+#   slots 18-50  the oldest 33 of the 50 rows last certified in round
 #                8, in their prior relative order. The displaced
-#                decontaminate/bm25_search/seq_pack_offset/
-#                seq_pack_nextfit (pinned at this list's tail) plus
-#                the eleven r8 rows that did not fit (mixture_sample,
-#                cluster_balanced, lm_perplexity, doc_chunks,
-#                related_docs, stream_stream_join, f5_outlier_removal,
-#                e10_quantile_bucket, p1_left_pad, e10_quantile_approx,
-#                sketch_distinct_rollup) lead the r12 rotation.
+#                text_repetition/pii_redact/decontaminate/bm25_search/
+#                seq_pack_offset/seq_pack_nextfit (pinned at this
+#                list's tail) plus the eleven r8 rows that did not fit
+#                (mixture_sample, cluster_balanced, lm_perplexity,
+#                doc_chunks, related_docs, stream_stream_join,
+#                f5_outlier_removal, e10_quantile_bucket, p1_left_pad,
+#                e10_quantile_approx, sketch_distinct_rollup) lead the
+#                r12 rotation.
 _R11_WINDOW = [
     "stream_gram_census",
     "dsir_shared_grams",
     "dedup_minhash_portable",
     "dedup_simhash_portable",
+    "simsearch_pq_fixed",
+    "simsearch_ivf_fixed",
     "w1_rank",
     "w2_intervals",
     "f1_history_window",
@@ -2984,11 +3047,11 @@ _R11_WINDOW = [
     "f6_null_drop",
     "e6_denormalize_roundtrip",
     "e7_date_interval",
-    "text_repetition",
-    "pii_redact",
-    # slots 51-54 — displaced when the four round-11 rows entered the
+    # slots 51-56 — displaced when the six round-11 rows entered the
     # window; pinned here so they lead the r12 rotation's round-8 tie
     # group (ties keep queries() order)
+    "text_repetition",
+    "pii_redact",
     "decontaminate",
     "bm25_search",
     "seq_pack_offset",
@@ -2999,7 +3062,7 @@ _R11_WINDOW = [
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver contract: the correctness gate certifies the FIRST 50 entries.
 
-    165 of the 193 queries carry DuckDB oracles (163 full + the two
+    167 of the 195 queries carry DuckDB oracles (165 full + the two
     bounded sketch certificates) — more than one 50-slot window holds —
     so certification rotates across rounds (COVERAGE.md maps which
     round certified which row; tools/check_correctness.py re-runs the
@@ -3233,6 +3296,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_shared_grams": q_dsir_shared_grams,
         "dedup_minhash_portable": q_dedup_minhash_portable,
         "dedup_simhash_portable": q_dedup_simhash_portable,
+        "simsearch_pq_fixed": q_simsearch_pq_fixed,
+        "simsearch_ivf_fixed": q_simsearch_ivf_fixed,
     }
     ordered = {n: base[n] for n in _R11_WINDOW}
     ordered.update((n, f) for n, f in base.items() if n not in ordered)
@@ -3818,6 +3883,97 @@ v AS (
 SELECT doc_id,
        ({fp})::BIGINT AS simhash
 FROM v"""
+
+
+def _pq_fixed_sql(top_k: int = 25) -> str:
+    """Exact SQL twin of q_simsearch_pq_fixed. Encode: per subspace,
+    the four expanded distances ``-2·sub·c_r + ||c_r||²`` (the exact
+    expression pq_encode evaluates; ||c_r||² embedded as a float64
+    literal) feed a first-min-wins CASE — numpy argmin's tie rule.
+    Search: the chosen ADC table entries (the SAME driver-computed
+    float64 literals pq_search closes over) sum left-to-right, which
+    is bit-for-bit the accumulation order of pq_search's ``d +=``
+    loop, so the rounded distances match exactly."""
+    import numpy as np
+    cb, q = _pq_fixed_cb()
+    m, k, dsub = cb.shape
+    table = np.stack([
+        ((cb[j] - q[j * dsub:(j + 1) * dsub]) ** 2).sum(axis=1)
+        for j in range(m)])
+    dist_cols, adc_terms = [], []
+    for j in range(m):
+        for r in range(k):
+            c = cb[j, r]
+            c2 = float((c ** 2).sum())
+            dot = " + ".join(f"x[{j * dsub + i + 1}]*({c[i]!r})"
+                             for i in range(dsub))
+            dist_cols.append(f"-2*({dot}) + ({c2!r}) AS d{j}_{r}")
+        t = [f"({float(table[j, r])!r})" for r in range(k)]
+        adc_terms.append(
+            f"CASE WHEN d{j}_0 <= least(d{j}_1, d{j}_2, d{j}_3) THEN {t[0]}\n"
+            f"          WHEN d{j}_1 <= least(d{j}_2, d{j}_3) THEN {t[1]}\n"
+            f"          WHEN d{j}_2 <= d{j}_3 THEN {t[2]} ELSE {t[3]} END")
+    dists = ",\n         ".join(dist_cols)
+    adc = "\n       + ".join(adc_terms)
+    return f"""
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings),
+d AS (
+  SELECT vec_id,
+         {dists}
+  FROM v)
+SELECT vec_id,
+       round({adc}, 6) AS adc_distance
+FROM d
+ORDER BY 2 ASC, vec_id ASC
+LIMIT {top_k}"""
+
+
+def _ivf_fixed_sql(k: int = 5, n_probe: int = 3) -> str:
+    """Exact SQL twin of q_simsearch_ivf_fixed. The per-cell
+    euclidean² distances are the same left-associative 64-term sums
+    cosine_topk_ivf's fold evaluates; one ranked (distance, cell)
+    relation serves both the corpus assignment (rn = 1) and the probe
+    ranking (rn <= n_probe over the query subset) — mirroring the
+    (d asc, cell asc) struct sort, i.e. first-min-wins; cosine via
+    list_dot_product (the certified simsearch_topk twin), ranked on
+    the ROUNDED value exactly as the Spark window does."""
+    cents = _ivf_fixed_centroids()
+    dim = len(cents[0])
+    d_exprs = ",\n         ".join(
+        " + ".join(f"(x[{j + 1}]-({c[j]!r}))*(x[{j + 1}]-({c[j]!r}))"
+                   for j in range(dim)) + f" AS d{i}"
+        for i, c in enumerate(cents))
+    unions = "\n    UNION ALL ".join(
+        f"SELECT vec_id, x, {i} AS cell, d{i} AS dd FROM d"
+        for i in range(len(cents)))
+    return f"""
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings),
+d AS (
+  SELECT vec_id, x,
+         {d_exprs}
+  FROM v),
+r AS (
+  SELECT vec_id, x, cell,
+         row_number() OVER (PARTITION BY vec_id ORDER BY dd, cell) AS rn
+  FROM ({unions})),
+a AS (SELECT vec_id, x, cell FROM r WHERE rn = 1),
+p AS (SELECT vec_id AS query_id, x AS qv, cell
+      FROM r WHERE rn <= {n_probe} AND vec_id < 5),
+s AS (
+  SELECT p.query_id, a.vec_id,
+         round(list_dot_product(p.qv, a.x)
+               / (sqrt(list_dot_product(p.qv, p.qv))
+                  * sqrt(list_dot_product(a.x, a.x))), 6) AS cosine
+  FROM a JOIN p USING (cell)
+  WHERE a.vec_id <> p.query_id)
+SELECT query_id, vec_id, cosine, rank::INT AS rank FROM (
+  SELECT query_id, vec_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM s)
+WHERE rank <= {k}"""
 
 
 def _units_sql(src: str = "documents", text: str = "text") -> str:
@@ -5505,6 +5661,8 @@ SELECT query_id, vec_id, cosine, CAST(rk AS INT) AS rank FROM (
         "dedup_ngram_jaccard": _NGRAM_PAIRS_SQL,
         "dedup_minhash_portable": _minhash_portable_sql(),
         "dedup_simhash_portable": _simhash_portable_sql(),
+        "simsearch_pq_fixed": _pq_fixed_sql(),
+        "simsearch_ivf_fixed": _ivf_fixed_sql(),
         "dedup_components": f"""
 WITH RECURSIVE pairs AS ({_NGRAM_PAIRS_SQL}),
 edges AS (SELECT id_a AS src, id_b AS dst FROM pairs

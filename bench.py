@@ -133,6 +133,8 @@ EXTENDED_QUERIES = [
     "dsir_shared_grams",
     "dedup_minhash_portable",
     "dedup_simhash_portable",
+    "simsearch_pq_fixed",
+    "simsearch_ivf_fixed",
 ]
 
 

@@ -387,31 +387,58 @@ def ivf_index(corpus: DataFrame, n_cells: int = 16, id_col: str = "vec_id",
     return indexed, centroids
 
 
+def _cell_distance_structs(vec_col, centroids):
+    """Per-centroid ``struct(d, cell)`` columns: d is the euclidean²
+    fold ``((0 + t1) + t2) + ...`` over dims — the left-associative
+    order an engine-portable SQL twin can reproduce term-for-term.
+    Sorting the struct array orders by (d asc, cell asc), i.e.
+    first-min-wins on ties — numpy/KMeans argmin's rule."""
+    cent = [(i, F.array(*[F.lit(float(v)) for v in c]))
+            for i, c in enumerate(centroids)]
+    return [
+        F.struct(
+            F.aggregate(F.zip_with(F.transform(F.col(vec_col),
+                                               lambda x: x.cast("double")), c,
+                                   lambda a, b: (a - b) * (a - b)),
+                        F.lit(0.0), lambda acc, v: acc + v).alias("d"),
+            F.lit(i).alias("cell"))
+        for i, c in cent]
+
+
 def cosine_topk_ivf(corpus: DataFrame, queries: DataFrame, k: int,
                     n_cells: int = 16, n_probe: int = 4,
                     id_col: str = "vec_id", vec_col: str = "embedding",
-                    query_id_col: str = "query_id", seed: int = 42) -> DataFrame:
+                    query_id_col: str = "query_id", seed: int = 42,
+                    centroids: list | None = None) -> DataFrame:
     """IVF ANN: probe the ``n_probe`` nearest cells per query, exact re-rank.
 
     The second scale path beside LSH: cluster-aware pruning (recall degrades
     gracefully with ``n_probe``; ``n_probe = n_cells`` is exact). The
     query-to-cell assignment is a driver-side product against the tiny
     centroid list, shipped as a broadcast (query_id, cell) pair table.
+
+    ``centroids`` (list of ``n_cells`` vectors) pins the coarse
+    quantizer instead of fitting KMeans: corpus cells come from the
+    same deterministic distance-struct election the probe ranking
+    uses, making the ENTIRE search — assignment, probing, cosine
+    re-rank — engine-reproducible arithmetic (the segment_dec
+    fitted-state-literal pattern; the KMeans fit is the only
+    rows-only-checkable half). ``n_cells`` is ignored when given.
     """
-    indexed, centroids = ivf_index(corpus, n_cells, id_col, vec_col, seed)
+    if centroids is not None:
+        assign = F.element_at(
+            F.array_sort(F.array(*_cell_distance_structs(vec_col,
+                                                         centroids))),
+            1)["cell"]
+        indexed = corpus.withColumn("ivf_cell", assign)
+    else:
+        indexed, centroids = ivf_index(corpus, n_cells, id_col, vec_col,
+                                       seed)
 
     q = queries.select(F.col(id_col).alias(query_id_col),
                        F.col(vec_col).alias("__qvec"))
     # rank centroids per query by (euclidean, to match KMeans assignment)
-    cent = [(i, F.array(*[F.lit(v) for v in c])) for i, c in enumerate(centroids)]
-    dist_cols = [
-        F.struct(
-            F.aggregate(F.zip_with(F.transform(F.col("__qvec"),
-                                               lambda x: x.cast("double")), c,
-                                   lambda a, b: (a - b) * (a - b)),
-                        F.lit(0.0), lambda acc, v: acc + v).alias("d"),
-            F.lit(i).alias("cell"))
-        for i, c in cent]
+    dist_cols = _cell_distance_structs("__qvec", centroids)
     probes = q.withColumn(
         "__cells",
         F.slice(F.array_sort(F.array(*dist_cols)), 1, n_probe)) \

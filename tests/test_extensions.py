@@ -28,6 +28,41 @@ class TestIVF:
         assert (exact["vec_id"].values == ivf["vec_id"].values).all()
         assert np.allclose(exact["cosine"].values, ivf["cosine"].values)
 
+    def test_fixed_centroids_full_probe_equals_exact(self, embeddings):
+        """centroids= pins the coarse quantizer; probing every cell
+        must still reproduce brute-force top-k exactly (assignment
+        only prunes, never reorders)."""
+        from __spark_entry__ import _ivf_fixed_centroids
+        cents = _ivf_fixed_centroids(n_cells=4, dim=64)
+        q = embeddings.filter(F.col("vec_id") < 3)
+        exact = cosine_topk(embeddings, q, k=5).toPandas()
+        ivf = cosine_topk_ivf(embeddings, q, k=5, n_probe=4,
+                              centroids=cents).toPandas()
+        key = ["query_id", "rank"]
+        exact = exact.sort_values(key).reset_index(drop=True)
+        ivf = ivf.sort_values(key).reset_index(drop=True)
+        assert (exact["vec_id"].values == ivf["vec_id"].values).all()
+        assert np.allclose(exact["cosine"].values, ivf["cosine"].values)
+
+    def test_fixed_centroid_assignment_matches_numpy(self, embeddings):
+        """Cell election = numpy argmin of euclidean^2 (first-min-wins)
+        against the same literals — third-engine parity for the
+        portable half of the IVF certificate."""
+        from caspr_spark.llm.similarity import _cell_distance_structs
+        from __spark_entry__ import _ivf_fixed_centroids
+        cents = np.asarray(_ivf_fixed_centroids(n_cells=4, dim=64))
+        assign = F.element_at(
+            F.array_sort(F.array(*_cell_distance_structs("embedding",
+                                                         cents))),
+            1)["cell"]
+        got = {r["vec_id"]: r["cell"] for r in
+               embeddings.withColumn("cell", assign)
+                         .select("vec_id", "cell").collect()}
+        for r in embeddings.collect():
+            x = np.asarray(r["embedding"], dtype=np.float64)
+            expect = int(((cents - x) ** 2).sum(axis=1).argmin())
+            assert got[r["vec_id"]] == expect, r["vec_id"]
+
     def test_partial_probe_subset(self, embeddings):
         """With fewer probes, results are a subset of the probed cells and
         recall@5 stays reasonable on clustered data."""

@@ -80,3 +80,42 @@ class TestAdcSearch:
         enc = pq_encode(emb, cb)
         with pytest.raises(ValueError, match="dim"):
             pq_search(enc, np.zeros(5), cb)
+
+
+class TestFixedCodebookCertificate:
+    """The simsearch_pq_fixed certificate's local half: with codebook
+    literals pinned, encode is pure argmin arithmetic — recompute it
+    in plain python (third engine) and require equality."""
+
+    def test_encode_matches_python_argmin(self, spark, emb):
+        import sys
+        sys.path.insert(0, "/root/repo")
+        from __spark_entry__ import _pq_fixed_cb
+        cb, _ = _pq_fixed_cb(m=4, k=4, dsub=2)
+        got = {r.vec_id: list(r.pq_codes)
+               for r in pq_encode(emb, cb).collect()}
+        vecs = {r.vec_id: np.asarray(r.embedding, dtype=np.float64)
+                for r in emb.collect()}
+        for vid, x in vecs.items():
+            expect = [int(((cb[j] - x[2 * j:2 * j + 2]) ** 2)
+                          .sum(axis=1).argmin()) for j in range(4)]
+            assert got[vid] == expect, vid
+
+    def test_adc_sum_order_matches_search(self, spark, emb):
+        """pq_search's d += loop accumulates the table entries in
+        subspace order; the SQL twin relies on that order being
+        left-associative — pin it against an explicit left fold."""
+        from __spark_entry__ import _pq_fixed_cb
+        cb, _ = _pq_fixed_cb(m=4, k=4, dsub=2)
+        q = np.arange(8, dtype=np.float64) / 7.0
+        table = np.stack([((cb[j] - q[2 * j:2 * j + 2]) ** 2).sum(axis=1)
+                          for j in range(4)])
+        enc = pq_encode(emb, cb)
+        got = {r.vec_id: r.adc_distance
+               for r in pq_search(enc, q, cb, top_k=90).collect()}
+        codes = {r.vec_id: list(r.pq_codes) for r in enc.collect()}
+        for vid, c in codes.items():
+            acc = 0.0
+            for j in range(4):
+                acc += float(table[j][c[j]])
+            assert got[vid] == round(acc, 6), vid
