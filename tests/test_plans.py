@@ -97,6 +97,19 @@ class TestDedupPlans:
         assert "ArrowEvalPython" not in plan
         assert "xxhash64" not in plan
 
+    def test_ivf_fixed_assignment_no_python(self, embeddings):
+        """The pinned-quantizer cell election is a pure struct-sort
+        expression — corpus assignment must stay inside codegen, with
+        no KMeans model UDF and no Python eval."""
+        from caspr_spark.llm.similarity import cosine_topk_ivf
+        from pyspark.sql import functions as F
+        cents = [[0.1] * 64, [-0.1] * 64]
+        q = embeddings.filter(F.col("vec_id") < 2)
+        plan = plan_of(cosine_topk_ivf(embeddings, q, k=3, n_probe=1,
+                                       centroids=cents))
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
+
     def test_similarity_broadcast_queries(self, embeddings):
         from pyspark.sql import functions as F
         from caspr_spark.llm.similarity import cosine_topk
