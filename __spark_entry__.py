@@ -3886,14 +3886,23 @@ FROM v"""
 
 
 def _pq_fixed_sql(top_k: int = 25) -> str:
-    """Exact SQL twin of q_simsearch_pq_fixed. Encode: per subspace,
-    the four expanded distances ``-2·sub·c_r + ||c_r||²`` (the exact
-    expression pq_encode evaluates; ||c_r||² embedded as a float64
-    literal) feed a first-min-wins CASE — numpy argmin's tie rule.
-    Search: the chosen ADC table entries (the SAME driver-computed
-    float64 literals pq_search closes over) sum left-to-right, which
-    is bit-for-bit the accumulation order of pq_search's ``d +=``
-    loop, so the rounded distances match exactly."""
+    """SQL twin of q_simsearch_pq_fixed. Encode: per subspace, the four
+    expanded distances ``-2·sub·c_r + ||c_r||²`` (the same expression
+    pq_encode evaluates; ||c_r||² embedded as a float64 literal) feed a
+    first-min-wins CASE — numpy argmin's tie rule. Residual ULP risk:
+    pq_encode computes the dot product via BLAS matmul
+    (``sub @ cb[j].T``) while this twin sums ``x[i]*c[i]``
+    left-to-right, so a subvector near-equidistant between two
+    centroids could in principle argmin differently across engines.
+    The lattice codebook (_pq_fixed_cb: centroid coordinates on a
+    13-point grid, spacing 1/12 ≈ 0.083) keeps inter-centroid expanded
+    distances ~10 orders of magnitude above double accumulation error
+    for unit-scale inputs, which is why both SF certifications hold —
+    but encode exactness is "lattice-backed", not byte-guaranteed.
+    Search IS byte-exact given the codes: the chosen ADC table entries
+    (the SAME driver-computed float64 literals pq_search closes over)
+    sum left-to-right, bit-for-bit the accumulation order of
+    pq_search's ``d +=`` loop, so the rounded distances match."""
     import numpy as np
     cb, q = _pq_fixed_cb()
     m, k, dsub = cb.shape

@@ -178,19 +178,38 @@ def main() -> None:
     # dependent (observed ±35% across the VMs that ran rounds 1-4 at
     # identical code); dividing by these calibrations separates real
     # plan regressions from the host lottery when comparing rounds.
+    # Median of 3 runs per probe (round 12): the r11 driver record's
+    # single-probe calibration reported a 2.0× host delta against r10
+    # while the raw totals moved ~1.8× the other way — one probe run is
+    # too noisy to normalize cross-round comparisons on. The median
+    # absorbs a one-off scheduler/GC stall in any single run.
+    import statistics
+
     import numpy as np
 
-    t0 = time.time()
-    (spark.range(0, 50_000_000, 1, 32)
-          .withColumn("g", F.col("id") % 1024)
-          .groupBy("g").agg(F.sum("id")).collect())
-    calib_spark = round(time.time() - t0, 3)
+    def _median3(fn) -> tuple[float, list[float]]:
+        runs = []
+        for _ in range(3):
+            t0 = time.time()
+            fn()
+            runs.append(round(time.time() - t0, 3))
+        return round(statistics.median(runs), 3), runs
+
+    def _shuffle_probe():
+        (spark.range(0, 50_000_000, 1, 32)
+              .withColumn("g", F.col("id") % 1024)
+              .groupBy("g").agg(F.sum("id")).collect())
+
     rng = np.random.default_rng(0)
-    a = rng.standard_normal((1024, 1024))
-    t0 = time.time()
-    for _ in range(8):
-        a = np.tanh(a @ a.T / 1024)
-    calib_numpy = round(time.time() - t0, 3)
+    gemm_a = rng.standard_normal((1024, 1024))
+
+    def _gemm_probe():
+        a = gemm_a
+        for _ in range(8):
+            a = np.tanh(a @ a.T / 1024)
+
+    calib_spark, calib_spark_runs = _median3(_shuffle_probe)
+    calib_numpy, calib_numpy_runs = _median3(_gemm_probe)
 
     from caspr_spark.cache import cache_scope
 
@@ -252,7 +271,11 @@ def main() -> None:
         "value_extended": round(sum(extended.values()), 3),
         "value_extended_warm": round(sum(extended_warm.values()), 3),
         "calibration": {"spark_shuffle_sec": calib_spark,
-                        "numpy_gemm_sec": calib_numpy},
+                        "numpy_gemm_sec": calib_numpy,
+                        "spark_shuffle_runs": calib_spark_runs,
+                        "numpy_gemm_runs": calib_numpy_runs,
+                        "probe_stat": "median of 3 (r1-r11 records are "
+                                      "single-run; compare accordingly)"},
         # host-lottery-free comparison number: cold total divided by the
         # code-independent synthetic-shuffle calibration (observed to
         # drift 0.7-1.25 s across the VMs/rounds at identical code)

@@ -357,7 +357,10 @@ def dedup_keep_best(df: DataFrame, pairs: DataFrame, quality_col: str,
     numeric (the desc order is encoded by negation); null qualities
     lose to any non-null one (the ``DESC NULLS LAST`` default); NaN
     qualities are unsupported (negation keeps NaN largest, inverting
-    the window rule this replaced — don't score with NaN).
+    the window rule this replaced) and GUARDED in-plan for float
+    types: a NaN quality raises at execution instead of silently
+    electing the NaN row (same loud-error discipline as the census
+    ``first_id`` type guard).
 
     Plan: components are computed over the pairs graph only (near-dup
     docs, a fraction of the corpus); the winner election is a
@@ -376,7 +379,21 @@ def dedup_keep_best(df: DataFrame, pairs: DataFrame, quality_col: str,
     """
     comp = connected_components(pairs).select(
         F.col("id").alias("__cid"), "component")
-    scored = (df.select(F.col(id_col), F.col(quality_col))
+    # in-plan NaN tripwire (float types only — isnan rejects other
+    # types at analysis): -NaN still sorts LARGEST in the ascending
+    # struct, which would silently elect the NaN-scored row; raise
+    # loudly at execution instead. No-op expression for NaN-free data,
+    # so default-path plans stay aggregate-only and hashes unchanged.
+    quality = F.col(quality_col)
+    if dict(df.dtypes).get(quality_col) in ("float", "double"):
+        quality = F.when(
+            F.isnan(quality),
+            F.raise_error(F.lit(
+                f"dedup_keep_best: NaN in quality column {quality_col!r} "
+                "— NaN negates to NaN and would win every election; "
+                "clean or fill qualities first"))
+        ).otherwise(quality)
+    scored = (df.select(F.col(id_col), quality.alias(quality_col))
                 .join(comp, on=F.col(id_col) == F.col("__cid"))
                 .drop("__cid"))
     # (quality DESC NULLS LAST, id ASC) encoded as an ascending struct:

@@ -88,8 +88,8 @@ class TestFixedCodebookCertificate:
     in plain python (third engine) and require equality."""
 
     def test_encode_matches_python_argmin(self, spark, emb):
-        import sys
-        sys.path.insert(0, "/root/repo")
+        # conftest.py puts the repo root on sys.path — import directly,
+        # like test_extensions.py (no hardcoded checkout path)
         from __spark_entry__ import _pq_fixed_cb
         cb, _ = _pq_fixed_cb(m=4, k=4, dsub=2)
         got = {r.vec_id: list(r.pq_codes)
