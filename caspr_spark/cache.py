@@ -42,20 +42,54 @@ scope releases the range-partitioned frame before materialization,
 recomputation re-samples the range boundaries while the baked-in offsets
 describe the old ones, yielding silently wrong rows, not an error. Those
 results MUST be materialized inside the scope (their docstrings repeat
-this); there is deliberately no checkpoint fallback — the loud-fail
-variant would put a lineage-truncating checkpoint on the hot path every
-call to guard a contract violation.
+this); the DEFAULT path deliberately has no checkpoint fallback — the
+loud-fail variant would put a lineage-truncating checkpoint on the hot
+path of every call to guard a contract violation.
+
+**Strict mode** is the opt-in tripwire for exactly that violation:
+``cache_scope(strict=True)`` (or ``CASPR_STRICT_SCOPE=1`` in the
+environment, which makes EVERY scope strict — the debug-run switch)
+makes :func:`global_running_sum` pin its range-partitioned frame with
+an eager ``localCheckpoint`` instead of a ``persist``. While the scope
+lives, behavior and results are identical (the checkpoint freezes the
+very boundaries the offsets were collected against); after the scope
+releases the checkpoint there is NO lineage to recompute, so an escaped
+consumer FAILS LOUDLY on materialization instead of silently returning
+re-sampled rows. Turn it on in tests and loop-shaped debug runs; leave
+it off on the hot path (an eager checkpoint is one extra
+materialization per scan).
 """
 
 from __future__ import annotations
 
 import contextlib
+import os
 import threading
 from typing import Iterator
 
 from pyspark.sql import DataFrame
 
 _scopes = threading.local()
+
+
+class _ScopeHandles(list):
+    """The per-scope handle list, carrying the scope's strict flag."""
+
+    def __init__(self, strict: bool = False):
+        super().__init__()
+        self.strict = strict
+
+
+def strict_scope_active() -> bool:
+    """True when prefix-scan producers should trade a lineage-truncating
+    eager checkpoint for loud failure of escaped consumers: either the
+    innermost active :func:`cache_scope` was entered with
+    ``strict=True``, or ``CASPR_STRICT_SCOPE=1`` is set (which makes
+    every scope — and scope-less calls — strict)."""
+    if os.environ.get("CASPR_STRICT_SCOPE") == "1":
+        return True
+    stack = getattr(_scopes, "stack", None)
+    return bool(stack) and getattr(stack[-1], "strict", False)
 
 
 class CheckpointHandle:
@@ -122,18 +156,22 @@ def register_cache(df: DataFrame) -> DataFrame:
 
 
 @contextlib.contextmanager
-def cache_scope(blocking: bool = False) -> Iterator[list[DataFrame]]:
+def cache_scope(blocking: bool = False,
+                strict: bool = False) -> Iterator[list[DataFrame]]:
     """Unpersist every relation cached by operators inside the block.
 
     Yields the (mutable) list of registered handles, mostly for tests.
     ``blocking=True`` waits for block removal — useful when the very
     next statement re-persists similarly-sized data and eviction racing
-    allocation would spill.
+    allocation would spill. ``strict=True`` arms the stale-offset
+    tripwire for prefix-scan consumers created inside this scope (see
+    the module docstring): escaped results raise on materialization
+    after the scope exits instead of silently re-sampling.
     """
     stack = getattr(_scopes, "stack", None)
     if stack is None:
         stack = _scopes.stack = []
-    handles: list[DataFrame] = []
+    handles: _ScopeHandles = _ScopeHandles(strict=strict)
     stack.append(handles)
     try:
         yield handles

@@ -32,7 +32,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from caspr_spark.cache import register_cache
+from caspr_spark.cache import (checkpoint_leaf, register_cache,
+                               strict_scope_active)
 
 # hex prefix length used for thresholding: 8 nibbles = 32 bits of the
 # md5, plenty of resolution for any practical fraction
@@ -171,6 +172,10 @@ def global_running_sum(df: DataFrame, value_col: str, order_by: list,
     recomputation re-samples the boundaries under the stale offsets and
     the result is silently wrong — the one exception to cache.py's
     escaped-results-recompute-correctly rule (documented there).
+    ``cache_scope(strict=True)`` / ``CASPR_STRICT_SCOPE=1`` arms the
+    tripwire for that violation: the frame is pinned by an eager leaf
+    checkpoint instead, so an escaped consumer raises on
+    materialization rather than returning wrong rows.
     ``order_by`` takes column names or Column sort expressions
     (``F.col("q").desc()``). Null ``value_col`` rows add 0.
     """
@@ -178,7 +183,17 @@ def global_running_sum(df: DataFrame, value_col: str, order_by: list,
     d = (df.repartitionByRange(num_partitions, *args) if num_partitions
          else df.repartitionByRange(*args))
     d = d.withColumn("__pid", F.spark_partition_id())
-    register_cache(d.persist())
+    if strict_scope_active():
+        # stale-offset tripwire (cache.py module docstring): an eager
+        # leaf checkpoint freezes the range boundaries AND truncates
+        # lineage, so a result escaping its cache_scope raises on
+        # materialization instead of silently recomputing against
+        # re-sampled boundaries. Inside the scope, rows are identical
+        # to the default persist path.
+        d, handle = checkpoint_leaf(d)
+        register_cache(handle)
+    else:
+        register_cache(d.persist())
     totals = {r["__pid"]: r["t"] for r in
               d.groupBy("__pid").agg(F.sum(value_col).alias("t")).collect()}
     offsets, acc = [], 0

@@ -134,3 +134,79 @@ class TestQuantileScoresScope:
             assert handles
         assert [r.doc_id for r in kept] == [2]
         _assert_no_new(spark, before)
+
+
+class TestStrictScope:
+    """Round-12 stale-offset tripwire: global_running_sum results carry
+    driver-collected per-partition offsets valid only against the
+    pinned range boundaries. Escaping the scope then materializing is
+    the silent-wrong-rows hazard (cache.py module docstring); strict
+    mode converts it to a loud failure."""
+
+    def _df(self, spark):
+        # integral value column: global_running_sum's offset frame is
+        # typed long (every consumer sums counts/tokens)
+        return spark.createDataFrame(
+            [(i, (i % 7)) for i in range(300)], "id long, v long")
+
+    def test_strict_matches_default_inside_scope(self, spark):
+        """While the scope lives, strict mode changes NOTHING about the
+        result — the checkpoint freezes the same boundaries the persist
+        pinned."""
+        from caspr_spark.operators.sampling import global_running_sum
+        df = self._df(spark)
+        with cache_scope():
+            want = {r.id: r.running_sum for r in
+                    global_running_sum(df, "v", ["id"]).collect()}
+        with cache_scope(strict=True):
+            got = {r.id: r.running_sum for r in
+                   global_running_sum(df, "v", ["id"]).collect()}
+        assert got == want
+
+    def test_strict_escape_fails_loudly(self, spark):
+        """The tripwire itself: default mode lets an escaped consumer
+        return (possibly re-sampled) rows; strict mode raises because
+        the released checkpoint has no lineage to recompute."""
+        from caspr_spark.operators.sampling import global_running_sum
+        df = self._df(spark)
+        # default: escape "works" (the documented hazard — rows come
+        # back with no error even though the offsets may be stale)
+        with cache_scope():
+            escaped_default = global_running_sum(df, "v", ["id"])
+        assert escaped_default.count() == 300
+        # strict: escape raises on materialization
+        with cache_scope(strict=True):
+            escaped_strict = global_running_sum(df, "v", ["id"])
+        with pytest.raises(Exception):
+            escaped_strict.collect()
+
+    def test_strict_env_var(self, spark, monkeypatch):
+        """CASPR_STRICT_SCOPE=1 arms every scope without code changes —
+        the debug-run switch."""
+        from caspr_spark.cache import strict_scope_active
+        assert strict_scope_active() is False
+        monkeypatch.setenv("CASPR_STRICT_SCOPE", "1")
+        assert strict_scope_active() is True
+        from caspr_spark.operators.sampling import global_running_sum
+        with cache_scope():
+            escaped = global_running_sum(self._df(spark), "v", ["id"])
+        with pytest.raises(Exception):
+            escaped.collect()
+
+    def test_strict_consumer_stratified_sample(self, spark):
+        """A real prefix-scan consumer under strict mode: identical
+        sample inside the scope, loud failure on escape."""
+        from caspr_spark.operators.sampling import stratified_sample_exact
+        df = spark.createDataFrame(
+            [(i, "ab"[i % 2]) for i in range(200)], "id long, s string")
+        with cache_scope():
+            want = sorted(r.id for r in stratified_sample_exact(
+                df, "s", 0.25, ["id"]).collect())
+        with cache_scope(strict=True):
+            got = sorted(r.id for r in stratified_sample_exact(
+                df, "s", 0.25, ["id"]).collect())
+        assert got == want and len(got) == 50
+        with cache_scope(strict=True):
+            escaped = stratified_sample_exact(df, "s", 0.25, ["id"])
+        with pytest.raises(Exception):
+            escaped.collect()
