@@ -2263,6 +2263,35 @@ def q_dedup_minhash_portable(spark, sf_dir):
     return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+def q_dedup_incremental_portable(spark, sf_dir):
+    """INCREMENTAL near-dup dedup under the PORTABLE hash family
+    (dedup.py dedup_against_history mode='near'
+    hash_family='portable' — round 12): the q_dedup_incremental
+    batch/history split (odd docs + re-crawled copies of every fourth
+    doc land against the even-id history), MinHash banding on both
+    sides with md5-60-bit base hashes and raw slot-concat band keys,
+    candidates from the batch-vs-history bucket join ONLY (history
+    never self-joins — the incremental saving), exact shingle-Jaccard
+    verification. Returns the MATCHES relation — the audit/decision
+    surface (which batch doc was dropped for which history doc at what
+    similarity) — every row of which the DuckDB twin re-derives from
+    scratch. This certifies the production daily-crawl decision path
+    the one-shot dedup_minhash_portable certificate could not."""
+    from caspr_spark.llm.dedup import dedup_against_history
+    docs = _t(spark, sf_dir, "documents")
+    history = docs.filter(F.col("doc_id") % 2 == 0)
+    recrawl = (docs.filter(F.col("doc_id") % 4 == 0)
+                   .withColumn("doc_id", F.col("doc_id") + 100000))
+    batch = (docs.filter(F.col("doc_id") % 2 == 1)
+                 .select("doc_id", "text")
+                 .unionByName(recrawl.select("doc_id", "text")))
+    _, matches = dedup_against_history(
+        batch, history, mode="near", num_hashes=16, bands=8,
+        shingle_size=3, threshold=0.2, hash_family="portable")
+    return matches.select("doc_id", "history_id",
+                          F.round("jaccard", 6).alias("jaccard"))
+
+
 def q_dedup_components(spark, sf_dir):
     """Connected components over the near-dup pair graph — iterative
     min-label propagation, oracle-checked against DuckDB's recursive CTE
@@ -3295,6 +3324,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_gram_census": q_stream_gram_census,
         "dsir_shared_grams": q_dsir_shared_grams,
         "dedup_minhash_portable": q_dedup_minhash_portable,
+        "dedup_incremental_portable": q_dedup_incremental_portable,
         "dedup_simhash_portable": q_dedup_simhash_portable,
         "simsearch_pq_fixed": q_simsearch_pq_fixed,
         "simsearch_ivf_fixed": q_simsearch_ivf_fixed,
@@ -3857,6 +3887,75 @@ SELECT id_a, id_b, round(jaccard, 6) AS jaccard FROM (
       / (len(sa.s) + len(sb.s) - len(list_filter(sa.s, x -> list_contains(sb.s, x))))
       AS jaccard
   FROM cand c JOIN sh sa ON c.id_a = sa.doc_id JOIN sh sb ON c.id_b = sb.doc_id)
+WHERE jaccard >= {threshold}"""
+
+
+def _minhash_portable_incr_sql(num_hashes: int = 16, bands: int = 8,
+                               threshold: float = 0.2) -> str:
+    """Exact SQL twin of q_dedup_incremental_portable: the same
+    md5-60-bit signatures and raw slot-concat band keys as
+    _minhash_portable_sql, computed over BOTH the simulated batch and
+    the even-id history, with candidates drawn from the
+    batch-vs-history band join only (no id ordering filter — the two
+    sides are disjoint relations, exactly the incremental operator's
+    join) and exact shingle-Jaccard verification at the threshold."""
+    p = 2147483647
+    rpb = num_hashes // bands
+    mins = ",\n         ".join(
+        f"min((h1 + {i}*h2) % {p}) AS m{i}" for i in range(num_hashes))
+
+    def band_rows(sig: str) -> str:
+        return "\n  UNION ALL\n".join(
+            f"  SELECT doc_id, {j} AS band, "
+            + " || ',' || ".join(f"m{j * rpb + i}::VARCHAR"
+                                 for i in range(rpb))
+            + f" AS key FROM {sig}"
+            for j in range(bands))
+
+    def sig_chain(src: str, pfx: str) -> str:
+        return f"""
+{pfx}toks AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+  FROM {src}),
+{pfx}sh AS (
+  SELECT doc_id, list_distinct(
+    CASE WHEN len(t) >= 3
+         THEN list_transform(range(1, len(t) - 1),
+                             i -> array_to_string(t[i:i+2], ' '))
+         ELSE [array_to_string(t, ' ')] END) AS s
+  FROM {pfx}toks),
+{pfx}hs AS (
+  SELECT doc_id,
+         ('0x'||substr(md5(g),1,15))::ubigint % {p} AS h1,
+         ('0x'||substr(md5('1|'||g),1,15))::ubigint % {p} AS h2
+  FROM (SELECT doc_id, unnest(s) AS g FROM {pfx}sh)),
+{pfx}sig AS (
+  SELECT doc_id,
+         {mins}
+  FROM {pfx}hs GROUP BY doc_id),
+{pfx}bk AS (
+{band_rows(pfx + "sig")})"""
+
+    return f"""
+WITH batch AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text FROM documents
+  WHERE doc_id % 4 = 0),
+hist AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+{sig_chain("batch", "b")},
+{sig_chain("hist", "h")},
+cand AS (
+  SELECT DISTINCT b.doc_id AS doc_id, h.doc_id AS history_id
+  FROM bbk b JOIN hbk h USING (band, key))
+SELECT doc_id, history_id, round(jaccard, 6) AS jaccard FROM (
+  SELECT c.doc_id, c.history_id,
+    len(list_filter(sa.s, x -> list_contains(sb.s, x)))::DOUBLE
+      / (len(sa.s) + len(sb.s) - len(list_filter(sa.s, x -> list_contains(sb.s, x))))
+      AS jaccard
+  FROM cand c JOIN bsh sa ON c.doc_id = sa.doc_id
+              JOIN hsh sb ON c.history_id = sb.doc_id)
 WHERE jaccard >= {threshold}"""
 
 
@@ -5669,6 +5768,7 @@ SELECT query_id, vec_id, cosine, CAST(rk AS INT) AS rank FROM (
         "segment_dec": _dec_sql(),
         "dedup_ngram_jaccard": _NGRAM_PAIRS_SQL,
         "dedup_minhash_portable": _minhash_portable_sql(),
+        "dedup_incremental_portable": _minhash_portable_incr_sql(),
         "dedup_simhash_portable": _simhash_portable_sql(),
         "simsearch_pq_fixed": _pq_fixed_sql(),
         "simsearch_ivf_fixed": _ivf_fixed_sql(),

@@ -1171,7 +1171,8 @@ def dedup_against_history(batch: DataFrame, history: DataFrame | None,
                           shingle_size: int = 3,
                           threshold: float = 0.8,
                           history_keys: DataFrame | None = None,
-                          history_signatures: DataFrame | None = None):
+                          history_signatures: DataFrame | None = None,
+                          hash_family: str = "fast"):
     """INCREMENTAL dedup: drop ``batch`` docs already present in the
     ``history`` corpus — the continuous-pipeline variant of this module
     (a daily crawl lands against a 100 TB corpus; re-deduplicating
@@ -1198,6 +1199,21 @@ def dedup_against_history(batch: DataFrame, history: DataFrame | None,
     must match what the table was built with — band keys and Jaccard
     values silently differ otherwise (same contract as any persisted
     sketch).
+
+    ``hash_family`` (near mode): ``'fast'`` (default) keeps the
+    xxhash64 base hashes and hashed band keys; ``'portable'`` switches
+    both sides to the md5-60-bit family and raw slot-concat band keys
+    (:func:`_base_hash_pair` / the one-shot
+    :func:`minhash_lsh_dedup` contract), making every incremental
+    dedup DECISION — candidates, Jaccard, drops — re-derivable outside
+    Spark, at the same single-digit premium measured for the one-shot
+    path. The family must match what a passed ``history_signatures``
+    table was built with: tables written by
+    :func:`build_history_signatures` carry a ``hash_family`` column
+    and a mismatch RAISES up front (one 1-row probe of the state
+    table — signatures from different families silently share no band
+    keys, which would report "no duplicates" forever). Tables from
+    before this column existed are accepted as ``'fast'`` only.
 
     Exactly one of ``history`` / the mode's state table must be given.
     Returns ``(kept_batch, matches)`` — ``matches`` is
@@ -1243,28 +1259,38 @@ def dedup_against_history(batch: DataFrame, history: DataFrame | None,
     if num_hashes % bands:
         raise ValueError(f"bands ({bands}) must divide num_hashes "
                          f"({num_hashes})")
+    if hash_family not in ("fast", "portable"):
+        raise ValueError(f"hash_family must be 'fast' or 'portable', "
+                         f"got {hash_family!r}")
     rows_per_band = num_hashes // bands
     from caspr_spark.sources import ensure_parallelism
 
-    band_keys = F.transform(
-        F.sequence(F.lit(0), F.lit(bands - 1)),
-        lambda j: F.xxhash64(
-            F.concat_ws(",", F.transform(
-                F.slice("minhash", j * rows_per_band + 1, rows_per_band),
-                lambda x: x.cast("string"))),
-            j))
+    # family-aware band keys — SAME construction as minhash_lsh_dedup:
+    # fast hashes the slot concat to 8 bytes, portable keeps the raw
+    # concat string (engine-reproducible; posexplode's band index
+    # disambiguates across bands on both paths)
+    def _bk(j):
+        concat = F.concat_ws(",", F.transform(
+            F.slice("minhash", j * rows_per_band + 1, rows_per_band),
+            lambda x: x.cast("string")))
+        return F.xxhash64(concat, j) if hash_family == "fast" else concat
+
+    band_keys = F.transform(F.sequence(F.lit(0), F.lit(bands - 1)), _bk)
 
     def _banded(df: DataFrame, out_id: str):
         sh = ensure_parallelism(df).select(
             F.col(id_col).alias(out_id),
             _shingles(text_col, shingle_size).alias("__shingles"))
         sh = register_cache(sh.persist())
-        sigs = _signatures_from_shingles(sh, out_id, num_hashes)
+        sigs = _signatures_from_shingles(sh, out_id, num_hashes,
+                                         hash_family=hash_family)
         banded = sigs.select(out_id,
                              F.posexplode(band_keys).alias("band",
                                                            "band_key"))
         return banded, sh
 
+    if history_signatures is not None:
+        _check_signature_family(history_signatures, hash_family)
     bb, bsh = _banded(batch, "__bid")
     if history_signatures is not None:
         # banding from the persisted minhash column is map-side (no
@@ -1335,20 +1361,60 @@ def append_history_keys(keys: DataFrame, accepted: DataFrame,
     return keys.unionByName(fresh)
 
 
+def _check_signature_family(history_signatures: DataFrame,
+                            hash_family: str) -> None:
+    """Loud guard for the signature-table/hash-family contract:
+    signatures from different families share NO band keys, so a
+    mismatch doesn't error downstream — it silently reports zero
+    duplicates forever. Tables written by
+    :func:`build_history_signatures` carry a constant ``hash_family``
+    column; one bounded 1-row probe reads it (same probe discipline as
+    the gram-table ``gram_n`` check, but the family can't ride in-plan
+    — band keys are already diverged by the time rows meet). Tables
+    without the column (pre-round-12 / external writers) are accepted
+    as ``'fast'`` only."""
+    if "hash_family" in history_signatures.columns:
+        probe = history_signatures.select("hash_family").first()
+        stored = probe[0] if probe is not None else None
+        if stored is not None and stored != hash_family:
+            raise ValueError(
+                f"history_signatures was built with "
+                f"hash_family={stored!r} but this call requests "
+                f"{hash_family!r}; signatures from different families "
+                "share no band keys (every batch would silently match "
+                "nothing) — rebuild the state table or pass the "
+                "matching family")
+    elif hash_family != "fast":
+        raise ValueError(
+            "history_signatures carries no hash_family column (built "
+            "before the portable family existed, or by an external "
+            "writer) — such tables are xxhash64-based; rebuild with "
+            f"build_history_signatures(..., hash_family={hash_family!r}) "
+            "to audit incremental decisions cross-engine")
+
+
 def build_history_signatures(history: DataFrame, id_col: str = "doc_id",
                              text_col: str = "text", num_hashes: int = 64,
-                             shingle_size: int = 3) -> DataFrame:
-    """The persistable NEAR-mode state:
-    ``(history_id, shingles array<string>, minhash array<bigint>)``.
+                             shingle_size: int = 3,
+                             hash_family: str = "fast") -> DataFrame:
+    """The persistable NEAR-mode state: ``(history_id,
+    shingles array<string>, minhash array<bigint>, hash_family)``.
 
     Re-banding from the stored ``minhash`` is map-side, so a saved
     table lets every future batch dedup against history without ever
     re-shingling it. ``num_hashes``/``shingle_size`` are baked into the
-    stored values — reload with the same settings. Shingle arrays are
+    stored values — reload with the same settings. ``hash_family``
+    (``'fast'`` xxhash64 / ``'portable'`` md5-60-bit, see
+    :func:`_base_hash_pair`) rides as a constant column so
+    :func:`dedup_against_history` can refuse a mismatched batch up
+    front instead of silently matching nothing. Shingle arrays are
     roughly text-sized; at corpus scale the table is comparable to the
     corpus itself but is written ONCE and only the candidate-pair rows
     are ever joined back.
     """
+    if hash_family not in ("fast", "portable"):
+        raise ValueError(f"hash_family must be 'fast' or 'portable', "
+                         f"got {hash_family!r}")
     from caspr_spark.sources import ensure_parallelism
 
     sh = register_cache(
@@ -1356,9 +1422,11 @@ def build_history_signatures(history: DataFrame, id_col: str = "doc_id",
             F.col(id_col).alias("history_id"),
             _shingles(text_col, shingle_size).alias("__shingles"))
         .persist())
-    sigs = _signatures_from_shingles(sh, "history_id", num_hashes)
+    sigs = _signatures_from_shingles(sh, "history_id", num_hashes,
+                                     hash_family=hash_family)
     return (sh.select("history_id", F.col("__shingles").alias("shingles"))
-            .join(sigs, on="history_id"))
+            .join(sigs, on="history_id")
+            .withColumn("hash_family", F.lit(hash_family)))
 
 
 def save_history_keys(state: DataFrame, path: str,

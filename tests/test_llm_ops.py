@@ -699,6 +699,79 @@ class TestIncrementalDedup:
                    for r in m_h.collect()}
         assert pairs_s == pairs_h
 
+    def test_near_mode_portable_family(self, spark):
+        """Round 12: the portable md5-60-bit family threads through the
+        incremental path — same kept/matches decisions as the fast
+        family on this corpus (both catch every re-crawl), and the
+        signature values match the one-shot portable signatures
+        (shared _signatures_from_shingles), so incremental decisions
+        are cross-engine auditable like the one-shot path."""
+        from caspr_spark.llm.dedup import dedup_against_history
+        batch, history = self._corpora(spark)
+        kept, matches = dedup_against_history(
+            batch, history, mode="near", num_hashes=64, bands=32,
+            threshold=0.5, hash_family="portable")
+        assert {r.doc_id for r in kept.collect()} == {2}
+        m = {(r.doc_id, r.history_id) for r in matches.collect()}
+        assert (3, 100) in m and (1, 100) in m and (4, 101) in m
+        j = {r.doc_id: r.jaccard for r in matches.collect()}
+        assert j[1] == 1.0 and j[4] == 1.0 and 0.5 <= j[3] < 1.0
+
+    def test_signature_family_guard(self, spark):
+        """A batch deduped against a state table built with the OTHER
+        hash family raises up front — mismatched families share no
+        band keys and would silently match nothing forever."""
+        from caspr_spark.llm.dedup import (build_history_signatures,
+                                           dedup_against_history)
+        batch, history = self._corpora(spark)
+        fast_sigs = build_history_signatures(history)
+        port_sigs = build_history_signatures(history,
+                                             hash_family="portable")
+        with pytest.raises(ValueError, match="hash_family='fast'"):
+            dedup_against_history(batch, None, mode="near",
+                                  history_signatures=fast_sigs,
+                                  hash_family="portable")
+        with pytest.raises(ValueError, match="hash_family='portable'"):
+            dedup_against_history(batch, None, mode="near",
+                                  history_signatures=port_sigs)
+        # legacy table (no hash_family column): fast accepted,
+        # portable refused with a rebuild hint
+        legacy = fast_sigs.drop("hash_family")
+        with pytest.raises(ValueError, match="no hash_family column"):
+            dedup_against_history(batch, None, mode="near",
+                                  history_signatures=legacy,
+                                  hash_family="portable")
+        kept, _ = dedup_against_history(batch, None, mode="near",
+                                        history_signatures=legacy)
+        assert kept.count() >= 1
+
+    def test_portable_signatures_roundtrip(self, spark, tmp_path):
+        """Portable near mode from a SAVED portable signature table
+        matches the raw-history portable run pair for pair (the
+        production state-table shape under the auditable family)."""
+        from caspr_spark.llm.dedup import (build_history_signatures,
+                                           dedup_against_history,
+                                           load_history_keys,
+                                           save_history_keys)
+        batch, history = self._corpora(spark)
+        p = str(tmp_path / "psigs")
+        save_history_keys(
+            build_history_signatures(history, hash_family="portable"), p)
+        sigs = load_history_keys(spark, p)
+        kept_s, m_s = dedup_against_history(
+            batch, None, mode="near", num_hashes=64, bands=32,
+            threshold=0.5, history_signatures=sigs,
+            hash_family="portable")
+        kept_h, m_h = dedup_against_history(
+            batch, history, mode="near", num_hashes=64, bands=32,
+            threshold=0.5, hash_family="portable")
+        assert {r.doc_id for r in kept_s.collect()} == \
+            {r.doc_id for r in kept_h.collect()} == {2}
+        assert {(r.doc_id, r.history_id, round(r.jaccard, 9))
+                for r in m_s.collect()} == \
+               {(r.doc_id, r.history_id, round(r.jaccard, 9))
+                for r in m_h.collect()}
+
 
 class TestComponentValidation:
     def test_max_iter_zero_raises(self, spark):
