@@ -2100,14 +2100,26 @@ def q_emb_near_dup_auto(spark, sf_dir):
     """Embedding near-dup with the PRODUCTION auto-sized LSH plan
     (similarity.py lsh_plan): planes scale with the corpus count so the
     expected bucket stays ~128 rows at any N, tables from the recall
-    bound at threshold 0.9 (true near-dups). Rows-only check — the
-    plane constants depend on the runtime corpus count, so no fixed SQL
-    oracle can mirror them; the operator's exactness is separately
-    proven by the pinned-constant oracle row (emb_near_dup) and the
-    full-probe==exact property tests."""
+    bound at threshold 0.9 (true near-dups). FULL oracle since round
+    12 (previously rows-only): the twin recomputes N with a count(*)
+    CTE, re-derives (n_planes, n_tables) with exact integer arithmetic
+    + precomputed table-count literals (_lsh_auto_plan_exprs), and
+    activates a prefix of embedded p_max-plane literals per table — so
+    the certificate covers the auto-sizing itself, not just a pinned
+    parameterization (which emb_near_dup already covers).
+
+    Round-12 redefinition: threshold 0.9 -> 0.45 (matching the pinned
+    emb_near_dup twin), recall 0.9 -> 0.5. The synthetic embeddings'
+    max pairwise cosine is ~0.6, so at 0.9 the result was EMPTY at
+    every SF and the new oracle would have certified only vacuously;
+    at 0.45 the certificate covers real pairs (14 at sf0.01, ~144
+    candidates at sf0.1). Recall 0.5 keeps the auto table count
+    bounded (4 planes x 4 tables at sf0.1; the 0.45/0.9 plan needs 12+
+    tables). Bench series note: this headline query got ~33% more
+    banding work than its 0.9/0.9 ancestor — see SCALING_r12.md."""
     emb = _t(spark, sf_dir, "embeddings")
-    return embedding_near_duplicates(emb, threshold=0.9, dim=64,
-                                     target_recall=0.9)
+    return embedding_near_duplicates(emb, threshold=0.45, dim=64,
+                                     target_recall=0.5)
 
 
 def q_multimodal_features(spark, sf_dir):
@@ -3812,6 +3824,93 @@ _COS_SQL = ("list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a})) "
             "* sqrt(list_dot_product({b}, {b})))")
 
 
+def _lsh_auto_plan_exprs(threshold: float = 0.45,
+                         target_recall: float = 0.5,
+                         p_max: int = 8) -> tuple[str, str]:
+    """SQL twins of lsh_plan's auto-sizing, EXACT in integer arithmetic.
+
+    ``np`` (given a column ``n``): Python computes
+    ``max(4, min(24, ceil(log2(n/128))))``. ``n/128`` is an exact
+    double (power-of-two divisor) and ``ceil(log2(x))`` equals the
+    smallest integer ``k`` with ``128·2^k >= n`` — a float log2 can
+    only disagree if its value sits within one ULP of an integer,
+    which for rationals with denominator 128 requires ``n`` to be
+    within relative 2^-31 of a power of two, i.e. exactly ON it (where
+    log2 is exact in every libm). So the integer CASE chain below is
+    the Python rule verbatim, no transcendental drift
+    (parity-swept in tests/test_extensions.py).
+
+    ``nt`` (given ``np``): the recall-bound table count depends only on
+    (threshold, recall, np) — all known at SQL-generation time — so
+    each value is PRECOMPUTED by lsh_plan itself and embedded as a
+    CASE literal: the twin never evaluates acos/log/pow in SQL.
+
+    Past ``p_max`` planes both expressions yield NULL, which nulls
+    every bucket downstream → the twin returns zero pairs and the
+    certificate FAILS LOUDLY against the non-empty Spark result
+    instead of silently miscomputing (coverage bound documented in
+    _emb_near_dup_auto_sql)."""
+    whens = " ".join(f"WHEN n <= {128 * (1 << k)} THEN {max(4, k)}"
+                     for k in range(p_max + 1))
+    np_expr = f"(CASE {whens} ELSE NULL END)"
+    nts = " ".join(
+        f"WHEN {k} THEN "
+        f"{lsh_plan(1, threshold, target_recall, n_planes=k)[1]}"
+        for k in range(4, p_max + 1))
+    nt_expr = f"(CASE np {nts} ELSE NULL END)"
+    return np_expr, nt_expr
+
+
+def _emb_near_dup_auto_sql(threshold: float = 0.45,
+                           target_recall: float = 0.5,
+                           dim: int = 64, seed: int = 42,
+                           p_max: int = 8) -> str:
+    """Full SQL twin of q_emb_near_dup_auto — the AUTO-SIZED production
+    LSH plan, previously rows-only because the plane constants depend
+    on the runtime corpus count (r11 verdict item 4).
+
+    What makes it expressible: (a) the plan arithmetic is exact in N
+    (_lsh_auto_plan_exprs — N from a count(*) CTE); (b)
+    random_hyperplanes is a single xorshift stream per seed, so the
+    planes for ANY n_planes <= p_max are a PREFIX of the p_max-plane
+    literals embedded here — plane p's term is gated by ``p < np`` and
+    table t's bucket by ``t < nt``, with inactive tables NULL (a NULL
+    bucket never equals anything, so it can't collide).
+
+    Coverage bound: literals are embedded for p_max=8 planes ×
+    t_max=nt(8) tables, valid for corpora up to 128·2^8 = 32768
+    vectors — 16× the sf0.1 table; beyond it the twin returns zero
+    rows and the certificate fails loudly (never silently drifts).
+    Regenerating with a larger p_max is mechanical."""
+    t_max = lsh_plan(1, threshold, target_recall, n_planes=p_max)[1]
+    np_expr, nt_expr = _lsh_auto_plan_exprs(threshold, target_recall, p_max)
+    bkts = []
+    for t in range(t_max):
+        planes = random_hyperplanes(dim, p_max, seed + 1000 * t)
+        terms = " + ".join(
+            f"(CASE WHEN {p} < np AND list_dot_product(v, "
+            f"[{', '.join(repr(v) for v in pl)}]) > 0 "
+            f"THEN {1 << p} ELSE 0 END)"
+            for p, pl in enumerate(planes))
+        bkts.append(f"CASE WHEN {t} < nt THEN ({terms}) END AS bkt{t}")
+    collide = " OR ".join(f"a.bkt{t} = c.bkt{t}" for t in range(t_max))
+    cos = _COS_SQL.format(a="a.v", b="c.v")
+    bkts_sql = ",\n         ".join(bkts)
+    return f"""
+WITH plan AS (
+  SELECT np, {nt_expr} AS nt FROM (
+    SELECT {np_expr} AS np FROM (
+      SELECT count(*) AS n FROM embeddings))),
+b AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         {bkts_sql}
+  FROM embeddings CROSS JOIN plan)
+SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b,
+       round({cos}, 6) AS cosine
+FROM b a JOIN b c ON ({collide}) AND a.vec_id < c.vec_id
+WHERE round({cos}, 6) >= {threshold}"""
+
+
 def _head_sql(n: int = 32) -> str:
     return (f"list_transform(range(1, least(length(text), {n}) + 1), "
             f"i -> unicode(substr(text, i, 1)))")
@@ -4810,6 +4909,7 @@ SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b,
 FROM b a JOIN b c ON {_lsh_or_sql("a", "c", LSH_NDUP_TABLES)}
                  AND a.vec_id < c.vec_id
 WHERE round({_COS_SQL.format(a="a.v", b="c.v")}, 6) >= 0.45""",
+        "emb_near_dup_auto": _emb_near_dup_auto_sql(),
         "multimodal_features": f"""
 SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
   round(list_avg({_head_sql()}), 6) AS head_mean,

@@ -204,3 +204,45 @@ class TestAttributionPresentation:
         from caspr_spark.explain import visualize
         with pytest.raises(NotImplementedError):
             visualize(pd.DataFrame({"a": [1.0]}))
+
+
+class TestLshAutoPlanSqlParity:
+    """Round-12 emb_near_dup_auto certificate: the SQL twin re-derives
+    (n_planes, n_tables) from a count(*) CTE with exact integer
+    arithmetic + precomputed table-count literals. Sweep the whole
+    covered corpus range and require bit-equality with lsh_plan."""
+
+    def test_plan_exprs_match_lsh_plan(self):
+        import duckdb
+        from caspr_spark.llm.similarity import lsh_plan
+        from __spark_entry__ import _lsh_auto_plan_exprs
+        thr, rec, p_max = 0.45, 0.5, 8
+        np_expr, nt_expr = _lsh_auto_plan_exprs(thr, rec, p_max)
+        # every power-of-two boundary ±1 (the only places a float-log2
+        # rule could disagree) plus a spread of interior points
+        ns = sorted({1, 2, 100, 128, 129, 500, 2000, 20000, 32768} |
+                    {128 * (1 << k) + d for k in range(0, p_max + 1)
+                     for d in (-1, 0, 1)} |
+                    {937, 3001, 7777, 12345, 30000})
+        con = duckdb.connect()
+        for n in ns:
+            if n < 1:
+                continue
+            got = con.sql(
+                f"SELECT np, {nt_expr} AS nt FROM "
+                f"(SELECT {np_expr} AS np FROM "
+                f"(SELECT {n}::BIGINT AS n))").fetchone()
+            if n > 128 * (1 << p_max):
+                assert got == (None, None), n   # loud out-of-coverage
+                continue
+            want = lsh_plan(n, thr, rec)
+            assert got == want, (n, got, want)
+
+    def test_plane_prefix_property(self):
+        """The certificate's other leg: random_hyperplanes(d, P, s) is
+        a PREFIX of random_hyperplanes(d, P_MAX, s) — what lets the
+        twin embed p_max planes and activate the first np."""
+        from caspr_spark.llm.similarity import random_hyperplanes
+        full = random_hyperplanes(64, 8, seed=42)
+        for p in (4, 5, 6, 7):
+            assert random_hyperplanes(64, p, seed=42) == full[:p]
