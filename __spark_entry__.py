@@ -2211,6 +2211,33 @@ def q_simsearch_ivf_fixed(spark, sf_dir):
                       F.col("rank").cast("int").alias("rank"))
 
 
+def q_segment_kmeans_fixed(spark, sf_dir):
+    """KMeans ASSIGNMENT + per-cluster profile under PINNED centroid
+    literals (segment.py kmeans_assign — round 12, the
+    simsearch_ivf_fixed trick applied to segmentation): with the
+    centroids fixed (same lattice family as the IVF certificate),
+    cluster membership is deterministic argmin arithmetic and the
+    per-segment profile aggregate — size + mean of the first four
+    embedding dims — is computed in fixed-point (values scaled to 1e-6
+    ints, summed exactly, divided once) so the DuckDB twin matches
+    bit-for-bit at any row/partition order. Only the KMeans fit
+    (segment_kmeans) remains rows-only."""
+    from caspr_spark.segment import kmeans_assign
+    emb = _t(spark, sf_dir, "embeddings")
+    seg = kmeans_assign(emb, _ivf_fixed_centroids(), vec_col="embedding")
+    n = F.count(F.lit(1))
+    aggs = [n.cast("long").alias("n")]
+    for d in range(4):
+        scaled = F.round(
+            F.element_at("embedding", d + 1).cast("double") * 1e6,
+            0).cast("long")
+        aggs.append(F.round(F.sum(scaled) / F.lit(1e6) / n, 6)
+                     .alias(f"avg_d{d}"))
+    return (seg.groupBy("segment").agg(*aggs)
+               .select(F.col("segment").cast("int"), "n",
+                       *[f"avg_d{d}" for d in range(4)]))
+
+
 def q_simsearch_topk_ivf(spark, sf_dir):
     """IVF ANN: KMeans coarse cells + n_probe search (no SQL oracle —
     iterative clustering; rows-only check)."""
@@ -3340,6 +3367,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_portable": q_dedup_simhash_portable,
         "simsearch_pq_fixed": q_simsearch_pq_fixed,
         "simsearch_ivf_fixed": q_simsearch_ivf_fixed,
+        "segment_kmeans_fixed": q_segment_kmeans_fixed,
     }
     ordered = {n: base[n] for n in _R11_WINDOW}
     ordered.update((n, f) for n, f in base.items() if n not in ordered)
@@ -4181,6 +4209,42 @@ SELECT query_id, vec_id, cosine, rank::INT AS rank FROM (
                             ORDER BY cosine DESC, vec_id ASC) AS rank
   FROM s)
 WHERE rank <= {k}"""
+
+
+def _segment_kmeans_fixed_sql(n_dims: int = 4) -> str:
+    """Exact SQL twin of q_segment_kmeans_fixed: the same
+    left-associative per-centroid euclidean² sums as _ivf_fixed_sql's
+    assignment CTE (rn = 1, first-min-wins on distance ties), then the
+    fixed-point per-cluster profile — embedding values scaled to 1e-6
+    ints and summed exactly, so the means are row-order independent on
+    both engines."""
+    cents = _ivf_fixed_centroids()
+    dim = len(cents[0])
+    d_exprs = ",\n         ".join(
+        " + ".join(f"(x[{j + 1}]-({c[j]!r}))*(x[{j + 1}]-({c[j]!r}))"
+                   for j in range(dim)) + f" AS d{i}"
+        for i, c in enumerate(cents))
+    unions = "\n    UNION ALL ".join(
+        f"SELECT vec_id, x, {i} AS cell, d{i} AS dd FROM d"
+        for i in range(len(cents)))
+    avgs = ",\n       ".join(
+        f"round(sum(round(x[{d + 1}]*1e6)::BIGINT)/1e6/count(*), 6) "
+        f"AS avg_d{d}" for d in range(n_dims))
+    return f"""
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings),
+d AS (
+  SELECT vec_id, x,
+         {d_exprs}
+  FROM v),
+r AS (
+  SELECT vec_id, x, cell,
+         row_number() OVER (PARTITION BY vec_id ORDER BY dd, cell) AS rn
+  FROM ({unions})),
+a AS (SELECT vec_id, x, cell FROM r WHERE rn = 1)
+SELECT cell::INT AS segment, count(*)::BIGINT AS n,
+       {avgs}
+FROM a GROUP BY cell"""
 
 
 def _units_sql(src: str = "documents", text: str = "text") -> str:
@@ -5872,6 +5936,7 @@ SELECT query_id, vec_id, cosine, CAST(rk AS INT) AS rank FROM (
         "dedup_simhash_portable": _simhash_portable_sql(),
         "simsearch_pq_fixed": _pq_fixed_sql(),
         "simsearch_ivf_fixed": _ivf_fixed_sql(),
+        "segment_kmeans_fixed": _segment_kmeans_fixed_sql(),
         "dedup_components": f"""
 WITH RECURSIVE pairs AS ({_NGRAM_PAIRS_SQL}),
 edges AS (SELECT id_a AS src, id_b AS dst FROM pairs

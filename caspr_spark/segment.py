@@ -39,6 +39,35 @@ def kmeans_segment(df: DataFrame, feature_cols: list[str] | None = None,
     return model.transform(feat).drop("features"), model
 
 
+def kmeans_assign(df: DataFrame, centroids: list,
+                  vec_col: str = "embedding",
+                  out_col: str = "segment") -> DataFrame:
+    """Closed-form KMeans ASSIGNMENT under pinned centroid literals —
+    the deterministic half of :func:`kmeans_segment` (reference
+    caspr/utils/segmentation/pandas.py's predict step), split out so it
+    can be certified exactly: with the centroids given, cluster
+    membership is ``argmin_j ||x - c_j||²`` — pure arithmetic, no
+    iteration, no RNG. Same election expression as the IVF coarse
+    quantizer (:func:`caspr_spark.llm.similarity.cosine_topk_ivf`
+    ``centroids=``): per-centroid ``struct(d, cell)`` columns with the
+    left-associative euclidean² fold, array-sorted so ties break
+    first-min-wins — numpy/MLlib argmin's rule — giving the whole
+    assignment an exact SQL twin. Map-side only: no shuffle, fuses
+    into the scan; the per-row cost is k·dim codegen flops.
+
+    The KMeans FIT (:func:`kmeans_segment`) stays rows-only-checkable
+    by nature (iterative, seeded); production uses
+    ``model.clusterCenters()`` from a fit as the pinned literals here,
+    making every downstream assignment/profile auditable even though
+    the fit is not."""
+    from caspr_spark.llm.similarity import _cell_distance_structs
+
+    assign = F.element_at(
+        F.array_sort(F.array(*_cell_distance_structs(vec_col, centroids))),
+        1)["cell"]
+    return df.withColumn(out_col, assign)
+
+
 def silhouette_score(df: DataFrame, feature_cols: list[str] | None = None,
                      vec_col: str | None = None,
                      pred_col: str = "segment") -> float:
