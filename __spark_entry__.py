@@ -3041,6 +3041,43 @@ def q_stream_gram_census(spark, sf_dir):
                       F.col("gram_n").cast("int").alias("gram_n"))
 
 
+def q_stream_gram_census_state(spark, sf_dir):
+    """The streaming census's PRODUCTION SINK SHAPE (streaming.py
+    run_gram_census_to_state — round 12): foreachBatch +
+    append_gram_census folding each micro-batch into a VERSIONED
+    parquet state table, exactly the composition
+    streaming_gram_census's docstring prescribes (that certified row
+    uses the memory sink). The query drains HALF the corpus, then
+    appends the rest to the source and drains again against the SAME
+    checkpoint + state dir — a real restart boundary: the second run
+    resumes at the next batch id and folds only new arrivals onto
+    persisted state. Because the fold is a pure per-hash sum, the
+    final state table must equal the one-shot full-corpus census
+    row-for-row — the same invariant oracle as stream_gram_census."""
+    import tempfile
+
+    from caspr_spark.streaming import run_gram_census_to_state
+    _utc(spark)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    src = tempfile.mkdtemp(prefix="census_state_src_")
+    state = tempfile.mkdtemp(prefix="census_state_tbl_")
+    ckpt = tempfile.mkdtemp(prefix="census_state_ckpt_")
+    docs.filter(F.col("doc_id") % 2 == 0).repartition(4) \
+        .write.mode("overwrite").parquet(src)
+    stream = (spark.readStream.schema(docs.schema)
+              .option("maxFilesPerTrigger", 2).parquet(src))
+    run_gram_census_to_state(stream, state, ckpt, n=4)
+    # restart boundary: new files land, a fresh query on the SAME
+    # checkpoint resumes at the next batch id
+    docs.filter(F.col("doc_id") % 2 == 1).repartition(4) \
+        .write.mode("append").parquet(src)
+    stream2 = (spark.readStream.schema(docs.schema)
+               .option("maxFilesPerTrigger", 2).parquet(src))
+    census = run_gram_census_to_state(stream2, state, ckpt, n=4)
+    return census.select("gram_hash", "cnt",
+                         F.col("gram_n").cast("int").alias("gram_n"))
+
+
 # Round-11 window, mechanically oldest-last-driver-certified-first
 # (verified by tools/gen_window.py against the CORRECTNESS_r*.json
 # records — note the round-10 glob fix: "r0*.json" never matched
@@ -3361,6 +3398,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_tokenize": q_bpe_tokenize,
         "simsearch_topk_pq": q_simsearch_topk_pq,
         "stream_gram_census": q_stream_gram_census,
+        "stream_gram_census_state": q_stream_gram_census_state,
         "dsir_shared_grams": q_dsir_shared_grams,
         "dedup_minhash_portable": q_dedup_minhash_portable,
         "dedup_incremental_portable": q_dedup_incremental_portable,
@@ -6331,6 +6369,9 @@ g AS (
   WHERE len(t) >= 4)
 SELECT h AS gram_hash, count(*)::bigint AS cnt, 4 AS gram_n
 FROM g GROUP BY h"""
+    # the versioned-state foreachBatch sink must reach the SAME final
+    # state as the in-engine streaming aggregation — identical invariant
+    o["stream_gram_census_state"] = o["stream_gram_census"]
     o["span_shared_grams"] = f"""
 WITH __census AS ({o['duplicated_spans']}),
 __trim AS ({o['trim_duplicated_spans']})

@@ -388,9 +388,12 @@ def streaming_gram_census(stream: DataFrame, id_col: str = "doc_id",
     aggregate (history grams must keep counting), so state grows with
     gram cardinality — the same hash-only, text-free footprint as the
     persisted batch census, orders of magnitude smaller than the
-    corpus. Run it in ``update`` mode with a stateful sink (or
-    ``foreachBatch`` + ``append_gram_census`` onto the parquet state
-    table) in production; ``complete`` + memory sink in tests."""
+    corpus. Run it in ``update`` mode with a stateful sink in
+    production, or use :func:`run_gram_census_to_state` /
+    :func:`gram_census_sink` — the ``foreachBatch`` +
+    ``append_gram_census`` composition onto a versioned parquet state
+    table, restart-safe and certified row-identical to the one-shot
+    census (round 12); ``complete`` + memory sink in tests."""
     from caspr_spark.llm.dedup import _positional_grams
 
     if n < 1:
@@ -399,6 +402,111 @@ def streaming_gram_census(stream: DataFrame, id_col: str = "doc_id",
     return (grams.groupBy(F.col("__h").alias("gram_hash"))
                  .agg(F.count(F.lit(1)).alias("cnt"))
                  .withColumn("gram_n", F.lit(n).cast("int")))
+
+
+def _census_state_versions(spark, state_dir: str) -> list[int]:
+    """Committed census versions under ``state_dir`` (dirs named
+    ``v{batch_id}`` carrying parquet's ``_SUCCESS`` marker — a crashed
+    write leaves no marker and is invisible). Hadoop FileSystem API,
+    not ``os``: the state dir is ``hdfs://``/``s3a://`` in production,
+    local only in tests."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(state_dir)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(jpath):
+        return []
+    out = []
+    for st in fs.listStatus(jpath):
+        name = st.getPath().getName()
+        if st.isDirectory() and name.startswith("v") and name[1:].isdigit():
+            marker = jvm.org.apache.hadoop.fs.Path(st.getPath(), "_SUCCESS")
+            if fs.exists(marker):
+                out.append(int(name[1:]))
+    return sorted(out)
+
+
+def gram_census_sink(state_dir: str, id_col: str = "doc_id",
+                     text_col: str = "text", n: int = 8,
+                     track_first: bool = False):
+    """The PRODUCTION sink for the streaming census — the
+    ``foreachBatch`` + ``append_gram_census`` composition
+    :func:`streaming_gram_census`'s docstring prescribes, as a ready
+    ``foreachBatch`` callable.
+
+    Micro-batch ``b``'s documents are folded into the latest committed
+    census and written to ``state_dir/v{b}`` — always a NEW path, never
+    an overwrite of live state (the
+    :func:`~caspr_spark.llm.dedup.append_history_keys` swap
+    discipline: overwriting the parquet a lazy reader may still hold
+    truncates it mid-scan). Exactly-once across restarts comes from
+    two facts: Structured Streaming's checkpoint REPLAYS a batch id
+    after a crash rather than renumbering, and the fold is keyed by
+    that id — a replayed batch whose ``v{b}`` is already committed
+    (``_SUCCESS`` present) is skipped; one that crashed mid-write left
+    no marker and is rewritten idempotently (batch ids never reuse, so
+    the only possible occupant of ``v{b}`` is a failed attempt of the
+    SAME fold). State growth: one census per batch — prune versions
+    older than the checkpoint horizon with any TTL job; each is
+    hash-cardinality (text-free), orders of magnitude smaller than the
+    corpus.
+
+    ``track_first=True`` builds first-occurrence-tracking state
+    (``first_id``/``first_pos`` ride through every fold), the shape
+    :func:`~caspr_spark.llm.dedup.trim_duplicated_spans_incremental`
+    consumes.
+    """
+    from caspr_spark.llm.dedup import append_gram_census, build_gram_census
+
+    def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        done = _census_state_versions(spark, state_dir)
+        if batch_id in done:
+            return                       # committed replay — skip
+        prevs = [v for v in done if v < batch_id]
+        if prevs:
+            prev = spark.read.parquet(f"{state_dir}/v{max(prevs)}")
+            census = append_gram_census(prev, batch_df, id_col,
+                                        text_col, n)
+        else:
+            census = build_gram_census(batch_df, id_col, text_col, n,
+                                       track_first=track_first)
+        # overwrite is safe HERE and only here: v{batch_id} can only
+        # pre-exist as a markerless crashed attempt of this same batch
+        census.write.mode("overwrite").parquet(f"{state_dir}/v{batch_id}")
+
+    return _fold
+
+
+def run_gram_census_to_state(stream: DataFrame, state_dir: str,
+                             checkpoint_dir: str, id_col: str = "doc_id",
+                             text_col: str = "text", n: int = 8,
+                             track_first: bool = False,
+                             timeout_sec: int = 120) -> DataFrame:
+    """Drain a document stream through :func:`gram_census_sink` and
+    return the latest committed census state. ``availableNow`` trigger:
+    processes everything currently in the source then stops — the
+    batch-job-shaped invocation of the continuous pipeline (rerun on a
+    schedule, or swap the trigger for a long-lived query). The
+    checkpoint dir is what makes restarts resume at the next batch id
+    instead of refolding from scratch — reuse it across invocations."""
+    q = (stream.writeStream
+         .foreachBatch(gram_census_sink(state_dir, id_col, text_col, n,
+                                        track_first))
+         .option("checkpointLocation", checkpoint_dir)
+         .trigger(availableNow=True).start())
+    finished = q.awaitTermination(timeout_sec)
+    if not finished:
+        q.stop()
+        raise TimeoutError(
+            f"gram census stream did not drain within {timeout_sec}s")
+    spark = stream.sparkSession
+    versions = _census_state_versions(spark, state_dir)
+    if not versions:
+        raise RuntimeError(
+            f"no committed census state under {state_dir} — the stream "
+            "delivered no batches (empty source?) and there is no prior "
+            "state to return")
+    return spark.read.parquet(f"{state_dir}/v{max(versions)}")
 
 
 def run_to_memory(streaming_df: DataFrame, name: str,

@@ -454,3 +454,97 @@ class TestStreamingGramCensus:
         assert all(gn == 3 for _, gn in got.values())
         assert len(got) == 2  # 'a b c' and 'b c d' only
         assert all(c == 1 for c, _ in got.values())
+
+
+class TestGramCensusStateSink:
+    """Round-12: the census's PRODUCTION sink shape — foreachBatch +
+    append_gram_census onto a versioned parquet state table
+    (gram_census_sink / run_gram_census_to_state)."""
+
+    def _docs(self, spark):
+        rows = [(i, f"w{i % 4} w{(i + 1) % 4} w{(i + 2) % 4} tail{i}")
+                for i in range(60)]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def _census_rows(self, df):
+        return {r["gram_hash"]: (r["cnt"], r["gram_n"])
+                for r in df.collect()}
+
+    def test_state_roundtrip_with_restart(self, spark, tmp_path):
+        """Half the docs drain to state; the rest land and a NEW query
+        on the SAME checkpoint resumes — final state equals the
+        one-shot full-corpus census row-for-row."""
+        from caspr_spark.llm.dedup import build_gram_census
+        from caspr_spark.streaming import run_gram_census_to_state
+        docs = self._docs(spark)
+        src, state = str(tmp_path / "src"), str(tmp_path / "state")
+        ckpt = str(tmp_path / "ckpt")
+        docs.filter("doc_id % 2 = 0").repartition(3) \
+            .write.mode("overwrite").parquet(src)
+        s1 = (spark.readStream.schema(docs.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+        mid = run_gram_census_to_state(s1, state, ckpt, n=3)
+        want_mid = self._census_rows(
+            build_gram_census(docs.filter("doc_id % 2 = 0"), n=3))
+        assert self._census_rows(mid) == want_mid
+        docs.filter("doc_id % 2 = 1").repartition(3) \
+            .write.mode("append").parquet(src)
+        s2 = (spark.readStream.schema(docs.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+        final = run_gram_census_to_state(s2, state, ckpt, n=3)
+        assert self._census_rows(final) == self._census_rows(
+            build_gram_census(docs, n=3))
+
+    def test_replayed_batch_id_is_skipped(self, spark, tmp_path):
+        """Exactly-once leg 1: a batch id whose version is already
+        committed is a post-crash replay — the fold must be a no-op
+        even if the replayed frame differs (the committed state is the
+        truth; re-folding would double-count)."""
+        from caspr_spark.streaming import (_census_state_versions,
+                                           gram_census_sink)
+        state = str(tmp_path / "state")
+        fold = gram_census_sink(state, n=3)
+        docs = self._docs(spark)
+        fold(docs, 0)
+        assert _census_state_versions(spark, state) == [0]
+        before = self._census_rows(spark.read.parquet(f"{state}/v0"))
+        fold(docs.limit(5), 0)              # replay with different data
+        assert self._census_rows(
+            spark.read.parquet(f"{state}/v0")) == before
+
+    def test_crashed_write_is_rewritten(self, spark, tmp_path):
+        """Exactly-once leg 2: a markerless v{b} dir is a crashed
+        attempt of the SAME batch (ids never reuse) — it is invisible
+        to version listing and overwritten idempotently."""
+        import os
+        from caspr_spark.streaming import (_census_state_versions,
+                                           gram_census_sink)
+        from caspr_spark.llm.dedup import build_gram_census
+        state = str(tmp_path / "state")
+        os.makedirs(f"{state}/v0")
+        with open(f"{state}/v0/part-junk.parquet", "w") as fh:
+            fh.write("partial garbage")     # no _SUCCESS marker
+        assert _census_state_versions(spark, state) == []
+        docs = self._docs(spark)
+        gram_census_sink(state, n=3)(docs, 0)
+        assert _census_state_versions(spark, state) == [0]
+        assert self._census_rows(spark.read.parquet(f"{state}/v0")) == \
+            self._census_rows(build_gram_census(docs, n=3))
+
+    def test_track_first_rides_through_folds(self, spark, tmp_path):
+        """track_first state (first_id/first_pos) folds batch over
+        batch to the same values as a one-shot tracking census — the
+        min(struct) election is associative."""
+        from caspr_spark.llm.dedup import build_gram_census
+        from caspr_spark.streaming import gram_census_sink
+        docs = self._docs(spark)
+        state = str(tmp_path / "state")
+        fold = gram_census_sink(state, n=3, track_first=True)
+        fold(docs.filter("doc_id >= 30"), 0)   # later ids arrive FIRST
+        fold(docs.filter("doc_id < 30"), 1)
+        got = {r["gram_hash"]: (r["cnt"], r["first_id"], r["first_pos"])
+               for r in spark.read.parquet(f"{state}/v1").collect()}
+        want = {r["gram_hash"]: (r["cnt"], r["first_id"], r["first_pos"])
+                for r in build_gram_census(docs, n=3,
+                                           track_first=True).collect()}
+        assert got == want
