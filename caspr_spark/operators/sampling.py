@@ -178,7 +178,22 @@ def global_running_sum(df: DataFrame, value_col: str, order_by: list,
     materialization rather than returning wrong rows.
     ``order_by`` takes column names or Column sort expressions
     (``F.col("q").desc()``). Null ``value_col`` rows add 0.
+    ``value_col`` must be INTEGRAL (checked up front): every consumer
+    sums counts/tokens/cents, and keeping the scan in exact integer
+    arithmetic is what makes its results independent of partition
+    count and fold order — a float prefix sum would drift by
+    accumulation order, breaking the oracle-exactness contract
+    (fixed-point-scale fractional values to ints first, the
+    metrics/e10 discipline).
     """
+    vtype = dict(df.dtypes).get(value_col)
+    if vtype is not None and vtype not in ("int", "bigint", "smallint",
+                                           "tinyint", "long"):
+        raise ValueError(
+            f"global_running_sum: value_col {value_col!r} has type "
+            f"{vtype}; the distributed prefix scan is exact-integer "
+            "only (float partial sums drift by fold order) — scale to "
+            "fixed-point integers first")
     args = [F.col(c) if isinstance(c, str) else c for c in order_by]
     d = (df.repartitionByRange(num_partitions, *args) if num_partitions
          else df.repartitionByRange(*args))

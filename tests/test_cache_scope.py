@@ -210,3 +210,13 @@ class TestStrictScope:
             escaped = stratified_sample_exact(df, "s", 0.25, ["id"])
         with pytest.raises(Exception):
             escaped.collect()
+
+    def test_fractional_value_col_raises_up_front(self, spark):
+        """A double value column used to die deep in createDataFrame
+        with a type error about the offset frame; the exact-integer
+        contract (float partial sums drift by fold order) is now a
+        loud up-front ValueError."""
+        from caspr_spark.operators.sampling import global_running_sum
+        df = spark.createDataFrame([(1, 1.5)], "id long, v double")
+        with pytest.raises(ValueError, match="exact-integer"):
+            global_running_sum(df, "v", ["id"])
