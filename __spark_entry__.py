@@ -3078,102 +3078,91 @@ def q_stream_gram_census_state(spark, sf_dir):
                          F.col("gram_n").cast("int").alias("gram_n"))
 
 
-# Round-11 window, mechanically oldest-last-driver-certified-first
-# (verified by tools/gen_window.py against the CORRECTNESS_r*.json
-# records — note the round-10 glob fix: "r0*.json" never matched
-# CORRECTNESS_r10.json, so the tool now globs "r*.json"):
-#   slots 1-6    the six NEW round-11 oracle rows (stream_gram_census,
-#                dsir_shared_grams, dedup_minhash_portable,
-#                dedup_simhash_portable, simsearch_pq_fixed,
-#                simsearch_ivf_fixed — never driver-certified, so they
-#                sort first),
-#   slots 7-17   the eleven rows displaced from the round-10 window
-#                (last driver-certified round 7): w1_rank and
-#                w2_intervals were pinned at the r10 list tail, the
-#                other nine follow in their prior relative order,
-#   slots 18-50  the oldest 33 of the 50 rows last certified in round
-#                8, in their prior relative order. The displaced
-#                text_repetition/pii_redact/decontaminate/bm25_search/
-#                seq_pack_offset/seq_pack_nextfit (pinned at this
-#                list's tail) plus the eleven r8 rows that did not fit
-#                (mixture_sample, cluster_balanced, lm_perplexity,
-#                doc_chunks, related_docs, stream_stream_join,
-#                f5_outlier_removal, e10_quantile_bucket, p1_left_pad,
-#                e10_quantile_approx, sketch_distinct_rollup) lead the
-#                r12 rotation.
-_R11_WINDOW = [
-    "stream_gram_census",
-    "dsir_shared_grams",
-    "dedup_minhash_portable",
-    "dedup_simhash_portable",
-    "simsearch_pq_fixed",
-    "simsearch_ivf_fixed",
-    "w1_rank",
-    "w2_intervals",
-    "f1_history_window",
-    "f2_last_n",
-    "f4_profile_dedup",
-    "e1_encode_capped",
-    "e5_normalize_minmax",
-    "e8_date_fill_pivoted",
-    "e9_fill_nans_pivoted",
-    "p3_pivot_last5",
-    "x3_sliding_union",
-    "pipeline_events_percutoff",
-    "pipeline_orders_composite",
-    "stratified_sample_exact",
-    "stratified_sample_hash",
-    "downsample_cap",
-    "a1_cardinality",
-    "a2_topk_cat_freq",
-    "a3_summary_stats",
-    "a4_max_date",
-    "a5_events_per_entity",
-    "a6_seq_len_percentile",
-    "a7_lookback_period",
-    "a8_collect_distinct",
-    "a9_label_multihot",
-    "a10_segment_profile",
-    "a11_nunique_lineitem",
-    "a12_rollup",
-    "a13_cube",
-    "w5_sessionize",
-    "asof_join",
-    "json_extract",
-    "p3_pivot_lineitem",
-    "p6_petastorm_rename",
-    "e1_fit_apply_split",
-    "e5_fit_apply_split",
-    "e5_normalize_standard",
-    "llm_curate",
-    "llm_curate_report",
-    "e2_encode_collect",
-    "e3_decode_roundtrip",
-    "f6_null_drop",
-    "e6_denormalize_roundtrip",
-    "e7_date_interval",
-    # slots 51-56 — displaced when the six round-11 rows entered the
-    # window; pinned here so they lead the r12 rotation's round-8 tie
-    # group (ties keep queries() order)
+# Round-12 window, mechanically oldest-last-driver-certified-first
+# (emitted and --check-verified by tools/gen_window.py against the
+# CORRECTNESS_r*.json records):
+#   slots 1-4    the four NEW/NEWLY-ORACLE round-12 rows
+#                (emb_near_dup_auto — promoted from rows-only,
+#                stream_gram_census_state, dedup_incremental_portable,
+#                segment_kmeans_fixed — never driver-certified under an
+#                oracle, so they sort first),
+#   slots 5-21   the seventeen rows the round-11 rotation displaced
+#                (last driver-certified round 8): text_repetition →
+#                sketch_distinct_rollup in their prior relative order,
+#   slots 22-50  the oldest 29 of the round-9-certified block, in
+#                their prior relative order — these include the three
+#                plans REWRITTEN in round 11 that carried only local
+#                certification since (dedup_keep_best slot 28,
+#                profile_table slot 38; seq_pack_offset rides at slot
+#                9 in the displaced group), closing the r11 verdict's
+#                certification-upkeep item. Displaced past the window:
+#                expectations_events, resample_daily, skew_report,
+#                shards_roundtrip (all r9-certified and local-oracle
+#                green at both SFs) — they lead the r13 rotation.
+_R12_WINDOW = [
+    "emb_near_dup_auto",
+    "stream_gram_census_state",
+    "dedup_incremental_portable",
+    "segment_kmeans_fixed",
     "text_repetition",
     "pii_redact",
     "decontaminate",
     "bm25_search",
     "seq_pack_offset",
     "seq_pack_nextfit",
+    "mixture_sample",
+    "cluster_balanced",
+    "lm_perplexity",
+    "doc_chunks",
+    "related_docs",
+    "stream_stream_join",
+    "f5_outlier_removal",
+    "e10_quantile_bucket",
+    "p1_left_pad",
+    "e10_quantile_approx",
+    "sketch_distinct_rollup",
+    "clean_paragraph_dedup",
+    "clean_boilerplate",
+    "quality_hashed_bow",
+    "token_budget_select",
+    "merge_upsert_orders",
+    "hybrid_search_rrf",
+    "dedup_keep_best",
+    "stream_sessions",
+    "heavy_hitters",
+    "fuzzy_join_parts",
+    "zorder_layout",
+    "weighted_sample",
+    "cv_folds",
+    "source_csv_roundtrip",
+    "llm_curate_v2",
+    "diff_snapshots",
+    "profile_table",
+    "semantic_dedup",
+    "quantize_embeddings",
+    "covariance_matrix",
+    "rollup_incremental",
+    "outlier_robust",
+    "stream_anomaly",
+    "calibration_bins",
+    "drift_psi",
+    "scd2_orders",
+    "text_normalize",
+    "attribution_last_touch",
+    "pagerank_docs",
 ]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver contract: the correctness gate certifies the FIRST 50 entries.
 
-    167 of the 195 queries carry DuckDB oracles (165 full + the two
+    171 of the 198 queries carry DuckDB oracles (169 full + the two
     bounded sketch certificates) — more than one 50-slot window holds —
     so certification rotates across rounds (COVERAGE.md maps which
     round certified which row; tools/check_correctness.py re-runs the
     FULL oracle suite locally each round ->
-    CORRECTNESS_local_r{N}.json). The round-11 window is
-    ``_R11_WINDOW`` above, computed MECHANICALLY by certification
+    CORRECTNESS_local_r{N}.json). The round-12 window is
+    ``_R12_WINDOW`` above, computed MECHANICALLY by certification
     recency (oldest last-driver-certified rows first — emitted by
     tools/gen_window.py from the driver's own records) so no oracle
     row's driver certification silently ages; everything else keeps
@@ -3407,7 +3396,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simsearch_ivf_fixed": q_simsearch_ivf_fixed,
         "segment_kmeans_fixed": q_segment_kmeans_fixed,
     }
-    ordered = {n: base[n] for n in _R11_WINDOW}
+    ordered = {n: base[n] for n in _R12_WINDOW}
     ordered.update((n, f) for n, f in base.items() if n not in ordered)
     return ordered
 

@@ -55,9 +55,12 @@ lives, behavior and results are identical (the checkpoint freezes the
 very boundaries the offsets were collected against); after the scope
 releases the checkpoint there is NO lineage to recompute, so an escaped
 consumer FAILS LOUDLY on materialization instead of silently returning
-re-sampled rows. Turn it on in tests and loop-shaped debug runs; leave
-it off on the hot path (an eager checkpoint is one extra
-materialization per scan).
+re-sampled rows. Turn it on in tests and loop-shaped debug runs. Cost:
+the eager checkpoint is one extra materialization per scan, but the
+leaf plan it leaves behind is cheaper to re-analyze downstream — on a
+2M-row tape strict mode measured NOT slower than the default persist
+(SCALING_r12.md); it stays opt-in because the balance depends on
+storage locality, not because it is known-expensive.
 """
 
 from __future__ import annotations
