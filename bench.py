@@ -208,8 +208,22 @@ def main() -> None:
         for _ in range(8):
             a = np.tanh(a @ a.T / 1024)
 
+    # Third probe (round 12): SMALL-JOB LATENCY. The shuffle probe is
+    # one big throughput-bound job; the bench queries are dozens of
+    # small jobs whose cost is dominated by scheduling/dispatch
+    # latency. The r12 local host ran the shuffle probe 1.5x FASTER
+    # than r11's while every query ran ~1.27x slower (uniformly,
+    # untouched plans included) — a latency-vs-throughput host
+    # difference the old calibration inverted. 24 tiny two-stage jobs:
+    def _smalljob_probe():
+        for _ in range(24):
+            (spark.range(0, 10_000, 1, 8)
+                  .withColumn("g", F.col("id") % 7)
+                  .groupBy("g").count().collect())
+
     calib_spark, calib_spark_runs = _median3(_shuffle_probe)
     calib_numpy, calib_numpy_runs = _median3(_gemm_probe)
+    calib_small, calib_small_runs = _median3(_smalljob_probe)
 
     from caspr_spark.cache import cache_scope
 
@@ -272,10 +286,17 @@ def main() -> None:
         "value_extended_warm": round(sum(extended_warm.values()), 3),
         "calibration": {"spark_shuffle_sec": calib_spark,
                         "numpy_gemm_sec": calib_numpy,
+                        "spark_smalljob_sec": calib_small,
                         "spark_shuffle_runs": calib_spark_runs,
                         "numpy_gemm_runs": calib_numpy_runs,
+                        "spark_smalljob_runs": calib_small_runs,
                         "probe_stat": "median of 3 (r1-r11 records are "
-                                      "single-run; compare accordingly)"},
+                                      "single-run; compare accordingly). "
+                                      "smalljob = 24 tiny two-stage jobs "
+                                      "(scheduling-latency-bound, new in "
+                                      "r12 — the shape the bench queries "
+                                      "actually have; absent from r1-r11 "
+                                      "records)"},
         # host-lottery-free comparison number: cold total divided by the
         # code-independent synthetic-shuffle calibration (observed to
         # drift 0.7-1.25 s across the VMs/rounds at identical code)
