@@ -595,3 +595,66 @@ class TestRankOneElectionPins:
         plan = plan_of(profile_table(df))
         assert plan.count("WindowGroupLimit") >= 2, plan
         assert "Partial" in plan[plan.index("WindowGroupLimit"):], plan
+
+
+class TestRound12Plans:
+    """Plan pins for the round-12 additions."""
+
+    def test_kmeans_assign_is_map_side_only(self, spark):
+        """The pinned-centroid assignment must fuse into the scan:
+        zero shuffle exchanges, zero Window nodes — the property that
+        makes it free at 100 TB (k·dim codegen flops per row)."""
+        from caspr_spark.segment import kmeans_assign
+        df = spark.createDataFrame(
+            [(1, [0.1] * 8)], "vec_id long, embedding array<double>")
+        cents = [[float(i)] * 8 for i in range(4)]
+        plan = plan_of(kmeans_assign(df, cents))
+        assert shuffle_count(plan) == 0
+        assert "Window" not in plan
+
+    def test_segment_kmeans_fixed_single_exchange(self, spark):
+        """Assignment + profile = one aggregation: exactly one shuffle
+        (the groupBy's partial->final exchange), no Window nodes."""
+        import __spark_entry__ as em
+        plan = plan_of(em.queries()["segment_kmeans_fixed"](
+            spark, "/root/testdata/sf0.001"))
+        assert shuffle_count(plan) == 1, plan
+        assert "Window" not in plan
+
+    def test_incremental_portable_no_windows_no_history_selfjoin(
+            self, spark):
+        """Portable near mode keeps the incremental plan shape: no
+        Window nodes anywhere (elections are joins/aggregates), and
+        the banding runs once per SIDE — two shingle explosions (batch
+        + history), never a history x history pairing."""
+        from caspr_spark.llm.dedup import dedup_against_history
+        docs = spark.createDataFrame(
+            [(i, f"w{i} w{i+1} w{i+2} w{i+3}") for i in range(8)],
+            "doc_id long, text string")
+        history = docs.filter("doc_id % 2 = 0")
+        batch = docs.filter("doc_id % 2 = 1")
+        _, matches = dedup_against_history(
+            batch, history, mode="near", num_hashes=16, bands=8,
+            threshold=0.2, hash_family="portable")
+        plan = plan_of(matches)
+        assert "Window" not in plan
+
+    def test_strict_scan_is_leaf_backed(self, spark):
+        """Strict mode's contract is structural: the scan frame is an
+        eager localCheckpoint, so the returned plan reads a leaf
+        ExistingRDD (no upstream lineage to silently recompute); the
+        default plan keeps the recomputable Range lineage."""
+        from caspr_spark.cache import cache_scope
+        from caspr_spark.operators.sampling import global_running_sum
+        from pyspark.sql import functions as F
+        tape = spark.range(1000).select(
+            F.col("id"), (F.col("id") % 7).alias("v"))
+        with cache_scope(strict=True):
+            strict_plan = plan_of(global_running_sum(tape, "v", ["id"]))
+        assert "ExistingRDD" in strict_plan
+        assert "InMemoryTableScan" not in strict_plan
+        with cache_scope():
+            default_plan = plan_of(global_running_sum(tape, "v", ["id"]))
+            # the default scan frame is a persist (recomputable cache),
+            # never a lineage-truncating checkpoint leaf at its root
+            assert "InMemoryTableScan" in default_plan
