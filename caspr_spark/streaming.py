@@ -477,6 +477,34 @@ def gram_census_sink(state_dir: str, id_col: str = "doc_id",
     return _fold
 
 
+def prune_census_state(spark, state_dir: str, keep_last: int = 2) -> list[int]:
+    """The TTL job :func:`gram_census_sink`'s docstring prescribes:
+    delete committed census versions older than the newest
+    ``keep_last`` (default 2 — the live census plus one predecessor
+    for in-flight readers). Never prunes below ``keep_last`` and never
+    touches markerless dirs (a concurrently-writing fold owns those).
+    Returns the deleted version numbers. Run it AFTER consumers of the
+    old versions have finished — parquet dirs a lazy plan still reads
+    must not be deleted under it (the same swap-discipline caveat as
+    ``append_history_keys``); scheduling it one trigger behind the
+    stream (or from the foreachBatch itself after the write commits)
+    keeps exactly one version of slack.
+    """
+    if keep_last < 1:
+        raise ValueError(f"keep_last must be >= 1, got {keep_last}")
+    versions = _census_state_versions(spark, state_dir)
+    doomed = versions[:-keep_last] if len(versions) > keep_last else []
+    if not doomed:
+        return []
+    jvm = spark._jvm
+    jdir = jvm.org.apache.hadoop.fs.Path(state_dir)
+    fs = jdir.getFileSystem(spark._jsc.hadoopConfiguration())
+    for v in doomed:
+        fs.delete(jvm.org.apache.hadoop.fs.Path(state_dir + f"/v{v}"),
+                  True)
+    return doomed
+
+
 def run_gram_census_to_state(stream: DataFrame, state_dir: str,
                              checkpoint_dir: str, id_col: str = "doc_id",
                              text_col: str = "text", n: int = 8,

@@ -531,6 +531,28 @@ class TestGramCensusStateSink:
         assert self._census_rows(spark.read.parquet(f"{state}/v0")) == \
             self._census_rows(build_gram_census(docs, n=3))
 
+    def test_prune_keeps_newest_and_skips_markerless(self, spark, tmp_path):
+        """The TTL job: old committed versions go, the newest keep_last
+        stay, markerless (in-flight/crashed) dirs are untouched."""
+        import os
+        from caspr_spark.streaming import (_census_state_versions,
+                                           gram_census_sink,
+                                           prune_census_state)
+        state = str(tmp_path / "state")
+        docs = self._docs(spark)
+        fold = gram_census_sink(state, n=3)
+        for b in range(4):
+            fold(docs.filter(f"doc_id % 4 = {b}"), b)
+        os.makedirs(f"{state}/v9")          # markerless in-flight dir
+        assert _census_state_versions(spark, state) == [0, 1, 2, 3]
+        deleted = prune_census_state(spark, state, keep_last=2)
+        assert deleted == [0, 1]
+        assert _census_state_versions(spark, state) == [2, 3]
+        assert os.path.isdir(f"{state}/v9")  # never touched
+        assert prune_census_state(spark, state, keep_last=2) == []
+        with pytest.raises(ValueError, match="keep_last"):
+            prune_census_state(spark, state, keep_last=0)
+
     def test_track_first_rides_through_folds(self, spark, tmp_path):
         """track_first state (first_id/first_pos) folds batch over
         batch to the same values as a one-shot tracking census — the
