@@ -13,7 +13,8 @@ Reference parity: /root/reference (microsoft/CASPR), primarily
 caspr/utils/spark/preprocess.py — cited per-function in docstrings.
 """
 
-from caspr_spark.cache import cache_scope, register_cache
+from caspr_spark.cache import (cache_scope, register_cache,
+                               strict_scope_active)
 from caspr_spark.roles import ColumnRoles, generate_col_lists
 from caspr_spark.session import get_spark
 from caspr_spark.sources import load_tables, read_parquet_table
@@ -22,6 +23,7 @@ from caspr_spark.pipeline import SequenceFeaturizer, SequenceFeaturizerModel
 __all__ = [
     "cache_scope",
     "register_cache",
+    "strict_scope_active",
     "ColumnRoles",
     "generate_col_lists",
     "get_spark",
