@@ -3078,32 +3078,72 @@ def q_stream_gram_census_state(spark, sf_dir):
                          F.col("gram_n").cast("int").alias("gram_n"))
 
 
+def q_stream_gram_census_delta(spark, sf_dir):
+    """The census state sink's DELTA (LSM) layout (streaming.py
+    gram_census_sink layout='delta' — round 12): each micro-batch
+    writes only its OWN gram counts (O(batch) — the rebuild layout's
+    O(census)-per-fold write is what dies at billions-of-grams state
+    under frequent triggers), every compact_every-th commit merges the
+    live deltas into a new compact, and reads merge at most
+    compact_every frames — exact because the census fold is
+    associative (merge_gram_censuses). The query drains half the
+    corpus, restarts on the same checkpoint for the rest (crossing a
+    compaction), and the merged read must equal the one-shot
+    full-corpus census row-for-row — the same invariant oracle as the
+    other census rows."""
+    import tempfile
+
+    from caspr_spark.streaming import run_gram_census_to_state
+    _utc(spark)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    src = tempfile.mkdtemp(prefix="census_delta_src_")
+    state = tempfile.mkdtemp(prefix="census_delta_tbl_")
+    ckpt = tempfile.mkdtemp(prefix="census_delta_ckpt_")
+    docs.filter(F.col("doc_id") % 2 == 0).repartition(4) \
+        .write.mode("overwrite").parquet(src)
+    stream = (spark.readStream.schema(docs.schema)
+              .option("maxFilesPerTrigger", 2).parquet(src))
+    run_gram_census_to_state(stream, state, ckpt, n=4, layout="delta",
+                             compact_every=3)
+    docs.filter(F.col("doc_id") % 2 == 1).repartition(4) \
+        .write.mode("append").parquet(src)
+    stream2 = (spark.readStream.schema(docs.schema)
+               .option("maxFilesPerTrigger", 2).parquet(src))
+    census = run_gram_census_to_state(stream2, state, ckpt, n=4,
+                                      layout="delta", compact_every=3)
+    return census.select("gram_hash", "cnt",
+                         F.col("gram_n").cast("int").alias("gram_n"))
+
+
 # Round-12 window, mechanically oldest-last-driver-certified-first
 # (emitted and --check-verified by tools/gen_window.py against the
 # CORRECTNESS_r*.json records):
-#   slots 1-4    the four NEW/NEWLY-ORACLE round-12 rows
+#   slots 1-5    the five NEW/NEWLY-ORACLE round-12 rows
 #                (emb_near_dup_auto — promoted from rows-only,
 #                stream_gram_census_state, dedup_incremental_portable,
-#                segment_kmeans_fixed — never driver-certified under an
-#                oracle, so they sort first),
-#   slots 5-21   the seventeen rows the round-11 rotation displaced
+#                segment_kmeans_fixed, stream_gram_census_delta —
+#                never driver-certified under an oracle, so they sort
+#                first),
+#   slots 6-22   the seventeen rows the round-11 rotation displaced
 #                (last driver-certified round 8): text_repetition →
 #                sketch_distinct_rollup in their prior relative order,
-#   slots 22-50  the oldest 29 of the round-9-certified block, in
+#   slots 23-50  the oldest 28 of the round-9-certified block, in
 #                their prior relative order — these include the three
 #                plans REWRITTEN in round 11 that carried only local
-#                certification since (dedup_keep_best slot 28,
-#                profile_table slot 38; seq_pack_offset rides at slot
-#                9 in the displaced group), closing the r11 verdict's
+#                certification since (dedup_keep_best slot 29,
+#                profile_table slot 39; seq_pack_offset rides at slot
+#                10 in the displaced group), closing the r11 verdict's
 #                certification-upkeep item. Displaced past the window:
-#                expectations_events, resample_daily, skew_report,
-#                shards_roundtrip (all r9-certified and local-oracle
-#                green at both SFs) — they lead the r13 rotation.
+#                pagerank_docs, expectations_events, resample_daily,
+#                skew_report, shards_roundtrip (all r9-certified and
+#                local-oracle green at both SFs) — they lead the r13
+#                rotation.
 _R12_WINDOW = [
     "emb_near_dup_auto",
     "stream_gram_census_state",
     "dedup_incremental_portable",
     "segment_kmeans_fixed",
+    "stream_gram_census_delta",
     "text_repetition",
     "pii_redact",
     "decontaminate",
@@ -3149,14 +3189,13 @@ _R12_WINDOW = [
     "scd2_orders",
     "text_normalize",
     "attribution_last_touch",
-    "pagerank_docs",
 ]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver contract: the correctness gate certifies the FIRST 50 entries.
 
-    171 of the 198 queries carry DuckDB oracles (169 full + the two
+    172 of the 199 queries carry DuckDB oracles (170 full + the two
     bounded sketch certificates) — more than one 50-slot window holds —
     so certification rotates across rounds (COVERAGE.md maps which
     round certified which row; tools/check_correctness.py re-runs the
@@ -3388,6 +3427,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simsearch_topk_pq": q_simsearch_topk_pq,
         "stream_gram_census": q_stream_gram_census,
         "stream_gram_census_state": q_stream_gram_census_state,
+        "stream_gram_census_delta": q_stream_gram_census_delta,
         "dsir_shared_grams": q_dsir_shared_grams,
         "dedup_minhash_portable": q_dedup_minhash_portable,
         "dedup_incremental_portable": q_dedup_incremental_portable,
@@ -6361,6 +6401,8 @@ FROM g GROUP BY h"""
     # the versioned-state foreachBatch sink must reach the SAME final
     # state as the in-engine streaming aggregation — identical invariant
     o["stream_gram_census_state"] = o["stream_gram_census"]
+    # ...and so must the LSM delta layout's bounded read-side merge
+    o["stream_gram_census_delta"] = o["stream_gram_census"]
     o["span_shared_grams"] = f"""
 WITH __census AS ({o['duplicated_spans']}),
 __trim AS ({o['trim_duplicated_spans']})

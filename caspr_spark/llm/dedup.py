@@ -681,7 +681,35 @@ def append_gram_census(census: DataFrame, batch: DataFrame,
     track_first = "first_id" in census.columns
     new = build_gram_census(batch, id_col, text_col, n,
                             track_first=track_first)
-    u = _check_gram_n(census, n).unionByName(new)
+    return merge_gram_censuses([census, new], n)
+
+
+def merge_gram_censuses(censuses: list, n: int):
+    """Merge ALREADY-BUILT census frames — the tree/LSM half of the
+    associative fold: counts sum per hash, first-occurrences take the
+    ``min(struct)``, every input's ``gram_n`` verified in-plan against
+    ``n``. Because the fold is associative and commutative, merging K
+    partial censuses in any grouping reaches the same state as one
+    full-corpus :func:`build_gram_census` — which is what lets census
+    state be maintained LSM-style (per-batch delta frames compacted
+    periodically, see :func:`caspr_spark.streaming.gram_census_sink`
+    ``layout='delta'``) and lets a 100 TB corpus build its census as a
+    tree of per-shard partials. All inputs must agree on
+    first-occurrence tracking (``first_id`` in all or in none)."""
+    if not censuses:
+        raise ValueError("merge_gram_censuses needs at least one census")
+    tracks = {"first_id" in c.columns for c in censuses}
+    if len(tracks) > 1:
+        raise ValueError(
+            "cannot merge tracking and non-tracking censuses — rebuild "
+            "the state with a consistent track_first setting")
+    track_first = tracks.pop()
+    cols = ["gram_hash", "cnt"] + (
+        ["first_id", "first_pos"] if track_first else [])
+    u = None
+    for c in censuses:
+        c = _check_gram_n(c, n).select(*cols)
+        u = c if u is None else u.unionByName(c)
     aggs = [F.sum("cnt").alias("cnt")]
     if track_first:
         aggs.append(F.min(F.struct(

@@ -404,10 +404,15 @@ def streaming_gram_census(stream: DataFrame, id_col: str = "doc_id",
                  .withColumn("gram_n", F.lit(n).cast("int")))
 
 
-def _census_state_versions(spark, state_dir: str) -> list[int]:
-    """Committed census versions under ``state_dir`` (dirs named
-    ``v{batch_id}`` carrying parquet's ``_SUCCESS`` marker — a crashed
-    write leaves no marker and is invisible). Hadoop FileSystem API,
+_CENSUS_KINDS = {"v": "full", "c": "compact", "d": "delta"}
+
+
+def _census_state_listing(spark, state_dir: str) -> list[tuple[int, str]]:
+    """Committed census state dirs under ``state_dir`` as sorted
+    ``(batch_id, kind)`` pairs — ``v{b}`` full censuses (rebuild
+    layout), ``c{b}`` compacts and ``d{b}`` deltas (delta layout).
+    Only dirs carrying parquet's ``_SUCCESS`` marker count — a crashed
+    write leaves no marker and is invisible. Hadoop FileSystem API,
     not ``os``: the state dir is ``hdfs://``/``s3a://`` in production,
     local only in tests."""
     jvm = spark._jvm
@@ -418,108 +423,222 @@ def _census_state_versions(spark, state_dir: str) -> list[int]:
     out = []
     for st in fs.listStatus(jpath):
         name = st.getPath().getName()
-        if st.isDirectory() and name.startswith("v") and name[1:].isdigit():
+        if (st.isDirectory() and name[:1] in _CENSUS_KINDS
+                and name[1:].isdigit()):
             marker = jvm.org.apache.hadoop.fs.Path(st.getPath(), "_SUCCESS")
             if fs.exists(marker):
-                out.append(int(name[1:]))
+                out.append((int(name[1:]), _CENSUS_KINDS[name[:1]]))
     return sorted(out)
+
+
+def _census_state_versions(spark, state_dir: str) -> list[int]:
+    """Committed batch ids regardless of kind (the replay-skip set)."""
+    return [b for b, _ in _census_state_listing(spark, state_dir)]
+
+
+def read_gram_census_state(spark, state_dir: str, n: int):
+    """Current census state as ONE DataFrame, either layout.
+
+    Rebuild layout (``v{b}`` dirs): the newest full census. Delta
+    layout (``c{b}``/``d{b}``): the newest compact merged with every
+    younger delta via
+    :func:`~caspr_spark.llm.dedup.merge_gram_censuses` — at most
+    ``compact_every`` frames, so the read-side merge stays bounded.
+    Raises on an empty state dir and on a mixed-layout dir (a rebuild
+    sink and a delta sink pointed at the same path)."""
+    from caspr_spark.llm.dedup import merge_gram_censuses
+
+    listing = _census_state_listing(spark, state_dir)
+    if not listing:
+        raise RuntimeError(f"no committed census state under {state_dir}")
+    kinds = {k for _, k in listing}
+    if "full" in kinds and kinds != {"full"}:
+        raise RuntimeError(
+            f"mixed census-state layouts under {state_dir} (rebuild "
+            "v* dirs alongside delta c*/d* dirs) — one state dir, one "
+            "sink layout")
+    if kinds == {"full"}:
+        return spark.read.parquet(f"{state_dir}/v{listing[-1][0]}")
+    compacts = [b for b, k in listing if k == "compact"]
+    base = max(compacts) if compacts else None
+    frames = ([spark.read.parquet(f"{state_dir}/c{base}")]
+              if base is not None else [])
+    frames += [spark.read.parquet(f"{state_dir}/d{b}")
+               for b, k in listing
+               if k == "delta" and (base is None or b > base)]
+    return merge_gram_censuses(frames, n)
 
 
 def gram_census_sink(state_dir: str, id_col: str = "doc_id",
                      text_col: str = "text", n: int = 8,
-                     track_first: bool = False):
+                     track_first: bool = False,
+                     layout: str = "rebuild", compact_every: int = 8):
     """The PRODUCTION sink for the streaming census — the
-    ``foreachBatch`` + ``append_gram_census`` composition
+    ``foreachBatch`` + census-fold composition
     :func:`streaming_gram_census`'s docstring prescribes, as a ready
-    ``foreachBatch`` callable.
+    ``foreachBatch`` callable. Two write layouts:
 
-    Micro-batch ``b``'s documents are folded into the latest committed
-    census and written to ``state_dir/v{b}`` — always a NEW path, never
-    an overwrite of live state (the
-    :func:`~caspr_spark.llm.dedup.append_history_keys` swap
-    discipline: overwriting the parquet a lazy reader may still hold
+    ``layout='rebuild'``: micro-batch ``b`` folds into the latest
+    committed census and writes the WHOLE census to ``state_dir/v{b}``.
+    Simple, one live frame — but each fold pays O(census) write, so it
+    fits batch-shaped cadences (a daily crawl against a state table
+    that is large but rewritten once a day), NOT second-level triggers
+    over web-scale state.
+
+    ``layout='delta'``: the LSM shape — batch ``b`` writes only ITS OWN
+    gram counts to ``d{b}`` (O(batch) write, independent of state
+    size); every ``compact_every``-th commit merges the newest compact
+    + live deltas + the batch into a new compact ``c{b}`` (the
+    O(census) cost paid once per ``compact_every`` batches, amortized
+    O(census/compact_every)); readers merge at most ``compact_every``
+    frames (:func:`read_gram_census_state`), exact because the fold is
+    associative (:func:`~caspr_spark.llm.dedup.merge_gram_censuses`).
+    This is the layout that survives frequent triggers over
+    billions-of-grams state.
+
+    Both layouts write NEW paths only, never overwriting live state
+    (the :func:`~caspr_spark.llm.dedup.append_history_keys` swap
+    discipline: overwriting parquet a lazy reader may still hold
     truncates it mid-scan). Exactly-once across restarts comes from
     two facts: Structured Streaming's checkpoint REPLAYS a batch id
     after a crash rather than renumbering, and the fold is keyed by
-    that id — a replayed batch whose ``v{b}`` is already committed
+    that id — a replayed batch whose dir is already committed
     (``_SUCCESS`` present) is skipped; one that crashed mid-write left
     no marker and is rewritten idempotently (batch ids never reuse, so
-    the only possible occupant of ``v{b}`` is a failed attempt of the
-    SAME fold). State growth: one census per batch — prune versions
-    older than the checkpoint horizon with any TTL job; each is
-    hash-cardinality (text-free), orders of magnitude smaller than the
-    corpus.
+    the only possible occupant of the dir is a failed attempt of the
+    SAME fold; the delta-vs-compact decision is a pure function of the
+    committed set, so a replay re-decides identically). Prune
+    superseded dirs with :func:`prune_census_state`.
 
     ``track_first=True`` builds first-occurrence-tracking state
-    (``first_id``/``first_pos`` ride through every fold), the shape
+    (``first_id``/``first_pos`` ride through every fold and merge),
+    the shape
     :func:`~caspr_spark.llm.dedup.trim_duplicated_spans_incremental`
     consumes.
     """
-    from caspr_spark.llm.dedup import append_gram_census, build_gram_census
+    if layout not in ("rebuild", "delta"):
+        raise ValueError(f"layout must be 'rebuild' or 'delta', "
+                         f"got {layout!r}")
+    if compact_every < 2:
+        raise ValueError(f"compact_every must be >= 2, got {compact_every}")
+    from caspr_spark.llm.dedup import (build_gram_census,
+                                       merge_gram_censuses)
 
     def _fold(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        done = _census_state_versions(spark, state_dir)
-        if batch_id in done:
+        listing = _census_state_listing(spark, state_dir)
+        want = {"full"} if layout == "rebuild" else {"compact", "delta"}
+        stray = {k for _, k in listing} - want
+        if stray:
+            raise RuntimeError(
+                f"census state under {state_dir} holds {sorted(stray)} "
+                f"dirs but this sink writes layout={layout!r} — one "
+                "state dir, one layout")
+        if batch_id in {b for b, _ in listing}:
             return                       # committed replay — skip
-        prevs = [v for v in done if v < batch_id]
-        if prevs:
-            prev = spark.read.parquet(f"{state_dir}/v{max(prevs)}")
-            census = append_gram_census(prev, batch_df, id_col,
-                                        text_col, n)
+        prior = [(b, k) for b, k in listing if b < batch_id]
+        batch_census = build_gram_census(batch_df, id_col, text_col, n,
+                                         track_first=track_first)
+        if layout == "rebuild":
+            if prior:
+                prev = spark.read.parquet(f"{state_dir}/v{prior[-1][0]}")
+                census = merge_gram_censuses([prev, batch_census], n)
+            else:
+                census = batch_census
+            path = f"{state_dir}/v{batch_id}"
         else:
-            census = build_gram_census(batch_df, id_col, text_col, n,
-                                       track_first=track_first)
-        # overwrite is safe HERE and only here: v{batch_id} can only
+            compacts = [b for b, k in prior if k == "compact"]
+            base = max(compacts) if compacts else None
+            deltas = [b for b, k in prior if k == "delta"
+                      and (base is None or b > base)]
+            if not prior:
+                # first commit IS the full census: a compact
+                census, path = batch_census, f"{state_dir}/c{batch_id}"
+            elif len(deltas) + 1 >= compact_every:
+                frames = ([spark.read.parquet(f"{state_dir}/c{base}")]
+                          if base is not None else [])
+                frames += [spark.read.parquet(f"{state_dir}/d{b}")
+                           for b in deltas]
+                census = merge_gram_censuses(frames + [batch_census], n)
+                path = f"{state_dir}/c{batch_id}"
+            else:
+                census, path = batch_census, f"{state_dir}/d{batch_id}"
+        # overwrite is safe HERE and only here: the dir can only
         # pre-exist as a markerless crashed attempt of this same batch
-        census.write.mode("overwrite").parquet(f"{state_dir}/v{batch_id}")
+        census.write.mode("overwrite").parquet(path)
 
     return _fold
 
 
 def prune_census_state(spark, state_dir: str, keep_last: int = 2) -> list[int]:
-    """The TTL job :func:`gram_census_sink`'s docstring prescribes:
-    delete committed census versions older than the newest
-    ``keep_last`` (default 2 — the live census plus one predecessor
-    for in-flight readers). Never prunes below ``keep_last`` and never
-    touches markerless dirs (a concurrently-writing fold owns those).
-    Returns the deleted version numbers. Run it AFTER consumers of the
-    old versions have finished — parquet dirs a lazy plan still reads
-    must not be deleted under it (the same swap-discipline caveat as
-    ``append_history_keys``); scheduling it one trigger behind the
-    stream (or from the foreachBatch itself after the write commits)
-    keeps exactly one version of slack.
+    """The TTL job :func:`gram_census_sink`'s docstring prescribes —
+    delete SUPERSEDED committed state, layout-aware:
+
+    - rebuild layout (``v{b}``): every full census older than the
+      newest ``keep_last`` (default 2 — the live census plus one
+      predecessor for in-flight readers);
+    - delta layout (``c{b}``/``d{b}``): everything strictly older than
+      the ``keep_last``-th-newest COMPACT — compacts are the restore
+      points; deltas younger than the oldest kept compact are LIVE
+      data and are never touched.
+
+    Never touches markerless dirs (a concurrently-writing fold owns
+    those). Returns the deleted batch ids. Run it AFTER consumers of
+    the old versions have finished — parquet dirs a lazy plan still
+    reads must not be deleted under it (the same swap-discipline
+    caveat as ``append_history_keys``); scheduling it one trigger
+    behind the stream keeps one version of slack.
     """
     if keep_last < 1:
         raise ValueError(f"keep_last must be >= 1, got {keep_last}")
-    versions = _census_state_versions(spark, state_dir)
-    doomed = versions[:-keep_last] if len(versions) > keep_last else []
+    listing = _census_state_listing(spark, state_dir)
+    kinds = {k for _, k in listing}
+    if "full" in kinds and kinds != {"full"}:
+        raise RuntimeError(
+            f"mixed census-state layouts under {state_dir} — refusing "
+            "to prune")
+    if kinds == {"full"}:
+        doomed = [(b, "v") for b, _ in listing[:-keep_last]] \
+            if len(listing) > keep_last else []
+    else:
+        compacts = [b for b, k in listing if k == "compact"]
+        if len(compacts) < keep_last:
+            doomed = []
+        else:
+            floor = compacts[-keep_last]
+            doomed = [(b, "c" if k == "compact" else "d")
+                      for b, k in listing if b < floor]
     if not doomed:
         return []
     jvm = spark._jvm
     jdir = jvm.org.apache.hadoop.fs.Path(state_dir)
     fs = jdir.getFileSystem(spark._jsc.hadoopConfiguration())
-    for v in doomed:
-        fs.delete(jvm.org.apache.hadoop.fs.Path(state_dir + f"/v{v}"),
-                  True)
-    return doomed
+    for b, prefix in doomed:
+        fs.delete(jvm.org.apache.hadoop.fs.Path(
+            state_dir + f"/{prefix}{b}"), True)
+    return [b for b, _ in doomed]
 
 
 def run_gram_census_to_state(stream: DataFrame, state_dir: str,
                              checkpoint_dir: str, id_col: str = "doc_id",
                              text_col: str = "text", n: int = 8,
                              track_first: bool = False,
+                             layout: str = "rebuild",
+                             compact_every: int = 8,
                              timeout_sec: int = 120) -> DataFrame:
     """Drain a document stream through :func:`gram_census_sink` and
-    return the latest committed census state. ``availableNow`` trigger:
-    processes everything currently in the source then stops — the
-    batch-job-shaped invocation of the continuous pipeline (rerun on a
-    schedule, or swap the trigger for a long-lived query). The
-    checkpoint dir is what makes restarts resume at the next batch id
-    instead of refolding from scratch — reuse it across invocations."""
+    return the current census state (:func:`read_gram_census_state`).
+    ``availableNow`` trigger: processes everything currently in the
+    source then stops — the batch-job-shaped invocation of the
+    continuous pipeline (rerun on a schedule, or swap the trigger for
+    a long-lived query). The checkpoint dir is what makes restarts
+    resume at the next batch id instead of refolding from scratch —
+    reuse it across invocations, and keep ``layout`` stable per state
+    dir (the sink refuses a mismatch)."""
     q = (stream.writeStream
          .foreachBatch(gram_census_sink(state_dir, id_col, text_col, n,
-                                        track_first))
+                                        track_first, layout,
+                                        compact_every))
          .option("checkpointLocation", checkpoint_dir)
          .trigger(availableNow=True).start())
     finished = q.awaitTermination(timeout_sec)
@@ -527,14 +646,7 @@ def run_gram_census_to_state(stream: DataFrame, state_dir: str,
         q.stop()
         raise TimeoutError(
             f"gram census stream did not drain within {timeout_sec}s")
-    spark = stream.sparkSession
-    versions = _census_state_versions(spark, state_dir)
-    if not versions:
-        raise RuntimeError(
-            f"no committed census state under {state_dir} — the stream "
-            "delivered no batches (empty source?) and there is no prior "
-            "state to return")
-    return spark.read.parquet(f"{state_dir}/v{max(versions)}")
+    return read_gram_census_state(stream.sparkSession, state_dir, n)
 
 
 def run_to_memory(streaming_df: DataFrame, name: str,

@@ -553,6 +553,71 @@ class TestGramCensusStateSink:
         with pytest.raises(ValueError, match="keep_last"):
             prune_census_state(spark, state, keep_last=0)
 
+    def test_delta_layout_roundtrip_compaction_prune(self, spark, tmp_path):
+        """The LSM layout: per-batch deltas (O(batch) writes), periodic
+        compaction, bounded read-side merge — final state equals the
+        one-shot census across a restart; pruning drops only what the
+        newest compact supersedes."""
+        from caspr_spark.llm.dedup import build_gram_census
+        from caspr_spark.streaming import (_census_state_listing,
+                                           prune_census_state,
+                                           read_gram_census_state,
+                                           run_gram_census_to_state)
+        docs = self._docs(spark)
+        src, state = str(tmp_path / "src"), str(tmp_path / "state")
+        ckpt = str(tmp_path / "ckpt")
+        docs.filter("doc_id % 2 = 0").repartition(3) \
+            .write.mode("overwrite").parquet(src)
+        s1 = (spark.readStream.schema(docs.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+        run_gram_census_to_state(s1, state, ckpt, n=3, layout="delta",
+                                 compact_every=3)
+        # 3 one-file batches: first commit is a compact, then deltas
+        # (batch 2 sees only one live delta, below the threshold)
+        assert _census_state_listing(spark, state) == \
+            [(0, "compact"), (1, "delta"), (2, "delta")]
+        docs.filter("doc_id % 2 = 1").repartition(3) \
+            .write.mode("append").parquet(src)
+        s2 = (spark.readStream.schema(docs.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+        final = run_gram_census_to_state(s2, state, ckpt, n=3,
+                                         layout="delta", compact_every=3)
+        # restart resumed at batch 3: two live deltas + the batch hit
+        # the threshold -> compact c3; 4 and 5 are deltas again
+        assert _census_state_listing(spark, state) == \
+            [(0, "compact"), (1, "delta"), (2, "delta"),
+             (3, "compact"), (4, "delta"), (5, "delta")]
+        want = self._census_rows(build_gram_census(docs, n=3))
+        assert self._census_rows(final) == want
+        # prune: c3 supersedes c0/d1/d2; live deltas d4/d5 untouched
+        assert prune_census_state(spark, state, keep_last=1) == [0, 1, 2]
+        assert _census_state_listing(spark, state) == \
+            [(3, "compact"), (4, "delta"), (5, "delta")]
+        assert self._census_rows(
+            read_gram_census_state(spark, state, n=3)) == want
+
+    def test_layout_mismatch_refused(self, spark, tmp_path):
+        """One state dir, one layout: a sink of the other layout
+        refuses to write, and the reader refuses a mixed dir."""
+        import os
+        from caspr_spark.streaming import (gram_census_sink,
+                                           read_gram_census_state)
+        state = str(tmp_path / "state")
+        docs = self._docs(spark)
+        gram_census_sink(state, n=3, layout="delta")(docs, 0)
+        with pytest.raises(RuntimeError, match="one state dir"):
+            gram_census_sink(state, n=3, layout="rebuild")(docs, 1)
+        gram_census_sink(str(tmp_path / "other"), n=3)(docs, 0)
+        # hand-mix: copy a rebuild dir next to the delta state
+        import shutil
+        shutil.copytree(str(tmp_path / "other" / "v0"), f"{state}/v7")
+        with pytest.raises(RuntimeError, match="mixed"):
+            read_gram_census_state(spark, state, n=3)
+        with pytest.raises(ValueError, match="layout"):
+            gram_census_sink(state, n=3, layout="append")
+        with pytest.raises(ValueError, match="compact_every"):
+            gram_census_sink(state, n=3, layout="delta", compact_every=1)
+
     def test_track_first_rides_through_folds(self, spark, tmp_path):
         """track_first state (first_id/first_pos) folds batch over
         batch to the same values as a one-shot tracking census — the

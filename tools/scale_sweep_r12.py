@@ -40,6 +40,7 @@ SF1 = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/testdata_sf1"
 ROUND12 = [
     "emb_near_dup_auto",
     "stream_gram_census_state",
+    "stream_gram_census_delta",
     "dedup_incremental_portable",
     "segment_kmeans_fixed",
 ]
