@@ -1913,6 +1913,39 @@ def q_dedup_incremental(spark, sf_dir):
     return kept.select("doc_id")
 
 
+def q_dedup_incremental_state(spark, sf_dir):
+    """Incremental exact dedup against the VERSIONED LSM key-table
+    state (dedup.py append_history_keys_state /
+    read_history_keys_state — round 12): the even-id history arrives
+    as THREE daily folds (compact, delta, then a compaction at
+    compact_every=2), and the q_dedup_incremental batch dedups against
+    the state read — per-day writes are O(batch keys), never the
+    O(state) full-table rewrite of the save_history_keys loop. The
+    kept set depends only on the key SET, which first-seen-wins
+    merging preserves exactly, so this certifies the whole state
+    protocol against the SAME oracle as dedup_incremental."""
+    import tempfile
+
+    from caspr_spark.llm.dedup import (append_history_keys_state,
+                                       dedup_against_history,
+                                       read_history_keys_state)
+    docs = _t(spark, sf_dir, "documents")
+    state = tempfile.mkdtemp(prefix="keys_state_")
+    for day, residue in ((1, 0), (2, 2), (3, 4)):
+        append_history_keys_state(
+            spark, state, day, docs.filter(F.col("doc_id") % 6 == residue),
+            compact_every=2)
+    recrawl = (docs.filter(F.col("doc_id") % 4 == 0)
+                   .withColumn("doc_id", F.col("doc_id") + 100000))
+    batch = (docs.filter(F.col("doc_id") % 2 == 1)
+                 .select("doc_id", "text")
+                 .unionByName(recrawl.select("doc_id", "text")))
+    kept, _ = dedup_against_history(
+        batch, None, mode="exact",
+        history_keys=read_history_keys_state(spark, state))
+    return kept.select("doc_id")
+
+
 def q_quantile_rollup(spark, sf_dir):
     """Continuous QUANTILE via a mergeable bottom-k sample layer
     (timeseries.py quantile_sketch_layer/quantile_rollup): hourly
@@ -3118,32 +3151,33 @@ def q_stream_gram_census_delta(spark, sf_dir):
 # Round-12 window, mechanically oldest-last-driver-certified-first
 # (emitted and --check-verified by tools/gen_window.py against the
 # CORRECTNESS_r*.json records):
-#   slots 1-5    the five NEW/NEWLY-ORACLE round-12 rows
+#   slots 1-6    the six NEW/NEWLY-ORACLE round-12 rows
 #                (emb_near_dup_auto — promoted from rows-only,
 #                stream_gram_census_state, dedup_incremental_portable,
-#                segment_kmeans_fixed, stream_gram_census_delta —
-#                never driver-certified under an oracle, so they sort
-#                first),
-#   slots 6-22   the seventeen rows the round-11 rotation displaced
+#                segment_kmeans_fixed, stream_gram_census_delta,
+#                dedup_incremental_state — never driver-certified
+#                under an oracle, so they sort first),
+#   slots 7-23   the seventeen rows the round-11 rotation displaced
 #                (last driver-certified round 8): text_repetition →
 #                sketch_distinct_rollup in their prior relative order,
-#   slots 23-50  the oldest 28 of the round-9-certified block, in
+#   slots 24-50  the oldest 27 of the round-9-certified block, in
 #                their prior relative order — these include the three
 #                plans REWRITTEN in round 11 that carried only local
-#                certification since (dedup_keep_best slot 29,
-#                profile_table slot 39; seq_pack_offset rides at slot
-#                10 in the displaced group), closing the r11 verdict's
+#                certification since (dedup_keep_best slot 30,
+#                profile_table slot 40; seq_pack_offset rides at slot
+#                11 in the displaced group), closing the r11 verdict's
 #                certification-upkeep item. Displaced past the window:
-#                pagerank_docs, expectations_events, resample_daily,
-#                skew_report, shards_roundtrip (all r9-certified and
-#                local-oracle green at both SFs) — they lead the r13
-#                rotation.
+#                attribution_last_touch, pagerank_docs,
+#                expectations_events, resample_daily, skew_report,
+#                shards_roundtrip (all r9-certified and local-oracle
+#                green at both SFs) — they lead the r13 rotation.
 _R12_WINDOW = [
     "emb_near_dup_auto",
     "stream_gram_census_state",
     "dedup_incremental_portable",
     "segment_kmeans_fixed",
     "stream_gram_census_delta",
+    "dedup_incremental_state",
     "text_repetition",
     "pii_redact",
     "decontaminate",
@@ -3188,14 +3222,13 @@ _R12_WINDOW = [
     "drift_psi",
     "scd2_orders",
     "text_normalize",
-    "attribution_last_touch",
 ]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver contract: the correctness gate certifies the FIRST 50 entries.
 
-    172 of the 199 queries carry DuckDB oracles (170 full + the two
+    173 of the 200 queries carry DuckDB oracles (171 full + the two
     bounded sketch certificates) — more than one 50-slot window holds —
     so certification rotates across rounds (COVERAGE.md maps which
     round certified which row; tools/check_correctness.py re-runs the
@@ -3273,6 +3306,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_rollup": q_quantile_rollup,
         "normalize_by_group": q_normalize_by_group,
         "dedup_incremental": q_dedup_incremental,
+        "dedup_incremental_state": q_dedup_incremental_state,
         "transition_matrix": q_transition_matrix,
         # --- slots 43-50: r2/r3-certified block, refreshed this round --
         "simsearch_topk_lsh": q_simsearch_topk_lsh,
@@ -6386,6 +6420,10 @@ WHERE doc_id NOT IN (SELECT doc_id FROM ranked WHERE rn > 1)""",
     # the gram-table-fed DSIR must select the identical set with the
     # identical weights as the raw-text path — its oracle IS dsir_select's
     o["dsir_shared_grams"] = o["dsir_select"]
+    # the LSM key-table state must yield the SAME kept set as deduping
+    # against raw history — the kept set depends only on the key set,
+    # which first-seen-wins merging preserves exactly
+    o["dedup_incremental_state"] = o["dedup_incremental"]
     # streaming census fold invariant: the drained streaming-aggregation
     # state equals the one-shot full-corpus word-4-gram census
     o["stream_gram_census"] = r"""

@@ -1421,6 +1421,100 @@ def _check_signature_family(history_signatures: DataFrame,
             "to audit incremental decisions cross-engine")
 
 
+def merge_history_key_frames(frames: list) -> DataFrame:
+    """Merge key-table frames with FIRST-SEEN-WINS semantics: the
+    frames arrive OLDEST FIRST, and a content key present in several
+    keeps the ``history_id`` from the oldest frame containing it (the
+    :func:`append_history_keys` rule, expressed as a merge so key
+    state can be maintained LSM-style). Each frame already holds one
+    row per key; the election is a map-side-combinable
+    ``min(struct(frame_seq, history_id))`` — no window, no hot key."""
+    if not frames:
+        raise ValueError("merge_history_key_frames needs at least one frame")
+    u = None
+    for seq, f in enumerate(frames):
+        f = f.select(F.lit(seq).alias("__seq"), "content_key",
+                     "history_id")
+        u = f if u is None else u.unionByName(f)
+    return (u.groupBy("content_key")
+             .agg(F.min(F.struct("__seq", "history_id")).alias("__w"))
+             .select("content_key", F.col("__w.history_id")
+                     .alias("history_id")))
+
+
+def append_history_keys_state(spark, state_dir: str, batch_id: int,
+                              accepted: DataFrame, id_col: str = "doc_id",
+                              text_col: str = "text",
+                              normalize: bool = True,
+                              compact_every: int = 8) -> None:
+    """Fold an ACCEPTED crawl batch's keys into a VERSIONED key-table
+    state dir — the LSM form of the
+    :func:`append_history_keys`+:func:`save_history_keys` daily loop,
+    which rewrites the WHOLE key table every day (O(state) writes; a
+    1e9-key table is ~100 GB rewritten per crawl). Here batch ``b``
+    writes only ITS OWN keys as a delta (O(batch)); every
+    ``compact_every``-th commit merges the live frames into a compact;
+    :func:`read_history_keys_state` merges at most ``compact_every``
+    frames with first-seen-wins resolution
+    (:func:`merge_history_key_frames` — older frames win, so the
+    merged table is row-identical to the sequential
+    ``append_history_keys`` fold). Shares the
+    :mod:`caspr_spark.state` commit protocol (``_SUCCESS`` markers,
+    replayed batch ids skip, crashed writes rewrite); ``batch_id``
+    must be caller-supplied and strictly increasing across crawls
+    (e.g. the day number) — that is what makes re-running a day
+    idempotent. Prune superseded frames with
+    :func:`caspr_spark.state.prune_state`. The daily loop becomes::
+
+        keys = read_history_keys_state(spark, state_dir)
+        kept, _ = dedup_against_history(batch, None, history_keys=keys)
+        append_history_keys_state(spark, state_dir, day, kept)
+    """
+    from caspr_spark.state import (check_layout, live_frames,
+                                   state_listing, state_path)
+
+    listing = state_listing(spark, state_dir)
+    check_layout(listing, "delta", state_dir)
+    if batch_id in {b for b, _ in listing}:
+        return                           # committed replay — skip
+    if any(b >= batch_id for b, _ in listing):
+        raise ValueError(
+            f"batch_id {batch_id} is not newer than the committed "
+            f"state under {state_dir} — first-seen-wins resolution "
+            "orders frames by batch id, so out-of-order folds would "
+            "rewrite history")
+    live = live_frames(listing, before=batch_id)
+    batch_keys = build_history_keys(accepted, id_col, text_col, normalize)
+    if not live:
+        keys, kind = batch_keys, "compact"
+    elif sum(k == "delta" for _, k in live) + 1 >= compact_every:
+        frames = [spark.read.parquet(state_path(state_dir, b, k))
+                  for b, k in live]
+        keys, kind = merge_history_key_frames(frames + [batch_keys]), \
+            "compact"
+    else:
+        keys, kind = batch_keys, "delta"
+    # overwrite safe only because the dir can pre-exist solely as a
+    # markerless crashed attempt of this same batch id
+    keys.write.mode("overwrite").parquet(
+        state_path(state_dir, batch_id, kind))
+
+
+def read_history_keys_state(spark, state_dir: str) -> DataFrame:
+    """Current key table from a versioned state dir
+    (:func:`append_history_keys_state`): newest compact merged with
+    every younger delta, first-seen-wins — feed straight to
+    ``dedup_against_history(..., history_keys=...)``."""
+    from caspr_spark.state import live_frames, state_listing, state_path
+
+    frames = live_frames(state_listing(spark, state_dir))
+    if not frames:
+        raise RuntimeError(f"no committed key state under {state_dir}")
+    dfs = [spark.read.parquet(state_path(state_dir, b, k))
+           for b, k in frames]
+    return dfs[0] if len(dfs) == 1 else merge_history_key_frames(dfs)
+
+
 def build_history_signatures(history: DataFrame, id_col: str = "doc_id",
                              text_col: str = "text", num_hashes: int = 64,
                              shingle_size: int = 3,

@@ -1,0 +1,135 @@
+"""Versioned parquet state dirs — the shared commit protocol under the
+incremental-state sinks (the streaming gram census,
+:func:`caspr_spark.streaming.gram_census_sink`, and the exact-dedup
+history key table, :func:`caspr_spark.llm.dedup.append_history_keys_state`).
+
+One state dir holds immutable per-commit subdirs named
+``{kind}{batch_id}``:
+
+- ``v{b}`` — a FULL state frame (rebuild layout: each commit rewrites
+  everything; simple, O(state) writes);
+- ``c{b}`` — a COMPACT (delta layout: a full frame as of batch ``b``);
+- ``d{b}`` — a DELTA (delta layout: only batch ``b``'s own rows —
+  O(batch) writes; readers merge the newest compact with every younger
+  delta, bounded by the compaction cadence).
+
+Commit rules shared by every writer:
+
+- a dir COUNTS only when parquet's ``_SUCCESS`` marker exists — a
+  crashed write leaves no marker and is invisible to listings;
+- writes go to NEW paths only (never overwrite live state — parquet a
+  lazy reader still holds truncates mid-scan). ``mode('overwrite')``
+  is used solely because the target can pre-exist as a markerless
+  crashed attempt of the SAME batch id (ids never reuse);
+- a batch id already committed is a post-crash replay: the fold MUST
+  skip it (the committed state is the truth — re-folding would
+  double-count);
+- the delta-vs-compact decision must be a pure function of the
+  committed set, so a replay after a crash re-decides identically.
+
+Everything goes through the Hadoop FileSystem API, not ``os`` — state
+dirs are ``hdfs://``/``s3a://`` in production, local only in tests.
+"""
+
+from __future__ import annotations
+
+_KINDS = {"v": "full", "c": "compact", "d": "delta"}
+_PREFIX = {v: k for k, v in _KINDS.items()}
+
+
+def _fs(spark, state_dir: str):
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(state_dir)
+    return jvm, jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jpath
+
+
+def state_listing(spark, state_dir: str) -> list[tuple[int, str]]:
+    """Committed state dirs as sorted ``(batch_id, kind)`` pairs, where
+    kind is ``'full'`` / ``'compact'`` / ``'delta'``."""
+    jvm, fs, jpath = _fs(spark, state_dir)
+    if not fs.exists(jpath):
+        return []
+    out = []
+    for st in fs.listStatus(jpath):
+        name = st.getPath().getName()
+        if (st.isDirectory() and name[:1] in _KINDS
+                and name[1:].isdigit()):
+            marker = jvm.org.apache.hadoop.fs.Path(st.getPath(), "_SUCCESS")
+            if fs.exists(marker):
+                out.append((int(name[1:]), _KINDS[name[:1]]))
+    return sorted(out)
+
+
+def state_path(state_dir: str, batch_id: int, kind: str) -> str:
+    return f"{state_dir}/{_PREFIX[kind]}{batch_id}"
+
+
+def check_layout(listing: list, layout: str, state_dir: str) -> None:
+    """One state dir, one layout: raise when committed kinds don't
+    match the writer's layout (``'rebuild'`` = full only, ``'delta'``
+    = compact/delta only)."""
+    want = {"full"} if layout == "rebuild" else {"compact", "delta"}
+    stray = {k for _, k in listing} - want
+    if stray:
+        raise RuntimeError(
+            f"state under {state_dir} holds {sorted(stray)} dirs but "
+            f"this sink writes layout={layout!r} — one state dir, one "
+            "layout")
+
+
+def live_frames(listing: list,
+                before: int | None = None) -> list[tuple[int, str]]:
+    """The frames a reader must merge, oldest first: in the delta
+    layout the newest compact plus every younger delta; in the rebuild
+    layout just the newest full frame. ``before`` restricts to commits
+    with a smaller batch id (what a fold at that id builds on).
+    Raises on a mixed-layout listing."""
+    if before is not None:
+        listing = [(b, k) for b, k in listing if b < before]
+    if not listing:
+        return []
+    kinds = {k for _, k in listing}
+    if "full" in kinds and kinds != {"full"}:
+        raise RuntimeError(
+            "mixed state layouts (rebuild v* dirs alongside delta "
+            "c*/d* dirs) — one state dir, one layout")
+    if kinds == {"full"}:
+        return [listing[-1]]
+    compacts = [b for b, k in listing if k == "compact"]
+    base = max(compacts) if compacts else None
+    out = [(base, "compact")] if base is not None else []
+    out += [(b, k) for b, k in listing
+            if k == "delta" and (base is None or b > base)]
+    return out
+
+
+def prune_state(spark, state_dir: str, keep_last: int = 2) -> list[int]:
+    """Delete SUPERSEDED committed state, layout-aware (see
+    :func:`caspr_spark.streaming.prune_census_state` for the consumer-
+    facing contract): rebuild keeps the newest ``keep_last`` full
+    frames; delta keeps everything from the ``keep_last``-th-newest
+    compact on (compacts are restore points, younger deltas are live
+    data). Markerless dirs are never touched. Returns deleted ids."""
+    if keep_last < 1:
+        raise ValueError(f"keep_last must be >= 1, got {keep_last}")
+    listing = state_listing(spark, state_dir)
+    kinds = {k for _, k in listing}
+    if "full" in kinds and kinds != {"full"}:
+        raise RuntimeError(
+            f"mixed state layouts under {state_dir} — refusing to prune")
+    if kinds == {"full"}:
+        doomed = listing[:-keep_last] if len(listing) > keep_last else []
+    else:
+        compacts = [b for b, k in listing if k == "compact"]
+        if len(compacts) < keep_last:
+            doomed = []
+        else:
+            floor = compacts[-keep_last]
+            doomed = [(b, k) for b, k in listing if b < floor]
+    if not doomed:
+        return []
+    jvm, fs, _ = _fs(spark, state_dir)
+    for b, kind in doomed:
+        fs.delete(jvm.org.apache.hadoop.fs.Path(state_path(state_dir, b,
+                                                           kind)), True)
+    return [b for b, _ in doomed]

@@ -404,36 +404,21 @@ def streaming_gram_census(stream: DataFrame, id_col: str = "doc_id",
                  .withColumn("gram_n", F.lit(n).cast("int")))
 
 
-_CENSUS_KINDS = {"v": "full", "c": "compact", "d": "delta"}
+from caspr_spark.state import (check_layout, live_frames, prune_state,
+                               state_listing, state_path)
 
 
 def _census_state_listing(spark, state_dir: str) -> list[tuple[int, str]]:
-    """Committed census state dirs under ``state_dir`` as sorted
-    ``(batch_id, kind)`` pairs — ``v{b}`` full censuses (rebuild
-    layout), ``c{b}`` compacts and ``d{b}`` deltas (delta layout).
-    Only dirs carrying parquet's ``_SUCCESS`` marker count — a crashed
-    write leaves no marker and is invisible. Hadoop FileSystem API,
-    not ``os``: the state dir is ``hdfs://``/``s3a://`` in production,
-    local only in tests."""
-    jvm = spark._jvm
-    jpath = jvm.org.apache.hadoop.fs.Path(state_dir)
-    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    if not fs.exists(jpath):
-        return []
-    out = []
-    for st in fs.listStatus(jpath):
-        name = st.getPath().getName()
-        if (st.isDirectory() and name[:1] in _CENSUS_KINDS
-                and name[1:].isdigit()):
-            marker = jvm.org.apache.hadoop.fs.Path(st.getPath(), "_SUCCESS")
-            if fs.exists(marker):
-                out.append((int(name[1:]), _CENSUS_KINDS[name[:1]]))
-    return sorted(out)
+    """Committed census state dirs as sorted ``(batch_id, kind)``
+    pairs (see :mod:`caspr_spark.state` for the shared dir protocol:
+    ``v{b}`` full / ``c{b}`` compact / ``d{b}`` delta, ``_SUCCESS``
+    markers, Hadoop FS)."""
+    return state_listing(spark, state_dir)
 
 
 def _census_state_versions(spark, state_dir: str) -> list[int]:
     """Committed batch ids regardless of kind (the replay-skip set)."""
-    return [b for b, _ in _census_state_listing(spark, state_dir)]
+    return [b for b, _ in state_listing(spark, state_dir)]
 
 
 def read_gram_census_state(spark, state_dir: str, n: int):
@@ -448,25 +433,12 @@ def read_gram_census_state(spark, state_dir: str, n: int):
     sink and a delta sink pointed at the same path)."""
     from caspr_spark.llm.dedup import merge_gram_censuses
 
-    listing = _census_state_listing(spark, state_dir)
-    if not listing:
+    frames = live_frames(state_listing(spark, state_dir))
+    if not frames:
         raise RuntimeError(f"no committed census state under {state_dir}")
-    kinds = {k for _, k in listing}
-    if "full" in kinds and kinds != {"full"}:
-        raise RuntimeError(
-            f"mixed census-state layouts under {state_dir} (rebuild "
-            "v* dirs alongside delta c*/d* dirs) — one state dir, one "
-            "sink layout")
-    if kinds == {"full"}:
-        return spark.read.parquet(f"{state_dir}/v{listing[-1][0]}")
-    compacts = [b for b, k in listing if k == "compact"]
-    base = max(compacts) if compacts else None
-    frames = ([spark.read.parquet(f"{state_dir}/c{base}")]
-              if base is not None else [])
-    frames += [spark.read.parquet(f"{state_dir}/d{b}")
-               for b, k in listing
-               if k == "delta" and (base is None or b > base)]
-    return merge_gram_censuses(frames, n)
+    dfs = [spark.read.parquet(state_path(state_dir, b, k))
+           for b, k in frames]
+    return dfs[0] if len(dfs) == 1 else merge_gram_censuses(dfs, n)
 
 
 def gram_census_sink(state_dir: str, id_col: str = "doc_id",
@@ -526,43 +498,31 @@ def gram_census_sink(state_dir: str, id_col: str = "doc_id",
 
     def _fold(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        listing = _census_state_listing(spark, state_dir)
-        want = {"full"} if layout == "rebuild" else {"compact", "delta"}
-        stray = {k for _, k in listing} - want
-        if stray:
-            raise RuntimeError(
-                f"census state under {state_dir} holds {sorted(stray)} "
-                f"dirs but this sink writes layout={layout!r} — one "
-                "state dir, one layout")
+        listing = state_listing(spark, state_dir)
+        check_layout(listing, layout, state_dir)
         if batch_id in {b for b, _ in listing}:
             return                       # committed replay — skip
-        prior = [(b, k) for b, k in listing if b < batch_id]
+        live = live_frames(listing, before=batch_id)
         batch_census = build_gram_census(batch_df, id_col, text_col, n,
                                          track_first=track_first)
         if layout == "rebuild":
-            if prior:
-                prev = spark.read.parquet(f"{state_dir}/v{prior[-1][0]}")
-                census = merge_gram_censuses([prev, batch_census], n)
-            else:
-                census = batch_census
-            path = f"{state_dir}/v{batch_id}"
+            frames = [spark.read.parquet(state_path(state_dir, b, k))
+                      for b, k in live] + [batch_census]
+            census = (merge_gram_censuses(frames, n)
+                      if len(frames) > 1 else batch_census)
+            path = state_path(state_dir, batch_id, "full")
+        elif not live:
+            # first commit IS the full census: a compact
+            census = batch_census
+            path = state_path(state_dir, batch_id, "compact")
+        elif sum(k == "delta" for _, k in live) + 1 >= compact_every:
+            frames = [spark.read.parquet(state_path(state_dir, b, k))
+                      for b, k in live]
+            census = merge_gram_censuses(frames + [batch_census], n)
+            path = state_path(state_dir, batch_id, "compact")
         else:
-            compacts = [b for b, k in prior if k == "compact"]
-            base = max(compacts) if compacts else None
-            deltas = [b for b, k in prior if k == "delta"
-                      and (base is None or b > base)]
-            if not prior:
-                # first commit IS the full census: a compact
-                census, path = batch_census, f"{state_dir}/c{batch_id}"
-            elif len(deltas) + 1 >= compact_every:
-                frames = ([spark.read.parquet(f"{state_dir}/c{base}")]
-                          if base is not None else [])
-                frames += [spark.read.parquet(f"{state_dir}/d{b}")
-                           for b in deltas]
-                census = merge_gram_censuses(frames + [batch_census], n)
-                path = f"{state_dir}/c{batch_id}"
-            else:
-                census, path = batch_census, f"{state_dir}/d{batch_id}"
+            census = batch_census
+            path = state_path(state_dir, batch_id, "delta")
         # overwrite is safe HERE and only here: the dir can only
         # pre-exist as a markerless crashed attempt of this same batch
         census.write.mode("overwrite").parquet(path)
@@ -589,34 +549,7 @@ def prune_census_state(spark, state_dir: str, keep_last: int = 2) -> list[int]:
     caveat as ``append_history_keys``); scheduling it one trigger
     behind the stream keeps one version of slack.
     """
-    if keep_last < 1:
-        raise ValueError(f"keep_last must be >= 1, got {keep_last}")
-    listing = _census_state_listing(spark, state_dir)
-    kinds = {k for _, k in listing}
-    if "full" in kinds and kinds != {"full"}:
-        raise RuntimeError(
-            f"mixed census-state layouts under {state_dir} — refusing "
-            "to prune")
-    if kinds == {"full"}:
-        doomed = [(b, "v") for b, _ in listing[:-keep_last]] \
-            if len(listing) > keep_last else []
-    else:
-        compacts = [b for b, k in listing if k == "compact"]
-        if len(compacts) < keep_last:
-            doomed = []
-        else:
-            floor = compacts[-keep_last]
-            doomed = [(b, "c" if k == "compact" else "d")
-                      for b, k in listing if b < floor]
-    if not doomed:
-        return []
-    jvm = spark._jvm
-    jdir = jvm.org.apache.hadoop.fs.Path(state_dir)
-    fs = jdir.getFileSystem(spark._jsc.hadoopConfiguration())
-    for b, prefix in doomed:
-        fs.delete(jvm.org.apache.hadoop.fs.Path(
-            state_dir + f"/{prefix}{b}"), True)
-    return [b for b, _ in doomed]
+    return prune_state(spark, state_dir, keep_last)
 
 
 def run_gram_census_to_state(stream: DataFrame, state_dir: str,

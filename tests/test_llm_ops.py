@@ -745,6 +745,56 @@ class TestIncrementalDedup:
                                         history_signatures=legacy)
         assert kept.count() >= 1
 
+    def test_versioned_key_state_matches_sequential_fold(self, spark,
+                                                         tmp_path):
+        """Round-12 LSM key state: per-day delta folds (crossing a
+        compaction) read back row-identical to the sequential
+        append_history_keys chain — first-seen ids preserved — and a
+        day deduped against the state matches the from-scratch run."""
+        from caspr_spark.llm.dedup import (append_history_keys,
+                                           append_history_keys_state,
+                                           build_history_keys,
+                                           dedup_against_history,
+                                           read_history_keys_state)
+        batch1, history = self._corpora(spark)
+        state = str(tmp_path / "keys")
+        append_history_keys_state(spark, state, 1, history,
+                                  compact_every=2)
+        kept1, _ = dedup_against_history(
+            batch1, None, mode="exact",
+            history_keys=read_history_keys_state(spark, state))
+        assert {r.doc_id for r in kept1.collect()} == {2, 3}
+        append_history_keys_state(spark, state, 2,
+                                  kept1.select("doc_id", "text"),
+                                  compact_every=2)
+        # day 3 re-crawls doc 2's text under a new id: first-seen id 2
+        # must survive the state fold (incl. the day-2 compaction)
+        day3 = spark.createDataFrame(
+            [(30, "a genuinely new document never seen before"),
+             (31, "day three text entirely fresh")],
+            "doc_id long, text string")
+        kept3, m3 = dedup_against_history(
+            day3, None, mode="exact",
+            history_keys=read_history_keys_state(spark, state))
+        assert {r.doc_id for r in kept3.collect()} == {31}
+        assert {(r.doc_id, r.history_id) for r in m3.collect()} == {(30, 2)}
+        # state read == the sequential in-memory fold, row for row
+        seq = append_history_keys(build_history_keys(history),
+                                  kept1.select("doc_id", "text"))
+        got = {(r.content_key, r.history_id)
+               for r in read_history_keys_state(spark, state).collect()}
+        want = {(r.content_key, r.history_id) for r in seq.collect()}
+        assert got == want
+        # replayed day: no-op; out-of-order day: loud
+        append_history_keys_state(spark, state, 2, day3, compact_every=2)
+        assert {(r.content_key, r.history_id)
+                for r in read_history_keys_state(spark, state).collect()} \
+            == want
+        # (a committed id replays as a no-op above; an UNCOMMITTED id
+        # below the committed frontier is the dangerous shape)
+        with pytest.raises(ValueError, match="not newer"):
+            append_history_keys_state(spark, state, 0, day3)
+
     def test_portable_signatures_roundtrip(self, spark, tmp_path):
         """Portable near mode from a SAVED portable signature table
         matches the raw-history portable run pair for pair (the

@@ -42,6 +42,7 @@ ROUND12 = [
     "stream_gram_census_state",
     "stream_gram_census_delta",
     "dedup_incremental_portable",
+    "dedup_incremental_state",
     "segment_kmeans_fixed",
 ]
 
