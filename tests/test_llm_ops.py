@@ -1397,3 +1397,70 @@ class TestAdviceGuardsR11:
         with pytest.raises(ValueError,
                            match="first_id type string.*bigint"):
             trim_duplicated_spans_incremental(batch, census, n=3)
+
+
+class TestCensusMergeAssociativity:
+    """merge_gram_censuses is the tree/LSM half of the census fold:
+    ANY grouping of partial censuses must reach the one-shot state."""
+
+    def _docs(self, spark, lo, hi):
+        rows = [(i, f"w{i % 5} w{(i + 1) % 5} w{(i + 2) % 5} t{i}")
+                for i in range(lo, hi)]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_any_grouping_reaches_oneshot(self, spark):
+        from caspr_spark.llm.dedup import (build_gram_census,
+                                           merge_gram_censuses)
+        full = self._docs(spark, 0, 80)
+        want = {r.gram_hash: (r.cnt, r.first_id, r.first_pos)
+                for r in build_gram_census(full, n=3,
+                                           track_first=True).collect()}
+        parts = [build_gram_census(self._docs(spark, lo, hi), n=3,
+                                   track_first=True)
+                 for lo, hi in ((0, 17), (17, 40), (40, 41), (41, 80))]
+        # left-leaning tree vs flat merge vs reversed order
+        flat = merge_gram_censuses(parts, n=3)
+        tree = merge_gram_censuses(
+            [merge_gram_censuses(parts[:2], n=3),
+             merge_gram_censuses(parts[2:], n=3)], n=3)
+        rev = merge_gram_censuses(list(reversed(parts)), n=3)
+        for got_df in (flat, tree, rev):
+            got = {r.gram_hash: (r.cnt, r.first_id, r.first_pos)
+                   for r in got_df.collect()}
+            assert got == want
+
+    def test_merge_guards(self, spark):
+        from caspr_spark.llm.dedup import (build_gram_census,
+                                           merge_gram_censuses)
+        a = build_gram_census(self._docs(spark, 0, 5), n=3)
+        b = build_gram_census(self._docs(spark, 5, 9), n=3,
+                              track_first=True)
+        with pytest.raises(ValueError, match="at least one"):
+            merge_gram_censuses([], n=3)
+        with pytest.raises(ValueError, match="tracking"):
+            merge_gram_censuses([a, b], n=3)
+        wrong = build_gram_census(self._docs(spark, 0, 5), n=4)
+        with pytest.raises(Exception):
+            merge_gram_censuses([a, wrong], n=3).collect()
+
+    def test_key_frame_merge_split_invariance(self, spark):
+        """merge_history_key_frames: any SPLIT of the day sequence
+        (merged per split, then across) equals the sequential
+        append_history_keys fold — the property that makes the LSM key
+        state exact through compaction."""
+        from caspr_spark.llm.dedup import (append_history_keys,
+                                           build_history_keys,
+                                           merge_history_key_frames)
+        days = [spark.createDataFrame(
+            [(d * 100 + i, f"text {(d * 3 + i) % 7} shared") for i in range(4)],
+            "doc_id long, text string") for d in range(4)]
+        seq = build_history_keys(days[0])
+        for d in days[1:]:
+            seq = append_history_keys(seq, d)
+        want = {(r.content_key, r.history_id) for r in seq.collect()}
+        frames = [build_history_keys(d) for d in days]
+        for split in (1, 2, 3):
+            left = merge_history_key_frames(frames[:split])
+            merged = merge_history_key_frames([left] + frames[split:])
+            got = {(r.content_key, r.history_id) for r in merged.collect()}
+            assert got == want, split
