@@ -85,14 +85,17 @@ class _ScopeHandles(list):
 
 def strict_scope_active() -> bool:
     """True when prefix-scan producers should trade a lineage-truncating
-    eager checkpoint for loud failure of escaped consumers: either the
-    innermost active :func:`cache_scope` was entered with
-    ``strict=True``, or ``CASPR_STRICT_SCOPE=1`` is set (which makes
-    every scope — and scope-less calls — strict)."""
+    eager checkpoint for loud failure of escaped consumers: ANY active
+    :func:`cache_scope` on this thread was entered with
+    ``strict=True`` (a helper's plain nested scope must not silently
+    disarm its caller's opt-in — the handle still registers with the
+    innermost scope, but strictness is an outer promise), or
+    ``CASPR_STRICT_SCOPE=1`` is set (which makes every scope — and
+    scope-less calls — strict)."""
     if os.environ.get("CASPR_STRICT_SCOPE") == "1":
         return True
     stack = getattr(_scopes, "stack", None)
-    return bool(stack) and getattr(stack[-1], "strict", False)
+    return bool(stack) and any(getattr(s, "strict", False) for s in stack)
 
 
 class CheckpointHandle:

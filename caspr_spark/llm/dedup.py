@@ -1470,34 +1470,11 @@ def append_history_keys_state(spark, state_dir: str, batch_id: int,
         kept, _ = dedup_against_history(batch, None, history_keys=keys)
         append_history_keys_state(spark, state_dir, day, kept)
     """
-    from caspr_spark.state import (check_layout, live_frames,
-                                   state_listing, state_path)
+    from caspr_spark.state import fold_commit
 
-    listing = state_listing(spark, state_dir)
-    check_layout(listing, "delta", state_dir)
-    if batch_id in {b for b, _ in listing}:
-        return                           # committed replay — skip
-    if any(b >= batch_id for b, _ in listing):
-        raise ValueError(
-            f"batch_id {batch_id} is not newer than the committed "
-            f"state under {state_dir} — first-seen-wins resolution "
-            "orders frames by batch id, so out-of-order folds would "
-            "rewrite history")
-    live = live_frames(listing, before=batch_id)
-    batch_keys = build_history_keys(accepted, id_col, text_col, normalize)
-    if not live:
-        keys, kind = batch_keys, "compact"
-    elif sum(k == "delta" for _, k in live) + 1 >= compact_every:
-        frames = [spark.read.parquet(state_path(state_dir, b, k))
-                  for b, k in live]
-        keys, kind = merge_history_key_frames(frames + [batch_keys]), \
-            "compact"
-    else:
-        keys, kind = batch_keys, "delta"
-    # overwrite safe only because the dir can pre-exist solely as a
-    # markerless crashed attempt of this same batch id
-    keys.write.mode("overwrite").parquet(
-        state_path(state_dir, batch_id, kind))
+    fold_commit(spark, state_dir, batch_id, "delta", compact_every,
+                build_history_keys(accepted, id_col, text_col, normalize),
+                merge_history_key_frames)
 
 
 def read_history_keys_state(spark, state_dir: str) -> DataFrame:

@@ -405,6 +405,18 @@ def _cell_distance_structs(vec_col, centroids):
         for i, c in cent]
 
 
+def nearest_centroid(vec_col, centroids):
+    """First-min-wins nearest-centroid id under PINNED centroid
+    literals — the ONE election expression behind both certified
+    assignment surfaces (:func:`cosine_topk_ivf` ``centroids=`` and
+    :func:`caspr_spark.segment.kmeans_assign`): its left-associative
+    euclidean² fold and ``(d asc, cell asc)`` tie rule are what the
+    SQL twins reproduce term-for-term, so it must never fork."""
+    return F.element_at(
+        F.array_sort(F.array(*_cell_distance_structs(vec_col, centroids))),
+        1)["cell"]
+
+
 def cosine_topk_ivf(corpus: DataFrame, queries: DataFrame, k: int,
                     n_cells: int = 16, n_probe: int = 4,
                     id_col: str = "vec_id", vec_col: str = "embedding",
@@ -426,11 +438,8 @@ def cosine_topk_ivf(corpus: DataFrame, queries: DataFrame, k: int,
     rows-only-checkable half). ``n_cells`` is ignored when given.
     """
     if centroids is not None:
-        assign = F.element_at(
-            F.array_sort(F.array(*_cell_distance_structs(vec_col,
-                                                         centroids))),
-            1)["cell"]
-        indexed = corpus.withColumn("ivf_cell", assign)
+        indexed = corpus.withColumn("ivf_cell",
+                                    nearest_centroid(vec_col, centroids))
     else:
         indexed, centroids = ivf_index(corpus, n_cells, id_col, vec_col,
                                        seed)

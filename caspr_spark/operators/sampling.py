@@ -188,12 +188,13 @@ def global_running_sum(df: DataFrame, value_col: str, order_by: list,
     """
     vtype = dict(df.dtypes).get(value_col)
     if vtype is not None and vtype not in ("int", "bigint", "smallint",
-                                           "tinyint", "long"):
+                                           "tinyint"):
         raise ValueError(
             f"global_running_sum: value_col {value_col!r} has type "
-            f"{vtype}; the distributed prefix scan is exact-integer "
-            "only (float partial sums drift by fold order) — scale to "
-            "fixed-point integers first")
+            f"{vtype}; the scan accumulates bigint offsets and is "
+            "exact-integer only (float partial sums additionally "
+            "drift by fold order) — cast decimals down / fixed-point-"
+            "scale fractional values to integers first")
     args = [F.col(c) if isinstance(c, str) else c for c in order_by]
     d = (df.repartitionByRange(num_partitions, *args) if num_partitions
          else df.repartitionByRange(*args))

@@ -60,12 +60,9 @@ def kmeans_assign(df: DataFrame, centroids: list,
     ``model.clusterCenters()`` from a fit as the pinned literals here,
     making every downstream assignment/profile auditable even though
     the fit is not."""
-    from caspr_spark.llm.similarity import _cell_distance_structs
+    from caspr_spark.llm.similarity import nearest_centroid
 
-    assign = F.element_at(
-        F.array_sort(F.array(*_cell_distance_structs(vec_col, centroids))),
-        1)["cell"]
-    return df.withColumn(out_col, assign)
+    return df.withColumn(out_col, nearest_centroid(vec_col, centroids))
 
 
 def silhouette_score(df: DataFrame, feature_cols: list[str] | None = None,

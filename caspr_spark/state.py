@@ -103,6 +103,58 @@ def live_frames(listing: list,
     return out
 
 
+def fold_commit(spark, state_dir: str, batch_id: int, layout: str,
+                compact_every: int, batch_frame, merge_fn) -> None:
+    """The one commit step both state writers share (the census sink
+    and the key-table fold): decide replay/out-of-order/delta/compact
+    from the committed listing, merge when compacting, write with the
+    crashed-attempt-overwrite rule.
+
+    ``batch_frame`` is the batch's OWN state frame (already built);
+    ``merge_fn(frames) -> frame`` merges live frames oldest-first.
+    Replayed (already-committed) batch ids are a no-op; an UNCOMMITTED
+    id at or below the committed frontier raises — read-side merging
+    orders frames by batch id, so a late fold would either be silently
+    excluded (below a compact) or rewrite history, never something to
+    do quietly."""
+    if layout not in ("rebuild", "delta"):
+        raise ValueError(f"layout must be 'rebuild' or 'delta', "
+                         f"got {layout!r}")
+    if compact_every < 2:
+        raise ValueError(f"compact_every must be >= 2, got {compact_every}")
+    listing = state_listing(spark, state_dir)
+    check_layout(listing, layout, state_dir)
+    if batch_id in {b for b, _ in listing}:
+        return                           # committed replay — skip
+    if any(b >= batch_id for b, _ in listing):
+        raise ValueError(
+            f"batch_id {batch_id} is not newer than the committed "
+            f"state under {state_dir} — merges order frames by batch "
+            "id, so an out-of-order fold would be silently excluded "
+            "or rewrite history")
+    live = live_frames(listing, before=batch_id)
+
+    def _read(frames):
+        return [spark.read.parquet(state_path(state_dir, b, k))
+                for b, k in frames]
+
+    if layout == "rebuild":
+        frame = (merge_fn(_read(live) + [batch_frame]) if live
+                 else batch_frame)
+        kind = "full"
+    elif not live:
+        frame, kind = batch_frame, "compact"   # first commit IS full
+    elif sum(k == "delta" for _, k in live) + 1 >= compact_every:
+        frame = merge_fn(_read(live) + [batch_frame])
+        kind = "compact"
+    else:
+        frame, kind = batch_frame, "delta"
+    # overwrite is safe HERE and only here: the dir can only pre-exist
+    # as a markerless crashed attempt of this same batch id
+    frame.write.mode("overwrite").parquet(
+        state_path(state_dir, batch_id, kind))
+
+
 def prune_state(spark, state_dir: str, keep_last: int = 2) -> list[int]:
     """Delete SUPERSEDED committed state, layout-aware (see
     :func:`caspr_spark.streaming.prune_census_state` for the consumer-

@@ -431,14 +431,18 @@ def read_gram_census_state(spark, state_dir: str, n: int):
     ``compact_every`` frames, so the read-side merge stays bounded.
     Raises on an empty state dir and on a mixed-layout dir (a rebuild
     sink and a delta sink pointed at the same path)."""
-    from caspr_spark.llm.dedup import merge_gram_censuses
+    from caspr_spark.llm.dedup import _check_gram_n, merge_gram_censuses
 
     frames = live_frames(state_listing(spark, state_dir))
     if not frames:
         raise RuntimeError(f"no committed census state under {state_dir}")
     dfs = [spark.read.parquet(state_path(state_dir, b, k))
            for b, k in frames]
-    return dfs[0] if len(dfs) == 1 else merge_gram_censuses(dfs, n)
+    # the single-frame path keeps the in-plan width guard the merge
+    # path gets from merge_gram_censuses — a state built at one n must
+    # never silently feed a consumer expecting another
+    return (_check_gram_n(dfs[0], n) if len(dfs) == 1
+            else merge_gram_censuses(dfs, n))
 
 
 def gram_census_sink(state_dir: str, id_col: str = "doc_id",
@@ -495,37 +499,15 @@ def gram_census_sink(state_dir: str, id_col: str = "doc_id",
         raise ValueError(f"compact_every must be >= 2, got {compact_every}")
     from caspr_spark.llm.dedup import (build_gram_census,
                                        merge_gram_censuses)
+    from caspr_spark.state import fold_commit
 
     def _fold(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
-        listing = state_listing(spark, state_dir)
-        check_layout(listing, layout, state_dir)
-        if batch_id in {b for b, _ in listing}:
-            return                       # committed replay — skip
-        live = live_frames(listing, before=batch_id)
-        batch_census = build_gram_census(batch_df, id_col, text_col, n,
-                                         track_first=track_first)
-        if layout == "rebuild":
-            frames = [spark.read.parquet(state_path(state_dir, b, k))
-                      for b, k in live] + [batch_census]
-            census = (merge_gram_censuses(frames, n)
-                      if len(frames) > 1 else batch_census)
-            path = state_path(state_dir, batch_id, "full")
-        elif not live:
-            # first commit IS the full census: a compact
-            census = batch_census
-            path = state_path(state_dir, batch_id, "compact")
-        elif sum(k == "delta" for _, k in live) + 1 >= compact_every:
-            frames = [spark.read.parquet(state_path(state_dir, b, k))
-                      for b, k in live]
-            census = merge_gram_censuses(frames + [batch_census], n)
-            path = state_path(state_dir, batch_id, "compact")
-        else:
-            census = batch_census
-            path = state_path(state_dir, batch_id, "delta")
-        # overwrite is safe HERE and only here: the dir can only
-        # pre-exist as a markerless crashed attempt of this same batch
-        census.write.mode("overwrite").parquet(path)
+        fold_commit(
+            batch_df.sparkSession, state_dir, batch_id, layout,
+            compact_every,
+            build_gram_census(batch_df, id_col, text_col, n,
+                              track_first=track_first),
+            lambda frames: merge_gram_censuses(frames, n))
 
     return _fold
 

@@ -211,6 +211,19 @@ class TestStrictScope:
         with pytest.raises(Exception):
             escaped.collect()
 
+    def test_nested_plain_scope_keeps_outer_strict(self, spark):
+        """A helper's plain cache_scope() nested inside a strict one
+        must NOT disarm the tripwire — strictness is an outer
+        promise."""
+        from caspr_spark.cache import strict_scope_active
+        from caspr_spark.operators.sampling import global_running_sum
+        with cache_scope(strict=True):
+            with cache_scope():
+                assert strict_scope_active() is True
+                escaped = global_running_sum(self._df(spark), "v", ["id"])
+        with pytest.raises(Exception):
+            escaped.collect()
+
     def test_fractional_value_col_raises_up_front(self, spark):
         """A double value column used to die deep in createDataFrame
         with a type error about the offset frame; the exact-integer

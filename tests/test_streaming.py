@@ -618,6 +618,38 @@ class TestGramCensusStateSink:
         with pytest.raises(ValueError, match="compact_every"):
             gram_census_sink(state, n=3, layout="delta", compact_every=1)
 
+    def test_out_of_order_batch_id_refused(self, spark, tmp_path):
+        """An UNCOMMITTED batch id at or below the committed frontier
+        raises (shared fold_commit guard): merges order frames by
+        batch id, so a late fold would be silently excluded below a
+        compact instead of counted."""
+        from caspr_spark.streaming import gram_census_sink
+        docs = self._docs(spark)
+        state = str(tmp_path / "state")
+        fold = gram_census_sink(state, n=3, layout="delta")
+        fold(docs.limit(10), 5)
+        with pytest.raises(ValueError, match="not newer"):
+            fold(docs.limit(5), 3)
+        # rebuild layout: same guard
+        state2 = str(tmp_path / "state2")
+        fold2 = gram_census_sink(state2, n=3)
+        fold2(docs.limit(10), 5)
+        with pytest.raises(ValueError, match="not newer"):
+            fold2(docs.limit(5), 3)
+
+    def test_read_width_guard_single_frame(self, spark, tmp_path):
+        """A state built at one n refuses (in-plan) to feed a reader
+        expecting another — including the single-live-frame path that
+        bypasses the merge."""
+        from caspr_spark.streaming import (gram_census_sink,
+                                           read_gram_census_state)
+        state = str(tmp_path / "state")
+        # n=3 over the 4-token docs yields real rows (an in-plan guard
+        # on an EMPTY census has nothing to evaluate)
+        gram_census_sink(state, n=3)(self._docs(spark), 0)
+        with pytest.raises(Exception, match="operator expects n=4"):
+            read_gram_census_state(spark, state, n=4).collect()
+
     def test_track_first_rides_through_folds(self, spark, tmp_path):
         """track_first state (first_id/first_pos) folds batch over
         batch to the same values as a one-shot tracking census — the
