@@ -135,6 +135,14 @@ EXTENDED_QUERIES = [
     "dedup_simhash_portable",
     "simsearch_pq_fixed",
     "simsearch_ivf_fixed",
+    # round-12 additions, timed from birth (emb_near_dup_auto is
+    # already a headline query; the two census state sinks include
+    # stream startups + a restart boundary by design)
+    "stream_gram_census_state",
+    "stream_gram_census_delta",
+    "dedup_incremental_portable",
+    "dedup_incremental_state",
+    "segment_kmeans_fixed",
 ]
 
 
