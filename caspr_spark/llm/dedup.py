@@ -1528,6 +1528,33 @@ def build_history_signatures(history: DataFrame, id_col: str = "doc_id",
             .withColumn("hash_family", F.lit(hash_family)))
 
 
+def append_history_signatures(signatures: DataFrame, accepted: DataFrame,
+                              id_col: str = "doc_id",
+                              text_col: str = "text",
+                              num_hashes: int = 64,
+                              shingle_size: int = 3,
+                              hash_family: str = "fast") -> DataFrame:
+    """Fold an ACCEPTED batch into the near-mode signature state — the
+    signature table's daily-loop step, completing the state story for
+    near mode. Unlike the key table there is NOTHING to merge: docs
+    are unique after dedup, so the fold is a pure row APPEND of the
+    batch's signatures (at scale, write the new rows as a dated
+    partition instead of rewriting — the table is append-only by
+    construction). The batch MUST be signed with the same
+    ``num_hashes``/``shingle_size``/``hash_family`` the table was
+    built with; the family is verified against the stored
+    ``hash_family`` column up front (the same loud guard as
+    :func:`dedup_against_history` — mismatched families silently
+    match nothing), the other two are the caller's contract as
+    documented on :func:`build_history_signatures`."""
+    _check_signature_family(signatures, hash_family)
+    new = build_history_signatures(accepted, id_col, text_col,
+                                   num_hashes, shingle_size, hash_family)
+    if "hash_family" not in signatures.columns:
+        new = new.drop("hash_family")    # legacy fast-family table
+    return signatures.unionByName(new)
+
+
 def save_history_keys(state: DataFrame, path: str,
                       mode: str = "overwrite") -> None:
     """Write an incremental-dedup state table (key or signature) to

@@ -795,6 +795,35 @@ class TestIncrementalDedup:
         with pytest.raises(ValueError, match="not newer"):
             append_history_keys_state(spark, state, 0, day3)
 
+    def test_append_history_signatures(self, spark):
+        """Near-mode daily loop: folding an accepted batch into the
+        signature table makes the NEXT batch's re-crawl of it match —
+        and equals deduping against the rebuilt full history."""
+        from caspr_spark.llm.dedup import (append_history_signatures,
+                                           build_history_signatures,
+                                           dedup_against_history)
+        batch1, history = self._corpora(spark)
+        sigs = build_history_signatures(history, hash_family="portable")
+        kept1, _ = dedup_against_history(
+            batch1, None, mode="near", num_hashes=64, bands=32,
+            threshold=0.5, history_signatures=sigs,
+            hash_family="portable")
+        sigs2 = append_history_signatures(
+            sigs, kept1.select("doc_id", "text"), hash_family="portable")
+        batch2 = spark.createDataFrame(
+            [(20, "a genuinely new document never seen before"),  # dup of accepted 2
+             (21, "completely novel day two material")],
+            "doc_id long, text string")
+        kept2, m2 = dedup_against_history(
+            batch2, None, mode="near", num_hashes=64, bands=32,
+            threshold=0.5, history_signatures=sigs2,
+            hash_family="portable")
+        assert {r.doc_id for r in kept2.collect()} == {21}
+        assert {(r.doc_id, r.history_id) for r in m2.collect()} == {(20, 2)}
+        # family guard applies on the fold too
+        with pytest.raises(ValueError, match="hash_family='portable'"):
+            append_history_signatures(sigs, kept1.select("doc_id", "text"))
+
     def test_portable_signatures_roundtrip(self, spark, tmp_path):
         """Portable near mode from a SAVED portable signature table
         matches the raw-history portable run pair for pair (the
