@@ -3148,80 +3148,69 @@ def q_stream_gram_census_delta(spark, sf_dir):
                          F.col("gram_n").cast("int").alias("gram_n"))
 
 
-# Round-12 window, mechanically oldest-last-driver-certified-first
-# (emitted and --check-verified by tools/gen_window.py against the
-# CORRECTNESS_r*.json records):
-#   slots 1-6    the six NEW/NEWLY-ORACLE round-12 rows
-#                (emb_near_dup_auto — promoted from rows-only,
-#                stream_gram_census_state, dedup_incremental_portable,
-#                segment_kmeans_fixed, stream_gram_census_delta,
-#                dedup_incremental_state — never driver-certified
-#                under an oracle, so they sort first),
-#   slots 7-23   the seventeen rows the round-11 rotation displaced
-#                (last driver-certified round 8): text_repetition →
-#                sketch_distinct_rollup in their prior relative order,
-#   slots 24-50  the oldest 27 of the round-9-certified block, in
-#                their prior relative order — these include the three
-#                plans REWRITTEN in round 11 that carried only local
-#                certification since (dedup_keep_best slot 30,
-#                profile_table slot 40; seq_pack_offset rides at slot
-#                11 in the displaced group), closing the r11 verdict's
-#                certification-upkeep item. Displaced past the window:
-#                attribution_last_touch, pagerank_docs,
-#                expectations_events, resample_daily, skew_report,
-#                shards_roundtrip (all r9-certified and local-oracle
-#                green at both SFs) — they lead the r13 rotation.
-_R12_WINDOW = [
-    "emb_near_dup_auto",
-    "stream_gram_census_state",
-    "dedup_incremental_portable",
-    "segment_kmeans_fixed",
-    "stream_gram_census_delta",
-    "dedup_incremental_state",
-    "text_repetition",
-    "pii_redact",
-    "decontaminate",
-    "bm25_search",
-    "seq_pack_offset",
-    "seq_pack_nextfit",
-    "mixture_sample",
-    "cluster_balanced",
-    "lm_perplexity",
-    "doc_chunks",
-    "related_docs",
-    "stream_stream_join",
-    "f5_outlier_removal",
-    "e10_quantile_bucket",
-    "p1_left_pad",
-    "e10_quantile_approx",
-    "sketch_distinct_rollup",
-    "clean_paragraph_dedup",
-    "clean_boilerplate",
-    "quality_hashed_bow",
-    "token_budget_select",
-    "merge_upsert_orders",
-    "hybrid_search_rrf",
-    "dedup_keep_best",
-    "stream_sessions",
-    "heavy_hitters",
-    "fuzzy_join_parts",
-    "zorder_layout",
-    "weighted_sample",
-    "cv_folds",
-    "source_csv_roundtrip",
-    "llm_curate_v2",
-    "diff_snapshots",
-    "profile_table",
-    "semantic_dedup",
-    "quantize_embeddings",
-    "covariance_matrix",
-    "rollup_incremental",
-    "outlier_robust",
-    "stream_anomaly",
-    "calibration_bins",
-    "drift_psi",
-    "scd2_orders",
-    "text_normalize",
+# Round-13 window, mechanically oldest-last-driver-certified-first
+# (emitted by tools/gen_window.py from the r1-r12 driver records;
+# `gen_window.py --check --round 13` verifies it in-tree, and
+# tests/test_entry_contract.py pins that invocation):
+#   slots 1-15   the r9-certified rows the r12 rotation displaced
+#                past its window (attribution_last_touch →
+#                transition_matrix) in their prior relative order,
+#   slots 16-50  the remainder of the oldest never-since-refreshed
+#                r9-certified block (simsearch_topk_lsh →
+#                score_linear), also in prior relative order.
+# Every slot was last driver-certified in round 9 — this window
+# refreshes the single oldest certification stratum whole.
+_R13_WINDOW = [
+    "attribution_last_touch",
+    "pagerank_docs",
+    "expectations_events",
+    "resample_daily",
+    "skew_report",
+    "shards_roundtrip",
+    "stream_topk",
+    "histogram_values",
+    "topk_per_group",
+    "attribution_multitouch",
+    "rolling_features",
+    "quantile_rollup",
+    "normalize_by_group",
+    "dedup_incremental",
+    "transition_matrix",
+    "simsearch_topk_lsh",
+    "pipeline_events",
+    "pipeline_lineitem",
+    "pipeline_orders_profile",
+    "w6_rolling_window",
+    "w7_lead_dense_rank",
+    "x6_set_ops",
+    "winnow_pairs",
+    "quality_train_classifier",
+    "source_jsonl_roundtrip",
+    "sorted_neighborhood",
+    "triangle_docs",
+    "lpa_docs",
+    "stream_dedup_history",
+    "pipeline_events_array",
+    "stream_windowed_stats",
+    "stream_last3_state",
+    "stream_dedup",
+    "simsearch_topk",
+    "stream_static_join",
+    "range_join_campaigns",
+    "interval_overlap",
+    "ewma_events",
+    "cm_frequency_rollup",
+    "cohort_retention",
+    "rfm_scores",
+    "hypertable_rollup",
+    "funnel_conversion",
+    "bloom_semi_join",
+    "asof_join_forward",
+    "segment_dec",
+    "j2_semi_prune",
+    "p7_array_pack",
+    "s1_parquet_roundtrip",
+    "score_linear",
 ]
 
 
@@ -3233,10 +3222,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     so certification rotates across rounds (COVERAGE.md maps which
     round certified which row; tools/check_correctness.py re-runs the
     FULL oracle suite locally each round ->
-    CORRECTNESS_local_r{N}.json). The round-12 window is
-    ``_R12_WINDOW`` above, computed MECHANICALLY by certification
+    CORRECTNESS_local_r{N}.json). The round-13 window is
+    ``_R13_WINDOW`` above, computed MECHANICALLY by certification
     recency (oldest last-driver-certified rows first — emitted by
-    tools/gen_window.py from the driver's own records) so no oracle
+    tools/gen_window.py from the r1-r12 driver records) so no oracle
     row's driver certification silently ages; everything else keeps
     its prior relative order behind the window.
     """
@@ -3470,7 +3459,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simsearch_ivf_fixed": q_simsearch_ivf_fixed,
         "segment_kmeans_fixed": q_segment_kmeans_fixed,
     }
-    ordered = {n: base[n] for n in _R12_WINDOW}
+    ordered = {n: base[n] for n in _R13_WINDOW}
     ordered.update((n, f) for n, f in base.items() if n not in ordered)
     return ordered
 

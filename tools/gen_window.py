@@ -17,8 +17,18 @@ same rule):
 
 Usage::
 
-    python tools/gen_window.py          # print the window as a python list
-    python tools/gen_window.py --check  # exit 1 if the in-code window drifts
+    python tools/gen_window.py              # print the NEXT window
+    python tools/gen_window.py --check      # exit 1 on drift vs next window
+    python tools/gen_window.py --round 13   # window FOR round 13: use only
+                                            # records from rounds < 13
+    python tools/gen_window.py --check --round 13   # in-tree green check
+
+Without ``--round``, the tool uses every committed record — which means
+``--check`` goes red the moment the driver's fresh record for the
+CURRENT round lands (it is then computing the NEXT round's window).
+``--round N`` pins the record set to rounds strictly older than N, so
+the round-N window stays verifiable in-tree forever; tests pin the
+current round's invocation.
 
 Rows-only queries never enter the window (their weaker rows-only check
 gains nothing from rotation; the oracle rows are what age).
@@ -46,7 +56,7 @@ def certified(rec: dict) -> bool:
     return bool(present) and all(present)
 
 
-def compute_window() -> list[str]:
+def compute_window(for_round: int | None = None) -> list[str]:
     import __spark_entry__ as entrymod
 
     rounds: dict[int, dict] = {}
@@ -56,8 +66,11 @@ def compute_window() -> list[str]:
     for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
         m = re.match(r"CORRECTNESS_r0*(\d+)\.json$", os.path.basename(path))
         if m:
+            rnd = int(m.group(1))
+            if for_round is not None and rnd >= for_round:
+                continue
             with open(path) as fh:
-                rounds[int(m.group(1))] = json.load(fh)
+                rounds[rnd] = json.load(fh)
 
     names = list(entrymod.queries())
     oracles = set(entrymod.oracle_sql())
@@ -76,7 +89,10 @@ def compute_window() -> list[str]:
 def main() -> int:
     import __spark_entry__ as entrymod
 
-    window = compute_window()
+    for_round = None
+    if "--round" in sys.argv:
+        for_round = int(sys.argv[sys.argv.index("--round") + 1])
+    window = compute_window(for_round)
     in_code = list(entrymod.queries())[:WINDOW_SIZE]
     if "--check" in sys.argv:
         if window != in_code:
