@@ -1532,6 +1532,41 @@ def q_attribution_last_touch(spark, sf_dir):
     return out.select("event_id", "user_id", "touch_ts", "touch_type")
 
 
+# Pinned BPE merge table for the bpe_tokenize_fixed certificate —
+# learned ONCE (fit_bpe on the sf0.001 documents corpus, 16 merges,
+# max_words=20k) and frozen as literals, the same pinning discipline
+# as segment_kmeans_fixed / simsearch_pq_fixed: with the merges fixed,
+# apply_bpe's greedy tokenization is deterministic string arithmetic
+# with an exact SQL twin; only the fit (a driver-side loop over the
+# word-count table) stays rows-only. Includes end-of-word merges and
+# CHAINED merges (er+EOW, o+w EOW, pa+r) so the certificate exercises
+# rank priority, not just independent pair joins.
+BPE_FIXED_MERGES = [
+    ("e", "r"), ("e", "▁"), ("n", "▁"), ("o", "r"),
+    ("t", "▁"), ("er", "▁"), ("w", "▁"), ("o", "w▁"),
+    ("l", "u"), ("i", "n"), ("y", "▁"), ("p", "a"),
+    ("pa", "r"), ("g", "▁"), ("a", "s"), ("h", "▁"),
+]
+
+
+def q_bpe_tokenize_fixed(spark, sf_dir):
+    """BPE tokenization under a PINNED merge table (bpe.py apply_bpe
+    with BPE_FIXED_MERGES — round 13): greedy merge-by-priority over
+    every document, returning the token count and an md5 over the
+    space-joined token stream. The DuckDB twin replays the exact
+    greedy loop per distinct word in a recursive CTE (leftmost
+    occurrence of the highest-priority applicable pair, iterated to
+    fixpoint) and must reproduce every count and checksum byte-
+    identically — certifying the apply path the corpus-learned
+    bpe_tokenize row cannot (its merge table is corpus-derived)."""
+    from caspr_spark.llm.bpe import apply_bpe
+    docs = _t(spark, sf_dir, "documents")
+    out = apply_bpe(docs, BPE_FIXED_MERGES)
+    return out.select(
+        "doc_id", "n_bpe_tokens",
+        F.md5(F.concat_ws(" ", "bpe_tokens")).alias("bpe_md5"))
+
+
 def q_bpe_tokenize(spark, sf_dir):
     """BPE subword tokenization (bpe.py): learn 120 merges from the
     corpus word-frequency table (ONE distributed count — classic
@@ -2364,6 +2399,51 @@ def q_dedup_incremental_portable(spark, sf_dir):
                           F.round("jaccard", 6).alias("jaccard"))
 
 
+def q_dedup_signature_state(spark, sf_dir):
+    """Incremental NEAR dedup against the VERSIONED LSM signature
+    state (dedup.py append_history_signatures_state /
+    read_history_signatures_state — round 13, mirroring the key
+    table's r12 state layer): the even-id history arrives as THREE
+    daily folds (compact, delta, then a compaction at
+    compact_every=2), day 2 is then REPLAYED — the plain
+    append_history_signatures would re-append its rows, duplicating
+    band keys and every downstream match row; the state protocol
+    skips the committed id — and the q_dedup_incremental_portable
+    batch dedups against the state read. The match relation depends
+    only on the signature SET, which the exactly-once fold preserves,
+    so this certifies the whole signature-state protocol (commit
+    markers, replay skip, compaction union) against the SAME
+    from-scratch DuckDB twin as dedup_incremental_portable."""
+    import tempfile
+
+    from caspr_spark.llm.dedup import (append_history_signatures_state,
+                                       dedup_against_history,
+                                       read_history_signatures_state)
+    docs = _t(spark, sf_dir, "documents")
+    state = tempfile.mkdtemp(prefix="sigs_state_")
+    for day, residue in ((1, 0), (2, 2), (3, 4)):
+        append_history_signatures_state(
+            spark, state, day, docs.filter(F.col("doc_id") % 6 == residue),
+            num_hashes=16, shingle_size=3, hash_family="portable",
+            compact_every=2)
+    # replay day 2 post-"crash": must be a protocol no-op
+    append_history_signatures_state(
+        spark, state, 2, docs.filter(F.col("doc_id") % 6 == 2),
+        num_hashes=16, shingle_size=3, hash_family="portable",
+        compact_every=2)
+    recrawl = (docs.filter(F.col("doc_id") % 4 == 0)
+                   .withColumn("doc_id", F.col("doc_id") + 100000))
+    batch = (docs.filter(F.col("doc_id") % 2 == 1)
+                 .select("doc_id", "text")
+                 .unionByName(recrawl.select("doc_id", "text")))
+    _, matches = dedup_against_history(
+        batch, None, mode="near", num_hashes=16, bands=8,
+        shingle_size=3, threshold=0.2, hash_family="portable",
+        history_signatures=read_history_signatures_state(spark, state))
+    return matches.select("doc_id", "history_id",
+                          F.round("jaccard", 6).alias("jaccard"))
+
+
 def q_dedup_components(spark, sf_dir):
     """Connected components over the near-dup pair graph — iterative
     min-label propagation, oracle-checked against DuckDB's recursive CTE
@@ -3152,15 +3232,24 @@ def q_stream_gram_census_delta(spark, sf_dir):
 # (emitted by tools/gen_window.py from the r1-r12 driver records;
 # `gen_window.py --check --round 13` verifies it in-tree, and
 # tests/test_entry_contract.py pins that invocation):
-#   slots 1-15   the r9-certified rows the r12 rotation displaced
+#   slots 1-2    the two NEW round-13 oracle rows
+#                (dedup_signature_state — the versioned LSM signature
+#                state certified across a replayed crawl day,
+#                bpe_tokenize_fixed — the pinned-merges BPE
+#                certificate; never driver-certified, so they sort
+#                first),
+#   slots 3-17   the r9-certified rows the r12 rotation displaced
 #                past its window (attribution_last_touch →
 #                transition_matrix) in their prior relative order,
-#   slots 16-50  the remainder of the oldest never-since-refreshed
+#   slots 18-50  the remainder of the oldest never-since-refreshed
 #                r9-certified block (simsearch_topk_lsh →
-#                score_linear), also in prior relative order.
-# Every slot was last driver-certified in round 9 — this window
-# refreshes the single oldest certification stratum whole.
+#                p7_array_pack), also in prior relative order.
+# Displaced past the window by the two new slots:
+# s1_parquet_roundtrip, score_linear (both r9/r10-certified and
+# local-oracle green at both SFs) — they lead the r14 rotation.
 _R13_WINDOW = [
+    "dedup_signature_state",
+    "bpe_tokenize_fixed",
     "attribution_last_touch",
     "pagerank_docs",
     "expectations_events",
@@ -3209,15 +3298,13 @@ _R13_WINDOW = [
     "segment_dec",
     "j2_semi_prune",
     "p7_array_pack",
-    "s1_parquet_roundtrip",
-    "score_linear",
 ]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver contract: the correctness gate certifies the FIRST 50 entries.
 
-    173 of the 200 queries carry DuckDB oracles (171 full + the two
+    175 of the 202 queries carry DuckDB oracles (173 full + the two
     bounded sketch certificates) — more than one 50-slot window holds —
     so certification rotates across rounds (COVERAGE.md maps which
     round certified which row; tools/check_correctness.py re-runs the
@@ -3454,10 +3541,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_shared_grams": q_dsir_shared_grams,
         "dedup_minhash_portable": q_dedup_minhash_portable,
         "dedup_incremental_portable": q_dedup_incremental_portable,
+        "dedup_signature_state": q_dedup_signature_state,
         "dedup_simhash_portable": q_dedup_simhash_portable,
         "simsearch_pq_fixed": q_simsearch_pq_fixed,
         "simsearch_ivf_fixed": q_simsearch_ivf_fixed,
         "segment_kmeans_fixed": q_segment_kmeans_fixed,
+        "bpe_tokenize_fixed": q_bpe_tokenize_fixed,
     }
     ordered = {n: base[n] for n in _R13_WINDOW}
     ordered.update((n, f) for n, f in base.items() if n not in ordered)
@@ -4105,6 +4194,64 @@ SELECT id_a, id_b, round(jaccard, 6) AS jaccard FROM (
       AS jaccard
   FROM cand c JOIN sh sa ON c.id_a = sa.doc_id JOIN sh sb ON c.id_b = sb.doc_id)
 WHERE jaccard >= {threshold}"""
+
+
+def _bpe_fixed_sql() -> str:
+    """Exact SQL twin of q_bpe_tokenize_fixed: replays apply_bpe's
+    greedy loop (bpe.py bpe_encode_word) per DISTINCT lowercased word
+    in a recursive CTE. A word's state is its symbol sequence as a
+    space-separated string with sentinel spaces at both ends; each
+    step a priority-ordered CASE merges the LEFTMOST occurrence of the
+    highest-priority pinned pair present (splice arithmetic on the
+    first instr hit — SQL replace() would merge every occurrence at
+    once, which is NOT the algorithm), iterating to fixpoint exactly
+    as the Python while-loop does. Per-doc token counts and the md5
+    over the in-order token stream must then agree byte-for-byte."""
+    eow = "▁"
+    branches, conds = [], []
+    for a, b in BPE_FIXED_MERGES:
+        pat, rep = f" {a} {b} ", f" {a}{b} "
+        assert "'" not in pat, "pinned merges must be quote-free"
+        conds.append(f"instr(s, '{pat}') > 0")
+        branches.append(
+            f"      WHEN instr(s, '{pat}') > 0 THEN"
+            f" substr(s, 1, instr(s, '{pat}') - 1) || '{rep}' ||"
+            f" substr(s, instr(s, '{pat}') + {len(pat)})")
+    case = "CASE\n" + "\n".join(branches) + "\n      END"
+    any_cond = " OR ".join(conds)
+    return rf"""
+WITH RECURSIVE
+w0 AS (
+  SELECT d.doc_id, lower(d.ws[r.i]) AS word, r.i AS ord
+  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+        FROM documents WHERE text IS NOT NULL) d,
+       unnest(range(1, len(d.ws) + 1)) AS r(i)
+  WHERE d.ws[r.i] <> ''),
+dw AS (SELECT DISTINCT word FROM w0),
+enc AS (
+  SELECT word,
+         ' ' || trim(regexp_replace(word, '(.)', '\1 ', 'g'))
+             || ' {eow} ' AS s
+  FROM dw
+  UNION ALL
+  SELECT word,
+    {case} AS s
+  FROM enc
+  WHERE {any_cond}),
+term AS (
+  SELECT word, trim(s) AS toks,
+         length(s) - length(replace(s, ' ', '')) - 1 AS n_tok
+  FROM enc
+  WHERE NOT ({any_cond})),
+per_doc AS (
+  SELECT w.doc_id, sum(t.n_tok) AS n_bpe,
+         string_agg(t.toks, ' ' ORDER BY w.ord) AS tstr
+  FROM w0 w JOIN term t USING (word)
+  GROUP BY w.doc_id)
+SELECT d.doc_id,
+       coalesce(p.n_bpe, 0)::BIGINT AS n_bpe_tokens,
+       md5(coalesce(p.tstr, '')) AS bpe_md5
+FROM documents d LEFT JOIN per_doc p USING (doc_id)"""
 
 
 def _minhash_portable_incr_sql(num_hashes: int = 16, bands: int = 8,
@@ -6023,6 +6170,7 @@ SELECT query_id, vec_id, cosine, CAST(rk AS INT) AS rank FROM (
         "dedup_ngram_jaccard": _NGRAM_PAIRS_SQL,
         "dedup_minhash_portable": _minhash_portable_sql(),
         "dedup_incremental_portable": _minhash_portable_incr_sql(),
+        "bpe_tokenize_fixed": _bpe_fixed_sql(),
         "dedup_simhash_portable": _simhash_portable_sql(),
         "simsearch_pq_fixed": _pq_fixed_sql(),
         "simsearch_ivf_fixed": _ivf_fixed_sql(),
@@ -6413,6 +6561,11 @@ WHERE doc_id NOT IN (SELECT doc_id FROM ranked WHERE rn > 1)""",
     # against raw history — the kept set depends only on the key set,
     # which first-seen-wins merging preserves exactly
     o["dedup_incremental_state"] = o["dedup_incremental"]
+    # the LSM signature-table state must yield the SAME match relation
+    # as deduping against raw history — matches depend only on the
+    # signature set, which the exactly-once fold (replay skipped,
+    # compaction a disjoint-id union) preserves exactly
+    o["dedup_signature_state"] = o["dedup_incremental_portable"]
     # streaming census fold invariant: the drained streaming-aggregation
     # state equals the one-shot full-corpus word-4-gram census
     o["stream_gram_census"] = r"""

@@ -1398,12 +1398,17 @@ def _check_signature_family(history_signatures: DataFrame,
     :func:`build_history_signatures` carry a constant ``hash_family``
     column; one bounded 1-row probe reads it (same probe discipline as
     the gram-table ``gram_n`` check, but the family can't ride in-plan
-    — band keys are already diverged by the time rows meet). Tables
-    without the column (pre-round-12 / external writers) are accepted
-    as ``'fast'`` only."""
+    — band keys are already diverged by the time rows meet). The probe
+    is ``limit(1)`` over the bare ``hash_family`` projection — minimal
+    for a file-backed table; pass a PERSISTED/loaded table rather than
+    a computed plan, or producing that one probe row re-runs the
+    plan's whole shingle+minhash pipeline. Tables without the column
+    (pre-round-12 / external writers) are accepted as ``'fast'``
+    only."""
     if "hash_family" in history_signatures.columns:
-        probe = history_signatures.select("hash_family").first()
-        stored = probe[0] if probe is not None else None
+        probe = (history_signatures.select("hash_family")
+                 .limit(1).collect())
+        stored = probe[0][0] if probe else None
         if stored is not None and stored != hash_family:
             raise ValueError(
                 f"history_signatures was built with "
@@ -1553,6 +1558,121 @@ def append_history_signatures(signatures: DataFrame, accepted: DataFrame,
     if "hash_family" not in signatures.columns:
         new = new.drop("hash_family")    # legacy fast-family table
     return signatures.unionByName(new)
+
+
+def merge_history_signature_frames(frames: list) -> DataFrame:
+    """Merge signature-table frames: a pure ``unionByName``. Unlike
+    the key table there is no election to run — every frame holds the
+    signatures of ONE accepted (already-deduplicated) crawl batch, and
+    batches carry disjoint ``history_id`` sets by construction (the
+    state protocol skips replayed batch ids, so the one way a batch's
+    rows could appear twice — a post-crash replay of the same crawl
+    day — never reaches the union). Kept as a named merge so the
+    compaction step and any tree-of-partials build state the
+    disjointness invariant in one place."""
+    if not frames:
+        raise ValueError(
+            "merge_history_signature_frames needs at least one frame")
+    u = frames[0]
+    for f in frames[1:]:
+        u = u.unionByName(f)
+    return u
+
+
+def append_history_signatures_state(spark, state_dir: str, batch_id: int,
+                                    accepted: DataFrame,
+                                    id_col: str = "doc_id",
+                                    text_col: str = "text",
+                                    num_hashes: int = 64,
+                                    shingle_size: int = 3,
+                                    hash_family: str = "fast",
+                                    compact_every: int = 8) -> None:
+    """Fold an ACCEPTED crawl batch's signatures into a VERSIONED
+    signature-table state dir — the exactly-once form of
+    :func:`append_history_signatures`, closing the near-mode half of
+    the state story (the key table got this in
+    :func:`append_history_keys_state`). The plain append has two
+    scale problems this fixes: it rewrites the WHOLE table per crawl
+    (O(state) writes — shingle arrays make this table corpus-sized),
+    and a replayed crawl day RE-APPENDS its signatures, duplicating
+    band keys — every future batch then sees duplicated candidate and
+    match rows and pays a doubled band-join fan-out. Here batch ``b``
+    writes only its own signatures as a delta (O(batch)); replayed
+    batch ids skip via the shared :mod:`caspr_spark.state` commit
+    protocol (``_SUCCESS`` markers, out-of-order folds refuse loudly);
+    every ``compact_every``-th commit unions the live frames into a
+    compact (:func:`merge_history_signature_frames` — batches hold
+    disjoint ids, so the union IS the merge). ``batch_id`` must be
+    caller-supplied and strictly increasing across crawls (the day
+    number) — that is what makes re-running a day idempotent.
+
+    The ``hash_family`` and ``num_hashes`` are enforced against the
+    COMMITTED state: one bounded probe of a live frame (file-backed
+    parquet, minimal projection) refuses a fold whose family or
+    signature width differs from what the dir holds — a mismatched
+    family would poison the table with rows that silently share no
+    band keys. ``shingle_size`` stays the caller's contract exactly as
+    on :func:`build_history_signatures` (it is not recoverable from
+    the stored values). Prune superseded frames with
+    :func:`caspr_spark.state.prune_state`. The near-mode daily loop::
+
+        sigs = read_history_signatures_state(spark, state_dir)
+        kept, _ = dedup_against_history(batch, None, mode='near',
+                                        history_signatures=sigs, ...)
+        append_history_signatures_state(spark, state_dir, day, kept, ...)
+    """
+    from caspr_spark.state import (fold_commit, live_frames,
+                                   state_listing, state_path)
+
+    if hash_family not in ("fast", "portable"):
+        raise ValueError(f"hash_family must be 'fast' or 'portable', "
+                         f"got {hash_family!r}")
+    live = live_frames(state_listing(spark, state_dir))
+    if live:
+        b, k = live[-1]
+        probe = (spark.read.parquet(state_path(state_dir, b, k))
+                 .select("hash_family", F.size("minhash").alias("__nh"))
+                 .limit(1).collect())
+        if probe:
+            stored_family, stored_nh = probe[0][0], probe[0][1]
+            if stored_family != hash_family:
+                raise ValueError(
+                    f"signature state under {state_dir} was built with "
+                    f"hash_family={stored_family!r} but this fold uses "
+                    f"{hash_family!r}; mixed-family frames share no "
+                    "band keys (batches would silently part-match "
+                    "forever) — use the stored family or a new state "
+                    "dir")
+            if stored_nh != num_hashes:
+                raise ValueError(
+                    f"signature state under {state_dir} holds "
+                    f"{stored_nh}-hash signatures but this fold uses "
+                    f"num_hashes={num_hashes}; band keys from different "
+                    "widths never match — use the stored width or a "
+                    "new state dir")
+    fold_commit(spark, state_dir, batch_id, "delta", compact_every,
+                build_history_signatures(accepted, id_col, text_col,
+                                         num_hashes, shingle_size,
+                                         hash_family),
+                merge_history_signature_frames)
+
+
+def read_history_signatures_state(spark, state_dir: str) -> DataFrame:
+    """Current signature table from a versioned state dir
+    (:func:`append_history_signatures_state`): newest compact unioned
+    with every younger delta — feed straight to
+    ``dedup_against_history(..., history_signatures=...)``. The read
+    is file-backed, so the family guard's bounded probe stays one
+    parquet-footer row, never a recompute."""
+    from caspr_spark.state import live_frames, state_listing, state_path
+
+    frames = live_frames(state_listing(spark, state_dir))
+    if not frames:
+        raise RuntimeError(
+            f"no committed signature state under {state_dir}")
+    return merge_history_signature_frames(
+        [spark.read.parquet(state_path(state_dir, b, k))
+         for b, k in frames])
 
 
 def save_history_keys(state: DataFrame, path: str,

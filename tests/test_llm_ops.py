@@ -824,6 +824,75 @@ class TestIncrementalDedup:
         with pytest.raises(ValueError, match="hash_family='portable'"):
             append_history_signatures(sigs, kept1.select("doc_id", "text"))
 
+    def test_versioned_signature_state_matches_sequential_fold(
+            self, spark, tmp_path):
+        """Round-13 LSM signature state: per-day delta folds (crossing
+        a compaction) drive the same near-dedup decisions as the
+        in-memory append chain, a REPLAYED crawl day is a no-op (the
+        plain append would duplicate its signature rows — doubled band
+        keys, duplicated match rows), and out-of-order folds refuse."""
+        from caspr_spark.llm.dedup import (
+            append_history_signatures_state, dedup_against_history,
+            read_history_signatures_state)
+        batch1, history = self._corpora(spark)
+        state = str(tmp_path / "sigs")
+        append_history_signatures_state(
+            spark, state, 1, history, hash_family="portable",
+            compact_every=2)
+        kept1, m1 = dedup_against_history(
+            batch1, None, mode="near", num_hashes=64, bands=32,
+            threshold=0.5, hash_family="portable",
+            history_signatures=read_history_signatures_state(spark, state))
+        assert {r.doc_id for r in kept1.collect()} == {2}
+        # day 2 fold crosses the compact_every=2 compaction boundary
+        append_history_signatures_state(
+            spark, state, 2, kept1.select("doc_id", "text"),
+            hash_family="portable", compact_every=2)
+        rows_before = read_history_signatures_state(spark, state).count()
+        assert rows_before == 4            # 3 history docs + accepted doc 2
+        # REPLAY day 2: committed id -> protocol no-op, zero new rows
+        append_history_signatures_state(
+            spark, state, 2, kept1.select("doc_id", "text"),
+            hash_family="portable", compact_every=2)
+        assert read_history_signatures_state(spark, state).count() \
+            == rows_before
+        # decisions against the replayed state: no duplicated match rows
+        batch2 = spark.createDataFrame(
+            [(20, "a genuinely new document never seen before"),
+             (21, "completely novel day two material")],
+            "doc_id long, text string")
+        kept2, m2 = dedup_against_history(
+            batch2, None, mode="near", num_hashes=64, bands=32,
+            threshold=0.5, hash_family="portable",
+            history_signatures=read_history_signatures_state(spark, state))
+        assert {r.doc_id for r in kept2.collect()} == {21}
+        assert [(r.doc_id, r.history_id) for r in m2.collect()] == [(20, 2)]
+        # out-of-order (uncommitted id below the frontier): loud
+        with pytest.raises(ValueError, match="not newer"):
+            append_history_signatures_state(
+                spark, state, 0, batch2, hash_family="portable",
+                compact_every=2)
+
+    def test_signature_state_family_and_width_guards(self, spark,
+                                                     tmp_path):
+        """A fold whose hash family or signature width differs from
+        the committed state refuses up front — mixed frames would
+        silently share no band keys within the mismatched rows."""
+        from caspr_spark.llm.dedup import append_history_signatures_state
+        _, history = self._corpora(spark)
+        state = str(tmp_path / "sigs")
+        append_history_signatures_state(
+            spark, state, 1, history, num_hashes=64,
+            hash_family="portable", compact_every=4)
+        with pytest.raises(ValueError, match="hash_family='portable'"):
+            append_history_signatures_state(
+                spark, state, 2, history, num_hashes=64,
+                hash_family="fast", compact_every=4)
+        with pytest.raises(ValueError, match="64-hash"):
+            append_history_signatures_state(
+                spark, state, 2, history, num_hashes=32,
+                hash_family="portable", compact_every=4)
+
     def test_portable_signatures_roundtrip(self, spark, tmp_path):
         """Portable near mode from a SAVED portable signature table
         matches the raw-history portable run pair for pair (the
