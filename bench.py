@@ -305,10 +305,16 @@ def main() -> None:
                                       "r12 — the shape the bench queries "
                                       "actually have; absent from r1-r11 "
                                       "records)"},
-        # host-lottery-free comparison number: cold total divided by the
-        # code-independent synthetic-shuffle calibration (observed to
-        # drift 0.7-1.25 s across the VMs/rounds at identical code)
+        # host-lottery-free comparison numbers, DUAL-AXIS from r13 on
+        # (r12 verdict item 7): throughput-normalized (cold total /
+        # synthetic-shuffle probe) AND latency-normalized (cold total /
+        # small-job probe). The r12 host proved the axes move
+        # independently — higher scheduling latency with higher shuffle
+        # throughput — so a single-probe normalization inverts there;
+        # compare whichever axis the per-query ratios say is binding,
+        # per the protocol note in BASELINE.md.
         "value_per_shuffle_unit": round(total / calib_spark, 1),
+        "value_per_smalljob_unit": round(total / calib_small, 1),
         "notes": "cold = first run per query in a shared warmed session; "
                  "warm = immediate second run (steady-state plan cost a "
                  "long-lived cluster sees). At sf0.1 the LSH suite's data "

@@ -91,7 +91,15 @@ def strict_scope_active() -> bool:
     disarm its caller's opt-in — the handle still registers with the
     innermost scope, but strictness is an outer promise), or
     ``CASPR_STRICT_SCOPE=1`` is set (which makes every scope — and
-    scope-less calls — strict)."""
+    scope-less calls — strict). Retention note for the env-var form:
+    a SCOPE-LESS strict producer has no scope to release its handle,
+    so its checkpoint blocks stay persisted until the driver GCs the
+    result DataFrame (ContextCleaner frees them then) — a long strict
+    debug session calling scope-less prefix scans in a loop
+    accumulates storage blocks while the results stay reachable. That
+    is the deliberate price of arming the tripwire globally (falling
+    back to plain persist would disarm exactly what was armed); bound
+    it by wrapping loops in a ``cache_scope``."""
     if os.environ.get("CASPR_STRICT_SCOPE") == "1":
         return True
     stack = getattr(_scopes, "stack", None)

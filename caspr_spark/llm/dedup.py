@@ -1474,6 +1474,18 @@ def append_history_keys_state(spark, state_dir: str, batch_id: int,
         keys = read_history_keys_state(spark, state_dir)
         kept, _ = dedup_against_history(batch, None, history_keys=keys)
         append_history_keys_state(spark, state_dir, day, kept)
+
+    Retention cadence — how ``compact_every`` and ``prune_state``'s
+    ``keep_last`` interact: reads merge at most ``compact_every``
+    frames (the newest compact plus younger deltas), and pruning keeps
+    everything from the ``keep_last``-th-newest COMPACT on — so the
+    retained state is bounded by ``keep_last`` full restore points
+    plus up to ``keep_last x compact_every`` delta days, regardless of
+    how long the loop runs. For a 1e9-key daily crawl, the defaults
+    (``compact_every=8``, ``keep_last=2``) mean: O(batch) writes every
+    day, one O(state) compaction per ~week, reads merging <= 8 frames,
+    and two weekly restore points retained — run ``prune_state`` right
+    after each fold (it never touches live or markerless frames).
     """
     from caspr_spark.state import fold_commit
 

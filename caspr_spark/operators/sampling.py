@@ -187,14 +187,20 @@ def global_running_sum(df: DataFrame, value_col: str, order_by: list,
     metrics/e10 discipline).
     """
     vtype = dict(df.dtypes).get(value_col)
-    if vtype is not None and vtype not in ("int", "bigint", "smallint",
-                                           "tinyint"):
+    if vtype is None:
+        raise ValueError(
+            f"global_running_sum: value_col {value_col!r} is not a "
+            f"column of the input (columns: {df.columns})")
+    if vtype not in ("int", "bigint", "smallint", "tinyint"):
         raise ValueError(
             f"global_running_sum: value_col {value_col!r} has type "
             f"{vtype}; the scan accumulates bigint offsets and is "
-            "exact-integer only (float partial sums additionally "
-            "drift by fold order) — cast decimals down / fixed-point-"
-            "scale fractional values to integers first")
+            "exact-integer only. Floats drift by fold order; decimals "
+            "sum exactly but the offset table and running column are "
+            "bigint-typed, so a scale-0 decimal must be cast to bigint "
+            "first (same values, no drift) and fractional values "
+            "fixed-point-scaled to integers (the metrics/e10 "
+            "discipline)")
     args = [F.col(c) if isinstance(c, str) else c for c in order_by]
     d = (df.repartitionByRange(num_partitions, *args) if num_partitions
          else df.repartitionByRange(*args))
@@ -205,7 +211,11 @@ def global_running_sum(df: DataFrame, value_col: str, order_by: list,
         # lineage, so a result escaping its cache_scope raises on
         # materialization instead of silently recomputing against
         # re-sampled boundaries. Inside the scope, rows are identical
-        # to the default persist path.
+        # to the default persist path. Scope-less under
+        # CASPR_STRICT_SCOPE=1, register_cache is a no-op and the
+        # checkpoint blocks live until the driver GCs the result —
+        # the documented price of arming the tripwire globally (see
+        # strict_scope_active); wrap loops in a cache_scope to bound it.
         d, handle = checkpoint_leaf(d)
         register_cache(handle)
     else:

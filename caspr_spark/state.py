@@ -25,13 +25,24 @@ Commit rules shared by every writer:
   skip it (the committed state is the truth — re-folding would
   double-count);
 - the delta-vs-compact decision must be a pure function of the
-  committed set, so a replay after a crash re-decides identically.
+  committed set, so a replay after a crash re-decides identically;
+- ONE WRITER PER STATE DIR: the protocol serializes commits by batch
+  id, not by writer — two concurrent writers (e.g. two streams
+  misconfigured onto one state dir with different checkpoints, each
+  numbering batches from its own checkpoint) would interleave batch
+  ids and each see the other's commits as replays to skip. The
+  out-of-order refusal catches most interleavings after the fact;
+  :func:`claim_writer` is the up-front tripwire — a ``_writer`` lease
+  carrying the writer's identity (its checkpoint dir), refused on
+  mismatch at the first fold instead of corrupting quietly.
 
 Everything goes through the Hadoop FileSystem API, not ``os`` — state
 dirs are ``hdfs://``/``s3a://`` in production, local only in tests.
 """
 
 from __future__ import annotations
+
+import json
 
 _KINDS = {"v": "full", "c": "compact", "d": "delta"}
 _PREFIX = {v: k for k, v in _KINDS.items()}
@@ -103,6 +114,49 @@ def live_frames(listing: list,
     return out
 
 
+def claim_writer(spark, state_dir: str, writer_id: str) -> None:
+    """Single-writer tripwire (see the module docstring's contract):
+    claim ``state_dir`` for ``writer_id`` — the stable identity of the
+    logical writer, e.g. its streaming checkpoint dir. The first claim
+    writes a ``_writer`` lease (JSON, no-overwrite create — atomic on
+    HDFS, best-effort on object stores; losing a concurrent first-claim
+    race falls through to the comparison); a re-claim with the SAME id
+    is a no-op (restarts of the same stream re-claim freely); a claim
+    with a DIFFERENT id raises before anything is written — two
+    writers with separate checkpoints each number batches from their
+    own frontier, so letting both fold would interleave batch ids and
+    make each treat the other's commits as replays to skip. The lease
+    is advisory (delete ``_writer`` to hand the dir to a new owner);
+    it exists to make the misconfiguration loud, not to arbitrate
+    live concurrency."""
+    jvm, fs, jpath = _fs(spark, state_dir)
+    lease = jvm.org.apache.hadoop.fs.Path(jpath, "_writer")
+    if not fs.exists(lease):
+        fs.mkdirs(jpath)
+        try:
+            out = fs.create(lease, False)
+            out.write(bytearray(
+                json.dumps({"writer_id": writer_id}).encode("utf-8")))
+            out.close()
+            return
+        except Exception:
+            pass        # lost a concurrent first-claim race — compare
+    stream = fs.open(lease)
+    try:
+        raw = jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+    finally:
+        stream.close()
+    stored = json.loads(raw).get("writer_id")
+    if stored != writer_id:
+        raise RuntimeError(
+            f"state dir {state_dir} is claimed by writer "
+            f"{stored!r} but this writer is {writer_id!r} — one state "
+            "dir takes ONE writer (interleaved batch ids from separate "
+            "checkpoints corrupt the fold order); point this stream at "
+            "its own state dir, or delete the _writer lease to hand "
+            "over ownership")
+
+
 def fold_commit(spark, state_dir: str, batch_id: int, layout: str,
                 compact_every: int, batch_frame, merge_fn) -> None:
     """The one commit step both state writers share (the census sink
@@ -161,7 +215,12 @@ def prune_state(spark, state_dir: str, keep_last: int = 2) -> list[int]:
     facing contract): rebuild keeps the newest ``keep_last`` full
     frames; delta keeps everything from the ``keep_last``-th-newest
     compact on (compacts are restore points, younger deltas are live
-    data). Markerless dirs are never touched. Returns deleted ids."""
+    data). Deliberate conservatism: deltas BETWEEN kept compacts are
+    also retained even though the newer compact supersedes them —
+    they are what lets a restore REPLAY forward from the older compact
+    if the newer one is ever found bad; dropping them would make the
+    older restore point cosmetic. Markerless dirs are never touched.
+    Returns deleted ids."""
     if keep_last < 1:
         raise ValueError(f"keep_last must be >= 1, got {keep_last}")
     listing = state_listing(spark, state_dir)

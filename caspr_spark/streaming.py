@@ -448,7 +448,8 @@ def read_gram_census_state(spark, state_dir: str, n: int):
 def gram_census_sink(state_dir: str, id_col: str = "doc_id",
                      text_col: str = "text", n: int = 8,
                      track_first: bool = False,
-                     layout: str = "rebuild", compact_every: int = 8):
+                     layout: str = "rebuild", compact_every: int = 8,
+                     writer_id: str | None = None):
     """The PRODUCTION sink for the streaming census — the
     ``foreachBatch`` + census-fold composition
     :func:`streaming_gram_census`'s docstring prescribes, as a ready
@@ -491,6 +492,14 @@ def gram_census_sink(state_dir: str, id_col: str = "doc_id",
     the shape
     :func:`~caspr_spark.llm.dedup.trim_duplicated_spans_incremental`
     consumes.
+
+    ``writer_id`` (pass the stream's CHECKPOINT DIR) arms the
+    single-writer tripwire: the first fold claims the state dir via
+    :func:`caspr_spark.state.claim_writer`, so a second stream
+    misconfigured onto the same state dir with a different checkpoint
+    fails loudly at its first fold instead of interleaving batch ids
+    (each stream numbers batches from its own checkpoint — the commit
+    protocol cannot tell their ids apart after the fact).
     """
     if layout not in ("rebuild", "delta"):
         raise ValueError(f"layout must be 'rebuild' or 'delta', "
@@ -499,9 +508,14 @@ def gram_census_sink(state_dir: str, id_col: str = "doc_id",
         raise ValueError(f"compact_every must be >= 2, got {compact_every}")
     from caspr_spark.llm.dedup import (build_gram_census,
                                        merge_gram_censuses)
-    from caspr_spark.state import fold_commit
+    from caspr_spark.state import claim_writer, fold_commit
+
+    claimed = []
 
     def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        if writer_id is not None and not claimed:
+            claim_writer(batch_df.sparkSession, state_dir, writer_id)
+            claimed.append(True)
         fold_commit(
             batch_df.sparkSession, state_dir, batch_id, layout,
             compact_every,
@@ -549,11 +563,15 @@ def run_gram_census_to_state(stream: DataFrame, state_dir: str,
     a long-lived query). The checkpoint dir is what makes restarts
     resume at the next batch id instead of refolding from scratch —
     reuse it across invocations, and keep ``layout`` stable per state
-    dir (the sink refuses a mismatch)."""
+    dir (the sink refuses a mismatch). The checkpoint dir doubles as
+    the sink's ``writer_id``: a second stream pointed at this state
+    dir under a DIFFERENT checkpoint refuses at its first fold
+    (:func:`caspr_spark.state.claim_writer`)."""
     q = (stream.writeStream
          .foreachBatch(gram_census_sink(state_dir, id_col, text_col, n,
                                         track_first, layout,
-                                        compact_every))
+                                        compact_every,
+                                        writer_id=checkpoint_dir))
          .option("checkpointLocation", checkpoint_dir)
          .trigger(availableNow=True).start())
     finished = q.awaitTermination(timeout_sec)

@@ -233,3 +233,13 @@ class TestStrictScope:
         df = spark.createDataFrame([(1, 1.5)], "id long, v double")
         with pytest.raises(ValueError, match="exact-integer"):
             global_running_sum(df, "v", ["id"])
+
+    def test_missing_value_col_raises_up_front(self, spark):
+        """A value_col absent from the frame used to slide past the
+        type guard (dtypes lookup returned None) and surface as a
+        late, less clear analysis error — now a loud ValueError
+        naming the available columns."""
+        from caspr_spark.operators.sampling import global_running_sum
+        df = spark.createDataFrame([(1, 2)], "id long, v long")
+        with pytest.raises(ValueError, match="not a column"):
+            global_running_sum(df, "nope", ["id"])

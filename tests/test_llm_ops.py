@@ -873,6 +873,43 @@ class TestIncrementalDedup:
                 spark, state, 0, batch2, hash_family="portable",
                 compact_every=2)
 
+    def test_key_state_prune_retention(self, spark, tmp_path):
+        """Round-13 key-table TTL parity: prune_state on the KEY-table
+        path (previously only census-tested) deletes exactly the
+        frames older than the keep_last-th-newest compact, and the
+        post-prune read still equals the sequential in-memory fold —
+        the end-to-end retention story for the 1e9-key daily loop."""
+        from caspr_spark.llm.dedup import (append_history_keys,
+                                           append_history_keys_state,
+                                           build_history_keys,
+                                           read_history_keys_state)
+        from caspr_spark.state import prune_state, state_listing
+        state = str(tmp_path / "keys")
+        days = [spark.createDataFrame(
+            [(d * 10 + i, f"day {d} doc {i} body") for i in range(3)],
+            "doc_id long, text string") for d in range(1, 6)]
+        for d, df in enumerate(days, start=1):
+            append_history_keys_state(spark, state, d, df,
+                                      compact_every=2)
+        # cadence at compact_every=2: c1 d2 c3 d4 c5
+        assert state_listing(spark, state) == [
+            (1, "compact"), (2, "delta"), (3, "compact"),
+            (4, "delta"), (5, "compact")]
+        seq = build_history_keys(days[0])
+        for df in days[1:]:
+            seq = append_history_keys(seq, df)
+        want = {(r.content_key, r.history_id) for r in seq.collect()}
+        assert prune_state(spark, state, keep_last=2) == [1, 2]
+        assert state_listing(spark, state) == [
+            (3, "compact"), (4, "delta"), (5, "compact")]
+        got = {(r.content_key, r.history_id)
+               for r in read_history_keys_state(spark, state).collect()}
+        assert got == want
+        assert prune_state(spark, state, keep_last=1) == [3, 4]
+        got = {(r.content_key, r.history_id)
+               for r in read_history_keys_state(spark, state).collect()}
+        assert got == want
+
     def test_signature_state_family_and_width_guards(self, spark,
                                                      tmp_path):
         """A fold whose hash family or signature width differs from

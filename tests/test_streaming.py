@@ -667,3 +667,46 @@ class TestGramCensusStateSink:
                 for r in build_gram_census(docs, n=3,
                                            track_first=True).collect()}
         assert got == want
+
+    def test_second_writer_refused(self, spark, tmp_path):
+        """Round-13 single-writer tripwire: a second stream pointed at
+        the SAME state dir under a DIFFERENT checkpoint fails loudly
+        at its first fold (each stream numbers batches from its own
+        checkpoint — letting both fold would interleave batch ids and
+        make each skip the other's commits as replays); the SAME
+        checkpoint re-claims freely (that is the restart path)."""
+        from caspr_spark.streaming import run_gram_census_to_state
+        docs = self._docs(spark)
+        src, state = str(tmp_path / "src"), str(tmp_path / "state")
+        ckpt_a, ckpt_b = str(tmp_path / "ckptA"), str(tmp_path / "ckptB")
+        docs.filter("doc_id % 2 = 0").repartition(2) \
+            .write.mode("overwrite").parquet(src)
+        s = (spark.readStream.schema(docs.schema)
+             .option("maxFilesPerTrigger", 1).parquet(src))
+        run_gram_census_to_state(s, state, ckpt_a, n=3)
+        # same checkpoint, more data: the restart path still works
+        docs.filter("doc_id % 2 = 1").repartition(2) \
+            .write.mode("append").parquet(src)
+        s2 = (spark.readStream.schema(docs.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+        run_gram_census_to_state(s2, state, ckpt_a, n=3)
+        # different checkpoint onto the same state dir: refused
+        s3 = (spark.readStream.schema(docs.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+        with pytest.raises(Exception, match="claimed by writer"):
+            run_gram_census_to_state(s3, state, ckpt_b, n=3)
+
+    def test_claim_writer_direct(self, spark, tmp_path):
+        """claim_writer semantics without a stream: first claim
+        writes the lease, same-id re-claim is a no-op, different id
+        raises, and deleting the lease hands the dir over."""
+        import os
+
+        from caspr_spark.state import claim_writer
+        state = str(tmp_path / "state")
+        claim_writer(spark, state, "writerA")
+        claim_writer(spark, state, "writerA")
+        with pytest.raises(RuntimeError, match="claimed by writer"):
+            claim_writer(spark, state, "writerB")
+        os.remove(os.path.join(state, "_writer"))
+        claim_writer(spark, state, "writerB")
