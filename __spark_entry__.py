@@ -2444,6 +2444,46 @@ def q_dedup_signature_state(spark, sf_dir):
                           F.round("jaccard", 6).alias("jaccard"))
 
 
+def q_stream_dedup_corpus(spark, sf_dir):
+    """EXACTLY-ONCE streaming corpus dedup end-to-end (streaming.py
+    dedup_corpus_sink / run_dedup_corpus_to_state — round 13): the
+    documents corpus plus re-crawled copies of every fourth doc (new
+    ids) streams through the sink in micro-batches across a REAL
+    restart boundary; each batch dedups internally, drops docs already
+    in the versioned key-table state, commits its kept docs to an
+    immutable output dir, and folds its keys — so the accumulated
+    corpus must hold EXACTLY ONE survivor per content key however the
+    file source carved batches. Returned as the kept docs' content
+    keys (order-independent: WHICH copy survives depends on arrival
+    order, but the key multiset does not), checked against the
+    distinct keys of the raw table."""
+    import tempfile
+
+    from caspr_spark.streaming import run_dedup_corpus_to_state
+    _utc(spark)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    recrawl = (docs.filter(F.col("doc_id") % 4 == 0)
+                   .withColumn("doc_id", F.col("doc_id") + 100000))
+    corpus = docs.unionByName(recrawl)
+    src = tempfile.mkdtemp(prefix="dedup_corpus_src_")
+    state = tempfile.mkdtemp(prefix="dedup_corpus_state_")
+    out = tempfile.mkdtemp(prefix="dedup_corpus_out_")
+    ckpt = tempfile.mkdtemp(prefix="dedup_corpus_ckpt_")
+    corpus.filter(F.col("doc_id") % 2 == 0).repartition(4) \
+          .write.mode("overwrite").parquet(src)
+    s1 = (spark.readStream.schema(corpus.schema)
+          .option("maxFilesPerTrigger", 2).parquet(src))
+    run_dedup_corpus_to_state(s1, state, out, ckpt)
+    corpus.filter(F.col("doc_id") % 2 == 1).repartition(4) \
+          .write.mode("append").parquet(src)
+    s2 = (spark.readStream.schema(corpus.schema)
+          .option("maxFilesPerTrigger", 2).parquet(src))
+    final = run_dedup_corpus_to_state(s2, state, out, ckpt)
+    return final.select(
+        F.md5(F.lower(F.regexp_replace(F.trim("text"), r"\s+", " ")))
+        .alias("content_key"))
+
+
 def q_dedup_components(spark, sf_dir):
     """Connected components over the near-dup pair graph — iterative
     min-label propagation, oracle-checked against DuckDB's recursive CTE
@@ -3232,24 +3272,26 @@ def q_stream_gram_census_delta(spark, sf_dir):
 # (emitted by tools/gen_window.py from the r1-r12 driver records;
 # `gen_window.py --check --round 13` verifies it in-tree, and
 # tests/test_entry_contract.py pins that invocation):
-#   slots 1-2    the two NEW round-13 oracle rows
+#   slots 1-3    the three NEW round-13 oracle rows
 #                (dedup_signature_state — the versioned LSM signature
 #                state certified across a replayed crawl day,
 #                bpe_tokenize_fixed — the pinned-merges BPE
-#                certificate; never driver-certified, so they sort
-#                first),
-#   slots 3-17   the r9-certified rows the r12 rotation displaced
+#                certificate, stream_dedup_corpus — exactly-once
+#                streaming corpus dedup across a restart; never
+#                driver-certified, so they sort first),
+#   slots 4-18   the r9-certified rows the r12 rotation displaced
 #                past its window (attribution_last_touch →
 #                transition_matrix) in their prior relative order,
-#   slots 18-50  the remainder of the oldest never-since-refreshed
+#   slots 19-50  the remainder of the oldest never-since-refreshed
 #                r9-certified block (simsearch_topk_lsh →
-#                p7_array_pack), also in prior relative order.
-# Displaced past the window by the two new slots:
-# s1_parquet_roundtrip, score_linear (both r9/r10-certified and
+#                j2_semi_prune), also in prior relative order.
+# Displaced past the window by the three new slots: p7_array_pack,
+# s1_parquet_roundtrip, score_linear (all r9/r10-certified and
 # local-oracle green at both SFs) — they lead the r14 rotation.
 _R13_WINDOW = [
     "dedup_signature_state",
     "bpe_tokenize_fixed",
+    "stream_dedup_corpus",
     "attribution_last_touch",
     "pagerank_docs",
     "expectations_events",
@@ -3297,14 +3339,13 @@ _R13_WINDOW = [
     "asof_join_forward",
     "segment_dec",
     "j2_semi_prune",
-    "p7_array_pack",
 ]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver contract: the correctness gate certifies the FIRST 50 entries.
 
-    175 of the 202 queries carry DuckDB oracles (173 full + the two
+    176 of the 203 queries carry DuckDB oracles (174 full + the two
     bounded sketch certificates) — more than one 50-slot window holds —
     so certification rotates across rounds (COVERAGE.md maps which
     round certified which row; tools/check_correctness.py re-runs the
@@ -3542,6 +3583,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_portable": q_dedup_minhash_portable,
         "dedup_incremental_portable": q_dedup_incremental_portable,
         "dedup_signature_state": q_dedup_signature_state,
+        "stream_dedup_corpus": q_stream_dedup_corpus,
         "dedup_simhash_portable": q_dedup_simhash_portable,
         "simsearch_pq_fixed": q_simsearch_pq_fixed,
         "simsearch_ivf_fixed": q_simsearch_ivf_fixed,
@@ -6566,6 +6608,14 @@ WHERE doc_id NOT IN (SELECT doc_id FROM ranked WHERE rn > 1)""",
     # signature set, which the exactly-once fold (replay skipped,
     # compaction a disjoint-id union) preserves exactly
     o["dedup_signature_state"] = o["dedup_incremental_portable"]
+    # streaming corpus dedup invariant: exactly one survivor per
+    # content key, however the file source carved micro-batches —
+    # WHICH copy survives is arrival-order-dependent, the key multiset
+    # is not (and the injected re-crawls add no new keys)
+    o["stream_dedup_corpus"] = r"""
+SELECT DISTINCT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))
+       AS content_key
+FROM documents"""
     # streaming census fold invariant: the drained streaming-aggregation
     # state equals the one-shot full-corpus word-4-gram census
     o["stream_gram_census"] = r"""

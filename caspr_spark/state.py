@@ -75,6 +75,28 @@ def state_path(state_dir: str, batch_id: int, kind: str) -> str:
     return f"{state_dir}/{_PREFIX[kind]}{batch_id}"
 
 
+def committed_output_ids(spark, out_dir: str,
+                         prefix: str = "k") -> list[int]:
+    """Batch ids of committed (``_SUCCESS``-marked) OUTPUT dirs named
+    ``{prefix}{batch_id}`` under ``out_dir`` — the output-side
+    companion to :func:`state_listing` for sinks that emit a per-batch
+    data dir alongside their state fold (e.g. the streaming corpus
+    dedup's kept-docs dirs). Markerless dirs (crashed attempts) are
+    invisible, same rule as state frames."""
+    jvm, fs, jpath = _fs(spark, out_dir)
+    if not fs.exists(jpath):
+        return []
+    out = []
+    for st in fs.listStatus(jpath):
+        name = st.getPath().getName()
+        if (st.isDirectory() and name.startswith(prefix)
+                and name[len(prefix):].isdigit()):
+            marker = jvm.org.apache.hadoop.fs.Path(st.getPath(), "_SUCCESS")
+            if fs.exists(marker):
+                out.append(int(name[len(prefix):]))
+    return sorted(out)
+
+
 def check_layout(listing: list, layout: str, state_dir: str) -> None:
     """One state dir, one layout: raise when committed kinds don't
     match the writer's layout (``'rebuild'`` = full only, ``'delta'``

@@ -582,6 +582,158 @@ def run_gram_census_to_state(stream: DataFrame, state_dir: str,
     return read_gram_census_state(stream.sparkSession, state_dir, n)
 
 
+def dedup_corpus_sink(state_dir: str, out_dir: str,
+                      id_col: str = "doc_id", text_col: str = "text",
+                      mode: str = "exact", normalize: bool = True,
+                      num_hashes: int = 64, bands: int = 16,
+                      shingle_size: int = 3, threshold: float = 0.8,
+                      hash_family: str = "fast",
+                      compact_every: int = 8,
+                      batch_internal: bool = True,
+                      writer_id: str | None = None):
+    """EXACTLY-ONCE streaming corpus dedup — the continuous-crawl
+    composition of the incremental-dedup state layer, as a ready
+    ``foreachBatch`` callable. Per micro-batch ``b``:
+
+    1. batch-INTERNAL dedup (``batch_internal=True``): exact mode
+       keeps the min-id doc per content key
+       (:func:`~caspr_spark.llm.dedup.exact_dedup`); near mode runs
+       the LSH pass within the batch
+       (:func:`~caspr_spark.llm.dedup.minhash_lsh_dedup`);
+    2. drop docs already in the CORPUS: anti-join against the
+       versioned key table (exact) / banded join against the
+       versioned signature table (near) via
+       :func:`~caspr_spark.llm.dedup.dedup_against_history` — history
+       is never rescanned or self-joined;
+    3. write the kept docs to ``out_dir/k{b}`` (parquet ``_SUCCESS``
+       commit; the dir can pre-exist only as a markerless crashed
+       attempt of the SAME batch);
+    4. fold the kept docs' keys/signatures into the versioned state —
+       THE commit point
+       (:func:`~caspr_spark.llm.dedup.append_history_keys_state` /
+       :func:`~caspr_spark.llm.dedup.append_history_signatures_state`).
+
+    Exactly-once across crashes, by the write order: a replayed batch
+    whose state fold committed skips everything (its output dir was
+    written BEFORE that fold, so it exists); a crash anywhere earlier
+    leaves state untouched, so the replay recomputes the IDENTICAL
+    kept set against the identical pre-batch state and rewrites the
+    output idempotently. Out-of-order batch ids refuse up front —
+    before the output write, so a late batch can't leave a committed
+    output dir with no matching state fold. The deduplicated corpus
+    is the union of committed output dirs
+    (:func:`read_dedup_corpus`); each dir is immutable once marked,
+    so downstream consumers can incrementally pick up new ``k{b}``
+    dirs without re-reading old ones.
+
+    Scale shape: state reads are the bounded LSM merge
+    (<= ``compact_every`` frames); the exact-mode join input is the
+    hash-only key table (~40 B/doc — a 1e9-doc corpus joins against
+    ~40 GB, shuffled on the key, never the text); per-batch writes are
+    O(batch). ``writer_id`` (pass the checkpoint dir) arms the
+    single-writer lease on the state dir. Kept docs are re-read from
+    the just-written parquet for the fold, so output and state are
+    derived from the same bytes and the batch plan runs once.
+    """
+    if mode not in ("exact", "near"):
+        raise ValueError(f"mode must be 'exact' or 'near', got {mode!r}")
+    from caspr_spark.llm.dedup import (append_history_keys_state,
+                                       append_history_signatures_state,
+                                       dedup_against_history, exact_dedup,
+                                       minhash_lsh_dedup,
+                                       read_history_keys_state,
+                                       read_history_signatures_state)
+    from caspr_spark.state import claim_writer, state_listing
+
+    claimed = []
+
+    def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if writer_id is not None and not claimed:
+            claim_writer(spark, state_dir, writer_id)
+            claimed.append(True)
+        committed = [b for b, _ in state_listing(spark, state_dir)]
+        if batch_id in committed:
+            return               # replay of a committed batch — no-op
+        if any(b >= batch_id for b in committed):
+            raise ValueError(
+                f"batch_id {batch_id} is not newer than the committed "
+                f"state under {state_dir} — a late fold would leave an "
+                "output dir with no matching state commit")
+        kept = batch_df
+        if batch_internal:
+            kept = (exact_dedup(kept, text_col, id_col, normalize)
+                    if mode == "exact" else
+                    minhash_lsh_dedup(kept, id_col, text_col, num_hashes,
+                                      bands, shingle_size, threshold,
+                                      hash_family=hash_family)[0])
+        if committed:
+            if mode == "exact":
+                kept, _ = dedup_against_history(
+                    kept, None, id_col, text_col, mode="exact",
+                    normalize=normalize,
+                    history_keys=read_history_keys_state(spark, state_dir))
+            else:
+                kept, _ = dedup_against_history(
+                    kept, None, id_col, text_col, mode="near",
+                    num_hashes=num_hashes, bands=bands,
+                    shingle_size=shingle_size, threshold=threshold,
+                    hash_family=hash_family,
+                    history_signatures=read_history_signatures_state(
+                        spark, state_dir))
+        out_path = f"{out_dir}/k{batch_id}"
+        kept.write.mode("overwrite").parquet(out_path)
+        kept_written = spark.read.parquet(out_path)
+        if mode == "exact":
+            append_history_keys_state(spark, state_dir, batch_id,
+                                      kept_written, id_col, text_col,
+                                      normalize, compact_every)
+        else:
+            append_history_signatures_state(
+                spark, state_dir, batch_id, kept_written, id_col,
+                text_col, num_hashes, shingle_size, hash_family,
+                compact_every)
+
+    return _fold
+
+
+def read_dedup_corpus(spark, out_dir: str) -> DataFrame:
+    """The deduplicated corpus a :func:`dedup_corpus_sink` has
+    accumulated: the union of committed ``k{b}`` output dirs.
+    Markerless (crashed-attempt) dirs are invisible — same commit rule
+    as the state frames."""
+    from caspr_spark.state import committed_output_ids
+
+    ids = committed_output_ids(spark, out_dir)
+    if not ids:
+        raise RuntimeError(f"no committed dedup output under {out_dir}")
+    return spark.read.parquet(*[f"{out_dir}/k{b}" for b in ids])
+
+
+def run_dedup_corpus_to_state(stream: DataFrame, state_dir: str,
+                              out_dir: str, checkpoint_dir: str,
+                              timeout_sec: int = 120,
+                              **sink_kwargs) -> DataFrame:
+    """Drain a document stream through :func:`dedup_corpus_sink` and
+    return the deduplicated corpus so far (:func:`read_dedup_corpus`).
+    ``availableNow`` trigger — the batch-job-shaped invocation; reuse
+    the checkpoint dir across invocations to resume at the next batch
+    id. The checkpoint dir doubles as the single-writer ``writer_id``
+    on the state dir."""
+    q = (stream.writeStream
+         .foreachBatch(dedup_corpus_sink(state_dir, out_dir,
+                                         writer_id=checkpoint_dir,
+                                         **sink_kwargs))
+         .option("checkpointLocation", checkpoint_dir)
+         .trigger(availableNow=True).start())
+    finished = q.awaitTermination(timeout_sec)
+    if not finished:
+        q.stop()
+        raise TimeoutError(
+            f"dedup corpus stream did not drain within {timeout_sec}s")
+    return read_dedup_corpus(stream.sparkSession, out_dir)
+
+
 def run_to_memory(streaming_df: DataFrame, name: str,
                   output_mode: str = "complete",
                   timeout_sec: int = 120) -> DataFrame:

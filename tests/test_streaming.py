@@ -696,6 +696,96 @@ class TestGramCensusStateSink:
         with pytest.raises(Exception, match="claimed by writer"):
             run_gram_census_to_state(s3, state, ckpt_b, n=3)
 
+    def test_dedup_corpus_sink_exact(self, spark, tmp_path):
+        """Round-13 streaming corpus dedup (exactly-once composition):
+        direct folds with controlled batch ids — batch-internal dup
+        collapses, cross-batch dup drops via the key state, first
+        arrival wins, REPLAY of a committed batch is a no-op, and an
+        out-of-order id refuses BEFORE writing output."""
+        from caspr_spark.streaming import (dedup_corpus_sink,
+                                           read_dedup_corpus)
+        state, out = str(tmp_path / "state"), str(tmp_path / "out")
+        sink = dedup_corpus_sink(state, out)
+        b1 = spark.createDataFrame(
+            [(1, "the quick brown fox"), (2, "the  QUICK brown fox"),
+             (3, "some unique day one text")],
+            "doc_id long, text string")
+        b2 = spark.createDataFrame(
+            [(10, "the quick brown fox"),       # dup of batch-1 doc 1
+             (11, "fresh day two material"),
+             (12, "fresh day two material")],   # internal dup of 11
+            "doc_id long, text string")
+        sink(b1, 1)
+        sink(b2, 2)
+        got = {(r.doc_id, r.text) for r in
+               read_dedup_corpus(spark, out).collect()}
+        assert {d for d, _ in got} == {1, 3, 11}
+        # replay: corpus unchanged
+        sink(b2, 2)
+        assert {(r.doc_id, r.text) for r in
+                read_dedup_corpus(spark, out).collect()} == got
+        # out-of-order: refused, and no k0 output dir appears
+        import pytest as _pytest
+        with _pytest.raises(ValueError, match="not newer"):
+            sink(b1, 0)
+        from caspr_spark.state import committed_output_ids
+        assert committed_output_ids(spark, out) == [1, 2]
+
+    def test_dedup_corpus_sink_near_mode(self, spark, tmp_path):
+        """Near mode: an LSH near-duplicate of a prior batch's doc is
+        dropped via the versioned signature state; novel text
+        survives."""
+        from caspr_spark.streaming import (dedup_corpus_sink,
+                                           read_dedup_corpus)
+        state, out = str(tmp_path / "state"), str(tmp_path / "out")
+        sink = dedup_corpus_sink(state, out, mode="near", num_hashes=64,
+                                 bands=32, threshold=0.5,
+                                 hash_family="portable")
+        b1 = spark.createDataFrame(
+            [(1, "the quick brown fox jumps over the lazy dog"),
+             (2, "completely different archival content here")],
+            "doc_id long, text string")
+        b2 = spark.createDataFrame(
+            [(10, "the quick brown fox jumps over the sleepy dog"),
+             (11, "novel second day material nothing like before")],
+            "doc_id long, text string")
+        sink(b1, 1)
+        sink(b2, 2)
+        kept = {r.doc_id for r in read_dedup_corpus(spark, out).collect()}
+        assert kept == {1, 2, 11}
+
+    def test_dedup_corpus_stream_restart(self, spark, tmp_path):
+        """End-to-end through a real stream with a RESTART boundary:
+        the accumulated corpus holds exactly one survivor per content
+        key — no key lost, no duplicate kept — regardless of how the
+        file source carved micro-batches."""
+        from pyspark.sql import functions as SF
+
+        from caspr_spark.streaming import run_dedup_corpus_to_state
+        docs = self._docs(spark)   # 60 docs, all distinct texts
+        dup = docs.withColumn("doc_id", SF.col("doc_id") + 1000)
+        corpus = docs.unionByName(dup)   # every text exactly twice
+        src = str(tmp_path / "src")
+        state, out = str(tmp_path / "state"), str(tmp_path / "out")
+        ckpt = str(tmp_path / "ckpt")
+        corpus.filter("doc_id % 2 = 0").repartition(3) \
+              .write.mode("overwrite").parquet(src)
+        s1 = (spark.readStream.schema(corpus.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+        run_dedup_corpus_to_state(s1, state, out, ckpt)
+        corpus.filter("doc_id % 2 = 1").repartition(3) \
+              .write.mode("append").parquet(src)
+        s2 = (spark.readStream.schema(corpus.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+        final = run_dedup_corpus_to_state(s2, state, out, ckpt)
+        keys = [r[0] for r in final.select(
+            SF.md5(SF.lower(SF.regexp_replace(
+                SF.trim("text"), r"\s+", " ")))).collect()]
+        want = {r[0] for r in docs.select(
+            SF.md5(SF.lower(SF.regexp_replace(
+                SF.trim("text"), r"\s+", " ")))).distinct().collect()}
+        assert len(keys) == len(want) and set(keys) == want
+
     def test_claim_writer_direct(self, spark, tmp_path):
         """claim_writer semantics without a stream: first claim
         writes the lease, same-id re-claim is a no-op, different id
