@@ -143,6 +143,12 @@ EXTENDED_QUERIES = [
     "dedup_incremental_portable",
     "dedup_incremental_state",
     "segment_kmeans_fixed",
+    # round-13 additions, timed from birth (the two state rows include
+    # their daily folds / stream startups + restart by design; the BPE
+    # row is the pinned-merges apply over the full corpus)
+    "dedup_signature_state",
+    "bpe_tokenize_fixed",
+    "stream_dedup_corpus",
 ]
 
 
