@@ -1641,10 +1641,19 @@ def append_history_signatures_state(spark, state_dir: str, batch_id: int,
                          f"got {hash_family!r}")
     live = live_frames(state_listing(spark, state_dir))
     if live:
-        b, k = live[-1]
-        probe = (spark.read.parquet(state_path(state_dir, b, k))
-                 .select("hash_family", F.size("minhash").alias("__nh"))
-                 .limit(1).collect())
+        # Probe newest-first, falling back past EMPTY frames: a batch
+        # where every doc deduped away commits a zero-row delta
+        # (routine for the streaming corpus sink's near mode), and a
+        # guard that only looked there would silently wave a
+        # mismatched family/width through and poison the table.
+        probe = []
+        for b, k in reversed(live):
+            probe = (spark.read.parquet(state_path(state_dir, b, k))
+                     .select("hash_family",
+                             F.size("minhash").alias("__nh"))
+                     .limit(1).collect())
+            if probe:
+                break
         if probe:
             stored_family, stored_nh = probe[0][0], probe[0][1]
             if stored_family != hash_family:

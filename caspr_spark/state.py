@@ -42,6 +42,7 @@ dirs are ``hdfs://``/``s3a://`` in production, local only in tests.
 
 from __future__ import annotations
 
+import hashlib
 import json
 
 _KINDS = {"v": "full", "c": "compact", "d": "delta"}
@@ -140,35 +141,49 @@ def claim_writer(spark, state_dir: str, writer_id: str) -> None:
     """Single-writer tripwire (see the module docstring's contract):
     claim ``state_dir`` for ``writer_id`` — the stable identity of the
     logical writer, e.g. its streaming checkpoint dir. The first claim
-    writes a ``_writer`` lease (JSON, no-overwrite create — atomic on
-    HDFS, best-effort on object stores; losing a concurrent first-claim
-    race falls through to the comparison); a re-claim with the SAME id
-    is a no-op (restarts of the same stream re-claim freely); a claim
-    with a DIFFERENT id raises before anything is written — two
-    writers with separate checkpoints each number batches from their
-    own frontier, so letting both fold would interleave batch ids and
-    make each treat the other's commits as replays to skip. The lease
-    is advisory (delete ``_writer`` to hand the dir to a new owner);
-    it exists to make the misconfiguration loud, not to arbitrate
-    live concurrency."""
+    writes a ``_writer`` lease (JSON, staged to a per-writer temp file
+    then renamed into place — the rename is the claim, so a crash
+    mid-write can never leave a zero-byte/partial lease, and a LOST
+    rename (the lease already exists) falls through to the
+    comparison); a re-claim with the SAME id is a no-op (restarts of
+    the same stream re-claim freely); a claim with a DIFFERENT id
+    raises before anything is written — two writers with separate
+    checkpoints each number batches from their own frontier, so
+    letting both fold would interleave batch ids and make each treat
+    the other's commits as replays to skip. The lease is advisory
+    (delete ``_writer`` to hand the dir to a new owner); it exists to
+    make the misconfiguration loud, not to arbitrate live concurrency.
+    Genuine create failures (permissions, quota) propagate instead of
+    being folded into the race path, and an unreadable/corrupt lease
+    reports itself as such rather than as a JSON traceback."""
     jvm, fs, jpath = _fs(spark, state_dir)
     lease = jvm.org.apache.hadoop.fs.Path(jpath, "_writer")
     if not fs.exists(lease):
         fs.mkdirs(jpath)
-        try:
-            out = fs.create(lease, False)
-            out.write(bytearray(
-                json.dumps({"writer_id": writer_id}).encode("utf-8")))
-            out.close()
+        # Per-writer temp name: concurrent first-claimers never stomp
+        # each other's staging file; exactly one rename wins the lease.
+        suffix = hashlib.md5(writer_id.encode("utf-8")).hexdigest()[:12]
+        tmp = jvm.org.apache.hadoop.fs.Path(jpath, f"_writer.tmp.{suffix}")
+        out = fs.create(tmp, True)
+        out.write(bytearray(
+            json.dumps({"writer_id": writer_id}).encode("utf-8")))
+        out.close()
+        if fs.rename(tmp, lease):
             return
-        except Exception:
-            pass        # lost a concurrent first-claim race — compare
+        fs.delete(tmp, False)   # lost the first-claim race — compare
     stream = fs.open(lease)
     try:
         raw = jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
     finally:
         stream.close()
-    stored = json.loads(raw).get("writer_id")
+    try:
+        stored = json.loads(raw).get("writer_id")
+    except ValueError as exc:
+        raise RuntimeError(
+            f"the _writer lease under {state_dir} is unreadable "
+            f"({exc}) — likely a partial write from a pre-rename-era "
+            "crash or an external editor; delete the _writer file to "
+            "re-claim the dir") from exc
     if stored != writer_id:
         raise RuntimeError(
             f"state dir {state_dir} is claimed by writer "

@@ -606,8 +606,11 @@ def dedup_corpus_sink(state_dir: str, out_dir: str,
        :func:`~caspr_spark.llm.dedup.dedup_against_history` — history
        is never rescanned or self-joined;
     3. write the kept docs to ``out_dir/k{b}`` (parquet ``_SUCCESS``
-       commit; the dir can pre-exist only as a markerless crashed
-       attempt of the SAME batch);
+       commit; a markerless pre-existing dir is a crashed attempt of
+       the SAME batch and is rewritten; an already-MARKED dir means
+       the crash fell between output commit and state fold — the
+       deterministic recompute makes its bytes already correct, so
+       the write is skipped and marked dirs stay immutable);
     4. fold the kept docs' keys/signatures into the versioned state —
        THE commit point
        (:func:`~caspr_spark.llm.dedup.append_history_keys_state` /
@@ -643,7 +646,8 @@ def dedup_corpus_sink(state_dir: str, out_dir: str,
                                        minhash_lsh_dedup,
                                        read_history_keys_state,
                                        read_history_signatures_state)
-    from caspr_spark.state import claim_writer, state_listing
+    from caspr_spark.state import (claim_writer, committed_output_ids,
+                                   state_listing)
 
     claimed = []
 
@@ -682,7 +686,13 @@ def dedup_corpus_sink(state_dir: str, out_dir: str,
                     history_signatures=read_history_signatures_state(
                         spark, state_dir))
         out_path = f"{out_dir}/k{batch_id}"
-        kept.write.mode("overwrite").parquet(out_path)
+        # A crash BETWEEN the output's _SUCCESS commit and the state
+        # fold replays here with the output dir already complete; the
+        # recompute is deterministic (identical pre-batch state), so
+        # the existing bytes are already correct — skip the rewrite to
+        # keep marked dirs genuinely immutable for concurrent readers.
+        if batch_id not in committed_output_ids(spark, out_dir):
+            kept.write.mode("overwrite").parquet(out_path)
         kept_written = spark.read.parquet(out_path)
         if mode == "exact":
             append_history_keys_state(spark, state_dir, batch_id,

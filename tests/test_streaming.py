@@ -800,3 +800,81 @@ class TestGramCensusStateSink:
             claim_writer(spark, state, "writerB")
         os.remove(os.path.join(state, "_writer"))
         claim_writer(spark, state, "writerB")
+
+    def test_claim_writer_corrupt_lease_reports(self, spark, tmp_path):
+        """A zero-byte/garbage _writer lease (pre-rename-era crash or
+        external edit) reports itself as corrupt with the delete-to-
+        re-claim remedy, instead of an opaque JSONDecodeError; no
+        staging temp files are left behind by a normal claim."""
+        import os
+
+        from caspr_spark.state import claim_writer
+        state = str(tmp_path / "state")
+        os.makedirs(state)
+        with open(os.path.join(state, "_writer"), "w"):
+            pass                                # zero-byte lease
+        with pytest.raises(RuntimeError, match="unreadable"):
+            claim_writer(spark, state, "writerA")
+        os.remove(os.path.join(state, "_writer"))
+        claim_writer(spark, state, "writerA")
+        assert not [f for f in os.listdir(state)
+                    if f.startswith("_writer.tmp")]
+
+    def test_corpus_sink_marked_output_not_rewritten(self, spark,
+                                                     tmp_path):
+        """Crash-replay immutability: when the crash fell BETWEEN the
+        output dir's _SUCCESS commit and the state fold, the replay
+        must NOT rewrite the already-marked k{b} dir (a concurrent
+        reader that listed the marker would see it vanish) — it skips
+        straight to the state fold."""
+        import os
+
+        from caspr_spark.state import state_listing
+        from caspr_spark.streaming import (dedup_corpus_sink,
+                                           read_dedup_corpus)
+        state, out = str(tmp_path / "state"), str(tmp_path / "out")
+        sink = dedup_corpus_sink(state, out)
+        b1 = spark.createDataFrame([(1, "alpha text"), (2, "beta text")],
+                                   "doc_id long, text string")
+        b2 = spark.createDataFrame([(10, "alpha text"), (11, "gamma")],
+                                   "doc_id long, text string")
+        sink(b1, 1)
+        sink(b2, 2)
+        # simulate the crash window: state fold of batch 2 lost, but
+        # its output dir is committed
+        import shutil
+        shutil.rmtree(os.path.join(state, "d2"))
+        assert [b for b, _ in state_listing(spark, state)] == [1]
+        sentinel = os.path.join(out, "k2", "_sentinel")
+        with open(sentinel, "w") as f:
+            f.write("untouched")
+        sink(b2, 2)                              # replay
+        assert os.path.exists(sentinel), \
+            "marked output dir was rewritten on crash replay"
+        assert [b for b, _ in state_listing(spark, state)] == [1, 2]
+        kept = {r.doc_id for r in read_dedup_corpus(spark, out).collect()}
+        assert kept == {1, 2, 11}
+
+    def test_signature_guard_survives_empty_newest_frame(self, spark,
+                                                         tmp_path):
+        """The signature-state family/width guard probes PAST empty
+        frames: after a batch where every doc deduped away (zero-row
+        delta — routine in the corpus sink's near mode), a fold with
+        a mismatched family must still refuse."""
+        from caspr_spark.llm.dedup import append_history_signatures_state
+        state = str(tmp_path / "sigstate")
+        b1 = spark.createDataFrame(
+            [(1, "the quick brown fox jumps over the lazy dog")],
+            "doc_id long, text string")
+        empty = b1.filter("doc_id < 0")
+        append_history_signatures_state(spark, state, 1, b1,
+                                        hash_family="portable")
+        append_history_signatures_state(spark, state, 2, empty,
+                                        hash_family="portable")
+        with pytest.raises(ValueError, match="hash_family"):
+            append_history_signatures_state(spark, state, 3, b1,
+                                            hash_family="fast")
+        with pytest.raises(ValueError, match="num_hashes"):
+            append_history_signatures_state(spark, state, 3, b1,
+                                            num_hashes=32,
+                                            hash_family="portable")

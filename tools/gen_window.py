@@ -91,7 +91,12 @@ def main() -> int:
 
     for_round = None
     if "--round" in sys.argv:
-        for_round = int(sys.argv[sys.argv.index("--round") + 1])
+        idx = sys.argv.index("--round")
+        if idx + 1 >= len(sys.argv) or not sys.argv[idx + 1].isdigit():
+            print("usage: gen_window.py [--check] [--round N]  "
+                  "(N = positive integer round number)")
+            return 2
+        for_round = int(sys.argv[idx + 1])
     window = compute_window(for_round)
     in_code = list(entrymod.queries())[:WINDOW_SIZE]
     if "--check" in sys.argv:
