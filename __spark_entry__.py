@@ -2484,6 +2484,62 @@ def q_stream_dedup_corpus(spark, sf_dir):
         .alias("content_key"))
 
 
+def q_stream_dedup_corpus_near(spark, sf_dir):
+    """NEAR-mode streaming corpus dedup end-to-end (streaming.py
+    dedup_corpus_sink mode='near' — round 14, closing the one
+    composition the r13 exact-mode row left uncovered): the same
+    corpus + re-crawl stream crosses the same REAL restart boundary,
+    but each batch now dedups via MinHash signatures, a banded bucket
+    join against the VERSIONED LSM signature state
+    (append/read_history_signatures_state, portable md5 family,
+    num_hashes=16, bands=8), and exact shingle-Jaccard verification —
+    the full near machinery, exactly-once across the restart.
+
+    threshold=1.0 is what makes a full oracle POSSIBLE: the testdata's
+    distinct documents contain engineered near-dup pairs up to
+    Jaccard ~0.99, so at any lower threshold WHICH docs survive
+    depends on how the file source carved micro-batches (near-dup
+    chains are arrival-order-dependent) and no carving-independent
+    expected set exists. At 1.0 only identical shingle sets match:
+    exact re-crawl copies carry IDENTICAL signatures (every band key
+    collides — candidacy is certain, not probabilistic, so no LSH
+    false-negative can leak a duplicate through), distinct texts
+    (max pairwise Jaccard < 0.999 at both SFs, measured) never
+    verify, and the kept-key multiset equals the distinct content
+    keys however the stream was carved — the same invariant, and the
+    same DuckDB twin, as the exact-mode row."""
+    import tempfile
+
+    from caspr_spark.streaming import run_dedup_corpus_to_state
+    _utc(spark)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    recrawl = (docs.filter(F.col("doc_id") % 4 == 0)
+                   .withColumn("doc_id", F.col("doc_id") + 100000))
+    corpus = docs.unionByName(recrawl)
+    src = tempfile.mkdtemp(prefix="dedup_corpus_near_src_")
+    state = tempfile.mkdtemp(prefix="dedup_corpus_near_state_")
+    out = tempfile.mkdtemp(prefix="dedup_corpus_near_out_")
+    ckpt = tempfile.mkdtemp(prefix="dedup_corpus_near_ckpt_")
+    corpus.filter(F.col("doc_id") % 2 == 0).repartition(4) \
+          .write.mode("overwrite").parquet(src)
+    s1 = (spark.readStream.schema(corpus.schema)
+          .option("maxFilesPerTrigger", 2).parquet(src))
+    run_dedup_corpus_to_state(s1, state, out, ckpt, mode="near",
+                              num_hashes=16, bands=8, shingle_size=3,
+                              threshold=1.0, hash_family="portable")
+    corpus.filter(F.col("doc_id") % 2 == 1).repartition(4) \
+          .write.mode("append").parquet(src)
+    s2 = (spark.readStream.schema(corpus.schema)
+          .option("maxFilesPerTrigger", 2).parquet(src))
+    final = run_dedup_corpus_to_state(s2, state, out, ckpt, mode="near",
+                                      num_hashes=16, bands=8,
+                                      shingle_size=3, threshold=1.0,
+                                      hash_family="portable")
+    return final.select(
+        F.md5(F.lower(F.regexp_replace(F.trim("text"), r"\s+", " ")))
+        .alias("content_key"))
+
+
 def q_dedup_components(spark, sf_dir):
     """Connected components over the near-dup pair graph — iterative
     min-label propagation, oracle-checked against DuckDB's recursive CTE
@@ -3268,77 +3324,72 @@ def q_stream_gram_census_delta(spark, sf_dir):
                          F.col("gram_n").cast("int").alias("gram_n"))
 
 
-# Round-13 window, mechanically oldest-last-driver-certified-first
-# (emitted by tools/gen_window.py from the r1-r12 driver records;
-# `gen_window.py --check --round 13` verifies it in-tree, and
+# Round-14 window, mechanically oldest-last-driver-certified-first
+# (emitted by tools/gen_window.py from the r1-r13 driver records;
+# `gen_window.py --check --round 14` verifies it in-tree, and
 # tests/test_entry_contract.py pins that invocation):
-#   slots 1-3    the three NEW round-13 oracle rows
-#                (dedup_signature_state — the versioned LSM signature
-#                state certified across a replayed crawl day,
-#                bpe_tokenize_fixed — the pinned-merges BPE
-#                certificate, stream_dedup_corpus — exactly-once
-#                streaming corpus dedup across a restart; never
-#                driver-certified, so they sort first),
-#   slots 4-18   the r9-certified rows the r12 rotation displaced
-#                past its window (attribution_last_touch →
-#                transition_matrix) in their prior relative order,
-#   slots 19-50  the remainder of the oldest never-since-refreshed
-#                r9-certified block (simsearch_topk_lsh →
-#                j2_semi_prune), also in prior relative order.
-# Displaced past the window by the three new slots: p7_array_pack,
-# s1_parquet_roundtrip, score_linear (all r9/r10-certified and
-# local-oracle green at both SFs) — they lead the r14 rotation.
-_R13_WINDOW = [
-    "dedup_signature_state",
-    "bpe_tokenize_fixed",
-    "stream_dedup_corpus",
-    "attribution_last_touch",
-    "pagerank_docs",
-    "expectations_events",
-    "resample_daily",
-    "skew_report",
-    "shards_roundtrip",
-    "stream_topk",
-    "histogram_values",
-    "topk_per_group",
-    "attribution_multitouch",
-    "rolling_features",
-    "quantile_rollup",
-    "normalize_by_group",
-    "dedup_incremental",
-    "transition_matrix",
-    "simsearch_topk_lsh",
-    "pipeline_events",
-    "pipeline_lineitem",
-    "pipeline_orders_profile",
-    "w6_rolling_window",
-    "w7_lead_dense_rank",
-    "x6_set_ops",
-    "winnow_pairs",
-    "quality_train_classifier",
-    "source_jsonl_roundtrip",
-    "sorted_neighborhood",
-    "triangle_docs",
-    "lpa_docs",
-    "stream_dedup_history",
-    "pipeline_events_array",
-    "stream_windowed_stats",
-    "stream_last3_state",
-    "stream_dedup",
-    "simsearch_topk",
-    "stream_static_join",
-    "range_join_campaigns",
-    "interval_overlap",
-    "ewma_events",
-    "cm_frequency_rollup",
-    "cohort_retention",
-    "rfm_scores",
-    "hypertable_rollup",
-    "funnel_conversion",
-    "bloom_semi_join",
-    "asof_join_forward",
-    "segment_dec",
-    "j2_semi_prune",
+#   slot 1       the ONE new round-14 oracle row
+#                (stream_dedup_corpus_near — the near-mode streaming
+#                corpus sink certified end-to-end across a restart
+#                boundary; never driver-certified, so it sorts first),
+#   slots 2-4    the three rows the r13 rotation displaced past its
+#                window (p7_array_pack, s1_parquet_roundtrip,
+#                score_linear — exactly as the r13 window comment
+#                predicted),
+#   slots 5-50   the oldest never-since-refreshed r10-certified block
+#                (metrics_confusion -> p6_petastorm_rename) in prior
+#                relative order.
+_R14_WINDOW = [
+    "stream_dedup_corpus_near",
+    "p7_array_pack",
+    "s1_parquet_roundtrip",
+    "score_linear",
+    "metrics_confusion",
+    "metrics_roc_auc",
+    "metrics_roc_auc_binned",
+    "explain_linear_ablation",
+    "x3_trainset_labeled",
+    "dsir_select",
+    "duplicated_spans",
+    "contamination_fraction",
+    "trim_duplicated_spans",
+    "span_shared_grams",
+    "span_census_incremental",
+    "span_trim_incremental",
+    "emb_near_dup",
+    "dedup_exact",
+    "dedup_components",
+    "dedup_ngram_jaccard",
+    "text_token_counts",
+    "text_quality",
+    "text_langid",
+    "text_fingerprint",
+    "multimodal_binary_meta",
+    "multimodal_features",
+    "multimodal_frames",
+    "pipeline_events_percutoff",
+    "pipeline_orders_composite",
+    "stratified_sample_exact",
+    "stratified_sample_hash",
+    "downsample_cap",
+    "a1_cardinality",
+    "a2_topk_cat_freq",
+    "a3_summary_stats",
+    "a4_max_date",
+    "a5_events_per_entity",
+    "a6_seq_len_percentile",
+    "a7_lookback_period",
+    "a8_collect_distinct",
+    "a9_label_multihot",
+    "a10_segment_profile",
+    "a11_nunique_lineitem",
+    "a12_rollup",
+    "a13_cube",
+    "w5_sessionize",
+    "asof_join",
+    "json_extract",
+    "p3_pivot_lineitem",
+    "p6_petastorm_rename",
 ]
 
 
@@ -3350,10 +3401,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     so certification rotates across rounds (COVERAGE.md maps which
     round certified which row; tools/check_correctness.py re-runs the
     FULL oracle suite locally each round ->
-    CORRECTNESS_local_r{N}.json). The round-13 window is
-    ``_R13_WINDOW`` above, computed MECHANICALLY by certification
+    CORRECTNESS_local_r{N}.json). The round-14 window is
+    ``_R14_WINDOW`` above, computed MECHANICALLY by certification
     recency (oldest last-driver-certified rows first — emitted by
-    tools/gen_window.py from the r1-r12 driver records) so no oracle
+    tools/gen_window.py from the r1-r13 driver records) so no oracle
     row's driver certification silently ages; everything else keeps
     its prior relative order behind the window.
     """
@@ -3584,13 +3635,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental_portable": q_dedup_incremental_portable,
         "dedup_signature_state": q_dedup_signature_state,
         "stream_dedup_corpus": q_stream_dedup_corpus,
+        "stream_dedup_corpus_near": q_stream_dedup_corpus_near,
         "dedup_simhash_portable": q_dedup_simhash_portable,
         "simsearch_pq_fixed": q_simsearch_pq_fixed,
         "simsearch_ivf_fixed": q_simsearch_ivf_fixed,
         "segment_kmeans_fixed": q_segment_kmeans_fixed,
         "bpe_tokenize_fixed": q_bpe_tokenize_fixed,
     }
-    ordered = {n: base[n] for n in _R13_WINDOW}
+    ordered = {n: base[n] for n in _R14_WINDOW}
     ordered.update((n, f) for n, f in base.items() if n not in ordered)
     return ordered
 
@@ -6616,6 +6668,12 @@ WHERE doc_id NOT IN (SELECT doc_id FROM ranked WHERE rn > 1)""",
 SELECT DISTINCT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))
        AS content_key
 FROM documents"""
+    # the NEAR-mode sink at threshold=1.0 keeps the same invariant:
+    # exact re-crawl copies carry identical signatures (candidacy
+    # certain, Jaccard exactly 1.0), distinct texts never reach 1.0
+    # (max pairwise ~0.99, measured at both SFs), so the kept-key
+    # multiset is the distinct content keys however batches carved
+    o["stream_dedup_corpus_near"] = o["stream_dedup_corpus"]
     # streaming census fold invariant: the drained streaming-aggregation
     # state equals the one-shot full-corpus word-4-gram census
     o["stream_gram_census"] = r"""

@@ -149,6 +149,10 @@ EXTENDED_QUERIES = [
     "dedup_signature_state",
     "bpe_tokenize_fixed",
     "stream_dedup_corpus",
+    # round-14 addition, timed from birth (near-mode corpus sink:
+    # signature state folds + two stream startups across a restart
+    # boundary included by design, same envelope as the exact row)
+    "stream_dedup_corpus_near",
 ]
 
 

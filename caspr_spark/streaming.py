@@ -627,7 +627,10 @@ def dedup_corpus_sink(state_dir: str, out_dir: str,
     is the union of committed output dirs
     (:func:`read_dedup_corpus`); each dir is immutable once marked,
     so downstream consumers can incrementally pick up new ``k{b}``
-    dirs without re-reading old ones.
+    dirs without re-reading old ones. Retention: ``out_dir`` gains one
+    dir per batch forever — fold the old ones into a single merged dir
+    on a cron cadence with :func:`compact_corpus` (crash-safe via the
+    same supersede-then-delete rule the state frames use).
 
     Scale shape: state reads are the bounded LSM merge
     (<= ``compact_every`` frames); the exact-mode join input is the
@@ -709,15 +712,70 @@ def dedup_corpus_sink(state_dir: str, out_dir: str,
 
 def read_dedup_corpus(spark, out_dir: str) -> DataFrame:
     """The deduplicated corpus a :func:`dedup_corpus_sink` has
-    accumulated: the union of committed ``k{b}`` output dirs.
-    Markerless (crashed-attempt) dirs are invisible — same commit rule
-    as the state frames."""
+    accumulated: the newest merged ``m{b}`` dir (if
+    :func:`compact_corpus` has run) plus every committed ``k{b}``
+    output dir with a LARGER batch id. Markerless (crashed-attempt)
+    dirs are invisible — same commit rule as the state frames — and
+    so are dirs superseded by the newest merge (``k``/older-``m``
+    dirs at or below its id survive only inside the crash window
+    between a merge's commit and its victim deletes; the supersede
+    rule keeps that window double-read-free)."""
     from caspr_spark.state import committed_output_ids
 
-    ids = committed_output_ids(spark, out_dir)
-    if not ids:
+    ids_k = committed_output_ids(spark, out_dir)
+    ids_m = committed_output_ids(spark, out_dir, prefix="m")
+    base = max(ids_m) if ids_m else None
+    paths = [f"{out_dir}/m{base}"] if base is not None else []
+    paths += [f"{out_dir}/k{b}" for b in ids_k
+              if base is None or b > base]
+    if not paths:
         raise RuntimeError(f"no committed dedup output under {out_dir}")
-    return spark.read.parquet(*[f"{out_dir}/k{b}" for b in ids])
+    return spark.read.parquet(*paths)
+
+
+def compact_corpus(spark, out_dir: str, keep_last: int = 8) -> list[str]:
+    """Fold old per-batch ``k{b}`` output dirs into ONE merged
+    ``m{b_max}`` dir — the retention story for a corpus sink that
+    would otherwise accumulate a dir per batch forever (a year of
+    hourly crawls is ~9k dirs: listings stay cheap, but small-file
+    pressure and open-cost per read grow without bound). The newest
+    ``keep_last`` k-dirs are kept as-is so incremental consumers
+    retain a tail window of per-batch dirs to pick up.
+
+    Crash-safe by the SUPERSEDE rule :func:`read_dedup_corpus`
+    enforces: the merged dir commits first (parquet ``_SUCCESS``),
+    and from that instant every ``k``/older-``m`` dir at or below its
+    id is invisible to readers — so a crash between the merge's
+    commit and the victim deletes never double-reads; re-running the
+    compaction deletes the leftovers. Incremental consumers that tail
+    ``k{b}`` dirs track their consumed frontier ``f`` and skip any
+    ``m{b}`` with ``b <= f`` (a merge contains nothing newer than its
+    id). Returns the dir names deleted."""
+    from caspr_spark.state import _fs, committed_output_ids
+
+    if keep_last < 0:
+        raise ValueError(f"keep_last must be >= 0, got {keep_last}")
+    ids_k = committed_output_ids(spark, out_dir)
+    ids_m = committed_output_ids(spark, out_dir, prefix="m")
+    base = max(ids_m) if ids_m else None
+    # leftovers a crashed earlier compaction already superseded
+    stale = [f"k{b}" for b in ids_k if base is not None and b <= base]
+    stale += [f"m{b}" for b in ids_m if base is not None and b < base]
+    live_k = [b for b in ids_k if base is None or b > base]
+    victims = live_k[:len(live_k) - keep_last] if keep_last else live_k
+    if victims:
+        new_id = max(victims)
+        paths = ([f"{out_dir}/m{base}"] if base is not None else []) \
+            + [f"{out_dir}/k{b}" for b in victims]
+        (spark.read.parquet(*paths)
+              .write.mode("overwrite").parquet(f"{out_dir}/m{new_id}"))
+        stale += [f"k{b}" for b in victims]
+        if base is not None:
+            stale += [f"m{base}"]
+    jvm, fs, jpath = _fs(spark, out_dir)
+    for name in stale:
+        fs.delete(jvm.org.apache.hadoop.fs.Path(jpath, name), True)
+    return sorted(set(stale))
 
 
 def run_dedup_corpus_to_state(stream: DataFrame, state_dir: str,

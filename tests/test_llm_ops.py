@@ -910,6 +910,56 @@ class TestIncrementalDedup:
                for r in read_history_keys_state(spark, state).collect()}
         assert got == want
 
+    def test_signature_state_prune_retention(self, spark, tmp_path):
+        """Round-14 signature-table TTL parity (mirror of the r13
+        key-table item): prune_state on the SIGNATURE-table path
+        deletes exactly the frames older than the keep_last-th-newest
+        compact, the post-prune read still equals the sequential
+        in-memory fold, and the family/width guard still probes a
+        LIVE frame after pruning (it refuses a mismatched fold)."""
+        from caspr_spark.llm.dedup import (
+            append_history_signatures, append_history_signatures_state,
+            build_history_signatures, read_history_signatures_state)
+        from caspr_spark.state import prune_state, state_listing
+        state = str(tmp_path / "sigs")
+        days = [spark.createDataFrame(
+            [(d * 10 + i, f"day {d} doc {i} body text here") for i in
+             range(3)],
+            "doc_id long, text string") for d in range(1, 6)]
+        for d, df in enumerate(days, start=1):
+            append_history_signatures_state(spark, state, d, df,
+                                            num_hashes=16,
+                                            hash_family="portable",
+                                            compact_every=2)
+        assert state_listing(spark, state) == [
+            (1, "compact"), (2, "delta"), (3, "compact"),
+            (4, "delta"), (5, "compact")]
+        seq = build_history_signatures(days[0], num_hashes=16,
+                                       hash_family="portable")
+        for df in days[1:]:
+            seq = append_history_signatures(seq, df, num_hashes=16,
+                                            hash_family="portable")
+        want = {(r.history_id, tuple(r.minhash))
+                for r in seq.collect()}
+        assert prune_state(spark, state, keep_last=2) == [1, 2]
+        assert state_listing(spark, state) == [
+            (3, "compact"), (4, "delta"), (5, "compact")]
+        got = {(r.history_id, tuple(r.minhash))
+               for r in read_history_signatures_state(spark,
+                                                      state).collect()}
+        assert got == want
+        # the guard probes the post-prune live frames, not deleted ones
+        with pytest.raises(ValueError, match="hash_family"):
+            append_history_signatures_state(spark, state, 6, days[0],
+                                            num_hashes=16,
+                                            hash_family="fast",
+                                            compact_every=2)
+        assert prune_state(spark, state, keep_last=1) == [3, 4]
+        got = {(r.history_id, tuple(r.minhash))
+               for r in read_history_signatures_state(spark,
+                                                      state).collect()}
+        assert got == want
+
     def test_signature_state_family_and_width_guards(self, spark,
                                                      tmp_path):
         """A fold whose hash family or signature width differs from
