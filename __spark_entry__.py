@@ -2279,6 +2279,43 @@ def q_simsearch_ivf_fixed(spark, sf_dir):
                       F.col("rank").cast("int").alias("rank"))
 
 
+def q_simsearch_ivf_state(spark, sf_dir):
+    """IVF probe search over the VERSIONED ingest index (similarity.py
+    append_ivf_state / read_ivf_state / cosine_topk_ivf_state — round
+    14, the similarity-family member of the exactly-once state story):
+    the embeddings corpus arrives as THREE daily folds under the
+    PINNED centroid literals (compact, delta, then a compaction at
+    compact_every=2), day 2 is then REPLAYED — a rebuilt-index loop
+    would re-assign the whole corpus per ingest and a naive append
+    would duplicate the day's vectors; the state protocol skips the
+    committed id — and the search probes the state-built index.
+    Ingest pins the same deterministic nearest_centroid election the
+    one-shot path uses and the exactly-once fold preserves the id set
+    exactly, so the search is row-identical to simsearch_ivf_fixed —
+    whose from-scratch DuckDB twin is this query's oracle (the whole
+    state protocol is inside the certified path)."""
+    import tempfile
+
+    from caspr_spark.llm.similarity import (append_ivf_state,
+                                            cosine_topk_ivf_state)
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = _ivf_fixed_centroids()
+    state = tempfile.mkdtemp(prefix="ivf_state_")
+    for day, residue in ((1, 0), (2, 1), (3, 2)):
+        append_ivf_state(spark, state, day,
+                         emb.filter(F.col("vec_id") % 3 == residue),
+                         cents, compact_every=2)
+    # replay day 2 post-"crash": must be a protocol no-op
+    append_ivf_state(spark, state, 2,
+                     emb.filter(F.col("vec_id") % 3 == 1),
+                     cents, compact_every=2)
+    queries = emb.filter(F.col("vec_id") < 5)
+    out = cosine_topk_ivf_state(spark, state, queries, k=5, n_probe=3,
+                                centroids=cents)
+    return out.select("query_id", "vec_id", "cosine",
+                      F.col("rank").cast("int").alias("rank"))
+
+
 def q_segment_kmeans_fixed(spark, sf_dir):
     """KMeans ASSIGNMENT + per-cluster profile under PINNED centroid
     literals (segment.py kmeans_assign — round 12, the
@@ -3328,19 +3365,25 @@ def q_stream_gram_census_delta(spark, sf_dir):
 # (emitted by tools/gen_window.py from the r1-r13 driver records;
 # `gen_window.py --check --round 14` verifies it in-tree, and
 # tests/test_entry_contract.py pins that invocation):
-#   slot 1       the ONE new round-14 oracle row
+#   slots 1-2    the two NEW round-14 oracle rows
 #                (stream_dedup_corpus_near — the near-mode streaming
 #                corpus sink certified end-to-end across a restart
-#                boundary; never driver-certified, so it sorts first),
-#   slots 2-4    the three rows the r13 rotation displaced past its
+#                boundary, simsearch_ivf_state — the versioned IVF
+#                ingest index searched via the one-shot certificate's
+#                twin; never driver-certified, so they sort first),
+#   slots 3-5    the three rows the r13 rotation displaced past its
 #                window (p7_array_pack, s1_parquet_roundtrip,
 #                score_linear — exactly as the r13 window comment
 #                predicted),
-#   slots 5-50   the oldest never-since-refreshed r10-certified block
-#                (metrics_confusion -> p6_petastorm_rename) in prior
+#   slots 6-50   the oldest never-since-refreshed r10-certified block
+#                (metrics_confusion -> p3_pivot_lineitem) in prior
 #                relative order.
+# Displaced past the window by the two new slots: p6_petastorm_rename
+# (r10-certified and local-oracle green at both SFs) — it leads the
+# r15 rotation.
 _R14_WINDOW = [
     "stream_dedup_corpus_near",
+    "simsearch_ivf_state",
     "p7_array_pack",
     "s1_parquet_roundtrip",
     "score_linear",
@@ -3389,7 +3432,6 @@ _R14_WINDOW = [
     "asof_join",
     "json_extract",
     "p3_pivot_lineitem",
-    "p6_petastorm_rename",
 ]
 
 
@@ -3641,6 +3683,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simsearch_ivf_fixed": q_simsearch_ivf_fixed,
         "segment_kmeans_fixed": q_segment_kmeans_fixed,
         "bpe_tokenize_fixed": q_bpe_tokenize_fixed,
+        "simsearch_ivf_state": q_simsearch_ivf_state,
     }
     ordered = {n: base[n] for n in _R14_WINDOW}
     ordered.update((n, f) for n, f in base.items() if n not in ordered)
@@ -6268,6 +6311,11 @@ SELECT query_id, vec_id, cosine, CAST(rk AS INT) AS rank FROM (
         "dedup_simhash_portable": _simhash_portable_sql(),
         "simsearch_pq_fixed": _pq_fixed_sql(),
         "simsearch_ivf_fixed": _ivf_fixed_sql(),
+        # the versioned IVF ingest index must yield the SAME search as
+        # the one-shot pinned-centroid index — ingest pins the same
+        # nearest_centroid election and the exactly-once fold (replay
+        # skipped, compaction a disjoint-id union) preserves the id set
+        "simsearch_ivf_state": _ivf_fixed_sql(),
         "segment_kmeans_fixed": _segment_kmeans_fixed_sql(),
         "dedup_components": f"""
 WITH RECURSIVE pairs AS ({_NGRAM_PAIRS_SQL}),

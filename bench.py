@@ -149,10 +149,13 @@ EXTENDED_QUERIES = [
     "dedup_signature_state",
     "bpe_tokenize_fixed",
     "stream_dedup_corpus",
-    # round-14 addition, timed from birth (near-mode corpus sink:
+    # round-14 additions, timed from birth (near-mode corpus sink:
     # signature state folds + two stream startups across a restart
-    # boundary included by design, same envelope as the exact row)
+    # boundary included by design, same envelope as the exact row;
+    # IVF ingest: three state folds crossing a compaction + a replay
+    # + the probe search)
     "stream_dedup_corpus_near",
+    "simsearch_ivf_state",
 ]
 
 

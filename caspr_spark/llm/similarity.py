@@ -443,7 +443,16 @@ def cosine_topk_ivf(corpus: DataFrame, queries: DataFrame, k: int,
     else:
         indexed, centroids = ivf_index(corpus, n_cells, id_col, vec_col,
                                        seed)
+    return _ivf_probe_topk(indexed, queries, k, n_probe, centroids,
+                           id_col, vec_col, query_id_col)
 
+
+def _ivf_probe_topk(indexed: DataFrame, queries: DataFrame, k: int,
+                    n_probe: int, centroids: list, id_col: str,
+                    vec_col: str, query_id_col: str) -> DataFrame:
+    """The probe + exact-re-rank tail shared by :func:`cosine_topk_ivf`
+    (one-shot assignment) and :func:`cosine_topk_ivf_state` (the
+    versioned ingest index): ``indexed`` already carries ``ivf_cell``."""
     q = queries.select(F.col(id_col).alias(query_id_col),
                        F.col(vec_col).alias("__qvec"))
     # rank centroids per query by (euclidean, to match KMeans assignment)
@@ -465,6 +474,136 @@ def cosine_topk_ivf(corpus: DataFrame, queries: DataFrame, k: int,
     return (scored.withColumn("rank", F.row_number().over(w))
                   .filter(F.col("rank") <= k)
                   .select(query_id_col, id_col, "cosine", "rank"))
+
+
+def _centroid_fingerprint(centroids: list) -> str:
+    """Deterministic fingerprint of a coarse quantizer: md5 over the
+    (n_cells, dim, values) JSON. Rides as a constant column in every
+    IVF state frame so a fold (or search) under DIFFERENT centroids
+    refuses instead of silently mixing assignments from two
+    quantizers — cells only mean anything relative to the centroid
+    list that produced them."""
+    import hashlib
+    import json
+
+    payload = json.dumps([[float(v) for v in c] for c in centroids])
+    return hashlib.md5(payload.encode("utf-8")).hexdigest()
+
+
+def _merge_ivf_frames(frames: list) -> DataFrame:
+    """Pure ``unionByName`` — ingest batches carry disjoint vector ids
+    by the caller's contract (the state protocol already makes
+    replayed batch ids a no-op, so a re-run of a crashed ingest day
+    never reaches the union), same disjointness invariant as the
+    signature-table merge."""
+    if not frames:
+        raise ValueError("_merge_ivf_frames needs at least one frame")
+    u = frames[0]
+    for f in frames[1:]:
+        u = u.unionByName(f)
+    return u
+
+
+def append_ivf_state(spark, state_dir: str, batch_id: int,
+                     batch: DataFrame, centroids: list,
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     compact_every: int = 8) -> None:
+    """Fold a batch of NEW embeddings into a VERSIONED IVF index state
+    dir — continuous embedding ingest, the similarity-family member of
+    the exactly-once state story (the key table and signature table
+    got theirs in r12/r13). A rebuilt index re-assigns the WHOLE
+    corpus per ingest (O(corpus) — a 1e9-vector index is re-scanned
+    daily for a 1e6-vector day); here batch ``b`` assigns only ITS OWN
+    vectors under the PINNED ``centroids`` (the deterministic
+    :func:`nearest_centroid` election) and commits them as a delta
+    (O(batch)); every ``compact_every``-th commit unions the live
+    frames (:func:`_merge_ivf_frames` — disjoint ids by contract).
+    Shares the :mod:`caspr_spark.state` commit protocol: ``_SUCCESS``
+    markers, replayed batch ids skip, out-of-order folds refuse,
+    single-writer lease via :func:`caspr_spark.state.claim_writer` if
+    the caller arms one. ``batch_id`` must be caller-supplied and
+    strictly increasing across ingests (the day number).
+
+    The quantizer is enforced against the COMMITTED state: every frame
+    carries a constant ``centroid_fp`` column and a bounded probe
+    (newest non-empty live frame — empty deltas are skipped, not
+    trusted) refuses a fold under different centroids, which would
+    poison the index with cells from two quantizers. Frames are
+    repartitioned by ``ivf_cell`` before the write so each frame's
+    parquet clusters by cell (at scale, ``partitionBy('ivf_cell')``
+    turns a probe into a partition-pruned read of n_probe cells).
+    Prune superseded frames with :func:`caspr_spark.state.prune_state`."""
+    from caspr_spark.state import (fold_commit, live_frames,
+                                   state_listing, state_path)
+
+    fp = _centroid_fingerprint(centroids)
+    live = live_frames(state_listing(spark, state_dir))
+    if live:
+        probe = []
+        for b, k in reversed(live):
+            probe = (spark.read.parquet(state_path(state_dir, b, k))
+                     .select("centroid_fp").limit(1).collect())
+            if probe:
+                break
+        if probe and probe[0][0] != fp:
+            raise ValueError(
+                f"IVF state under {state_dir} was built with centroid "
+                f"fingerprint {probe[0][0]!r} but this fold uses "
+                f"{fp!r}; cells from different quantizers are "
+                "incommensurable (probes would silently search the "
+                "wrong cells) — use the stored centroids or a new "
+                "state dir")
+    frame = batch.select(
+        F.col(id_col), F.col(vec_col),
+        nearest_centroid(vec_col, centroids).alias("ivf_cell"),
+        F.lit(fp).alias("centroid_fp")).repartition("ivf_cell")
+    fold_commit(spark, state_dir, batch_id, "delta", compact_every,
+                frame, _merge_ivf_frames)
+
+
+def read_ivf_state(spark, state_dir: str) -> DataFrame:
+    """Current IVF index from a versioned state dir
+    (:func:`append_ivf_state`): newest compact unioned with every
+    younger delta — the ``(id, vector, ivf_cell)`` relation a probe
+    searches. File-backed, so the quantizer guard's probe stays one
+    parquet-footer row."""
+    from caspr_spark.state import live_frames, state_listing, state_path
+
+    frames = live_frames(state_listing(spark, state_dir))
+    if not frames:
+        raise RuntimeError(f"no committed IVF state under {state_dir}")
+    return _merge_ivf_frames(
+        [spark.read.parquet(state_path(state_dir, b, k))
+         for b, k in frames])
+
+
+def cosine_topk_ivf_state(spark, state_dir: str, queries: DataFrame,
+                          k: int, n_probe: int = 4, *,
+                          centroids: list,
+                          id_col: str = "vec_id",
+                          vec_col: str = "embedding",
+                          query_id_col: str = "query_id") -> DataFrame:
+    """IVF ANN over the VERSIONED ingest index: read the state
+    (:func:`read_ivf_state`), verify the quantizer fingerprint
+    matches ``centroids`` (probing the wrong quantizer's cells
+    silently returns wrong neighbors — refuse loudly instead), then
+    run the shared probe + exact cosine re-rank
+    (:func:`_ivf_probe_topk`). Because ingest pinned the same
+    deterministic :func:`nearest_centroid` election, searching the
+    state-built index is row-identical to searching a one-shot
+    ``cosine_topk_ivf(corpus, ..., centroids=...)`` index over the
+    union of the ingested batches — the certified invariant."""
+    fp = _centroid_fingerprint(centroids)
+    indexed = read_ivf_state(spark, state_dir)
+    probe = indexed.select("centroid_fp").limit(1).collect()
+    if probe and probe[0][0] != fp:
+        raise ValueError(
+            f"IVF state under {state_dir} carries centroid fingerprint "
+            f"{probe[0][0]!r} but this search uses {fp!r} — pass the "
+            "centroids the index was ingested under")
+    return _ivf_probe_topk(indexed.drop("centroid_fp"), queries, k,
+                           n_probe, centroids, id_col, vec_col,
+                           query_id_col)
 
 
 def embedding_near_duplicates(df: DataFrame, threshold: float = 0.95,

@@ -77,6 +77,92 @@ class TestIVF:
         assert hits / 25 > 0.5
 
 
+class TestIVFState:
+    def _cents(self, n_cells=4):
+        from __spark_entry__ import _ivf_fixed_centroids
+        return _ivf_fixed_centroids(n_cells=n_cells, dim=64)
+
+    def test_state_search_equals_one_shot(self, embeddings, tmp_path):
+        """Round-14 versioned IVF ingest: three daily folds (crossing
+        a compaction at compact_every=2) plus a REPLAYED day, then a
+        probe search over the state — row-identical to a one-shot
+        cosine_topk_ivf index over the same corpus under the same
+        pinned centroids (ingest uses the same nearest_centroid
+        election, and the exactly-once protocol keeps the id set
+        identical)."""
+        from caspr_spark.llm.similarity import (append_ivf_state,
+                                                cosine_topk_ivf_state,
+                                                read_ivf_state)
+        spark = embeddings.sparkSession
+        cents = self._cents()
+        state = str(tmp_path / "ivf")
+        for day, residue in ((1, 0), (2, 1), (3, 2)):
+            append_ivf_state(spark, state, day,
+                             embeddings.filter(F.col("vec_id") % 3
+                                               == residue),
+                             cents, compact_every=2)
+        # replay day 2 post-"crash": protocol no-op
+        append_ivf_state(spark, state, 2,
+                         embeddings.filter(F.col("vec_id") % 3 == 1),
+                         cents, compact_every=2)
+        assert read_ivf_state(spark, state).count() == embeddings.count()
+        q = embeddings.filter(F.col("vec_id") < 3)
+        got = cosine_topk_ivf_state(spark, state, q, k=5, n_probe=2,
+                                    centroids=cents).toPandas()
+        want = cosine_topk_ivf(embeddings, q, k=5, n_probe=2,
+                               centroids=cents).toPandas()
+        key = ["query_id", "rank"]
+        got = got.sort_values(key).reset_index(drop=True)
+        want = want.sort_values(key).reset_index(drop=True)
+        assert (got["vec_id"].values == want["vec_id"].values).all()
+        assert np.allclose(got["cosine"].values, want["cosine"].values)
+
+    def test_guards_and_ordering(self, embeddings, tmp_path):
+        """Quantizer fingerprint guard (fold AND search, probing past
+        an empty delta), out-of-order refusal."""
+        from caspr_spark.llm.similarity import (append_ivf_state,
+                                                cosine_topk_ivf_state)
+        spark = embeddings.sparkSession
+        cents, other = self._cents(), self._cents(n_cells=8)
+        state = str(tmp_path / "ivf")
+        append_ivf_state(spark, state, 1, embeddings, cents)
+        # empty delta (every vector already ingested upstream, say)
+        append_ivf_state(spark, state, 2,
+                         embeddings.filter("vec_id < 0"), cents)
+        with pytest.raises(ValueError, match="fingerprint"):
+            append_ivf_state(spark, state, 3, embeddings, other)
+        with pytest.raises(ValueError, match="not newer"):
+            append_ivf_state(spark, state, 0, embeddings, cents)
+        q = embeddings.filter(F.col("vec_id") < 2)
+        with pytest.raises(ValueError, match="fingerprint"):
+            cosine_topk_ivf_state(spark, state, q, k=3, centroids=other)
+
+    def test_prune_retention(self, embeddings, tmp_path):
+        """prune_state on the IVF path: post-prune read still holds
+        every ingested vector with its original cell."""
+        from caspr_spark.llm.similarity import (append_ivf_state,
+                                                read_ivf_state)
+        from caspr_spark.state import prune_state, state_listing
+        spark = embeddings.sparkSession
+        cents = self._cents()
+        state = str(tmp_path / "ivf")
+        for day in range(1, 6):
+            append_ivf_state(spark, state, day,
+                             embeddings.filter(F.col("vec_id") % 5
+                                               == day - 1),
+                             cents, compact_every=2)
+        want = {(r.vec_id, r.ivf_cell) for r in
+                read_ivf_state(spark, state)
+                .select("vec_id", "ivf_cell").collect()}
+        assert len(want) == embeddings.count()
+        assert prune_state(spark, state, keep_last=1) == [1, 2, 3, 4]
+        assert state_listing(spark, state) == [(5, "compact")]
+        got = {(r.vec_id, r.ivf_cell) for r in
+               read_ivf_state(spark, state)
+               .select("vec_id", "ivf_cell").collect()}
+        assert got == want
+
+
 class TestSlidingTrainset:
     def test_windows_and_labels(self, events, spark):
         from datetime import timedelta
