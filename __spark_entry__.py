@@ -2316,6 +2316,45 @@ def q_simsearch_ivf_state(spark, sf_dir):
                       F.col("rank").cast("int").alias("rank"))
 
 
+def q_stream_ann_index(spark, sf_dir):
+    """EXACTLY-ONCE streaming embedding ingest end-to-end (streaming.py
+    ann_ingest_sink / run_ann_ingest_to_state — round 14, the
+    Structured-Streaming composition of the versioned IVF state the
+    way stream_dedup_corpus composes the dedup state): the embeddings
+    table streams through the sink in micro-batches across a REAL
+    restart boundary, each batch folding its own vectors as an
+    O(batch) delta under the PINNED centroid literals; the replayed/
+    out-of-order protocol and the quantizer-fingerprint guard sit
+    inside the certified path. Searching the accumulated index must
+    be row-identical to the one-shot pinned-centroid search —
+    simsearch_ivf_fixed's from-scratch DuckDB twin is the oracle."""
+    import tempfile
+
+    from caspr_spark.llm.similarity import cosine_topk_ivf_state
+    from caspr_spark.streaming import run_ann_ingest_to_state
+    _utc(spark)
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cents = _ivf_fixed_centroids()
+    src = tempfile.mkdtemp(prefix="ann_ingest_src_")
+    state = tempfile.mkdtemp(prefix="ann_ingest_state_")
+    ckpt = tempfile.mkdtemp(prefix="ann_ingest_ckpt_")
+    emb.filter(F.col("vec_id") % 2 == 0).repartition(4) \
+       .write.mode("overwrite").parquet(src)
+    s1 = (spark.readStream.schema(emb.schema)
+          .option("maxFilesPerTrigger", 2).parquet(src))
+    run_ann_ingest_to_state(s1, state, ckpt, cents)
+    emb.filter(F.col("vec_id") % 2 == 1).repartition(4) \
+       .write.mode("append").parquet(src)
+    s2 = (spark.readStream.schema(emb.schema)
+          .option("maxFilesPerTrigger", 2).parquet(src))
+    run_ann_ingest_to_state(s2, state, ckpt, cents)
+    queries = emb.filter(F.col("vec_id") < 5)
+    out = cosine_topk_ivf_state(spark, state, queries, k=5, n_probe=3,
+                                centroids=cents)
+    return out.select("query_id", "vec_id", "cosine",
+                      F.col("rank").cast("int").alias("rank"))
+
+
 def q_segment_kmeans_fixed(spark, sf_dir):
     """KMeans ASSIGNMENT + per-cluster profile under PINNED centroid
     literals (segment.py kmeans_assign — round 12, the
@@ -3365,25 +3404,28 @@ def q_stream_gram_census_delta(spark, sf_dir):
 # (emitted by tools/gen_window.py from the r1-r13 driver records;
 # `gen_window.py --check --round 14` verifies it in-tree, and
 # tests/test_entry_contract.py pins that invocation):
-#   slots 1-2    the two NEW round-14 oracle rows
+#   slots 1-3    the three NEW round-14 oracle rows
 #                (stream_dedup_corpus_near — the near-mode streaming
 #                corpus sink certified end-to-end across a restart
 #                boundary, simsearch_ivf_state — the versioned IVF
 #                ingest index searched via the one-shot certificate's
-#                twin; never driver-certified, so they sort first),
-#   slots 3-5    the three rows the r13 rotation displaced past its
+#                twin, stream_ann_index — the Structured-Streaming
+#                composition of that ingest across a restart; never
+#                driver-certified, so they sort first),
+#   slots 4-6    the three rows the r13 rotation displaced past its
 #                window (p7_array_pack, s1_parquet_roundtrip,
 #                score_linear — exactly as the r13 window comment
 #                predicted),
-#   slots 6-50   the oldest never-since-refreshed r10-certified block
-#                (metrics_confusion -> p3_pivot_lineitem) in prior
+#   slots 7-50   the oldest never-since-refreshed r10-certified block
+#                (metrics_confusion -> json_extract) in prior
 #                relative order.
-# Displaced past the window by the two new slots: p6_petastorm_rename
-# (r10-certified and local-oracle green at both SFs) — it leads the
-# r15 rotation.
+# Displaced past the window by the three new slots:
+# p3_pivot_lineitem, p6_petastorm_rename (r10-certified and
+# local-oracle green at both SFs) — they lead the r15 rotation.
 _R14_WINDOW = [
     "stream_dedup_corpus_near",
     "simsearch_ivf_state",
+    "stream_ann_index",
     "p7_array_pack",
     "s1_parquet_roundtrip",
     "score_linear",
@@ -3431,7 +3473,6 @@ _R14_WINDOW = [
     "w5_sessionize",
     "asof_join",
     "json_extract",
-    "p3_pivot_lineitem",
 ]
 
 
@@ -3684,6 +3725,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "segment_kmeans_fixed": q_segment_kmeans_fixed,
         "bpe_tokenize_fixed": q_bpe_tokenize_fixed,
         "simsearch_ivf_state": q_simsearch_ivf_state,
+        "stream_ann_index": q_stream_ann_index,
     }
     ordered = {n: base[n] for n in _R14_WINDOW}
     ordered.update((n, f) for n, f in base.items() if n not in ordered)
@@ -6316,6 +6358,9 @@ SELECT query_id, vec_id, cosine, CAST(rk AS INT) AS rank FROM (
         # nearest_centroid election and the exactly-once fold (replay
         # skipped, compaction a disjoint-id union) preserves the id set
         "simsearch_ivf_state": _ivf_fixed_sql(),
+        # ...and so must the Structured-Streaming ingest composition
+        # (checkpointed micro-batches across a restart boundary)
+        "stream_ann_index": _ivf_fixed_sql(),
         "segment_kmeans_fixed": _segment_kmeans_fixed_sql(),
         "dedup_components": f"""
 WITH RECURSIVE pairs AS ({_NGRAM_PAIRS_SQL}),

@@ -156,6 +156,7 @@ EXTENDED_QUERIES = [
     # + the probe search)
     "stream_dedup_corpus_near",
     "simsearch_ivf_state",
+    "stream_ann_index",
 ]
 
 

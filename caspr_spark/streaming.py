@@ -710,6 +710,70 @@ def dedup_corpus_sink(state_dir: str, out_dir: str,
     return _fold
 
 
+def ann_ingest_sink(state_dir: str, centroids: list,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    compact_every: int = 8,
+                    writer_id: str | None = None):
+    """EXACTLY-ONCE streaming embedding ingest into the versioned IVF
+    index — the Structured-Streaming composition of
+    :func:`caspr_spark.llm.similarity.append_ivf_state`, as a ready
+    ``foreachBatch`` callable (the similarity-family sibling of
+    :func:`gram_census_sink` / :func:`dedup_corpus_sink`). Each
+    micro-batch assigns ITS OWN vectors under the pinned ``centroids``
+    and folds them as an O(batch) delta; replayed batch ids skip,
+    out-of-order ids refuse, a mismatched quantizer refuses via the
+    fingerprint guard. Streaming batch ids are 0-based, the state
+    protocol's ids start at the caller's choice — this sink folds at
+    ``batch_id + 1`` so the first micro-batch commits as 1 (state ids
+    must be positive and strictly increasing; the +1 is stable across
+    restarts because the checkpoint replays ids, never renumbers).
+    ``writer_id`` (pass the checkpoint dir) arms the single-writer
+    lease. Search the accumulated index any time with
+    :func:`caspr_spark.llm.similarity.cosine_topk_ivf_state`; prune
+    superseded frames with :func:`caspr_spark.state.prune_state`."""
+    from caspr_spark.llm.similarity import append_ivf_state
+    from caspr_spark.state import claim_writer
+
+    claimed = []
+
+    def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if writer_id is not None and not claimed:
+            claim_writer(spark, state_dir, writer_id)
+            claimed.append(True)
+        append_ivf_state(spark, state_dir, batch_id + 1, batch_df,
+                         centroids, id_col, vec_col, compact_every)
+
+    return _fold
+
+
+def run_ann_ingest_to_state(stream: DataFrame, state_dir: str,
+                            checkpoint_dir: str, centroids: list,
+                            timeout_sec: int = 120,
+                            **sink_kwargs) -> DataFrame:
+    """Drain an embedding stream through :func:`ann_ingest_sink` and
+    return the accumulated IVF index
+    (:func:`~caspr_spark.llm.similarity.read_ivf_state`).
+    ``availableNow`` trigger — the batch-job-shaped invocation; reuse
+    the checkpoint dir across invocations to resume at the next batch
+    id. The checkpoint dir doubles as the single-writer ``writer_id``
+    on the state dir."""
+    from caspr_spark.llm.similarity import read_ivf_state
+
+    q = (stream.writeStream
+         .foreachBatch(ann_ingest_sink(state_dir, centroids,
+                                       writer_id=checkpoint_dir,
+                                       **sink_kwargs))
+         .option("checkpointLocation", checkpoint_dir)
+         .trigger(availableNow=True).start())
+    finished = q.awaitTermination(timeout_sec)
+    if not finished:
+        q.stop()
+        raise TimeoutError(
+            f"ANN ingest stream did not drain within {timeout_sec}s")
+    return read_ivf_state(stream.sparkSession, state_dir)
+
+
 def read_dedup_corpus(spark, out_dir: str) -> DataFrame:
     """The deduplicated corpus a :func:`dedup_corpus_sink` has
     accumulated: the newest merged ``m{b}`` dir (if

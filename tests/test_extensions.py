@@ -137,6 +137,49 @@ class TestIVFState:
         with pytest.raises(ValueError, match="fingerprint"):
             cosine_topk_ivf_state(spark, state, q, k=3, centroids=other)
 
+    def test_stream_ingest_restart_equals_one_shot(self, embeddings,
+                                                   tmp_path):
+        """End-to-end through a real stream with a RESTART boundary:
+        the accumulated IVF index holds every vector exactly once and
+        a probe search equals the one-shot index — and a second
+        stream under a DIFFERENT checkpoint refuses the state dir."""
+        from caspr_spark.llm.similarity import (cosine_topk_ivf_state,
+                                                read_ivf_state)
+        from caspr_spark.streaming import run_ann_ingest_to_state
+        spark = embeddings.sparkSession
+        cents = self._cents()
+        emb = embeddings.select("vec_id", "embedding")
+        src = str(tmp_path / "src")
+        state, ckpt = str(tmp_path / "state"), str(tmp_path / "ckpt")
+        emb.filter("vec_id % 2 = 0").repartition(3) \
+           .write.mode("overwrite").parquet(src)
+        s1 = (spark.readStream.schema(emb.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+        run_ann_ingest_to_state(s1, state, ckpt, cents)
+        emb.filter("vec_id % 2 = 1").repartition(3) \
+           .write.mode("append").parquet(src)
+        s2 = (spark.readStream.schema(emb.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+        final = run_ann_ingest_to_state(s2, state, ckpt, cents)
+        assert final.count() == emb.count()
+        assert (read_ivf_state(spark, state)
+                .select("vec_id").distinct().count() == emb.count())
+        q = emb.filter("vec_id < 3")
+        got = cosine_topk_ivf_state(spark, state, q, k=4, n_probe=2,
+                                    centroids=cents).toPandas()
+        want = cosine_topk_ivf(embeddings, q, k=4, n_probe=2,
+                               centroids=cents).toPandas()
+        key = ["query_id", "rank"]
+        got = got.sort_values(key).reset_index(drop=True)
+        want = want.sort_values(key).reset_index(drop=True)
+        assert (got["vec_id"].values == want["vec_id"].values).all()
+        # different checkpoint onto the same state dir: refused
+        s3 = (spark.readStream.schema(emb.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+        with pytest.raises(Exception, match="claimed by writer"):
+            run_ann_ingest_to_state(s3, state, str(tmp_path / "ckpt2"),
+                                    cents)
+
     def test_prune_retention(self, embeddings, tmp_path):
         """prune_state on the IVF path: post-prune read still holds
         every ingested vector with its original cell."""

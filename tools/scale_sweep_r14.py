@@ -23,6 +23,14 @@ Timing protocol identical to r08-r13: full-column
 session, sf0.1 first.
 
 Usage: python tools/scale_sweep_r14.py [sf1_dir] [bench_record.json]
+       python tools/scale_sweep_r14.py --amplified-only
+           (just the big-state fold A/B below — the sf1 signature
+           table is ~50k rows, small enough that per-write fixed
+           costs mask the O(state)-vs-O(batch) gap; the amplified
+           block unions 20 id-shifted COPIES of the prebuilt
+           signature frame into a ~1M-row state, the regime the LSM
+           layout exists for, mirroring SCALING_r12's 5.8M-gram
+           census A/B)
 """
 import json
 import os
@@ -32,8 +40,9 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SF01 = "/root/testdata/sf0.1"
-SF1 = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/testdata_sf1"
-BENCH = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/BENCH_r14_local.json"
+_pos = [a for a in sys.argv[1:] if not a.startswith("--")]
+SF1 = _pos[0] if len(_pos) > 0 else "/root/repo/testdata_sf1"
+BENCH = _pos[1] if len(_pos) > 1 else "/root/repo/BENCH_r14_local.json"
 
 QUERIES = [
     "dedup_signature_state",
@@ -46,6 +55,75 @@ QUERIES = [
 def force_all_columns(df):
     from pyspark.sql import functions as F
     return df.agg(F.max(F.xxhash64(*[F.col(c) for c in df.columns]))).collect()
+
+
+def amplified_fold_ab(spark, out):
+    """Big-state signature fold A/B at ~1M and ~5M rows: id-shifted
+    copies of the sf1 signature frame (built ONCE, materialized to
+    parquet, then amplified by FILE-BACKED scans — a lazy-frame union
+    would recompute the shingle+minhash pipeline per copy and OOM the
+    broadcast planner at the 100x point) seed both layouts, then one
+    500-doc batch folds into each. The plain loop pays load + append
+    + full-table rewrite (O(state) IO); the LSM fold pays the guard
+    probe + an O(batch) delta write. This is the regime the versioned
+    state exists for — the sf1-sized A/B in the main sweep is
+    fixed-cost-bound at ~50k rows."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from caspr_spark.cache import cache_scope
+    from caspr_spark.llm.dedup import (append_history_signatures,
+                                       append_history_signatures_state,
+                                       build_history_signatures,
+                                       load_history_keys,
+                                       save_history_keys)
+    docs = spark.read.parquet(f"{SF1}/documents.parquet") \
+                .select("doc_id", "text")
+    history = docs.filter(F.col("doc_id") % 100 != 0)
+    batch = (docs.filter(F.col("doc_id") % 100 == 0)
+             .withColumn("doc_id", F.col("doc_id") + 10_000_000))
+    base = tempfile.mkdtemp(prefix="sig_sweep_big_")
+    with cache_scope():
+        save_history_keys(build_history_signatures(history),
+                          f"{base}/seed")
+    seed = spark.read.parquet(f"{base}/seed")
+    for n_copies in (20, 100):
+        tag = f"{n_copies}x"
+        big = None
+        for i in range(n_copies):
+            c = seed.withColumn(
+                "history_id",
+                F.col("history_id") + F.lit(i * 10_000_000))
+            big = c if big is None else big.unionByName(c)
+        big.write.parquet(f"{base}/plain_{tag}")       # seed, untimed
+        # seed the state layout with the SAME frame as its first
+        # compact (fold_commit writes exactly build_history_signatures
+        # output, so a direct parquet write of that frame is a valid
+        # c1; Spark's _SUCCESS marker is the commit)
+        spark.read.parquet(f"{base}/plain_{tag}") \
+             .write.parquet(f"{base}/state_{tag}/c1")
+        row = {"history_rows":
+               spark.read.parquet(f"{base}/plain_{tag}").count(),
+               "batch_docs": batch.count()}
+
+        t0 = time.time()
+        with cache_scope():
+            s = load_history_keys(spark, f"{base}/plain_{tag}")
+            save_history_keys(append_history_signatures(s, batch),
+                              f"{base}/plain_{tag}_next")
+        row["plain_rewrite_sec"] = round(time.time() - t0, 2)
+        print(f"BIG({tag}) sig_state plain_rewrite "
+              f"{row['plain_rewrite_sec']:8.2f}s", flush=True)
+
+        t0 = time.time()
+        with cache_scope():
+            append_history_signatures_state(spark, f"{base}/state_{tag}",
+                                            2, batch, compact_every=8)
+        row["lsm_delta_sec"] = round(time.time() - t0, 2)
+        print(f"BIG({tag}) sig_state lsm_delta     "
+              f"{row['lsm_delta_sec']:8.2f}s", flush=True)
+        out[f"signature_state_fold_amplified_{tag}"] = row
 
 
 def main():
@@ -65,6 +143,10 @@ def main():
          .count().collect()
 
     out = {}
+    if "--amplified-only" in sys.argv:
+        amplified_fold_ab(spark, out)
+        print(json.dumps(out))
+        return
     for name in QUERIES:
         out[name] = {}
         for sf_label, sf_dir in (("sf0.1", SF01), ("sf1", SF1)):
@@ -119,6 +201,7 @@ def main():
     print(f"sig_state lsm_delta      {row['lsm_delta_sec']:8.2f}s",
           flush=True)
     out["signature_state_fold_sf1"] = row
+    amplified_fold_ab(spark, out)
 
     # --- compact_corpus: read cost, many k-dirs vs one merge --------
     # The round-14 retention operator's claim is read-side: a corpus
