@@ -168,7 +168,8 @@ def _signatures_from_shingles(sh: DataFrame, id_col: str, num_hashes: int,
 def minhash_lsh_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
                       num_hashes: int = 64, bands: int = 16, shingle_size: int = 3,
                       threshold: float = 0.8, verify: bool = True,
-                      hash_family: str = "fast"):
+                      hash_family: str = "fast",
+                      signatures: DataFrame | None = None):
     """Near-dup detection: shingle -> MinHash -> LSH banding -> bucket join.
 
     Returns ``(dedup_df, pairs_df)``: ``pairs_df`` holds candidate pairs
@@ -190,6 +191,18 @@ def minhash_lsh_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "te
     must be re-derivable outside Spark (compliance audits,
     cross-engine pipeline parity); the default stays the cheap
     family.
+
+    ``signatures``: a precomputed ``(id_col, shingles, minhash)``
+    frame (the :func:`build_history_signatures` shape, keyed by
+    ``id_col``) skips the shingle+minhash build entirely — the shape a
+    caller that ALSO needs the batch's signatures downstream uses to
+    compute them once (the streaming corpus sink builds per-batch
+    signatures once and shares them across internal dedup, the
+    history join, and nothing else — the state fold re-derives from
+    written bytes by design). The frame MUST have been built with the
+    same ``num_hashes``/``shingle_size``/``hash_family`` — band keys
+    and Jaccard values silently differ otherwise (the persisted-sketch
+    contract of :func:`dedup_against_history`).
     """
     from caspr_spark.sources import ensure_parallelism
 
@@ -198,18 +211,25 @@ def minhash_lsh_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "te
                          f"({num_hashes}); trailing signature slots would be "
                          "silently ignored")
     rows_per_band = num_hashes // bands
-    # shingle construction (the regex-heavy part) runs ONCE, at full
-    # parallelism: the persisted (id, shingles) relation feeds both
-    # signature generation and the exact-Jaccard verification join.
-    # NOTE: for a one-shot caller the cache lives until Spark evicts it
-    # (LRU); loop callers wrap the call + materialization in
-    # ``caspr_spark.cache_scope()`` which unpersists on exit.
-    sh_base = ensure_parallelism(df).select(
-        F.col(id_col), _shingles(text_col, shingle_size).alias("__shingles"))
-    if verify:
-        sh_base = register_cache(sh_base.persist())
-    sigs = _signatures_from_shingles(sh_base, id_col, num_hashes,
-                                     hash_family=hash_family)
+    if signatures is not None:
+        _check_signature_family(signatures, hash_family)
+        sh_base = signatures.select(
+            F.col(id_col), F.col("shingles").alias("__shingles"))
+        sigs = signatures.select(id_col, "minhash")
+    else:
+        # shingle construction (the regex-heavy part) runs ONCE, at full
+        # parallelism: the persisted (id, shingles) relation feeds both
+        # signature generation and the exact-Jaccard verification join.
+        # NOTE: for a one-shot caller the cache lives until Spark evicts
+        # it (LRU); loop callers wrap the call + materialization in
+        # ``caspr_spark.cache_scope()`` which unpersists on exit.
+        sh_base = ensure_parallelism(df).select(
+            F.col(id_col),
+            _shingles(text_col, shingle_size).alias("__shingles"))
+        if verify:
+            sh_base = register_cache(sh_base.persist())
+        sigs = _signatures_from_shingles(sh_base, id_col, num_hashes,
+                                         hash_family=hash_family)
 
     # `minhash` is an aggregate output (a materialized attribute), so the
     # band-key slices below just index an in-memory array — no re-hashing.
@@ -1200,7 +1220,8 @@ def dedup_against_history(batch: DataFrame, history: DataFrame | None,
                           threshold: float = 0.8,
                           history_keys: DataFrame | None = None,
                           history_signatures: DataFrame | None = None,
-                          hash_family: str = "fast"):
+                          hash_family: str = "fast",
+                          batch_signatures: DataFrame | None = None):
     """INCREMENTAL dedup: drop ``batch`` docs already present in the
     ``history`` corpus — the continuous-pipeline variant of this module
     (a daily crawl lands against a 100 TB corpus; re-deduplicating
@@ -1246,9 +1267,22 @@ def dedup_against_history(batch: DataFrame, history: DataFrame | None,
     Exactly one of ``history`` / the mode's state table must be given.
     Returns ``(kept_batch, matches)`` — ``matches`` is
     ``(id_col, history_id[, jaccard])`` for audit/lineage.
+
+    ``batch_signatures`` (near mode): a precomputed ``(id_col,
+    shingles, minhash)`` frame for the BATCH side (the
+    :func:`build_history_signatures` shape keyed by ``id_col``) skips
+    re-shingling the batch — for a caller that already built the
+    batch's signatures (e.g. for batch-internal dedup) and would
+    otherwise pay the shingle+minhash pass twice. Same
+    ``num_hashes``/``shingle_size``/``hash_family`` contract as
+    ``history_signatures``; the ``matches`` relation covers every id
+    in the frame, so pass it restricted to the rows of ``batch``.
     """
     if mode not in ("exact", "near"):
         raise ValueError(f"mode must be 'exact' or 'near', got {mode!r}")
+    if mode == "exact" and batch_signatures is not None:
+        raise ValueError("batch_signatures is a near-mode input; exact "
+                         "mode keys the batch by content hash")
     if mode == "exact" and history_signatures is not None:
         raise ValueError("history_signatures is the near-mode state; "
                          "exact mode takes history_keys")
@@ -1319,7 +1353,16 @@ def dedup_against_history(batch: DataFrame, history: DataFrame | None,
 
     if history_signatures is not None:
         _check_signature_family(history_signatures, hash_family)
-    bb, bsh = _banded(batch, "__bid")
+    if batch_signatures is not None:
+        _check_signature_family(batch_signatures, hash_family)
+        bb = batch_signatures.select(
+            F.col(id_col).alias("__bid"),
+            F.posexplode(band_keys).alias("band", "band_key"))
+        bsh = batch_signatures.select(
+            F.col(id_col).alias("__bid"),
+            F.col("shingles").alias("__shingles"))
+    else:
+        bb, bsh = _banded(batch, "__bid")
     if history_signatures is not None:
         # banding from the persisted minhash column is map-side (no
         # shingling, no text scan); shingles come from the same table
@@ -1402,9 +1445,23 @@ def _check_signature_family(history_signatures: DataFrame,
     is ``limit(1)`` over the bare ``hash_family`` projection — minimal
     for a file-backed table; pass a PERSISTED/loaded table rather than
     a computed plan, or producing that one probe row re-runs the
-    plan's whole shingle+minhash pipeline. Tables without the column
-    (pre-round-12 / external writers) are accepted as ``'fast'``
-    only."""
+    plan's whole shingle+minhash pipeline. Frames still carrying
+    :func:`build_history_signatures`' in-process provenance attribute
+    are checked WITHOUT a probe (one fewer scheduler round-trip per
+    guard — material for per-micro-batch callers). Tables without the
+    column (pre-round-12 / external writers) are accepted as
+    ``'fast'`` only."""
+    known = getattr(history_signatures, "_caspr_hash_family", None)
+    if known is not None:
+        if known != hash_family:
+            raise ValueError(
+                f"history_signatures was built with "
+                f"hash_family={known!r} but this call requests "
+                f"{hash_family!r}; signatures from different families "
+                "share no band keys (every batch would silently match "
+                "nothing) — rebuild the state table or pass the "
+                "matching family")
+        return
     if "hash_family" in history_signatures.columns:
         probe = (history_signatures.select("hash_family")
                  .limit(1).collect())
@@ -1540,9 +1597,14 @@ def build_history_signatures(history: DataFrame, id_col: str = "doc_id",
         .persist())
     sigs = _signatures_from_shingles(sh, "history_id", num_hashes,
                                      hash_family=hash_family)
-    return (sh.select("history_id", F.col("__shingles").alias("shingles"))
-            .join(sigs, on="history_id")
-            .withColumn("hash_family", F.lit(hash_family)))
+    out = (sh.select("history_id", F.col("__shingles").alias("shingles"))
+           .join(sigs, on="history_id")
+           .withColumn("hash_family", F.lit(hash_family)))
+    # in-process provenance: callers holding THIS object (not a reload)
+    # let _check_signature_family skip its bounded probe — worth one
+    # scheduler round-trip per guard on latency-bound micro-batches
+    out._caspr_hash_family = hash_family
+    return out
 
 
 def append_history_signatures(signatures: DataFrame, accepted: DataFrame,

@@ -636,15 +636,23 @@ def dedup_corpus_sink(state_dir: str, out_dir: str,
     (<= ``compact_every`` frames); the exact-mode join input is the
     hash-only key table (~40 B/doc — a 1e9-doc corpus joins against
     ~40 GB, shuffled on the key, never the text); per-batch writes are
-    O(batch). ``writer_id`` (pass the checkpoint dir) arms the
-    single-writer lease on the state dir. Kept docs are re-read from
-    the just-written parquet for the fold, so output and state are
-    derived from the same bytes and the batch plan runs once.
+    O(batch). Near mode builds the batch's shingle+minhash signatures
+    ONCE per micro-batch and shares them across the internal LSH dedup
+    and the history banded join (``signatures=`` /
+    ``batch_signatures=`` plumbing); the state fold alone re-derives
+    from the written parquet. ``writer_id`` (pass the checkpoint dir)
+    arms the single-writer lease on the state dir. Kept docs are
+    re-read from the just-written parquet for the fold, so output and
+    state are derived from the same bytes and the batch plan runs
+    once; per-batch caches are released by a ``cache_scope`` around
+    each fold, so a long-lived stream never accumulates stale
+    persisted relations.
     """
     if mode not in ("exact", "near"):
         raise ValueError(f"mode must be 'exact' or 'near', got {mode!r}")
     from caspr_spark.llm.dedup import (append_history_keys_state,
                                        append_history_signatures_state,
+                                       build_history_signatures,
                                        dedup_against_history, exact_dedup,
                                        minhash_lsh_dedup,
                                        read_history_keys_state,
@@ -655,6 +663,8 @@ def dedup_corpus_sink(state_dir: str, out_dir: str,
     claimed = []
 
     def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        from caspr_spark.cache import cache_scope
+
         spark = batch_df.sparkSession
         if writer_id is not None and not claimed:
             claim_writer(spark, state_dir, writer_id)
@@ -667,13 +677,40 @@ def dedup_corpus_sink(state_dir: str, out_dir: str,
                 f"batch_id {batch_id} is not newer than the committed "
                 f"state under {state_dir} — a late fold would leave an "
                 "output dir with no matching state commit")
+        # everything below materializes inside the fold (parquet +
+        # state writes), so the scope can release every per-batch
+        # cache — without it a long-lived stream piles up one stale
+        # persisted shingle relation per micro-batch
+        with cache_scope():
+            _fold_batch(spark, batch_df, batch_id, committed)
+
+    def _fold_batch(spark, batch_df: DataFrame, batch_id: int,
+                    committed: list) -> None:
+        from caspr_spark.cache import register_cache
+
         kept = batch_df
+        batch_sigs = None
+        if mode == "near":
+            # ONE shingle+minhash pass per micro-batch, shared by the
+            # internal LSH dedup and the history banded join (the
+            # state fold still re-derives signatures from the WRITTEN
+            # kept docs — output and state keep deriving from the
+            # same bytes)
+            batch_sigs = register_cache(
+                build_history_signatures(batch_df, id_col, text_col,
+                                         num_hashes, shingle_size,
+                                         hash_family)
+                .withColumnRenamed("history_id", id_col).persist())
+            # withColumnRenamed returns a fresh object — re-attach the
+            # provenance mark so the downstream guards skip their probes
+            batch_sigs._caspr_hash_family = hash_family
         if batch_internal:
             kept = (exact_dedup(kept, text_col, id_col, normalize)
                     if mode == "exact" else
                     minhash_lsh_dedup(kept, id_col, text_col, num_hashes,
                                       bands, shingle_size, threshold,
-                                      hash_family=hash_family)[0])
+                                      hash_family=hash_family,
+                                      signatures=batch_sigs)[0])
         if committed:
             if mode == "exact":
                 kept, _ = dedup_against_history(
@@ -681,13 +718,17 @@ def dedup_corpus_sink(state_dir: str, out_dir: str,
                     normalize=normalize,
                     history_keys=read_history_keys_state(spark, state_dir))
             else:
+                bs = (batch_sigs.join(kept.select(id_col), on=id_col,
+                                      how="left_semi")
+                      if batch_internal else batch_sigs)
                 kept, _ = dedup_against_history(
                     kept, None, id_col, text_col, mode="near",
                     num_hashes=num_hashes, bands=bands,
                     shingle_size=shingle_size, threshold=threshold,
                     hash_family=hash_family,
                     history_signatures=read_history_signatures_state(
-                        spark, state_dir))
+                        spark, state_dir),
+                    batch_signatures=bs)
         out_path = f"{out_dir}/k{batch_id}"
         # A crash BETWEEN the output's _SUCCESS commit and the state
         # fold replays here with the output dir already complete; the

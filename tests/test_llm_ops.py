@@ -873,6 +873,52 @@ class TestIncrementalDedup:
                 spark, state, 0, batch2, hash_family="portable",
                 compact_every=2)
 
+    def test_precomputed_signature_plumbing_is_identical(self, spark):
+        """Round-14 one-pass-per-batch optimization: minhash_lsh_dedup
+        with a precomputed ``signatures=`` frame and
+        dedup_against_history with ``batch_signatures=`` must return
+        row-identical results to the self-computing paths (same
+        shingles, same minhash, same band keys — just not rebuilt),
+        and exact mode refuses batch_signatures."""
+        from caspr_spark.llm.dedup import (build_history_signatures,
+                                           build_history_signatures as _b,
+                                           dedup_against_history,
+                                           minhash_lsh_dedup)
+        batch, history = self._corpora(spark)
+        sigs = build_history_signatures(
+            batch, num_hashes=32, shingle_size=3,
+            hash_family="portable").withColumnRenamed("history_id",
+                                                      "doc_id")
+        kw = dict(num_hashes=32, bands=16, shingle_size=3,
+                  threshold=0.4, hash_family="portable")
+        d1, p1 = minhash_lsh_dedup(batch, **kw)
+        d2, p2 = minhash_lsh_dedup(batch, signatures=sigs, **kw)
+        assert ({r.doc_id for r in d1.collect()}
+                == {r.doc_id for r in d2.collect()})
+        key = lambda r: (r.id_a, r.id_b, round(r.jaccard, 9))
+        assert (sorted(map(key, p1.collect()))
+                == sorted(map(key, p2.collect())))
+        hsigs = build_history_signatures(history, num_hashes=32,
+                                         shingle_size=3,
+                                         hash_family="portable")
+        k1, m1 = dedup_against_history(batch, None, mode="near",
+                                       history_signatures=hsigs, **kw)
+        k2, m2 = dedup_against_history(batch, None, mode="near",
+                                       history_signatures=hsigs,
+                                       batch_signatures=sigs, **kw)
+        assert ({r.doc_id for r in k1.collect()}
+                == {r.doc_id for r in k2.collect()})
+        mkey = lambda r: (r.doc_id, r.history_id, round(r.jaccard, 9))
+        assert (sorted(map(mkey, m1.collect()))
+                == sorted(map(mkey, m2.collect())))
+        # family mismatch on the precomputed frame refuses
+        with pytest.raises(ValueError, match="hash_family"):
+            minhash_lsh_dedup(batch, num_hashes=32, bands=16,
+                              signatures=sigs, hash_family="fast")
+        with pytest.raises(ValueError, match="near-mode input"):
+            dedup_against_history(batch, history, mode="exact",
+                                  batch_signatures=sigs)
+
     def test_key_state_prune_retention(self, spark, tmp_path):
         """Round-13 key-table TTL parity: prune_state on the KEY-table
         path (previously only census-tested) deletes exactly the
