@@ -1629,6 +1629,40 @@ def q_decontaminate(spark, sf_dir):
     return decontaminate(train, bench, n=4).select("doc_id", "source")
 
 
+def q_decontaminate_state(spark, sf_dir):
+    """Benchmark decontamination against the VERSIONED gram-census
+    state (filtering.py decontaminate_from_census — round 14): the
+    eval suite arrives as TWO census folds into an exactly-once
+    delta-layout state dir (gram_census_sink's fold, called with
+    controlled batch ids), day 2 is then REPLAYED — a naive append
+    would double the day's gram counts; the state protocol skips the
+    committed id — and the training corpus is decontaminated against
+    the state read. Decontamination depends only on the benchmark's
+    gram-hash SET, which the exactly-once fold preserves (and both
+    sides hash grams as md5 of the space-joined words), so the result
+    is row-identical to the one-shot q_decontaminate — whose DuckDB
+    twin is this query's oracle. The census width guard (gram_n==4)
+    rides in-plan through the certified path."""
+    import tempfile
+
+    from caspr_spark.llm.filtering import decontaminate_from_census
+    from caspr_spark.streaming import (gram_census_sink,
+                                       read_gram_census_state)
+    docs = _t(spark, sf_dir, "documents")
+    train = docs.filter(F.col("source") != "src0")
+    bench = docs.filter(F.col("source") == "src0")
+    state = tempfile.mkdtemp(prefix="decontam_state_")
+    sink = gram_census_sink(state, n=4, layout="delta", compact_every=2)
+    sink(bench.filter(F.col("doc_id") % 2 == 0), 1)
+    sink(bench.filter(F.col("doc_id") % 2 == 1), 2)
+    # replay day 2 post-"crash": must be a protocol no-op (a naive
+    # append would double day-2 gram counts; the SET stays the point)
+    sink(bench.filter(F.col("doc_id") % 2 == 1), 2)
+    census = read_gram_census_state(spark, state, n=4)
+    return decontaminate_from_census(train, census, n=4) \
+        .select("doc_id", "source")
+
+
 def q_bm25_search(spark, sf_dir):
     """BM25 keyword search (search.py bm25_topk): top-15 documents for a
     3-term query. Postings filtered to query terms before the tf shuffle;
@@ -3404,28 +3438,31 @@ def q_stream_gram_census_delta(spark, sf_dir):
 # (emitted by tools/gen_window.py from the r1-r13 driver records;
 # `gen_window.py --check --round 14` verifies it in-tree, and
 # tests/test_entry_contract.py pins that invocation):
-#   slots 1-3    the three NEW round-14 oracle rows
+#   slots 1-4    the four NEW round-14 oracle rows
 #                (stream_dedup_corpus_near — the near-mode streaming
 #                corpus sink certified end-to-end across a restart
 #                boundary, simsearch_ivf_state — the versioned IVF
 #                ingest index searched via the one-shot certificate's
 #                twin, stream_ann_index — the Structured-Streaming
-#                composition of that ingest across a restart; never
+#                composition of that ingest across a restart,
+#                decontaminate_state — decontamination against the
+#                versioned benchmark gram census; never
 #                driver-certified, so they sort first),
-#   slots 4-6    the three rows the r13 rotation displaced past its
+#   slots 5-7    the three rows the r13 rotation displaced past its
 #                window (p7_array_pack, s1_parquet_roundtrip,
 #                score_linear — exactly as the r13 window comment
 #                predicted),
-#   slots 7-50   the oldest never-since-refreshed r10-certified block
-#                (metrics_confusion -> json_extract) in prior
-#                relative order.
-# Displaced past the window by the three new slots:
+#   slots 8-50   the oldest never-since-refreshed r10-certified block
+#                (metrics_confusion -> asof_join) in prior relative
+#                order.
+# Displaced past the window by the four new slots: json_extract,
 # p3_pivot_lineitem, p6_petastorm_rename (r10-certified and
 # local-oracle green at both SFs) — they lead the r15 rotation.
 _R14_WINDOW = [
     "stream_dedup_corpus_near",
     "simsearch_ivf_state",
     "stream_ann_index",
+    "decontaminate_state",
     "p7_array_pack",
     "s1_parquet_roundtrip",
     "score_linear",
@@ -3472,7 +3509,6 @@ _R14_WINDOW = [
     "a13_cube",
     "w5_sessionize",
     "asof_join",
-    "json_extract",
 ]
 
 
@@ -3726,6 +3762,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_tokenize_fixed": q_bpe_tokenize_fixed,
         "simsearch_ivf_state": q_simsearch_ivf_state,
         "stream_ann_index": q_stream_ann_index,
+        "decontaminate_state": q_decontaminate_state,
     }
     ordered = {n: base[n] for n in _R14_WINDOW}
     ordered.update((n, f) for n, f in base.items() if n not in ordered)
@@ -6753,6 +6790,10 @@ WHERE doc_id NOT IN (SELECT doc_id FROM ranked WHERE rn > 1)""",
     # signature set, which the exactly-once fold (replay skipped,
     # compaction a disjoint-id union) preserves exactly
     o["dedup_signature_state"] = o["dedup_incremental_portable"]
+    # decontamination depends only on the benchmark gram-hash SET,
+    # which the exactly-once census fold preserves (replay skipped,
+    # compaction an associative re-sum) — same twin as the one-shot
+    o["decontaminate_state"] = o["decontaminate"]
     # streaming corpus dedup invariant: exactly one survivor per
     # content key, however the file source carved micro-batches —
     # WHICH copy survives is arrival-order-dependent, the key multiset

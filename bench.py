@@ -157,6 +157,7 @@ EXTENDED_QUERIES = [
     "stream_dedup_corpus_near",
     "simsearch_ivf_state",
     "stream_ann_index",
+    "decontaminate_state",
 ]
 
 

@@ -28,6 +28,7 @@ from caspr_spark.llm.curate import (
 )
 from caspr_spark.llm.filtering import (
     repetition_signals, redact_pii, ngram_hashes, decontaminate,
+    decontaminate_from_census,
     quality_score_hashed_bow,
 )
 from caspr_spark.llm.clean import (
@@ -55,6 +56,7 @@ __all__ = [
     "attach_binary_payload", "extract_features", "sample_frames",
     "curate_corpus", "curation_report", "curate_corpus_v2",
     "repetition_signals", "redact_pii", "ngram_hashes", "decontaminate",
+    "decontaminate_from_census",
     "quality_score_hashed_bow",
     "split_units", "paragraph_dedup", "remove_boilerplate",
     "connected_components", "dedup_by_components", "dedup_keep_best",

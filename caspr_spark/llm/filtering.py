@@ -256,6 +256,44 @@ def decontaminate(train: DataFrame, benchmark: DataFrame,
     return train.join(contaminated, on=id_col, how="left_anti")
 
 
+def decontaminate_from_census(train: DataFrame, census: DataFrame,
+                              id_col: str = "doc_id",
+                              text_col: str = "text", n: int = 8,
+                              broadcast_benchmark: bool = True,
+                              broadcast_limit: int | None =
+                              BROADCAST_GRAM_LIMIT) -> DataFrame:
+    """:func:`decontaminate` against a PRE-BUILT benchmark gram census
+    — the state-fed form for an eval SUITE that grows over time. New
+    benchmarks land monthly; re-hashing every eval set on every
+    training-data refresh re-reads text that never changes, so keep
+    the suite as a gram census instead
+    (:func:`~caspr_spark.llm.dedup.build_gram_census` /
+    :func:`~caspr_spark.llm.dedup.append_gram_census`, or the
+    exactly-once versioned dir via
+    :func:`~caspr_spark.streaming.gram_census_sink` read back with
+    :func:`~caspr_spark.streaming.read_gram_census_state`) and
+    decontaminate against the state: the census is hash-only
+    (text-free, gram-cardinality) and both sides hash grams as md5 of
+    the space-joined words, so the state's ``gram_hash`` set IS the
+    benchmark gram set. The census width is verified IN-PLAN
+    (``gram_n`` rides as data — a census built at one ``n`` can never
+    silently feed a decontamination at another); the broadcast size
+    guard and plan shape are :func:`decontaminate`'s exactly."""
+    from caspr_spark.llm.dedup import _check_gram_n, _maybe_broadcast_gram_set
+
+    # no .distinct(): a census holds ONE row per gram hash by
+    # construction (build_gram_census groups by hash; the state
+    # read-side merge re-sums per hash) — re-distincting would be a
+    # pure extra shuffle of the benchmark set
+    bench = _check_gram_n(census, n).select("gram_hash")
+    if broadcast_benchmark:
+        bench = _maybe_broadcast_gram_set(bench, broadcast_limit)
+    contaminated = (ngram_hashes(train, id_col, text_col, n)
+                    .join(bench, on="gram_hash", how="left_semi")
+                    .select(id_col).distinct())
+    return train.join(contaminated, on=id_col, how="left_anti")
+
+
 # --------------------------------------------------------------------------
 # trainable quality classifier (distributed full-batch logistic regression)
 # --------------------------------------------------------------------------

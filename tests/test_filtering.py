@@ -90,6 +90,28 @@ class TestDecontaminate:
         h2 = ngram_hashes(_docs(spark, [(1, "c b a")]), n=3).collect()[0].gram_hash
         assert h1 != h2
 
+    def test_from_census_equals_text_path(self, spark):
+        """Round-14 state-fed form: decontaminating against the
+        benchmark's gram census (build_gram_census — the same md5
+        gram hashing) keeps exactly the docs the text path keeps,
+        and a census built at another width refuses in-plan."""
+        import pytest
+
+        from caspr_spark.llm.dedup import build_gram_census
+        from caspr_spark.llm.filtering import decontaminate_from_census
+        train = _docs(spark, [(1, "alpha beta gamma delta"),
+                              (2, "totally unrelated content here")])
+        bench = _docs(spark, [(10, "x alpha beta gamma delta y")])
+        want = {r.doc_id for r in
+                decontaminate(train, bench, n=4).collect()}
+        census = build_gram_census(bench, n=4)
+        got = {r.doc_id for r in
+               decontaminate_from_census(train, census, n=4).collect()}
+        assert got == want == {2}
+        wrong = build_gram_census(bench, n=3)
+        with pytest.raises(Exception, match="operator expects n=4"):
+            decontaminate_from_census(train, wrong, n=4).collect()
+
 
 class TestBM25:
     def test_hand_computed_score(self, spark):
