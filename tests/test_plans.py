@@ -110,6 +110,48 @@ class TestDedupPlans:
         assert "BatchEvalPython" not in plan
         assert "ArrowEvalPython" not in plan
 
+    def test_ivf_state_search_broadcasts_probes(self, embeddings,
+                                                tmp_path):
+        """Round-14 versioned-IVF search: the probe table (queries x
+        n_probe cells) joins the state-backed corpus as a BROADCAST —
+        never a sort-merge over the index — and the whole search stays
+        out of Python eval."""
+        from pyspark.sql import functions as F
+
+        from caspr_spark.llm.similarity import (append_ivf_state,
+                                                cosine_topk_ivf_state)
+        cents = [[0.1] * 64, [-0.1] * 64]
+        state = str(tmp_path / "ivf")
+        append_ivf_state(embeddings.sparkSession, state, 1, embeddings,
+                         cents)
+        q = embeddings.filter(F.col("vec_id") < 2)
+        plan = plan_of(cosine_topk_ivf_state(embeddings.sparkSession,
+                                             state, q, k=3, n_probe=1,
+                                             centroids=cents))
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
+
+    def test_decontaminate_from_census_map_only(self, spark, tmp_path):
+        """Round-14 state-fed decontamination: with the census under
+        the broadcast guard the contamination scan is a broadcast
+        semi-join over the training corpus (no sort-merge of corpus
+        vs benchmark), all JVM-side."""
+        from caspr_spark.llm.dedup import build_gram_census
+        from caspr_spark.llm.filtering import decontaminate_from_census
+        train = spark.createDataFrame(
+            [(i, f"training doc {i} alpha beta gamma") for i in range(50)],
+            "doc_id long, text string")
+        bench = spark.createDataFrame(
+            [(100, "benchmark alpha beta gamma delta")],
+            "doc_id long, text string")
+        census = build_gram_census(bench, n=3)
+        plan = plan_of(decontaminate_from_census(train, census, n=3))
+        assert "BroadcastHashJoin" in plan
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
+
     def test_similarity_broadcast_queries(self, embeddings):
         from pyspark.sql import functions as F
         from caspr_spark.llm.similarity import cosine_topk
