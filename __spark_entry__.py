@@ -3515,7 +3515,7 @@ _R14_WINDOW = [
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver contract: the correctness gate certifies the FIRST 50 entries.
 
-    176 of the 203 queries carry DuckDB oracles (174 full + the two
+    180 of the 207 queries carry DuckDB oracles (178 full + the two
     bounded sketch certificates) — more than one 50-slot window holds —
     so certification rotates across rounds (COVERAGE.md maps which
     round certified which row; tools/check_correctness.py re-runs the
