@@ -263,3 +263,100 @@ class TestRoundFiveProperties:
         want = {100 + i for i, t in enumerate(corpus[half:])
                 if t not in hist_set}
         assert got == want
+
+
+class TestStateProtocolProperties:
+    @given(plan=st.lists(st.sampled_from(["fold", "replay", "prune"]),
+                         min_size=3, max_size=6),
+           compact_every=st.integers(2, 3))
+    @settings(max_examples=6, deadline=None, derandomize=True,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    def test_key_state_any_fold_replay_prune_sequence(self, spark, plan,
+                                                      compact_every):
+        """Round-14 protocol sweep: ANY interleaving of daily folds,
+        post-crash replays of the newest committed day, and TTL prunes
+        must leave the versioned key table read-identical to the plain
+        sequential first-seen-wins fold of the same days — the
+        protocol's whole contract (replay skip, compaction merge,
+        prune retention) under randomized schedules instead of the
+        hand-picked ones the unit tests pin."""
+        import hashlib
+        import tempfile
+
+        from caspr_spark.llm.dedup import (append_history_keys_state,
+                                           read_history_keys_state)
+        from caspr_spark.state import prune_state, state_listing
+
+        state = tempfile.mkdtemp(prefix="prop_keys_")
+        # overlapping texts across days so first-seen-wins matters
+        def day_docs(d):
+            return [(d * 10 + i, f"shared text {(d + i) % 4}")
+                    for i in range(3)]
+
+        expected = {}          # md5(text) -> first-seen history_id
+        day = 0
+        folded_any = False
+        for step in plan:
+            if step == "fold" or not folded_any:
+                day += 1
+                docs = day_docs(day)
+                append_history_keys_state(
+                    spark, state,  day,
+                    spark.createDataFrame(docs,
+                                          "doc_id long, text string"),
+                    compact_every=compact_every)
+                folded_any = True
+                per_text = {}
+                for i, t in docs:
+                    per_text[t] = min(per_text.get(t, i), i)
+                for t, i in per_text.items():
+                    expected.setdefault(
+                        hashlib.md5(t.encode()).hexdigest(), i)
+            elif step == "replay":
+                last = max(b for b, _ in state_listing(spark, state))
+                append_history_keys_state(
+                    spark, state, last,
+                    spark.createDataFrame(day_docs(last),
+                                          "doc_id long, text string"),
+                    compact_every=compact_every)   # must be a no-op
+            else:
+                prune_state(spark, state, keep_last=2)
+            got = {(r.content_key, r.history_id) for r in
+                   read_history_keys_state(spark, state).collect()}
+            assert got == set(expected.items()), \
+                f"diverged after {plan} at step {step!r}"
+
+    @given(assign=st.lists(st.integers(0, 3), min_size=4, max_size=10),
+           replay_at=st.integers(0, 3))
+    @settings(max_examples=5, deadline=None, derandomize=True,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    def test_corpus_sink_one_survivor_any_carving(self, spark, assign,
+                                                  replay_at):
+        """The streaming corpus sink's certified invariant, swept over
+        random batch carvings: HOWEVER docs (with duplicated texts)
+        are split into micro-batches, and wherever a replay lands, the
+        committed corpus holds exactly one survivor per normalized
+        content key."""
+        import hashlib
+        import tempfile
+
+        from caspr_spark.streaming import (dedup_corpus_sink,
+                                           read_dedup_corpus)
+        texts = [f"corpus text number {i % 5}" for i in range(len(assign))]
+        docs = [(i, t) for i, (t, _) in enumerate(zip(texts, assign))]
+        state = tempfile.mkdtemp(prefix="prop_corpus_s_")
+        out = tempfile.mkdtemp(prefix="prop_corpus_o_")
+        sink = dedup_corpus_sink(state, out)
+        n_batches = max(assign) + 1
+        for b in range(n_batches):
+            rows = [(i, t) for (i, t), a in zip(docs, assign) if a == b]
+            batch = spark.createDataFrame(
+                rows or [], "doc_id long, text string")
+            sink(batch, b + 1)
+            if b == replay_at:
+                sink(batch, b + 1)             # replay: must be a no-op
+        kept = read_dedup_corpus(spark, out).collect()
+        keys = [hashlib.md5(r.text.encode()).hexdigest() for r in kept]
+        want = {hashlib.md5(t.encode()).hexdigest() for _, t in docs}
+        assert len(keys) == len(set(keys)) == len(want)
+        assert set(keys) == want
