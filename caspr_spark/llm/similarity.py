@@ -507,7 +507,8 @@ def _merge_ivf_frames(frames: list) -> DataFrame:
 def append_ivf_state(spark, state_dir: str, batch_id: int,
                      batch: DataFrame, centroids: list,
                      id_col: str = "vec_id", vec_col: str = "embedding",
-                     compact_every: int = 8) -> None:
+                     compact_every: int = 8,
+                     partition_by_cell: bool = False) -> None:
     """Fold a batch of NEW embeddings into a VERSIONED IVF index state
     dir — continuous embedding ingest, the similarity-family member of
     the exactly-once state story (the key table and signature table
@@ -530,9 +531,16 @@ def append_ivf_state(spark, state_dir: str, batch_id: int,
     trusted) refuses a fold under different centroids, which would
     poison the index with cells from two quantizers. Frames are
     repartitioned by ``ivf_cell`` before the write so each frame's
-    parquet clusters by cell (at scale, ``partitionBy('ivf_cell')``
-    turns a probe into a partition-pruned read of n_probe cells).
-    Prune superseded frames with :func:`caspr_spark.state.prune_state`."""
+    parquet clusters by cell; ``partition_by_cell=True`` additionally
+    writes each frame HIVE-PARTITIONED on ``ivf_cell``, so a probe
+    search reads only its cells' files — Spark's dynamic partition
+    pruning fires on the probe join (the broadcast probe table is the
+    build side), turning an index scan into an ``n_probe``-cells read.
+    Empty batches fall back to a plain frame write (a zero-row
+    partitioned write is unreadable —
+    :func:`caspr_spark.state.fold_commit`'s rule) and both layouts
+    merge transparently on read. Prune superseded frames with
+    :func:`caspr_spark.state.prune_state`."""
     from caspr_spark.state import (fold_commit, live_frames,
                                    state_listing, state_path)
 
@@ -558,7 +566,8 @@ def append_ivf_state(spark, state_dir: str, batch_id: int,
         nearest_centroid(vec_col, centroids).alias("ivf_cell"),
         F.lit(fp).alias("centroid_fp")).repartition("ivf_cell")
     fold_commit(spark, state_dir, batch_id, "delta", compact_every,
-                frame, _merge_ivf_frames)
+                frame, _merge_ivf_frames,
+                partition_by=["ivf_cell"] if partition_by_cell else None)
 
 
 def read_ivf_state(spark, state_dir: str) -> DataFrame:

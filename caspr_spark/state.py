@@ -195,7 +195,8 @@ def claim_writer(spark, state_dir: str, writer_id: str) -> None:
 
 
 def fold_commit(spark, state_dir: str, batch_id: int, layout: str,
-                compact_every: int, batch_frame, merge_fn) -> None:
+                compact_every: int, batch_frame, merge_fn,
+                partition_by: list[str] | None = None) -> None:
     """The one commit step both state writers share (the census sink
     and the key-table fold): decide replay/out-of-order/delta/compact
     from the committed listing, merge when compacting, write with the
@@ -207,7 +208,18 @@ def fold_commit(spark, state_dir: str, batch_id: int, layout: str,
     id at or below the committed frontier raises — read-side merging
     orders frames by batch id, so a late fold would either be silently
     excluded (below a compact) or rewrite history, never something to
-    do quietly."""
+    do quietly.
+
+    ``partition_by`` writes each frame hive-partitioned on the given
+    columns, so readers that filter or join on them get partition
+    pruning (static or dynamic) instead of full-frame scans — the IVF
+    ingest index uses this to make a probe read only its cells'
+    files. An EMPTY frame falls back to a plain (unpartitioned) write:
+    a partitioned write of zero rows emits no part files at all and
+    the frame becomes unreadable; the plain empty file keeps the
+    schema, and read-side ``unionByName`` merges the two layouts
+    transparently (the check costs one ``limit(1)`` probe of the
+    frame, paid only on this opt-in path)."""
     if layout not in ("rebuild", "delta"):
         raise ValueError(f"layout must be 'rebuild' or 'delta', "
                          f"got {layout!r}")
@@ -242,8 +254,10 @@ def fold_commit(spark, state_dir: str, batch_id: int, layout: str,
         frame, kind = batch_frame, "delta"
     # overwrite is safe HERE and only here: the dir can only pre-exist
     # as a markerless crashed attempt of this same batch id
-    frame.write.mode("overwrite").parquet(
-        state_path(state_dir, batch_id, kind))
+    writer = frame.write.mode("overwrite")
+    if partition_by and not frame.isEmpty():
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(state_path(state_dir, batch_id, kind))
 
 
 def prune_state(spark, state_dir: str, keep_last: int = 2) -> list[int]:

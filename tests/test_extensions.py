@@ -137,6 +137,50 @@ class TestIVFState:
         with pytest.raises(ValueError, match="fingerprint"):
             cosine_topk_ivf_state(spark, state, q, k=3, centroids=other)
 
+    def test_partitioned_ingest_prunes_and_matches(self, embeddings,
+                                                   tmp_path):
+        """partition_by_cell=True: frames are hive-partitioned on
+        ivf_cell (empty batches fall back to a readable plain frame),
+        the read merges both layouts, search results equal the
+        unpartitioned path, and the probe join's scan carries a
+        dynamic-partition-pruning filter so a probe reads only its
+        cells' files."""
+        import os
+
+        from caspr_spark.llm.similarity import (append_ivf_state,
+                                                cosine_topk_ivf_state,
+                                                read_ivf_state)
+        spark = embeddings.sparkSession
+        cents = self._cents()
+        state = str(tmp_path / "ivfp")
+        append_ivf_state(spark, state, 1,
+                         embeddings.filter(F.col("vec_id") % 2 == 0),
+                         cents, compact_every=2, partition_by_cell=True)
+        append_ivf_state(spark, state, 2,
+                         embeddings.filter("vec_id < 0"),   # empty day
+                         cents, compact_every=2, partition_by_cell=True)
+        append_ivf_state(spark, state, 3,
+                         embeddings.filter(F.col("vec_id") % 2 == 1),
+                         cents, compact_every=2, partition_by_cell=True)
+        # frame layout: partitioned dirs for data frames, plain for empty
+        assert any(d.startswith("ivf_cell=")
+                   for d in os.listdir(os.path.join(state, "c1")))
+        idx = read_ivf_state(spark, state)
+        assert idx.count() == embeddings.count()
+        q = embeddings.filter(F.col("vec_id") < 3)
+        got = cosine_topk_ivf_state(spark, state, q, k=4, n_probe=2,
+                                    centroids=cents).toPandas()
+        want = cosine_topk_ivf(embeddings, q, k=4, n_probe=2,
+                               centroids=cents).toPandas()
+        key = ["query_id", "rank"]
+        got = got.sort_values(key).reset_index(drop=True)
+        want = want.sort_values(key).reset_index(drop=True)
+        assert (got["vec_id"].values == want["vec_id"].values).all()
+        plan = (cosine_topk_ivf_state(spark, state, q, k=4, n_probe=2,
+                                      centroids=cents)
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "dynamicpruning" in plan
+
     def test_stream_ingest_restart_equals_one_shot(self, embeddings,
                                                    tmp_path):
         """End-to-end through a real stream with a RESTART boundary:
