@@ -2327,7 +2327,11 @@ def q_simsearch_ivf_state(spark, sf_dir):
     one-shot path uses and the exactly-once fold preserves the id set
     exactly, so the search is row-identical to simsearch_ivf_fixed —
     whose from-scratch DuckDB twin is this query's oracle (the whole
-    state protocol is inside the certified path)."""
+    state protocol is inside the certified path). Frames are written
+    HIVE-PARTITIONED on ivf_cell (partition_by_cell=True — the scale
+    layout, round 14), so the certified probe search also exercises
+    dynamic partition pruning; the streaming row (stream_ann_index)
+    keeps the plain layout, certifying both."""
     import tempfile
 
     from caspr_spark.llm.similarity import (append_ivf_state,
@@ -2338,11 +2342,11 @@ def q_simsearch_ivf_state(spark, sf_dir):
     for day, residue in ((1, 0), (2, 1), (3, 2)):
         append_ivf_state(spark, state, day,
                          emb.filter(F.col("vec_id") % 3 == residue),
-                         cents, compact_every=2)
+                         cents, compact_every=2, partition_by_cell=True)
     # replay day 2 post-"crash": must be a protocol no-op
     append_ivf_state(spark, state, 2,
                      emb.filter(F.col("vec_id") % 3 == 1),
-                     cents, compact_every=2)
+                     cents, compact_every=2, partition_by_cell=True)
     queries = emb.filter(F.col("vec_id") < 5)
     out = cosine_topk_ivf_state(spark, state, queries, k=5, n_probe=3,
                                 centroids=cents)

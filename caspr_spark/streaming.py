@@ -754,6 +754,7 @@ def dedup_corpus_sink(state_dir: str, out_dir: str,
 def ann_ingest_sink(state_dir: str, centroids: list,
                     id_col: str = "vec_id", vec_col: str = "embedding",
                     compact_every: int = 8,
+                    partition_by_cell: bool = False,
                     writer_id: str | None = None):
     """EXACTLY-ONCE streaming embedding ingest into the versioned IVF
     index — the Structured-Streaming composition of
@@ -783,7 +784,8 @@ def ann_ingest_sink(state_dir: str, centroids: list,
             claim_writer(spark, state_dir, writer_id)
             claimed.append(True)
         append_ivf_state(spark, state_dir, batch_id + 1, batch_df,
-                         centroids, id_col, vec_col, compact_every)
+                         centroids, id_col, vec_col, compact_every,
+                         partition_by_cell=partition_by_cell)
 
     return _fold
 
