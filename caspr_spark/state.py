@@ -260,6 +260,75 @@ def fold_commit(spark, state_dir: str, batch_id: int, layout: str,
     writer.parquet(state_path(state_dir, batch_id, kind))
 
 
+def describe_state(spark, state_dir: str) -> dict:
+    """One-call operational inspection of a versioned state dir —
+    everything an on-call debugging a sink wants to know, from pure
+    filesystem listings (NO Spark jobs, no frame reads): the committed
+    frames with per-frame file counts and bytes, which of them a
+    reader would merge (``live``), the layout and commit frontier, the
+    ``_writer`` lease owner (``None`` if unclaimed, the string
+    ``"<corrupt>"`` if unreadable — delete the lease to re-claim),
+    markerless dirs (crashed attempts, invisible to readers and safe
+    to ignore: the protocol rewrites them on replay), and stray lease
+    temp files (pre-rename crash debris, also ignorable)."""
+    import json as _json
+
+    jvm, fs, jpath = _fs(spark, state_dir)
+    out = {"state_dir": state_dir, "frames": [], "live": [],
+           "layout": None, "frontier": None, "writer": None,
+           "markerless": [], "stray_tmp": []}
+    if not fs.exists(jpath):
+        return out
+    committed = []
+    for st in fs.listStatus(jpath):
+        name = st.getPath().getName()
+        if st.isDirectory() and name[:1] in _KINDS and name[1:].isdigit():
+            marker = jvm.org.apache.hadoop.fs.Path(st.getPath(), "_SUCCESS")
+            if not fs.exists(marker):
+                out["markerless"].append(name)
+                continue
+            files = n_bytes = 0
+            stack = [st.getPath()]
+            while stack:
+                for sub in fs.listStatus(stack.pop()):
+                    if sub.isDirectory():
+                        stack.append(sub.getPath())
+                    elif not sub.getPath().getName().startswith(("_", ".")):
+                        files += 1
+                        n_bytes += sub.getLen()
+            committed.append((int(name[1:]), _KINDS[name[:1]],
+                              files, n_bytes))
+        elif name.startswith("_writer.tmp"):
+            out["stray_tmp"].append(name)
+    committed.sort()
+    out["frames"] = [{"batch_id": b, "kind": k, "files": f, "bytes": n}
+                     for b, k, f, n in committed]
+    listing = [(b, k) for b, k, _, _ in committed]
+    if listing:
+        out["frontier"] = listing[-1][0]
+        kinds = {k for _, k in listing}
+        out["layout"] = ("rebuild" if kinds == {"full"} else
+                         "delta" if "full" not in kinds else "MIXED")
+        try:
+            out["live"] = [{"batch_id": b, "kind": k}
+                           for b, k in live_frames(listing)]
+        except RuntimeError:
+            pass                      # mixed layout — live set undefined
+    lease = jvm.org.apache.hadoop.fs.Path(jpath, "_writer")
+    if fs.exists(lease):
+        stream = fs.open(lease)
+        try:
+            raw = jvm.org.apache.commons.io.IOUtils.toString(stream,
+                                                             "UTF-8")
+        finally:
+            stream.close()
+        try:
+            out["writer"] = _json.loads(raw).get("writer_id")
+        except ValueError:
+            out["writer"] = "<corrupt>"
+    return out
+
+
 def prune_state(spark, state_dir: str, keep_last: int = 2) -> list[int]:
     """Delete SUPERSEDED committed state, layout-aware (see
     :func:`caspr_spark.streaming.prune_census_state` for the consumer-

@@ -855,6 +855,42 @@ class TestGramCensusStateSink:
         kept = {r.doc_id for r in read_dedup_corpus(spark, out).collect()}
         assert kept == {1, 2, 11}
 
+    def test_describe_state(self, spark, tmp_path):
+        """describe_state reports frames/live/layout/frontier/lease/
+        crash debris from listings alone — committed cadence, a
+        markerless crashed dir, a claimed lease, and a corrupt lease
+        all show up."""
+        import os
+
+        from caspr_spark.llm.dedup import append_history_keys_state
+        from caspr_spark.state import claim_writer, describe_state
+        state = str(tmp_path / "keys")
+        assert describe_state(spark, state)["frames"] == []
+        for d in (1, 2, 3):
+            append_history_keys_state(
+                spark, state, d,
+                spark.createDataFrame([(d, f"day {d} text")],
+                                      "doc_id long, text string"),
+                compact_every=2)
+        claim_writer(spark, state, "ckpt-A")
+        os.makedirs(os.path.join(state, "d9"))   # crashed attempt
+        info = describe_state(spark, state)
+        assert [(f["batch_id"], f["kind"]) for f in info["frames"]] \
+            == [(1, "compact"), (2, "delta"), (3, "compact")]
+        assert all(f["files"] >= 1 and f["bytes"] > 0
+                   for f in info["frames"])
+        assert info["layout"] == "delta" and info["frontier"] == 3
+        assert [x["batch_id"] for x in info["live"]] == [3]
+        assert info["writer"] == "ckpt-A"
+        assert info["markerless"] == ["d9"]
+        os.remove(os.path.join(state, "_writer"))
+        crc = os.path.join(state, "._writer.crc")
+        if os.path.exists(crc):
+            os.remove(crc)        # drop Hadoop's checksum shadow too
+        with open(os.path.join(state, "_writer"), "w") as f:
+            f.write("not json")
+        assert describe_state(spark, state)["writer"] == "<corrupt>"
+
     def test_compact_corpus_retention(self, spark, tmp_path):
         """Round-14 output-dir retention: compact_corpus folds old
         k{b} dirs into one m{b_max} merge, keeps the newest keep_last
