@@ -721,13 +721,23 @@ def dedup_corpus_sink(state_dir: str, out_dir: str,
                 bs = (batch_sigs.join(kept.select(id_col), on=id_col,
                                       how="left_semi")
                       if batch_internal else batch_sigs)
+                # the join returned a fresh object — re-attach the
+                # provenance mark or the family guard probes per batch
+                bs._caspr_hash_family = hash_family
+                hs = read_history_signatures_state(spark, state_dir)
+                # sink-internal consistency: every committed frame in
+                # THIS sink's state dir passed the fold-side family
+                # guard against the same hash_family, so the read-side
+                # probe is redundant here (a pre-existing mismatched
+                # dir still refuses loudly — at this batch's own fold,
+                # before anything commits)
+                hs._caspr_hash_family = hash_family
                 kept, _ = dedup_against_history(
                     kept, None, id_col, text_col, mode="near",
                     num_hashes=num_hashes, bands=bands,
                     shingle_size=shingle_size, threshold=threshold,
                     hash_family=hash_family,
-                    history_signatures=read_history_signatures_state(
-                        spark, state_dir),
+                    history_signatures=hs,
                     batch_signatures=bs)
         out_path = f"{out_dir}/k{batch_id}"
         # A crash BETWEEN the output's _SUCCESS commit and the state
