@@ -780,7 +780,10 @@ def ann_ingest_sink(state_dir: str, centroids: list,
     must be positive and strictly increasing; the +1 is stable across
     restarts because the checkpoint replays ids, never renumbers).
     ``writer_id`` (pass the checkpoint dir) arms the single-writer
-    lease. Search the accumulated index any time with
+    lease; ``partition_by_cell`` writes frames hive-partitioned on
+    ``ivf_cell`` so probe searches get dynamic partition pruning (see
+    :func:`~caspr_spark.llm.similarity.append_ivf_state`). Search the
+    accumulated index any time with
     :func:`caspr_spark.llm.similarity.cosine_topk_ivf_state`; prune
     superseded frames with :func:`caspr_spark.state.prune_state`."""
     from caspr_spark.llm.similarity import append_ivf_state
@@ -867,7 +870,11 @@ def compact_corpus(spark, out_dir: str, keep_last: int = 8) -> list[str]:
     compaction deletes the leftovers. Incremental consumers that tail
     ``k{b}`` dirs track their consumed frontier ``f`` and skip any
     ``m{b}`` with ``b <= f`` (a merge contains nothing newer than its
-    id). Returns the dir names deleted."""
+    id). Caveat shared with :func:`caspr_spark.state.prune_state`: a
+    reader that LISTED dirs before the merge committed can still hit a
+    victim dir mid-delete — run compaction off the readers' cadence
+    (the nightly-job shape), or let the reader retry its listing.
+    Returns the dir names deleted."""
     from caspr_spark.state import _fs, committed_output_ids
 
     if keep_last < 0:
