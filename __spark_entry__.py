@@ -2598,6 +2598,49 @@ def q_stream_dedup_corpus(spark, sf_dir):
         .alias("content_key"))
 
 
+def q_stream_dedup_corpus_compact(spark, sf_dir):
+    """Corpus-output RETENTION inside the certified path (streaming.py
+    compact_corpus — round 14): the exact-mode corpus sink runs across
+    the same restart boundary as stream_dedup_corpus, but the
+    accumulated per-batch k{b} output dirs are COMPACTED twice — once
+    between the two stream invocations (so the second run's batches
+    land NEXT TO a merged m{b} dir and read_dedup_corpus merges both
+    layouts) and once at the end (folding the tail k-dirs into the
+    existing merge — the supersede-then-delete crash rule's normal
+    path). The deduplicated corpus a consumer reads must be unchanged
+    by WHEN compaction ran: same one-survivor-per-content-key multiset,
+    same DuckDB twin as stream_dedup_corpus."""
+    import tempfile
+
+    from caspr_spark.streaming import (compact_corpus,
+                                       read_dedup_corpus,
+                                       run_dedup_corpus_to_state)
+    _utc(spark)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    recrawl = (docs.filter(F.col("doc_id") % 4 == 0)
+                   .withColumn("doc_id", F.col("doc_id") + 100000))
+    corpus = docs.unionByName(recrawl)
+    src = tempfile.mkdtemp(prefix="dedup_compact_src_")
+    state = tempfile.mkdtemp(prefix="dedup_compact_state_")
+    out = tempfile.mkdtemp(prefix="dedup_compact_out_")
+    ckpt = tempfile.mkdtemp(prefix="dedup_compact_ckpt_")
+    corpus.filter(F.col("doc_id") % 2 == 0).repartition(4) \
+          .write.mode("overwrite").parquet(src)
+    s1 = (spark.readStream.schema(corpus.schema)
+          .option("maxFilesPerTrigger", 2).parquet(src))
+    run_dedup_corpus_to_state(s1, state, out, ckpt)
+    compact_corpus(spark, out, keep_last=1)
+    corpus.filter(F.col("doc_id") % 2 == 1).repartition(4) \
+          .write.mode("append").parquet(src)
+    s2 = (spark.readStream.schema(corpus.schema)
+          .option("maxFilesPerTrigger", 2).parquet(src))
+    run_dedup_corpus_to_state(s2, state, out, ckpt)
+    compact_corpus(spark, out, keep_last=0)
+    return read_dedup_corpus(spark, out).select(
+        F.md5(F.lower(F.regexp_replace(F.trim("text"), r"\s+", " ")))
+        .alias("content_key"))
+
+
 def q_stream_dedup_corpus_near(spark, sf_dir):
     """NEAR-mode streaming corpus dedup end-to-end (streaming.py
     dedup_corpus_sink mode='near' — round 14, closing the one
@@ -3442,31 +3485,36 @@ def q_stream_gram_census_delta(spark, sf_dir):
 # (emitted by tools/gen_window.py from the r1-r13 driver records;
 # `gen_window.py --check --round 14` verifies it in-tree, and
 # tests/test_entry_contract.py pins that invocation):
-#   slots 1-4    the four NEW round-14 oracle rows
-#                (stream_dedup_corpus_near — the near-mode streaming
-#                corpus sink certified end-to-end across a restart
-#                boundary, simsearch_ivf_state — the versioned IVF
-#                ingest index searched via the one-shot certificate's
-#                twin, stream_ann_index — the Structured-Streaming
+#   slots 1-5    the five NEW round-14 oracle rows, in declaration
+#                order (stream_dedup_corpus_near — the near-mode
+#                streaming corpus sink certified end-to-end across a
+#                restart boundary, simsearch_ivf_state — the
+#                versioned IVF ingest index (hive-partitioned layout)
+#                searched via the one-shot certificate's twin,
+#                stream_ann_index — the Structured-Streaming
 #                composition of that ingest across a restart,
 #                decontaminate_state — decontamination against the
-#                versioned benchmark gram census; never
-#                driver-certified, so they sort first),
-#   slots 5-7    the three rows the r13 rotation displaced past its
+#                versioned benchmark gram census,
+#                stream_dedup_corpus_compact — the corpus sink with
+#                output-dir compaction folded inside the certified
+#                path; never driver-certified, so they sort first),
+#   slots 6-8    the three rows the r13 rotation displaced past its
 #                window (p7_array_pack, s1_parquet_roundtrip,
 #                score_linear — exactly as the r13 window comment
 #                predicted),
-#   slots 8-50   the oldest never-since-refreshed r10-certified block
-#                (metrics_confusion -> asof_join) in prior relative
-#                order.
-# Displaced past the window by the four new slots: json_extract,
-# p3_pivot_lineitem, p6_petastorm_rename (r10-certified and
-# local-oracle green at both SFs) — they lead the r15 rotation.
+#   slots 9-50   the oldest never-since-refreshed r10-certified block
+#                (metrics_confusion -> w5_sessionize) in prior
+#                relative order.
+# Displaced past the window by the five new slots: asof_join,
+# json_extract, p3_pivot_lineitem, p6_petastorm_rename
+# (r10-certified and local-oracle green at both SFs) — they lead the
+# r15 rotation.
 _R14_WINDOW = [
     "stream_dedup_corpus_near",
     "simsearch_ivf_state",
     "stream_ann_index",
     "decontaminate_state",
+    "stream_dedup_corpus_compact",
     "p7_array_pack",
     "s1_parquet_roundtrip",
     "score_linear",
@@ -3512,14 +3560,13 @@ _R14_WINDOW = [
     "a12_rollup",
     "a13_cube",
     "w5_sessionize",
-    "asof_join",
 ]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver contract: the correctness gate certifies the FIRST 50 entries.
 
-    180 of the 207 queries carry DuckDB oracles (178 full + the two
+    181 of the 208 queries carry DuckDB oracles (179 full + the two
     bounded sketch certificates) — more than one 50-slot window holds —
     so certification rotates across rounds (COVERAGE.md maps which
     round certified which row; tools/check_correctness.py re-runs the
@@ -3759,6 +3806,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_signature_state": q_dedup_signature_state,
         "stream_dedup_corpus": q_stream_dedup_corpus,
         "stream_dedup_corpus_near": q_stream_dedup_corpus_near,
+        "stream_dedup_corpus_compact": q_stream_dedup_corpus_compact,
         "dedup_simhash_portable": q_dedup_simhash_portable,
         "simsearch_pq_fixed": q_simsearch_pq_fixed,
         "simsearch_ivf_fixed": q_simsearch_ivf_fixed,
@@ -6812,6 +6860,10 @@ FROM documents"""
     # (max pairwise ~0.99, measured at both SFs), so the kept-key
     # multiset is the distinct content keys however batches carved
     o["stream_dedup_corpus_near"] = o["stream_dedup_corpus"]
+    # the committed corpus must be unchanged by WHEN compaction folded
+    # old k{b} dirs into a merge — the supersede rule preserves the
+    # kept-doc multiset exactly
+    o["stream_dedup_corpus_compact"] = o["stream_dedup_corpus"]
     # streaming census fold invariant: the drained streaming-aggregation
     # state equals the one-shot full-corpus word-4-gram census
     o["stream_gram_census"] = r"""

@@ -158,6 +158,7 @@ EXTENDED_QUERIES = [
     "simsearch_ivf_state",
     "stream_ann_index",
     "decontaminate_state",
+    "stream_dedup_corpus_compact",
 ]
 
 
