@@ -1695,44 +1695,36 @@ def append_history_signatures_state(spark, state_dir: str, batch_id: int,
                                         history_signatures=sigs, ...)
         append_history_signatures_state(spark, state_dir, day, kept, ...)
     """
-    from caspr_spark.state import (fold_commit, live_frames,
-                                   state_listing, state_path)
+    from caspr_spark.state import fold_commit, probe_newest_nonempty
 
     if hash_family not in ("fast", "portable"):
         raise ValueError(f"hash_family must be 'fast' or 'portable', "
                          f"got {hash_family!r}")
-    live = live_frames(state_listing(spark, state_dir))
-    if live:
-        # Probe newest-first, falling back past EMPTY frames: a batch
-        # where every doc deduped away commits a zero-row delta
-        # (routine for the streaming corpus sink's near mode), and a
-        # guard that only looked there would silently wave a
-        # mismatched family/width through and poison the table.
-        probe = []
-        for b, k in reversed(live):
-            probe = (spark.read.parquet(state_path(state_dir, b, k))
-                     .select("hash_family",
-                             F.size("minhash").alias("__nh"))
-                     .limit(1).collect())
-            if probe:
-                break
-        if probe:
-            stored_family, stored_nh = probe[0][0], probe[0][1]
-            if stored_family != hash_family:
-                raise ValueError(
-                    f"signature state under {state_dir} was built with "
-                    f"hash_family={stored_family!r} but this fold uses "
-                    f"{hash_family!r}; mixed-family frames share no "
-                    "band keys (batches would silently part-match "
-                    "forever) — use the stored family or a new state "
-                    "dir")
-            if stored_nh != num_hashes:
-                raise ValueError(
-                    f"signature state under {state_dir} holds "
-                    f"{stored_nh}-hash signatures but this fold uses "
-                    f"num_hashes={num_hashes}; band keys from different "
-                    "widths never match — use the stored width or a "
-                    "new state dir")
+    # Probe newest-first, falling back past EMPTY frames: a batch
+    # where every doc deduped away commits a zero-row delta (routine
+    # for the streaming corpus sink's near mode), and a guard that
+    # only looked there would silently wave a mismatched family/width
+    # through and poison the table.
+    probe = probe_newest_nonempty(
+        spark, state_dir,
+        [F.col("hash_family"), F.size("minhash").alias("__nh")])
+    if probe is not None:
+        stored_family, stored_nh = probe[0], probe[1]
+        if stored_family != hash_family:
+            raise ValueError(
+                f"signature state under {state_dir} was built with "
+                f"hash_family={stored_family!r} but this fold uses "
+                f"{hash_family!r}; mixed-family frames share no "
+                "band keys (batches would silently part-match "
+                "forever) — use the stored family or a new state "
+                "dir")
+        if stored_nh != num_hashes:
+            raise ValueError(
+                f"signature state under {state_dir} holds "
+                f"{stored_nh}-hash signatures but this fold uses "
+                f"num_hashes={num_hashes}; band keys from different "
+                "widths never match — use the stored width or a "
+                "new state dir")
     fold_commit(spark, state_dir, batch_id, "delta", compact_every,
                 build_history_signatures(accepted, id_col, text_col,
                                          num_hashes, shingle_size,

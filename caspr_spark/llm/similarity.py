@@ -541,26 +541,19 @@ def append_ivf_state(spark, state_dir: str, batch_id: int,
     :func:`caspr_spark.state.fold_commit`'s rule) and both layouts
     merge transparently on read. Prune superseded frames with
     :func:`caspr_spark.state.prune_state`."""
-    from caspr_spark.state import (fold_commit, live_frames,
-                                   state_listing, state_path)
+    from caspr_spark.state import fold_commit, probe_newest_nonempty
 
     fp = _centroid_fingerprint(centroids)
-    live = live_frames(state_listing(spark, state_dir))
-    if live:
-        probe = []
-        for b, k in reversed(live):
-            probe = (spark.read.parquet(state_path(state_dir, b, k))
-                     .select("centroid_fp").limit(1).collect())
-            if probe:
-                break
-        if probe and probe[0][0] != fp:
-            raise ValueError(
-                f"IVF state under {state_dir} was built with centroid "
-                f"fingerprint {probe[0][0]!r} but this fold uses "
-                f"{fp!r}; cells from different quantizers are "
-                "incommensurable (probes would silently search the "
-                "wrong cells) — use the stored centroids or a new "
-                "state dir")
+    probe = probe_newest_nonempty(spark, state_dir,
+                                  [F.col("centroid_fp")])
+    if probe is not None and probe[0] != fp:
+        raise ValueError(
+            f"IVF state under {state_dir} was built with centroid "
+            f"fingerprint {probe[0]!r} but this fold uses "
+            f"{fp!r}; cells from different quantizers are "
+            "incommensurable (probes would silently search the "
+            "wrong cells) — use the stored centroids or a new "
+            "state dir")
     frame = batch.select(
         F.col(id_col), F.col(vec_col),
         nearest_centroid(vec_col, centroids).alias("ivf_cell"),

@@ -42,8 +42,8 @@ dirs are ``hdfs://``/``s3a://`` in production, local only in tests.
 
 from __future__ import annotations
 
-import hashlib
 import json
+import uuid
 
 _KINDS = {"v": "full", "c": "compact", "d": "delta"}
 _PREFIX = {v: k for k, v in _KINDS.items()}
@@ -98,6 +98,36 @@ def committed_output_ids(spark, out_dir: str,
     return sorted(out)
 
 
+def output_committed(spark, out_path: str) -> bool:
+    """O(1) commit check for ONE per-batch output dir: does
+    ``out_path/_SUCCESS`` exist? The hot-path form of
+    :func:`committed_output_ids` — a sink asking about its OWN batch's
+    dir on every micro-batch must not pay a full ``out_dir`` listing
+    plus one marker probe per accumulated dir (~9k RPCs per batch
+    after a year of hourly crawls)."""
+    jvm, fs, jpath = _fs(spark, out_path)
+    return bool(fs.exists(
+        jvm.org.apache.hadoop.fs.Path(jpath, "_SUCCESS")))
+
+
+def probe_newest_nonempty(spark, state_dir: str, exprs: list):
+    """One row of ``exprs`` from the newest NON-EMPTY live frame of a
+    versioned state dir, probing PAST empty frames (a batch where
+    every row deduped/filtered away commits a zero-row delta — routine
+    for streaming sinks), or ``None`` when no live frame has rows.
+    The shared guard-probe for state writers that enforce a
+    constant-per-table contract (the signature table's
+    family/width, the IVF index's centroid fingerprint): file-backed
+    ``limit(1)`` reads, never a recompute."""
+    frames = live_frames(state_listing(spark, state_dir))
+    for b, k in reversed(frames):
+        probe = (spark.read.parquet(state_path(state_dir, b, k))
+                 .select(*exprs).limit(1).collect())
+        if probe:
+            return probe[0]
+    return None
+
+
 def check_layout(listing: list, layout: str, state_dir: str) -> None:
     """One state dir, one layout: raise when committed kinds don't
     match the writer's layout (``'rebuild'`` = full only, ``'delta'``
@@ -141,7 +171,7 @@ def claim_writer(spark, state_dir: str, writer_id: str) -> None:
     """Single-writer tripwire (see the module docstring's contract):
     claim ``state_dir`` for ``writer_id`` — the stable identity of the
     logical writer, e.g. its streaming checkpoint dir. The first claim
-    writes a ``_writer`` lease (JSON, staged to a per-writer temp file
+    writes a ``_writer`` lease (JSON, staged to a per-attempt temp file
     then renamed into place — the rename is the claim, so a crash
     mid-write can never leave a zero-byte/partial lease, and a LOST
     rename (the lease already exists) falls through to the
@@ -160,9 +190,12 @@ def claim_writer(spark, state_dir: str, writer_id: str) -> None:
     lease = jvm.org.apache.hadoop.fs.Path(jpath, "_writer")
     if not fs.exists(lease):
         fs.mkdirs(jpath)
-        # Per-writer temp name: concurrent first-claimers never stomp
-        # each other's staging file; exactly one rename wins the lease.
-        suffix = hashlib.md5(writer_id.encode("utf-8")).hexdigest()[:12]
+        # Per-ATTEMPT temp name (uuid, not a writer_id hash): two
+        # concurrent first-claimers with the SAME id — the supported
+        # same-stream restart race — must not share a staging path, or
+        # one's create(overwrite) truncates the other's in-flight file
+        # and a partial lease could still be renamed into place.
+        suffix = uuid.uuid4().hex[:12]
         tmp = jvm.org.apache.hadoop.fs.Path(jpath, f"_writer.tmp.{suffix}")
         out = fs.create(tmp, True)
         out.write(bytearray(
@@ -271,8 +304,6 @@ def describe_state(spark, state_dir: str) -> dict:
     markerless dirs (crashed attempts, invisible to readers and safe
     to ignore: the protocol rewrites them on replay), and stray lease
     temp files (pre-rename crash debris, also ignorable)."""
-    import json as _json
-
     jvm, fs, jpath = _fs(spark, state_dir)
     out = {"state_dir": state_dir, "frames": [], "live": [],
            "layout": None, "frontier": None, "writer": None,
@@ -323,7 +354,7 @@ def describe_state(spark, state_dir: str) -> dict:
         finally:
             stream.close()
         try:
-            out["writer"] = _json.loads(raw).get("writer_id")
+            out["writer"] = json.loads(raw).get("writer_id")
         except ValueError:
             out["writer"] = "<corrupt>"
     return out

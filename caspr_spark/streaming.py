@@ -657,10 +657,11 @@ def dedup_corpus_sink(state_dir: str, out_dir: str,
                                        minhash_lsh_dedup,
                                        read_history_keys_state,
                                        read_history_signatures_state)
-    from caspr_spark.state import (claim_writer, committed_output_ids,
+    from caspr_spark.state import (claim_writer, output_committed,
                                    state_listing)
 
     claimed = []
+    family_verified = []
 
     def _fold(batch_df: DataFrame, batch_id: int) -> None:
         from caspr_spark.cache import cache_scope
@@ -723,15 +724,17 @@ def dedup_corpus_sink(state_dir: str, out_dir: str,
                       if batch_internal else batch_sigs)
                 # the join returned a fresh object — re-attach the
                 # provenance mark or the family guard probes per batch
+                # (safe: the sink built these signatures itself)
                 bs._caspr_hash_family = hash_family
                 hs = read_history_signatures_state(spark, state_dir)
-                # sink-internal consistency: every committed frame in
-                # THIS sink's state dir passed the fold-side family
-                # guard against the same hash_family, so the read-side
-                # probe is redundant here (a pre-existing mismatched
-                # dir still refuses loudly — at this batch's own fold,
-                # before anything commits)
-                hs._caspr_hash_family = hash_family
+                if family_verified:
+                    # the FIRST history fold of this sink instance ran
+                    # the real read-side probe (below), so a mismatched
+                    # PRE-EXISTING state dir refused BEFORE any output
+                    # write; every later frame passed the fold-side
+                    # guard against the same hash_family — the
+                    # per-batch probe is redundant from here on
+                    hs._caspr_hash_family = hash_family
                 kept, _ = dedup_against_history(
                     kept, None, id_col, text_col, mode="near",
                     num_hashes=num_hashes, bands=bands,
@@ -739,13 +742,21 @@ def dedup_corpus_sink(state_dir: str, out_dir: str,
                     hash_family=hash_family,
                     history_signatures=hs,
                     batch_signatures=bs)
+                if not family_verified:
+                    family_verified.append(True)
         out_path = f"{out_dir}/k{batch_id}"
         # A crash BETWEEN the output's _SUCCESS commit and the state
         # fold replays here with the output dir already complete; the
-        # recompute is deterministic (identical pre-batch state), so
-        # the existing bytes are already correct — skip the rewrite to
-        # keep marked dirs genuinely immutable for concurrent readers.
-        if batch_id not in committed_output_ids(spark, out_dir):
+        # recompute is deterministic (identical pre-batch state AND
+        # configuration — hold the sink's parameters constant across
+        # replays of an uncommitted batch; family/width drift refuses
+        # via the guards BEFORE this write, and the other knobs are
+        # part of the state-dir contract regardless), so the existing
+        # bytes are already correct — skip the rewrite to keep marked
+        # dirs genuinely immutable for concurrent readers. One O(1)
+        # marker probe, never a full out_dir listing (~9k dirs after a
+        # year of hourly crawls).
+        if not output_committed(spark, out_path):
             kept.write.mode("overwrite").parquet(out_path)
         kept_written = spark.read.parquet(out_path)
         if mode == "exact":

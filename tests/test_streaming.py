@@ -261,7 +261,10 @@ class TestStreamingAnomalyZscore:
             a, b = got[k][1], want[k][1]
             assert (a is None and b is None) or abs(a - b) < 1e-6
 
-    def test_state_is_three_fixed_width_numbers(self):
+    def test_state_is_three_fixed_width_numbers(self, spark):
+        # `spark` fixture: StructType.fromDDL parses via the active
+        # context in Spark 4 — without it this test only passes when an
+        # earlier test already built the session (a -k selection flake)
         # r4 verdict item 9: stream_anomaly grew 5.1x at 10x KEYS in the
         # sf1 sweep — expected, because state scales with key
         # cardinality. This pins the per-key payload at exactly three
@@ -940,6 +943,32 @@ class TestGramCensusStateSink:
                                    "doc_id long, text string"), 6)
         got = {r.doc_id for r in read_dedup_corpus(spark, out).collect()}
         assert got == want | {60}
+
+    def test_near_sink_family_mismatch_refuses_before_output(
+            self, spark, tmp_path):
+        """A near-mode sink pointed at a PRE-EXISTING state dir of the
+        other hash family must refuse BEFORE writing any output dir —
+        a marked k{b} of un-deduped docs would otherwise survive the
+        crash-replay skip-rewrite rule as permanent wrong bytes."""
+        import os
+
+        from caspr_spark.llm.dedup import append_history_signatures_state
+        from caspr_spark.streaming import dedup_corpus_sink
+        state, out = str(tmp_path / "state"), str(tmp_path / "out")
+        docs = spark.createDataFrame(
+            [(1, "the quick brown fox jumps over the lazy dog")],
+            "doc_id long, text string")
+        append_history_signatures_state(spark, state, 1, docs,
+                                        num_hashes=16,
+                                        hash_family="fast")
+        sink = dedup_corpus_sink(state, out, mode="near", num_hashes=16,
+                                 bands=8, hash_family="portable")
+        b2 = spark.createDataFrame([(10, "novel second day material")],
+                                   "doc_id long, text string")
+        with pytest.raises(ValueError, match="hash_family"):
+            sink(b2, 2)
+        assert not os.path.exists(os.path.join(out, "k2")), \
+            "output dir written before the family refusal"
 
     def test_signature_guard_survives_empty_newest_frame(self, spark,
                                                          tmp_path):
