@@ -293,16 +293,17 @@ def main() -> None:
             extended_warm[name] = round(time.time() - t0, 3)
 
     total = round(sum(timings.values()), 3)
+    # FIELD ORDER IS LOAD-BEARING (r14 verdict item 3): the driver's
+    # per-round record preserves only the TAIL of long bench output, so
+    # the headline value/value_warm/calibration/normalized units print
+    # FIRST and the big per-query maps last — a truncated record then
+    # loses detail, never the headline.
     print(json.dumps({
         "metric": "caspr_spark headline queries wall-clock",
         "value": total,
         "unit": "sec",
-        "queries": timings,
         "value_warm": round(sum(warm.values()), 3),
-        "queries_warm": warm,
         "sf": float(sf),
-        "queries_extended": extended,
-        "queries_extended_warm": extended_warm,
         # headline-block totals for the extended set (round 9): the warm
         # total is the stable regression series — single cold runs in a
         # shared session swung up to 4.5x in the r7 record
@@ -331,6 +332,10 @@ def main() -> None:
         # per the protocol note in BASELINE.md.
         "value_per_shuffle_unit": round(total / calib_spark, 1),
         "value_per_smalljob_unit": round(total / calib_small, 1),
+        "queries": timings,
+        "queries_warm": warm,
+        "queries_extended": extended,
+        "queries_extended_warm": extended_warm,
         "notes": "cold = first run per query in a shared warmed session; "
                  "warm = immediate second run (steady-state plan cost a "
                  "long-lived cluster sees). At sf0.1 the LSH suite's data "

@@ -1634,6 +1634,47 @@ def append_history_signatures(signatures: DataFrame, accepted: DataFrame,
     return signatures.unionByName(new)
 
 
+def check_signature_state(spark, state_dir: str, hash_family: str,
+                          num_hashes: int) -> None:
+    """Refuse a family OR width mismatch against the COMMITTED
+    signature state under ``state_dir`` — the shared guard behind both
+    the fold side (:func:`append_history_signatures_state`) and the
+    streaming sink's PRE-WRITE check
+    (:func:`caspr_spark.streaming.dedup_corpus_sink` runs it before a
+    batch's output dir is written, so a mismatched pre-existing state
+    can never commit an under-deduped output that a replay then folds
+    permanently). One bounded probe of the newest NON-EMPTY live frame
+    (empty deltas are probed past, not trusted — a batch where every
+    doc deduped away commits a zero-row delta, routine for the
+    streaming sink); an empty/absent state passes (nothing committed
+    to contradict). Mismatched families share no band keys and
+    mismatched widths band differently — either silently part-matches
+    forever, so both refuse loudly."""
+    from caspr_spark.state import probe_newest_nonempty
+
+    probe = probe_newest_nonempty(
+        spark, state_dir,
+        [F.col("hash_family"), F.size("minhash").alias("__nh")])
+    if probe is None:
+        return
+    stored_family, stored_nh = probe[0], probe[1]
+    if stored_family != hash_family:
+        raise ValueError(
+            f"signature state under {state_dir} was built with "
+            f"hash_family={stored_family!r} but this fold uses "
+            f"{hash_family!r}; mixed-family frames share no "
+            "band keys (batches would silently part-match "
+            "forever) — use the stored family or a new state "
+            "dir")
+    if stored_nh != num_hashes:
+        raise ValueError(
+            f"signature state under {state_dir} holds "
+            f"{stored_nh}-hash signatures but this fold uses "
+            f"num_hashes={num_hashes}; band keys from different "
+            "widths never match — use the stored width or a "
+            "new state dir")
+
+
 def merge_history_signature_frames(frames: list) -> DataFrame:
     """Merge signature-table frames: a pure ``unionByName``. Unlike
     the key table there is no election to run — every frame holds the
@@ -1695,36 +1736,12 @@ def append_history_signatures_state(spark, state_dir: str, batch_id: int,
                                         history_signatures=sigs, ...)
         append_history_signatures_state(spark, state_dir, day, kept, ...)
     """
-    from caspr_spark.state import fold_commit, probe_newest_nonempty
+    from caspr_spark.state import fold_commit
 
     if hash_family not in ("fast", "portable"):
         raise ValueError(f"hash_family must be 'fast' or 'portable', "
                          f"got {hash_family!r}")
-    # Probe newest-first, falling back past EMPTY frames: a batch
-    # where every doc deduped away commits a zero-row delta (routine
-    # for the streaming corpus sink's near mode), and a guard that
-    # only looked there would silently wave a mismatched family/width
-    # through and poison the table.
-    probe = probe_newest_nonempty(
-        spark, state_dir,
-        [F.col("hash_family"), F.size("minhash").alias("__nh")])
-    if probe is not None:
-        stored_family, stored_nh = probe[0], probe[1]
-        if stored_family != hash_family:
-            raise ValueError(
-                f"signature state under {state_dir} was built with "
-                f"hash_family={stored_family!r} but this fold uses "
-                f"{hash_family!r}; mixed-family frames share no "
-                "band keys (batches would silently part-match "
-                "forever) — use the stored family or a new state "
-                "dir")
-        if stored_nh != num_hashes:
-            raise ValueError(
-                f"signature state under {state_dir} holds "
-                f"{stored_nh}-hash signatures but this fold uses "
-                f"num_hashes={num_hashes}; band keys from different "
-                "widths never match — use the stored width or a "
-                "new state dir")
+    check_signature_state(spark, state_dir, hash_family, num_hashes)
     fold_commit(spark, state_dir, batch_id, "delta", compact_every,
                 build_history_signatures(accepted, id_col, text_col,
                                          num_hashes, shingle_size,

@@ -173,9 +173,11 @@ def claim_writer(spark, state_dir: str, writer_id: str) -> None:
     logical writer, e.g. its streaming checkpoint dir. The first claim
     writes a ``_writer`` lease (JSON, staged to a per-attempt temp file
     then renamed into place — the rename is the claim, so a crash
-    mid-write can never leave a zero-byte/partial lease, and a LOST
-    rename (the lease already exists) falls through to the
-    comparison); a re-claim with the SAME id is a no-op (restarts of
+    mid-write can never leave a zero-byte/partial lease — and EVERY
+    claim, renamed or not, is verified by reading the surviving lease
+    back: on filesystems where rename replaces an existing destination
+    a racing claimer could otherwise overwrite a winner silently); a
+    re-claim with the SAME id is a no-op (restarts of
     the same stream re-claim freely); a claim with a DIFFERENT id
     raises before anything is written — two writers with separate
     checkpoints each number batches from their own frontier, so
@@ -201,9 +203,16 @@ def claim_writer(spark, state_dir: str, writer_id: str) -> None:
         out.write(bytearray(
             json.dumps({"writer_id": writer_id}).encode("utf-8")))
         out.close()
-        if fs.rename(tmp, lease):
-            return
-        fs.delete(tmp, False)   # lost the first-claim race — compare
+        # A successful rename is NOT proof of ownership: HDFS's rename
+        # returns false when the destination exists, but
+        # RawLocalFileSystem (and POSIX rename generally) silently
+        # REPLACES it and returns true — two racing first-claimers with
+        # different ids could then both believe they won. So never
+        # early-return on the rename; always fall through to the
+        # read-back comparison below, which sees whichever lease
+        # actually survived the race and raises on a mismatch.
+        if not fs.rename(tmp, lease):
+            fs.delete(tmp, False)   # lost the first-claim race — compare
     stream = fs.open(lease)
     try:
         raw = jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")

@@ -653,6 +653,7 @@ def dedup_corpus_sink(state_dir: str, out_dir: str,
     from caspr_spark.llm.dedup import (append_history_keys_state,
                                        append_history_signatures_state,
                                        build_history_signatures,
+                                       check_signature_state,
                                        dedup_against_history, exact_dedup,
                                        minhash_lsh_dedup,
                                        read_history_keys_state,
@@ -727,14 +728,26 @@ def dedup_corpus_sink(state_dir: str, out_dir: str,
                 # (safe: the sink built these signatures itself)
                 bs._caspr_hash_family = hash_family
                 hs = read_history_signatures_state(spark, state_dir)
-                if family_verified:
-                    # the FIRST history fold of this sink instance ran
-                    # the real read-side probe (below), so a mismatched
-                    # PRE-EXISTING state dir refused BEFORE any output
-                    # write; every later frame passed the fold-side
-                    # guard against the same hash_family — the
-                    # per-batch probe is redundant from here on
-                    hs._caspr_hash_family = hash_family
+                if not family_verified:
+                    # PRE-WRITE guard (r14 ADVICE): the FIRST history
+                    # fold of this sink instance verifies BOTH the
+                    # hash family AND the signature width against the
+                    # committed state — before any output bytes are
+                    # written. A width-mismatched pre-existing state
+                    # would otherwise mis-band the history join
+                    # silently, commit an under-deduped output dir,
+                    # and only the post-write fold guard would raise;
+                    # the corrected replay then skips the marked dir
+                    # and folds the stale bytes permanently. Every
+                    # later frame passed the fold-side guard against
+                    # the same family/width, so one probe suffices.
+                    check_signature_state(spark, state_dir,
+                                          hash_family, num_hashes)
+                    family_verified.append(True)
+                # verified (this fold or an earlier one) — attach the
+                # provenance mark so dedup_against_history skips its
+                # own per-batch family probe
+                hs._caspr_hash_family = hash_family
                 kept, _ = dedup_against_history(
                     kept, None, id_col, text_col, mode="near",
                     num_hashes=num_hashes, bands=bands,
@@ -742,8 +755,6 @@ def dedup_corpus_sink(state_dir: str, out_dir: str,
                     hash_family=hash_family,
                     history_signatures=hs,
                     batch_signatures=bs)
-                if not family_verified:
-                    family_verified.append(True)
         out_path = f"{out_dir}/k{batch_id}"
         # A crash BETWEEN the output's _SUCCESS commit and the state
         # fold replays here with the output dir already complete; the

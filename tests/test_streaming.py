@@ -993,3 +993,88 @@ class TestGramCensusStateSink:
             append_history_signatures_state(spark, state, 3, b1,
                                             num_hashes=32,
                                             hash_family="portable")
+
+    def test_near_sink_width_mismatch_refuses_before_output(
+            self, spark, tmp_path):
+        """r14 ADVICE regression: a near-mode sink pointed at a
+        PRE-EXISTING signature state of a different WIDTH (num_hashes)
+        must refuse BEFORE writing any output dir. The old read-side
+        guard checked only hash_family — a width mismatch mis-banded
+        the history join silently, committed an under-deduped k{b},
+        and the corrected replay's skip-rewrite folded the stale bytes
+        into state permanently."""
+        import os
+
+        from caspr_spark.llm.dedup import append_history_signatures_state
+        from caspr_spark.streaming import dedup_corpus_sink
+        state, out = str(tmp_path / "state"), str(tmp_path / "out")
+        docs = spark.createDataFrame(
+            [(1, "the quick brown fox jumps over the lazy dog")],
+            "doc_id long, text string")
+        append_history_signatures_state(spark, state, 1, docs,
+                                        num_hashes=32,
+                                        hash_family="fast")
+        sink = dedup_corpus_sink(state, out, mode="near", num_hashes=16,
+                                 bands=8, hash_family="fast")
+        b2 = spark.createDataFrame([(10, "novel second day material")],
+                                   "doc_id long, text string")
+        with pytest.raises(ValueError, match="num_hashes"):
+            sink(b2, 2)
+        assert not os.path.exists(os.path.join(out, "k2")), \
+            "output dir written before the width refusal"
+        # corrected width proceeds and commits normally
+        ok = dedup_corpus_sink(state, out, mode="near", num_hashes=32,
+                               bands=8, hash_family="fast")
+        ok(b2, 2)
+        assert os.path.exists(os.path.join(out, "k2", "_SUCCESS"))
+
+    def test_claim_writer_readback_catches_replace_rename(
+            self, spark, tmp_path, monkeypatch):
+        """r14 ADVICE regression: POSIX/RawLocalFileSystem rename
+        silently REPLACES an existing destination and returns true, so
+        a successful rename is not proof of ownership — two racing
+        first-claimers with different ids could both 'win'. The
+        read-back check makes the overwritten claimer detect the loss:
+        simulate writerB's replace-rename landing immediately after
+        writerA's by overwriting the lease inside a wrapped rename."""
+        import caspr_spark.state as state_mod
+        state = str(tmp_path / "state")
+        real_fs = state_mod._fs
+
+        class _RaceFS:
+            def __init__(self, fs, jvm):
+                self._fs, self._jvm = fs, jvm
+                self.checked = False
+
+            def __getattr__(self, name):
+                return getattr(self._fs, name)
+
+            def exists(self, p):
+                # writerA's pre-claim existence check runs before
+                # writerB's rename lands: report the lease absent once
+                if p.getName() == "_writer" and not self.checked:
+                    self.checked = True
+                    return False
+                return self._fs.exists(p)
+
+            def rename(self, src, dst):
+                ok = self._fs.rename(src, dst)
+                # writerB's replace-rename lands just after writerA's
+                out = self._fs.create(dst, True)
+                out.write(bytearray(
+                    b'{"writer_id": "writerB"}'))
+                out.close()
+                return ok
+
+        def raced_fs(spark_, state_dir):
+            jvm, fs, jpath = real_fs(spark_, state_dir)
+            return jvm, _RaceFS(fs, jvm), jpath
+
+        monkeypatch.setattr(state_mod, "_fs", raced_fs)
+        with pytest.raises(RuntimeError, match="writerB"):
+            state_mod.claim_writer(spark, state, "writerA")
+        monkeypatch.undo()
+        # the surviving lease is writerB's — B re-claims fine, A refuses
+        state_mod.claim_writer(spark, state, "writerB")
+        with pytest.raises(RuntimeError, match="claimed by writer"):
+            state_mod.claim_writer(spark, state, "writerA")
