@@ -2386,6 +2386,56 @@ def q_stream_ann_index(spark, sf_dir):
     s2 = (spark.readStream.schema(emb.schema)
           .option("maxFilesPerTrigger", 2).parquet(src))
     run_ann_ingest_to_state(s2, state, ckpt, cents)
+    # simulated POST-CRASH foreachBatch replay (round 15): after a
+    # crash between a micro-batch's state fold and the checkpoint
+    # commit, Structured Streaming re-delivers that batch to the sink
+    # — re-invoke the sink callable at the last committed micro-batch
+    # id (sink folds at +1) and the protocol must skip it, leaving
+    # the index unchanged
+    from caspr_spark.state import state_listing
+    from caspr_spark.streaming import ann_ingest_sink
+    frontier = max(b for b, _ in state_listing(spark, state))
+    ann_ingest_sink(state, cents)(
+        emb.filter(F.col("vec_id") % 2 == 1), frontier - 1)
+    queries = emb.filter(F.col("vec_id") < 5)
+    out = cosine_topk_ivf_state(spark, state, queries, k=5, n_probe=3,
+                                centroids=cents)
+    return out.select("query_id", "vec_id", "cosine",
+                      F.col("rank").cast("int").alias("rank"))
+
+
+def q_simsearch_ivf_deleted(spark, sf_dir):
+    """Deletion tombstones on the versioned IVF index (similarity.py
+    append_ivf_deletes / vacuum_ivf_state — round 15, the
+    right-to-erasure lifecycle op the append-only ingest story
+    lacked): the corpus arrives as three daily folds under the PINNED
+    centroids, every seventh vector is then TOMBSTONED (an id-only
+    delete fold; the erasure day is also REPLAYED — protocol no-op),
+    and vacuum_ivf_state force-compacts with the tombstones baked in
+    and prunes the superseded frames — so the searched frames no
+    longer hold the deleted vectors' bytes, not merely a read-side
+    mask. The probe search over the vacuumed state must equal a
+    one-shot pinned-centroid IVF search over ingested-minus-deleted:
+    the same from-scratch DuckDB twin as simsearch_ivf_fixed with the
+    deleted ids filtered out of the corpus scan (query ids < 5 are
+    all survivors, so probe rankings are unaffected)."""
+    import tempfile
+
+    from caspr_spark.llm.similarity import (append_ivf_deletes,
+                                            append_ivf_state,
+                                            cosine_topk_ivf_state,
+                                            vacuum_ivf_state)
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = _ivf_fixed_centroids()
+    state = tempfile.mkdtemp(prefix="ivf_del_state_")
+    for day, residue in ((1, 0), (2, 1), (3, 2)):
+        append_ivf_state(spark, state, day,
+                         emb.filter(F.col("vec_id") % 3 == residue),
+                         cents, compact_every=4)
+    doomed = emb.filter(F.col("vec_id") % 7 == 6).select("vec_id")
+    append_ivf_deletes(spark, state, 1, doomed)
+    append_ivf_deletes(spark, state, 1, doomed)   # replayed erasure day
+    vacuum_ivf_state(spark, state, 4, cents)
     queries = emb.filter(F.col("vec_id") < 5)
     out = cosine_topk_ivf_state(spark, state, queries, k=5, n_probe=3,
                                 centroids=cents)
@@ -3815,6 +3865,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simsearch_ivf_state": q_simsearch_ivf_state,
         "stream_ann_index": q_stream_ann_index,
         "decontaminate_state": q_decontaminate_state,
+        "simsearch_ivf_deleted": q_simsearch_ivf_deleted,
     }
     ordered = {n: base[n] for n in _R14_WINDOW}
     ordered.update((n, f) for n, f in base.items() if n not in ordered)
@@ -4669,7 +4720,8 @@ ORDER BY 2 ASC, vec_id ASC
 LIMIT {top_k}"""
 
 
-def _ivf_fixed_sql(k: int = 5, n_probe: int = 3) -> str:
+def _ivf_fixed_sql(k: int = 5, n_probe: int = 3,
+                   corpus_where: str = "") -> str:
     """Exact SQL twin of q_simsearch_ivf_fixed. The per-cell
     euclidean² distances are the same left-associative 64-term sums
     cosine_topk_ivf's fold evaluates; one ranked (distance, cell)
@@ -4677,7 +4729,10 @@ def _ivf_fixed_sql(k: int = 5, n_probe: int = 3) -> str:
     ranking (rn <= n_probe over the query subset) — mirroring the
     (d asc, cell asc) struct sort, i.e. first-min-wins; cosine via
     list_dot_product (the certified simsearch_topk twin), ranked on
-    the ROUNDED value exactly as the Spark window does."""
+    the ROUNDED value exactly as the Spark window does.
+    ``corpus_where`` (a ``WHERE ...`` clause on the embeddings scan)
+    is the ingested-minus-deleted restriction the tombstone row
+    (simsearch_ivf_deleted) searches."""
     cents = _ivf_fixed_centroids()
     dim = len(cents[0])
     d_exprs = ",\n         ".join(
@@ -4689,7 +4744,8 @@ def _ivf_fixed_sql(k: int = 5, n_probe: int = 3) -> str:
         for i in range(len(cents)))
     return f"""
 WITH v AS (
-  SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings),
+  SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings
+  {corpus_where}),
 d AS (
   SELECT vec_id, x,
          {d_exprs}
@@ -6450,6 +6506,8 @@ SELECT query_id, vec_id, cosine, CAST(rk AS INT) AS rank FROM (
         # ...and so must the Structured-Streaming ingest composition
         # (checkpointed micro-batches across a restart boundary)
         "stream_ann_index": _ivf_fixed_sql(),
+        "simsearch_ivf_deleted": _ivf_fixed_sql(
+            corpus_where="WHERE vec_id % 7 <> 6"),
         "segment_kmeans_fixed": _segment_kmeans_fixed_sql(),
         "dedup_components": f"""
 WITH RECURSIVE pairs AS ({_NGRAM_PAIRS_SQL}),

@@ -1483,14 +1483,23 @@ def _check_signature_family(history_signatures: DataFrame,
             "to audit incremental decisions cross-engine")
 
 
-def merge_history_key_frames(frames: list) -> DataFrame:
+def merge_history_key_frames(frames: list,
+                             deletes: DataFrame | None = None) -> DataFrame:
     """Merge key-table frames with FIRST-SEEN-WINS semantics: the
     frames arrive OLDEST FIRST, and a content key present in several
     keeps the ``history_id`` from the oldest frame containing it (the
     :func:`append_history_keys` rule, expressed as a merge so key
     state can be maintained LSM-style). Each frame already holds one
     row per key; the election is a map-side-combinable
-    ``min(struct(frame_seq, history_id))`` — no window, no hot key."""
+    ``min(struct(frame_seq, history_id))`` — no window, no hot key.
+
+    ``deletes`` (a one-column frame of forgotten ``history_id``
+    values, :func:`forget_documents_state`) is anti-joined BEFORE the
+    election, never after: a content key can legitimately appear in
+    two frames with different owners exactly when the older owner was
+    forgotten between their folds — electing first and masking second
+    would drop the younger, legitimate row along with the forgotten
+    winner."""
     if not frames:
         raise ValueError("merge_history_key_frames needs at least one frame")
     u = None
@@ -1498,6 +1507,11 @@ def merge_history_key_frames(frames: list) -> DataFrame:
         f = f.select(F.lit(seq).alias("__seq"), "content_key",
                      "history_id")
         u = f if u is None else u.unionByName(f)
+    if deletes is not None:
+        u = u.join(F.broadcast(
+            deletes.select(F.col(deletes.columns[0])
+                           .alias("history_id")).distinct()),
+            on="history_id", how="left_anti")
     return (u.groupBy("content_key")
              .agg(F.min(F.struct("__seq", "history_id")).alias("__w"))
              .select("content_key", F.col("__w.history_id")
@@ -1544,26 +1558,40 @@ def append_history_keys_state(spark, state_dir: str, batch_id: int,
     and two weekly restore points retained — run ``prune_state`` right
     after each fold (it never touches live or markerless frames).
     """
-    from caspr_spark.state import fold_commit
+    from caspr_spark.state import fold_commit, read_deletes_state
+
+    def merge(frames):
+        # compaction bakes forgotten ids in (forget_documents_state):
+        # the compact simply no longer holds their keys, and pruning
+        # the superseded frames erases the bytes
+        return merge_history_key_frames(
+            frames, deletes=read_deletes_state(spark, state_dir))
 
     fold_commit(spark, state_dir, batch_id, "delta", compact_every,
                 build_history_keys(accepted, id_col, text_col, normalize),
-                merge_history_key_frames)
+                merge)
 
 
 def read_history_keys_state(spark, state_dir: str) -> DataFrame:
     """Current key table from a versioned state dir
     (:func:`append_history_keys_state`): newest compact merged with
-    every younger delta, first-seen-wins — feed straight to
+    every younger delta, first-seen-wins, minus keys owned by
+    FORGOTTEN documents (:func:`forget_documents_state` — a forgotten
+    doc's keys stop suppressing future docs the moment its tombstone
+    commits) — feed straight to
     ``dedup_against_history(..., history_keys=...)``."""
-    from caspr_spark.state import live_frames, state_listing, state_path
+    from caspr_spark.state import (live_frames, read_deletes_state,
+                                   state_listing, state_path)
 
     frames = live_frames(state_listing(spark, state_dir))
     if not frames:
         raise RuntimeError(f"no committed key state under {state_dir}")
     dfs = [spark.read.parquet(state_path(state_dir, b, k))
            for b, k in frames]
-    return dfs[0] if len(dfs) == 1 else merge_history_key_frames(dfs)
+    deletes = read_deletes_state(spark, state_dir)
+    if len(dfs) == 1 and deletes is None:
+        return dfs[0]
+    return merge_history_key_frames(dfs, deletes=deletes)
 
 
 def build_history_signatures(history: DataFrame, id_col: str = "doc_id",
@@ -1742,29 +1770,77 @@ def append_history_signatures_state(spark, state_dir: str, batch_id: int,
         raise ValueError(f"hash_family must be 'fast' or 'portable', "
                          f"got {hash_family!r}")
     check_signature_state(spark, state_dir, hash_family, num_hashes)
+
+    def merge(frames):
+        # compaction bakes forgotten ids in (forget_documents_state);
+        # union first, then mask — signature frames hold disjoint ids,
+        # so order is immaterial here, unlike the key-table election
+        from caspr_spark.state import apply_deletes_state
+
+        return apply_deletes_state(
+            spark, state_dir, merge_history_signature_frames(frames),
+            "history_id")
+
     fold_commit(spark, state_dir, batch_id, "delta", compact_every,
                 build_history_signatures(accepted, id_col, text_col,
                                          num_hashes, shingle_size,
                                          hash_family),
-                merge_history_signature_frames)
+                merge)
 
 
 def read_history_signatures_state(spark, state_dir: str) -> DataFrame:
     """Current signature table from a versioned state dir
     (:func:`append_history_signatures_state`): newest compact unioned
-    with every younger delta — feed straight to
+    with every younger delta, minus FORGOTTEN documents' rows
+    (:func:`forget_documents_state`) — feed straight to
     ``dedup_against_history(..., history_signatures=...)``. The read
     is file-backed, so the family guard's bounded probe stays one
-    parquet-footer row, never a recompute."""
-    from caspr_spark.state import live_frames, state_listing, state_path
+    parquet-footer row, never a recompute (and the guard probes raw
+    frames via ``probe_newest_nonempty``, bypassing the tombstone
+    anti-join)."""
+    from caspr_spark.state import (apply_deletes_state, live_frames,
+                                   state_listing, state_path)
 
     frames = live_frames(state_listing(spark, state_dir))
     if not frames:
         raise RuntimeError(
             f"no committed signature state under {state_dir}")
-    return merge_history_signature_frames(
+    merged = merge_history_signature_frames(
         [spark.read.parquet(state_path(state_dir, b, k))
          for b, k in frames])
+    return apply_deletes_state(spark, state_dir, merged, "history_id")
+
+
+def forget_documents_state(spark, state_dir: str, batch_id: int,
+                           doc_ids: DataFrame, id_col: str = "doc_id",
+                           compact_every: int = 8) -> None:
+    """FORGET documents from an incremental-dedup state dir (key table
+    OR signature table — both tombstone on ``history_id``): the
+    lifecycle operation the append-only state story lacked. Without
+    it, a withdrawn or poisoned document's keys/signatures suppress
+    every future legitimate document with the same content forever;
+    after the tombstone commits, :func:`read_history_keys_state` /
+    :func:`read_history_signatures_state` mask the forgotten rows, so
+    the NEXT batch carrying that content re-admits (historical
+    decisions are not revisited — a doc the forgotten one suppressed
+    in the past stays suppressed; forgetting re-opens the future, it
+    does not rewrite the corpus). Every compaction bakes the current
+    tombstone set into the compact, and ``prune_state`` then erases
+    the forgotten rows' bytes — the right-to-erasure path, with only
+    the forgotten IDS (never content) retained as the audit trail.
+
+    ``doc_ids`` needs only ``id_col`` (anything else is dropped); ids
+    are stored under the state tables' ``history_id`` name. Same
+    exactly-once protocol on the tombstone stream's OWN batch-id
+    sequence: a replayed forget-day skips, out-of-order refuses —
+    and the invariant that replayed VECTOR folds skip is untouched
+    (separate frontier, separate dir)."""
+    from caspr_spark.state import append_deletes_state
+
+    append_deletes_state(spark, state_dir, batch_id,
+                         doc_ids.select(F.col(id_col)
+                                        .alias("history_id")),
+                         compact_every)
 
 
 def save_history_keys(state: DataFrame, path: str,

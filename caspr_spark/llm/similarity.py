@@ -540,7 +540,14 @@ def append_ivf_state(spark, state_dir: str, batch_id: int,
     partitioned write is unreadable —
     :func:`caspr_spark.state.fold_commit`'s rule) and both layouts
     merge transparently on read. Prune superseded frames with
-    :func:`caspr_spark.state.prune_state`."""
+    :func:`caspr_spark.state.prune_state`.
+
+    Deletion: tombstones folded by :func:`append_ivf_deletes` are
+    BAKED IN at every compaction — the merge anti-joins the current
+    delete set, so a compact simply no longer contains the deleted
+    vectors and a following ``prune_state`` erases their bytes from
+    the superseded frames (the right-to-erasure path;
+    :func:`vacuum_ivf_state` forces it off-cadence)."""
     from caspr_spark.state import fold_commit, probe_newest_nonempty
 
     fp = _centroid_fingerprint(centroids)
@@ -559,24 +566,126 @@ def append_ivf_state(spark, state_dir: str, batch_id: int,
         nearest_centroid(vec_col, centroids).alias("ivf_cell"),
         F.lit(fp).alias("centroid_fp")).repartition("ivf_cell")
     fold_commit(spark, state_dir, batch_id, "delta", compact_every,
-                frame, _merge_ivf_frames,
+                frame, _ivf_compact_merge(spark, state_dir, id_col),
                 partition_by=["ivf_cell"] if partition_by_cell else None)
+
+
+def _ivf_compact_merge(spark, state_dir: str, id_col: str):
+    """The IVF compaction merge: union the live frames
+    (:func:`_merge_ivf_frames`), then BAKE IN any tombstones the
+    delete side-stream holds (:mod:`caspr_spark.state` tombstone
+    protocol) — the compact is the full state, so an anti-joined row
+    simply leaves it, and pruning the superseded frames then erases
+    its bytes. Runs only when :func:`caspr_spark.state.fold_commit`
+    decides to compact, so delta folds stay O(batch)."""
+    from caspr_spark.state import apply_deletes_state
+
+    def merge(frames):
+        return apply_deletes_state(spark, state_dir,
+                                   _merge_ivf_frames(frames), id_col)
+    return merge
+
+
+def append_ivf_deletes(spark, state_dir: str, batch_id: int,
+                       deletes: DataFrame, id_col: str = "vec_id",
+                       compact_every: int = 8) -> None:
+    """Fold DELETION tombstones into the versioned IVF index — the
+    forget-document / right-to-erasure lifecycle operation an
+    append-only embedding store otherwise lacks (a deleted corpus
+    document's vector would stay searchable forever). ``deletes``
+    needs only the id column (anything else is dropped — no content
+    rides into the tombstone stream). Effect is immediate:
+    :func:`read_ivf_state` / :func:`cosine_topk_ivf_state` anti-join
+    the delete set, so a tombstoned vector can never appear in a probe
+    result; the bytes leave storage at the next compaction + prune
+    (every compact bakes the delete set in — or force it now with
+    :func:`vacuum_ivf_state`).
+
+    Same exactly-once protocol as the vector folds, on the delete
+    stream's OWN batch-id sequence (independent frontier): replayed
+    delete days skip, out-of-order refuse. Contract: ids are unique
+    across the ingest lifetime (already the vector-fold contract), so
+    a tombstone is order-independent — it masks the id whether its
+    vector arrived before or after, and re-ingesting a deleted id is
+    the same contract violation re-ingesting a live one is."""
+    from caspr_spark.state import append_deletes_state
+
+    append_deletes_state(spark, state_dir, batch_id,
+                         deletes.select(F.col(id_col)), compact_every)
+
+
+def vacuum_ivf_state(spark, state_dir: str, batch_id: int,
+                     centroids: list, keep_last: int = 1,
+                     id_col: str = "vec_id",
+                     vec_col: str = "embedding",
+                     partition_by_cell: bool = False) -> list[int]:
+    """Force tombstone resolution NOW instead of at the compaction
+    cadence — the erasure-deadline path: commit a FORCED compact (an
+    empty batch folded with ``force_compact``, so the merge bakes the
+    current delete set into a full frame) and prune the superseded
+    frames, erasing the deleted vectors' bytes from storage. Returns
+    the pruned batch ids.
+
+    ``batch_id`` comes from the SAME sequence as the ingest folds —
+    the vacuum IS a fold, so a batch caller passes its next day
+    number. For a STREAMING ingest (:func:`~caspr_spark.streaming.
+    ann_ingest_sink`, which derives ids from the checkpoint), do not
+    interleave external vacuum folds — the sink's next id would
+    collide with the vacuum's and skip as a replay; rely on the sink's
+    ``compact_every`` cadence instead (every compact already bakes
+    deletes), then run ``prune_state`` beside the stream.
+    ``keep_last=1`` by default: erasure means superseded frames go,
+    not linger as restore points that still hold the vectors."""
+    from caspr_spark.state import (fold_commit, live_frames, prune_state,
+                                   state_listing, state_path)
+
+    frames = live_frames(state_listing(spark, state_dir))
+    if not frames:
+        raise RuntimeError(
+            f"no committed IVF state under {state_dir} — nothing to "
+            "vacuum")
+    fp = _centroid_fingerprint(centroids)
+    newest_b, newest_k = frames[-1]
+    # schema-exact empty batch from the newest frame (vector element
+    # type follows whatever was ingested); the fingerprint guard rides
+    # the merge's own frames, but assert here too for a loud refusal
+    sample = spark.read.parquet(state_path(state_dir, newest_b, newest_k))
+    frame = sample.limit(0).select(id_col, vec_col, "ivf_cell",
+                                   "centroid_fp")
+    probe = sample.select("centroid_fp").limit(1).collect()
+    if probe and probe[0][0] != fp:
+        raise ValueError(
+            f"IVF state under {state_dir} carries centroid fingerprint "
+            f"{probe[0][0]!r} but this vacuum passes {fp!r} — pass the "
+            "centroids the index was ingested under")
+    fold_commit(spark, state_dir, batch_id, "delta", 2, frame,
+                _ivf_compact_merge(spark, state_dir, id_col),
+                partition_by=["ivf_cell"] if partition_by_cell else None,
+                force_compact=True)
+    return prune_state(spark, state_dir, keep_last)
 
 
 def read_ivf_state(spark, state_dir: str) -> DataFrame:
     """Current IVF index from a versioned state dir
     (:func:`append_ivf_state`): newest compact unioned with every
-    younger delta — the ``(id, vector, ivf_cell)`` relation a probe
-    searches. File-backed, so the quantizer guard's probe stays one
-    parquet-footer row."""
-    from caspr_spark.state import live_frames, state_listing, state_path
+    younger delta, minus any tombstoned ids
+    (:func:`append_ivf_deletes` — a deleted vector is invisible the
+    moment its tombstone commits, before any compaction bakes it in).
+    The ``(id, vector, ivf_cell)`` relation a probe searches;
+    file-backed, so the quantizer guard's probe stays one
+    parquet-footer row, and a delete-free state dir keeps its exact
+    pre-tombstone plan (the no-tombstones probe is one listing)."""
+    from caspr_spark.state import (apply_deletes_state, live_frames,
+                                   state_listing, state_path)
 
     frames = live_frames(state_listing(spark, state_dir))
     if not frames:
         raise RuntimeError(f"no committed IVF state under {state_dir}")
-    return _merge_ivf_frames(
+    merged = _merge_ivf_frames(
         [spark.read.parquet(state_path(state_dir, b, k))
          for b, k in frames])
+    id_col = merged.columns[0]    # the ingest contract's id column
+    return apply_deletes_state(spark, state_dir, merged, id_col)
 
 
 def cosine_topk_ivf_state(spark, state_dir: str, queries: DataFrame,
@@ -594,15 +703,22 @@ def cosine_topk_ivf_state(spark, state_dir: str, queries: DataFrame,
     deterministic :func:`nearest_centroid` election, searching the
     state-built index is row-identical to searching a one-shot
     ``cosine_topk_ivf(corpus, ..., centroids=...)`` index over the
-    union of the ingested batches — the certified invariant."""
+    union of the ingested batches MINUS any tombstoned ids
+    (:func:`append_ivf_deletes`) — the certified invariant. The
+    fingerprint probe reads a raw frame footer directly
+    (:func:`caspr_spark.state.probe_newest_nonempty`), so it never
+    pays the tombstone anti-join the masked read carries."""
+    from caspr_spark.state import probe_newest_nonempty
+
     fp = _centroid_fingerprint(centroids)
-    indexed = read_ivf_state(spark, state_dir)
-    probe = indexed.select("centroid_fp").limit(1).collect()
-    if probe and probe[0][0] != fp:
+    probe = probe_newest_nonempty(spark, state_dir,
+                                  [F.col("centroid_fp")])
+    if probe is not None and probe[0] != fp:
         raise ValueError(
             f"IVF state under {state_dir} carries centroid fingerprint "
-            f"{probe[0][0]!r} but this search uses {fp!r} — pass the "
+            f"{probe[0]!r} but this search uses {fp!r} — pass the "
             "centroids the index was ingested under")
+    indexed = read_ivf_state(spark, state_dir)
     return _ivf_probe_topk(indexed.drop("centroid_fp"), queries, k,
                            n_probe, centroids, id_col, vec_col,
                            query_id_col)

@@ -238,7 +238,8 @@ def claim_writer(spark, state_dir: str, writer_id: str) -> None:
 
 def fold_commit(spark, state_dir: str, batch_id: int, layout: str,
                 compact_every: int, batch_frame, merge_fn,
-                partition_by: list[str] | None = None) -> None:
+                partition_by: list[str] | None = None,
+                force_compact: bool = False) -> None:
     """The one commit step both state writers share (the census sink
     and the key-table fold): decide replay/out-of-order/delta/compact
     from the committed listing, merge when compacting, write with the
@@ -261,7 +262,14 @@ def fold_commit(spark, state_dir: str, batch_id: int, layout: str,
     the frame becomes unreadable; the plain empty file keeps the
     schema, and read-side ``unionByName`` merges the two layouts
     transparently (the check costs one ``limit(1)`` probe of the
-    frame, paid only on this opt-in path)."""
+    frame, paid only on this opt-in path).
+
+    ``force_compact`` makes a delta-layout fold commit a COMPACT
+    regardless of the cadence — the vacuum hook: a merge_fn that
+    resolves tombstones gets to bake them into a full frame NOW
+    (superseding every masked row) instead of waiting for the
+    ``compact_every`` boundary. Still a pure function of the call's
+    arguments, so a replay of the same fold re-decides identically."""
     if layout not in ("rebuild", "delta"):
         raise ValueError(f"layout must be 'rebuild' or 'delta', "
                          f"got {layout!r}")
@@ -289,7 +297,8 @@ def fold_commit(spark, state_dir: str, batch_id: int, layout: str,
         kind = "full"
     elif not live:
         frame, kind = batch_frame, "compact"   # first commit IS full
-    elif sum(k == "delta" for _, k in live) + 1 >= compact_every:
+    elif (force_compact
+          or sum(k == "delta" for _, k in live) + 1 >= compact_every):
         frame = merge_fn(_read(live) + [batch_frame])
         kind = "compact"
     else:
@@ -404,3 +413,113 @@ def prune_state(spark, state_dir: str, keep_last: int = 2) -> list[int]:
         fs.delete(jvm.org.apache.hadoop.fs.Path(state_path(state_dir, b,
                                                            kind)), True)
     return [b for b, _ in doomed]
+
+
+# ---------------------------------------------------------------------------
+# Deletion tombstones — the forget-document / right-to-erasure side-stream.
+#
+# A versioned state table is append-only by construction: once a row folds
+# in, nothing in the protocol removes it. For a 100 TB training-data store
+# that is a lifecycle gap, not a feature — a withdrawn/poisoned document's
+# dedup keys suppress future legitimate docs forever, and a deleted corpus
+# document's embedding stays searchable forever. Tombstones close it with
+# the same machinery: a DELETES side-stream (its own versioned state dir
+# nested under the parent at ``{state_dir}/deletes`` — the name matches no
+# ``[vcd]{digits}`` frame pattern, so parent listings/prune/describe never
+# see it) holds id-only frames folded under the identical commit protocol
+# (``_SUCCESS`` markers, replay skip, out-of-order refusal, its own
+# compaction cadence with a ``distinct`` merge). Readers anti-join the
+# delete set; every parent COMPACT bakes resolved deletes in (the compact
+# is the full state, so masked rows simply leave it), and ``prune_state``
+# on the parent then erases the superseded frames' bytes — that is the
+# GDPR story: tombstone → next compact → prune, with only the deleted IDS
+# (never content) retained as the audit trail. The delete set is ids-only
+# and distinct-compacted, so the standing anti-join cost is one broadcast
+# against O(distinct deleted ids) — negligible beside the frames it masks.
+# ---------------------------------------------------------------------------
+
+_DELETES_SUBDIR = "deletes"
+
+
+def deletes_dir(state_dir: str) -> str:
+    """The tombstone side-stream's own state dir, nested under the
+    parent. Invisible to the parent's frame listing by naming (no
+    ``[vcd]{digits}`` match), so the two fold streams never interfere."""
+    return f"{state_dir}/{_DELETES_SUBDIR}"
+
+
+def _merge_delete_frames(frames: list):
+    """Tombstone merge: union + distinct. Repeated deletes of the same
+    id are routine (an erasure request re-submitted, a replayed delete
+    day) and the anti-join doesn't care, but compaction deduplicates so
+    the standing delete set is bounded by DISTINCT deleted ids."""
+    if not frames:
+        raise ValueError("_merge_delete_frames needs at least one frame")
+    u = frames[0]
+    for f in frames[1:]:
+        u = u.unionByName(f)
+    return u.distinct()
+
+
+def append_deletes_state(spark, state_dir: str, batch_id: int,
+                         ids_frame, compact_every: int = 8) -> None:
+    """Fold a tombstone batch (id rows ONLY — one column, named the
+    same as the parent table's id column) into the delete side-stream
+    under ``state_dir``. Same contract as every fold: caller-supplied
+    strictly-increasing ``batch_id`` (its OWN sequence, independent of
+    the parent's — the two streams have separate frontiers), replayed
+    ids skip, out-of-order ids refuse. The ids take effect immediately
+    on any read that goes through :func:`apply_deletes_state`."""
+    if len(ids_frame.columns) != 1:
+        raise ValueError(
+            f"tombstone frames carry exactly ONE column (the parent "
+            f"table's id column), got {ids_frame.columns} — select the "
+            "id before folding so no content rides into the delete "
+            "stream")
+    fold_commit(spark, deletes_dir(state_dir), batch_id, "delta",
+                compact_every, ids_frame, _merge_delete_frames)
+
+
+def read_deletes_state(spark, state_dir: str):
+    """The current delete set under ``state_dir`` — one distinct-ish
+    id column (distinct is guaranteed only at compaction; consumers
+    anti-join, which doesn't care) — or ``None`` when no tombstone has
+    ever been folded. The no-tombstones probe is one filesystem
+    listing, so delete-free tables keep their exact pre-tombstone read
+    plans."""
+    frames = live_frames(state_listing(spark, deletes_dir(state_dir)))
+    if not frames:
+        return None
+    dfs = [spark.read.parquet(state_path(deletes_dir(state_dir), b, k))
+           for b, k in frames]
+    u = dfs[0]
+    for f in dfs[1:]:
+        u = u.unionByName(f)
+    return u
+
+
+def apply_deletes_state(spark, state_dir: str, frame,
+                        id_col: str | None = None):
+    """Mask the current delete set out of ``frame`` (a merged read of
+    the parent's live frames): broadcast anti-join on the tombstone id
+    column. ``id_col`` defaults to the delete frames' own single
+    column name — which the parent contract requires to match the
+    parent's id column; a frame that lacks it raises rather than
+    silently returning unmasked rows. No tombstones → ``frame``
+    untouched (and the plan unchanged)."""
+    from pyspark.sql import functions as _F
+
+    deletes = read_deletes_state(spark, state_dir)
+    if deletes is None:
+        return frame
+    col = id_col or deletes.columns[0]
+    if col not in frame.columns:
+        raise ValueError(
+            f"delete stream under {deletes_dir(state_dir)} tombstones "
+            f"column {col!r} but the state frame has columns "
+            f"{frame.columns} — the tombstone id column must match the "
+            "parent table's id column")
+    return frame.join(
+        _F.broadcast(deletes.select(_F.col(deletes.columns[0])
+                                    .alias(col)).distinct()),
+        on=col, how="left_anti")

@@ -875,7 +875,8 @@ def read_dedup_corpus(spark, out_dir: str) -> DataFrame:
     return spark.read.parquet(*paths)
 
 
-def compact_corpus(spark, out_dir: str, keep_last: int = 8) -> list[str]:
+def compact_corpus(spark, out_dir: str, keep_last: int = 8,
+                   drop_ids: DataFrame | None = None) -> list[str]:
     """Fold old per-batch ``k{b}`` output dirs into ONE merged
     ``m{b_max}`` dir — the retention story for a corpus sink that
     would otherwise accumulate a dir per batch forever (a year of
@@ -896,7 +897,17 @@ def compact_corpus(spark, out_dir: str, keep_last: int = 8) -> list[str]:
     reader that LISTED dirs before the merge committed can still hit a
     victim dir mid-delete — run compaction off the readers' cadence
     (the nightly-job shape), or let the reader retry its listing.
-    Returns the dir names deleted."""
+    Returns the dir names deleted.
+
+    ``drop_ids`` (a one-column frame of document ids) is the output
+    side of the forget-document story
+    (:func:`caspr_spark.llm.dedup.forget_documents_state` handles the
+    STATE side): the merged dir is written WITHOUT those docs, so the
+    withdrawn content's bytes leave the corpus output when its source
+    dirs fold into the merge. Only the merged span is filtered — the
+    ``keep_last`` tail k-dirs are immutable by contract; run the next
+    compaction (or ``keep_last=0``) to sweep a forgotten doc that
+    still sits in the tail."""
     from caspr_spark.state import _fs, committed_output_ids
 
     if keep_last < 0:
@@ -913,8 +924,18 @@ def compact_corpus(spark, out_dir: str, keep_last: int = 8) -> list[str]:
         new_id = max(victims)
         paths = ([f"{out_dir}/m{base}"] if base is not None else []) \
             + [f"{out_dir}/k{b}" for b in victims]
-        (spark.read.parquet(*paths)
-              .write.mode("overwrite").parquet(f"{out_dir}/m{new_id}"))
+        merged = spark.read.parquet(*paths)
+        if drop_ids is not None:
+            col = drop_ids.columns[0]
+            if col not in merged.columns:
+                raise ValueError(
+                    f"drop_ids column {col!r} is not a corpus column "
+                    f"({merged.columns}) — name the drop frame's one "
+                    "column after the sink's id column")
+            merged = merged.join(
+                F.broadcast(drop_ids.select(col).distinct()),
+                on=col, how="left_anti")
+        merged.write.mode("overwrite").parquet(f"{out_dir}/m{new_id}")
         stale += [f"k{b}" for b in victims]
         if base is not None:
             stale += [f"m{base}"]

@@ -250,6 +250,124 @@ class TestIVFState:
         assert got == want
 
 
+class TestIVFDeletes:
+    def _cents(self, n_cells=4):
+        from __spark_entry__ import _ivf_fixed_centroids
+        return _ivf_fixed_centroids(n_cells=n_cells, dim=64)
+
+    def test_tombstones_mask_read_and_search(self, embeddings, tmp_path):
+        """Round-15 deletion tombstones: append_ivf_deletes makes the
+        deleted vectors invisible to read_ivf_state AND to the probe
+        search immediately (before any compaction), search equals a
+        one-shot index over ingested-minus-deleted, a REPLAYED delete
+        fold is a protocol no-op, and out-of-order delete ids refuse."""
+        from caspr_spark.llm.similarity import (append_ivf_deletes,
+                                                append_ivf_state,
+                                                cosine_topk_ivf_state,
+                                                read_ivf_state)
+        spark = embeddings.sparkSession
+        cents = self._cents()
+        state = str(tmp_path / "ivf")
+        for day, residue in ((1, 0), (2, 1), (3, 2)):
+            append_ivf_state(spark, state, day,
+                             embeddings.filter(F.col("vec_id") % 3
+                                               == residue),
+                             cents, compact_every=4)
+        doomed = embeddings.filter(F.col("vec_id") % 7 == 6) \
+                           .select("vec_id")
+        append_ivf_deletes(spark, state, 1, doomed)
+        # replayed delete day: no-op; out-of-order: refused
+        append_ivf_deletes(spark, state, 1, doomed)
+        with pytest.raises(ValueError, match="not newer"):
+            append_ivf_deletes(spark, state, 0, doomed)
+        survivors = embeddings.filter(F.col("vec_id") % 7 != 6)
+        got_ids = {r.vec_id for r in
+                   read_ivf_state(spark, state).select("vec_id").collect()}
+        assert got_ids == {r.vec_id for r in
+                           survivors.select("vec_id").collect()}
+        q = embeddings.filter(F.col("vec_id") < 3)
+        got = cosine_topk_ivf_state(spark, state, q, k=5, n_probe=2,
+                                    centroids=cents).toPandas()
+        want = cosine_topk_ivf(survivors, q, k=5, n_probe=2,
+                               centroids=cents).toPandas()
+        key = ["query_id", "rank"]
+        got = got.sort_values(key).reset_index(drop=True)
+        want = want.sort_values(key).reset_index(drop=True)
+        assert (got["vec_id"].values == want["vec_id"].values).all()
+        assert np.allclose(got["cosine"].values, want["cosine"].values)
+
+    def test_vacuum_erases_bytes(self, embeddings, tmp_path):
+        """vacuum_ivf_state force-compacts with tombstones baked in and
+        prunes the superseded frames: afterwards NO live or retained
+        frame's raw bytes hold a deleted id (the right-to-erasure
+        check — read masking alone would pass even with the bytes
+        still on disk), and ingest can continue past the vacuum id."""
+        from caspr_spark.llm.similarity import (append_ivf_deletes,
+                                                append_ivf_state,
+                                                read_ivf_state,
+                                                vacuum_ivf_state)
+        from caspr_spark.state import state_listing, state_path
+        spark = embeddings.sparkSession
+        cents = self._cents()
+        state = str(tmp_path / "ivf")
+        append_ivf_state(spark, state, 1,
+                         embeddings.filter(F.col("vec_id") % 2 == 0),
+                         cents, compact_every=8)
+        append_ivf_state(spark, state, 2,
+                         embeddings.filter(F.col("vec_id") % 2 == 1),
+                         cents, compact_every=8)
+        doomed = embeddings.filter(F.col("vec_id") % 5 == 0) \
+                           .select("vec_id")
+        append_ivf_deletes(spark, state, 1, doomed)
+        pruned = vacuum_ivf_state(spark, state, 3, cents)
+        assert pruned == [1, 2]
+        listing = state_listing(spark, state)
+        assert listing == [(3, "compact")]
+        raw = spark.read.parquet(state_path(state, 3, "compact"))
+        doomed_ids = {r.vec_id for r in doomed.collect()}
+        assert not ({r.vec_id for r in raw.select("vec_id").collect()}
+                    & doomed_ids)
+        # the id sequence continues past the vacuum fold
+        append_ivf_state(spark, state, 4,
+                         embeddings.filter(F.col("vec_id") % 5 == 0),
+                         cents, compact_every=8)
+        assert (read_ivf_state(spark, state).count()
+                == embeddings.count() - len(doomed_ids))
+        # the re-ingest of a deleted id resurfaces nothing: tombstone
+        # still masks (unique-id contract makes this a caller error,
+        # but the mask is the safe default)
+
+    def test_compaction_cadence_bakes_deletes(self, embeddings, tmp_path):
+        """Without any explicit vacuum, the normal compact_every
+        cadence bakes the current tombstone set into the compact —
+        the streaming-sink path to erasure (external vacuum folds
+        can't interleave with checkpoint-derived batch ids)."""
+        from caspr_spark.llm.similarity import (append_ivf_deletes,
+                                                append_ivf_state)
+        from caspr_spark.state import state_listing, state_path
+        spark = embeddings.sparkSession
+        cents = self._cents()
+        state = str(tmp_path / "ivf")
+        for day, residue in ((1, 0), (2, 1)):
+            append_ivf_state(spark, state, day,
+                             embeddings.filter(F.col("vec_id") % 3
+                                               == residue),
+                             cents, compact_every=2)
+        doomed = embeddings.filter(F.col("vec_id") % 4 == 0) \
+                           .select("vec_id")
+        append_ivf_deletes(spark, state, 1, doomed)
+        # third fold hits the compact_every=2 boundary -> compact
+        # (the first commit counts as the initial compact)
+        append_ivf_state(spark, state, 3,
+                         embeddings.filter(F.col("vec_id") % 3 == 2),
+                         cents, compact_every=2)
+        assert (3, "compact") in state_listing(spark, state)
+        raw = spark.read.parquet(state_path(state, 3, "compact"))
+        doomed_ids = {r.vec_id for r in doomed.collect()}
+        assert not ({r.vec_id for r in raw.select("vec_id").collect()}
+                    & doomed_ids)
+
+
 class TestSlidingTrainset:
     def test_windows_and_labels(self, events, spark):
         from datetime import timedelta

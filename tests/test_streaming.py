@@ -1078,3 +1078,121 @@ class TestGramCensusStateSink:
         state_mod.claim_writer(spark, state, "writerB")
         with pytest.raises(RuntimeError, match="claimed by writer"):
             state_mod.claim_writer(spark, state, "writerA")
+
+    def test_forget_document_readmits_exact(self, spark, tmp_path):
+        """Round-15 forget-document: a withdrawn doc's content key
+        stops suppressing future docs the moment its tombstone commits
+        — the corpus sink then re-admits the next doc with that
+        content; the key table's first-seen-wins election elects the
+        re-admitted owner (anti-join BEFORE the election), and a
+        replayed sink fold still skips."""
+        from caspr_spark.llm.dedup import (forget_documents_state,
+                                           read_history_keys_state)
+        from caspr_spark.streaming import (dedup_corpus_sink,
+                                           read_dedup_corpus)
+        state, out = str(tmp_path / "state"), str(tmp_path / "out")
+        sink = dedup_corpus_sink(state, out)
+        b1 = spark.createDataFrame(
+            [(1, "withdrawn press release text"),
+             (2, "innocent bystander document")],
+            "doc_id long, text string")
+        b2 = spark.createDataFrame(
+            [(10, "withdrawn press release text")],   # dup of doc 1
+            "doc_id long, text string")
+        sink(b1, 1)
+        sink(b2, 2)
+        assert {r.doc_id for r in
+                read_dedup_corpus(spark, out).collect()} == {1, 2}
+        forget_documents_state(
+            spark, state, 1,
+            spark.createDataFrame([(1,)], "doc_id long"))
+        b3 = spark.createDataFrame(
+            [(20, "withdrawn press release text")],
+            "doc_id long, text string")
+        sink(b3, 3)                       # re-admits post-forget
+        assert {r.doc_id for r in
+                read_dedup_corpus(spark, out).collect()} == {1, 2, 20}
+        # replayed sink fold: still a no-op after the forget
+        sink(b3, 3)
+        assert {r.doc_id for r in
+                read_dedup_corpus(spark, out).collect()} == {1, 2, 20}
+        # election: the re-admitted doc owns the key now, 2 keeps its own
+        owners = {r.history_id for r in
+                  read_history_keys_state(spark, state).collect()}
+        assert owners == {2, 20}
+
+    def test_forget_document_readmits_near(self, spark, tmp_path):
+        """The same forget lifecycle through the NEAR-mode signature
+        state: the forgotten doc's signatures stop matching, the next
+        identical doc survives the banded history join."""
+        from caspr_spark.llm.dedup import forget_documents_state
+        from caspr_spark.streaming import (dedup_corpus_sink,
+                                           read_dedup_corpus)
+        state, out = str(tmp_path / "state"), str(tmp_path / "out")
+        sink = dedup_corpus_sink(state, out, mode="near", num_hashes=16,
+                                 bands=8, hash_family="portable")
+        b1 = spark.createDataFrame(
+            [(1, "the quick brown fox jumps over the lazy dog")],
+            "doc_id long, text string")
+        b2 = spark.createDataFrame(
+            [(10, "the quick brown fox jumps over the lazy dog")],
+            "doc_id long, text string")
+        sink(b1, 1)
+        sink(b2, 2)                       # dropped via signature state
+        assert {r.doc_id for r in
+                read_dedup_corpus(spark, out).collect()} == {1}
+        forget_documents_state(
+            spark, state, 1,
+            spark.createDataFrame([(1,)], "doc_id long"))
+        b3 = spark.createDataFrame(
+            [(20, "the quick brown fox jumps over the lazy dog")],
+            "doc_id long, text string")
+        sink(b3, 3)
+        assert {r.doc_id for r in
+                read_dedup_corpus(spark, out).collect()} == {1, 20}
+
+    def test_forget_compaction_bakes_and_prunes(self, spark, tmp_path):
+        """Erasure end-state for the key table: after a tombstone, the
+        next compaction's RAW frame no longer holds the forgotten
+        doc's rows (read masking alone would pass with the bytes still
+        on disk), and prune_state then drops the superseded frames."""
+        from caspr_spark.llm.dedup import (append_history_keys_state,
+                                           forget_documents_state)
+        from caspr_spark.state import prune_state, state_listing, state_path
+        state = str(tmp_path / "state")
+        mk = lambda rows: spark.createDataFrame(rows,
+                                                "doc_id long, text string")
+        append_history_keys_state(spark, state, 1,
+                                  mk([(1, "doomed text"), (2, "keep a")]),
+                                  compact_every=2)
+        append_history_keys_state(spark, state, 2, mk([(3, "keep b")]),
+                                  compact_every=2)
+        forget_documents_state(spark, state, 1,
+                               spark.createDataFrame([(1,)], "doc_id long"))
+        # third fold crosses the compact_every=2 boundary -> compact
+        append_history_keys_state(spark, state, 3, mk([(4, "keep c")]),
+                                  compact_every=2)
+        assert (3, "compact") in state_listing(spark, state)
+        raw = spark.read.parquet(state_path(state, 3, "compact"))
+        assert {r.history_id for r in raw.collect()} == {2, 3, 4}
+        assert prune_state(spark, state, keep_last=1) == [1, 2]
+
+    def test_compact_corpus_drop_ids(self, spark, tmp_path):
+        """Output-side erasure: compact_corpus(drop_ids=...) writes the
+        merged dir WITHOUT the withdrawn docs, so their text leaves
+        the corpus output when their source dirs fold into the merge."""
+        from caspr_spark.streaming import (compact_corpus,
+                                           dedup_corpus_sink,
+                                           read_dedup_corpus)
+        state, out = str(tmp_path / "state"), str(tmp_path / "out")
+        sink = dedup_corpus_sink(state, out)
+        sink(spark.createDataFrame([(1, "to be erased"), (2, "stays")],
+                                   "doc_id long, text string"), 1)
+        sink(spark.createDataFrame([(3, "also stays")],
+                                   "doc_id long, text string"), 2)
+        gone = compact_corpus(
+            spark, out, keep_last=0,
+            drop_ids=spark.createDataFrame([(1,)], "doc_id long"))
+        assert set(gone) == {"k1", "k2"}
+        assert {r.doc_id for r in
+                read_dedup_corpus(spark, out).collect()} == {2, 3}
