@@ -3531,85 +3531,79 @@ def q_stream_gram_census_delta(spark, sf_dir):
                          F.col("gram_n").cast("int").alias("gram_n"))
 
 
-# Round-14 window, mechanically oldest-last-driver-certified-first
-# (emitted by tools/gen_window.py from the r1-r13 driver records;
-# `gen_window.py --check --round 14` verifies it in-tree, and
+# Round-15 window, mechanically oldest-last-driver-certified-first
+# (emitted by tools/gen_window.py from the r1-r14 driver records;
+# `gen_window.py --check --round 15` verifies it in-tree, and
 # tests/test_entry_contract.py pins that invocation):
-#   slots 1-5    the five NEW round-14 oracle rows, in declaration
-#                order (stream_dedup_corpus_near — the near-mode
-#                streaming corpus sink certified end-to-end across a
-#                restart boundary, simsearch_ivf_state — the
-#                versioned IVF ingest index (hive-partitioned layout)
-#                searched via the one-shot certificate's twin,
-#                stream_ann_index — the Structured-Streaming
-#                composition of that ingest across a restart,
-#                decontaminate_state — decontamination against the
-#                versioned benchmark gram census,
-#                stream_dedup_corpus_compact — the corpus sink with
-#                output-dir compaction folded inside the certified
-#                path; never driver-certified, so they sort first),
-#   slots 6-8    the three rows the r13 rotation displaced past its
-#                window (p7_array_pack, s1_parquet_roundtrip,
-#                score_linear — exactly as the r13 window comment
-#                predicted),
-#   slots 9-50   the oldest never-since-refreshed r10-certified block
-#                (metrics_confusion -> w5_sessionize) in prior
-#                relative order.
-# Displaced past the window by the five new slots: asof_join,
-# json_extract, p3_pivot_lineitem, p6_petastorm_rename
-# (r10-certified and local-oracle green at both SFs) — they lead the
-# r15 rotation.
-_R14_WINDOW = [
-    "stream_dedup_corpus_near",
-    "simsearch_ivf_state",
-    "stream_ann_index",
-    "decontaminate_state",
-    "stream_dedup_corpus_compact",
-    "p7_array_pack",
-    "s1_parquet_roundtrip",
-    "score_linear",
-    "metrics_confusion",
-    "metrics_roc_auc",
-    "metrics_roc_auc_binned",
-    "explain_linear_ablation",
-    "x3_trainset_labeled",
-    "dsir_select",
-    "duplicated_spans",
-    "contamination_fraction",
-    "trim_duplicated_spans",
-    "span_shared_grams",
-    "span_census_incremental",
-    "span_trim_incremental",
-    "emb_near_dup",
-    "dedup_exact",
-    "dedup_components",
-    "dedup_ngram_jaccard",
-    "text_token_counts",
-    "text_quality",
-    "text_langid",
-    "text_fingerprint",
-    "multimodal_binary_meta",
-    "multimodal_features",
-    "multimodal_frames",
-    "pipeline_events_percutoff",
-    "pipeline_orders_composite",
-    "stratified_sample_exact",
-    "stratified_sample_hash",
-    "downsample_cap",
-    "a1_cardinality",
-    "a2_topk_cat_freq",
-    "a3_summary_stats",
-    "a4_max_date",
-    "a5_events_per_entity",
-    "a6_seq_len_percentile",
-    "a7_lookback_period",
-    "a8_collect_distinct",
-    "a9_label_multihot",
-    "a10_segment_profile",
-    "a11_nunique_lineitem",
-    "a12_rollup",
-    "a13_cube",
-    "w5_sessionize",
+#   slot 1       the one NEW round-15 oracle row
+#                (simsearch_ivf_deleted — deletion tombstones +
+#                vacuum on the versioned IVF index, searched against
+#                the one-shot ingested-minus-deleted twin; never
+#                driver-certified, so it sorts first),
+#   slots 2-5    the four rows the r14 rotation displaced past its
+#                window (asof_join, json_extract, p3_pivot_lineitem,
+#                p6_petastorm_rename — exactly as the r14 window
+#                comment predicted),
+#   slots 6-50   the oldest never-since-refreshed block (r10/r11
+#                certified: the fit/apply splits, curation pair, the
+#                core e/f/w/p rows, the portable sketch family, the
+#                round-4 part-five batch head e1_fit_apply_split ->
+#                semantic_dedup) in prior relative order.
+# Displaced past the window by the new slot: quantize_embeddings
+# (then covariance_matrix, rollup_incremental, outlier_robust —
+# r10-certified and local-oracle green at both SFs) leads the r16
+# rotation.
+_R15_WINDOW = [
+    "simsearch_ivf_deleted",
+    "asof_join",
+    "json_extract",
+    "p3_pivot_lineitem",
+    "p6_petastorm_rename",
+    "e1_fit_apply_split",
+    "e5_fit_apply_split",
+    "e5_normalize_standard",
+    "llm_curate",
+    "llm_curate_report",
+    "e2_encode_collect",
+    "e3_decode_roundtrip",
+    "f6_null_drop",
+    "e6_denormalize_roundtrip",
+    "e7_date_interval",
+    "w1_rank",
+    "w2_intervals",
+    "f1_history_window",
+    "f2_last_n",
+    "f4_profile_dedup",
+    "e1_encode_capped",
+    "e5_normalize_minmax",
+    "e8_date_fill_pivoted",
+    "e9_fill_nans_pivoted",
+    "p3_pivot_last5",
+    "x3_sliding_union",
+    "stream_gram_census",
+    "dsir_shared_grams",
+    "dedup_minhash_portable",
+    "dedup_simhash_portable",
+    "simsearch_pq_fixed",
+    "simsearch_ivf_fixed",
+    "clean_paragraph_dedup",
+    "clean_boilerplate",
+    "quality_hashed_bow",
+    "token_budget_select",
+    "merge_upsert_orders",
+    "hybrid_search_rrf",
+    "dedup_keep_best",
+    "stream_sessions",
+    "heavy_hitters",
+    "fuzzy_join_parts",
+    "zorder_layout",
+    "weighted_sample",
+    "cv_folds",
+    "source_csv_roundtrip",
+    "llm_curate_v2",
+    "diff_snapshots",
+    "profile_table",
+    "semantic_dedup",
 ]
 
 
@@ -3621,10 +3615,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     so certification rotates across rounds (COVERAGE.md maps which
     round certified which row; tools/check_correctness.py re-runs the
     FULL oracle suite locally each round ->
-    CORRECTNESS_local_r{N}.json). The round-14 window is
-    ``_R14_WINDOW`` above, computed MECHANICALLY by certification
+    CORRECTNESS_local_r{N}.json). The round-15 window is
+    ``_R15_WINDOW`` above, computed MECHANICALLY by certification
     recency (oldest last-driver-certified rows first — emitted by
-    tools/gen_window.py from the r1-r13 driver records) so no oracle
+    tools/gen_window.py from the r1-r14 driver records) so no oracle
     row's driver certification silently ages; everything else keeps
     its prior relative order behind the window.
     """
@@ -3867,7 +3861,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_state": q_decontaminate_state,
         "simsearch_ivf_deleted": q_simsearch_ivf_deleted,
     }
-    ordered = {n: base[n] for n in _R14_WINDOW}
+    ordered = {n: base[n] for n in _R15_WINDOW}
     ordered.update((n, f) for n, f in base.items() if n not in ordered)
     return ordered
 

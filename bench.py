@@ -159,6 +159,10 @@ EXTENDED_QUERIES = [
     "stream_ann_index",
     "decontaminate_state",
     "stream_dedup_corpus_compact",
+    # round-15 addition, timed from birth (tombstone lifecycle: three
+    # ingest folds + a replayed delete fold + forced vacuum compact +
+    # prune + the probe search over the vacuumed state)
+    "simsearch_ivf_deleted",
 ]
 
 
@@ -294,21 +298,40 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     # FIELD ORDER IS LOAD-BEARING (r14 verdict item 3): the driver's
-    # per-round record preserves only the TAIL of long bench output, so
-    # the headline value/value_warm/calibration/normalized units print
-    # FIRST and the big per-query maps last — a truncated record then
-    # loses detail, never the headline.
+    # per-round record preserves only the LAST ~2000 chars of bench
+    # output (BENCH_r13/r14 both show the tail = the END of this JSON
+    # line), so the big per-query maps and the long notes print FIRST
+    # and the headline value/value_warm/calibration/normalized units
+    # print LAST — a truncated record then loses per-query detail,
+    # never the headline. The line stays one valid JSON object either
+    # way.
     print(json.dumps({
         "metric": "caspr_spark headline queries wall-clock",
-        "value": total,
-        "unit": "sec",
-        "value_warm": round(sum(warm.values()), 3),
-        "sf": float(sf),
+        "notes": "cold = first run per query in a shared warmed session; "
+                 "warm = immediate second run (steady-state plan cost a "
+                 "long-lived cluster sees). At sf0.1 the LSH suite's data "
+                 "is ~1 MB, so cold times there are plan-compile-bound, "
+                 "not data-bound; see SCALING_r04.md for sf1 behavior. "
+                 "calibration = fixed synthetic workloads (code-"
+                 "independent) for cross-round host-speed normalization; "
+                 "r1-r3 benches predate the field and ran on hosts "
+                 "observed up to ~35% faster per-query at identical code. "
+                 "queries_extended = round-4 operators timed cold, "
+                 "excluded from value/value_warm so the headline totals "
+                 "stay baseline-comparable.",
+        "queries": timings,
+        "queries_warm": warm,
+        "queries_extended": extended,
+        "queries_extended_warm": extended_warm,
         # headline-block totals for the extended set (round 9): the warm
         # total is the stable regression series — single cold runs in a
         # shared session swung up to 4.5x in the r7 record
         "value_extended": round(sum(extended.values()), 3),
         "value_extended_warm": round(sum(extended_warm.values()), 3),
+        "sf": float(sf),
+        "unit": "sec",
+        "value": total,
+        "value_warm": round(sum(warm.values()), 3),
         "calibration": {"spark_shuffle_sec": calib_spark,
                         "numpy_gemm_sec": calib_numpy,
                         "spark_smalljob_sec": calib_small,
@@ -332,22 +355,6 @@ def main() -> None:
         # per the protocol note in BASELINE.md.
         "value_per_shuffle_unit": round(total / calib_spark, 1),
         "value_per_smalljob_unit": round(total / calib_small, 1),
-        "queries": timings,
-        "queries_warm": warm,
-        "queries_extended": extended,
-        "queries_extended_warm": extended_warm,
-        "notes": "cold = first run per query in a shared warmed session; "
-                 "warm = immediate second run (steady-state plan cost a "
-                 "long-lived cluster sees). At sf0.1 the LSH suite's data "
-                 "is ~1 MB, so cold times there are plan-compile-bound, "
-                 "not data-bound; see SCALING_r04.md for sf1 behavior. "
-                 "calibration = fixed synthetic workloads (code-"
-                 "independent) for cross-round host-speed normalization; "
-                 "r1-r3 benches predate the field and ran on hosts "
-                 "observed up to ~35% faster per-query at identical code. "
-                 "queries_extended = round-4 operators timed cold, "
-                 "excluded from value/value_warm so the headline totals "
-                 "stay baseline-comparable.",
     }))
 
 
