@@ -337,6 +337,7 @@ def describe_state(spark, state_dir: str) -> dict:
                 out["markerless"].append(name)
                 continue
             files = n_bytes = 0
+            mtime = st.getModificationTime()
             stack = [st.getPath()]
             while stack:
                 for sub in fs.listStatus(stack.pop()):
@@ -345,14 +346,16 @@ def describe_state(spark, state_dir: str) -> dict:
                     elif not sub.getPath().getName().startswith(("_", ".")):
                         files += 1
                         n_bytes += sub.getLen()
+                        mtime = max(mtime, sub.getModificationTime())
             committed.append((int(name[1:]), _KINDS[name[:1]],
-                              files, n_bytes))
+                              files, n_bytes, mtime))
         elif name.startswith("_writer.tmp"):
             out["stray_tmp"].append(name)
     committed.sort()
-    out["frames"] = [{"batch_id": b, "kind": k, "files": f, "bytes": n}
-                     for b, k, f, n in committed]
-    listing = [(b, k) for b, k, _, _ in committed]
+    out["frames"] = [{"batch_id": b, "kind": k, "files": f, "bytes": n,
+                      "mtime_ms": m}
+                     for b, k, f, n, m in committed]
+    listing = [(b, k) for b, k, _, _, _ in committed]
     if listing:
         out["frontier"] = listing[-1][0]
         kinds = {k for _, k in listing}
@@ -523,3 +526,101 @@ def apply_deletes_state(spark, state_dir: str, frame,
         _F.broadcast(deletes.select(_F.col(deletes.columns[0])
                                     .alias(col)).distinct()),
         on=col, how="left_anti")
+
+
+# ---------------------------------------------------------------------------
+# Fleet health checks — expectations over MANY state dirs.
+#
+# ``describe_state`` inspects one dir; an on-call running a fleet of sinks
+# (a dedup key table, a signature table, a gram census, an IVF index, each
+# with its own state dir) wants validate_expectations-style RULES evaluated
+# across all of them in one call: is the lease held by the writer I expect,
+# is the compaction cadence actually bounding the live delta count, how old
+# is the newest fold, is pruning keeping total bytes down, is there crash
+# debris. Pure driver-side listing logic (one ``describe_state`` per dir,
+# NO Spark jobs over data) returning the same long-format report shape
+# ``operators.expect.validate_expectations`` emits — one row per
+# (state_dir, rule), so the fleet dashboard is one DataFrame.
+# ---------------------------------------------------------------------------
+
+_STATE_RULES = ("writer_is", "layout_is", "max_live_deltas",
+                "max_fold_age_sec", "frontier_at_least", "no_markerless",
+                "no_stray_tmp", "max_live_bytes")
+
+
+def _state_rule_check(desc: dict, rule: dict, now_ms: int):
+    """(observed string, passed bool) for one rule over one
+    ``describe_state`` result."""
+    kind = rule["rule"]
+    frames = {(f["batch_id"], f["kind"]): f for f in desc["frames"]}
+    live = [frames[(x["batch_id"], x["kind"])] for x in desc["live"]]
+    if kind == "writer_is":
+        want = rule.get("writer_id")
+        return str(desc["writer"]), desc["writer"] == want
+    if kind == "layout_is":
+        return str(desc["layout"]), desc["layout"] == rule["layout"]
+    if kind == "max_live_deltas":
+        n = sum(f["kind"] == "delta" for f in live)
+        return str(n), n <= rule["max"]
+    if kind == "max_fold_age_sec":
+        if not frames:
+            return "no frames", False
+        age = (now_ms - max(f["mtime_ms"] for f in desc["frames"])) / 1000.0
+        return f"{age:.1f}", age <= rule["max"]
+    if kind == "frontier_at_least":
+        f = desc["frontier"]
+        return str(f), f is not None and f >= rule["min"]
+    if kind == "no_markerless":
+        n = len(desc["markerless"])
+        return str(n), n == 0
+    if kind == "no_stray_tmp":
+        n = len(desc["stray_tmp"])
+        return str(n), n == 0
+    if kind == "max_live_bytes":
+        n = sum(f["bytes"] for f in live)
+        return str(n), n <= rule["max"]
+    raise ValueError(f"unknown rule {kind!r}; expected one of "
+                     f"{_STATE_RULES}")
+
+
+def expect_state(spark, state_dirs: list[str], rules: list[dict],
+                 now_ms: int | None = None):
+    """Evaluate operational health ``rules`` over MANY versioned state
+    dirs in one call — the fleet twin of
+    :func:`~caspr_spark.operators.expect.validate_expectations`'s
+    data-quality report. Rules (each a dict with ``rule`` plus its
+    parameters): ``writer_is`` (lease holder equals ``writer_id``;
+    pass ``None`` to demand UNCLAIMED), ``layout_is`` (``layout`` in
+    rebuild/delta — also catches MIXED corruption), ``max_live_deltas``
+    (``max``: the compaction cadence is actually bounding the read-side
+    merge width), ``max_fold_age_sec`` (``max``: the sink is alive —
+    newest committed file no older than this), ``frontier_at_least``
+    (``min``: ingest has reached a batch id), ``no_markerless`` /
+    ``no_stray_tmp`` (crash debris), ``max_live_bytes`` (``max``:
+    pruning/compaction is keeping the live set's storage bounded).
+
+    Pure filesystem listings (``describe_state`` per dir — no Spark
+    jobs over state data); the report materializes driver-side into a
+    small DataFrame: (state_dir, rule_id, rule, observed, passed), in
+    (dir, rule) order. ``now_ms`` pins the age clock for deterministic
+    tests; defaults to the current wall clock."""
+    import time
+
+    if not state_dirs:
+        raise ValueError("expect_state needs at least one state dir")
+    if not rules:
+        raise ValueError("expect_state needs at least one rule")
+    for r in rules:
+        if r.get("rule") not in _STATE_RULES:
+            raise ValueError(f"unknown rule {r.get('rule')!r}; expected "
+                             f"one of {_STATE_RULES}")
+    now = int(time.time() * 1000) if now_ms is None else now_ms
+    report = []
+    for d in state_dirs:
+        desc = describe_state(spark, d)
+        for i, rule in enumerate(rules):
+            observed, passed = _state_rule_check(desc, rule, now)
+            report.append((d, i, rule["rule"], observed, bool(passed)))
+    return spark.createDataFrame(
+        report, "state_dir string, rule_id int, rule string, "
+                "observed string, passed boolean")

@@ -1196,3 +1196,91 @@ class TestGramCensusStateSink:
         assert set(gone) == {"k1", "k2"}
         assert {r.doc_id for r in
                 read_dedup_corpus(spark, out).collect()} == {2, 3}
+
+    def test_expect_state_fleet_report(self, spark, tmp_path):
+        """Round-15 fleet health checks: expect_state evaluates
+        operational rules over MANY state dirs from listings alone —
+        a healthy claimed delta-layout table passes, a dir with crash
+        debris and an unclaimed lease fails exactly the debris/lease
+        rows, and the age clock is pinnable for determinism."""
+        import os
+
+        from caspr_spark import state as state_mod
+        from caspr_spark.llm.dedup import append_history_keys_state
+        healthy = str(tmp_path / "healthy")
+        messy = str(tmp_path / "messy")
+        for d in (1, 2, 3):
+            for sd in (healthy, messy):
+                append_history_keys_state(
+                    spark, sd, d,
+                    spark.createDataFrame([(d, f"day {d} text")],
+                                          "doc_id long, text string"),
+                    compact_every=2)
+        state_mod.claim_writer(spark, healthy, "ckpt-A")
+        os.makedirs(os.path.join(messy, "d9"))     # crashed attempt
+        rules = [
+            {"rule": "writer_is", "writer_id": "ckpt-A"},
+            {"rule": "layout_is", "layout": "delta"},
+            {"rule": "max_live_deltas", "max": 1},
+            {"rule": "frontier_at_least", "min": 3},
+            {"rule": "no_markerless"},
+            {"rule": "no_stray_tmp"},
+            {"rule": "max_live_bytes", "max": 10 * 1024 * 1024},
+        ]
+        rep = state_mod.expect_state(spark, [healthy, messy], rules)
+        rows = {(r.state_dir, r.rule): r for r in rep.collect()}
+        assert len(rows) == 2 * len(rules)
+        assert rows[(healthy, "writer_is")].passed
+        assert not rows[(messy, "writer_is")].passed      # unclaimed
+        assert rows[(messy, "writer_is")].observed == "None"
+        assert all(rows[(d, "layout_is")].passed
+                   for d in (healthy, messy))
+        # cadence: compact at 3 is newest, zero live deltas behind it
+        assert rows[(healthy, "max_live_deltas")].observed == "0"
+        assert rows[(healthy, "max_live_deltas")].passed
+        assert rows[(healthy, "frontier_at_least")].passed
+        assert rows[(healthy, "no_markerless")].passed
+        assert not rows[(messy, "no_markerless")].passed
+        assert rows[(messy, "no_markerless")].observed == "1"
+        assert rows[(messy, "no_stray_tmp")].passed
+        assert rows[(healthy, "max_live_bytes")].passed
+
+    def test_expect_state_fold_age(self, spark, tmp_path):
+        """max_fold_age_sec reads the newest committed file mtime
+        (describe_state's mtime_ms field): a pinned now just past the
+        fold passes, a pinned now far in the future fails, and an
+        empty dir fails loudly rather than passing vacuously."""
+        from caspr_spark import state as state_mod
+        from caspr_spark.llm.dedup import append_history_keys_state
+        sd = str(tmp_path / "aged")
+        append_history_keys_state(
+            spark, sd, 1,
+            spark.createDataFrame([(1, "text")],
+                                  "doc_id long, text string"))
+        newest = max(f["mtime_ms"] for f in
+                     state_mod.describe_state(spark, sd)["frames"])
+        rule = [{"rule": "max_fold_age_sec", "max": 3600}]
+        fresh = state_mod.expect_state(spark, [sd], rule,
+                                       now_ms=newest + 1000).collect()
+        assert fresh[0].passed
+        stale = state_mod.expect_state(
+            spark, [sd], rule, now_ms=newest + 7200 * 1000).collect()
+        assert not stale[0].passed
+        empty = state_mod.expect_state(
+            spark, [str(tmp_path / "never")], rule,
+            now_ms=newest).collect()
+        assert not empty[0].passed and empty[0].observed == "no frames"
+
+    def test_expect_state_rejects_bad_input(self, spark, tmp_path):
+        """Unknown rules and empty inputs refuse up front."""
+        import pytest as _pytest
+
+        from caspr_spark import state as state_mod
+        with _pytest.raises(ValueError, match="unknown rule"):
+            state_mod.expect_state(spark, [str(tmp_path)],
+                                   [{"rule": "nope"}])
+        with _pytest.raises(ValueError, match="at least one rule"):
+            state_mod.expect_state(spark, [str(tmp_path)], [])
+        with _pytest.raises(ValueError, match="at least one state dir"):
+            state_mod.expect_state(spark, [],
+                                   [{"rule": "no_markerless"}])
