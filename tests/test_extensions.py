@@ -52,8 +52,7 @@ class TestIVF:
         from __spark_entry__ import _ivf_fixed_centroids
         cents = np.asarray(_ivf_fixed_centroids(n_cells=4, dim=64))
         assign = F.element_at(
-            F.array_sort(F.array(*_cell_distance_structs("embedding",
-                                                         cents))),
+            F.array_sort(_cell_distance_structs("embedding", cents)),
             1)["cell"]
         got = {r["vec_id"]: r["cell"] for r in
                embeddings.withColumn("cell", assign)
