@@ -424,6 +424,41 @@ def nearest_centroid(vec_col, centroids):
         1)["cell"]
 
 
+def nearest_centroid_arrow(vec_col, centroids):
+    """Arrow-vectorized twin of :func:`nearest_centroid` for BULK
+    assignment — the 100 TB ingest path. The expression election
+    evaluates its higher-order lambdas interpreted per element
+    (~0.8k rows/s/core at 64 cells × 64 dims, measured in
+    SCALING_r15); this pandas_udf does the same euclidean² argmin as
+    one float64 GEMM per Arrow batch (``|x|² − 2xCᵀ + |c|²``),
+    ~100× per core, with numpy ``argmin``'s first-min-wins matching
+    the expression's ``(d asc, cell asc)`` tie rule.
+
+    Parity: the GEMM associates additions differently than the
+    expression's left-associative fold, so a pair of cells whose
+    distances agree to the last ulp can in principle elect
+    differently — measured 0 mismatches over the full test corpora
+    (tests pin that), but CERTIFIED rows keep the expression election
+    (:func:`append_ivf_state` ``assign='expr'``, the default) so
+    their oracle twins stay term-for-term reproducible; ``'arrow'``
+    is for uncertified bulk builds where throughput wins."""
+    C = np.asarray([[float(v) for v in c] for c in centroids],
+                   dtype=np.float64)
+    c2 = (C * C).sum(axis=1)
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("int")
+    def _assign(vecs: pd.Series) -> pd.Series:
+        X = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])
+        if X.size == 0:
+            return pd.Series([], dtype="int32")
+        d = (X * X).sum(axis=1)[:, None] - 2.0 * (X @ C.T) + c2[None, :]
+        return pd.Series(np.argmin(d, axis=1).astype("int32"))
+
+    return _assign(F.col(vec_col) if isinstance(vec_col, str) else vec_col)
+
+
 def cosine_topk_ivf(corpus: DataFrame, queries: DataFrame, k: int,
                     n_cells: int = 16, n_probe: int = 4,
                     id_col: str = "vec_id", vec_col: str = "embedding",
@@ -456,10 +491,26 @@ def cosine_topk_ivf(corpus: DataFrame, queries: DataFrame, k: int,
 
 def _ivf_probe_topk(indexed: DataFrame, queries: DataFrame, k: int,
                     n_probe: int, centroids: list, id_col: str,
-                    vec_col: str, query_id_col: str) -> DataFrame:
+                    vec_col: str, query_id_col: str,
+                    static_prune: bool = False) -> DataFrame:
     """The probe + exact-re-rank tail shared by :func:`cosine_topk_ivf`
     (one-shot assignment) and :func:`cosine_topk_ivf_state` (the
-    versioned ingest index): ``indexed`` already carries ``ivf_cell``."""
+    versioned ingest index): ``indexed`` already carries ``ivf_cell``.
+
+    ``static_prune=True`` (the state path's default) materializes the
+    probe table ONCE (``localCheckpoint`` — it is broadcast-sized by
+    the existing design, n_queries × n_probe rows) and pushes the
+    probed cells into the index scan as a LITERAL ``isin`` filter.
+    Two measured effects vs the dynamic-pruning join (SCALING_r15):
+    the centroid-distance subplan compiles once instead of twice (the
+    DPP partition filter re-plans it as a subquery — ~2 s per probe
+    call at 64 cells), and the literal filter prunes BOTH layouts —
+    hive partitions on the partitioned layout, parquet row-group
+    min/max on the plain layout (frames are repartitioned by cell at
+    write, so files cluster). The collected cell set is bounded by
+    ``n_cells`` regardless of query count. Row-identical to the
+    dynamic path: the filter is the exact cell set the join keys on,
+    and checkpointing changes no computed value."""
     q = queries.select(F.col(id_col).alias(query_id_col),
                        F.col(vec_col).alias("__qvec"))
     # rank centroids per query by (euclidean, to match KMeans assignment)
@@ -470,6 +521,11 @@ def _ivf_probe_topk(indexed: DataFrame, queries: DataFrame, k: int,
         .select(query_id_col, "__qvec",
                 F.explode(F.transform("__cells", lambda s: s["cell"]))
                  .alias("ivf_cell"))
+    if static_prune:
+        probes = probes.localCheckpoint(eager=True)
+        cells = [r.ivf_cell for r in
+                 probes.select("ivf_cell").distinct().collect()]
+        indexed = indexed.filter(F.col("ivf_cell").isin(cells))
 
     joined = (indexed.join(F.broadcast(probes), on="ivf_cell")
               .filter(F.col(id_col) != F.col(query_id_col)))
@@ -515,7 +571,8 @@ def append_ivf_state(spark, state_dir: str, batch_id: int,
                      batch: DataFrame, centroids: list,
                      id_col: str = "vec_id", vec_col: str = "embedding",
                      compact_every: int = 8,
-                     partition_by_cell: bool = False) -> None:
+                     partition_by_cell: bool = False,
+                     assign: str = "expr") -> None:
     """Fold a batch of NEW embeddings into a VERSIONED IVF index state
     dir — continuous embedding ingest, the similarity-family member of
     the exactly-once state story (the key table and signature table
@@ -549,6 +606,15 @@ def append_ivf_state(spark, state_dir: str, batch_id: int,
     merge transparently on read. Prune superseded frames with
     :func:`caspr_spark.state.prune_state`.
 
+    ``assign`` picks the election implementation: ``'expr'`` (default)
+    is the certified expression election whose fold arithmetic the SQL
+    twins reproduce term-for-term; ``'arrow'`` is
+    :func:`nearest_centroid_arrow` — one float64 GEMM per Arrow batch,
+    ~100× per core (SCALING_r15), for uncertified bulk builds where
+    the batch is millions of vectors. Both use first-min-wins
+    euclidean² argmin; see the arrow twin's docstring for the ulp-tie
+    caveat that keeps certified rows on ``'expr'``.
+
     Deletion: tombstones folded by :func:`append_ivf_deletes` are
     BAKED IN at every compaction — the merge anti-joins the current
     delete set, so a compact simply no longer contains the deleted
@@ -568,9 +634,14 @@ def append_ivf_state(spark, state_dir: str, batch_id: int,
             "incommensurable (probes would silently search the "
             "wrong cells) — use the stored centroids or a new "
             "state dir")
+    if assign not in ("expr", "arrow"):
+        raise ValueError(f"assign must be 'expr' or 'arrow', "
+                         f"got {assign!r}")
+    elect = (nearest_centroid if assign == "expr"
+             else nearest_centroid_arrow)
     frame = batch.select(
         F.col(id_col), F.col(vec_col),
-        nearest_centroid(vec_col, centroids).alias("ivf_cell"),
+        elect(vec_col, centroids).alias("ivf_cell"),
         F.lit(fp).alias("centroid_fp")).repartition("ivf_cell")
     fold_commit(spark, state_dir, batch_id, "delta", compact_every,
                 frame, _ivf_compact_merge(spark, state_dir, id_col),
@@ -700,7 +771,8 @@ def cosine_topk_ivf_state(spark, state_dir: str, queries: DataFrame,
                           centroids: list,
                           id_col: str = "vec_id",
                           vec_col: str = "embedding",
-                          query_id_col: str = "query_id") -> DataFrame:
+                          query_id_col: str = "query_id",
+                          static_prune: bool = True) -> DataFrame:
     """IVF ANN over the VERSIONED ingest index: read the state
     (:func:`read_ivf_state`), verify the quantizer fingerprint
     matches ``centroids`` (probing the wrong quantizer's cells
@@ -714,7 +786,14 @@ def cosine_topk_ivf_state(spark, state_dir: str, queries: DataFrame,
     (:func:`append_ivf_deletes`) — the certified invariant. The
     fingerprint probe reads a raw frame footer directly
     (:func:`caspr_spark.state.probe_newest_nonempty`), so it never
-    pays the tombstone anti-join the masked read carries."""
+    pays the tombstone anti-join the masked read carries.
+
+    ``static_prune=True`` (default) pushes the probed cell set into
+    the frame scans as a literal filter instead of relying on the
+    dynamic-pruning join — row-identical, one centroid-subplan
+    compile instead of two, and prunes the plain layout's row groups
+    too (see :func:`_ivf_probe_topk`); ``False`` keeps the pure
+    broadcast-join plan (no driver-side probe materialization)."""
     from caspr_spark.state import probe_newest_nonempty
 
     fp = _centroid_fingerprint(centroids)
@@ -728,7 +807,7 @@ def cosine_topk_ivf_state(spark, state_dir: str, queries: DataFrame,
     indexed = read_ivf_state(spark, state_dir)
     return _ivf_probe_topk(indexed.drop("centroid_fp"), queries, k,
                            n_probe, centroids, id_col, vec_col,
-                           query_id_col)
+                           query_id_col, static_prune=static_prune)
 
 
 def embedding_near_duplicates(df: DataFrame, threshold: float = 0.95,

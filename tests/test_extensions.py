@@ -141,9 +141,9 @@ class TestIVFState:
         """partition_by_cell=True: frames are hive-partitioned on
         ivf_cell (empty batches fall back to a readable plain frame),
         the read merges both layouts, search results equal the
-        unpartitioned path, and the probe join's scan carries a
-        dynamic-partition-pruning filter so a probe reads only its
-        cells' files."""
+        unpartitioned path, and the probe reads only its cells' files
+        — via the static literal cell filter by default (r15), or a
+        dynamic-partition-pruning join with static_prune=False."""
         import os
 
         from caspr_spark.llm.similarity import (append_ivf_state,
@@ -175,10 +175,21 @@ class TestIVFState:
         got = got.sort_values(key).reset_index(drop=True)
         want = want.sort_values(key).reset_index(drop=True)
         assert (got["vec_id"].values == want["vec_id"].values).all()
+        # static path (default): literal partition filter on the scan
         plan = (cosine_topk_ivf_state(spark, state, q, k=4, n_probe=2,
                                       centroids=cents)
                 ._jdf.queryExecution().executedPlan().toString())
-        assert "dynamicpruning" in plan
+        assert "ivf_cell#" in plan and "PartitionFilters: [" in plan
+        assert "ivf_cell IN" in plan or "isin" in plan.lower() \
+            or "dynamicpruning" in plan
+        # dynamic path still available and row-identical
+        dyn = cosine_topk_ivf_state(spark, state, q, k=4, n_probe=2,
+                                    centroids=cents,
+                                    static_prune=False)
+        dplan = dyn._jdf.queryExecution().executedPlan().toString()
+        assert "dynamicpruning" in dplan
+        dyn_pd = dyn.toPandas().sort_values(key).reset_index(drop=True)
+        assert (dyn_pd["vec_id"].values == got["vec_id"].values).all()
 
     def test_stream_ingest_restart_equals_one_shot(self, embeddings,
                                                    tmp_path):
@@ -536,3 +547,59 @@ class TestLshAutoPlanSqlParity:
         full = random_hyperplanes(64, 8, seed=42)
         for p in (4, 5, 6, 7):
             assert random_hyperplanes(64, p, seed=42) == full[:p]
+
+
+class TestArrowAssignment:
+    def _cents(self, n_cells=8):
+        from __spark_entry__ import _ivf_fixed_centroids
+        return _ivf_fixed_centroids(n_cells=n_cells, dim=64)
+
+    def test_arrow_election_parity(self, embeddings):
+        """Round-15 bulk-ingest fast path: nearest_centroid_arrow (one
+        float64 GEMM per Arrow batch) elects the same cell as the
+        certified expression election on every corpus vector — the
+        parity the 'arrow' assign mode rests on (ulp ties could
+        differ in principle; this pins that they don't here)."""
+        from caspr_spark.llm.similarity import (nearest_centroid,
+                                                nearest_centroid_arrow)
+        cents = self._cents()
+        a = embeddings.select(
+            "vec_id", nearest_centroid("embedding", cents).alias("c")) \
+            .alias("A")
+        b = embeddings.select(
+            "vec_id",
+            nearest_centroid_arrow("embedding", cents).alias("c")) \
+            .alias("B")
+        assert a.join(b, "vec_id").filter("A.c <> B.c").count() == 0
+
+    def test_arrow_ingest_state_matches_expr(self, embeddings, tmp_path):
+        """append_ivf_state(assign='arrow') builds a state whose probe
+        search is row-identical to the expression-assigned state — the
+        two ingest modes are interchangeable on this corpus."""
+        from caspr_spark.llm.similarity import (append_ivf_state,
+                                                cosine_topk_ivf_state)
+        spark = embeddings.sparkSession
+        cents = self._cents()
+        dirs = {}
+        for mode in ("expr", "arrow"):
+            d = str(tmp_path / mode)
+            for day, residue in ((1, 0), (2, 1)):
+                append_ivf_state(spark, d, day,
+                                 embeddings.filter(F.col("vec_id") % 2
+                                                   == residue),
+                                 cents, compact_every=4, assign=mode)
+            dirs[mode] = d
+        q = embeddings.filter(F.col("vec_id") < 3)
+        got = {m: sorted(map(tuple, cosine_topk_ivf_state(
+                   spark, dirs[m], q, k=5, n_probe=2,
+                   centroids=cents).collect()))
+               for m in dirs}
+        assert got["expr"] == got["arrow"]
+        assert len(got["expr"]) > 0
+
+    def test_bad_assign_mode_refuses(self, embeddings, tmp_path):
+        from caspr_spark.llm.similarity import append_ivf_state
+        with pytest.raises(ValueError, match="assign"):
+            append_ivf_state(embeddings.sparkSession,
+                             str(tmp_path / "x"), 1, embeddings,
+                             self._cents(), assign="numpy")
