@@ -147,9 +147,14 @@ def dpp_ab(spark, out):
                 for _ in range(3):
                     t0 = time.time()
                     with cache_scope():
+                        # static_prune=False pins the DYNAMIC path —
+                        # the A/B SCALING_r15 documents (the static
+                        # default landed after this measurement and is
+                        # A/B'd separately there)
                         res = cosine_topk_ivf_state(spark, d, queries,
                                                     k=k, n_probe=n_probe,
-                                                    centroids=cents)
+                                                    centroids=cents,
+                                                    static_prune=False)
                         res.collect()
                     runs.append(round(time.time() - t0, 2))
                     if plan_has_dpp is None:
