@@ -3610,7 +3610,7 @@ _R15_WINDOW = [
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver contract: the correctness gate certifies the FIRST 50 entries.
 
-    181 of the 208 queries carry DuckDB oracles (179 full + the two
+    182 of the 209 queries carry DuckDB oracles (180 full + the two
     bounded sketch certificates) — more than one 50-slot window holds —
     so certification rotates across rounds (COVERAGE.md maps which
     round certified which row; tools/check_correctness.py re-runs the
