@@ -2443,6 +2443,43 @@ def q_simsearch_ivf_deleted(spark, sf_dir):
                       F.col("rank").cast("int").alias("rank"))
 
 
+def q_simsearch_pq_state(spark, sf_dir):
+    """VERSIONED PQ code-table ingest with the full lifecycle inside
+    the certified path (llm/pq.py append_pq_state / append_pq_deletes
+    / vacuum_pq_state / adc_topk_pq_state — round 15, the PQ family's
+    member of the exactly-once state story): the corpus arrives as
+    three daily folds encoded under the PINNED _pq_fixed_cb codebooks
+    (the stored state is the 8-byte codes, never the vectors), day 2
+    is REPLAYED post-"crash" (protocol no-op), every tenth vector is
+    TOMBSTONED (the erasure day also replayed), and vacuum_pq_state
+    force-compacts with the tombstones baked in and prunes — so the
+    searched frames no longer hold the deleted codes' bytes. The ADC
+    search over the vacuumed state must be byte-identical to the
+    one-shot pq_encode + pq_search over ingested-minus-deleted:
+    simsearch_pq_fixed's from-scratch DuckDB twin with the deleted
+    ids filtered out of the corpus scan."""
+    import tempfile
+
+    from caspr_spark.llm.pq import (adc_topk_pq_state, append_pq_deletes,
+                                    append_pq_state, vacuum_pq_state)
+    cb, q = _pq_fixed_cb()
+    emb = _t(spark, sf_dir, "embeddings")
+    state = tempfile.mkdtemp(prefix="pq_state_")
+    for day, residue in ((1, 0), (2, 1), (3, 2)):
+        append_pq_state(spark, state, day,
+                        emb.filter(F.col("vec_id") % 3 == residue),
+                        cb, compact_every=2)
+    # replay day 2 post-"crash": must be a protocol no-op
+    append_pq_state(spark, state, 2,
+                    emb.filter(F.col("vec_id") % 3 == 1),
+                    cb, compact_every=2)
+    doomed = emb.filter(F.col("vec_id") % 10 == 9).select("vec_id")
+    append_pq_deletes(spark, state, 1, doomed)
+    append_pq_deletes(spark, state, 1, doomed)    # replayed erasure day
+    vacuum_pq_state(spark, state, 4, cb)
+    return adc_topk_pq_state(spark, state, q, cb, top_k=25)
+
+
 def q_segment_kmeans_fixed(spark, sf_dir):
     """KMeans ASSIGNMENT + per-cluster profile under PINNED centroid
     literals (segment.py kmeans_assign — round 12, the
@@ -3535,26 +3572,30 @@ def q_stream_gram_census_delta(spark, sf_dir):
 # (emitted by tools/gen_window.py from the r1-r14 driver records;
 # `gen_window.py --check --round 15` verifies it in-tree, and
 # tests/test_entry_contract.py pins that invocation):
-#   slot 1       the one NEW round-15 oracle row
-#                (simsearch_ivf_deleted — deletion tombstones +
-#                vacuum on the versioned IVF index, searched against
-#                the one-shot ingested-minus-deleted twin; never
-#                driver-certified, so it sorts first),
-#   slots 2-5    the four rows the r14 rotation displaced past its
+#   slots 1-2    the two NEW round-15 oracle rows, in declaration
+#                order (simsearch_ivf_deleted — deletion tombstones +
+#                forced vacuum on the versioned IVF index, searched
+#                against the one-shot ingested-minus-deleted twin;
+#                simsearch_pq_state — the PQ family's versioned
+#                code-table ingest with the full lifecycle (replay,
+#                tombstone, vacuum) inside the certified path; never
+#                driver-certified, so they sort first),
+#   slots 3-6    the four rows the r14 rotation displaced past its
 #                window (asof_join, json_extract, p3_pivot_lineitem,
 #                p6_petastorm_rename — exactly as the r14 window
 #                comment predicted),
-#   slots 6-50   the oldest never-since-refreshed block (r10/r11
+#   slots 7-50   the oldest never-since-refreshed block (r10/r11
 #                certified: the fit/apply splits, curation pair, the
 #                core e/f/w/p rows, the portable sketch family, the
 #                round-4 part-five batch head e1_fit_apply_split ->
-#                semantic_dedup) in prior relative order.
-# Displaced past the window by the new slot: quantize_embeddings
-# (then covariance_matrix, rollup_incremental, outlier_robust —
-# r10-certified and local-oracle green at both SFs) leads the r16
+#                profile_table) in prior relative order.
+# Displaced past the window by the new slots: semantic_dedup and
+# quantize_embeddings (then covariance_matrix, rollup_incremental —
+# r10-certified and local-oracle green at both SFs) lead the r16
 # rotation.
 _R15_WINDOW = [
     "simsearch_ivf_deleted",
+    "simsearch_pq_state",
     "asof_join",
     "json_extract",
     "p3_pivot_lineitem",
@@ -3603,14 +3644,13 @@ _R15_WINDOW = [
     "llm_curate_v2",
     "diff_snapshots",
     "profile_table",
-    "semantic_dedup",
 ]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver contract: the correctness gate certifies the FIRST 50 entries.
 
-    182 of the 209 queries carry DuckDB oracles (180 full + the two
+    183 of the 210 queries carry DuckDB oracles (181 full + the two
     bounded sketch certificates) — more than one 50-slot window holds —
     so certification rotates across rounds (COVERAGE.md maps which
     round certified which row; tools/check_correctness.py re-runs the
@@ -3860,6 +3900,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_ann_index": q_stream_ann_index,
         "decontaminate_state": q_decontaminate_state,
         "simsearch_ivf_deleted": q_simsearch_ivf_deleted,
+        "simsearch_pq_state": q_simsearch_pq_state,
     }
     ordered = {n: base[n] for n in _R15_WINDOW}
     ordered.update((n, f) for n, f in base.items() if n not in ordered)
@@ -4661,7 +4702,7 @@ SELECT doc_id,
 FROM v"""
 
 
-def _pq_fixed_sql(top_k: int = 25) -> str:
+def _pq_fixed_sql(top_k: int = 25, corpus_where: str = "") -> str:
     """SQL twin of q_simsearch_pq_fixed. Encode: per subspace, the four
     expanded distances ``-2·sub·c_r + ||c_r||²`` (the same expression
     pq_encode evaluates; ||c_r||² embedded as a float64 literal) feed a
@@ -4678,7 +4719,10 @@ def _pq_fixed_sql(top_k: int = 25) -> str:
     Search IS byte-exact given the codes: the chosen ADC table entries
     (the SAME driver-computed float64 literals pq_search closes over)
     sum left-to-right, bit-for-bit the accumulation order of
-    pq_search's ``d +=`` loop, so the rounded distances match."""
+    pq_search's ``d +=`` loop, so the rounded distances match.
+    ``corpus_where`` (a ``WHERE ...`` clause on the embeddings scan)
+    is the ingested-minus-deleted restriction the versioned-state row
+    (simsearch_pq_state) searches."""
     import numpy as np
     cb, q = _pq_fixed_cb()
     m, k, dsub = cb.shape
@@ -4702,7 +4746,8 @@ def _pq_fixed_sql(top_k: int = 25) -> str:
     adc = "\n       + ".join(adc_terms)
     return f"""
 WITH v AS (
-  SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings),
+  SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings
+  {corpus_where}),
 d AS (
   SELECT vec_id,
          {dists}
@@ -6502,6 +6547,11 @@ SELECT query_id, vec_id, cosine, CAST(rk AS INT) AS rank FROM (
         "stream_ann_index": _ivf_fixed_sql(),
         "simsearch_ivf_deleted": _ivf_fixed_sql(
             corpus_where="WHERE vec_id % 7 <> 6"),
+        # the PQ family's versioned-state lifecycle (ingest + replay +
+        # tombstone + vacuum) must be byte-identical to the one-shot
+        # encode+search over ingested-minus-deleted
+        "simsearch_pq_state": _pq_fixed_sql(
+            corpus_where="WHERE vec_id % 10 <> 9"),
         "segment_kmeans_fixed": _segment_kmeans_fixed_sql(),
         "dedup_components": f"""
 WITH RECURSIVE pairs AS ({_NGRAM_PAIRS_SQL}),

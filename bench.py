@@ -159,10 +159,12 @@ EXTENDED_QUERIES = [
     "stream_ann_index",
     "decontaminate_state",
     "stream_dedup_corpus_compact",
-    # round-15 addition, timed from birth (tombstone lifecycle: three
+    # round-15 additions, timed from birth (tombstone lifecycle: three
     # ingest folds + a replayed delete fold + forced vacuum compact +
-    # prune + the probe search over the vacuumed state)
+    # prune + the search over the vacuumed state; the PQ row encodes
+    # under pinned codebooks, so its state is codes-only)
     "simsearch_ivf_deleted",
+    "simsearch_pq_state",
 ]
 
 

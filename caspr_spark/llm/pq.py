@@ -154,3 +154,187 @@ def pq_search(df: DataFrame, query: np.ndarray, codebooks: np.ndarray,
                        .alias(dist_col))
     return scored.orderBy(F.col(dist_col).asc(), F.col(id_col).asc()) \
                  .limit(top_k)
+
+
+# ---------------------------------------------------------------------------
+# Versioned PQ ingest — the PQ family's member of the exactly-once state
+# story (the IVF index got its in r14, the dedup key/signature tables in
+# r12/r13). A rebuilt code table re-encodes the WHOLE corpus per ingest
+# (O(corpus)); here batch ``b`` encodes only ITS OWN vectors under the
+# PINNED codebooks and commits the codes as an O(batch) delta — and the
+# stored rows are the 64×-compressed codes, never the vectors, so the
+# standing state is tiny (8 bytes/vector at m=8). Same commit protocol
+# (``_SUCCESS`` markers, replay skip, out-of-order refusal, compaction
+# cadence, tombstone side-stream) via :mod:`caspr_spark.state`.
+# ---------------------------------------------------------------------------
+
+
+def _codebook_fingerprint(codebooks) -> str:
+    """Deterministic fingerprint of the PQ codebooks: md5 over the
+    (m, k, dsub, values) JSON. Rides as a constant column in every
+    state frame so a fold (or search) under DIFFERENT codebooks
+    refuses instead of silently mixing codes from two quantizers —
+    a PQ code is meaningless outside the codebook that produced it."""
+    import hashlib
+    import json
+
+    cb = np.asarray(codebooks, dtype=np.float64)
+    payload = json.dumps([list(cb.shape)] +
+                         [float(v) for v in cb.ravel()])
+    return hashlib.md5(payload.encode("utf-8")).hexdigest()
+
+
+def _merge_pq_frames(frames: list) -> DataFrame:
+    """Pure ``unionByName`` — ingest batches carry disjoint vector ids
+    by the caller's contract (replayed batch ids never reach the
+    merge; same invariant as the IVF frame merge)."""
+    if not frames:
+        raise ValueError("_merge_pq_frames needs at least one frame")
+    u = frames[0]
+    for f in frames[1:]:
+        u = u.unionByName(f)
+    return u
+
+
+def _pq_compact_merge(spark, state_dir: str, id_col: str):
+    """Compaction merge: union the live frames, then BAKE IN any
+    tombstones the delete side-stream holds — the compact is the full
+    state, so an anti-joined row simply leaves it, and pruning the
+    superseded frames erases its bytes (the same rule as the IVF
+    compact merge). Runs only when ``fold_commit`` decides to
+    compact, so delta folds stay O(batch)."""
+    from caspr_spark.state import apply_deletes_state
+
+    def merge(frames):
+        return apply_deletes_state(spark, state_dir,
+                                   _merge_pq_frames(frames), id_col)
+    return merge
+
+
+def append_pq_state(spark, state_dir: str, batch_id: int,
+                    batch: DataFrame, codebooks,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    compact_every: int = 8) -> None:
+    """Fold a batch of NEW embeddings into a VERSIONED PQ code table:
+    encode the batch's vectors under the PINNED ``codebooks``
+    (:func:`pq_encode` — the deterministic per-subspace argmin) and
+    commit ``(id, pq_codes)`` as a delta. ``batch_id`` is
+    caller-supplied and strictly increasing (the day number); replayed
+    ids skip, out-of-order ids refuse, and a codebook-fingerprint
+    guard (one parquet-footer probe of the newest non-empty frame,
+    :func:`caspr_spark.state.probe_newest_nonempty`) refuses a fold
+    under different codebooks. Tombstones folded by
+    :func:`append_pq_deletes` are baked in at every compaction;
+    :func:`vacuum_pq_state` forces that off-cadence. Search with
+    :func:`adc_topk_pq_state`; prune superseded frames with
+    :func:`caspr_spark.state.prune_state`."""
+    from caspr_spark.state import fold_commit, probe_newest_nonempty
+
+    fp = _codebook_fingerprint(codebooks)
+    probe = probe_newest_nonempty(spark, state_dir,
+                                  [F.col("codebook_fp")])
+    if probe is not None and probe[0] != fp:
+        raise ValueError(
+            f"PQ state under {state_dir} was built with codebook "
+            f"fingerprint {probe[0]!r} but this fold uses {fp!r}; "
+            "codes from different codebooks are incommensurable — use "
+            "the stored codebooks or a new state dir")
+    frame = pq_encode(batch, codebooks, vec_col=vec_col) \
+        .select(F.col(id_col), "pq_codes", F.lit(fp).alias("codebook_fp"))
+    fold_commit(spark, state_dir, batch_id, "delta", compact_every,
+                frame, _pq_compact_merge(spark, state_dir, id_col))
+
+
+def append_pq_deletes(spark, state_dir: str, batch_id: int,
+                      deletes: DataFrame, id_col: str = "vec_id",
+                      compact_every: int = 8) -> None:
+    """Fold DELETION tombstones into the versioned PQ code table —
+    the same right-to-erasure side-stream the IVF index carries
+    (:mod:`caspr_spark.state` tombstone protocol, own batch-id
+    frontier): a tombstoned id is invisible to
+    :func:`read_pq_state` / :func:`adc_topk_pq_state` immediately,
+    and its code's bytes leave storage at the next compaction + prune
+    (or :func:`vacuum_pq_state` now)."""
+    from caspr_spark.state import append_deletes_state
+
+    append_deletes_state(spark, state_dir, batch_id,
+                         deletes.select(F.col(id_col)), compact_every)
+
+
+def vacuum_pq_state(spark, state_dir: str, batch_id: int, codebooks,
+                    keep_last: int = 1,
+                    id_col: str = "vec_id") -> list[int]:
+    """Force tombstone resolution NOW (the erasure-deadline path):
+    commit a FORCED compact — an empty schema-exact batch whose merge
+    bakes the current delete set into a full frame — then prune the
+    superseded frames, erasing the deleted codes' bytes. ``batch_id``
+    comes from the SAME sequence as the ingest folds (the vacuum IS a
+    fold). Returns the pruned batch ids."""
+    from caspr_spark.state import (fold_commit, live_frames, prune_state,
+                                   state_listing, state_path)
+
+    frames = live_frames(state_listing(spark, state_dir))
+    if not frames:
+        raise RuntimeError(
+            f"no committed PQ state under {state_dir} — nothing to "
+            "vacuum")
+    fp = _codebook_fingerprint(codebooks)
+    newest_b, newest_k = frames[-1]
+    sample = spark.read.parquet(state_path(state_dir, newest_b, newest_k))
+    probe = sample.select("codebook_fp").limit(1).collect()
+    if probe and probe[0][0] != fp:
+        raise ValueError(
+            f"PQ state under {state_dir} carries codebook fingerprint "
+            f"{probe[0][0]!r} but this vacuum passes {fp!r} — pass the "
+            "codebooks the table was ingested under")
+    frame = sample.limit(0).select(id_col, "pq_codes", "codebook_fp")
+    fold_commit(spark, state_dir, batch_id, "delta", 2, frame,
+                _pq_compact_merge(spark, state_dir, id_col),
+                force_compact=True)
+    return prune_state(spark, state_dir, keep_last)
+
+
+def read_pq_state(spark, state_dir: str) -> DataFrame:
+    """Current code table from a versioned state dir: newest compact
+    unioned with every younger delta, minus any tombstoned ids — the
+    ``(id, pq_codes)`` relation ADC scores. File-backed, so the
+    codebook guard's probe stays one parquet-footer row; a
+    tombstone-free dir keeps its exact pre-tombstone plan (the
+    no-tombstones probe is one listing)."""
+    from caspr_spark.state import (apply_deletes_state, live_frames,
+                                   state_listing, state_path)
+
+    frames = live_frames(state_listing(spark, state_dir))
+    if not frames:
+        raise RuntimeError(f"no committed PQ state under {state_dir}")
+    merged = _merge_pq_frames(
+        [spark.read.parquet(state_path(state_dir, b, k))
+         for b, k in frames])
+    return apply_deletes_state(spark, state_dir, merged,
+                               merged.columns[0])
+
+
+def adc_topk_pq_state(spark, state_dir: str, query, codebooks,
+                      top_k: int = 10, id_col: str = "vec_id",
+                      dist_col: str = "adc_distance") -> DataFrame:
+    """ADC top-k over the VERSIONED code table: verify the codebook
+    fingerprint (one footer probe — searching under the wrong
+    codebooks returns wrong neighbors silently, so refuse loudly),
+    read the state (tombstones masked), then the shared
+    :func:`pq_search` scoring — byte-identical arithmetic to a
+    one-shot ``pq_encode`` + ``pq_search`` over the union of the
+    ingested batches minus deletions (the certified invariant:
+    ``simsearch_pq_state`` in ``__spark_entry__``)."""
+    from caspr_spark.state import probe_newest_nonempty
+
+    fp = _codebook_fingerprint(codebooks)
+    probe = probe_newest_nonempty(spark, state_dir,
+                                  [F.col("codebook_fp")])
+    if probe is not None and probe[0] != fp:
+        raise ValueError(
+            f"PQ state under {state_dir} carries codebook fingerprint "
+            f"{probe[0]!r} but this search uses {fp!r} — pass the "
+            "codebooks the table was ingested under")
+    codes = read_pq_state(spark, state_dir).drop("codebook_fp")
+    return pq_search(codes, query, codebooks, id_col=id_col,
+                     top_k=top_k, dist_col=dist_col)

@@ -852,6 +852,39 @@ def run_ann_ingest_to_state(stream: DataFrame, state_dir: str,
     return read_ivf_state(stream.sparkSession, state_dir)
 
 
+def pq_ingest_sink(state_dir: str, codebooks,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   compact_every: int = 8,
+                   writer_id: str | None = None):
+    """EXACTLY-ONCE streaming embedding ingest into the versioned PQ
+    code table — :func:`ann_ingest_sink`'s sibling for
+    :func:`caspr_spark.llm.pq.append_pq_state`, as a ready
+    ``foreachBatch`` callable. Each micro-batch encodes ITS OWN
+    vectors under the pinned ``codebooks`` and folds the codes as an
+    O(batch) delta (the stored rows are the compressed codes, never
+    the vectors); replayed batch ids skip, out-of-order ids refuse, a
+    mismatched codebook refuses via the fingerprint guard. Same
+    ``batch_id + 1`` offset as the other sinks (state ids are
+    positive; stable across restarts because the checkpoint replays
+    ids). ``writer_id`` (pass the checkpoint dir) arms the
+    single-writer lease. Search the accumulated table any time with
+    :func:`caspr_spark.llm.pq.adc_topk_pq_state`."""
+    from caspr_spark.llm.pq import append_pq_state
+    from caspr_spark.state import claim_writer
+
+    claimed = []
+
+    def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if writer_id is not None and not claimed:
+            claim_writer(spark, state_dir, writer_id)
+            claimed.append(True)
+        append_pq_state(spark, state_dir, batch_id + 1, batch_df,
+                        codebooks, id_col, vec_col, compact_every)
+
+    return _fold
+
+
 def read_dedup_corpus(spark, out_dir: str) -> DataFrame:
     """The deduplicated corpus a :func:`dedup_corpus_sink` has
     accumulated: the newest merged ``m{b}`` dir (if

@@ -603,3 +603,121 @@ class TestArrowAssignment:
             append_ivf_state(embeddings.sparkSession,
                              str(tmp_path / "x"), 1, embeddings,
                              self._cents(), assign="numpy")
+
+
+class TestPQState:
+    def _cb(self):
+        from __spark_entry__ import _pq_fixed_cb
+        return _pq_fixed_cb()
+
+    def test_state_search_equals_one_shot(self, embeddings, tmp_path):
+        """Round-15 versioned PQ ingest: three daily folds (crossing a
+        compaction) plus a REPLAYED day, then ADC search over the
+        state — byte-identical to one-shot pq_encode + pq_search over
+        the same corpus under the same pinned codebooks."""
+        from caspr_spark.llm.pq import (adc_topk_pq_state,
+                                        append_pq_state, pq_encode,
+                                        pq_search, read_pq_state)
+        spark = embeddings.sparkSession
+        cb, q = self._cb()
+        state = str(tmp_path / "pq")
+        for day, residue in ((1, 0), (2, 1), (3, 2)):
+            append_pq_state(spark, state, day,
+                            embeddings.filter(F.col("vec_id") % 3
+                                              == residue),
+                            cb, compact_every=2)
+        append_pq_state(spark, state, 2,
+                        embeddings.filter(F.col("vec_id") % 3 == 1),
+                        cb, compact_every=2)          # replay: no-op
+        assert read_pq_state(spark, state).count() == embeddings.count()
+        got = sorted(map(tuple, adc_topk_pq_state(
+            spark, state, q, cb, top_k=10).collect()))
+        want = sorted(map(tuple, pq_search(
+            pq_encode(embeddings, cb), q, cb, top_k=10).collect()))
+        assert got == want
+
+    def test_codebook_guard_and_ordering(self, embeddings, tmp_path):
+        """Codebook-fingerprint guard on fold, search, and vacuum;
+        out-of-order refusal."""
+        import numpy as np
+
+        from caspr_spark.llm.pq import (adc_topk_pq_state,
+                                        append_pq_state,
+                                        vacuum_pq_state)
+        spark = embeddings.sparkSession
+        cb, q = self._cb()
+        other = np.asarray(cb) + 0.25
+        state = str(tmp_path / "pq")
+        append_pq_state(spark, state, 1, embeddings, cb)
+        with pytest.raises(ValueError, match="fingerprint"):
+            append_pq_state(spark, state, 2, embeddings, other)
+        with pytest.raises(ValueError, match="not newer"):
+            append_pq_state(spark, state, 0, embeddings, cb)
+        with pytest.raises(ValueError, match="fingerprint"):
+            adc_topk_pq_state(spark, state, q, other, top_k=3)
+        with pytest.raises(ValueError, match="fingerprint"):
+            vacuum_pq_state(spark, state, 2, other)
+
+    def test_tombstones_and_vacuum(self, embeddings, tmp_path):
+        """append_pq_deletes masks immediately, a replayed erasure day
+        is a no-op, and vacuum_pq_state bakes the tombstones into a
+        forced compact + prunes so the searched state equals one-shot
+        encode+search over ingested-minus-deleted."""
+        from caspr_spark.llm.pq import (adc_topk_pq_state,
+                                        append_pq_deletes,
+                                        append_pq_state, pq_encode,
+                                        pq_search, read_pq_state)
+        from caspr_spark.llm.pq import vacuum_pq_state
+        from caspr_spark.state import state_listing
+        spark = embeddings.sparkSession
+        cb, q = self._cb()
+        state = str(tmp_path / "pq")
+        for day, residue in ((1, 0), (2, 1)):
+            append_pq_state(spark, state, day,
+                            embeddings.filter(F.col("vec_id") % 2
+                                              == residue),
+                            cb, compact_every=4)
+        doomed = embeddings.filter(F.col("vec_id") % 5 == 4) \
+                           .select("vec_id")
+        append_pq_deletes(spark, state, 1, doomed)
+        append_pq_deletes(spark, state, 1, doomed)     # replayed
+        survivors = embeddings.filter(F.col("vec_id") % 5 != 4)
+        got_ids = {r.vec_id for r in
+                   read_pq_state(spark, state).select("vec_id").collect()}
+        assert got_ids == {r.vec_id for r in
+                           survivors.select("vec_id").collect()}
+        pruned = vacuum_pq_state(spark, state, 3, cb)
+        assert pruned                     # superseded frames erased
+        listing = state_listing(spark, state)
+        assert listing[-1][1] == "compact"
+        # post-vacuum: the compact itself no longer holds the ids
+        assert {r.vec_id for r in
+                read_pq_state(spark, state).select("vec_id").collect()} \
+            == got_ids
+        got = sorted(map(tuple, adc_topk_pq_state(
+            spark, state, q, cb, top_k=10).collect()))
+        want = sorted(map(tuple, pq_search(
+            pq_encode(survivors, cb), q, cb, top_k=10).collect()))
+        assert got == want
+
+    def test_sink_callable_replays(self, embeddings, tmp_path):
+        """pq_ingest_sink: the foreachBatch callable folds at
+        batch_id+1, a post-crash re-delivery of the same micro-batch
+        is a protocol no-op, and a second writer refuses the lease."""
+        from caspr_spark.llm.pq import read_pq_state
+        from caspr_spark.streaming import pq_ingest_sink
+        spark = embeddings.sparkSession
+        cb, _q = self._cb()
+        state = str(tmp_path / "pq")
+        sink = pq_ingest_sink(state, cb, writer_id="ckpt-A")
+        b0 = embeddings.filter(F.col("vec_id") % 2 == 0)
+        b1 = embeddings.filter(F.col("vec_id") % 2 == 1)
+        sink(b0, 0)
+        sink(b1, 1)
+        n = read_pq_state(spark, state).count()
+        assert n == embeddings.count()
+        sink(b1, 1)                        # re-delivered micro-batch
+        assert read_pq_state(spark, state).count() == n
+        other = pq_ingest_sink(state, cb, writer_id="ckpt-B")
+        with pytest.raises(RuntimeError, match="claimed by writer"):
+            other(b0, 2)
