@@ -48,6 +48,7 @@ QUERIES = [
     "stream_ann_index",
     "decontaminate_state",
     "simsearch_ivf_deleted",
+    "simsearch_pq_state",
 ]
 
 ID_STRIDE = 10_000_000
