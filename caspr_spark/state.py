@@ -269,7 +269,18 @@ def fold_commit(spark, state_dir: str, batch_id: int, layout: str,
     resolves tombstones gets to bake them into a full frame NOW
     (superseding every masked row) instead of waiting for the
     ``compact_every`` boundary. Still a pure function of the call's
-    arguments, so a replay of the same fold re-decides identically."""
+    arguments, so a replay of the same fold re-decides identically.
+
+    SCHEMA is part of the one-dir-one-table contract: a batch frame
+    whose column set or types drift from the committed state refuses
+    BEFORE any bytes are written (the same pre-write discipline as
+    the signature family/width guards) — a drifted delta would commit
+    fine and then poison every later read or compaction with a
+    union error (or, worse, a silent numeric widening). The check is
+    one parquet-footer schema read of the newest committed frame;
+    column ORDER is free (hive-partitioned frames read their
+    partition column last), evolution means a new state dir or an
+    explicit migration rewrite."""
     if layout not in ("rebuild", "delta"):
         raise ValueError(f"layout must be 'rebuild' or 'delta', "
                          f"got {layout!r}")
@@ -277,6 +288,21 @@ def fold_commit(spark, state_dir: str, batch_id: int, layout: str,
         raise ValueError(f"compact_every must be >= 2, got {compact_every}")
     listing = state_listing(spark, state_dir)
     check_layout(listing, layout, state_dir)
+    if listing:
+        newest_b, newest_k = listing[-1]
+        stored = {(f.name, f.dataType.simpleString())
+                  for f in spark.read.parquet(
+                      state_path(state_dir, newest_b, newest_k)).schema}
+        batch = {(f.name, f.dataType.simpleString())
+                 for f in batch_frame.schema}
+        if stored != batch:
+            raise ValueError(
+                f"state under {state_dir} holds schema "
+                f"{sorted(stored)} but this fold's batch frame has "
+                f"{sorted(batch)} — one state dir, one schema: a "
+                "drifted delta would poison later reads/compactions; "
+                "migrate to a new state dir (or rewrite all frames) "
+                "to evolve the schema")
     if batch_id in {b for b, _ in listing}:
         return                           # committed replay — skip
     if any(b >= batch_id for b, _ in listing):

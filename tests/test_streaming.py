@@ -1284,3 +1284,44 @@ class TestGramCensusStateSink:
         with _pytest.raises(ValueError, match="at least one state dir"):
             state_mod.expect_state(spark, [],
                                    [{"rule": "no_markerless"}])
+
+    def test_fold_refuses_schema_drift(self, spark, tmp_path):
+        """One state dir, one schema (r15): a batch frame whose
+        columns or types drift from the committed state refuses
+        BEFORE any bytes are written — in both layouts — while
+        reordered columns (set-equal schema) still fold."""
+        from caspr_spark import state as state_mod
+
+        def merge(frames):
+            u = frames[0]
+            for f in frames[1:]:
+                u = u.unionByName(f)
+            return u
+
+        sd = str(tmp_path / "s")
+        base = spark.createDataFrame([(1, "a")], "id long, v string")
+        state_mod.fold_commit(spark, sd, 1, "delta", 4, base, merge)
+        with pytest.raises(ValueError, match="one state dir, one schema"):
+            state_mod.fold_commit(
+                spark, sd, 2, "delta", 4,
+                spark.createDataFrame([(2, "b", 0.5)],
+                                      "id long, v string, w double"),
+                merge)
+        with pytest.raises(ValueError, match="one state dir, one schema"):
+            state_mod.fold_commit(
+                spark, sd, 2, "delta", 4,
+                spark.createDataFrame([(2, "b")], "id int, v string"),
+                merge)
+        # reordered columns are the same schema — folds fine
+        state_mod.fold_commit(
+            spark, sd, 2, "delta", 4,
+            spark.createDataFrame([("b", 2)], "v string, id long")
+                 .select("v", "id"), merge)
+        assert [b for b, _ in state_mod.state_listing(spark, sd)] == [1, 2]
+        # rebuild layout refuses too (the merge would fail mid-write)
+        rd = str(tmp_path / "r")
+        state_mod.fold_commit(spark, rd, 1, "rebuild", 4, base, merge)
+        with pytest.raises(ValueError, match="one state dir, one schema"):
+            state_mod.fold_commit(
+                spark, rd, 2, "rebuild", 4,
+                spark.createDataFrame([(2,)], "id long"), merge)
