@@ -228,8 +228,17 @@ def minhash_lsh_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "te
             _shingles(text_col, shingle_size).alias("__shingles"))
         if verify:
             sh_base = register_cache(sh_base.persist())
-        sigs = _signatures_from_shingles(sh_base, id_col, num_hashes,
-                                         hash_family=hash_family)
+        # The banded self-join below consumes `sigs` TWICE (left and right
+        # sides); without a persist each side re-runs the full signature
+        # aggregate — AQE does not reuse the exchange stage across the two
+        # branches (measured: the 64-min hash aggregate executed twice,
+        # ~1.4x the query's warm wall at sf0.1). The signature relation is
+        # ~8·num_hashes bytes + id per doc — far smaller than the already-
+        # persisted shingles — and LRU-evictable, same discipline as
+        # sh_base (recompute path stays correct).
+        sigs = register_cache(
+            _signatures_from_shingles(sh_base, id_col, num_hashes,
+                                      hash_family=hash_family).persist())
 
     # `minhash` is an aggregate output (a materialized attribute), so the
     # band-key slices below just index an in-memory array — no re-hashing.

@@ -83,11 +83,32 @@ class SequenceFeaturizer:
         if self.cache_fit:
             long_df = register_cache(long_df.persist())
 
-        encoding = fit_encoding(long_df, r.cat_cols, self.max_cardinality)
-        long_df = encoding.apply(long_df, r.cat_cols)
-
         norm_cols = r.date_cols + r.cont_cols
-        long_df, summary = normalize_columns(long_df, norm_cols, None, self.scaling)
+        if set(norm_cols) & set(r.cat_cols):
+            # a column both encoded and scaled must see the encoded values
+            # in its summary — keep the sequential order for that (unusual)
+            # role layout
+            encoding = fit_encoding(long_df, r.cat_cols, self.max_cardinality)
+            long_df = encoding.apply(long_df, r.cat_cols)
+            long_df, summary = normalize_columns(long_df, norm_cols, None,
+                                                 self.scaling)
+        else:
+            # The summary aggregation only reads date/cont columns, which
+            # the encoding joins never touch — so the stats pass and the
+            # per-cat-column top-K jobs are independent and can share the
+            # cluster (guide-style concurrent driver actions): the summary
+            # job back-fills executors the TakeOrdered tails leave idle
+            # instead of paying one extra sequential job latency. Values
+            # are identical to the sequential order by construction.
+            from concurrent.futures import ThreadPoolExecutor
+            with ThreadPoolExecutor(max_workers=1) as pool:
+                summary_fut = pool.submit(fit_summary, long_df, norm_cols)
+                encoding = fit_encoding(long_df, r.cat_cols,
+                                        self.max_cardinality)
+                summary = summary_fut.result()
+            long_df = encoding.apply(long_df, r.cat_cols)
+            long_df, _ = normalize_columns(long_df, norm_cols, summary,
+                                           self.scaling)
 
         model = SequenceFeaturizerModel(self, encoding, summary)
         wide = model._finish(self._rank(long_df)) if _materialize else None
@@ -155,26 +176,38 @@ class SequenceFeaturizerModel:
                          else [])
 
         prof_vals = r.non_seq_cols + r.output_cols + extra_profile
+        # profile columns ride the sequence aggregate itself (max over the
+        # single rank-1 row is deterministic): the whole featurization —
+        # sequences + profile — is ONE hash aggregate, zero joins, the
+        # 100 TB shape. Both layouts use it; they differ only in how the
+        # aggregate is materialized into columns.
+        prof_aggs = [F.max(F.when(F.col("rank_desc") == 1, F.col(c)))
+                     .alias(c) for c in prof_vals]
         if p.layout == "array":
-            # profile columns ride the sequence aggregate itself
-            # (max over the single rank-1 row is deterministic): the whole
-            # featurization — sequences + profile — is ONE hash aggregate,
-            # zero joins, the 100 TB shape
-            prof_aggs = [F.max(F.when(F.col("rank_desc") == 1, F.col(c)))
-                         .alias(c) for c in prof_vals]
             feat = collect_sequences(long_df, r.tgt_id, p.seq_len, r.seq_cols,
                                      p.left_pad, extra_aggs=prof_aggs)
             wide = sequences_to_wide(feat, r.seq_cols, p.seq_len)
+        elif prof_vals:
+            # wide layout WITH profile columns: the former shape — pivot,
+            # then join the rank-1 profile rows back on tgt_id — executed
+            # the windowed long table twice and joined the two one-row-per-
+            # entity relations with a sort-merge join (2 extra sorts + a
+            # second Exchange+Window pass over the fact table, seen in the
+            # r15 before-plan). Fusing the profile into the one sequence
+            # aggregate removes the join and the second window execution;
+            # the select below reproduces the pivot layout's exact
+            # slot-major column order (tgt_id, {slot}_{col}..., profile),
+            # so the output is column-for-column identical to the join
+            # form (oracle-verified at both SFs).
+            feat = collect_sequences(long_df, r.tgt_id, p.seq_len, r.seq_cols,
+                                     p.left_pad, extra_aggs=prof_aggs)
+            exprs = [F.col(c) for c in r.tgt_id]
+            exprs += [F.col(f"{c}_seq")[s - 1].alias(f"{s}_{c}")
+                      for s in range(1, p.seq_len + 1) for c in r.seq_cols]
+            exprs += [F.col(c) for c in prof_vals]
+            wide = feat.na.drop(subset=r.tgt_id).select(*exprs)
         else:
             wide = featurize_sequential(long_df, r.tgt_id, p.seq_len, r.seq_cols, p.left_pad)
-            if prof_vals:
-                # deterministic one-row-per-entity profile from the rank-1
-                # (latest) row: map-side filter on the already-windowed long
-                # table, so the join reuses the tgt_id partitioning instead
-                # of paying a full-row dropDuplicates shuffle + re-shuffle
-                prof = (long_df.filter(F.col("rank_desc") == 1)
-                        .select(*(r.tgt_id + prof_vals)))
-                wide = wide.join(prof, on=r.tgt_id, how="inner")
 
         cat_w, cont_w, _, _, date_w = r.wide_lists(p.seq_len, p.left_pad)
         present = set(wide.columns)
