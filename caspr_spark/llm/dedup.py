@@ -1738,7 +1738,8 @@ def append_history_signatures_state(spark, state_dir: str, batch_id: int,
                                     num_hashes: int = 64,
                                     shingle_size: int = 3,
                                     hash_family: str = "fast",
-                                    compact_every: int = 8) -> None:
+                                    compact_every: int = 8,
+                                    signatures: DataFrame | None = None) -> None:
     """Fold an ACCEPTED crawl batch's signatures into a VERSIONED
     signature-table state dir — the exactly-once form of
     :func:`append_history_signatures`, closing the near-mode half of
@@ -1780,6 +1781,29 @@ def append_history_signatures_state(spark, state_dir: str, batch_id: int,
                          f"got {hash_family!r}")
     check_signature_state(spark, state_dir, hash_family, num_hashes)
 
+    if signatures is not None:
+        # a caller that already built this batch's signatures (the
+        # streaming sink computes them once per micro-batch for the
+        # internal LSH pass and the history banded join) can hand them in
+        # instead of paying a THIRD full shingle+minhash pass here. The
+        # frame must be the :func:`build_history_signatures` shape keyed
+        # by ``id_col`` and built with the same
+        # num_hashes/shingle_size/hash_family (the persisted-sketch
+        # contract); the semi-join on ``accepted`` pins the folded rows to
+        # exactly the accepted relation — signature values are identical
+        # to a re-derivation because the build is deterministic, so the
+        # committed state bytes are unchanged (regression-tested).
+        _check_signature_family(signatures, hash_family)
+        new_rows = (signatures
+                    .join(accepted.select(id_col), on=id_col,
+                          how="left_semi")
+                    .select(F.col(id_col).alias("history_id"), "shingles",
+                            "minhash", "hash_family"))
+    else:
+        new_rows = build_history_signatures(accepted, id_col, text_col,
+                                            num_hashes, shingle_size,
+                                            hash_family)
+
     def merge(frames):
         # compaction bakes forgotten ids in (forget_documents_state);
         # union first, then mask — signature frames hold disjoint ids,
@@ -1791,10 +1815,7 @@ def append_history_signatures_state(spark, state_dir: str, batch_id: int,
             "history_id")
 
     fold_commit(spark, state_dir, batch_id, "delta", compact_every,
-                build_history_signatures(accepted, id_col, text_col,
-                                         num_hashes, shingle_size,
-                                         hash_family),
-                merge)
+                new_rows, merge)
 
 
 def read_history_signatures_state(spark, state_dir: str) -> DataFrame:

@@ -775,10 +775,15 @@ def dedup_corpus_sink(state_dir: str, out_dir: str,
                                       kept_written, id_col, text_col,
                                       normalize, compact_every)
         else:
+            # the fold derives its ROW SET from the written bytes
+            # (kept_written ids) but reuses the batch's already-computed
+            # signature values instead of a third full shingle+minhash
+            # pass — deterministic build, so the committed state bytes
+            # are identical (regression-tested in test_streaming)
             append_history_signatures_state(
                 spark, state_dir, batch_id, kept_written, id_col,
                 text_col, num_hashes, shingle_size, hash_family,
-                compact_every)
+                compact_every, signatures=batch_sigs)
 
     return _fold
 

@@ -873,6 +873,40 @@ class TestIncrementalDedup:
                 spark, state, 0, batch2, hash_family="portable",
                 compact_every=2)
 
+    def test_signature_state_fold_with_precomputed_sigs_identical(
+            self, spark, tmp_path):
+        """Round-15 optimization: a state fold handed the batch's
+        already-built ``signatures=`` frame (the streaming sink's
+        one-pass-per-batch plumbing, extended to the fold) must commit
+        byte-identical state to the self-deriving fold — same rows,
+        same shingles/minhash values — and must fold ONLY the accepted
+        subset even when the signature frame covers the whole batch."""
+        from caspr_spark.llm.dedup import (append_history_signatures_state,
+                                           build_history_signatures,
+                                           read_history_signatures_state)
+        batch, _ = self._corpora(spark)
+        accepted = batch.filter("doc_id in (2, 3)")
+        sigs = build_history_signatures(
+            batch, num_hashes=16, shingle_size=3,
+            hash_family="portable").withColumnRenamed("history_id",
+                                                      "doc_id")
+        s_plain = str(tmp_path / "plain")
+        s_pre = str(tmp_path / "pre")
+        append_history_signatures_state(
+            spark, s_plain, 1, accepted, num_hashes=16,
+            hash_family="portable")
+        append_history_signatures_state(
+            spark, s_pre, 1, accepted, num_hashes=16,
+            hash_family="portable", signatures=sigs)
+        key = lambda r: (r.history_id, tuple(r.shingles),
+                         tuple(r.minhash), r.hash_family)
+        plain = sorted(map(key, read_history_signatures_state(
+            spark, s_plain).collect()))
+        pre = sorted(map(key, read_history_signatures_state(
+            spark, s_pre).collect()))
+        assert pre == plain
+        assert {r[0] for r in pre} == {2, 3}
+
     def test_precomputed_signature_plumbing_is_identical(self, spark):
         """Round-14 one-pass-per-batch optimization: minhash_lsh_dedup
         with a precomputed ``signatures=`` frame and
