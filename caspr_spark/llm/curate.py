@@ -42,6 +42,17 @@ def curate_corpus(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
         (F.col("q_punct_ratio") <= max_punct_ratio))
     out = add_language_id(out, text_col)
     out = out.filter(F.col("lang_pred").isin(*languages))
+    # Persist the filtered+scored relation before dedup: exact_dedup
+    # consumes its input TWICE (the content-key aggregate and the
+    # left-semi join back), and each pass would otherwise re-run the
+    # whole regex signal + language-ID chain over every surviving doc —
+    # measured ~2x the stage cost at sf0.1. One materialization (MEMORY_
+    # AND_DISK, LRU-evictable with recompute fallback; released by the
+    # caller's cache_scope) makes the chain run once; at corpus scale
+    # the cached bytes are the curated survivors only, and re-reading
+    # them beats re-running ~14 regex passes per document.
+    from caspr_spark.cache import register_cache
+    out = register_cache(out.persist())
     out = exact_dedup(out, text_col, id_col)
     if near_dedup:
         out, _ = minhash_lsh_dedup(out, id_col, text_col,
