@@ -87,24 +87,37 @@ def collect_sequences(df: DataFrame, tgt_id: list[str], n: int,
     ride the same aggregate (e.g. per-entity profile columns via
     ``max(when(rank_desc=1, col))``), so attaching profile data costs zero
     additional shuffles or joins.
+
+    Only ``rank_desc`` is consumed (round 15): the padding truth table
+    resolves post-aggregation from the kept-row count ``m = size(map)``
+    — slot ``i`` holds rank_desc ``m−i+1`` (right pad) / ``n−i+1``
+    (left pad), which equals the former pre-aggregate
+    ``rank_asc + shift`` slot arithmetic for every (seq_len, n, pad)
+    case. Callers that rank with a bare
+    ``row_number() over (partition by entity order by ts desc)`` skip
+    the ``count() over (partition by entity)`` window entirely — one
+    window function instead of two over the same exchange. (Precondition
+    unchanged from get_rank: null-activity-date rows must be dropped
+    first or ranks and counts diverge.)
     """
-    required = {"seq_len", "rank_asc", "rank_desc"}
-    if not required.issubset(df.columns):
+    if "rank_desc" not in df.columns:
         raise ValueError("call get_rank before collect_sequences")
 
     df = df.filter(F.col("rank_desc") <= n)
-    df = add_pad_shift(df, n, left_pad)
 
-    entry = F.struct(F.col("rank").cast("int").alias("slot"),
+    entry = F.struct(F.col("rank_desc").cast("int").alias("slot"),
                      F.struct(*[F.col(c).alias(c) for c in seq_cols]).alias("vals"))
     packed = df.groupBy(*tgt_id).agg(
         F.map_from_entries(F.collect_list(entry)).alias("__slots"),
         *(extra_aggs or []))
     idx = F.sequence(F.lit(1), F.lit(n))
+    # slot i <- rank_desc key; missing keys (the pad region) yield NULL
+    key_base = F.lit(n + 1) if left_pad else F.size("__slots") + 1
     for c in seq_cols:
         packed = packed.withColumn(
             f"{c}{seq_suffix}",
-            F.transform(idx, lambda i: F.element_at(F.col("__slots"), i)[c]))
+            F.transform(idx, lambda i: F.element_at(F.col("__slots"),
+                                                    (key_base - i).cast("int"))[c]))
     return packed.drop("__slots")
 
 

@@ -131,10 +131,37 @@ class SequenceFeaturizer:
         return df
 
     def _rank(self, df: DataFrame) -> DataFrame:
-        """W1 on the stashed raw timestamp; drops the stash."""
+        """W1 on the stashed raw timestamp; drops the stash.
+
+        The collect-based featurization paths (array layout, and the
+        wide layout with profile columns — see ``_finish``) consume only
+        ``rank_desc``, so they rank with a single ``row_number`` window
+        instead of get_rank's row_number + count pair: one window
+        function pass over the entity partition instead of two (the
+        padding slots resolve post-aggregation in
+        ``collect_sequences``). The pivot path keeps the full get_rank
+        (its slot arithmetic needs ``seq_len``/``rank_asc`` pre-pivot).
+        """
+        from pyspark.sql import Window
+
         r = self.roles
+        if self.layout == "array" or self._profile_cols():
+            order = ([F.col("__rank_ts").desc()]
+                     + [F.col(c).desc() for c in (r.order_tiebreak or [])])
+            w = Window.partitionBy(*[F.col(c) for c in r.tgt_id]).orderBy(*order)
+            return df.withColumn("rank_desc",
+                                 F.row_number().over(w)).drop("__rank_ts")
         return get_rank(df, r.tgt_id, "__rank_ts",
                         tiebreak=r.order_tiebreak).drop("__rank_ts")
+
+    def _profile_cols(self) -> list[str]:
+        """The non-sequential columns carried through the featurization
+        (shared by ``_rank``'s light-mode decision and ``_finish``)."""
+        r = self.roles
+        extra = ([r.prediction_date]
+                 if not self.interval and r.prediction_date not in r.non_seq_cols
+                 else [])
+        return r.non_seq_cols + r.output_cols + extra
 
     def _prepare(self, df: DataFrame) -> DataFrame:
         """Stages 1-3 complete (transform path, no fitting)."""
@@ -171,11 +198,8 @@ class SequenceFeaturizerModel:
         # carry prediction_date through the pivot when absolute-mode date
         # fills will need it on the wide layout (the reference requires the
         # caller to declare it non-sequential; we carry it implicitly)
-        extra_profile = ([r.prediction_date]
-                         if not p.interval and r.prediction_date not in r.non_seq_cols
-                         else [])
-
-        prof_vals = r.non_seq_cols + r.output_cols + extra_profile
+        prof_vals = p._profile_cols()
+        extra_profile = prof_vals[len(r.non_seq_cols) + len(r.output_cols):]
         # profile columns ride the sequence aggregate itself (max over the
         # single rank-1 row is deterministic): the whole featurization —
         # sequences + profile — is ONE hash aggregate, zero joins, the

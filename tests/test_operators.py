@@ -181,6 +181,28 @@ class TestPivot:
                 ["val"], 3).orderBy("user_id").toPandas()
             assert wide[sorted(wide.columns)].equals(arr[sorted(arr.columns)])
 
+    def test_collect_sequences_bare_rank_desc(self, micro_events):
+        """Round-15: collect_sequences needs only rank_desc (the padding
+        truth table resolves post-aggregation), so a bare row_number
+        ranking — no seq_len/rank_asc count window — must produce the
+        same arrays as ranking with full get_rank."""
+        from pyspark.sql import Window
+
+        ranked = get_rank(micro_events, ["user_id"], "ts",
+                          tiebreak=["event_id"])
+        w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(),
+                                                  F.col("event_id").desc())
+        light = micro_events.withColumn("rank_desc", F.row_number().over(w))
+        for lp in (False, True):
+            full = collect_sequences(ranked, ["user_id"], 3, ["val"], lp) \
+                .orderBy("user_id").toPandas()
+            bare = collect_sequences(light, ["user_id"], 3, ["val"], lp) \
+                .orderBy("user_id").toPandas()
+            import pandas as pd
+            for fx, bx in zip(full["val_seq"], bare["val_seq"]):
+                for fv, bv in zip(list(fx), list(bx)):
+                    assert (pd.isna(fv) and pd.isna(bv)) or fv == bv
+
     def test_multi_seq_col_names(self, micro_events):
         ranked = get_rank(micro_events, ["user_id"], "ts", tiebreak=["event_id"])
         wide = featurize_sequential(ranked, ["user_id"], 2, ["val", "cat"])
