@@ -81,6 +81,15 @@ class SequenceFeaturizer:
         r.validate(df)
         long_df = self._prefix(df)
         if self.cache_fit:
+            # Cache only the columns the fit jobs and the featurization
+            # consume: persist() materializes EVERY column of the plan it
+            # is handed (the cache is opaque to Catalyst's pruning), so
+            # without this projection a payload column the roles never
+            # reference — a props/body blob on the event row — is built
+            # into the cache and paid for on every fit pass. Pure column
+            # pruning: the downstream stages select from exactly this set,
+            # so results are unchanged.
+            long_df = long_df.select(*self._consumed_cols(long_df))
             long_df = register_cache(long_df.persist())
 
         norm_cols = r.date_cols + r.cont_cols
@@ -153,6 +162,25 @@ class SequenceFeaturizer:
                                  F.row_number().over(w)).drop("__rank_ts")
         return get_rank(df, r.tgt_id, "__rank_ts",
                         tiebreak=r.order_tiebreak).drop("__rank_ts")
+
+    def _consumed_cols(self, long_df: DataFrame) -> list[str]:
+        """Every column of the post-``_prefix`` long relation that any
+        later stage reads: entity key, ranking timestamp + tie-breaks,
+        role columns (sequence, categorical, continuous, date), profile
+        carries, and the prediction date (consumed by absolute-mode
+        fills). Order-preserving dedup against the actual columns."""
+        r = self.roles
+        wanted = (r.tgt_id + ["__rank_ts"] + list(r.order_tiebreak or [])
+                  + r.seq_cols + r.cat_cols + r.cont_cols + r.date_cols
+                  + self._profile_cols() + [r.prediction_date])
+        present = set(long_df.columns)
+        seen: set[str] = set()
+        out: list[str] = []
+        for c in wanted:
+            if c in present and c not in seen:
+                seen.add(c)
+                out.append(c)
+        return out
 
     def _profile_cols(self) -> list[str]:
         """The non-sequential columns carried through the featurization
