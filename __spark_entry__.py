@@ -2645,6 +2645,58 @@ def q_dedup_signature_state(spark, sf_dir):
                           F.round("jaccard", 6).alias("jaccard"))
 
 
+def q_dedup_signature_state_fold(spark, sf_dir):
+    """The ``signatures=`` FAST-PATH fold under a BATCH caller (round
+    16, r15 verdict item 7): identical protocol exercise to
+    q_dedup_signature_state — three daily folds, a compaction, a
+    replayed day — but every fold hands in the batch's PRE-BUILT
+    signature frame (build_history_signatures) instead of letting the
+    fold re-derive from text, exactly the r15 optimization the
+    streaming sink uses. The committed state bytes must be identical
+    to the self-deriving fold (deterministic build + the semi-join row
+    pinning), so the downstream match relation — and the DuckDB twin —
+    is the SAME oracle as dedup_signature_state. This closes the
+    one-consumer risk: the optimized fold path now has its own
+    end-to-end oracle row outside the streaming envelope, with the
+    default state guard (check_state=True) exercised per fold."""
+    import tempfile
+
+    from caspr_spark.llm.dedup import (append_history_signatures_state,
+                                       build_history_signatures,
+                                       dedup_against_history,
+                                       read_history_signatures_state)
+    docs = _t(spark, sf_dir, "documents")
+    state = tempfile.mkdtemp(prefix="sigs_state_fold_")
+    from caspr_spark.cache import cache_scope
+    for day, residue in ((1, 0), (2, 2), (3, 4)):
+        batch = docs.filter(F.col("doc_id") % 6 == residue)
+        with cache_scope():
+            sigs = build_history_signatures(
+                batch, num_hashes=16, shingle_size=3,
+                hash_family="portable").withColumnRenamed("history_id",
+                                                          "doc_id")
+            sigs._caspr_hash_family = "portable"
+            append_history_signatures_state(
+                spark, state, day, batch, num_hashes=16, shingle_size=3,
+                hash_family="portable", compact_every=2, signatures=sigs)
+    # replay day 2 post-"crash": must be a protocol no-op on this path too
+    append_history_signatures_state(
+        spark, state, 2, docs.filter(F.col("doc_id") % 6 == 2),
+        num_hashes=16, shingle_size=3, hash_family="portable",
+        compact_every=2)
+    recrawl = (docs.filter(F.col("doc_id") % 4 == 0)
+                   .withColumn("doc_id", F.col("doc_id") + 100000))
+    batch = (docs.filter(F.col("doc_id") % 2 == 1)
+                 .select("doc_id", "text")
+                 .unionByName(recrawl.select("doc_id", "text")))
+    _, matches = dedup_against_history(
+        batch, None, mode="near", num_hashes=16, bands=8,
+        shingle_size=3, threshold=0.2, hash_family="portable",
+        history_signatures=read_history_signatures_state(spark, state))
+    return matches.select("doc_id", "history_id",
+                          F.round("jaccard", 6).alias("jaccard"))
+
+
 def q_stream_dedup_corpus(spark, sf_dir):
     """EXACTLY-ONCE streaming corpus dedup end-to-end (streaming.py
     dedup_corpus_sink / run_dedup_corpus_to_state — round 13): the
@@ -3593,70 +3645,70 @@ def q_stream_gram_census_delta(spark, sf_dir):
 # quantize_embeddings (then covariance_matrix, rollup_incremental —
 # r10-certified and local-oracle green at both SFs) lead the r16
 # rotation.
-_R15_WINDOW = [
-    "simsearch_ivf_deleted",
-    "simsearch_pq_state",
-    "asof_join",
-    "json_extract",
-    "p3_pivot_lineitem",
-    "p6_petastorm_rename",
-    "e1_fit_apply_split",
-    "e5_fit_apply_split",
-    "e5_normalize_standard",
-    "llm_curate",
-    "llm_curate_report",
-    "e2_encode_collect",
-    "e3_decode_roundtrip",
-    "f6_null_drop",
-    "e6_denormalize_roundtrip",
-    "e7_date_interval",
-    "w1_rank",
-    "w2_intervals",
-    "f1_history_window",
-    "f2_last_n",
-    "f4_profile_dedup",
-    "e1_encode_capped",
-    "e5_normalize_minmax",
-    "e8_date_fill_pivoted",
-    "e9_fill_nans_pivoted",
-    "p3_pivot_last5",
-    "x3_sliding_union",
-    "stream_gram_census",
-    "dsir_shared_grams",
-    "dedup_minhash_portable",
-    "dedup_simhash_portable",
-    "simsearch_pq_fixed",
-    "simsearch_ivf_fixed",
-    "clean_paragraph_dedup",
-    "clean_boilerplate",
-    "quality_hashed_bow",
-    "token_budget_select",
-    "merge_upsert_orders",
-    "hybrid_search_rrf",
-    "dedup_keep_best",
-    "stream_sessions",
-    "heavy_hitters",
-    "fuzzy_join_parts",
-    "zorder_layout",
-    "weighted_sample",
-    "cv_folds",
-    "source_csv_roundtrip",
-    "llm_curate_v2",
-    "diff_snapshots",
-    "profile_table",
+_R16_WINDOW = [
+    "dedup_signature_state_fold",
+    "semantic_dedup",
+    "quantize_embeddings",
+    "covariance_matrix",
+    "rollup_incremental",
+    "outlier_robust",
+    "stream_anomaly",
+    "calibration_bins",
+    "drift_psi",
+    "scd2_orders",
+    "text_normalize",
+    "dedup_incremental_state",
+    "text_repetition",
+    "pii_redact",
+    "decontaminate",
+    "bm25_search",
+    "seq_pack_offset",
+    "seq_pack_nextfit",
+    "mixture_sample",
+    "cluster_balanced",
+    "lm_perplexity",
+    "doc_chunks",
+    "related_docs",
+    "stream_stream_join",
+    "f5_outlier_removal",
+    "e10_quantile_bucket",
+    "p1_left_pad",
+    "e10_quantile_approx",
+    "sketch_distinct_rollup",
+    "emb_near_dup_auto",
+    "stream_gram_census_state",
+    "stream_gram_census_delta",
+    "dedup_incremental_portable",
+    "segment_kmeans_fixed",
+    "quality_train_classifier",
+    "source_jsonl_roundtrip",
+    "sorted_neighborhood",
+    "attribution_last_touch",
+    "pagerank_docs",
+    "triangle_docs",
+    "lpa_docs",
+    "expectations_events",
+    "resample_daily",
+    "skew_report",
+    "shards_roundtrip",
+    "stream_topk",
+    "stream_dedup_history",
+    "histogram_values",
+    "topk_per_group",
+    "attribution_multitouch",
 ]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver contract: the correctness gate certifies the FIRST 50 entries.
 
-    183 of the 210 queries carry DuckDB oracles (181 full + the two
+    184 of the 211 queries carry DuckDB oracles (182 full + the two
     bounded sketch certificates) — more than one 50-slot window holds —
     so certification rotates across rounds (COVERAGE.md maps which
     round certified which row; tools/check_correctness.py re-runs the
     FULL oracle suite locally each round ->
-    CORRECTNESS_local_r{N}.json). The round-15 window is
-    ``_R15_WINDOW`` above, computed MECHANICALLY by certification
+    CORRECTNESS_local_r{N}.json). The round-16 window is
+    ``_R16_WINDOW`` above, computed MECHANICALLY by certification
     recency (oldest last-driver-certified rows first — emitted by
     tools/gen_window.py from the r1-r14 driver records) so no oracle
     row's driver certification silently ages; everything else keeps
@@ -3888,6 +3940,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_portable": q_dedup_minhash_portable,
         "dedup_incremental_portable": q_dedup_incremental_portable,
         "dedup_signature_state": q_dedup_signature_state,
+        "dedup_signature_state_fold": q_dedup_signature_state_fold,
         "stream_dedup_corpus": q_stream_dedup_corpus,
         "stream_dedup_corpus_near": q_stream_dedup_corpus_near,
         "stream_dedup_corpus_compact": q_stream_dedup_corpus_compact,
@@ -3902,7 +3955,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simsearch_ivf_deleted": q_simsearch_ivf_deleted,
         "simsearch_pq_state": q_simsearch_pq_state,
     }
-    ordered = {n: base[n] for n in _R15_WINDOW}
+    ordered = {n: base[n] for n in _R16_WINDOW}
     ordered.update((n, f) for n, f in base.items() if n not in ordered)
     return ordered
 
@@ -6944,6 +6997,11 @@ WHERE doc_id NOT IN (SELECT doc_id FROM ranked WHERE rn > 1)""",
     # signature set, which the exactly-once fold (replay skipped,
     # compaction a disjoint-id union) preserves exactly
     o["dedup_signature_state"] = o["dedup_incremental_portable"]
+    # the signatures= FAST-PATH fold (round 16, r15 verdict item 7)
+    # must commit byte-identical state to the self-deriving fold
+    # (deterministic build + semi-join row pinning), so its match
+    # relation shares the same from-scratch twin
+    o["dedup_signature_state_fold"] = o["dedup_incremental_portable"]
     # decontamination depends only on the benchmark gram-hash SET,
     # which the exactly-once census fold preserves (replay skipped,
     # compaction an associative re-sum) — same twin as the one-shot

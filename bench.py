@@ -165,6 +165,10 @@ EXTENDED_QUERIES = [
     # under pinned codebooks, so its state is codes-only)
     "simsearch_ivf_deleted",
     "simsearch_pq_state",
+    # round-16 addition, timed from birth (r15 verdict item 7): the
+    # ``signatures=`` fast-path fold under a batch caller — the
+    # optimized per-micro-batch fold path's own timed+certified row
+    "dedup_signature_state_fold",
 ]
 
 
@@ -255,6 +259,45 @@ def main() -> None:
     calib_numpy, calib_numpy_runs = _median3(_gemm_probe)
     calib_small, calib_small_runs = _median3(_smalljob_probe)
 
+    # Per-query EXECUTION-METRICS axis (round 16, r15 verdict item 2):
+    # the sf0.1 wall-clock headline is scheduler-latency-saturated (the
+    # driver's 8-core and 32-core runs are equal), so seconds can no
+    # longer detect compute/shuffle improvements. Shuffle/input BYTES
+    # are host-speed-independent and data-bound — a structural change
+    # (removed exchange, map-side group limit, narrowed cache) moves
+    # them deterministically. Snapshots come from the cumulative
+    # executor summaries (the same AppStatusStore the UI serves; ~1 ms
+    # per snapshot), after draining the listener bus so late task
+    # events attribute to the right query. Purely additive fields; on
+    # any internal-API drift the maps are omitted and the bench is
+    # byte-identical to the r15 output.
+    def _io_snapshot():
+        try:
+            jsc = spark.sparkContext._jsc.sc()
+            try:
+                jsc.listenerBus().waitUntilEmpty()
+            except Exception:
+                pass
+            lst = jsc.statusStore().executorList(True)
+            sw = sr = ib = 0
+            for i in range(lst.size()):
+                e = lst.apply(i)
+                sw += e.totalShuffleWrite()
+                sr += e.totalShuffleRead()
+                ib += e.totalInputBytes()
+            return (sw, sr, ib)
+        except Exception:
+            return None
+
+    io_enabled = _io_snapshot() is not None
+
+    def _io_delta(before, after):
+        if before is None or after is None:
+            return None
+        return {"sw": int(after[0] - before[0]),
+                "sr": int(after[1] - before[1]),
+                "in": int(after[2] - before[2])}
+
     from caspr_spark.cache import cache_scope
 
     qs = entrymod.queries()
@@ -266,12 +309,16 @@ def main() -> None:
     # session; scoping the pair (not each run) keeps the warm run's
     # CacheManager plan-matching reuse of the cold run's relations, so the
     # warm series stays comparable with earlier rounds
+    io_cold: dict[str, dict] = {}
+    io_warm: dict[str, dict] = {}
     for name in BENCH_QUERIES:
         with cache_scope():
+            snap0 = _io_snapshot() if io_enabled else None
             t0 = time.time()
             df = qs[name](spark, sf_dir)
             df.count()
             timings[name] = round(time.time() - t0, 3)
+            snap1 = _io_snapshot() if io_enabled else None
             # warm second run: session/codegen/python-worker warm-up
             # amortized — the steady-state per-query cost a long-lived
             # cluster would see
@@ -279,15 +326,27 @@ def main() -> None:
             df = qs[name](spark, sf_dir)
             df.count()
             warm[name] = round(time.time() - t0, 3)
+            snap2 = _io_snapshot() if io_enabled else None
+            if io_enabled:
+                d = _io_delta(snap0, snap1)
+                if d is not None:
+                    io_cold[name] = d
+                d = _io_delta(snap1, snap2)
+                if d is not None:
+                    io_warm[name] = d
 
     extended: dict[str, float] = {}
     extended_warm: dict[str, float] = {}
+    io_ext_cold: dict[str, dict] = {}
+    io_ext_warm: dict[str, dict] = {}
     for name in EXTENDED_QUERIES:
         with cache_scope():
+            snap0 = _io_snapshot() if io_enabled else None
             t0 = time.time()
             df = qs[name](spark, sf_dir)
             df.count()
             extended[name] = round(time.time() - t0, 3)
+            snap1 = _io_snapshot() if io_enabled else None
             # warm second run (round 8): the r7 record's cold-only
             # extended numbers swung up to 4.5x on single cold runs in a
             # shared session — the warm twin separates plan-compile/JIT
@@ -297,6 +356,14 @@ def main() -> None:
             df = qs[name](spark, sf_dir)
             df.count()
             extended_warm[name] = round(time.time() - t0, 3)
+            snap2 = _io_snapshot() if io_enabled else None
+            if io_enabled:
+                d = _io_delta(snap0, snap1)
+                if d is not None:
+                    io_ext_cold[name] = d
+                d = _io_delta(snap1, snap2)
+                if d is not None:
+                    io_ext_warm[name] = d
 
     total = round(sum(timings.values()), 3)
     # FIELD ORDER IS LOAD-BEARING (r14 verdict item 3): the driver's
@@ -325,6 +392,19 @@ def main() -> None:
         "queries_warm": warm,
         "queries_extended": extended,
         "queries_extended_warm": extended_warm,
+        # round 16 (r15 verdict item 2): per-query EXECUTION-METRICS
+        # deltas — sw/sr = shuffle bytes written/read, in = input bytes
+        # scanned, from the cumulative executor summaries around each
+        # run. Host-speed-INDEPENDENT and data-bound: this is the axis
+        # that detects structural changes (exchanges removed, map-side
+        # limits, cache narrowing) which the scheduler-saturated sf0.1
+        # wall-clock cannot. Purely additive; maps print EARLY so a
+        # tail-truncated record loses detail, never the headline, and
+        # the io totals repeat near the tail.
+        "queries_io": io_cold,
+        "queries_io_warm": io_warm,
+        "queries_extended_io": io_ext_cold,
+        "queries_extended_io_warm": io_ext_warm,
         # headline-block totals for the extended set (round 9): the warm
         # total is the stable regression series — single cold runs in a
         # shared session swung up to 4.5x in the r7 record
@@ -357,6 +437,15 @@ def main() -> None:
         # per the protocol note in BASELINE.md.
         "value_per_shuffle_unit": round(total / calib_spark, 1),
         "value_per_smalljob_unit": round(total / calib_small, 1),
+        # tail-surviving io totals (bytes, cold runs; headline set and
+        # extended set separately): the one-number data-bound series a
+        # truncated record still keeps
+        "io_shuffle_write_cold": int(sum(d["sw"] for d in io_cold.values())),
+        "io_input_cold": int(sum(d["in"] for d in io_cold.values())),
+        "io_shuffle_write_extended_cold": int(
+            sum(d["sw"] for d in io_ext_cold.values())),
+        "io_input_extended_cold": int(
+            sum(d["in"] for d in io_ext_cold.values())),
     }))
 
 

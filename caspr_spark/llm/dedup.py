@@ -1739,7 +1739,8 @@ def append_history_signatures_state(spark, state_dir: str, batch_id: int,
                                     shingle_size: int = 3,
                                     hash_family: str = "fast",
                                     compact_every: int = 8,
-                                    signatures: DataFrame | None = None) -> None:
+                                    signatures: DataFrame | None = None,
+                                    check_state: bool = True) -> None:
     """Fold an ACCEPTED crawl batch's signatures into a VERSIONED
     signature-table state dir — the exactly-once form of
     :func:`append_history_signatures`, closing the near-mode half of
@@ -1779,7 +1780,16 @@ def append_history_signatures_state(spark, state_dir: str, batch_id: int,
     if hash_family not in ("fast", "portable"):
         raise ValueError(f"hash_family must be 'fast' or 'portable', "
                          f"got {hash_family!r}")
-    check_signature_state(spark, state_dir, hash_family, num_hashes)
+    if check_state:
+        # ``check_state=False`` is for a caller that ALREADY verified
+        # family+width against this dir in this process (the streaming
+        # sink runs check_signature_state pre-write on its first
+        # history fold, and every later frame in the dir was committed
+        # by that same sink instance at the same parameters) — the
+        # probe is one limit(1) Spark job per fold, pure latency on a
+        # micro-batch. Batch callers keep the default: the guard is
+        # what makes a mismatched pre-existing state refuse loudly.
+        check_signature_state(spark, state_dir, hash_family, num_hashes)
 
     if signatures is not None:
         # a caller that already built this batch's signatures (the
@@ -1794,11 +1804,32 @@ def append_history_signatures_state(spark, state_dir: str, batch_id: int,
         # to a re-derivation because the build is deterministic, so the
         # committed state bytes are unchanged (regression-tested).
         _check_signature_family(signatures, hash_family)
+        # In-plan width tripwire (zero extra jobs): a frame built with a
+        # different num_hashes would commit signatures whose band keys
+        # never match future batches — silent under-dedup forever. The
+        # family guard above can't see width (it probes the COMMITTED
+        # state, which may be empty on the first fold), so every folded
+        # row asserts its own width at execution; valid rows pass
+        # through untouched, so committed bytes are unchanged. Note the
+        # row-set contract stays the caller's: an accepted id MISSING
+        # from the frame is silently absent from the fold (the semi-join
+        # keeps the row set pinned to ``accepted`` without an extra
+        # verification job) — pass the FULL batch's signatures, as the
+        # streaming sink does.
+        wide_ok = F.size("minhash") == num_hashes
+        guarded = F.when(wide_ok, F.col("minhash")).otherwise(
+            F.raise_error(F.concat(
+                F.lit("append_history_signatures_state: signatures= frame "
+                      "holds "), F.size("minhash").cast("string"),
+                F.lit(f"-hash signatures but this fold declares "
+                      f"num_hashes={num_hashes} — mis-widthed state "
+                      "would silently never band-match"))
+            ).cast("array<bigint>"))
         new_rows = (signatures
                     .join(accepted.select(id_col), on=id_col,
                           how="left_semi")
                     .select(F.col(id_col).alias("history_id"), "shingles",
-                            "minhash", "hash_family"))
+                            guarded.alias("minhash"), "hash_family"))
     else:
         new_rows = build_history_signatures(accepted, id_col, text_col,
                                             num_hashes, shingle_size,

@@ -99,6 +99,14 @@ def collect_sequences(df: DataFrame, tgt_id: list[str], n: int,
     window function instead of two over the same exchange. (Precondition
     unchanged from get_rank: null-activity-date rows must be dropped
     first or ranks and counts diverge.)
+
+    Precondition made LOUD (round 16 note): ``rank_desc`` must be a
+    bijection 1..m per entity (``row_number``, not ``rank``/unioned
+    ranked frames). Duplicate ranks now RAISE at execution under the
+    default ``spark.sql.mapKeyDedupPolicy=EXCEPTION`` (the map is keyed
+    by rank), where the former pivot/``first`` path silently picked one
+    of the colliding rows — a loud failure on precondition-violating
+    input, never a silent different answer on valid input.
     """
     if "rank_desc" not in df.columns:
         raise ValueError("call get_rank before collect_sequences")

@@ -110,8 +110,27 @@ class SequenceFeaturizer:
             # instead of paying one extra sequential job latency. Values
             # are identical to the sequential order by construction.
             from concurrent.futures import ThreadPoolExecutor
+
+            # Spark job groups / descriptions / scheduler pools are JVM
+            # thread-locals: a plain pool thread would submit the summary
+            # job OUTSIDE any job group or label the caller set, so
+            # cancellation scopes and bench/UI labels would silently not
+            # cover it. inheritable_thread_target captures the current
+            # thread's local properties and re-applies them in the worker
+            # (the documented PySpark idiom for driver-side concurrency);
+            # if the pinned-thread contract it needs is unavailable, fall
+            # back to the bare call — correctness is unaffected either
+            # way (fit_summary persists nothing and reads disjoint
+            # columns).
+            def _summary():
+                return fit_summary(long_df, norm_cols)
+            try:
+                from pyspark import inheritable_thread_target
+                _summary_job = inheritable_thread_target(_summary)
+            except Exception:
+                _summary_job = _summary
             with ThreadPoolExecutor(max_workers=1) as pool:
-                summary_fut = pool.submit(fit_summary, long_df, norm_cols)
+                summary_fut = pool.submit(_summary_job)
                 encoding = fit_encoding(long_df, r.cat_cols,
                                         self.max_cardinality)
                 summary = summary_fut.result()
@@ -184,12 +203,25 @@ class SequenceFeaturizer:
 
     def _profile_cols(self) -> list[str]:
         """The non-sequential columns carried through the featurization
-        (shared by ``_rank``'s light-mode decision and ``_finish``)."""
+        (shared by ``_rank``'s light-mode decision and ``_finish``).
+        Order-preserving dedup: ``prediction_date`` may already appear in
+        ``output_cols`` (without being declared non-sequential), and a
+        duplicate here would alias the same aggregate twice — the fused
+        wide+profile select would then raise an ambiguous-column
+        AnalysisException (the old join path silently duplicated the
+        column instead)."""
         r = self.roles
         extra = ([r.prediction_date]
                  if not self.interval and r.prediction_date not in r.non_seq_cols
                  else [])
-        return r.non_seq_cols + r.output_cols + extra
+        wanted = r.non_seq_cols + r.output_cols + extra
+        seen: set[str] = set()
+        out: list[str] = []
+        for c in wanted:
+            if c not in seen:
+                seen.add(c)
+                out.append(c)
+        return out
 
     def _prepare(self, df: DataFrame) -> DataFrame:
         """Stages 1-3 complete (transform path, no fitting)."""
@@ -227,7 +259,12 @@ class SequenceFeaturizerModel:
         # fills will need it on the wide layout (the reference requires the
         # caller to declare it non-sequential; we carry it implicitly)
         prof_vals = p._profile_cols()
-        extra_profile = prof_vals[len(r.non_seq_cols) + len(r.output_cols):]
+        # the implicitly-carried columns (not declared non-seq/output) are
+        # dropped after the wide fills; membership, not a length slice —
+        # _profile_cols dedups, so positional slicing would mis-split when
+        # prediction_date is also a declared output column
+        declared = set(r.non_seq_cols) | set(r.output_cols)
+        extra_profile = [c for c in prof_vals if c not in declared]
         # profile columns ride the sequence aggregate itself (max over the
         # single rank-1 row is deterministic): the whole featurization —
         # sequences + profile — is ONE hash aggregate, zero joins, the

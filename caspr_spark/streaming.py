@@ -780,10 +780,18 @@ def dedup_corpus_sink(state_dir: str, out_dir: str,
             # signature values instead of a third full shingle+minhash
             # pass — deterministic build, so the committed state bytes
             # are identical (regression-tested in test_streaming)
+            # check_state=False: the fold-side family/width probe is one
+            # limit(1) Spark job per micro-batch, and this sink already
+            # enforces the same contract pre-write — the first history
+            # fold of the instance runs check_signature_state before any
+            # output bytes, and every later frame under state_dir was
+            # committed by this same instance at these same parameters
+            # (single-writer lease), so the probe could only re-confirm
+            # what this process just wrote
             append_history_signatures_state(
                 spark, state_dir, batch_id, kept_written, id_col,
                 text_col, num_hashes, shingle_size, hash_family,
-                compact_every, signatures=batch_sigs)
+                compact_every, signatures=batch_sigs, check_state=False)
 
     return _fold
 

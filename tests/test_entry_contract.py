@@ -39,10 +39,10 @@ class TestEntryContract:
         assert callable(entry.entry)
 
     def test_window_matches_mechanical_rule(self):
-        """The in-code round-15 window must equal the mechanical
-        recency rotation computed from the r1-r14 driver records
+        """The in-code round-16 window must equal the mechanical
+        recency rotation computed from the r1-r15 driver records
         (verdict r12 item 3: a pinned --round keeps this check green
-        in-tree even after the fresh r15 driver record lands)."""
+        in-tree even after the fresh r16 driver record lands)."""
         import sys
         from pathlib import Path
         sys.path.insert(0, str(Path(__file__).parent.parent / "tools"))
@@ -50,6 +50,6 @@ class TestEntryContract:
             from gen_window import compute_window, WINDOW_SIZE
         finally:
             sys.path.pop(0)
-        computed = compute_window(for_round=15)
+        computed = compute_window(for_round=16)
         in_code = list(entry.queries())[:WINDOW_SIZE]
         assert computed == in_code

@@ -73,6 +73,23 @@ class TestPipeline:
         b = model.transform(train).orderBy("user_id").toPandas()
         assert a[sorted(a.columns)].equals(b[sorted(b.columns)])
 
+    def test_prediction_date_as_output_col_no_duplicate(self, micro_events):
+        """Round-16 fix (r15 advice): prediction_date declared as an
+        OUTPUT column in non-interval mode must not be aggregated
+        twice in the fused wide+profile select (duplicate alias →
+        ambiguous-column AnalysisException) and must survive as one
+        output column."""
+        r = ColumnRoles(tgt_id=["user_id"], activity_date="ts",
+                        cat_cols=["cat"], cont_cols=["val"],
+                        seq_cols=["cat", "val", "ts"], date_cols=["ts"],
+                        output_cols=["prediction_date"],
+                        order_tiebreak=["event_id"])
+        feat = SequenceFeaturizer(roles=r, history_days=7, seq_len=3,
+                                  interval=False)
+        wide, _ = feat.fit_transform(micro_events)
+        assert wide.columns.count("prediction_date") == 1
+        assert wide.count() > 0
+
     def test_absolute_mode_fill_uses_start_of_window(self, micro_events):
         feat = SequenceFeaturizer(roles=roles(), history_days=7, seq_len=3,
                                   interval=False)

@@ -24,9 +24,20 @@ Two modes (r5 verdict item 6):
   for ``llm_curate``/``emb_near_dup``.
 - ``--mode clone``: the original exact-copy behavior, kept for
   comparisons against the earlier rounds' sweeps.
+- ``--mode longhist`` (round 16, r15 verdict item 1): the LONG-HISTORY
+  regime — replicate ONLY the events table K times with the ENTITY KEY
+  (``user_id``) UNCHANGED, fresh ``event_id`` per replica and the
+  timestamp shifted by ``i`` seconds (stays deep inside any
+  history-window filter). Result: the same 1.5k entities at sf0.1 but
+  K× the events per entity (~67·K rows/key) — the "hundreds of events
+  per entity" shape a 100 TB event table has and the replica-offset
+  modes cannot manufacture (they scale entities WITH events, keeping
+  rows/entity constant). Built for the Partial-WindowGroupLimit
+  shuffle-bytes A/B (``tools/wgl_ab_r16.py``); other tables are copied
+  once, untouched.
 
 Usage: python tools/gen_sf.py [--src DIR] [--dst DIR] [--k 10]
-       [--mode fresh|clone]
+       [--mode fresh|clone|longhist]
 """
 
 from __future__ import annotations
@@ -79,7 +90,41 @@ FRESH_EXPRS: dict[tuple[str, str], str] = {
 }
 
 
+def generate_longhist(src: str, dst: str, k: int) -> None:
+    """events replicated K× per ENTITY (user_id fixed, event_id offset,
+    ts + i seconds); every other table copied once."""
+    os.makedirs(dst, exist_ok=True)
+    con = duckdb.connect()
+    for table in [*COPY_ONLY, "customer", "supplier", "part", "orders",
+                  "lineitem", "documents", "embeddings"]:
+        con.sql(f"COPY (SELECT * FROM '{src}/{table}.parquet') TO "
+                f"'{dst}/{table}.parquet' (FORMAT PARQUET)")
+        print(f"{table}: copied")
+    span = con.sql(f"SELECT max(event_id) + 1 FROM "
+                   f"'{src}/events.parquet'").fetchone()[0]
+    schema = [r[0] for r in con.sql(
+        f"DESCRIBE SELECT * FROM '{src}/events.parquet'").fetchall()]
+
+    def col_expr(c: str) -> str:
+        if c == "event_id":
+            return f"t.event_id + r.i * {span} AS event_id"
+        if c == "ts":
+            return "t.ts + to_seconds(r.i) AS ts"
+        return f"t.{c}"
+
+    select = ", ".join(col_expr(c) for c in schema)
+    con.sql(f"COPY (SELECT {select} FROM '{src}/events.parquet' t "
+            f"CROSS JOIN range({k}) r(i)) TO '{dst}/events.parquet' "
+            f"(FORMAT PARQUET)")
+    n, u = con.sql(f"SELECT count(*), count(distinct user_id) FROM "
+                   f"'{dst}/events.parquet'").fetchone()
+    print(f"events: {n:,} rows, {u:,} entities "
+          f"({n / u:.0f} rows/entity, x{k}, mode=longhist)")
+
+
 def generate(src: str, dst: str, k: int, mode: str = "fresh") -> None:
+    if mode == "longhist":
+        return generate_longhist(src, dst, k)
     if mode not in ("fresh", "clone"):
         raise ValueError(f"mode must be 'fresh' or 'clone', got {mode!r}")
     os.makedirs(dst, exist_ok=True)
@@ -119,6 +164,7 @@ if __name__ == "__main__":
     ap.add_argument("--src", default="/root/testdata/sf0.1")
     ap.add_argument("--dst", default="/root/repo/testdata_sf1")
     ap.add_argument("--k", type=int, default=10)
-    ap.add_argument("--mode", default="fresh", choices=["fresh", "clone"])
+    ap.add_argument("--mode", default="fresh",
+                    choices=["fresh", "clone", "longhist"])
     args = ap.parse_args()
     generate(args.src, args.dst, args.k, args.mode)
