@@ -258,6 +258,16 @@ def dsir_select(raw: DataFrame, target: DataFrame, k: int,
         if include_bigrams and raw_grams_bi is None:
             raise ValueError("include_bigrams=True needs raw_grams_bi "
                              "(a gram_table built with n=2)")
+        # per_doc is consumed twice below (bucket census + per-doc
+        # counts), each consumption re-running the uni⨝bi doc join and
+        # the hex→bucket transform off the caller-persisted gram
+        # tables. Persisting per_doc here was MEASURED (round 16,
+        # alternating within-session A/B): sf0.1 steady-state 3.3 s →
+        # 3.4-4.1 s, sf1 23-29 s → 30-34 s — the doc-cardinality
+        # int-array materialization barrier costs more than the two
+        # pipelined recomputes, the same verdict as the raw-text
+        # path's rejected (id, bucket, cnt) persist below. Left
+        # unpersisted deliberately.
         per_doc = _doc_bucket_arrays(raw_grams_uni, raw_grams_bi, id_col,
                                      n_buckets, include_bigrams)
         raw_counts = (per_doc.select(F.explode("__b").alias("bucket"))

@@ -214,7 +214,8 @@ def _pq_compact_merge(spark, state_dir: str, id_col: str):
 def append_pq_state(spark, state_dir: str, batch_id: int,
                     batch: DataFrame, codebooks,
                     id_col: str = "vec_id", vec_col: str = "embedding",
-                    compact_every: int = 8) -> None:
+                    compact_every: int = 8,
+                    check_state: bool = True) -> None:
     """Fold a batch of NEW embeddings into a VERSIONED PQ code table:
     encode the batch's vectors under the PINNED ``codebooks``
     (:func:`pq_encode` — the deterministic per-subspace argmin) and
@@ -231,14 +232,20 @@ def append_pq_state(spark, state_dir: str, batch_id: int,
     from caspr_spark.state import fold_commit, probe_newest_nonempty
 
     fp = _codebook_fingerprint(codebooks)
-    probe = probe_newest_nonempty(spark, state_dir,
-                                  [F.col("codebook_fp")])
-    if probe is not None and probe[0] != fp:
-        raise ValueError(
-            f"PQ state under {state_dir} was built with codebook "
-            f"fingerprint {probe[0]!r} but this fold uses {fp!r}; "
-            "codes from different codebooks are incommensurable — use "
-            "the stored codebooks or a new state dir")
+    if check_state:
+        # ``check_state=False``: caller already verified the codebook
+        # fingerprint against this dir in this process (the streaming
+        # sink probes on its first fold; later frames were committed by
+        # the same instance under the same pinned codebooks —
+        # single-writer lease). Batch callers keep the default probe.
+        probe = probe_newest_nonempty(spark, state_dir,
+                                      [F.col("codebook_fp")])
+        if probe is not None and probe[0] != fp:
+            raise ValueError(
+                f"PQ state under {state_dir} was built with codebook "
+                f"fingerprint {probe[0]!r} but this fold uses {fp!r}; "
+                "codes from different codebooks are incommensurable — "
+                "use the stored codebooks or a new state dir")
     frame = pq_encode(batch, codebooks, vec_col=vec_col) \
         .select(F.col(id_col), "pq_codes", F.lit(fp).alias("codebook_fp"))
     fold_commit(spark, state_dir, batch_id, "delta", compact_every,

@@ -572,7 +572,8 @@ def append_ivf_state(spark, state_dir: str, batch_id: int,
                      id_col: str = "vec_id", vec_col: str = "embedding",
                      compact_every: int = 8,
                      partition_by_cell: bool = False,
-                     assign: str = "expr") -> None:
+                     assign: str = "expr",
+                     check_state: bool = True) -> None:
     """Fold a batch of NEW embeddings into a VERSIONED IVF index state
     dir — continuous embedding ingest, the similarity-family member of
     the exactly-once state story (the key table and signature table
@@ -624,16 +625,25 @@ def append_ivf_state(spark, state_dir: str, batch_id: int,
     from caspr_spark.state import fold_commit, probe_newest_nonempty
 
     fp = _centroid_fingerprint(centroids)
-    probe = probe_newest_nonempty(spark, state_dir,
-                                  [F.col("centroid_fp")])
-    if probe is not None and probe[0] != fp:
-        raise ValueError(
-            f"IVF state under {state_dir} was built with centroid "
-            f"fingerprint {probe[0]!r} but this fold uses "
-            f"{fp!r}; cells from different quantizers are "
-            "incommensurable (probes would silently search the "
-            "wrong cells) — use the stored centroids or a new "
-            "state dir")
+    if check_state:
+        # ``check_state=False`` is for a caller that ALREADY verified
+        # the quantizer fingerprint against this dir in this process
+        # (the streaming sink probes on its first fold; every later
+        # frame was committed by that same instance under the same
+        # pinned centroids — single-writer lease), so the per-fold
+        # ``limit(1)`` probe job is pure micro-batch latency there.
+        # Batch callers keep the default: the probe is what makes a
+        # mismatched pre-existing state refuse loudly.
+        probe = probe_newest_nonempty(spark, state_dir,
+                                      [F.col("centroid_fp")])
+        if probe is not None and probe[0] != fp:
+            raise ValueError(
+                f"IVF state under {state_dir} was built with centroid "
+                f"fingerprint {probe[0]!r} but this fold uses "
+                f"{fp!r}; cells from different quantizers are "
+                "incommensurable (probes would silently search the "
+                "wrong cells) — use the stored centroids or a new "
+                "state dir")
     if assign not in ("expr", "arrow"):
         raise ValueError(f"assign must be 'expr' or 'arrow', "
                          f"got {assign!r}")

@@ -59,6 +59,25 @@ def load_tables(spark: SparkSession, sf_dir: str,
     return {n: read_parquet_table(spark, f"{sf_dir}/{n}.parquet") for n in names}
 
 
+# (canonicalized-plan string, applicationId) -> (n_partitions, sizeInBytes).
+# The partition-count probe below costs ~50 ms of driver-side PHYSICAL
+# PLANNING per fresh DataFrame (r15 "not yet optimized" item; dozens of
+# probes per bench pass, most over identical plans — the same base-table
+# scan probed by every operator that consumes it). Two semantically equal
+# plans in one application yield the same scan partitioning (same files,
+# same session confs), so the probe result is memoizable by the CANONICAL
+# plan text — the full string, not a 32-bit semanticHash, because a hash
+# collision here would silently change a repartition decision and with it
+# the float-summation order of certified queries. The memo changes NO
+# decisions: cache hits return exactly what the probe would have (and did)
+# return. Contract (holds engine-wide): parquet dirs are immutable once
+# written — versioned state frames supersede-then-delete under NEW paths,
+# corpus output dirs are write-once — so a path's file set never changes
+# under one application while a same-plan re-read occurs.
+_NPARTS_CACHE: dict[tuple[str, str], tuple[int, int | None]] = {}
+_NPARTS_CACHE_MAX = 1024
+
+
 def ensure_parallelism(df: DataFrame, min_partitions: int | None = None,
                        cpu_light: bool = False) -> DataFrame:
     """Repartition up if the plan has fewer partitions than cores.
@@ -76,23 +95,46 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None,
     kernels (the default) always get the full core count — for them the
     bytes-per-task heuristic under-parallelizes badly (shingling 5k docs
     is minutes of CPU on single-digit MB of input).
+
+    Probe results are memoized per canonical plan (``_NPARTS_CACHE``):
+    repeat probes of a semantically identical frame skip the physical
+    planning, returning the identical count — the repartition DECISION
+    (and hence certified partition layouts) is unchanged by construction.
     """
     target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
-    if min_partitions is None and cpu_light:
-        try:
-            size = int(df._jdf.queryExecution().optimizedPlan()
-                       .stats().sizeInBytes())
-            target = max(4, min(target, size // (2 << 20) + 1))
-        except Exception:
-            pass  # stats unavailable (e.g. streaming plan): keep cores
+    key = None
     try:
-        # Same physical-plan RDD ``df.rdd`` wraps, minus the Python-
-        # serialization stages that wrapper prepends — identical partition
-        # count by construction, ~25 ms less driver work per probe (this
-        # fires on every fresh DataFrame handed to a shingling/hash path).
-        n = df._jdf.queryExecution().toRdd().getNumPartitions()
+        key = (df._jdf.queryExecution().analyzed().canonicalized()
+               .toString(),
+               df.sparkSession.sparkContext.applicationId)
     except Exception:
-        n = df.rdd.getNumPartitions()
+        pass
+    hit = _NPARTS_CACHE.get(key) if key is not None else None
+    n = hit[0] if hit is not None else None
+    size = hit[1] if hit is not None else None
+    if min_partitions is None and cpu_light:
+        if size is None:
+            try:
+                size = int(df._jdf.queryExecution().optimizedPlan()
+                           .stats().sizeInBytes())
+            except Exception:
+                pass  # stats unavailable (e.g. streaming plan): keep cores
+        if size is not None:
+            target = max(4, min(target, size // (2 << 20) + 1))
+    if n is None:
+        try:
+            # Same physical-plan RDD ``df.rdd`` wraps, minus the Python-
+            # serialization stages that wrapper prepends — identical
+            # partition count by construction, ~25 ms less driver work per
+            # probe (this fires on every fresh DataFrame handed to a
+            # shingling/hash path).
+            n = df._jdf.queryExecution().toRdd().getNumPartitions()
+        except Exception:
+            n = df.rdd.getNumPartitions()
+        if key is not None:
+            if len(_NPARTS_CACHE) >= _NPARTS_CACHE_MAX:
+                _NPARTS_CACHE.clear()
+            _NPARTS_CACHE[key] = (n, size)
     if n < target:
         return df.repartition(target)
     return df

@@ -825,15 +825,25 @@ def ann_ingest_sink(state_dir: str, centroids: list,
     from caspr_spark.state import claim_writer
 
     claimed = []
+    fp_verified = []
 
     def _fold(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         if writer_id is not None and not claimed:
             claim_writer(spark, state_dir, writer_id)
             claimed.append(True)
+        # fingerprint probe once per sink instance (round 16): the
+        # FIRST fold verifies the committed state's quantizer (the
+        # probe runs before the replay skip, so a replayed first batch
+        # still verifies); every later frame under state_dir was
+        # committed by this same instance under the same pinned
+        # centroids (single-writer lease), so the per-fold limit(1)
+        # probe job would only re-confirm what this process just wrote
         append_ivf_state(spark, state_dir, batch_id + 1, batch_df,
                          centroids, id_col, vec_col, compact_every,
-                         partition_by_cell=partition_by_cell)
+                         partition_by_cell=partition_by_cell,
+                         check_state=not fp_verified)
+        fp_verified.append(True)
 
     return _fold
 
@@ -886,14 +896,20 @@ def pq_ingest_sink(state_dir: str, codebooks,
     from caspr_spark.state import claim_writer
 
     claimed = []
+    fp_verified = []
 
     def _fold(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         if writer_id is not None and not claimed:
             claim_writer(spark, state_dir, writer_id)
             claimed.append(True)
+        # codebook probe once per sink instance — same rationale as
+        # ann_ingest_sink's centroid probe skip (single-writer lease;
+        # the first fold's probe runs before the replay skip)
         append_pq_state(spark, state_dir, batch_id + 1, batch_df,
-                        codebooks, id_col, vec_col, compact_every)
+                        codebooks, id_col, vec_col, compact_every,
+                        check_state=not fp_verified)
+        fp_verified.append(True)
 
     return _fold
 

@@ -721,3 +721,38 @@ class TestPQState:
         other = pq_ingest_sink(state, cb, writer_id="ckpt-B")
         with pytest.raises(RuntimeError, match="claimed by writer"):
             other(b0, 2)
+
+
+class TestSinkProbeOnce:
+    def test_ann_sink_first_fold_still_refuses_mismatch(self, embeddings,
+                                                        tmp_path):
+        """Round-16 probe skip: ann_ingest_sink probes the quantizer
+        fingerprint once per instance — the FIRST fold of a fresh sink
+        must still refuse a mismatched pre-existing state, and
+        same-instance later folds (probe skipped) commit identically
+        to the always-probing batch path."""
+        from caspr_spark.llm.similarity import (append_ivf_state,
+                                                read_ivf_state)
+        from caspr_spark.streaming import ann_ingest_sink
+        from __spark_entry__ import _ivf_fixed_centroids
+        spark = embeddings.sparkSession
+        cents = _ivf_fixed_centroids()
+        other = [[c + 1.0 for c in row] for row in cents]
+        b0 = embeddings.filter(F.col("vec_id") % 2 == 0)
+        b1 = embeddings.filter(F.col("vec_id") % 2 == 1)
+
+        bad = str(tmp_path / "bad")
+        append_ivf_state(spark, bad, 1, b0, other)
+        with pytest.raises(ValueError, match="fingerprint"):
+            ann_ingest_sink(bad, cents)(b1, 1)
+
+        good = str(tmp_path / "good")
+        sink = ann_ingest_sink(good, cents)
+        sink(b0, 0)
+        sink(b1, 1)           # probe skipped on this fold
+        ref = str(tmp_path / "ref")
+        append_ivf_state(spark, ref, 1, b0, cents)
+        append_ivf_state(spark, ref, 2, b1, cents)
+        key = lambda r: (r.vec_id, r.ivf_cell)
+        assert (sorted(map(key, read_ivf_state(spark, good).collect()))
+                == sorted(map(key, read_ivf_state(spark, ref).collect())))

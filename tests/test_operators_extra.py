@@ -392,3 +392,25 @@ class TestTopkPerGroup:
             topk_per_group(df, ["g"], ["v"], k=0)
         with pytest.raises(ValueError, match="key"):
             topk_per_group(df, [], ["v"], k=1)
+
+
+class TestEnsureParallelismCache:
+    def test_probe_memo_same_decision(self, spark, tmp_path):
+        """Round-16: the partition-count probe memo must return the
+        identical count (and hence identical repartition decision) for
+        a semantically identical fresh frame, and must MISS for a
+        different plan."""
+        from caspr_spark.sources import _NPARTS_CACHE, ensure_parallelism
+        p = str(tmp_path / "t.parquet")
+        spark.range(100).selectExpr("id", "id * 2 as v") \
+             .coalesce(1).write.parquet(p)
+        _NPARTS_CACHE.clear()
+        a = ensure_parallelism(spark.read.parquet(p))
+        n_cache = len(_NPARTS_CACHE)
+        assert n_cache == 1
+        b = ensure_parallelism(spark.read.parquet(p))
+        assert len(_NPARTS_CACHE) == n_cache          # hit, no new entry
+        assert a.rdd.getNumPartitions() == b.rdd.getNumPartitions()
+        # a different plan (projection) is a different key
+        ensure_parallelism(spark.read.parquet(p).select("id"))
+        assert len(_NPARTS_CACHE) == n_cache + 1
