@@ -76,6 +76,10 @@ def load_tables(spark: SparkSession, sf_dir: str,
 # under one application while a same-plan re-read occurs.
 _NPARTS_CACHE: dict[tuple[str, str], tuple[int, int | None]] = {}
 _NPARTS_CACHE_MAX = 1024
+# probe telemetry (driver-side ints, no jobs): calls vs physical-planning
+# probes actually paid — the r16 done-criterion evidence ("probe count in
+# a bench trace drops to ≤ once per source relation")
+_NPARTS_STATS = {"calls": 0, "misses": 0}
 
 
 def ensure_parallelism(df: DataFrame, min_partitions: int | None = None,
@@ -102,6 +106,7 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None,
     (and hence certified partition layouts) is unchanged by construction.
     """
     target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    _NPARTS_STATS["calls"] += 1
     key = None
     try:
         key = (df._jdf.queryExecution().analyzed().canonicalized()
@@ -122,6 +127,7 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None,
         if size is not None:
             target = max(4, min(target, size // (2 << 20) + 1))
     if n is None:
+        _NPARTS_STATS["misses"] += 1
         try:
             # Same physical-plan RDD ``df.rdd`` wraps, minus the Python-
             # serialization stages that wrapper prepends — identical
