@@ -414,3 +414,23 @@ class TestEnsureParallelismCache:
         # a different plan (projection) is a different key
         ensure_parallelism(spark.read.parquet(p).select("id"))
         assert len(_NPARTS_CACHE) == n_cache + 1
+
+    def test_schema_memo_invalidates_on_rewrite(self, spark, tmp_path):
+        """Round-16 schema memo: a repeat read of an unchanged path is
+        schema-pinned (cache hit) and identical; overwriting the path
+        (new file mtimes) misses and re-infers the NEW schema."""
+        from caspr_spark.sources import _SCHEMA_CACHE, read_parquet_table
+        import time as _time
+        p = str(tmp_path / "m.parquet")
+        spark.range(10).coalesce(1).write.parquet(p)
+        _SCHEMA_CACHE.clear()
+        a = read_parquet_table(spark, p)
+        assert len(_SCHEMA_CACHE) == 1
+        b = read_parquet_table(spark, p)
+        assert len(_SCHEMA_CACHE) == 1          # hit
+        assert a.schema == b.schema and b.count() == 10
+        _time.sleep(1.1)                        # mtime resolution
+        spark.range(10).selectExpr("id", "id * 3 as v") \
+             .coalesce(1).write.mode("overwrite").parquet(p)
+        c = read_parquet_table(spark, p)
+        assert c.columns == ["id", "v"]         # re-inferred, not stale
